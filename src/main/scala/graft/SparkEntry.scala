@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.core.Ops
+import graft.preprocessing._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 gets a `queries` entry (the
+  * Spark plan, built from the library) and, where ANSI-SQL-expressible, an
+  * `oracleSql` entry the driver runs in DuckDB over the same parquet tables.
+  * Column names and types are aligned between both sides (ids/counts/ranks
+  * as BIGINT, measures as DOUBLE, timestamps as epoch millis or DATE).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Tables.interactionsSql
+
+  /** Flagship: end-to-end slice on sf0.001 (SURVEY §7.2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val inter = Tables.interactions(spark, dir)
+    val filtered = MinCountFilter(5, "query_id").transform(inter)
+    val agg = filtered.groupBy("query_id", "item_id")
+      .agg(F.sum("rating").as("rating"))
+    Ops.getTopKRecs(agg, k = 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 aggregations ------------------------------------------------
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.sum("l_quantity").as("sum_qty"),
+          F.round(F.sum("l_extendedprice"), 2).as("sum_base_price"),
+          F.round(F.avg("l_quantity"), 6).as("avg_qty"),
+          F.count(F.lit(1)).as("count_order"),
+        )
+    }),
+    "agg_stats" -> ((s, d) => {
+      // get_stats parity (spark_utils.py:394-405): global min/max/mean/count
+      val i = Tables.interactions(s, d)
+      Ops.getStats(i, "rating")
+        .select(
+          F.col("min_rating"), F.col("max_rating"),
+          F.round(F.col("mean_rating"), 6).as("mean_rating"),
+          F.col("count_rating"),
+          F.round(F.col("stddev_rating"), 6).as("stddev_rating"))
+    }),
+    "agg_group_distinct" -> ((s, d) => {
+      // groupBy count + countDistinct (pop_rec.py:125-133 shape)
+      Tables.events(s, d).groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"),
+          F.round(F.sum("value"), 2).as("sum_value"))
+    }),
+
+    // ---- §2.5 windows -----------------------------------------------------
+    "window_top_k" -> ((s, d) => {
+      // THE central operator: top-k per query, ties by item asc
+      // (spark_utils.py:101-153)
+      val agg = Tables.interactions(s, d)
+        .groupBy("query_id", "item_id").agg(F.sum("rating").as("score"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("score").desc, F.col("item_id").asc)
+      agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    }),
+    "window_dedup_keep_max" -> ((s, d) => {
+      // dedup keep-max (experimental/metrics/base_metric.py:96-107)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("value").desc, F.col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") === 1)
+        .select("user_id", "event_type", "event_id", "value")
+    }),
+    "window_cumsum" -> ((s, d) => {
+      // running totals (sessionizer.py:184-189, new_users_splitter.py:133-152)
+      val w = Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc, F.col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("cum_value", F.round(F.sum("value").over(w), 2))
+        .withColumn("cum_n", F.count(F.lit(1)).over(w))
+        .select("event_id", "user_id", "cum_value", "cum_n")
+    }),
+    "window_global_rank" -> ((s, d) => {
+      // global ranking without partition (base_rec.py:1235-1237)
+      val pop = Tables.interactions(s, d)
+        .groupBy("item_id").agg(F.sum("rating").as("score"))
+      pop.withColumn("rank",
+          F.row_number().over(Window.orderBy(F.col("score").desc, F.col("item_id").asc)).cast("long"))
+        .filter(F.col("rank") <= 100)
+    }),
+
+    // ---- §2.2 filters -----------------------------------------------------
+    "filter_low_rating" -> ((s, d) => {
+      LowRatingFilter(25.0).transform(Tables.interactions(s, d))
+        .select(F.col("query_id"), F.col("item_id"), F.col("rating"),
+          F.col("timestamp").cast("date").as("order_date"))
+    }),
+    "filter_time_period" -> ((s, d) => {
+      TimePeriodFilter(Some("2024-01-10"), Some("2024-01-20"), tsCol = "ts")
+        .transform(Tables.events(s, d))
+        .select(F.col("event_id"), F.col("user_id"), F.col("event_type"),
+          F.unix_millis(F.col("ts")).as("ts_ms"))
+    }),
+    "filter_global_days" -> ((s, d) => {
+      GlobalDaysFilter(7, first = true, tsCol = "ts").transform(Tables.events(s, d))
+        .select(F.col("event_id"), F.col("user_id"), F.unix_millis(F.col("ts")).as("ts_ms"))
+    }),
+    "filter_entity_days" -> ((s, d) => {
+      EntityDaysFilter(3, first = true, entityCol = "user_id", tsCol = "ts")
+        .transform(Tables.events(s, d))
+        .select(F.col("event_id"), F.col("user_id"), F.unix_millis(F.col("ts")).as("ts_ms"))
+    }),
+    "filter_num_interactions" -> ((s, d) => {
+      NumInteractionsFilter(5, first = true, queryCol = "user_id",
+          tsCol = "ts", tieCol = Some("event_id"))
+        .transform(Tables.events(s, d))
+        .select("event_id", "user_id", "event_type")
+    }),
+    "filter_min_count" -> ((s, d) => {
+      MinCountFilter(70, "user_id").transform(Tables.events(s, d))
+        .select("event_id", "user_id")
+    }),
+    "filter_consecutive_duplicates" -> ((s, d) => {
+      ConsecutiveDuplicatesFilter(queryCol = "user_id", itemCol = "event_type",
+          tsCol = "ts", tieCol = Some("event_id"))
+        .transform(Tables.events(s, d))
+        .select("event_id", "user_id", "event_type")
+    }),
+    "filter_cold_items" -> ((s, d) => {
+      // left_semi cold filter (filters.py:1131-1139)
+      val bigParts = Tables.part(s, d).filter(F.col("p_size") >= 25)
+        .select(F.col("p_partkey").as("item_id"))
+      Ops.filterCold(Tables.interactions(s, d), bigParts, "item_id")
+        .select("query_id", "item_id", "rating")
+    }),
+    "filter_interaction_entries" -> ((s, d) => {
+      // fixpoint min-interactions per user and item (filters.py:140-250)
+      InteractionEntriesFilter(minInterPerUser = Some(10), minInterPerItem = Some(3))
+        .transform(Tables.interactions(s, d))
+        .select("query_id", "item_id", "rating", "session_id")
+    }),
+
+    // ---- §2.3 joins -------------------------------------------------------
+    "join_anti_consistency" -> ((s, d) => {
+      // anti-join consistency count (dataset.py:559-599): customers with no orders
+      val custKeys = Tables.customer(s, d).select(F.col("c_custkey"))
+      val orderCust = Tables.orders(s, d).select(F.col("o_custkey").as("c_custkey"))
+      custKeys.join(orderCust, Seq("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).as("n_cold"))
+    }),
+    "join_fallback_merge" -> ((s, d) => {
+      // full-outer fallback merge (spark_utils.py:480-514): main = per-user
+      // top items by rating sum; fallback = global popularity for all users
+      val i = Tables.interactions(s, d)
+      val main = i.groupBy("query_id", "item_id").agg(F.sum("rating").as("rating"))
+        .filter(F.col("rating") >= 50)
+      val users = i.select("query_id").distinct()
+      val topItems = i.groupBy("item_id").agg(F.sum("rating").as("rating"))
+        .orderBy(F.col("rating").desc, F.col("item_id").asc).limit(5)
+      val fallback = users.crossJoin(topItems)
+      Ops.fallbackMerge(main, fallback)
+        .select(F.col("query_id"), F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_stats" ->
+      s"""$interactionsSql
+         |SELECT min(rating) AS min_rating, max(rating) AS max_rating,
+         |  round(avg(rating), 6) AS mean_rating,
+         |  count(rating) AS count_rating,
+         |  round(coalesce(stddev_samp(rating), 0), 6) AS stddev_rating
+         |FROM interactions""".stripMargin,
+    "agg_group_distinct" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "window_top_k" ->
+      s"""$interactionsSql,
+         |agg AS (SELECT query_id, item_id, sum(rating) AS score
+         |        FROM interactions GROUP BY 1, 2)
+         |SELECT query_id, item_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
+         |  FROM agg) WHERE rank <= 3""".stripMargin,
+    "window_dedup_keep_max" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY value DESC, event_id) AS _rn
+        |  FROM events) WHERE _rn = 1""".stripMargin,
+    "window_cumsum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS cum_value,
+        |  count(*) OVER w AS cum_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "window_global_rank" ->
+      s"""$interactionsSql,
+         |pop AS (SELECT item_id, sum(rating) AS score
+         |        FROM interactions GROUP BY 1)
+         |SELECT item_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, item_id) AS rank
+         |  FROM pop) WHERE rank <= 100""".stripMargin,
+    "filter_low_rating" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id, rating,
+         |  CAST(timestamp AS DATE) AS order_date
+         |FROM interactions WHERE rating >= 25""".stripMargin,
+    "filter_time_period" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "filter_global_days" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 7 DAY""".stripMargin,
+    "filter_entity_days" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM (
+        |  SELECT *, min(ts) OVER (PARTITION BY user_id) AS t0 FROM events)
+        |WHERE ts < t0 + INTERVAL 3 DAY""".stripMargin,
+    "filter_num_interactions" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS _rn
+        |  FROM events) WHERE _rn <= 5""".stripMargin,
+    "filter_min_count" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 70)""".stripMargin,
+    "filter_consecutive_duplicates" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        |  FROM events)
+        |WHERE _prev IS NULL OR _prev <> event_type""".stripMargin,
+    "filter_cold_items" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id, rating FROM interactions
+         |WHERE item_id IN (SELECT p_partkey FROM part WHERE p_size >= 25)""".stripMargin,
+    // filter_interaction_entries: fixpoint loop — not ANSI-SQL-expressible,
+    // driver records the weaker rows-only check.
+    "join_anti_consistency" ->
+      """SELECT count(*) AS n_cold FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "join_fallback_merge" ->
+      s"""$interactionsSql,
+         |main AS (
+         |  SELECT query_id, item_id, sum(rating) AS rating
+         |  FROM interactions GROUP BY 1, 2 HAVING sum(rating) >= 50),
+         |top_items AS (
+         |  SELECT item_id, sum(rating) AS rating FROM interactions
+         |  GROUP BY 1 ORDER BY rating DESC, item_id LIMIT 5),
+         |fb_stats AS (
+         |  SELECT max(rating) AS fb_max FROM top_items),
+         |main_stats AS (
+         |  SELECT min(rating) AS main_min FROM main),
+         |fallback AS (
+         |  SELECT u.query_id, t.item_id,
+         |    t.rating - (SELECT fb_max FROM fb_stats)
+         |             + (SELECT main_min FROM main_stats) - 1 AS rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) u, top_items t)
+         |SELECT coalesce(m.query_id, f.query_id) AS query_id,
+         |       coalesce(m.item_id, f.item_id) AS item_id,
+         |       round(coalesce(m.rating, f.rating), 6) AS rating
+         |FROM main m FULL OUTER JOIN fallback f
+         |  ON m.query_id = f.query_id AND m.item_id = f.item_id""".stripMargin,
+  )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Loaders mapping the driver's TPC-H-ish testdata onto the engine's
+  * canonical shapes (FIXTURES.md §6): orders ⋈ lineitem as the interaction
+  * log (custkey→query, partkey→item, orderdate→ts, quantity→rating,
+  * orderkey→session), `events` as the behavioural stream.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read nanos as long, then floor to µs (the data is µs-grained,
+    * so this is lossless and matches DuckDB's value). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Interaction log: one row per (customer, part) purchase event.
+    * The orders side is ~10× smaller than lineitem — at cluster scale this
+    * is a broadcast-able dimension join (AQE handles it; the join key is
+    * l_orderkey so no pre-shuffle of the fact table is needed beyond the
+    * scan). */
+  def interactions(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).join(orders(s, d),
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      .select(
+        F.col("o_custkey").as("query_id"),
+        F.col("l_partkey").as("item_id"),
+        F.col("o_orderdate").as("timestamp"),
+        F.col("l_quantity").as("rating"),
+        F.col("l_orderkey").as("session_id"),
+      )
+
+  /** The same mapping as ANSI SQL, prepended to oracle queries. */
+  val interactionsSql: String =
+    """WITH interactions AS (
+      |  SELECT o.o_custkey AS query_id, l.l_partkey AS item_id,
+      |         o.o_orderdate AS timestamp, l.l_quantity AS rating,
+      |         l.l_orderkey AS session_id
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)""".stripMargin
+}

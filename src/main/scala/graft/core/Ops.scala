@@ -1,0 +1,135 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators every other module builds on.
+  *
+  * Semantics from the reference's spark utils (replay/utils/spark_utils.py) —
+  * re-expressed as declarative Spark plans so Catalyst picks the physical
+  * strategy. Every window carries a deterministic tie-break (SURVEY §7.4.1).
+  */
+object Ops {
+  import FeatureSchema.{QueryId, ItemId, Rating}
+
+  /** Top-k rows per partition, deterministic ties.
+    * Reference: replay/utils/spark_utils.py:101-153 `get_top_k`.
+    * Scale: single hash-shuffle on `partitionCols`; rank computed inside the
+    * sort of each partition group — no global sort, no driver collect.
+    */
+  def topK(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(F.col): _*).orderBy(orderCols: _*)
+    df.withColumn("_rank", F.row_number().over(w))
+      .filter(F.col("_rank") <= k)
+      .drop("_rank")
+  }
+
+  /** Per-query top-k recommendations ordered by rating desc, item asc
+    * (the framework's central operator —
+    * reference: replay/utils/spark_utils.py:146-153 `get_top_k_recs`). */
+  def getTopKRecs(
+      recs: DataFrame,
+      k: Int,
+      queryCol: String = QueryId,
+      itemCol: String = ItemId,
+      ratingCol: String = Rating,
+  ): DataFrame =
+    topK(recs, Seq(queryCol), Seq(F.col(ratingCol).desc, F.col(itemCol).asc), k)
+
+  /** Drop (query, item) pairs already present in history.
+    * Reference: base_rec.py:152-201 `_filter_seen` — rank-crop to
+    * k + max_seen BEFORE the anti-join so the join input stays bounded. */
+  def filterSeen(
+      recs: DataFrame,
+      history: DataFrame,
+      k: Int,
+      queryCol: String = QueryId,
+      itemCol: String = ItemId,
+      ratingCol: String = Rating,
+  ): DataFrame = {
+    // scalar agg: largest per-user history size (one tiny job, reference base_rec.py:171)
+    val maxSeen = history.groupBy(queryCol).count()
+      .agg(F.max("count")).first().getLong(0)
+    val cropped = topK(recs, Seq(queryCol), Seq(F.col(ratingCol).desc, F.col(itemCol).asc), k + maxSeen.toInt)
+    cropped.join(history.select(queryCol, itemCol).distinct(), Seq(queryCol, itemCol), "left_anti")
+  }
+
+  /** Keep rows whose `col` appears in `reference` (cold filtering;
+    * reference: preprocessing/filters.py:1131-1139 — left_semi). */
+  def filterCold(df: DataFrame, reference: DataFrame, col: String): DataFrame =
+    df.join(reference.select(col).distinct(), Seq(col), "left_semi")
+
+  /** Count ids in `df` missing from `reference` (anti-join count;
+    * reference: replay/utils/spark_utils.py:724-747). */
+  def coldCount(df: DataFrame, reference: DataFrame, col: String): Long =
+    df.select(col).distinct()
+      .join(reference.select(col).distinct(), Seq(col), "left_anti")
+      .count()
+
+  /** Merge a main and a fallback rec set: fallback ratings are shifted to sit
+    * strictly below the main minimum, then full-outer merge with coalesce.
+    * Reference: replay/utils/spark_utils.py:480-514 `fallback`. */
+  def fallbackMerge(
+      main: DataFrame,
+      fallback: DataFrame,
+      queryCol: String = QueryId,
+      itemCol: String = ItemId,
+      ratingCol: String = Rating,
+  ): DataFrame = {
+    val Row2 = main.agg(F.min(ratingCol), F.max(ratingCol)).first()
+    val fbRow = fallback.agg(F.min(ratingCol), F.max(ratingCol)).first()
+    if (fbRow.isNullAt(0)) return main
+    val mainMin = if (Row2.isNullAt(0)) 0.0 else Row2.getDouble(0)
+    val fbMax   = fbRow.getDouble(1)
+    // shift so max(fallback) < min(main)  (reference spark_utils.py:497-503)
+    val shifted = fallback.withColumn(ratingCol, F.col(ratingCol) - F.lit(fbMax - mainMin + 1.0))
+    val m = main.select(F.col(queryCol), F.col(itemCol), F.col(ratingCol).as("_r_main"))
+    val f = shifted.select(F.col(queryCol), F.col(itemCol), F.col(ratingCol).as("_r_fb"))
+    m.join(f, Seq(queryCol, itemCol), "full_outer")
+      .select(F.col(queryCol), F.col(itemCol),
+        F.coalesce(F.col("_r_main"), F.col("_r_fb")).as(ratingCol))
+  }
+
+  /** Global min/max/mean/count/stddev of a column in one pass
+    * (reference: replay/utils/spark_utils.py:394-405 `get_stats`). */
+  def getStats(df: DataFrame, col: String): DataFrame =
+    df.agg(
+      F.min(col).as(s"min_$col"),
+      F.max(col).as(s"max_$col"),
+      F.avg(col).as(s"mean_$col"),
+      F.count(F.col(col)).as(s"count_$col"),
+      F.coalesce(F.stddev(col), F.lit(0.0)).as(s"stddev_$col"),
+    )
+
+  /** Normalize a timestamp column that may arrive as timestamp, numeric unix
+    * seconds, or a formatted date string
+    * (reference: replay/utils/spark_utils.py:573-609). */
+  def processTimestampColumn(df: DataFrame, col: String, format: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(col).dataType match {
+      case TimestampType | DateType => df.withColumn(col, F.col(col).cast(TimestampType))
+      case _: NumericType => df.withColumn(col, F.timestamp_seconds(F.col(col).cast(LongType)))
+      case StringType =>
+        format match {
+          case Some(fmt) => df.withColumn(col, F.to_timestamp(F.col(col), fmt))
+          case None      => df.withColumn(col, F.to_timestamp(F.col(col)))
+        }
+      case other => throw new IllegalArgumentException(s"cannot normalize $col of type $other")
+    }
+  }
+
+  /** Expand a fixed-width array column into `prefix_{i}` scalar columns
+    * (reference: replay/utils/spark_utils.py:458-462 `horizontal_explode`). */
+  def horizontalExplode(df: DataFrame, arrayCol: String, width: Int, prefix: String): DataFrame = {
+    val cols = (0 until width).map(i => F.col(arrayCol).getItem(i).as(s"${prefix}_$i"))
+    df.select(df.columns.filterNot(_ == arrayCol).map(F.col).toSeq ++ cols: _*)
+  }
+
+  /** Distinct entities of one column (reference: spark_utils.py:750-768). */
+  def getUniqueEntities(df: DataFrame, col: String): DataFrame = df.select(col).distinct()
+
+  /** Entities occurring at least `n` times (groupBy-count + semi-join back;
+    * reference: preprocessing/filters.py:286-294 MinCountFilter core). */
+  def minCountEntities(df: DataFrame, col: String, n: Long): DataFrame =
+    df.groupBy(col).count().filter(F.col("count") >= n).select(col)
+}

@@ -1,0 +1,81 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny interaction fixture in the reference's conftest style
+  // (tests/conftest.py:50-60): 3 users, 4 items
+  def log = Seq(
+    (0L, 0L, 1.0), (0L, 1L, 2.0), (0L, 2L, 2.0),
+    (1L, 0L, 3.0), (1L, 2L, 1.0),
+    (2L, 3L, 5.0),
+  ).toDF("query_id", "item_id", "rating")
+
+  test("topK keeps k rows per partition with deterministic ties") {
+    val top1 = Ops.getTopKRecs(log, k = 1)
+    // user 0: items 1 and 2 tie at 2.0 → item 1 wins (item asc tie-break)
+    assertSameRows(top1, Seq((0L, 1L, 2.0), (1L, 0L, 3.0), (2L, 3L, 5.0)))
+  }
+
+  test("topK k larger than group returns whole group") {
+    assert(Ops.getTopKRecs(log, k = 10).count() == 6)
+  }
+
+  test("filterSeen drops history pairs and crops rank") {
+    val history = Seq((0L, 1L), (1L, 0L)).toDF("query_id", "item_id")
+    val out = Ops.filterSeen(log, history, k = 2)
+    val pairs = out.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((0L, 1L)) && !pairs.contains((1L, 0L)))
+    assert(pairs.contains((2L, 3L)))
+  }
+
+  test("filterCold keeps only referenced ids") {
+    val ref = Seq(0L, 3L).toDF("item_id")
+    val out = Ops.filterCold(log, ref, "item_id")
+    assert(out.select("item_id").as[Long].collect().toSet == Set(0L, 3L))
+  }
+
+  test("coldCount counts ids missing from reference") {
+    val ref = Seq(0L, 1L).toDF("item_id")
+    assert(Ops.coldCount(log, ref, "item_id") == 2) // items 2 and 3
+  }
+
+  test("fallbackMerge shifts fallback strictly below main minimum") {
+    val main = Seq((0L, 0L, 5.0)).toDF("query_id", "item_id", "rating")
+    val fb   = Seq((0L, 0L, 100.0), (0L, 1L, 50.0)).toDF("query_id", "item_id", "rating")
+    val got = Ops.fallbackMerge(main, fb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 0L)) == 5.0)          // main wins on conflict
+    assert(got((0L, 1L)) < 5.0)           // fallback shifted below main min
+  }
+
+  test("minCountEntities keeps entities with >= n rows") {
+    val out = Ops.minCountEntities(log, "query_id", 2L).as[Long].collect().toSet
+    assert(out == Set(0L, 1L))
+  }
+
+  test("getStats computes one-pass stats") {
+    val r = Ops.getStats(log, "rating").first()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 5.0 && r.getLong(3) == 6L)
+  }
+
+  test("processTimestampColumn normalizes unix seconds and strings") {
+    val fromLong = Ops.processTimestampColumn(
+      Seq((1L, 1700000000L)).toDF("id", "ts"), "ts")
+    assert(fromLong.schema("ts").dataType.typeName == "timestamp")
+    val fromStr = Ops.processTimestampColumn(
+      Seq((1L, "2024-01-01 00:00:00")).toDF("id", "ts"), "ts")
+    assert(fromStr.schema("ts").dataType.typeName == "timestamp")
+    assert(fromStr.filter(F.col("ts").isNull).count() == 0)
+  }
+
+  test("horizontalExplode expands fixed-width arrays") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
+    val out = Ops.horizontalExplode(df, "vec", 2, "f")
+    assert(out.columns.toSeq == Seq("id", "f_0", "f_1"))
+    assert(out.first().getDouble(2) == 2.0)
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (NOT shipped library code).
+
+Usage: python3 tools/check.py [sf_dir] [out_dir]
+Assumes `sbt "runMain graft.Verify <sf_dir> <out_dir>"` already ran.
+Registers each testdata parquet as a DuckDB view, runs every oracle_sql.json
+entry, and compares against the Spark parquet dump: columns sorted by name,
+rows sorted, exact match for non-floats, tiny-tolerance report for floats.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+spark_results = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)}
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+fails, passes = [], []
+for name in sorted(spark_results):
+    try:
+        sp = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{out_dir}/{name}/*.parquet")],
+                       ignore_index=True)
+    except Exception as e:
+        fails.append((name, f"spark result unreadable: {e}")); continue
+    if name not in oracle:
+        passes.append((name, f"rows-only ({len(sp)} rows)"))
+        if len(sp) == 0: fails.append((name, "rows-only check but 0 rows"))
+        continue
+    try:
+        du = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}")); continue
+    sp, du = canon(sp), canon(du)
+    if list(sp.columns) != list(du.columns):
+        fails.append((name, f"columns differ: spark={list(sp.columns)} duck={list(du.columns)}")); continue
+    if len(sp) != len(du):
+        fails.append((name, f"row count differs: spark={len(sp)} duck={len(du)}")); continue
+    ok = True
+    for c in sp.columns:
+        a, b = sp[c].values, du[c].values
+        if np.issubdtype(sp[c].dtype, np.floating) or np.issubdtype(du[c].dtype, np.floating):
+            a = a.astype(float); b = b.astype(float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            diff = np.where(both_nan, 0.0, np.abs(a - b))
+            md = np.nanmax(diff) if len(diff) else 0.0
+            if md > 0:
+                ok = False
+                fails.append((name, f"col {c}: max abs diff {md} (exact-hash would fail)"))
+        else:
+            if not (pd.Series(a).astype(str).values == pd.Series(b).astype(str).values).all():
+                i = np.argmax(pd.Series(a).astype(str).values != pd.Series(b).astype(str).values)
+                ok = False
+                fails.append((name, f"col {c}: first mismatch row {i}: spark={a[i]!r} duck={b[i]!r}"))
+    if ok:
+        passes.append((name, f"MATCH ({len(sp)} rows)"))
+
+print(f"== {len(passes)} pass / {len(fails)} fail ==")
+for n, m in passes: print(f"  PASS {n}: {m}")
+for n, m in fails: print(f"  FAIL {n}: {m}")
+sys.exit(1 if fails else 0)
