@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.core.Ops
 import graft.preprocessing._
+import graft.splitters._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -146,6 +147,74 @@ object SparkEntry {
         .select("query_id", "item_id", "rating", "session_id")
     }),
 
+    // ---- §2.8 encoding / sessionization / discretization ------------------
+    "label_encode_fit" -> ((s, d) => {
+      // dense 0..n-1 ids by sorted distinct order (label_encoder.py:172-185)
+      // — distributed zipWithIndex, no driver collect
+      LabelEncoder.fit(
+        Tables.lineitem(s, d).select(F.col("l_partkey").as("item_id")), "item_id"
+      ).mapping
+    }),
+    "label_encode_transform" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      val enc = LabelEncoder.fit(i, "item_id")
+      enc.transform(i).select("query_id", "item_id", "rating", "session_id")
+    }),
+    "sessionize" -> ((s, d) => {
+      Sessionizer(sessionGapSec = 1800, userCol = "user_id", tsCol = "ts",
+          tieCol = Some("event_id"))
+        .transform(Tables.events(s, d))
+        .select("event_id", "user_id", "session_seq")
+    }),
+    "discretize_greedy" -> ((s, d) => {
+      // LightGBM-style greedy binning (discretizer.py:63-374); fit is
+      // histogram-driven — oracle omitted (rows-only check)
+      val docs = Tables.documents(s, d)
+      Discretizer.fitGreedy(docs, "n_chars", nBuckets = 5)
+        .transform(docs).select("doc_id", "n_chars", "n_chars_bucket")
+    }),
+
+    // ---- §2.9 splitters ---------------------------------------------------
+    "split_ratio" -> ((s, d) => {
+      RatioSplitter(0.2, queryCol = "user_id", tsCol = "ts", tieCol = Some("event_id"))
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+    "split_last_n" -> ((s, d) => {
+      LastNSplitter(2, queryCol = "user_id", tsCol = "ts", tieCol = Some("event_id"))
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+    "split_time_quantile" -> ((s, d) => {
+      graft.splitters.TimeSplitter.byQuantile(Tables.events(s, d), 0.8, tsCol = "ts")
+        .select("event_id", "user_id", "is_test")
+    }),
+    "split_new_users" -> ((s, d) => {
+      NewUsersSplitter(0.2, queryCol = "user_id", tsCol = "ts")
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+    "split_cold_user" -> ((s, d) => {
+      ColdUserSplitter(0.2, seed = 42, queryCol = "user_id")
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+    "split_two_stage" -> ((s, d) => {
+      TwoStageSplitter(0.5, 0.3, seed = 42, queryCol = "user_id",
+          tsCol = "ts", tieCol = Some("event_id"))
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+    "split_kfolds" -> ((s, d) => {
+      KFolds(3, seed = 42, queryCol = "user_id")
+        .assign(Tables.events(s, d), Seq("event_id"))
+        .select("event_id", "user_id", "fold")
+    }),
+    "split_random_next_n" -> ((s, d) => {
+      RandomNextNSplitter(3, seed = 42, queryCol = "user_id", tsCol = "ts",
+          tieCol = Some("event_id"))
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+    "split_hash_random" -> ((s, d) => {
+      HashRandomSplitter(0.2, seed = 42, keyCols = Seq("event_id"), queryCol = "user_id")
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
+
     // ---- §2.3 joins -------------------------------------------------------
     "join_anti_consistency" -> ((s, d) => {
       // anti-join consistency count (dataset.py:559-599): customers with no orders
@@ -256,6 +325,95 @@ object SparkEntry {
          |WHERE item_id IN (SELECT p_partkey FROM part WHERE p_size >= 25)""".stripMargin,
     // filter_interaction_entries: fixpoint loop — not ANSI-SQL-expressible,
     // driver records the weaker rows-only check.
+    "label_encode_fit" ->
+      """SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
+        |FROM (SELECT DISTINCT l_partkey AS item_id FROM lineitem)""".stripMargin,
+    "label_encode_transform" ->
+      s"""$interactionsSql,
+         |enc AS (
+         |  SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
+         |  FROM (SELECT DISTINCT item_id FROM interactions))
+         |SELECT i.query_id, e.code AS item_id, i.rating, i.session_id
+         |FROM interactions i JOIN enc e ON i.item_id = e.label""".stripMargin,
+    "sessionize" ->
+      """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
+        |  SELECT event_id, user_id,
+        |    sum(CASE WHEN _prev IS NULL
+        |             OR epoch_us(ts) - epoch_us(_prev) >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (SELECT *, lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        |        FROM events))""".stripMargin,
+    "split_ratio" ->
+      """SELECT event_id, user_id, (_rn > _n * (1 - 0.2)) AS is_test FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
+        |    count(*) OVER (PARTITION BY user_id) AS _n
+        |  FROM events)""".stripMargin,
+    "split_last_n" ->
+      """SELECT event_id, user_id, (_rn > _n - 2) AS is_test FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
+        |    count(*) OVER (PARTITION BY user_id) AS _n
+        |  FROM events)""".stripMargin,
+    "split_time_quantile" ->
+      """WITH counts AS (SELECT ts, count(*) AS c FROM events GROUP BY ts),
+        |cum AS (SELECT ts, CAST(sum(c) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM counts),
+        |cut AS (SELECT min(ts) AS t FROM cum
+        |        WHERE cum >= ceil((SELECT count(*) FROM events) * 0.8))
+        |SELECT event_id, user_id, (ts > (SELECT t FROM cut)) AS is_test
+        |FROM events""".stripMargin,
+    "split_new_users" ->
+      """WITH firsts AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+        |ranked AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY ft DESC, user_id DESC) AS rn,
+        |    count(*) OVER () AS n FROM firsts),
+        |flags AS (SELECT user_id, (rn <= n * 0.2) AS isn FROM ranked)
+        |SELECT e.event_id, e.user_id, coalesce(f.isn, false) AS is_test
+        |FROM events e LEFT JOIN flags f USING (user_id)""".stripMargin,
+    "split_cold_user" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |ranked AS (SELECT user_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('42:' || CAST(user_id AS VARCHAR)), user_id) AS rn,
+        |    count(*) OVER () AS n FROM users),
+        |flags AS (SELECT user_id, (rn <= n * 0.2) AS p FROM ranked)
+        |SELECT e.event_id, e.user_id, coalesce(f.p, false) AS is_test
+        |FROM events e LEFT JOIN flags f USING (user_id)""".stripMargin,
+    "split_two_stage" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |ranked AS (SELECT user_id,
+        |    row_number() OVER (
+        |      ORDER BY md5('42:' || CAST(user_id AS VARCHAR)), user_id) AS rn,
+        |    count(*) OVER () AS n FROM users),
+        |flags AS (SELECT user_id, (rn <= n * 0.5) AS p FROM ranked)
+        |SELECT e.event_id, e.user_id,
+        |  (coalesce(f.p, false) AND _rn > _cnt * (1 - 0.3)) AS is_test
+        |FROM (SELECT event_id, user_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
+        |        count(*) OVER (PARTITION BY user_id) AS _cnt
+        |      FROM events) e LEFT JOIN flags f USING (user_id)""".stripMargin,
+    "split_kfolds" ->
+      """SELECT event_id, user_id,
+        |  (row_number() OVER (PARTITION BY user_id
+        |     ORDER BY md5('42:' || CAST(event_id AS VARCHAR)), event_id) - 1) % 3
+        |  AS fold
+        |FROM events""".stripMargin,
+    "split_random_next_n" ->
+      """SELECT event_id, user_id,
+        |  (_rn > _cut AND _rn <= _cut + 3) AS is_test FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
+        |    ('0x' || substr(md5('42:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % (count(*) OVER (PARTITION BY user_id)) AS _cut
+        |  FROM events)""".stripMargin,
+    "split_hash_random" ->
+      """SELECT event_id, user_id,
+        |  (('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |    / 1152921504606846976.0 < 0.2) AS is_test
+        |FROM events""".stripMargin,
     "join_anti_consistency" ->
       """SELECT count(*) AS n_cold FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,

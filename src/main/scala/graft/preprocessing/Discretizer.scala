@@ -1,0 +1,86 @@
+package graft.preprocessing
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Column discretization (reference: replay/preprocessing/discretizer.py).
+  *
+  * - Quantile rule (discretizer.py:376-601): bin edges from distributed
+  *   quantiles (`approxQuantile`, relativeError tunable; 0.0 = exact), NaN
+  *   handling keep/skip/error.
+  * - Greedy rule (discretizer.py:63-374): LightGBM-style greedy binning over
+  *   the value histogram. The histogram (distinct value → count) is computed
+  *   distributed; only the distinct-value histogram is collected — bounded
+  *   by `maxDistinct`, never the raw rows.
+  *
+  * Bucket assignment for both is a broadcast-friendly expression: with
+  * sorted upper edges e_0..e_{n-2}, bin(x) = number of edges < x — no UDF,
+  * stays inside codegen.
+  */
+sealed trait HandleInvalid
+object HandleInvalid {
+  case object Keep  extends HandleInvalid // NaN/null → extra bucket n
+  case object Skip  extends HandleInvalid // drop rows
+  case object Error extends HandleInvalid
+}
+
+final case class DiscretizerModel(column: String, edges: Array[Double],
+    handleInvalid: HandleInvalid = HandleInvalid.Keep) {
+  /** Adds `<column>_bucket`; bins are [edge_i, edge_{i+1}) with the last
+    * bin closed on the right. */
+  def transform(df: DataFrame): DataFrame = {
+    val inner = edges.drop(1).dropRight(1) // internal cut points
+    val x = F.col(column)
+    val bucket = inner.foldLeft(F.lit(0)) { (acc, e) =>
+      acc + F.when(x >= e, 1).otherwise(0)
+    }
+    val invalid = x.isNull || F.isnan(x)
+    val out = handleInvalid match {
+      case HandleInvalid.Keep =>
+        df.withColumn(s"${column}_bucket",
+          F.when(invalid, F.lit(edges.length - 1)).otherwise(bucket).cast("long"))
+      case HandleInvalid.Skip =>
+        df.filter(!invalid).withColumn(s"${column}_bucket", bucket.cast("long"))
+      case HandleInvalid.Error =>
+        df.withColumn(s"${column}_bucket", bucket.cast("long"))
+    }
+    out
+  }
+}
+
+object Discretizer {
+  /** Quantile binning: edges at i/n quantiles, exact when relativeError=0. */
+  def fitQuantile(df: DataFrame, column: String, nBuckets: Int,
+      relativeError: Double = 0.0,
+      handleInvalid: HandleInvalid = HandleInvalid.Keep): DiscretizerModel = {
+    val probes = (0 to nBuckets).map(_.toDouble / nBuckets).toArray
+    val qs = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
+      .stat.approxQuantile(column, probes, relativeError)
+    DiscretizerModel(column, qs.distinct.sorted, handleInvalid)
+  }
+
+  /** Greedy binning on the value histogram (discretizer.py:192-263):
+    * target equal-weight bins walked greedily over sorted distinct values. */
+  def fitGreedy(df: DataFrame, column: String, nBuckets: Int,
+      maxDistinct: Int = 100000,
+      handleInvalid: HandleInvalid = HandleInvalid.Keep): DiscretizerModel = {
+    val hist = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
+      .groupBy(column).agg(F.count(F.lit(1)).as("_c"))
+      .orderBy(column).limit(maxDistinct)
+      .collect().map(r => (r.getAs[Number](0).doubleValue(), r.getLong(1)))
+    require(hist.nonEmpty, s"no valid values in $column")
+    val total = hist.map(_._2).sum
+    val perBin = total.toDouble / nBuckets
+    val edges = scala.collection.mutable.ArrayBuffer[Double](hist.head._1)
+    var acc = 0L
+    var binTarget = perBin
+    hist.foreach { case (v, c) =>
+      acc += c
+      if (acc >= binTarget && edges.length < nBuckets) {
+        edges += v
+        binTarget += perBin
+      }
+    }
+    edges += hist.last._1
+    DiscretizerModel(column, edges.distinct.sorted.toArray, handleInvalid)
+  }
+}

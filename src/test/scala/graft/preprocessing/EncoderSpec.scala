@@ -1,0 +1,71 @@
+package graft.preprocessing
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class EncoderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit assigns dense codes in sorted label order") {
+    val df = Seq("c", "a", "b", "a").toDF("label_col")
+    val enc = LabelEncoder.fit(df, "label_col")
+    val m = enc.mapping.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("transform + inverseTransform is a bijection") {
+    val df = Seq(10L, 30L, 20L, 30L).toDF("x")
+    val enc = LabelEncoder.fit(df, "x")
+    val round = enc.inverseTransform(enc.transform(df))
+    assert(round.as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L, 30L))
+  }
+
+  test("unknown policy Error throws, Drop drops, UseDefault substitutes") {
+    val fitDf = Seq(1L, 2L).toDF("x")
+    val newDf = Seq(1L, 3L).toDF("x")
+    intercept[IllegalArgumentException] {
+      LabelEncoder.fit(fitDf, "x", HandleUnknown.Error).transform(newDf).count()
+    }
+    assert(LabelEncoder.fit(fitDf, "x", HandleUnknown.Drop).transform(newDf).count() == 1)
+    val sub = LabelEncoder.fit(fitDf, "x", HandleUnknown.UseDefault(-1L))
+      .transform(newDf).as[Long].collect().toSet
+    assert(sub == Set(0L, -1L))
+  }
+
+  test("partialFit appends new labels after max code") {
+    val enc = LabelEncoder.fit(Seq("b", "a").toDF("x"), "x")
+    val enc2 = enc.partialFit(Seq("c", "a", "d").toDF("x"))
+    val m = enc2.mapping.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("sessionizer splits on gap and counts sessions per user") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"),
+      (1L, "2024-01-01 12:00:00"), (2L, "2024-01-01 09:00:00"),
+    ).toDF("user_id", "ts").withColumn("ts", F.to_timestamp($"ts"))
+    val out = Sessionizer(sessionGapSec = 3600, userCol = "user_id", tsCol = "ts")
+      .transform(df)
+    val seqs = out.orderBy("user_id", "ts").select("session_seq").as[Long].collect().toSeq
+    assert(seqs == Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("greedy discretizer produces monotone buckets covering the range") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val model = Discretizer.fitGreedy(df, "v", nBuckets = 4)
+    val out = model.transform(df)
+    val buckets = out.select("v_bucket").as[Long].collect()
+    assert(buckets.min == 0 && buckets.max >= 2)
+    // monotone: bucket of 90 >= bucket of 10
+    val by = out.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(by(90.0) >= by(10.0))
+  }
+
+  test("quantile discretizer buckets are near-equal-weight") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val model = Discretizer.fitQuantile(df, "v", nBuckets = 4)
+    val sizes = model.transform(df).groupBy("v_bucket").count()
+      .as[(Long, Long)].collect().toMap.values
+    assert(sizes.forall(s => s > 150 && s < 350))
+  }
+}
