@@ -215,6 +215,74 @@ object SparkEntry {
         .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
     }),
 
+    // ---- §2.10 models -----------------------------------------------------
+    "model_pop_rec" -> ((s, d) => {
+      new models.PopRec().fit(Tables.interactions(s, d)).itemPopularity
+    }),
+    "model_pop_rec_predict" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      new models.PopRec().fitPredict(i, k = 5)
+    }),
+    "model_query_pop" -> ((s, d) => {
+      val m = new models.QueryPopRec().fit(Tables.interactions(s, d))
+      m.queryProfile
+    }),
+    "model_wilson" -> ((s, d) => {
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val m = new models.Wilson().fit(binary)
+      m.itemPopularity.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
+    }),
+    "model_ucb" -> ((s, d) => {
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val m = new models.UCB().fit(binary)
+      m.itemPopularity.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
+    }),
+    "model_klucb" -> ((s, d) => {
+      // bisection-solver UDF — not SQL-expressible, rows-only check
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      new models.KLUCB().fit(binary).itemPopularity
+    }),
+    "model_thompson" -> ((s, d) => {
+      // seeded Beta sampling — rows-only check
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      new models.ThompsonSampling(seed = 42).fit(binary).itemPopularity
+    }),
+    "model_random_rec" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      val m = new models.RandomRec("popular", alpha = 0.0, seed = 42).fit(i)
+      val recs = m.predict(i, k = 3)
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("rating").desc, F.col("item_id").asc)
+      recs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "item_id", "rank")
+    }),
+    "model_item_knn" -> ((s, d) => {
+      new models.ItemKNN(numNeighbours = 5).fit(Tables.interactions(s, d)).similarity
+    }),
+    "model_item_knn_predict" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      val m = new models.ItemKNN(numNeighbours = 5).fit(i)
+      m.predict(i, k = 5)
+        .select(F.col("query_id"), F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
+    }),
+    "model_assoc_rules" -> ((s, d) => {
+      val m = new models.AssociationRules(minItemCount = 5, minPairCount = 2)
+        .fit(Tables.interactions(s, d))
+      m.rules
+    }),
+    "model_cat_pop" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val itemCats = part.select(F.col("p_partkey").as("item_id"), F.col("p_brand").as("category"))
+      val tree = part.select(F.col("p_brand").as("category")).distinct()
+        .withColumn("parent_cat", F.lit(null).cast("string"))
+      val m = new models.CatPopRec(tree, itemCats).fit(Tables.interactions(s, d))
+      m.predict(itemCats.select("category").distinct(), k = 5)
+    }),
+
     // ---- §2.3 joins -------------------------------------------------------
     "join_anti_consistency" -> ((s, d) => {
       // anti-join consistency count (dataset.py:559-599): customers with no orders
@@ -414,6 +482,182 @@ object SparkEntry {
         |  (('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
         |    / 1152921504606846976.0 < 0.2) AS is_test
         |FROM events""".stripMargin,
+    "model_pop_rec" ->
+      s"""$interactionsSql
+         |SELECT item_id,
+         |  count(DISTINCT query_id) /
+         |    CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE)
+         |  AS rating
+         |FROM interactions GROUP BY item_id""".stripMargin,
+    "model_pop_rec_predict" ->
+      s"""$interactionsSql,
+         |pop AS (
+         |  SELECT item_id,
+         |    count(DISTINCT query_id) /
+         |      CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE)
+         |    AS rating
+         |  FROM interactions GROUP BY item_id),
+         |ms AS (SELECT max(c) AS mx FROM (
+         |  SELECT count(*) AS c FROM interactions GROUP BY query_id)),
+         |ranked AS (SELECT item_id, rating,
+         |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pop),
+         |cand AS (
+         |  SELECT q.query_id, r.item_id, r.rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) q
+         |  CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+         |unseen AS (
+         |  SELECT c.* FROM cand c ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) s
+         |    ON c.query_id = s.query_id AND c.item_id = s.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_query_pop" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id,
+         |  CAST(count(*) AS DOUBLE) /
+         |    (sum(count(*)) OVER (PARTITION BY query_id)) AS rating
+         |FROM interactions GROUP BY query_id, item_id""".stripMargin,
+    "model_wilson" ->
+      s"""$interactionsSql,
+         |pt AS (
+         |  SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM interactions GROUP BY item_id)
+         |SELECT item_id, round(
+         |  (pos/total + (1.96*1.96)/(2*total)
+         |   - 1.96 * sqrt(((pos/total)*(1 - pos/total) + (1.96*1.96)/(4*total))/total))
+         |  / (1 + (1.96*1.96)/total), 6) AS rating
+         |FROM pt""".stripMargin,
+    "model_ucb" ->
+      s"""$interactionsSql,
+         |pt AS (
+         |  SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM interactions GROUP BY item_id)
+         |SELECT item_id, round(
+         |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
+         |  6) AS rating
+         |FROM pt""".stripMargin,
+    "model_random_rec" ->
+      s"""$interactionsSql,
+         |w AS (SELECT item_id, CAST(count(*) AS DOUBLE) AS wt
+         |      FROM interactions GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, w.item_id,
+         |    -ln((('0x' || substr(md5('42:' || CAST(q.query_id AS VARCHAR) || ':'
+         |           || CAST(w.item_id AS VARCHAR)), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) + 1e-18) / wt AS rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) q CROSS JOIN w),
+         |unseen AS (
+         |  SELECT s.* FROM scored s ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
+         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
+         |SELECT query_id, item_id, rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rank
+         |  FROM unseen) WHERE rank <= 3""".stripMargin,
+    "model_item_knn" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id)
+         |SELECT item_one, item_two, similarity FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |  FROM sims) WHERE rn <= 5""".stripMargin,
+    "model_item_knn_predict" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |recs AS (
+         |  SELECT h.query_id, t.item_two AS item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM (SELECT query_id, item_id FROM interactions) h
+         |  JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT r.* FROM recs r ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) s
+         |    ON r.query_id = s.query_id AND r.item_id = s.item_id)
+         |SELECT query_id, item_id, round(rating, 6) AS rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_assoc_rules" ->
+      s"""$interactionsSql,
+         |events AS (SELECT DISTINCT session_id AS s, item_id FROM interactions),
+         |n AS (SELECT CAST(count(DISTINCT s) AS DOUBLE) AS ns FROM events),
+         |ic AS (SELECT item_id, count(*) AS cnt FROM events GROUP BY 1
+         |       HAVING count(*) >= 5),
+         |freq AS (SELECT e.* FROM events e SEMI JOIN ic ON e.item_id = ic.item_id),
+         |pairs AS (
+         |  SELECT a.item_id AS antecedent, b.item_id AS consequent, count(*) AS pair
+         |  FROM freq a JOIN freq b ON a.s = b.s AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (SELECT antecedent, consequent, pair FROM pairs
+         |        UNION ALL SELECT consequent, antecedent, pair FROM pairs),
+         |wc AS (
+         |  SELECT s.antecedent, s.consequent, s.pair,
+         |    ia.cnt AS ant_cnt, ic2.cnt AS con_cnt
+         |  FROM sym s
+         |  JOIN ic ia ON s.antecedent = ia.item_id
+         |  JOIN ic ic2 ON s.consequent = ic2.item_id)
+         |SELECT antecedent, consequent,
+         |  pair/ant_cnt AS confidence,
+         |  (SELECT ns FROM n) * (pair/ant_cnt) / con_cnt AS lift,
+         |  CASE WHEN (con_cnt - pair) / ((SELECT ns FROM n) - ant_cnt) > 0
+         |       THEN (pair/ant_cnt) / ((con_cnt - pair) / ((SELECT ns FROM n) - ant_cnt))
+         |       ELSE NULL END AS confidence_gain
+         |FROM wc""".stripMargin,
+    "model_cat_pop" ->
+      s"""$interactionsSql,
+         |wc AS (
+         |  SELECT p.p_brand AS category, i.item_id, count(*) AS cnt
+         |  FROM interactions i JOIN part p ON i.item_id = p.p_partkey
+         |  GROUP BY 1, 2),
+         |cc AS (SELECT category, sum(cnt) AS cat_cnt FROM wc GROUP BY 1),
+         |pop AS (
+         |  SELECT wc.category, wc.item_id,
+         |    CAST(wc.cnt AS DOUBLE) / cc.cat_cnt AS rating
+         |  FROM wc JOIN cc ON wc.category = cc.category)
+         |SELECT category, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY category ORDER BY rating DESC, item_id) AS rn
+         |  FROM pop) WHERE rn <= 5""".stripMargin,
     "join_anti_consistency" ->
       """SELECT count(*) AS n_cold FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,

@@ -1,0 +1,102 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Item-item cosine KNN (reference: replay/models/knn.py:74-229).
+  *
+  * fit: optional tf-idf / bm25 reweighting of the user-item matrix
+  * (knn.py:92-156), then dot products via a self-join on the user key,
+  * norms from per-item sums of squares, cosine with shrinkage
+  * (sim = dot / (n1·n2 + shrink), knn.py:75-79), and a per-item
+  * top-`numNeighbours` window.
+  *
+  * Scale: the user self-join is the hazard (power-law users explode the
+  * per-user pair count — SURVEY §7.4.3). `maxUserHistory` caps each user's
+  * contribution to their most recent `maxUserHistory` items before the
+  * join (a standard KNN sampling trick); AQE skew-join handles residual
+  * skew. Pair generation is item1 < item2 then symmetrized, halving the
+  * shuffle volume.
+  */
+final class ItemKNN(
+    val numNeighbours: Int = 10,
+    val shrink: Double = 0.0,
+    val weighting: Option[String] = None, // None | "tf_idf" | "bm25"
+    val maxUserHistory: Int = 1000,
+    val bm25K1: Double = 1.2,
+    val bm25B: Double = 0.75,
+    cols: RecCols = RecCols(),
+) extends NeighbourRec(cols) {
+
+  /** Reweight interaction values (knn.py:92-156). */
+  private def reweight(log: DataFrame): DataFrame = {
+    val base = log.select(F.col(cols.query), F.col(cols.item))
+      .distinct()
+      .withColumn("_v", F.lit(1.0))
+    weighting match {
+      case None => base
+      case Some("tf_idf") =>
+        // idf(item) = ln(nUsers / df(item)); value = idf
+        val nUsers = base.select(cols.query).distinct().count().toDouble
+        val df = base.groupBy(cols.item).agg(F.count(F.lit(1)).as("_df"))
+        base.join(df, Seq(cols.item))
+          .withColumn("_v", F.log(F.lit(nUsers) / F.col("_df")))
+          .drop("_df")
+      case Some("bm25") =>
+        val nUsers = base.select(cols.query).distinct().count().toDouble
+        val userLen = base.groupBy(cols.query).agg(F.count(F.lit(1)).as("_len"))
+        val avgLen = userLen.agg(F.avg("_len")).first().getDouble(0)
+        val df = base.groupBy(cols.item).agg(F.count(F.lit(1)).as("_df"))
+        base.join(userLen, Seq(cols.query)).join(df, Seq(cols.item))
+          .withColumn("_idf",
+            F.log((F.lit(nUsers) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0))
+          .withColumn("_v",
+            F.col("_idf") * (F.lit(bm25K1) + 1.0) /
+              (F.lit(1.0) + F.lit(bm25K1) *
+                (F.lit(1 - bm25B) + F.lit(bm25B) * F.col("_len") / F.lit(avgLen))))
+          .select(F.col(cols.query), F.col(cols.item), F.col("_v"))
+      case Some(other) => throw new IllegalArgumentException(s"unknown weighting $other")
+    }
+  }
+
+  protected def doFit(log: DataFrame): Unit = {
+    val weighted0 = reweight(log)
+    // cap per-user history to bound the self-join fan-out
+    val weighted = if (maxUserHistory > 0) {
+      val w = Window.partitionBy(cols.query).orderBy(F.col(cols.item).asc)
+      weighted0.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
+    } else weighted0
+
+    val norms = weighted.groupBy(cols.item)
+      .agg(F.sqrt(F.sum(F.col("_v") * F.col("_v"))).as("_norm"))
+
+    val l = weighted.select(
+      F.col(cols.query), F.col(cols.item).as("item_one"), F.col("_v").as("_v1"))
+    val r = weighted.select(
+      F.col(cols.query), F.col(cols.item).as("item_two"), F.col("_v").as("_v2"))
+    // one shuffle on the user key; item1 < item2 halves the pairs
+    val dots = l.join(r, Seq(cols.query))
+      .filter(F.col("item_one") < F.col("item_two"))
+      .groupBy("item_one", "item_two")
+      .agg(F.sum(F.col("_v1") * F.col("_v2")).as("_dot"))
+
+    val half = dots
+      .join(norms.withColumnRenamed(cols.item, "item_one")
+        .withColumnRenamed("_norm", "_n1"), Seq("item_one"))
+      .join(norms.withColumnRenamed(cols.item, "item_two")
+        .withColumnRenamed("_norm", "_n2"), Seq("item_two"))
+      .select(F.col("item_one"), F.col("item_two"),
+        (F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink))).as("similarity"))
+
+    // symmetrize (unionByName, reference association_rules.py:229-235 style)
+    val sym = half.unionByName(half.select(
+      F.col("item_two").as("item_one"), F.col("item_one").as("item_two"),
+      F.col("similarity")))
+
+    val topW = Window.partitionBy("item_one")
+      .orderBy(F.col("similarity").desc, F.col("item_two").asc)
+    materialize(sym.withColumn("_rn", F.row_number().over(topW))
+      .filter(F.col("_rn") <= numNeighbours).drop("_rn"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.core.Ops
+import graft.splitters.Splitter
+
+/** Weighted random recommender (reference: random_rec.py:180-228 +
+  * base_rec.py:1283-1364).
+  *
+  * The reference samples per user in `applyInPandas`; here sampling uses the
+  * exponential-sort trick — drawing without replacement by weight w is
+  * equivalent to ranking by  -ln(u)/w  with u ~ U(0,1) — which turns the
+  * whole sampler into a deterministic expression + the standard top-k
+  * window: pure Catalyst, codegen-friendly, no Python/UDF, and
+  * reproducible because u comes from the portable md5 hash of
+  * (seed, query, item).
+  *
+  * Distributions (random_rec.py):
+  *  - uniform:   w = 1
+  *  - popular:   w = count(item)^(1/(1+alpha))
+  *  - relevance: w = sum(rating of item)
+  */
+final class RandomRec(
+    val distribution: String = "uniform",
+    val alpha: Double = 0.0,
+    val seed: Long = 42,
+    cols: RecCols = RecCols(),
+) extends BaseRecommender(cols) {
+  var itemWeights: DataFrame = _
+
+  protected def doFit(log: DataFrame): Unit = {
+    val w = distribution match {
+      case "uniform" => log.select(cols.item).distinct().withColumn("_w", F.lit(1.0))
+      case "popular" =>
+        log.groupBy(cols.item).agg(F.count(F.lit(1)).cast("double").as("_c"))
+          .withColumn("_w", F.pow(F.col("_c"), 1.0 / (1.0 + alpha))).drop("_c")
+      case "relevance" =>
+        log.groupBy(cols.item).agg(F.sum(cols.rating).as("_w"))
+      case other => throw new IllegalArgumentException(s"unknown distribution $other")
+    }
+    itemWeights = w.cache()
+    itemWeights.count()
+  }
+
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+    val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
+      .cast("double") / F.lit(math.pow(2, 60))
+    // u in [0,1); guard u=0 → ln(0) with a tiny epsilon
+    queries.select(cols.query).crossJoin(itemWeights)
+      .withColumn(cols.rating, -F.log(u + F.lit(1e-18)) / F.col("_w"))
+      .drop("_w")
+  }
+
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {
+    val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
+      .cast("double") / F.lit(math.pow(2, 60))
+    pairs.join(itemWeights, Seq(cols.item), "left")
+      .withColumn(cols.rating,
+        -F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(1.0)))
+      .drop("_w")
+  }
+}

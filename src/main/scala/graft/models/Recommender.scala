@@ -1,0 +1,154 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.core.Ops
+
+/** Column roles shared by all recommenders. */
+final case class RecCols(
+    query: String = "query_id",
+    item: String = "item_id",
+    rating: String = "rating",
+    ts: String = "timestamp",
+)
+
+/** Base recommender skeleton (reference: replay/models/base_rec.py:86-690).
+  *
+  * fit = materialize model state (a cached DataFrame — reference
+  * `cache().count()` at pop_rec.py:135 etc., kept so predict never
+  * recomputes); predict = lazy score plan → optional seen-filter (rank-crop
+  * + anti-join, base_rec.py:152-201) → deterministic top-k window.
+  */
+abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializable {
+  protected var fitQueriesDf: DataFrame = _
+  protected var fitItemsDf: DataFrame = _
+
+  def fitQueries: DataFrame = fitQueriesDf
+  def fitItems: DataFrame = fitItemsDf
+
+  /** Model-specific state computation; must cache+materialize its state. */
+  protected def doFit(log: DataFrame): Unit
+
+  def fit(log: DataFrame): this.type = {
+    // distinct entity frames, broadcast later by AQE (base_rec.py:99-137)
+    fitQueriesDf = log.select(cols.query).distinct().cache()
+    fitItemsDf = log.select(cols.item).distinct().cache()
+    doFit(log)
+    this
+  }
+
+  /** Lazy (query, item, rating) scores for the given queries, already
+    * bounded to ~k+maxSeen candidates per query where possible. */
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame
+
+  /** Top-k recommendations per query (reference _predict_wrap,
+    * base_rec.py:258-314). `filterSeen` drops history pairs first. */
+  def predict(
+      log: DataFrame,
+      k: Int,
+      queries: Option[DataFrame] = None,
+      filterSeen: Boolean = true,
+  ): DataFrame = {
+    val qs = queries.getOrElse(fitQueriesDf)
+    val history = log.join(qs, Seq(cols.query), "left_semi")
+    val maxSeen =
+      if (filterSeen)
+        history.groupBy(cols.query).count().agg(F.max("count")).first() match {
+          case r if r.isNullAt(0) => 0
+          case r                  => r.getLong(0).toInt
+        }
+      else 0
+    var recs = score(qs, k, maxSeen)
+    if (filterSeen)
+      recs = recs.join(history.select(cols.query, cols.item).distinct(),
+        Seq(cols.query, cols.item), "left_anti")
+    Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+  }
+
+  def fitPredict(log: DataFrame, k: Int): DataFrame = fit(log).predict(log, k)
+
+  /** Score explicit (query, item) pairs (reference predict_pairs,
+    * base_rec.py:502-603). Default: join pair keys onto the full score. */
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame
+}
+
+/** Models whose state is a single item-popularity table — every query gets
+  * the same ranked item list (reference base_rec.py:1222-1257).
+  */
+abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecommender(cols) {
+  /** (item, rating) — materialized by doFit. */
+  var itemPopularity: DataFrame = _
+
+  /** Rating for items absent from the popularity table in predictPairs. */
+  protected def coldFill: Double = 0.0
+
+  protected def materialize(state: DataFrame): Unit = {
+    itemPopularity = state.cache()
+    itemPopularity.count() // eager, reference pop_rec.py:135
+  }
+
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+    // rank items ONCE globally, crop to k+maxSeen, then cross join: the
+    // cropped item list is tiny → broadcast; no per-query shuffle
+    // (reference base_rec.py:1235-1257)
+    val ranked = itemPopularity
+      .withColumn("_rank", F.row_number().over(
+        Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
+      .filter(F.col("_rank") <= k + maxSeen)
+      .drop("_rank")
+    queries.select(cols.query).crossJoin(F.broadcast(ranked))
+  }
+
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
+    pairs.join(itemPopularity, Seq(cols.item), "left")
+      .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(coldFill)))
+}
+
+/** Models whose state is an item-item similarity table; prediction is
+  * "sum of similarities of my seen items to the candidate"
+  * (reference: base_neighbour_rec.py:55-127).
+  */
+abstract class NeighbourRec(cols: RecCols = RecCols()) extends BaseRecommender(cols) {
+  /** (item_one, item_two, similarity) — materialized by doFit. */
+  var similarity: DataFrame = _
+
+  protected def materialize(state: DataFrame): Unit = {
+    similarity = state.cache()
+    similarity.count()
+  }
+
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame =
+    throw new UnsupportedOperationException("NeighbourRec scores from history; use predict")
+
+  override def predict(
+      log: DataFrame,
+      k: Int,
+      queries: Option[DataFrame] = None,
+      filterSeen: Boolean = true,
+  ): DataFrame = {
+    val qs = queries.getOrElse(fitQueriesDf)
+    val history = log.join(qs, Seq(cols.query), "left_semi")
+    // history ⋈ similarity: shuffle on item — the similarity side is
+    // already cropped to top neighbours per item, bounding the fan-out
+    // round to 9 decimals before ranking: float sums are partition-order
+    // dependent at the last ulp, and an unrounded rating would make
+    // "equal" candidates rank differently between runs/layouts
+    var recs = history.select(F.col(cols.query), F.col(cols.item))
+      .join(similarity, F.col(cols.item) === F.col("item_one"))
+      .groupBy(F.col(cols.query), F.col("item_two").as(cols.item))
+      .agg(F.round(F.sum("similarity"), 9).as(cols.rating))
+    if (filterSeen)
+      recs = recs.join(history.select(cols.query, cols.item).distinct(),
+        Seq(cols.query, cols.item), "left_anti")
+    Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+  }
+
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {
+    val scores = log.select(F.col(cols.query), F.col(cols.item))
+      .join(similarity, F.col(cols.item) === F.col("item_one"))
+      .groupBy(F.col(cols.query), F.col("item_two").as(cols.item))
+      .agg(F.sum("similarity").as(cols.rating))
+    pairs.join(scores, Seq(cols.query, cols.item), "left")
+      .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(0.0)))
+  }
+}

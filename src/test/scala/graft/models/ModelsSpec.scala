@@ -1,0 +1,152 @@
+package graft.models
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // mirror of the reference's tiny fixture style (tests/models/test_pop_rec.py)
+  def log = Seq(
+    (0L, 0L, 1.0), (0L, 1L, 1.0),
+    (1L, 1L, 1.0), (1L, 2L, 1.0),
+    (2L, 1L, 1.0), (2L, 2L, 1.0),
+  ).toDF("query_id", "item_id", "rating")
+
+  test("PopRec popularity = user share; top-1 unseen per user is correct") {
+    val m = new PopRec().fit(log)
+    val pop = m.itemPopularity.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pop == Map(0L -> 1.0 / 3, 1L -> 1.0, 2L -> 2.0 / 3))
+    val recs = m.predict(log, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 0 hasn't seen 2 (pop 2/3) → 2; user 1 and 2 haven't seen 0 → 0
+    assert(recs == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("PopRec useRating sums ratings") {
+    val weighted = Seq((0L, 0L, 5.0), (1L, 0L, 1.0), (1L, 1L, 3.0))
+      .toDF("query_id", "item_id", "rating")
+    val pop = new PopRec(useRating = true).fit(weighted).itemPopularity
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pop == Map(0L -> 3.0, 1L -> 1.5))
+  }
+
+  test("QueryPopRec profile is the user's interaction share") {
+    val m = new QueryPopRec().fit(log)
+    val p = m.queryProfile.filter($"query_id" === 0L).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(p == Map(0L -> 0.5, 1L -> 0.5))
+  }
+
+  test("Wilson lower bound is between 0 and p-hat") {
+    val binary = Seq((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 0.0),
+      (0L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val pop = new Wilson().fit(binary).itemPopularity.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pop(0L) > 0 && pop(0L) < 2.0 / 3)
+    assert(pop(1L) > 0 && pop(1L) < 1.0)
+  }
+
+  test("UCB adds exploration bonus inversely related to trials") {
+    val binary = Seq((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0),
+      (0L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val pop = new UCB().fit(binary).itemPopularity.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // both have p-hat=1; item 1 has fewer trials → larger bonus
+    assert(pop(1L) > pop(0L))
+  }
+
+  test("UCBState refit equals fit on the union") {
+    val b1 = Seq((0L, 0L, 1.0), (1L, 0L, 0.0)).toDF("query_id", "item_id", "rating")
+    val b2 = Seq((2L, 0L, 1.0), (0L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val incremental = new UCBState().fit(b1).refit(b2).state
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val full = new UCBState().fit(b1.unionByName(b2)).state
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(incremental == full)
+  }
+
+  test("KLUCB bound is above p-hat and below 1") {
+    val binary = Seq((0L, 0L, 1.0), (1L, 0L, 0.0), (2L, 0L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val b = new KLUCB().fit(binary).itemPopularity.first().getDouble(1)
+    assert(b > 2.0 / 3 && b < 1.0)
+  }
+
+  test("ThompsonSampling is deterministic under a fixed seed") {
+    val binary = Seq((0L, 0L, 1.0), (1L, 0L, 0.0), (0L, 1L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val s1 = new ThompsonSampling(7).fit(binary).itemPopularity.collect().toSet
+    val s2 = new ThompsonSampling(7).fit(binary).itemPopularity.collect().toSet
+    assert(s1 == s2)
+    val all = s1.map(_.getDouble(1))
+    assert(all.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("RandomRec returns k items per user, deterministic under seed") {
+    val m = new RandomRec("popular", seed = 7).fit(log)
+    val r1 = m.predict(log, k = 1, filterSeen = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = new RandomRec("popular", seed = 7).fit(log)
+      .predict(log, k = 1, filterSeen = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == r2 && r1.size == 3)
+  }
+
+  test("ItemKNN cosine similarity golden values") {
+    // items 1,2 co-occur for users 1,2; item 1 appears for 3 users, item 2 for 2
+    val m = new ItemKNN(numNeighbours = 2).fit(log)
+    val sims = m.similarity.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sim(1,2) = 2 / (sqrt(3)*sqrt(2))
+    assert(math.abs(sims((1L, 2L)) - 2.0 / (math.sqrt(3) * math.sqrt(2))) < 1e-12)
+    // sim(0,1) = 1 / (sqrt(1)*sqrt(3))
+    assert(math.abs(sims((0L, 1L)) - 1.0 / math.sqrt(3)) < 1e-12)
+    // symmetric
+    assert(sims.contains((2L, 1L)) && sims((2L, 1L)) == sims((1L, 2L)))
+  }
+
+  test("ItemKNN predict scores candidates by summed similarity") {
+    val recs = new ItemKNN(numNeighbours = 2).fit(log).predict(log, k = 1)
+    // user 0 (seen 0,1) should get item 2 via sim(1,2)+sim(0,2)
+    val u0 = recs.filter($"query_id" === 0L).first()
+    assert(u0.getLong(1) == 2L)
+  }
+
+  test("AssociationRules confidence and lift golden values") {
+    val sessions = Seq(
+      (10L, 0L), (10L, 1L),
+      (20L, 0L), (20L, 1L),
+      (30L, 0L), (30L, 2L),
+      (40L, 1L), (40L, 2L),
+    ).map { case (s, i) => (s, i, s, 1.0) }
+      .toDF("query_id", "item_id", "session_id", "rating")
+    val m = new AssociationRules(minItemCount = 1, minPairCount = 1).fit(sessions)
+    // antecedent=0 (3 sessions), consequent=1: pair=2 → conf=2/3, lift=4*conf/3
+    val conf01 = m.rules.filter($"antecedent" === 0L && $"consequent" === 1L)
+      .select("confidence").first().getDouble(0)
+    assert(math.abs(conf01 - 2.0 / 3) < 1e-12)
+    val lift01 = m.rules.filter($"antecedent" === 0L && $"consequent" === 1L)
+      .select("lift").first().getDouble(0)
+    assert(math.abs(lift01 - 4.0 * (2.0 / 3) / 3.0) < 1e-12)
+  }
+
+  test("Fallback merge ranks main recs above fallback recs") {
+    val main = new PopRec()
+    val fb = new RandomRec("uniform", seed = 1)
+    val recs = new Fallback(main, fb).fit(log).predict(log, k = 2)
+    assert(recs.groupBy("query_id").count().select("count").as[Long]
+      .collect().forall(_ <= 2))
+  }
+
+  test("CatPopRec leaf closure flattens a 2-level tree") {
+    val tree = Seq(("root", null.asInstanceOf[String]), ("a", "root"), ("b", "root"))
+      .toDF("category", "parent_cat")
+    val itemCats = Seq((0L, "a"), (1L, "a"), (2L, "b")).toDF("item_id", "category")
+    val m = new CatPopRec(tree, itemCats)
+    val closure = m.leafClosure.as[(String, String)].collect().toSet
+    assert(closure.contains(("root", "a")) && closure.contains(("root", "b")))
+    assert(closure.contains(("a", "a")))
+  }
+}
