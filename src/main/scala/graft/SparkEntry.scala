@@ -283,6 +283,38 @@ object SparkEntry {
       m.predict(itemCats.select("category").distinct(), k = 5)
     }),
 
+    // ---- §2.11 metrics ----------------------------------------------------
+    "metrics_ranking" -> ((s, d) => {
+      // end-to-end: time split → PopRec on train → 7 ranking metrics @5
+      // against test ground truth, mean over users (base_metric.py:338-343)
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      val gt = test.select("query_id", "item_id").distinct()
+      val out = graft.metrics.Metrics.compute(
+        recs, gt, graft.metrics.Metrics.RankingMetrics, Seq(5))
+      out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+    }),
+    "metrics_catalog" -> ((s, d) => {
+      import graft.metrics.Metrics
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val m = new models.PopRec().fit(train)
+      val recsSeen = m.predict(train, 5)                    // seen-filtered
+      val recsAll = m.predict(train, 5, filterSeen = false) // raw popularity
+      val brands = Tables.part(s, d)
+        .select(F.col("p_partkey").as("item_id"), F.col("p_brand").as("category"))
+      val one = Metrics.coverage(recsSeen, train, 5)
+        .crossJoin(Metrics.novelty(recsAll, train, 5))
+        .crossJoin(Metrics.surprisal(recsSeen, train, 5))
+        .crossJoin(Metrics.unexpectedness(recsSeen, recsAll, 5))
+        .crossJoin(Metrics.categoricalDiversity(recsSeen, brands, 5))
+      one.select(one.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+    }),
+
     // ---- §2.3 joins -------------------------------------------------------
     "join_anti_consistency" -> ((s, d) => {
       // anti-join consistency count (dataset.py:559-599): customers with no orders
@@ -658,6 +690,139 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY category ORDER BY rating DESC, item_id) AS rn
          |  FROM pop) WHERE rn <= 5""".stripMargin,
+    "metrics_ranking" ->
+      s"""$interactionsSql,
+         |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
+         |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
+         |cut AS (SELECT min(ts0) AS t FROM cum
+         |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+         |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
+         |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
+         |pop AS (SELECT item_id, count(DISTINCT query_id) /
+         |          CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
+         |        FROM train GROUP BY 1),
+         |ms AS (SELECT max(cnt) AS mx FROM (
+         |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
+         |ranked AS (SELECT item_id, rating,
+         |        row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pop),
+         |cand AS (SELECT q.query_id, r.item_id, r.rating
+         |        FROM (SELECT DISTINCT query_id FROM train) q
+         |        CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+         |unseen AS (SELECT c.* FROM cand c ANTI JOIN
+         |        (SELECT DISTINCT query_id, item_id FROM train) sn
+         |        ON c.query_id = sn.query_id AND c.item_id = sn.item_id),
+         |top5 AS (SELECT query_id, item_id, rn FROM (
+         |        SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |        FROM unseen) WHERE rn <= 5),
+         |gt AS (SELECT DISTINCT query_id, item_id FROM test),
+         |gtc AS (SELECT query_id, count(*) AS ngt FROM gt GROUP BY 1),
+         |predc AS (SELECT query_id, count(*) AS npred FROM top5 GROUP BY 1),
+         |hits AS (SELECT t.query_id, t.rn AS rnk FROM top5 t
+         |        JOIN gt g ON t.query_id = g.query_id AND t.item_id = g.item_id),
+         |hs AS (SELECT query_id, count(*) AS nhits, min(rnk) AS first_hit,
+         |        sum(1.0/log2(rnk + 1)) AS dcg,
+         |        sum(CAST(hit_idx AS DOUBLE)/rnk) AS map_sum,
+         |        sum(rnk - hit_idx) AS fp_cum
+         |       FROM (SELECT query_id, rnk, row_number() OVER (
+         |               PARTITION BY query_id ORDER BY rnk) AS hit_idx FROM hits)
+         |       GROUP BY 1),
+         |idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
+         |        FROM gtc g JOIN range(1, 6) r(i) ON r.i <= least(5, g.ngt)
+         |        GROUP BY 1),
+         |pu AS (SELECT g.query_id,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       WHEN coalesce(h.nhits, 0) > 0 THEN 1.0 ELSE 0.0 END AS hr,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.nhits, 0) / 5.0 END AS prec,
+         |  coalesce(h.nhits, 0) / CAST(g.ngt AS DOUBLE) AS rec,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.map_sum, 0.0) / 5 END AS map_,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 OR h.first_hit IS NULL THEN 0.0
+         |       ELSE 1.0 / h.first_hit END AS mrr_,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.dcg, 0.0) / i.idcg END AS ndcg_,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       WHEN coalesce(h.nhits, 0) = 0 THEN 0.0
+         |       WHEN coalesce(h.fp_cum, 0) = 0 THEN 1.0
+         |       ELSE 1.0 - CAST(h.fp_cum AS DOUBLE) /
+         |            ((p.npred - h.nhits) * h.nhits) END AS auc
+         |  FROM gtc g
+         |  LEFT JOIN predc p ON g.query_id = p.query_id
+         |  LEFT JOIN hs h ON g.query_id = h.query_id
+         |  LEFT JOIN idcg i ON g.query_id = i.query_id)
+         |SELECT round(avg(hr), 6) AS hit_rate_at_5,
+         |  round(avg(prec), 6) AS precision_at_5,
+         |  round(avg(rec), 6) AS recall_at_5,
+         |  round(avg(map_), 6) AS map_at_5,
+         |  round(avg(mrr_), 6) AS mrr_at_5,
+         |  round(avg(ndcg_), 6) AS ndcg_at_5,
+         |  round(avg(auc), 6) AS roc_auc_at_5
+         |FROM pu""".stripMargin,
+    "metrics_catalog" ->
+      s"""$interactionsSql,
+         |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
+         |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
+         |cut AS (SELECT min(ts0) AS t FROM cum
+         |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+         |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
+         |users AS (SELECT DISTINCT query_id FROM train),
+         |pop AS (SELECT item_id, count(DISTINCT query_id) /
+         |          CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
+         |        FROM train GROUP BY 1),
+         |ms AS (SELECT max(cnt) AS mx FROM (
+         |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
+         |ranked AS (SELECT item_id, rating,
+         |        row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pop),
+         |cand AS (SELECT q.query_id, r.item_id, r.rating
+         |        FROM users q CROSS JOIN ranked r
+         |        WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+         |unseen AS (SELECT c.* FROM cand c ANTI JOIN
+         |        (SELECT DISTINCT query_id, item_id FROM train) sn
+         |        ON c.query_id = sn.query_id AND c.item_id = sn.item_id),
+         |top5 AS (SELECT query_id, item_id FROM (
+         |        SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |        FROM unseen) WHERE rn <= 5),
+         |all5 AS (SELECT q.query_id, r.item_id FROM users q
+         |        CROSS JOIN ranked r WHERE r.rnk <= 5),
+         |cov AS (SELECT count(DISTINCT item_id) /
+         |          (SELECT CAST(count(DISTINCT item_id) AS DOUBLE) FROM train)
+         |          AS coverage_at_5 FROM top5),
+         |nov AS (SELECT avg(sh) AS novelty_at_5 FROM (
+         |        SELECT a.query_id,
+         |          sum(CASE WHEN sn.query_id IS NULL THEN 1.0 ELSE 0.0 END)
+         |            / count(*) AS sh
+         |        FROM all5 a LEFT JOIN
+         |          (SELECT DISTINCT query_id, item_id FROM train) sn
+         |          ON a.query_id = sn.query_id AND a.item_id = sn.item_id
+         |        GROUP BY 1)),
+         |iw AS (SELECT item_id,
+         |        log2((SELECT CAST(count(DISTINCT query_id) AS DOUBLE) FROM train)
+         |             / count(DISTINCT query_id))
+         |        / log2((SELECT CAST(count(DISTINCT query_id) AS DOUBLE) FROM train))
+         |        AS w
+         |       FROM train GROUP BY item_id),
+         |sur AS (SELECT avg(uw) AS surprisal_at_5 FROM (
+         |        SELECT t.query_id, avg(iw.w) AS uw
+         |        FROM top5 t JOIN iw ON t.item_id = iw.item_id GROUP BY 1)),
+         |unx AS (SELECT avg(1.0 - cnt / 5.0) AS unexpectedness_at_5 FROM (
+         |        SELECT t.query_id,
+         |          CAST(count(b.item_id) AS DOUBLE) AS cnt
+         |        FROM top5 t LEFT JOIN all5 b
+         |          ON t.query_id = b.query_id AND t.item_id = b.item_id
+         |        GROUP BY 1)),
+         |div_ AS (SELECT avg(dv) AS categorical_diversity_at_5 FROM (
+         |        SELECT t.query_id,
+         |          CAST(count(DISTINCT p.p_brand) AS DOUBLE) AS dv
+         |        FROM top5 t JOIN part p ON t.item_id = p.p_partkey
+         |        GROUP BY 1))
+         |SELECT round(coverage_at_5, 6) AS coverage_at_5,
+         |  round(novelty_at_5, 6) AS novelty_at_5,
+         |  round(surprisal_at_5, 6) AS surprisal_at_5,
+         |  round(unexpectedness_at_5, 6) AS unexpectedness_at_5,
+         |  round(categorical_diversity_at_5, 6) AS categorical_diversity_at_5
+         |FROM cov, nov, sur, unx, div_""".stripMargin,
     "join_anti_consistency" ->
       """SELECT count(*) AS n_cold FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,

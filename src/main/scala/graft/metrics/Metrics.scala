@@ -1,0 +1,252 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.models.RecCols
+
+/** Ranking-metric kernels as native Catalyst array expressions.
+  *
+  * Per-user semantics follow the reference's authoritative Scala kernels
+  * (scala/src/main/scala/org/apache/spark/replay/utils/ScalaPySparkUDFs
+  * .scala:19-158) re-expressed with higher-order functions
+  * (`aggregate`/`transform`/`slice`/`array_intersect`) so everything stays
+  * inside whole-stage codegen — no UDFs, no Python workers, no
+  * per-row JVM↔interpreter crossings (SURVEY §2.11, §3.3).
+  *
+  * Inputs per user: `pred` = item array ranked best-first, `gt` = ground
+  * truth item set. Every kernel returns 0.0 for empty pred or gt exactly
+  * like the reference.
+  */
+object Kernels {
+  private def predK(pred: Column, k: Int): Column = F.slice(pred, 1, k)
+  /** array<boolean> of hit flags over the first k predictions. */
+  private def hitFlags(pred: Column, gt: Column, k: Int): Column =
+    F.transform(predK(pred, k), x => F.array_contains(gt, x))
+  private def emptyGuard(pred: Column, gt: Column, value: Column): Column =
+    F.when(F.size(pred) === 0 || F.size(gt) === 0, 0.0).otherwise(value)
+
+  /** HitRate@k (ScalaPySparkUDFs.scala:37-47). */
+  def hitRate(pred: Column, gt: Column, k: Int): Column =
+    emptyGuard(pred, gt,
+      F.when(F.size(F.array_intersect(predK(pred, k), gt)) > 0, 1.0).otherwise(0.0))
+
+  /** Precision@k (ScalaPySparkUDFs.scala:107-116): |hits| / k. */
+  def precision(pred: Column, gt: Column, k: Int): Column =
+    F.when(F.size(pred) === 0, 0.0).otherwise(
+      F.size(F.array_intersect(predK(pred, k), gt)).cast("double") / k)
+
+  /** Recall@k (ScalaPySparkUDFs.scala:118-127): |hits| / |gt|. */
+  def recall(pred: Column, gt: Column, k: Int): Column =
+    F.when(F.size(gt) === 0, 0.0).otherwise(
+      F.size(F.array_intersect(predK(pred, k), gt)).cast("double") / F.size(gt))
+
+  /** MRR@k (ScalaPySparkUDFs.scala:95-105): 1 / rank of first hit. */
+  def mrr(pred: Column, gt: Column, k: Int): Column = {
+    val firstHit = F.aggregate(
+      hitFlags(pred, gt, k),
+      F.struct(F.lit(0).as("rank"), F.lit(0).as("i")),
+      (acc, h) => F.struct(
+        F.when(acc.getField("rank") > 0, acc.getField("rank"))
+          .when(h, acc.getField("i") + 1)
+          .otherwise(0).as("rank"),
+        (acc.getField("i") + 1).as("i")),
+      acc => acc.getField("rank"))
+    emptyGuard(pred, gt,
+      F.when(firstHit > 0, F.lit(1.0) / firstHit).otherwise(0.0))
+  }
+
+  /** MAP@k (ScalaPySparkUDFs.scala:19-35): (Σ_hits tpCum/i) / k. */
+  def map(pred: Column, gt: Column, k: Int): Column = {
+    val s = F.aggregate(
+      hitFlags(pred, gt, k),
+      F.struct(F.lit(0).as("tp"), F.lit(0.0).as("s"), F.lit(0).as("i")),
+      (acc, h) => {
+        val tp = acc.getField("tp"); val i = acc.getField("i")
+        F.struct(
+          (tp + F.when(h, 1).otherwise(0)).as("tp"),
+          (acc.getField("s") + F.when(h,
+            (tp + 1).cast("double") / (i + 1)).otherwise(0.0)).as("s"),
+          (i + 1).as("i"))
+      },
+      acc => acc.getField("s"))
+    emptyGuard(pred, gt, s / k)
+  }
+
+  /** NDCG@k (ScalaPySparkUDFs.scala:49-68): binary gain, log2 discount,
+    * ideal DCG over min(k, |gt|) positions. */
+  def ndcg(pred: Column, gt: Column, k: Int): Column = {
+    val dcg = F.aggregate(
+      hitFlags(pred, gt, k),
+      F.struct(F.lit(0.0).as("s"), F.lit(0).as("i")),
+      (acc, h) => F.struct(
+        (acc.getField("s") + F.when(h,
+          F.lit(1.0) / F.log2(acc.getField("i") + 2)).otherwise(0.0)).as("s"),
+        (acc.getField("i") + 1).as("i")),
+      acc => acc.getField("s"))
+    val idcg = F.aggregate(
+      F.sequence(F.lit(1), F.least(F.lit(k), F.size(gt))),
+      F.lit(0.0),
+      (s, i) => s + F.lit(1.0) / F.log2(i + 1))
+    emptyGuard(pred, gt, dcg / idcg)
+  }
+
+  /** RocAuc@k (ScalaPySparkUDFs.scala:70-93). */
+  def rocAuc(pred: Column, gt: Column, k: Int): Column = {
+    val agg = F.aggregate(
+      hitFlags(pred, gt, k),
+      F.struct(F.lit(0).as("fpCur"), F.lit(0).as("fpCum"), F.lit(0).as("len")),
+      (acc, h) => F.struct(
+        (acc.getField("fpCur") + F.when(h, 0).otherwise(1)).as("fpCur"),
+        (acc.getField("fpCum") + F.when(h, acc.getField("fpCur")).otherwise(0)).as("fpCum"),
+        (acc.getField("len") + 1).as("len")),
+      acc => acc)
+    val fpCur = agg.getField("fpCur"); val fpCum = agg.getField("fpCum")
+    val len = agg.getField("len")
+    emptyGuard(pred, gt,
+      F.when(fpCur === len, 0.0)
+        .when(fpCum === 0, 1.0)
+        .otherwise(F.lit(1.0) - fpCum.cast("double") / (fpCur * (len - fpCur))))
+  }
+}
+
+/** Aggregation descriptors over per-user metric values
+  * (reference: replay/metrics/descriptors.py:35-130). */
+sealed trait Descriptor {
+  def apply(col: Column): Column
+}
+object Descriptor {
+  case object Mean extends Descriptor {
+    def apply(col: Column): Column = F.avg(col)
+  }
+  case object Median extends Descriptor {
+    def apply(col: Column): Column = F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+  }
+  final case class ConfidenceInterval(z: Double = 1.96) extends Descriptor {
+    def apply(col: Column): Column =
+      F.lit(z) * F.coalesce(F.stddev(col), F.lit(0.0)) / F.sqrt(F.count(col))
+  }
+}
+
+/** Shared-enrichment evaluator (reference: base_metric.py:111-343 +
+  * offline_metrics.py:12-482).
+  *
+  * One groupBy builds every user's ranked prediction array (struct sort with
+  * negated rating → rating desc, item asc — deterministic ties) and one
+  * builds the ground-truth set; all metrics at all k values evaluate over
+  * that single joined frame in one pass.
+  */
+object Metrics {
+  val RankingMetrics: Seq[String] = Seq("hit_rate", "precision", "recall", "map", "mrr", "ndcg", "roc_auc")
+
+  def kernel(name: String, pred: Column, gt: Column, k: Int): Column = name match {
+    case "hit_rate"  => Kernels.hitRate(pred, gt, k)
+    case "precision" => Kernels.precision(pred, gt, k)
+    case "recall"    => Kernels.recall(pred, gt, k)
+    case "map"       => Kernels.map(pred, gt, k)
+    case "mrr"       => Kernels.mrr(pred, gt, k)
+    case "ndcg"      => Kernels.ndcg(pred, gt, k)
+    case "roc_auc"   => Kernels.rocAuc(pred, gt, k)
+    case other       => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+
+  /** (query, pred array, gt array); right join on ground-truth users —
+    * users without recs score 0, users without gt are excluded
+    * (reference base_metric.py:261-275). */
+  def enrich(recs: DataFrame, groundTruth: DataFrame, cols: RecCols = RecCols()): DataFrame = {
+    val predLists = recs.groupBy(cols.query).agg(
+      F.transform(
+        F.sort_array(F.collect_list(F.struct(
+          (-F.col(cols.rating)).as("nr"), F.col(cols.item).as("i")))),
+        s => s.getField("i")).as("pred"))
+    val gtSets = groundTruth.groupBy(cols.query)
+      .agg(F.collect_set(cols.item).as("gt"))
+    gtSets.join(predLists, Seq(cols.query), "left")
+      .withColumn("pred", F.coalesce(F.col("pred"), F.array()))
+  }
+
+  /** Per-user metric table: (query, metric value columns) for each k. */
+  def perUser(recs: DataFrame, groundTruth: DataFrame, metrics: Seq[String],
+      ks: Seq[Int], cols: RecCols = RecCols()): DataFrame = {
+    val enriched = enrich(recs, groundTruth, cols)
+    val cs = for (m <- metrics; k <- ks)
+      yield kernel(m, F.col("pred"), F.col("gt"), k).as(s"${m}_at_$k")
+    enriched.select(F.col(cols.query) +: cs: _*)
+  }
+
+  /** Aggregated one-row result per (metric, k) with the given descriptor. */
+  def compute(recs: DataFrame, groundTruth: DataFrame, metrics: Seq[String],
+      ks: Seq[Int], descriptor: Descriptor = Descriptor.Mean,
+      cols: RecCols = RecCols()): DataFrame = {
+    val pu = perUser(recs, groundTruth, metrics, ks, cols)
+    val aggs = for (m <- metrics; k <- ks)
+      yield descriptor(F.col(s"${m}_at_$k")).as(s"${m}_at_$k")
+    pu.agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- catalog metrics (different inputs) --------------------------------
+
+  /** Coverage@k: share of train items that appear in any user's top-k recs
+    * (reference: coverage.py:93-139). */
+  def coverage(recs: DataFrame, train: DataFrame, k: Int,
+      cols: RecCols = RecCols()): DataFrame = {
+    val topK = graft.core.Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+    val nTrain = train.select(cols.item).distinct().count().toDouble
+    topK.join(train.select(cols.item).distinct(), Seq(cols.item), "left_semi")
+      .agg((F.countDistinct(cols.item) / F.lit(nTrain)).as(s"coverage_at_$k"))
+  }
+
+  /** Novelty@k: mean per-user share of top-k recs the user has not seen in
+    * train (reference: novelty.py:125-152). */
+  def novelty(recs: DataFrame, train: DataFrame, k: Int,
+      cols: RecCols = RecCols()): DataFrame = {
+    val topK = graft.core.Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+    val seen = train.select(cols.query, cols.item).distinct()
+      .withColumn("_seen", F.lit(1))
+    topK.join(seen, Seq(cols.query, cols.item), "left")
+      .groupBy(cols.query)
+      .agg((F.sum(F.when(F.col("_seen").isNull, 1.0).otherwise(0.0)) /
+        F.count(F.lit(1))).as("_nov"))
+      .agg(F.avg("_nov").as(s"novelty_at_$k"))
+  }
+
+  /** Surprisal@k: mean self-information of recommended items,
+    * weight(i) = log2(nUsers / users(i)) / log2(nUsers)
+    * (reference: surprisal.py:112-131). */
+  def surprisal(recs: DataFrame, train: DataFrame, k: Int,
+      cols: RecCols = RecCols()): DataFrame = {
+    val topK = graft.core.Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+    val nUsers = train.select(cols.query).distinct().count().toDouble
+    val weights = train.groupBy(cols.item)
+      .agg(F.countDistinct(cols.query).as("_u"))
+      .withColumn("_w", F.log2(F.lit(nUsers) / F.col("_u")) / F.log2(F.lit(nUsers)))
+    topK.join(weights.select(cols.item, "_w"), Seq(cols.item), "left")
+      .withColumn("_w", F.coalesce(F.col("_w"), F.lit(1.0))) // cold item: max self-info
+      .groupBy(cols.query).agg(F.avg("_w").as("_s"))
+      .agg(F.avg("_s").as(s"surprisal_at_$k"))
+  }
+
+  /** Unexpectedness@k: 1 − overlap with a base model's top-k
+    * (reference: unexpectedness.py:153). */
+  def unexpectedness(recs: DataFrame, baseRecs: DataFrame, k: Int,
+      cols: RecCols = RecCols()): DataFrame = {
+    val a = enrich(recs, recs.select(cols.query, cols.item), cols)
+      .select(F.col(cols.query), F.slice(F.col("pred"), 1, k).as("pred"))
+    val b = enrich(baseRecs, baseRecs.select(cols.query, cols.item), cols)
+      .select(F.col(cols.query), F.slice(F.col("pred"), 1, k).as("base"))
+    a.join(b, Seq(cols.query), "left")
+      .withColumn("base", F.coalesce(F.col("base"), F.array()))
+      .withColumn("_u",
+        F.lit(1.0) - F.size(F.array_intersect(F.col("pred"), F.col("base"))).cast("double") / k)
+      .agg(F.avg("_u").as(s"unexpectedness_at_$k"))
+  }
+
+  /** CategoricalDiversity@k: mean distinct categories per user's top-k
+    * (reference: categorical_diversity.py:119-160). */
+  def categoricalDiversity(recs: DataFrame, itemCategories: DataFrame, k: Int,
+      cols: RecCols = RecCols()): DataFrame = {
+    val topK = graft.core.Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+    topK.join(itemCategories, Seq(cols.item), "left")
+      .groupBy(cols.query)
+      .agg(F.countDistinct("category").cast("double").as("_d"))
+      .agg(F.avg("_d").as(s"categorical_diversity_at_$k"))
+  }
+}

@@ -139,8 +139,10 @@ object TimeSplitter {
     val counts = df.groupBy(tsCol).agg(F.count(F.lit(1)).as("_c"))
       .withColumn("_cum", F.sum("_c").over(Window.orderBy(F.col(tsCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // .get(0) + F.lit: works for both TimestampType and TimestampNTZType
+    // (parquet ms-timestamps arrive as NTZ in Spark 4 → LocalDateTime)
     val cut = counts.filter(F.col("_cum") >= cutRank)
-      .agg(F.min(tsCol)).first().getTimestamp(0)
+      .agg(F.min(tsCol)).first().get(0)
     df.withColumn("is_test", F.col(tsCol) > F.lit(cut))
   }
 }

@@ -1,0 +1,75 @@
+package graft.metrics
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one user, pred ranked [1,2,3], gt {2}: golden values mirror the
+  // reference kernels (ScalaPySparkUDFs.scala)
+  def frame = Seq((0L, Seq(1L, 2L, 3L), Seq(2L))).toDF("query_id", "pred", "gt")
+
+  def eval(name: String, k: Int): Double =
+    frame.select(Metrics.kernel(name, F.col("pred"), F.col("gt"), k).as("v"))
+      .first().getDouble(0)
+
+  test("kernel golden values for pred=[1,2,3], gt={2}") {
+    assert(eval("hit_rate", 2) == 1.0)
+    assert(eval("hit_rate", 1) == 0.0)
+    assert(eval("precision", 2) == 0.5)
+    assert(eval("recall", 2) == 1.0)
+    assert(eval("mrr", 2) == 0.5)
+    assert(eval("map", 2) == 0.25)          // (1/2) / k=2
+    assert(math.abs(eval("ndcg", 2) - 1.0 / (math.log(3) / math.log(2))) < 1e-12)
+    assert(eval("roc_auc", 3) == 0.5)       // fpCum=1, fpCur=2, len=3
+  }
+
+  test("kernels return 0 on empty pred or gt") {
+    val empty = Seq((0L, Seq.empty[Long], Seq(1L)),
+      (1L, Seq(1L), Seq.empty[Long])).toDF("query_id", "pred", "gt")
+    Metrics.RankingMetrics.foreach { m =>
+      val vs = empty.select(Metrics.kernel(m, F.col("pred"), F.col("gt"), 3).as("v"))
+        .as[Double].collect()
+      assert(vs.forall(_ == 0.0), s"$m on empty inputs")
+    }
+  }
+
+  test("enrich ranks by rating desc with item asc ties and right-joins gt") {
+    val recs = Seq((0L, 10L, 1.0), (0L, 11L, 2.0), (0L, 12L, 2.0))
+      .toDF("query_id", "item_id", "rating")
+    val gt = Seq((0L, 11L), (7L, 99L)).toDF("query_id", "item_id")
+    val e = Metrics.enrich(recs, gt).orderBy("query_id").collect()
+    // user 0: [11, 12, 10] (2.0 ties broken by item asc)
+    assert(e(0).getSeq[Long](2) == Seq(11L, 12L, 10L))
+    // user 7 has gt but no recs → empty pred
+    assert(e(1).getSeq[Long](2) == Seq.empty)
+  }
+
+  test("compute means over ground-truth users") {
+    val recs = Seq((0L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val gt = Seq((0L, 1L), (1L, 2L)).toDF("query_id", "item_id")
+    val v = Metrics.compute(recs, gt, Seq("hit_rate"), Seq(1))
+      .first().getDouble(0)
+    assert(v == 0.5) // user 0 hits, user 1 has no recs
+  }
+
+  test("coverage counts recommended share of train items") {
+    val recs = Seq((0L, 1L, 1.0), (1L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val train = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 3L, 1.0), (0L, 4L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    assert(Metrics.coverage(recs, train, 5).first().getDouble(0) == 0.25)
+  }
+
+  test("novelty is the unseen share of recs") {
+    val recs = Seq((0L, 1L, 2.0), (0L, 9L, 1.0)).toDF("query_id", "item_id", "rating")
+    val train = Seq((0L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    assert(Metrics.novelty(recs, train, 2).first().getDouble(0) == 0.5)
+  }
+
+  test("unexpectedness is 1 minus base overlap share") {
+    val recs = Seq((0L, 1L, 2.0), (0L, 2L, 1.0)).toDF("query_id", "item_id", "rating")
+    val base = Seq((0L, 1L, 2.0), (0L, 3L, 1.0)).toDF("query_id", "item_id", "rating")
+    assert(Metrics.unexpectedness(recs, base, 2).first().getDouble(0) == 0.5)
+  }
+}
