@@ -315,6 +315,82 @@ object SparkEntry {
       one.select(one.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
     }),
 
+    // ---- training-data pipeline: text / dedup / ANN / multimodal ----------
+    "text_stats" -> ((s, d) => {
+      import graft.text.TextStats
+      val t = F.col("text")
+      val sw = TextStats.LangProfiles("en")
+      Tables.documents(s, d).select(
+        F.col("doc_id"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        F.round(TextStats.meanTokenLength(t), 6).as("mean_token_len"),
+        F.round(TextStats.stopwordRatio(t, sw), 6).as("stopword_ratio"),
+        F.round(TextStats.qualityScore(t, sw), 6).as("quality"),
+        TextStats.fingerprint(t).as("fingerprint"),
+      )
+    }),
+    "text_langid" -> ((s, d) => {
+      // stopword-profile argmax — rows-only (struct-array argmax in SQL
+      // is not worth mirroring)
+      Tables.documents(s, d).select(F.col("doc_id"),
+        graft.text.TextStats.langId(F.col("text")).as("lang_pred"))
+    }),
+    "text_rolling_hash" -> ((s, d) => {
+      // Karp–Rabin over xxhash64 — engine-specific hash, rows-only
+      Tables.documents(s, d).select(F.col("doc_id"),
+        graft.text.TextStats.rollingHash(F.col("text")).as("content_hash"))
+    }),
+    "dedup_exact" -> ((s, d) => {
+      graft.text.Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+    }),
+    "dedup_minhash" -> ((s, d) => {
+      import graft.text.Dedup
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numPerms = 16, bandSize = 4, hash = Dedup.portableHash)
+      Dedup.minhashSimilarity(cand, docs, "doc_id", "text",
+        numPerms = 16, hash = Dedup.portableHash)
+    }),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      graft.text.Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", blockCol = "source", k = 3, threshold = 0.2)
+    }),
+    "dedup_simhash" -> ((s, d) => {
+      Tables.documents(s, d).select(F.col("doc_id"),
+        graft.text.Dedup.simhash(F.col("text"), bits = 16,
+          hash = graft.text.Dedup.portableHash).as("simhash"))
+    }),
+    "embed_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.text.Similarity.bruteForceTopK(
+        emb.filter(F.col("vec_id") < 10), emb, k = 5)
+    }),
+    "embed_lsh_neardup" -> ((s, d) => {
+      // xxhash64-derived hyperplanes — engine-specific, rows-only
+      graft.text.Similarity.lshNearDup(Tables.embeddings(s, d),
+        threshold = 0.2, planes = 4, tables = 8)
+    }),
+    "embed_ivf_search" -> ((s, d) => {
+      // KMeans-backed IVF — model-driven, rows-only (recall vs brute
+      // force asserted in SimilaritySpec)
+      val emb = Tables.embeddings(s, d)
+      new graft.text.IvfIndex(nCentroids = 8, nProbe = 2).fit(emb)
+        .search(emb.filter(F.col("vec_id") < 10), k = 5)
+    }),
+    "multimodal_decode" -> ((s, d) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodePartitioned(
+        Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
+    }),
+    "multimodal_blocks" -> ((s, d) => {
+      // binary block sampling (frame-extraction shape) — rows-only
+      import graft.multimodal.Multimodal
+      Multimodal.sampleBlocks(
+        Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"),
+        blockSize = 32, stride = 4)
+        .select("asset_id", "block_idx", "block_len")
+    }),
+
     // ---- §2.3 joins -------------------------------------------------------
     "join_anti_consistency" -> ((s, d) => {
       // anti-join consistency count (dataset.py:559-599): customers with no orders
@@ -823,6 +899,118 @@ object SparkEntry {
          |  round(unexpectedness_at_5, 6) AS unexpectedness_at_5,
          |  round(categorical_diversity_at_5, 6) AS categorical_diversity_at_5
          |FROM cov, nov, sur, unx, div_""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(
+        |      string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS mean_token_len,
+        |  round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','a','in','is','that','it','for')))
+        |      AS DOUBLE)
+        |    / len(string_split_regex(trim(lower(text)), '\s+')), 6) AS stopword_ratio,
+        |  round(
+        |    (CASE WHEN len(string_split_regex(trim(text), '\s+'))
+        |            BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END)
+        |    * (CASE WHEN (CAST(list_sum(list_transform(
+        |          string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '\s+')))
+        |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+        |    * (0.5 + least(
+        |        (CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |           t -> t IN ('the','and','of','to','a','in','is','that','it','for')))
+        |           AS DOUBLE)
+        |         / len(string_split_regex(trim(lower(text)), '\s+'))) * 4.0, 1.0) * 0.5),
+        |    6) AS quality,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(0, len(string_split_regex(trim(lower(text)), '\s+')) - 3),
+        |      i -> array_to_string(
+        |        string_split_regex(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS shs
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |hashes AS (
+        |  SELECT t.doc_id, p.p,
+        |    min(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || s.sh), 1, 15))::BIGINT) AS h
+        |  FROM toks t, unnest(t.shs) s(sh), range(0, 16) p(p)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(p // 4 AS INT) AS band,
+        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM hashes GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b,
+        |  sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |FROM cand c
+        |JOIN hashes ha ON ha.doc_id = c.id_a
+        |JOIN hashes hb ON hb.doc_id = c.id_b AND ha.p = hb.p
+        |GROUP BY 1, 2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      generate_series(0, len(string_split_regex(trim(lower(text)), '\s+')) - 3),
+        |      i -> array_to_string(
+        |        string_split_regex(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS shs
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+        |ex AS (SELECT doc_id, source, len(shs) AS n, s.s AS sgl
+        |       FROM sh, unnest(shs) s(s))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+        |FROM ex a JOIN ex b
+        |  ON a.source = b.source AND a.sgl = b.sgl AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING CAST(count(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5('0:' || t.t), 1, 15))::BIGINT AS h
+        |  FROM toks, unnest(ts) t(t)),
+        |bits AS (
+        |  SELECT doc_id, b.b,
+        |    CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bit
+        |  FROM th, range(0, 16) b(b) GROUP BY doc_id, b.b)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+    "embed_cosine_topk" ->
+      """WITH dotn AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM dotn) WHERE rank <= 5""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
+        |FROM documents""".stripMargin,
     "join_anti_consistency" ->
       """SELECT count(*) AS n_cold FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,

@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication at training-corpus scale.
+  *
+  * Four tiers, cheapest first:
+  *  1. exact   — hash-groupBy on a normalized fingerprint (one shuffle)
+  *  2. minhash — MinHash signatures + LSH banding → candidate pairs via a
+  *               bucket equi-join (never all-pairs)
+  *  3. simhash — 64-bit sign-sum hash; near-dups share most bits
+  *  4. ngram   — exact Jaccard on shingle sets, for verifying candidates
+  *
+  * All are expression + join pipelines: no UDFs, no driver collects, and
+  * every pair-producing step is blocked (bucket or shared-shingle joins),
+  * so cost scales with duplicate density rather than |docs|².
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → canonical (min) id + group size. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextStats.fingerprint(F.col(textCol)).as("fingerprint"))
+      .agg(F.min(idCol).as("canonical_id"), F.count(F.lit(1)).as("n_docs"))
+
+  /** Rows whose id is not its group's canonical id (the droppable set). */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextStats.fingerprint(F.col(textCol)))
+    docs.withColumn("_canon", F.min(idCol).over(w))
+      .filter(F.col(idCol) =!= F.col("_canon"))
+      .select(F.col(idCol), F.col("_canon").as("canonical_id"))
+  }
+
+  /** Word k-gram shingles, distinct. Docs shorter than k tokens yield an
+    * empty array (guard needed: Spark's sequence(0, n) with n<0 produces a
+    * DESCENDING sequence, not an empty one). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ts = TextStats.tokens(F.lower(text))
+    F.when(F.size(ts) >= k,
+      F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(ts) - k),
+          i => F.concat_ws(" ", F.slice(ts, i + 1, F.lit(k))))))
+      .otherwise(F.array())
+  }
+
+  /** Portable seeded hash of a string column (md5-derived 60-bit int, same
+    * value in any engine); xxhash64 variant for production speed. */
+  def portableHash(seed: Int, c: Column): Column =
+    F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed.toString), c)), 1, 15), 16, 10)
+      .cast("long")
+  def fastHash(seed: Int, c: Column): Column = F.xxhash64(F.lit(seed), c)
+
+  /** MinHash signature: for each of `numPerms` seeded hash functions, the
+    * min hash over the doc's shingles. Returned as an array column. */
+  def minhashSignature(text: Column, numPerms: Int,
+      hash: (Int, Column) => Column = fastHash): Column = {
+    val sh = shingles(text)
+    F.array((0 until numPerms).map { p =>
+      F.array_min(F.transform(sh, s => hash(p, s)))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into bands of `bandSize`;
+    * docs sharing any full band land in the same bucket. One shuffle on
+    * (band index, band signature) — never an all-pairs product. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, bandSize: Int = 4,
+      hash: (Int, Column) => Column = fastHash): DataFrame = {
+    val numBands = numPerms / bandSize
+    val sigs = docs.select(F.col(idCol),
+      minhashSignature(F.col(textCol), numPerms, hash).as("_sig"))
+    val bands = sigs.select(F.col(idCol), F.explode(F.array(
+      (0 until numBands).map { b =>
+        F.struct(F.lit(b).as("band"),
+          F.concat_ws(",", F.transform(
+            F.slice(F.col("_sig"), b * bandSize + 1, bandSize),
+            x => x.cast("string"))).as("sig"))
+      }: _*)).as("_b"))
+      .select(F.col(idCol), F.col("_b.band").as("band"), F.col("_b.sig").as("sig"))
+    val a = bands.withColumnRenamed(idCol, "id_a")
+    val b2 = bands.withColumnRenamed(idCol, "id_b")
+    a.join(b2, Seq("band", "sig"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs = matching signature positions /
+    * numPerms (verification step after LSH). */
+  def minhashSimilarity(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, numPerms: Int = 16,
+      hash: (Int, Column) => Column = fastHash): DataFrame = {
+    val sigs = docs.select(F.col(idCol),
+      minhashSignature(F.col(textCol), numPerms, hash).as("_sig"))
+    candidates
+      .join(sigs.select(F.col(idCol).as("id_a"), F.col("_sig").as("_sa")), Seq("id_a"))
+      .join(sigs.select(F.col(idCol).as("id_b"), F.col("_sig").as("_sb")), Seq("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        (F.size(F.filter(F.zip_with(F.col("_sa"), F.col("_sb"),
+          (x, y) => x === y), (b: Column) => b)).cast("double") / numPerms).as("est_jaccard"))
+  }
+
+  /** SimHash: bit b is the sign of Σ_tokens (±1 by token-hash bit b).
+    * Near-duplicate docs agree on most bits; Hamming distance via
+    * bit_count(xor). `bits` ≤ 63. */
+  def simhash(text: Column, bits: Int = 64,
+      hash: (Int, Column) => Column = fastHash): Column = {
+    val ts = F.array_distinct(TextStats.tokens(F.lower(text)))
+    val hs = F.transform(ts, t => hash(0, t))
+    (0 until bits).map { b =>
+      val bitSum = F.aggregate(hs, F.lit(0L), (acc, h) =>
+        acc + F.when(F.shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      F.when(bitSum > 0, F.shiftleft(F.lit(1L), b)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs blocked by a key column
+    * (e.g. source): pairs sharing ≥1 shingle, J = |∩| / (|A|+|B|−|∩|). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = docs.select(F.col(idCol), F.col(blockCol).as("_blk"),
+      shingles(F.col(textCol), k).as("_sh"))
+      .withColumn("_n", F.size(F.col("_sh")))
+    val exploded = sh.select(F.col(idCol), F.col("_blk"), F.col("_n"),
+      F.explode(F.col("_sh")).as("_s"))
+    val a = exploded.select(F.col(idCol).as("id_a"), F.col("_blk"),
+      F.col("_n").as("na"), F.col("_s"))
+    val b = exploded.select(F.col(idCol).as("id_b"), F.col("_blk"),
+      F.col("_n").as("nb"), F.col("_s"))
+    a.join(b, Seq("_blk", "_s"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(F.count(F.lit(1)).as("_inter"))
+      .withColumn("jaccard",
+        F.col("_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("_inter")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

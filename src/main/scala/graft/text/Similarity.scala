@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * - `bruteForceTopK` is the exact baseline: query×corpus join with the
+  *   cosine computed by a sequential-sum array expression (codegen; no
+  *   UDF). Cost Q×N — correct at any scale but only affordable for small
+  *   Q or as the verification oracle.
+  * - `SignLSH` is the scale path: h random hyperplanes (seeded, hash-
+  *   derived, so reproducible with no stored model) → h-bit bucket key;
+  *   candidates share a bucket in at least one of `tables` independent
+  *   hash tables. Probing is an equi-join on (table, bucket) — shuffle
+  *   volume scales with bucket occupancy, not N².
+  * - `IvfIndex` (inverted file): k-means coarse centroids; vectors are
+  *   assigned to their nearest centroid; queries probe `nProbe` nearest
+  *   centroid lists. Classic IVF-Flat, via MLlib KMeans.
+  */
+object Similarity {
+  /** Sequential-sum dot product of two float-array columns, in double.
+    * (Matches DuckDB's list_zip+CAST+list_sum exactly — unlike
+    * list_dot_product, which accumulates in float32.) */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("_qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("_cv"))
+    val scored = q.crossJoin(c)
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        cosine(F.col("_qv"), F.col("_cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+  }
+
+  /** Pseudo-random unit-free hyperplane component for (table, plane, dim):
+    * a deterministic hash mapped to [-1, 1). No stored model needed —
+    * any executor recomputes the same planes. */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (F.xxhash64(F.lit(table), F.lit(plane), dim).cast("double") /
+      F.lit(Long.MaxValue.toDouble))
+
+  /** h-bit sign-LSH bucket key per (table, vector). */
+  def signBucket(vec: Column, table: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = F.aggregate(
+        F.zip_with(vec,
+          F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+            i => planeComponent(table, p, i)),
+          (x, r) => x.cast("double") * r),
+        F.lit(0.0), (acc, v) => acc + v)
+      F.when(proj > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+
+  /** Candidate pairs from `tables` independent sign-LSH tables, then exact
+    * cosine on candidates only; returns pairs with cosine >= threshold. */
+  def lshNearDup(vectors: DataFrame, threshold: Double, planes: Int = 12,
+      tables: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val buckets = vectors.select(F.col(idCol), F.col(vecCol),
+      F.explode(F.array((0 until tables).map { t =>
+        F.struct(F.lit(t).as("tbl"), signBucket(F.col(vecCol), t, planes).as("bkt"))
+      }: _*)).as("_b"))
+      .select(F.col(idCol), F.col(vecCol),
+        F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
+    val a = buckets.select(F.col(idCol).as("id_a"), F.col(vecCol).as("_va"),
+      F.col("tbl"), F.col("bkt"))
+    val b = buckets.select(F.col(idCol).as("id_b"), F.col(vecCol).as("_vb"),
+      F.col("tbl"), F.col("bkt"))
+    a.join(b, Seq("tbl", "bkt"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b", "_va", "_vb").distinct()
+      .select(F.col("id_a"), F.col("id_b"), cosine(F.col("_va"), F.col("_vb")).as("cosine"))
+      .filter(F.col("cosine") >= threshold)
+  }
+}
+
+/** IVF-Flat index: coarse k-means quantizer + per-centroid inverted lists.
+  * Fit is MLlib KMeans (seeded); search probes the `nProbe` nearest
+  * centroids and brute-forces only those lists. */
+final class IvfIndex(
+    val nCentroids: Int = 16,
+    val nProbe: Int = 2,
+    val seed: Long = 42,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+) extends Serializable {
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.functions.array_to_vector
+
+  var assigned: DataFrame = _        // (id, vec, centroid)
+  var centroids: Array[Array[Double]] = _
+
+  def fit(vectors: DataFrame): this.type = {
+    val withVec = vectors.select(F.col(idCol), F.col(vecCol))
+      .withColumn("_features", array_to_vector(
+        F.transform(F.col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("_centroid")
+      .fit(withVec)
+    centroids = model.clusterCenters.map(_.toArray)
+    assigned = model.transform(withVec)
+      .select(F.col(idCol), F.col(vecCol), F.col("_centroid"))
+      .cache()
+    assigned.count()
+    this
+  }
+
+  /** Top-k cosine among vectors in the query's nProbe nearest centroids. */
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    val centroidDf = assigned.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    ).toDF("_centroid", "_cvec")
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("_qv"))
+    // nearest nProbe centroids per query (centroid table is tiny → broadcast)
+    val qc = q.crossJoin(F.broadcast(centroidDf))
+      .withColumn("_d", Similarity.dot(
+        F.transform(F.col("_qv"), x => x.cast("double")), F.col("_cvec")))
+      .withColumn("_rn", F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("_d").desc, F.col("_centroid").asc)))
+      .filter(F.col("_rn") <= nProbe)
+      .select("query_id", "_qv", "_centroid")
+    val scored = qc.join(assigned, Seq("_centroid"))
+      .filter(F.col("query_id") =!= F.col(idCol))
+      .select(F.col("query_id"), F.col(idCol).as("neighbor_id"),
+        Similarity.cosine(F.col("_qv"), F.col(vecCol)).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All are pure column expressions — codegen-friendly, no UDFs — so they
+  * run at full scan speed over 100 TB document sets.
+  */
+object TextStats {
+  /** Whitespace tokenization (BPE-ish regex splitting available via
+    * `pattern`). */
+  def tokens(text: Column, pattern: String = "\\s+"): Column =
+    F.split(F.trim(text), pattern)
+
+  def tokenCount(text: Column): Column = F.size(tokens(text)).cast("long")
+
+  /** Mean token length: total non-space chars / token count. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    F.aggregate(F.transform(ts, t => F.length(t)), F.lit(0),
+      (acc, x) => acc + x).cast("double") / F.size(ts)
+  }
+
+  /** Share of tokens found in a stopword list — a standard fluency signal
+    * (quality heuristic: garbage text has near-zero stopword density). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(F.lower(text))
+    F.size(F.filter(ts, t => t.isInCollection(stopwords))).cast("double") / F.size(ts)
+  }
+
+  /** Punctuation density: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    F.length(F.regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double") /
+      F.length(text)
+
+  /** Composite quality score in [0,1]: balanced token length, nonzero
+    * stopword density, bounded punctuation (the shape of the reference's
+    * length/punct/stopword heuristics, expressed as one expression). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenOk = F.when(tokenCount(text).between(5, 100000), 1.0).otherwise(0.3)
+    val mtl = meanTokenLength(text)
+    val mtlOk = F.when(mtl.between(2.0, 12.0), 1.0).otherwise(0.5)
+    val sw = stopwordRatio(text, stopwords)
+    val swOk = F.least(sw * 4.0, F.lit(1.0))
+    (lenOk * mtlOk * (F.lit(0.5) + swOk * 0.5))
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny by design — language ID at scale is a scan-side
+    * expression, not a model. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"),
+  )
+
+  /** Language ID: argmax of stopword-profile hit counts, deterministic
+    * tie-break by language code; "und" (undetermined) when nothing hits. */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+    val ts = tokens(F.lower(text))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      F.struct(F.size(F.filter(ts, t => t.isInCollection(words))).as("score"),
+        F.lit(lang).as("lang"))
+    }
+    val best = F.array_max(F.array(scored: _*))
+    F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
+  }
+
+  /** Normalized-text fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the canonical key for exact dedup after normalization. */
+  def fingerprint(text: Column): Column =
+    F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
+
+  /** Karp–Rabin rolling hash over tokens (base 257, mod 2^31−1) — an
+    * order-sensitive content hash usable for shift-invariant chunk
+    * fingerprinting. Modulus kept below 2^31 so acc*257+x never overflows
+    * a Long under ANSI arithmetic. */
+  def rollingHash(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    F.aggregate(
+      tokens(text),
+      F.lit(0L),
+      (acc, t) => F.pmod(acc * F.lit(257L) + F.pmod(F.xxhash64(t), F.lit(M)), F.lit(M)))
+  }
+}

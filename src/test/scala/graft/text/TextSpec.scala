@@ -1,0 +1,133 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Column, functions => F}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "a"),
+    (1L, "The  quick brown FOX jumps over the lazy dog", "a"), // normalized dup of 0
+    (2L, "completely different content with no overlap here at all", "a"),
+    (3L, "the quick brown fox jumps over the lazy cat", "b"), // near-dup of 0
+  ).toDF("doc_id", "text", "source")
+
+  test("tokenCount and meanTokenLength") {
+    val r = docs.filter($"doc_id" === 0)
+      .select(TextStats.tokenCount($"text"),
+        TextStats.meanTokenLength($"text")).first()
+    assert(r.getLong(0) == 9L)
+    assert(math.abs(r.getDouble(1) - 35.0 / 9) < 1e-12) // 35 letters, 9 tokens
+  }
+
+  test("stopwordRatio counts list hits") {
+    val r = docs.filter($"doc_id" === 0)
+      .select(TextStats.stopwordRatio($"text", Seq("the", "over"))).first().getDouble(0)
+    assert(math.abs(r - 3.0 / 9) < 1e-12) // the, over, the
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      (0L, "the cat and the dog in the house"),
+      (1L, "der Hund und die Katze ist nicht da"),
+      (2L, "xyzzy plugh qwerty"),
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(1L) == "de" && out(2L) == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = docs.select($"doc_id", TextStats.fingerprint($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(2L))
+  }
+
+  test("exact dedup groups normalized duplicates") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() == 3)
+    val dupGroup = groups.filter($"n_docs" === 2).first()
+    assert(dupGroup.getLong(1) == 0L) // canonical = min id
+    val dups = Dedup.exactDuplicates(docs, "doc_id", "text")
+    assert(dups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 0L)))
+  }
+
+  test("shingles of short docs are empty, not garbage") {
+    val short = Seq((0L, "one two")).toDF("doc_id", "text")
+    assert(short.select(F.size(Dedup.shingles($"text", 3))).first().getInt(0) == 0)
+  }
+
+  test("ngram Jaccard finds the near-dup pair within a block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 0,1 share source "a" and are identical after lowering → J=1.0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // doc 3 is in block "b" → never paired with 0 despite similarity
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("minhash LSH surfaces exact duplicates as candidates") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 16, 4)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    val sim = Dedup.minhashSimilarity(cand, docs, "doc_id", "text", 16)
+    val s01 = sim.filter($"id_a" === 0L && $"id_b" === 1L).first().getDouble(2)
+    assert(s01 == 1.0)
+  }
+
+  test("simhash of identical docs is equal; different docs differ") {
+    val hs = docs.select($"doc_id", Dedup.simhash($"text", 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(0L) == hs(1L))
+    assert(hs(0L) != hs(2L))
+    assert(hs.values.forall(h => h >= 0 && h < (1L << 16)))
+  }
+
+  test("brute-force cosine topK is exact and deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(top.map(_._1).toSeq == Seq(3L, 1L)) // closest by cosine
+  }
+
+  test("IVF search recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(7)
+    def cluster(cx: Double, cy: Double, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong,
+        Array((cx + rnd.nextGaussian() * 0.05).toFloat, (cy + rnd.nextGaussian() * 0.05).toFloat)))
+    val vecs = (cluster(1, 0, 20, 0) ++ cluster(0, 1, 20, 100) ++ cluster(-1, 0, 20, 200))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" === 0L || $"vec_id" === 100L)
+    val bf = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = new IvfIndex(nCentroids = 3, nProbe = 1, seed = 1).fit(vecs)
+      .search(queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // within-cluster neighbors: IVF with 1 probe should recover most
+    assert(ivf.intersect(bf).size >= 8)
+  }
+
+  test("multimodal decode stub: expression and mapPartitions paths agree") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.fakeAssets(docs, "doc_id", "text")
+    val a = Multimodal.decodeStub(assets).collect().map(_.toSeq).toSet
+    val b = Multimodal.decodePartitioned(assets).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val meta = Multimodal.decodePartitioned(assets)
+    assert(meta.filter($"width" < 64 || $"width" >= 576).count() == 0)
+  }
+
+  test("block sampling covers the payload with fixed-size blocks") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.fakeAssets(docs, "doc_id", "text")
+    val blocks = Multimodal.sampleBlocks(assets, blockSize = 8, stride = 2)
+    assert(blocks.filter($"block_len" > 8).count() == 0)
+    assert(blocks.groupBy("asset_id").count().count() == 4)
+  }
+}
