@@ -283,6 +283,63 @@ object SparkEntry {
       m.predict(itemCats.select("category").distinct(), k = 5)
     }),
 
+    // ---- §2.10 tier-2 models (MLlib / solver-backed — rows-only) ----------
+    "model_als" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      new models.ALSRec(rank = 8, maxIter = 5).fitPredict(i, k = 5)
+    }),
+    "model_word2vec" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      new models.Word2VecRec(vectorSize = 16).fitPredict(i, k = 3)
+    }),
+    "model_cluster" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      val qf = Tables.customer(s, d).select(
+        F.col("c_custkey").as("query_id"),
+        F.col("c_acctbal"), F.col("c_nationkey").cast("double").as("c_nat"))
+      new models.ClusterRec(nClusters = 5).fit(i, qf).predict(i, k = 5)
+    }),
+    "model_slim" -> ((s, d) => {
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", F.lit(1.0))
+        .select("query_id", "item_id", "rating").distinct()
+      new models.SLIM(maxIter = 15, maxNeighbours = 30).fit(binary)
+        .similarity
+    }),
+
+    // ---- §2.8 history features + time smoothing ---------------------------
+    "history_features" -> ((s, d) => {
+      import graft.preprocessing.HistoryFeatures
+      val i = Tables.interactions(s, d)
+      val stats = HistoryFeatures.entityStats(i, "query_id")
+      val ab = HistoryFeatures.abnormality(i)
+      stats.join(ab, Seq("query_id"))
+        .select(F.col("query_id"), F.col("cnt"),
+          F.round(F.col("log_cnt"), 6).as("log_cnt"),
+          F.col("mean_rating"), F.col("min_rating"), F.col("max_rating"),
+          F.round(F.col("std_rating"), 6).as("std_rating"),
+          F.col("active_days"),
+          F.round(F.col("abnormality"), 6).as("abnormality"))
+    }),
+    "time_smoothing" -> ((s, d) => {
+      graft.preprocessing.TimeSmoothing.smooth(
+          Tables.interactions(s, d), "linear", alpha = 0.01)
+        .select("query_id", "item_id", "session_id", "rating")
+    }),
+
+    // ---- §2.12 streaming surface (batch-equivalent session_window) --------
+    "streaming_session_window" -> ((s, d) => {
+      graft.streaming.StreamingOps.sessionWindows(
+        Tables.events(s, d), gapSeconds = 1800)
+    }),
+    "agg_percentile" -> ((s, d) => {
+      // exact interpolated percentile (§2.4; percentile_approx reserved
+      // for scale) — parity with DuckDB quantile_cont
+      Tables.events(s, d).groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).as("p50"),
+          F.round(F.expr("percentile(value, 0.95)"), 6).as("p95"))
+    }),
+
     // ---- §2.11 metrics ----------------------------------------------------
     "metrics_ranking" -> ((s, d) => {
       // end-to-end: time split → PopRec on train → 7 ranking metrics @5
@@ -766,6 +823,49 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY category ORDER BY rating DESC, item_id) AS rn
          |  FROM pop) WHERE rn <= 5""".stripMargin,
+    "history_features" ->
+      s"""$interactionsSql,
+         |im AS (SELECT item_id, avg(rating) AS imean FROM interactions GROUP BY 1),
+         |ab AS (SELECT i.query_id, round(avg(abs(i.rating - im.imean)), 6) AS abnormality
+         |       FROM interactions i JOIN im ON i.item_id = im.item_id GROUP BY 1),
+         |st AS (SELECT query_id, count(*) AS cnt,
+         |        round(ln(count(*)), 6) AS log_cnt,
+         |        avg(rating) AS mean_rating,
+         |        min(rating) AS min_rating, max(rating) AS max_rating,
+         |        round(coalesce(stddev_samp(rating), 0), 6) AS std_rating,
+         |        count(DISTINCT date_trunc('day', timestamp)) AS active_days
+         |       FROM interactions GROUP BY 1)
+         |SELECT st.query_id, st.cnt, st.log_cnt, st.mean_rating,
+         |  st.min_rating, st.max_rating, st.std_rating, st.active_days,
+         |  ab.abnormality
+         |FROM st JOIN ab ON st.query_id = ab.query_id""".stripMargin,
+    "time_smoothing" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id, session_id,
+         |  rating * greatest(1.0 - 0.01 *
+         |    (CAST(epoch_us((SELECT max(timestamp) FROM interactions))
+         |          - epoch_us(timestamp) AS DOUBLE) / (86400.0 * 1e6)), 0.0)
+         |  AS rating
+         |FROM interactions""".stripMargin,
+    "streaming_session_window" ->
+      """WITH se AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN _prev IS NULL
+        |             OR epoch_us(ts) - epoch_us(_prev) >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (SELECT *, lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        |        FROM events))
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM se GROUP BY user_id, sid""".stripMargin,
+    "agg_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
     "metrics_ranking" ->
       s"""$interactionsSql,
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),

@@ -19,12 +19,13 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long, then floor to µs (the data is µs-grained,
-    * so this is lossless and matches DuckDB's value). */
+    * default; read nanos as long, then floor to µs with INTEGER division —
+    * `/` on longs is a double division that rounds (ns ...999935 would
+    * round UP a microsecond; DuckDB truncates, so must we). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
-      .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -1,0 +1,172 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** ALS wrapper (reference: replay/models/als.py:69-165).
+  * Implicit preference mode by default; predict uses
+  * `recommendForUserSubset` + explode for full-catalog ranking
+  * (als.py:107-130); predictPairs scores via model.transform. */
+final class ALSRec(
+    val rank: Int = 10,
+    val maxIter: Int = 10,
+    val regParam: Double = 0.1,
+    val implicitPrefs: Boolean = true,
+    val seed: Long = 42,
+    cols: RecCols = RecCols(),
+) extends BaseRecommender(cols) {
+  import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+  var model: ALSModel = _
+
+  protected def doFit(log: DataFrame): Unit = {
+    model = new ALS()
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setImplicitPrefs(implicitPrefs).setSeed(seed)
+      .setUserCol(cols.query).setItemCol(cols.item).setRatingCol(cols.rating)
+      .setColdStartStrategy("drop")
+      .fit(log.select(
+        F.col(cols.query).cast("int").as(cols.query),
+        F.col(cols.item).cast("int").as(cols.item),
+        F.col(cols.rating).cast("float").as(cols.rating)))
+  }
+
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+    val users = queries.select(F.col(cols.query).cast("int").as(cols.query))
+    model.recommendForUserSubset(users, k + maxSeen)
+      .select(F.col(cols.query), F.explode(F.col("recommendations")).as("_r"))
+      .select(F.col(cols.query).cast("long").as(cols.query),
+        F.col("_r.item_id").cast("long").as(cols.item),
+        F.col("_r.rating").cast("double").as(cols.rating))
+  }
+
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
+    model.transform(pairs.select(
+        F.col(cols.query).cast("int").as(cols.query),
+        F.col(cols.item).cast("int").as(cols.item)))
+      .select(F.col(cols.query).cast("long").as(cols.query),
+        F.col(cols.item).cast("long").as(cols.item),
+        F.col("prediction").cast("double").as(cols.rating))
+
+  def userFactors: DataFrame = model.userFactors
+  def itemFactors: DataFrame = model.itemFactors
+}
+
+/** Word2Vec item-embedding recommender
+  * (reference: replay/models/word2vec.py:117-238).
+  * fit: per-user time-sorted item "sentences" (collect_list of structs +
+  * array_sort — the reference's core sequence-building op) → MLlib
+  * Word2Vec; user vector = mean of (idf-weighted) item vectors; score =
+  * cosine via the same sequential-sum expression as graft.text.Similarity. */
+final class Word2VecRec(
+    val vectorSize: Int = 32,
+    val minCount: Int = 1,
+    val window: Int = 5,
+    val useIdf: Boolean = false,
+    val seed: Long = 42,
+    cols: RecCols = RecCols(),
+) extends BaseRecommender(cols) {
+  import org.apache.spark.ml.feature.Word2Vec
+
+  var itemVectors: DataFrame = _ // (item, vector array<double>)
+  var userVectors: DataFrame = _ // (query, vector array<double>)
+
+  protected def doFit(log: DataFrame): Unit = {
+    val sentences = log.groupBy(cols.query).agg(
+      F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col(cols.ts).as("t"),
+          F.col(cols.item).as("i")))),
+        s => s.getField("i").cast("string")).as("sentence"))
+    val w2v = new Word2Vec().setVectorSize(vectorSize).setMinCount(minCount)
+      .setWindowSize(window).setSeed(seed)
+      .setInputCol("sentence").setOutputCol("_uv")
+    val model = w2v.fit(sentences)
+    itemVectors = model.getVectors
+      .select(F.col("word").cast("long").as(cols.item),
+        org.apache.spark.ml.functions.vector_to_array(F.col("vector")).as("vec"))
+      .cache()
+
+    val idf =
+      if (useIdf) {
+        val nUsers = log.select(cols.query).distinct().count().toDouble
+        log.select(cols.query, cols.item).distinct()
+          .groupBy(cols.item).agg(F.count(F.lit(1)).as("_df"))
+          .select(F.col(cols.item), F.log(F.lit(nUsers) / F.col("_df")).as("_idf"))
+      } else
+        itemVectors.select(F.col(cols.item), F.lit(1.0).as("_idf"))
+
+    // user vector = mean over history of idf·item_vec — zip_with + element
+    // -wise aggregation, no VectorUDT UDFs (word2vec.py:194-198 equivalent)
+    val hist = log.select(cols.query, cols.item).distinct()
+      .join(itemVectors, Seq(cols.item)).join(idf, Seq(cols.item))
+      .select(F.col(cols.query),
+        F.transform(F.col("vec"), x => x * F.col("_idf")).as("wvec"))
+    userVectors = hist.groupBy(cols.query)
+      .agg(F.collect_list("wvec").as("_vs"))
+      .select(F.col(cols.query),
+        F.transform(F.sequence(F.lit(0), F.lit(vectorSize - 1)), i =>
+          F.aggregate(F.col("_vs"), F.lit(0.0), (acc, v) => acc + v.getItem(i)) /
+            F.size(F.col("_vs"))).as("vec"))
+      .cache()
+    userVectors.count()
+  }
+
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+    val uv = userVectors.join(queries.select(cols.query), Seq(cols.query), "left_semi")
+    uv.crossJoin(itemVectors.withColumnRenamed("vec", "_iv"))
+      .select(F.col(cols.query), F.col(cols.item),
+        F.aggregate(F.zip_with(F.col("vec"), F.col("_iv"), (a, b) => a * b),
+          F.lit(0.0), (acc, v) => acc + v).as(cols.rating))
+  }
+
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
+    pairs.join(userVectors, Seq(cols.query))
+      .join(itemVectors.withColumnRenamed("vec", "_iv"), Seq(cols.item))
+      .select(F.col(cols.query), F.col(cols.item),
+        F.aggregate(F.zip_with(F.col("vec"), F.col("_iv"), (a, b) => a * b),
+          F.lit(0.0), (acc, v) => acc + v).as(cols.rating))
+}
+
+/** KMeans cluster recommender (reference: replay/models/cluster.py:43-120):
+  * cluster queries by their feature vector; per-cluster item relevance =
+  * interaction count normalized by the cluster's max. */
+final class ClusterRec(
+    val nClusters: Int = 10,
+    val seed: Long = 42,
+    cols: RecCols = RecCols(),
+) extends Serializable {
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.feature.VectorAssembler
+
+  var queryClusters: DataFrame = _   // (query, cluster)
+  var clusterItems: DataFrame = _    // (cluster, item, rating)
+
+  def fit(log: DataFrame, queryFeatures: DataFrame): this.type = {
+    val featCols = queryFeatures.columns.filterNot(_ == cols.query)
+    val assembled = new VectorAssembler()
+      .setInputCols(featCols).setOutputCol("_features").setHandleInvalid("skip")
+      .transform(queryFeatures)
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("cluster")
+      .fit(assembled)
+    queryClusters = km.transform(assembled).select(F.col(cols.query), F.col("cluster")).cache()
+
+    val withCluster = log.join(queryClusters, Seq(cols.query))
+    val counts = withCluster.groupBy("cluster", cols.item)
+      .agg(F.count(F.lit(1)).as("_cnt"))
+    val maxes = counts.groupBy("cluster").agg(F.max("_cnt").as("_mx"))
+    clusterItems = counts.join(maxes, Seq("cluster"))
+      .select(F.col("cluster"), F.col(cols.item),
+        (F.col("_cnt").cast("double") / F.col("_mx")).as(cols.rating))
+      .cache()
+    clusterItems.count()
+    this
+  }
+
+  def predict(log: DataFrame, k: Int): DataFrame = {
+    val recs = queryClusters.join(clusterItems, Seq("cluster"))
+      .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
+    val unseen = recs.join(log.select(cols.query, cols.item).distinct(),
+      Seq(cols.query, cols.item), "left_anti")
+    graft.core.Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY §2.12).
+  *
+  * The reference has no streaming; its incremental semantics (UCB.refit,
+  * Sessionizer gaps, LabelEncoder.partial_fit) map onto:
+  *  - `sessionWindows`  — session_window(ts, gap): works identically on a
+  *    batch DataFrame and on a stream with a watermark; the batch
+  *    Sessionizer (graft.preprocessing) and this operator agree on
+  *    session boundaries (new session when gap >= threshold).
+  *  - `streamingItemStats` — running (pos, total) per item via
+  *    mapGroupsWithState: the streaming twin of UCBState.refit.
+  *  - `streamingSessionize` — watermarked streaming session aggregation.
+  */
+object StreamingOps {
+
+  /** Per-(user, session) aggregates using the native session_window
+    * operator. `df` may be a batch frame or a stream (add a watermark for
+    * streams). Gap semantics match graft.preprocessing.Sessionizer. */
+  def sessionWindows(df: DataFrame, gapSeconds: Long, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    df.groupBy(F.col(userCol), F.session_window(F.col(tsCol), s"$gapSeconds seconds"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.round(F.sum(valueCol), 2).as("sum_value"),
+        F.min(tsCol).as("first_ts"))
+      // session start reported as min(ts): session_window.start is rounded
+      // to ms by the operator and can disagree with the true first event
+      // time at sub-ms precision
+      .select(F.col(userCol),
+        F.unix_millis(F.col("first_ts")).as("session_start_ms"),
+        F.col("n_events"), F.col("sum_value"))
+
+  /** Streaming sessionization with a watermark: late events beyond
+    * `watermark` are dropped; sessions emit on window close
+    * (append mode). */
+  def streamingSessionize(stream: DataFrame, gapSeconds: Long,
+      watermark: String = "1 hour", userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    sessionWindows(stream.withWatermark(tsCol, watermark),
+      gapSeconds, userCol, tsCol, valueCol)
+
+  final case class ItemEvent(item_id: Long, rating: Double)
+  final case class ItemStats(item_id: Long, pos: Double, total: Double)
+
+  /** Running per-item (pos, total) over a stream — the incremental state
+    * behind UCB.refit (reference ucb.py:147-177), held in Spark-managed
+    * state rather than a re-unioned batch aggregate. */
+  def streamingItemStats(events: Dataset[ItemEvent]): Dataset[ItemStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.item_id)
+      .mapGroupsWithState[ItemStats, ItemStats](GroupStateTimeout.NoTimeout()) {
+        (item, rows, state: GroupState[ItemStats]) =>
+          val prev = state.getOption.getOrElse(ItemStats(item, 0.0, 0.0))
+          var pos = prev.pos
+          var total = prev.total
+          rows.foreach { e => pos += e.rating; total += 1 }
+          val next = ItemStats(item, pos, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a memory-sink streaming query to completion over the given
+    * micro-batch source and return the result table (test harness). */
+  def runToMemorySink(stream: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Update()): StreamingQuery =
+    stream.writeStream.format("memory").queryName(queryName)
+      .outputMode(outputMode).start()
+}

@@ -1,0 +1,82 @@
+package graft.models
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class Tier2Spec extends SparkSpec {
+  import spark.implicits._
+
+  def log = Seq(
+    (0L, 0L, 5.0, "2024-01-01 10:00:00"), (0L, 1L, 4.0, "2024-01-02 10:00:00"),
+    (1L, 0L, 5.0, "2024-01-01 11:00:00"), (1L, 2L, 3.0, "2024-01-03 10:00:00"),
+    (2L, 1L, 4.0, "2024-01-02 12:00:00"), (2L, 2L, 2.0, "2024-01-04 10:00:00"),
+    (3L, 0L, 1.0, "2024-01-05 10:00:00"),
+  ).toDF("query_id", "item_id", "rating", "timestamp")
+    .withColumn("timestamp", F.to_timestamp($"timestamp"))
+
+  test("ALSRec produces k recs per user and scores pairs") {
+    val m = new ALSRec(rank = 4, maxIter = 3).fit(log)
+    val recs = m.predict(log, k = 2)
+    assert(recs.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 2))
+    val pairs = m.predictPairs(Seq((0L, 2L)).toDF("query_id", "item_id"), log)
+    assert(pairs.count() == 1)
+  }
+
+  test("Word2VecRec builds item and user vectors and ranks items") {
+    val m = new Word2VecRec(vectorSize = 8, minCount = 1).fit(log)
+    assert(m.itemVectors.count() == 3)
+    assert(m.userVectors.count() == 4)
+    val recs = m.predict(log, k = 1)
+    assert(recs.count() > 0)
+    // user vector = mean of item vectors: check first element for user 3
+    // (history = item 0 only → user vec == item 0 vec)
+    val iv = m.itemVectors.filter($"item_id" === 0L).first().getSeq[Double](1)
+    val uv = m.userVectors.filter($"query_id" === 3L).first().getSeq[Double](1)
+    assert(iv.zip(uv).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("ClusterRec groups users by features and recommends cluster items") {
+    val qf = Seq((0L, 1.0), (1L, 1.1), (2L, 9.0), (3L, 9.1))
+      .toDF("query_id", "f1")
+    val m = new ClusterRec(nClusters = 2, seed = 1).fit(log, qf)
+    // users 0,1 and 2,3 should cluster together on f1
+    val cl = m.queryClusters.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cl(0L) == cl(1L) && cl(2L) == cl(3L) && cl(0L) != cl(2L))
+    assert(m.predict(log, 2).count() > 0)
+  }
+
+  test("SLIM learns positive item-item weights that reconstruct co-occurrence") {
+    // items 0,1 co-occur strongly; item 2 co-occurs with both weakly
+    val binary = Seq(
+      (0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L),
+      (3L, 2L), (4L, 2L), (0L, 2L),
+    ).map { case (u, i) => (u, i, 1.0) }.toDF("query_id", "item_id", "rating")
+    val m = new SLIM(l1 = 0.001, l2 = 0.01, maxIter = 30).fit(binary)
+    val sims = m.similarity.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // w(0→1) should be the strongest learned weight
+    assert(sims.getOrElse((0L, 1L), 0.0) > sims.getOrElse((2L, 1L), 0.0))
+    assert(sims.values.forall(_ >= 0)) // non-negativity constraint
+    val recs = m.predict(binary, k = 1)
+    assert(recs.count() > 0)
+  }
+
+  test("history features and linear smoothing golden values") {
+    import graft.preprocessing.{HistoryFeatures, TimeSmoothing}
+    val st = HistoryFeatures.entityStats(log, "query_id")
+      .filter($"query_id" === 0L).first()
+    assert(st.getLong(1) == 2L)                    // cnt
+    assert(st.getDouble(3) == 4.5)                 // mean
+    assert(st.getLong(7) == 2L)                    // active days
+    val ab = HistoryFeatures.abnormality(log)
+      .filter($"query_id" === 3L).first().getDouble(1)
+    // item 0 mean = (5+5+1)/3 = 11/3; user 3 rating 1 → |1 - 11/3| = 8/3
+    assert(math.abs(ab - 8.0 / 3) < 1e-12)
+    val smoothed = TimeSmoothing.smooth(log, "linear", alpha = 0.1)
+    val last = smoothed.filter($"query_id" === 3L).first().getDouble(2)
+    assert(last == 1.0) // age 0 → weight 1
+    val first = smoothed.filter($"query_id" === 0L && $"item_id" === 0L)
+      .first().getDouble(2)
+    assert(first < 5.0 && first > 0) // decayed
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  test("sessionWindows on batch matches gap semantics") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 12:00:00", 3.0), (2L, "2024-01-01 09:00:00", 4.0),
+    ).toDF("user_id", "ts", "value").withColumn("ts", F.to_timestamp($"ts"))
+    val out = sessionWindows(df, gapSeconds = 3600)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+
+  test("streamingSessionize runs as a real stream to a memory sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "value")
+    val q = streamingSessionize(stream, gapSeconds = 3600, watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:30:00"), 2.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first session
+    input.addData((1L, ts("2024-01-02 23:00:00"), 5.0))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-04 12:00:00"), 6.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.contains((1L, 2L, 3.0))) // first session emitted on close
+  }
+
+  test("streamingItemStats accumulates (pos, total) across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ItemEvent]
+    val q = streamingItemStats(input.toDS())
+      .writeStream.format("memory").queryName("item_stats")
+      .outputMode("update").start()
+    input.addData(ItemEvent(1L, 1.0), ItemEvent(1L, 0.0), ItemEvent(2L, 1.0))
+    q.processAllAvailable()
+    input.addData(ItemEvent(1L, 1.0))
+    q.processAllAvailable()
+    val last = spark.table("item_stats").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3) }
+    q.stop()
+    assert(last(1L) == ((1L, 2.0, 3.0))) // matches UCBState.refit on the union
+    assert(last(2L) == ((2L, 1.0, 1.0)))
+  }
+}
