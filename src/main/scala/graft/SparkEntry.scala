@@ -17,14 +17,23 @@ import graft.splitters._
 object SparkEntry {
   import Tables.interactionsSql
 
-  /** Flagship: end-to-end slice on sf0.001 (SURVEY §7.2). */
+  /** Flagship: the full SURVEY §7.2 end-to-end slice on sf0.001 —
+    * scan → filter → split → encode → PopRec fit/predict (seen-filtered
+    * top-k) → ranking metrics stapled on as a sanity column. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val inter = Tables.interactions(spark, dir)
     val filtered = MinCountFilter(5, "query_id").transform(inter)
-    val agg = filtered.groupBy("query_id", "item_id")
-      .agg(F.sum("rating").as("rating"))
-    Ops.getTopKRecs(agg, k = 10)
+    val marked = graft.splitters.TimeSplitter.byQuantile(filtered, 0.8)
+    val train0 = marked.filter(!F.col("is_test")).drop("is_test")
+    val test = marked.filter(F.col("is_test")).drop("is_test")
+    val enc = LabelEncoder.fit(train0, "item_id", HandleUnknown.Drop)
+    val train = enc.transform(train0)
+    val recs = new models.PopRec().fitPredict(train, k = 10)
+    val gt = enc.transform(test).select("query_id", "item_id").distinct()
+    val ndcg = graft.metrics.Metrics.compute(recs, gt, Seq("ndcg"), Seq(10))
+      .first().getDouble(0)
+    recs.withColumn("ndcg_at_10", F.lit(ndcg))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -340,6 +349,74 @@ object SparkEntry {
           F.round(F.expr("percentile(value, 0.95)"), 6).as("p95"))
     }),
 
+    // ---- remaining §2 operators -------------------------------------------
+    "sample_top_k" -> ((s, d) => {
+      // weighted sampling without replacement as pure Catalyst
+      // (spark_utils.py:671-721 equivalent, no applyInPandas)
+      val scores = Tables.interactions(s, d)
+        .groupBy("query_id", "item_id").agg(F.sum("rating").as("rating"))
+      Ops.sampleTopK(scores, k = 2, seed = 42).select("query_id", "item_id")
+    }),
+    "predict_pairs" -> ((s, d) => {
+      // predict_pairs path (base_rec.py:502-603): score explicit pairs
+      val i = Tables.interactions(s, d)
+      val m = new models.PopRec().fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+        .filter(F.col("item_id") < 100)
+      m.predictPairs(pairs, i)
+    }),
+    "sequence_encode" -> ((s, d) => {
+      // array-column encoding, order-preserving (label_encoder.py:568-792)
+      val i = Tables.interactions(s, d)
+      val seqs = i.groupBy("session_id").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct(
+          F.col("item_id").as("i")))), s0 => s0.getField("i")).as("items"))
+      val enc = LabelEncoder.fit(i, "item_id")
+      SequenceEncoder.transform(enc, seqs, "items")
+        .select(F.col("session_id"), F.posexplode(F.col("items")))
+        .toDF("session_id", "pos", "code")
+        .withColumn("pos", F.col("pos").cast("long"))
+    }),
+    "merge_subsets" -> ((s, d) => {
+      // unionByName + duplicate policy (preprocessing/utils.py:100-180)
+      val e = Tables.events(s, d)
+      val a = e.filter(F.col("value") >= 100)
+      val b = e.filter(F.col("event_type") === "purchase")
+      MergeSubsets.merge(Seq(a, b), MergeSubsets.DropDuplicates, Seq("event_id"))
+        .select("event_id", "user_id", "event_type")
+    }),
+    "filter_quantile_items" -> ((s, d) => {
+      // percentile_approx-driven undersampling — approx quantile has no
+      // DuckDB twin, rows-only
+      QuantileItemsFilter(alphaQuantile = 0.95, itemsProportion = 0.5)
+        .transform(Tables.interactions(s, d))
+        .select("query_id", "item_id", "rating")
+    }),
+    "model_linucb" -> ((s, d) => {
+      // distributed sufficient stats + driver d×d inversion — rows-only
+      val i = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val qf = Tables.customer(s, d).select(
+        F.col("c_custkey").as("query_id"),
+        (F.col("c_acctbal") / 1000).as("f1"),
+        F.col("c_nationkey").cast("double").as("f2"))
+      new models.LinUCB(alpha = 0.5).fit(i, qf).predict(qf, k = 3)
+    }),
+    "experiment_table" -> ((s, d) => {
+      // models × metrics table (experiment.py:7-200) — rows-only
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      new graft.metrics.Experiment(Seq("hit_rate", "ndcg"), Seq(5))
+        .run(Map(
+          "pop_rec" -> new models.PopRec(),
+          "wilson" -> new models.Wilson()), // binary-ish: quantity ratings
+          train.withColumn("rating", (F.col("rating") > 25).cast("double")),
+          test, k = 5)
+        .table(s)
+    }),
+
     // ---- §2.11 metrics ----------------------------------------------------
     "metrics_ranking" -> ((s, d) => {
       // end-to-end: time split → PopRec on train → 7 ranking metrics @5
@@ -360,8 +437,10 @@ object SparkEntry {
       val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
       val train = marked.filter(!F.col("is_test")).drop("is_test")
       val m = new models.PopRec().fit(train)
-      val recsSeen = m.predict(train, 5)                    // seen-filtered
-      val recsAll = m.predict(train, 5, filterSeen = false) // raw popularity
+      // cached: each catalog metric is its own aggregation job over the
+      // same rec set — without the cache the predict plan runs 5×
+      val recsSeen = m.predict(train, 5).cache()            // seen-filtered
+      val recsAll = m.predict(train, 5, filterSeen = false).cache()
       val brands = Tables.part(s, d)
         .select(F.col("p_partkey").as("item_id"), F.col("p_brand").as("category"))
       val one = Metrics.coverage(recsSeen, train, 5)
@@ -823,6 +902,45 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY category ORDER BY rating DESC, item_id) AS rn
          |  FROM pop) WHERE rn <= 5""".stripMargin,
+    "sample_top_k" ->
+      s"""$interactionsSql,
+         |scores AS (SELECT query_id, item_id, sum(rating) AS rating
+         |           FROM interactions GROUP BY 1, 2),
+         |keyed AS (SELECT query_id, item_id,
+         |  -ln((('0x' || substr(md5('42:' || CAST(query_id AS VARCHAR) || ':'
+         |        || CAST(item_id AS VARCHAR)), 1, 15))::BIGINT
+         |       / 1152921504606846976.0) + 1e-18)
+         |  / (rating / sum(rating) OVER (PARTITION BY query_id)) AS k
+         |  FROM scores)
+         |SELECT query_id, item_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY k, item_id) AS rn
+         |  FROM keyed) WHERE rn <= 2""".stripMargin,
+    "predict_pairs" ->
+      s"""$interactionsSql,
+         |pop AS (SELECT item_id, count(DISTINCT query_id) /
+         |          CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE)
+         |        AS rating FROM interactions GROUP BY 1)
+         |SELECT p.query_id, p.item_id, coalesce(pop.rating, 0.0) AS rating
+         |FROM (SELECT DISTINCT query_id, item_id FROM interactions
+         |      WHERE item_id < 100) p
+         |LEFT JOIN pop ON p.item_id = pop.item_id""".stripMargin,
+    "sequence_encode" ->
+      s"""$interactionsSql,
+         |enc AS (SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
+         |        FROM (SELECT DISTINCT item_id FROM interactions)),
+         |seqs AS (SELECT session_id, item_id,
+         |           row_number() OVER (PARTITION BY session_id ORDER BY item_id) - 1 AS pos
+         |         FROM interactions)
+         |SELECT s.session_id, s.pos, e.code
+         |FROM seqs s JOIN enc e ON s.item_id = e.label""".stripMargin,
+    "merge_subsets" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
+        |  FROM (SELECT * FROM events WHERE value >= 100
+        |        UNION ALL
+        |        SELECT * FROM events WHERE event_type = 'purchase'))
+        |WHERE rn = 1""".stripMargin,
     "history_features" ->
       s"""$interactionsSql,
          |im AS (SELECT item_id, avg(rating) AS imean FROM interactions GROUP BY 1),

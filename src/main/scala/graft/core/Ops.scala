@@ -132,4 +132,32 @@ object Ops {
     * reference: preprocessing/filters.py:286-294 MinCountFilter core). */
   def minCountEntities(df: DataFrame, col: String, n: Long): DataFrame =
     df.groupBy(col).count().filter(F.col("count") >= n).select(col)
+
+  /** Per-query weighted sampling of k items WITHOUT replacement,
+    * probability proportional to rating (reference: spark_utils.py:671-721
+    * `sample_top_k_recs`, done there in applyInPandas).
+    *
+    * Uses the exponential-sort trick: ranking by -ln(u)/w (u uniform from
+    * the seeded portable hash) IS weighted sampling without replacement —
+    * so the whole sampler is one expression + the standard top-k window:
+    * pure Catalyst, reproducible across cluster layouts. */
+  def sampleTopK(
+      recs: DataFrame,
+      k: Int,
+      seed: Long = 42,
+      queryCol: String = QueryId,
+      itemCol: String = ItemId,
+      ratingCol: String = Rating,
+  ): DataFrame = {
+    val w = Window.partitionBy(queryCol)
+    val u = F.conv(F.substring(F.md5(F.concat_ws(":",
+        F.lit(seed.toString), F.col(queryCol).cast("string"),
+        F.col(itemCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / F.lit(math.pow(2, 60))
+    val normalized = recs
+      .withColumn("_p", F.col(ratingCol) / F.sum(ratingCol).over(w))
+      .withColumn("_key", -F.log(u + F.lit(1e-18)) / F.col("_p"))
+    topK(normalized, Seq(queryCol), Seq(F.col("_key").asc, F.col(itemCol).asc), k)
+      .drop("_p", "_key")
+  }
 }

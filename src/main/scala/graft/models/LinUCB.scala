@@ -1,0 +1,86 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+
+/** LinUCB contextual bandit (reference: replay/models/lin_ucb.py:97-451).
+  *
+  * Per-arm (item) ridge state A = I·λ + Σ x xᵀ, b = Σ r·x over the arm's
+  * interactions, score(x) = θᵀx + α·√(xᵀ A⁻¹ x) with θ = A⁻¹ b.
+  *
+  * The reference converts the whole dataset to pandas and loops on the
+  * driver (lin_ucb.py:219-311); here the per-arm sufficient statistics
+  * (the d×d Gram and d-vector) are computed DISTRIBUTED as array-column
+  * aggregations — only the tiny per-arm matrices reach the driver for the
+  * d×d inversion (d = feature dim, typically ≤ 100).
+  */
+final class LinUCB(
+    val alpha: Double = 1.0,
+    val lambdaReg: Double = 1.0,
+    cols: RecCols = RecCols(),
+) extends Serializable {
+  /** (item, theta[d], ainv[d*d]) */
+  var armState: DataFrame = _
+  private var dim: Int = 0
+
+  def fit(log: DataFrame, queryFeatures: DataFrame): this.type = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val featCols = queryFeatures.columns.filterNot(_ == cols.query)
+    dim = featCols.length
+    val x = F.array(featCols.map(c => F.col(c).cast("double")): _*)
+    val joined = log.join(queryFeatures, Seq(cols.query))
+      .select(F.col(cols.item), x.as("_x"), F.col(cols.rating).cast("double").as("_r"))
+
+    // distributed sufficient statistics: flatten xxᵀ to a d² array and sum
+    val xxT = F.flatten(F.transform(F.col("_x"), xi =>
+      F.transform(F.col("_x"), xj => xi * xj)))
+    val rx = F.transform(F.col("_x"), xi => xi * F.col("_r"))
+    val zeros2 = F.array_repeat(F.lit(0.0), dim * dim)
+    val zeros1 = F.array_repeat(F.lit(0.0), dim)
+    val stats = joined.groupBy(cols.item).agg(
+      F.aggregate(F.collect_list(xxT), zeros2,
+        (acc, v) => F.zip_with(acc, v, (a, b) => a + b)).as("_gram"),
+      F.aggregate(F.collect_list(rx), zeros1,
+        (acc, v) => F.zip_with(acc, v, (a, b) => a + b)).as("_b"))
+
+    val d = dim
+    val lam = lambdaReg
+    val solved = stats.map { row =>
+      val item = row.getLong(0)
+      val gram = row.getSeq[Double](1).toArray
+      val bvec = row.getSeq[Double](2).toArray
+      val A = DenseMatrix.create(d, d, gram) + DenseMatrix.eye[Double](d) * lam
+      val aInv = inv(A)
+      val theta = aInv * DenseVector(bvec)
+      (item, theta.toArray, aInv.toArray)
+    }.toDF(cols.item, "theta", "ainv")
+    armState = solved.cache()
+    armState.count()
+    this
+  }
+
+  /** UCB scores for all (query, arm) combinations. */
+  def predict(queryFeatures: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val featCols = queryFeatures.columns.filterNot(_ == cols.query)
+    val x = F.array(featCols.map(c => F.col(c).cast("double")): _*)
+    val q = queryFeatures.select(F.col(cols.query), x.as("_x"))
+    val d = dim
+    // θᵀx and xᵀA⁻¹x as array expressions over the flattened matrix
+    val thetaX = F.aggregate(F.zip_with(F.col("theta"), F.col("_x"),
+      (a, b) => a * b), F.lit(0.0), (acc, v) => acc + v)
+    val aInvX = F.transform(F.sequence(F.lit(0), F.lit(d - 1)), i =>
+      F.aggregate(F.sequence(F.lit(0), F.lit(d - 1)), F.lit(0.0), (acc, j) =>
+        acc + F.element_at(F.col("ainv"), i * d + j + 1) *
+          F.element_at(F.col("_x"), j + 1)))
+    val quad = F.aggregate(F.zip_with(F.col("_x"), aInvX, (a, b) => a * b),
+      F.lit(0.0), (acc, v) => acc + v)
+    val scored = q.crossJoin(armState)
+      .select(F.col(cols.query), F.col(cols.item),
+        (thetaX + F.lit(alpha) * F.sqrt(quad)).as(cols.rating))
+    val w = Window.partitionBy(cols.query)
+      .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)
+    scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+  }
+}

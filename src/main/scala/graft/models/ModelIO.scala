@@ -1,0 +1,59 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Model persistence (reference: replay/utils/model_handler.py:42-118 +
+  * spark_utils.py:789-818 — the reference pickles params into a 1-row
+  * parquet for HDFS-safety; here state DataFrames are written as plain
+  * parquet plus a JSON params sidecar, the `MLWritable`-style layout). */
+object ModelIO {
+  private def writeJson(path: String, fields: Map[String, String]): Unit = {
+    val body = fields.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/params.json"), body)
+  }
+
+  private def readJson(path: String): Map[String, String] = {
+    val raw = Files.readString(Paths.get(s"$path/params.json"))
+    """"([^"]+)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(raw)
+      .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toMap
+  }
+
+  def saveNonPersonalized(m: NonPersonalizedRec, path: String, kind: String): Unit = {
+    writeJson(path, Map("kind" -> kind))
+    m.itemPopularity.write.mode("overwrite").parquet(s"$path/item_popularity")
+  }
+
+  def loadPopRec(spark: SparkSession, path: String): PopRec = {
+    require(readJson(path)("kind") == "pop_rec", s"not a PopRec at $path")
+    val m = new PopRec()
+    m.itemPopularity = spark.read.parquet(s"$path/item_popularity").cache()
+    m.fitItemsDf = m.itemPopularity.select(m.cols.item)
+    m
+  }
+
+  def saveNeighbour(m: NeighbourRec, path: String, kind: String): Unit = {
+    writeJson(path, Map("kind" -> kind))
+    m.similarity.write.mode("overwrite").parquet(s"$path/similarity")
+  }
+
+  def loadItemKNN(spark: SparkSession, path: String): ItemKNN = {
+    require(readJson(path)("kind") == "item_knn", s"not an ItemKNN at $path")
+    val m = new ItemKNN()
+    m.similarity = spark.read.parquet(s"$path/similarity").cache()
+    m.fitItemsDf = m.similarity.select(org.apache.spark.sql.functions.col("item_one")
+      .as(m.cols.item)).distinct()
+    m
+  }
+
+  /** Encoder mapping persistence (reference persists the fitted mapping;
+    * label_encoder save path). */
+  def saveEncoder(e: graft.preprocessing.LabelEncoder, path: String): Unit = {
+    writeJson(path, Map("kind" -> "label_encoder", "column" -> e.column))
+    e.mapping.write.mode("overwrite").parquet(s"$path/mapping")
+  }
+}

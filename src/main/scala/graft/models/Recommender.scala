@@ -20,8 +20,8 @@ final case class RecCols(
   * + anti-join, base_rec.py:152-201) → deterministic top-k window.
   */
 abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializable {
-  protected var fitQueriesDf: DataFrame = _
-  protected var fitItemsDf: DataFrame = _
+  protected[models] var fitQueriesDf: DataFrame = _
+  protected[models] var fitItemsDf: DataFrame = _
 
   def fitQueries: DataFrame = fitQueriesDf
   def fitItems: DataFrame = fitItemsDf
@@ -49,7 +49,9 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
       queries: Option[DataFrame] = None,
       filterSeen: Boolean = true,
   ): DataFrame = {
-    val qs = queries.getOrElse(fitQueriesDf)
+    // loaded models (ModelIO) have no fit frames → fall back to the log
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
     val maxSeen =
       if (filterSeen)
@@ -126,7 +128,8 @@ abstract class NeighbourRec(cols: RecCols = RecCols()) extends BaseRecommender(c
       queries: Option[DataFrame] = None,
       filterSeen: Boolean = true,
   ): DataFrame = {
-    val qs = queries.getOrElse(fitQueriesDf)
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
     // history ⋈ similarity: shuffle on item — the similarity side is
     // already cropped to top neighbours per item, bounding the fan-out

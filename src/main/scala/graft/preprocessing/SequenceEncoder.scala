@@ -1,0 +1,69 @@
+package graft.preprocessing
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Array-column label encoding (reference: label_encoder.py:568-792
+  * SequenceEncodingRule): encode every element of an array column through
+  * a fitted LabelEncoder mapping.
+  *
+  * Instead of the reference's explode → join → re-collect (which loses
+  * order and costs two shuffles), elements are mapped through a broadcast
+  * map expression built from the mapping table — order-preserving,
+  * shuffle-free, and codegen-friendly. For mappings too large to
+  * broadcast, `transformViaJoin` keeps the relational path (posexplode →
+  * join → re-collect by position). */
+object SequenceEncoder {
+  /** Order-preserving encode of `arrayCol` using `encoder`'s mapping.
+    * Unknown elements become null (use array_compact after, or validate
+    * first). Mapping is collected + broadcast: bounded by label
+    * cardinality, same bound as any broadcast dim. */
+  def transform(encoder: LabelEncoder, df: DataFrame, arrayCol: String): DataFrame = {
+    val entries = encoder.mapping
+    val mapExpr = F.map_from_entries(F.collect_list(F.struct(
+      F.col("label"), F.col("code"))))
+    val m = entries.agg(mapExpr.as("m"))
+    df.crossJoin(F.broadcast(m))
+      .withColumn(arrayCol, F.transform(F.col(arrayCol), x => F.element_at(F.col("m"), x)))
+      .drop("m")
+  }
+
+  /** Relational path for very large mappings: posexplode → join →
+    * re-collect ordered by position (label_encoder.py's own shape). */
+  def transformViaJoin(encoder: LabelEncoder, df: DataFrame, arrayCol: String,
+      idCols: Seq[String]): DataFrame = {
+    val exploded = df.select(
+      idCols.map(F.col) :+ F.posexplode(F.col(arrayCol)): _*)
+      .toDF(idCols :+ "_pos" :+ "label": _*)
+    val joined = exploded.join(encoder.mapping, Seq("label"), "left")
+    val regrouped = joined.groupBy(idCols.map(F.col): _*)
+      .agg(F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("_pos"), F.col("code")))),
+        s => s.getField("code")).as(arrayCol))
+    df.drop(arrayCol).join(regrouped, idCols)
+  }
+}
+
+/** Union N interaction frames with a duplicate policy
+  * (reference: replay/preprocessing/utils.py:100-180 merge_subsets). */
+object MergeSubsets {
+  sealed trait DuplicatePolicy
+  case object ErrorOnDuplicates  extends DuplicatePolicy
+  case object DropDuplicates     extends DuplicatePolicy
+  case object IgnoreDuplicates   extends DuplicatePolicy
+
+  def merge(frames: Seq[DataFrame], policy: DuplicatePolicy,
+      keyCols: Seq[String]): DataFrame = {
+    require(frames.nonEmpty, "no frames to merge")
+    val unioned = frames.reduce(_.unionByName(_))
+    policy match {
+      case IgnoreDuplicates => unioned
+      case DropDuplicates   => unioned.dropDuplicates(keyCols)
+      case ErrorOnDuplicates =>
+        val dups = unioned.groupBy(keyCols.map(F.col): _*)
+          .count().filter(F.col("count") > 1).count()
+        if (dups > 0)
+          throw new IllegalArgumentException(s"$dups duplicate keys in merged frames")
+        unioned
+    }
+  }
+}

@@ -51,13 +51,34 @@ object Dedup {
   def fastHash(seed: Int, c: Column): Column = F.xxhash64(F.lit(seed), c)
 
   /** MinHash signature: for each of `numPerms` seeded hash functions, the
-    * min hash over the doc's shingles. Returned as an array column. */
+    * min hash over the doc's shingles. Returned as an array column.
+    * (Expression form — fine for few perms; the frame-level
+    * `minhashSignatures` is the scalable path.) */
   def minhashSignature(text: Column, numPerms: Int,
       hash: (Int, Column) => Column = fastHash): Column = {
     val sh = shingles(text)
     F.array((0 until numPerms).map { p =>
       F.array_min(F.transform(sh, s => hash(p, s)))
     }: _*)
+  }
+
+  /** (id, signature array) via the relational route: explode shingles ×
+    * perms → per-(doc, perm) min → re-collect ordered. Hashes each shingle
+    * exactly once per perm and keeps the codegen tree flat — the
+    * expression form above inlines the whole shingle pipeline numPerms
+    * times, which at 16 perms dominated a benchmark run. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, hash: (Int, Column) => Column = fastHash): DataFrame = {
+    val sh = docs.select(F.col(idCol), F.explode(shingles(F.col(textCol))).as("_s"))
+    val perPerm = sh.select(F.col(idCol), F.explode(F.array(
+        (0 until numPerms).map(p =>
+          F.struct(F.lit(p).as("p"), hash(p, F.col("_s")).as("h"))): _*)).as("_ph"))
+      .select(F.col(idCol), F.col("_ph.p").as("_p"), F.col("_ph.h").as("_h"))
+    perPerm.groupBy(idCol, "_p").agg(F.min("_h").as("_mh"))
+      .groupBy(idCol)
+      .agg(F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("_p"), F.col("_mh")))),
+        s => s.getField("_mh")).as("_sig"))
   }
 
   /** LSH candidate pairs: split the signature into bands of `bandSize`;
@@ -67,8 +88,7 @@ object Dedup {
       numPerms: Int = 16, bandSize: Int = 4,
       hash: (Int, Column) => Column = fastHash): DataFrame = {
     val numBands = numPerms / bandSize
-    val sigs = docs.select(F.col(idCol),
-      minhashSignature(F.col(textCol), numPerms, hash).as("_sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, hash)
     val bands = sigs.select(F.col(idCol), F.explode(F.array(
       (0 until numBands).map { b =>
         F.struct(F.lit(b).as("band"),
@@ -89,8 +109,7 @@ object Dedup {
   def minhashSimilarity(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, numPerms: Int = 16,
       hash: (Int, Column) => Column = fastHash): DataFrame = {
-    val sigs = docs.select(F.col(idCol),
-      minhashSignature(F.col(textCol), numPerms, hash).as("_sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, hash)
     candidates
       .join(sigs.select(F.col(idCol).as("id_a"), F.col("_sig").as("_sa")), Seq("id_a"))
       .join(sigs.select(F.col(idCol).as("id_b"), F.col("_sig").as("_sb")), Seq("id_b"))

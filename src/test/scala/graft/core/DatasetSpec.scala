@@ -1,0 +1,91 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+import graft.preprocessing.{LabelEncoder, SequenceEncoder, MergeSubsets}
+
+class DatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  def log = Seq((0L, 0L, 1.0), (1L, 1L, 2.0)).toDF("query_id", "item_id", "rating")
+
+  test("RsDataset save/load roundtrip preserves rows and order") {
+    val dir = java.nio.file.Files.createTempDirectory("rsds").toString
+    val qf = Seq((0L, 0.5), (1L, 0.7)).toDF("query_id", "f1")
+    RsDataset(log, queryFeatures = Some(qf)).save(dir)
+    val loaded = RsDataset.load(spark, dir)
+    assert(loaded.interactions.collect().map(_.toSeq).toSet ==
+      log.collect().map(_.toSeq).toSet)
+    assert(loaded.queryFeatures.get.count() == 2)
+    assert(loaded.itemFeatures.isEmpty)
+  }
+
+  test("RsDataset consistency check counts missing feature ids") {
+    val qf = Seq((0L, 0.5)).toDF("query_id", "f1") // user 1 missing
+    val ds = RsDataset(log, queryFeatures = Some(qf))
+    assert(ds.inconsistentIds("query_id") == 1L)
+    assert(ds.checkEncoded())
+  }
+
+  test("FeatureSchema algebra filters by type, source, hint") {
+    import FeatureType._, FeatureSource._, FeatureHint._
+    val fs = FeatureSchema(Seq(
+      FeatureInfo("query_id", Categorical, Interactions, Some(QueryId)),
+      FeatureInfo("item_id", Categorical, Interactions, Some(ItemId)),
+      FeatureInfo("price", Numerical, ItemFeatures),
+      FeatureInfo("tags", CategoricalList, ItemFeatures),
+    ))
+    assert(fs.filter(source = Some(ItemFeatures)).columns == Seq("price", "tags"))
+    assert(fs.filter(featureType = Some(CategoricalList)).columns == Seq("tags"))
+    assert(fs.drop(hint = Some(QueryId)).columns.size == 3)
+    assert(fs.queryIdColumn.contains("query_id"))
+    val errors = fs.validate(log.schema)
+    assert(errors.exists(_.contains("price"))) // missing physical column
+  }
+
+  test("SequenceEncoder preserves element order through the map expression") {
+    val enc = LabelEncoder.fit(Seq(10L, 20L, 30L).toDF("x"), "x")
+    val df = Seq((1L, Seq(30L, 10L, 20L))).toDF("id", "xs")
+    val out = SequenceEncoder.transform(enc, df, "xs")
+    assert(out.first().getSeq[Long](1) == Seq(2L, 0L, 1L))
+    val out2 = SequenceEncoder.transformViaJoin(enc, df, "xs", Seq("id"))
+    assert(out2.select("xs").first().getSeq[Long](0) == Seq(2L, 0L, 1L))
+  }
+
+  test("MergeSubsets policies: drop, ignore, error") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((2L, "y"), (3L, "z")).toDF("id", "v")
+    assert(MergeSubsets.merge(Seq(a, b), MergeSubsets.DropDuplicates, Seq("id")).count() == 3)
+    assert(MergeSubsets.merge(Seq(a, b), MergeSubsets.IgnoreDuplicates, Seq("id")).count() == 4)
+    intercept[IllegalArgumentException] {
+      MergeSubsets.merge(Seq(a, b), MergeSubsets.ErrorOnDuplicates, Seq("id"))
+    }
+  }
+
+  test("sampleTopK samples k per user, deterministic, weight-sensitive") {
+    val scores = Seq(
+      (0L, 0L, 100.0), (0L, 1L, 1.0), (0L, 2L, 1.0),
+      (1L, 0L, 1.0), (1L, 1L, 1.0),
+    ).toDF("query_id", "item_id", "rating")
+    val s1 = Ops.sampleTopK(scores, 1, seed = 42).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = Ops.sampleTopK(scores, 1, seed = 42).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == s2 && s1.size == 2)
+    // heavy weight dominates: item 0 should win for user 0 across most seeds
+    val wins = (0 until 20).count { s =>
+      Ops.sampleTopK(scores, 1, seed = s).collect()
+        .exists(r => r.getLong(0) == 0L && r.getLong(1) == 0L)
+    }
+    assert(wins >= 15)
+  }
+
+  test("bucketed sink writes a shuffle-free joinable table") {
+    val dir = java.nio.file.Files.createTempDirectory("wh").toString
+    Session.writeBucketed(log, "bucketed_log_test", "query_id", 4,
+      path = Some(s"$dir/bucketed_log_test"))
+    val t = spark.table("bucketed_log_test")
+    assert(t.count() == 2)
+    spark.sql("DROP TABLE bucketed_log_test")
+  }
+}

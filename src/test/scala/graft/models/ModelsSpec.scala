@@ -150,3 +150,37 @@ class ModelsSpec extends SparkSpec {
     assert(closure.contains(("a", "a")))
   }
 }
+
+class ModelIOSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  def log = Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 1L, 1.0))
+    .toDF("query_id", "item_id", "rating")
+
+  test("PopRec save/load roundtrip preserves popularity and predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("poprec").toString
+    val m = new PopRec().fit(log)
+    ModelIO.saveNonPersonalized(m, dir, "pop_rec")
+    val loaded = ModelIO.loadPopRec(spark, dir)
+    assert(loaded.itemPopularity.collect().map(_.toSeq).toSet ==
+      m.itemPopularity.collect().map(_.toSeq).toSet)
+    val recs = loaded.predict(log, k = 1)
+    assert(recs.count() > 0)
+  }
+
+  test("ItemKNN save/load roundtrip preserves similarity") {
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    val m = new ItemKNN(numNeighbours = 2).fit(log)
+    ModelIO.saveNeighbour(m, dir, "item_knn")
+    val loaded = ModelIO.loadItemKNN(spark, dir)
+    assert(loaded.similarity.collect().map(_.toSeq).toSet ==
+      m.similarity.collect().map(_.toSeq).toSet)
+    assert(loaded.predict(log, k = 1).count() > 0)
+  }
+
+  test("load with wrong kind fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("wrong").toString
+    ModelIO.saveNonPersonalized(new PopRec().fit(log), dir, "pop_rec")
+    intercept[IllegalArgumentException] { ModelIO.loadItemKNN(spark, dir) }
+  }
+}
