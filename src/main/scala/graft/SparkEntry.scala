@@ -482,10 +482,13 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => {
       import graft.text.Dedup
       val docs = Tables.documents(s, d)
+      // signatures cached: candidates AND verification read the same sigs
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        numPerms = 16, hash = Dedup.portableHash).cache()
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
-        numPerms = 16, bandSize = 4, hash = Dedup.portableHash)
+        numPerms = 16, bandSize = 4, precomputedSigs = Some(sigs))
       Dedup.minhashSimilarity(cand, docs, "doc_id", "text",
-        numPerms = 16, hash = Dedup.portableHash)
+        numPerms = 16, precomputedSigs = Some(sigs))
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.text.Dedup.ngramJaccardPairs(Tables.documents(s, d),

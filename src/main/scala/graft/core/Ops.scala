@@ -128,6 +128,28 @@ object Ops {
   /** Distinct entities of one column (reference: spark_utils.py:750-768). */
   def getUniqueEntities(df: DataFrame, col: String): DataFrame = df.select(col).distinct()
 
+  /** Guarded driver collect (reference: spark_utils.py:53-75
+    * `spark_to_pandas` with its OOM warning): refuses to collect more than
+    * `maxRows` — count first, fail fast, never OOM the driver. */
+  def collectGuarded(df: DataFrame, maxRows: Long = 1000000L): Array[org.apache.spark.sql.Row] = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"refusing to collect $n rows to the driver (limit $maxRows); " +
+        "write to parquet or raise the limit explicitly")
+    df.collect()
+  }
+
+  /** Materialize recommendations: cache + count, or write parquet when a
+    * path is given (reference: spark_utils.py:771-786 `return_recs`). */
+  def returnRecs(recs: DataFrame, path: Option[String] = None): DataFrame =
+    path match {
+      case Some(p) =>
+        recs.write.mode("overwrite").parquet(p)
+        recs.sparkSession.read.parquet(p)
+      case None =>
+        recs.cache(); recs.count(); recs
+    }
+
   /** Entities occurring at least `n` times (groupBy-count + semi-join back;
     * reference: preprocessing/filters.py:286-294 MinCountFilter core). */
   def minCountEntities(df: DataFrame, col: String, n: Long): DataFrame =

@@ -89,6 +89,18 @@ object Kernels {
     emptyGuard(pred, gt, dcg / idcg)
   }
 
+  /** NCISPrecision@k (ScalaPySparkUDFs.scala:142-158): hit-weighted
+    * precision — Σ weights of hit positions / Σ weights of first k. */
+  def ncisPrecision(pred: Column, weights: Column, gt: Column, k: Int): Column = {
+    val hitWeighted = F.aggregate(
+      F.zip_with(predK(pred, k), F.slice(weights, 1, k), (p, w) =>
+        F.when(F.array_contains(gt, p), w).otherwise(0.0)),
+      F.lit(0.0), (acc, v) => acc + v)
+    val totalW = F.aggregate(F.slice(weights, 1, k), F.lit(0.0), (acc, v) => acc + v)
+    F.when(F.size(pred) === 0 || F.size(weights) === 0, 0.0)
+      .otherwise(hitWeighted / totalW)
+  }
+
   /** RocAuc@k (ScalaPySparkUDFs.scala:70-93). */
   def rocAuc(pred: Column, gt: Column, k: Int): Column = {
     val agg = F.aggregate(

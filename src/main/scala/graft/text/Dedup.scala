@@ -86,9 +86,11 @@ object Dedup {
     * (band index, band signature) — never an all-pairs product. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, bandSize: Int = 4,
-      hash: (Int, Column) => Column = fastHash): DataFrame = {
+      hash: (Int, Column) => Column = fastHash,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val numBands = numPerms / bandSize
-    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, hash)
+    val sigs = precomputedSigs.getOrElse(
+      minhashSignatures(docs, idCol, textCol, numPerms, hash))
     val bands = sigs.select(F.col(idCol), F.explode(F.array(
       (0 until numBands).map { b =>
         F.struct(F.lit(b).as("band"),
@@ -108,8 +110,10 @@ object Dedup {
     * numPerms (verification step after LSH). */
   def minhashSimilarity(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, numPerms: Int = 16,
-      hash: (Int, Column) => Column = fastHash): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, numPerms, hash)
+      hash: (Int, Column) => Column = fastHash,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    val sigs = precomputedSigs.getOrElse(
+      minhashSignatures(docs, idCol, textCol, numPerms, hash))
     candidates
       .join(sigs.select(F.col(idCol).as("id_a"), F.col("_sig").as("_sa")), Seq("id_a"))
       .join(sigs.select(F.col(idCol).as("id_b"), F.col("_sig").as("_sb")), Seq("id_b"))

@@ -72,4 +72,27 @@ class MetricsSpec extends SparkSpec {
     val base = Seq((0L, 1L, 2.0), (0L, 3L, 1.0)).toDF("query_id", "item_id", "rating")
     assert(Metrics.unexpectedness(recs, base, 2).first().getDouble(0) == 0.5)
   }
+
+  test("ncisPrecision weights hits by position weight") {
+    val df = Seq((0L, Seq(1L, 2L, 3L), Seq(0.5, 0.3, 0.2), Seq(2L)))
+      .toDF("query_id", "pred", "w", "gt")
+    val v = df.select(Kernels.ncisPrecision(F.col("pred"), F.col("w"),
+      F.col("gt"), 2).as("v")).first().getDouble(0)
+    assert(math.abs(v - 0.3 / 0.8) < 1e-12) // hit at pos 2, weights .5+.3
+  }
+
+  test("collectGuarded fails fast above the row limit") {
+    import graft.core.Ops
+    val df = spark.range(100).toDF("x")
+    assert(Ops.collectGuarded(df, 1000).length == 100)
+    intercept[IllegalArgumentException] { Ops.collectGuarded(df, 10) }
+  }
+
+  test("returnRecs materializes via cache+count") {
+    import graft.core.Ops
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val out = Ops.returnRecs(df)
+    assert(out.storageLevel.useMemory)
+    out.unpersist()
+  }
 }
