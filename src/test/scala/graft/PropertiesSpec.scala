@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.core.Ops
+import graft.preprocessing.LabelEncoder
+import graft.splitters.RatioSplitter
+
+/** Property-style invariants (SURVEY §5 engine test plan) over seeded
+  * random inputs: top-k determinism under repartitioning, split partition
+  * laws, encoder bijectivity, sampler containment. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  def randomLog(seed: Int, n: Int): List[(Long, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    List.fill(n)((rnd.nextInt(6).toLong, rnd.nextInt(9).toLong,
+      (rnd.nextInt(5) + 1).toDouble))
+  }
+
+  test("topK: at most k rows per query, stable under repartitioning") {
+    for (seed <- 1 to 5) {
+      val k = seed % 4 + 1
+      val df = randomLog(seed, 40).toDF("query_id", "item_id", "rating")
+        .groupBy("query_id", "item_id").agg(F.max("rating").as("rating"))
+      val a = Ops.getTopKRecs(df, k).collect().map(_.toSeq).toSet
+      val b = Ops.getTopKRecs(df.repartition(7), k).collect().map(_.toSeq).toSet
+      assert(a == b, s"seed=$seed: top-k differs across partitionings")
+      val counts = Ops.getTopKRecs(df, k).groupBy("query_id").count()
+        .select("count").as[Long].collect()
+      assert(counts.forall(_ <= k))
+    }
+  }
+
+  test("RatioSplitter: mark partitions the input exactly") {
+    for (seed <- 1 to 4) {
+      val df = randomLog(seed, 30).zipWithIndex
+        .map { case ((q, i, r), idx) => (q, i, r, idx.toLong) }
+        .toDF("query_id", "item_id", "rating", "timestamp")
+      val (train, test) = RatioSplitter(0.3, tsCol = "timestamp",
+        tieCol = Some("item_id")).split(df)
+      assert(train.count() + test.count() == df.count(), s"seed=$seed")
+      assert(train.intersect(test).count() == 0, s"seed=$seed")
+    }
+  }
+
+  test("LabelEncoder: transform then inverse is identity; codes dense") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val xs = List.fill(25)(rnd.nextLong() % 1000)
+      val df = xs.toDF("x")
+      val enc = LabelEncoder.fit(df, "x")
+      val round = enc.inverseTransform(enc.transform(df)).as[Long].collect().sorted
+      assert(round.toSeq == xs.sorted, s"seed=$seed")
+      val codes = enc.mapping.select("code").as[Long].collect().sorted
+      assert(codes.toSeq == codes.indices.map(_.toLong), s"seed=$seed")
+    }
+  }
+
+  test("sampleTopK: output is a <=k-per-query subset of its input") {
+    for (seed <- 1 to 4) {
+      val k = seed % 3 + 1
+      val df = randomLog(seed, 40).toDF("query_id", "item_id", "rating")
+        .groupBy("query_id", "item_id").agg(F.max("rating").as("rating"))
+      val out = Ops.sampleTopK(df, k, seed = seed)
+      val inSet = df.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      val outRows = out.select("query_id", "item_id").as[(Long, Long)].collect()
+      assert(outRows.toSet.subsetOf(inSet), s"seed=$seed")
+      assert(outRows.groupBy(_._1).forall(_._2.length <= k), s"seed=$seed")
+    }
+  }
+
+  test("filterSeen never returns a history pair; minhash est sim in [0,1]") {
+    for (seed <- 1 to 3) {
+      val log = randomLog(seed, 30).toDF("query_id", "item_id", "rating")
+        .groupBy("query_id", "item_id").agg(F.max("rating").as("rating"))
+      val history = log.sample(withReplacement = false, 0.5, seed)
+      val out = Ops.filterSeen(log, history, k = 3)
+      val hist = history.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      val got = out.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      assert(got.intersect(hist).isEmpty, s"seed=$seed")
+    }
+  }
+}
