@@ -530,6 +530,22 @@ object SparkEntry {
         .select("asset_id", "block_idx", "block_len")
     }),
 
+    "metrics_ranking_bounded" -> ((s, d) => {
+      // same semantics as metrics_ranking but enrichment runs through the
+      // bounded TopKAggregator (O(k) state/group instead of collect_list)
+      // — double-validates the custom Aggregator against the same oracle
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      val gt = test.select("query_id", "item_id").distinct()
+      val enriched = graft.metrics.TopKList.enrichBounded(recs, gt, maxK = 5)
+      val out = graft.metrics.Metrics.computeFrom(
+        enriched, graft.metrics.Metrics.RankingMetrics, Seq(5))
+      out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+    }),
+
     // ---- §2.3 joins -------------------------------------------------------
     "join_anti_consistency" -> ((s, d) => {
       // anti-join consistency count (dataset.py:559-599): customers with no orders
@@ -987,7 +1003,12 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
-    "metrics_ranking" ->
+    "metrics_ranking" -> metricsRankingSql,
+    "metrics_ranking_bounded" -> metricsRankingSql,
+  ) ++ oracleSqlRest
+
+  /** Shared by metrics_ranking and its bounded-aggregator twin. */
+  private lazy val metricsRankingSql: String =
       s"""$interactionsSql,
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
          |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
@@ -1055,7 +1076,9 @@ object SparkEntry {
          |  round(avg(mrr_), 6) AS mrr_at_5,
          |  round(avg(ndcg_), 6) AS ndcg_at_5,
          |  round(avg(auc), 6) AS roc_auc_at_5
-         |FROM pu""".stripMargin,
+         |FROM pu""".stripMargin
+
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     "metrics_catalog" ->
       s"""$interactionsSql,
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),

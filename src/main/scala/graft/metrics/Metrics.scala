@@ -175,24 +175,34 @@ object Metrics {
       .withColumn("pred", F.coalesce(F.col("pred"), F.array()))
   }
 
-  /** Per-user metric table: (query, metric value columns) for each k. */
-  def perUser(recs: DataFrame, groundTruth: DataFrame, metrics: Seq[String],
-      ks: Seq[Int], cols: RecCols = RecCols()): DataFrame = {
-    val enriched = enrich(recs, groundTruth, cols)
+  /** Per-user metrics over an already-enriched (query, pred, gt) frame. */
+  def perUserFrom(enriched: DataFrame, metrics: Seq[String], ks: Seq[Int],
+      cols: RecCols = RecCols()): DataFrame = {
     val cs = for (m <- metrics; k <- ks)
       yield kernel(m, F.col("pred"), F.col("gt"), k).as(s"${m}_at_$k")
     enriched.select(F.col(cols.query) +: cs: _*)
   }
 
-  /** Aggregated one-row result per (metric, k) with the given descriptor. */
-  def compute(recs: DataFrame, groundTruth: DataFrame, metrics: Seq[String],
-      ks: Seq[Int], descriptor: Descriptor = Descriptor.Mean,
+  /** Per-user metric table: (query, metric value columns) for each k. */
+  def perUser(recs: DataFrame, groundTruth: DataFrame, metrics: Seq[String],
+      ks: Seq[Int], cols: RecCols = RecCols()): DataFrame =
+    perUserFrom(enrich(recs, groundTruth, cols), metrics, ks, cols)
+
+  /** Descriptor aggregation over an enriched frame. */
+  def computeFrom(enriched: DataFrame, metrics: Seq[String], ks: Seq[Int],
+      descriptor: Descriptor = Descriptor.Mean,
       cols: RecCols = RecCols()): DataFrame = {
-    val pu = perUser(recs, groundTruth, metrics, ks, cols)
+    val pu = perUserFrom(enriched, metrics, ks, cols)
     val aggs = for (m <- metrics; k <- ks)
       yield descriptor(F.col(s"${m}_at_$k")).as(s"${m}_at_$k")
     pu.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Aggregated one-row result per (metric, k) with the given descriptor. */
+  def compute(recs: DataFrame, groundTruth: DataFrame, metrics: Seq[String],
+      ks: Seq[Int], descriptor: Descriptor = Descriptor.Mean,
+      cols: RecCols = RecCols()): DataFrame =
+    computeFrom(enrich(recs, groundTruth, cols), metrics, ks, descriptor, cols)
 
   // ---- catalog metrics (different inputs) --------------------------------
 
