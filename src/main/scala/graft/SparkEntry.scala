@@ -522,12 +522,13 @@ object SparkEntry {
         Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
     }),
     "multimodal_blocks" -> ((s, d) => {
-      // binary block sampling (frame-extraction shape) — rows-only
+      // binary block sampling (frame-extraction shape)
       import graft.multimodal.Multimodal
       Multimodal.sampleBlocks(
         Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"),
         blockSize = 32, stride = 4)
-        .select("asset_id", "block_idx", "block_len")
+        .select(F.col("asset_id"), F.col("block_idx").cast("long").as("block_idx"),
+          F.col("block_len"))
     }),
 
     "metrics_ranking_bounded" -> ((s, d) => {
@@ -1248,6 +1249,32 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM dotn) WHERE rank <= 5""".stripMargin,
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS c_de,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS c_fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('el','la','los','y','es','un','una','en','que','por'))) AS c_es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |       WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+        |       WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |       WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM scored""".stripMargin,
+    "multimodal_blocks" ->
+      """SELECT doc_id AS asset_id, t.i AS block_idx,
+        |  least(32, CAST(octet_length(encode(text)) AS BIGINT) - t.i * 128)
+        |    AS block_len
+        |FROM documents,
+        |  unnest(generate_series(0,
+        |    greatest((octet_length(encode(text)) - 32) // 128, 0))) AS t(i)""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
