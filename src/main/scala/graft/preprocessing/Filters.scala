@@ -38,11 +38,13 @@ final case class TimePeriodFilter(
 final case class GlobalDaysFilter(days: Int, first: Boolean = true, tsCol: String = Timestamp)
     extends InteractionFilter {
   def transform(df: DataFrame): DataFrame = {
+    // get(0) + F.lit: works for TimestampType AND TimestampNTZType
+    // (parquet ms timestamps arrive as NTZ → LocalDateTime in Spark 4)
     if (first) {
-      val d0 = df.agg(F.min(tsCol)).first().getTimestamp(0)
+      val d0 = df.agg(F.min(tsCol)).first().get(0)
       df.filter(F.col(tsCol) < F.lit(d0) + F.expr(s"INTERVAL $days DAYS"))
     } else {
-      val d1 = df.agg(F.max(tsCol)).first().getTimestamp(0)
+      val d1 = df.agg(F.max(tsCol)).first().get(0)
       df.filter(F.col(tsCol) > F.lit(d1) - F.expr(s"INTERVAL $days DAYS"))
     }
   }
