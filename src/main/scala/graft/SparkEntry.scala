@@ -812,7 +812,7 @@ object SparkEntry {
          |      FROM interactions GROUP BY 1),
          |scored AS (
          |  SELECT q.query_id, w.item_id,
-         |    -ln((('0x' || substr(md5('42:' || CAST(q.query_id AS VARCHAR) || ':'
+         |    ln((('0x' || substr(md5('42:' || CAST(q.query_id AS VARCHAR) || ':'
          |           || CAST(w.item_id AS VARCHAR)), 1, 15))::BIGINT
          |         / 1152921504606846976.0) + 1e-18) / wt AS rating
          |  FROM (SELECT DISTINCT query_id FROM interactions) q CROSS JOIN w),

@@ -47,9 +47,13 @@ object Ops {
       itemCol: String = ItemId,
       ratingCol: String = Rating,
   ): DataFrame = {
-    // scalar agg: largest per-user history size (one tiny job, reference base_rec.py:171)
+    // scalar agg: largest per-user history size (one tiny job, reference
+    // base_rec.py:171); null when history is empty
     val maxSeen = history.groupBy(queryCol).count()
-      .agg(F.max("count")).first().getLong(0)
+      .agg(F.max("count")).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
     val cropped = topK(recs, Seq(queryCol), Seq(F.col(ratingCol).desc, F.col(itemCol).asc), k + maxSeen.toInt)
     cropped.join(history.select(queryCol, itemCol).distinct(), Seq(queryCol, itemCol), "left_anti")
   }
@@ -172,10 +176,7 @@ object Ops {
       ratingCol: String = Rating,
   ): DataFrame = {
     val w = Window.partitionBy(queryCol)
-    val u = F.conv(F.substring(F.md5(F.concat_ws(":",
-        F.lit(seed.toString), F.col(queryCol).cast("string"),
-        F.col(itemCol).cast("string"))), 1, 15), 16, 10)
-      .cast("long").cast("double") / F.lit(math.pow(2, 60))
+    val u = PortableHash.uniform(seed, F.col(queryCol), F.col(itemCol))
     val normalized = recs
       .withColumn("_p", F.col(ratingCol) / F.sum(ratingCol).over(w))
       .withColumn("_key", -F.log(u + F.lit(1e-18)) / F.col("_p"))

@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** The ONE implementation of the engine-portable seeded hash.
+  *
+  * `md5(seed ":" col1 ":" col2 …)` → first 15 hex chars → BIGINT in
+  * [0, 2^60). Identical in DuckDB as
+  * `('0x' || substr(md5(seed || ':' || col), 1, 15))::BIGINT`, which is
+  * what makes every seeded split/sample oracle-checkable AND independent
+  * of cluster partitioning (unlike rand(seed)). All call sites
+  * (splitters, samplers, dedup) must go through here — the oracle SQL
+  * mirrors this exact recipe, so a drift in any copy silently breaks
+  * cross-engine parity.
+  */
+object PortableHash {
+  /** Hex digest ordering key. */
+  def key(seed: Long, cols: Column*): Column =
+    F.md5(F.concat_ws(":", (F.lit(seed.toString) +: cols.map(_.cast("string"))): _*))
+
+  /** 60-bit non-negative integer hash. */
+  def long(seed: Long, cols: Column*): Column =
+    F.conv(F.substring(key(seed, cols: _*), 1, 15), 16, 10).cast("long")
+
+  /** Uniform double in [0, 1). */
+  def uniform(seed: Long, cols: Column*): Column =
+    long(seed, cols: _*).cast("double") / F.lit(math.pow(2, 60))
+}

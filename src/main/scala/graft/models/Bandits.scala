@@ -70,7 +70,10 @@ final class UCBState(val coef: Double = 2.0, cols: RecCols = RecCols()) extends 
   }
 
   def scores: DataFrame = {
-    val n = state.agg(F.sum("total")).first().getDouble(0)
+    val n = state.agg(F.sum("total")).first() match {
+      case r if r.isNullAt(0) => 1.0 // empty state: ln(1)=0 bonus
+      case r                  => r.getDouble(0)
+    }
     state.select(F.col(cols.item),
       (F.col("pos") / F.col("total") +
         F.sqrt(F.lit(coef) * F.log(F.lit(n)) / F.col("total"))).as(cols.rating))

@@ -13,10 +13,11 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale: the user self-join is the hazard (power-law users explode the
   * per-user pair count — SURVEY §7.4.3). `maxUserHistory` caps each user's
-  * contribution to their most recent `maxUserHistory` items before the
-  * join (a standard KNN sampling trick); AQE skew-join handles residual
-  * skew. Pair generation is item1 < item2 then symmetrized, halving the
-  * shuffle volume.
+  * contribution to a deterministic `maxUserHistory`-item subset (ordered
+  * by item id — timestamps are already projected away at this point)
+  * before the join, bounding the per-user pair fan-out; AQE skew-join
+  * handles residual skew. Pair generation is item1 < item2 then
+  * symmetrized, halving the shuffle volume.
   */
 final class ItemKNN(
     val numNeighbours: Int = 10,

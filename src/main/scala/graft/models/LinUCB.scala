@@ -32,17 +32,22 @@ final class LinUCB(
     val joined = log.join(queryFeatures, Seq(cols.query))
       .select(F.col(cols.item), x.as("_x"), F.col(cols.rating).cast("double").as("_r"))
 
-    // distributed sufficient statistics: flatten xxᵀ to a d² array and sum
+    // distributed sufficient statistics: flatten xxᵀ to a d² array, explode
+    // to (item, idx, value) rows and sum per position — O(1) state per
+    // aggregation group, never a collect_list of per-row arrays (a popular
+    // arm would otherwise buffer N×d² doubles in one group)
     val xxT = F.flatten(F.transform(F.col("_x"), xi =>
       F.transform(F.col("_x"), xj => xi * xj)))
     val rx = F.transform(F.col("_x"), xi => xi * F.col("_r"))
-    val zeros2 = F.array_repeat(F.lit(0.0), dim * dim)
-    val zeros1 = F.array_repeat(F.lit(0.0), dim)
-    val stats = joined.groupBy(cols.item).agg(
-      F.aggregate(F.collect_list(xxT), zeros2,
-        (acc, v) => F.zip_with(acc, v, (a, b) => a + b)).as("_gram"),
-      F.aggregate(F.collect_list(rx), zeros1,
-        (acc, v) => F.zip_with(acc, v, (a, b) => a + b)).as("_b"))
+    def summedArray(expr: org.apache.spark.sql.Column, name: String): DataFrame =
+      joined.select(F.col(cols.item), F.posexplode(expr))
+        .toDF(cols.item, "_i", "_v")
+        .groupBy(cols.item, "_i").agg(F.sum("_v").as("_s"))
+        .groupBy(cols.item)
+        .agg(F.transform(
+          F.sort_array(F.collect_list(F.struct(F.col("_i"), F.col("_s")))),
+          s => s.getField("_s")).as(name))
+    val stats = summedArray(xxT, "_gram").join(summedArray(rx, "_b"), Seq(cols.item))
 
     val d = dim
     val lam = lambdaReg

@@ -56,7 +56,8 @@ final class ALSRec(
   * fit: per-user time-sorted item "sentences" (collect_list of structs +
   * array_sort — the reference's core sequence-building op) → MLlib
   * Word2Vec; user vector = mean of (idf-weighted) item vectors; score =
-  * cosine via the same sequential-sum expression as graft.text.Similarity. */
+  * dot(user, item) — the reference's scoring (word2vec.py:228: dot
+  * product, not cosine) — via a sequential-sum zip_with expression. */
 final class Word2VecRec(
     val vectorSize: Int = 32,
     val minCount: Int = 1,

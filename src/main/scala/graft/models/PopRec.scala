@@ -71,9 +71,10 @@ final class CatPopRec(
     // closure(cat → leaf): start with leaf→leaf, walk parents upward
     var closure = leaves.select(col("leaf").as("category"), col("leaf"))
     var frontier = closure
-    var n = -1L
     var done = false
-    while (!done) {
+    var depth = 0
+    val maxDepth = 100 // guards against cycles in malformed trees
+    while (!done && depth < maxDepth) {
       val step = frontier
         .join(edges, Seq("category"))
         .filter(col("parent_cat").isNotNull)
@@ -81,7 +82,11 @@ final class CatPopRec(
       frontier = step.localCheckpoint(true)
       if (frontier.isEmpty) done = true
       else closure = closure.unionByName(frontier).distinct().localCheckpoint(true)
+      depth += 1
     }
+    if (!done)
+      throw new IllegalArgumentException(
+        s"category tree deeper than $maxDepth levels — cycle in catTree?")
     closure
   }
 

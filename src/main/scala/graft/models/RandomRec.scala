@@ -45,9 +45,13 @@ final class RandomRec(
   protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
     val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
       .cast("double") / F.lit(math.pow(2, 60))
-    // u in [0,1); guard u=0 → ln(0) with a tiny epsilon
+    // Efraimidis–Spirakis: sample-without-replacement by weight w selects
+    // the SMALLEST -ln(u)/w keys. predict() ranks rating DESC, so the
+    // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
+    // and high-weight items win as the distribution demands.
+    // u in [0,1); epsilon guards ln(0).
     queries.select(cols.query).crossJoin(itemWeights)
-      .withColumn(cols.rating, -F.log(u + F.lit(1e-18)) / F.col("_w"))
+      .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
       .drop("_w")
   }
 
@@ -56,7 +60,7 @@ final class RandomRec(
       .cast("double") / F.lit(math.pow(2, 60))
     pairs.join(itemWeights, Seq(cols.item), "left")
       .withColumn(cols.rating,
-        -F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(1.0)))
+        F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(1.0)))
       .drop("_w")
   }
 }

@@ -34,16 +34,19 @@ final case class DiscretizerModel(column: String, edges: Array[Double],
       acc + F.when(x >= e, 1).otherwise(0)
     }
     val invalid = x.isNull || F.isnan(x)
-    val out = handleInvalid match {
+    handleInvalid match {
       case HandleInvalid.Keep =>
         df.withColumn(s"${column}_bucket",
           F.when(invalid, F.lit(edges.length - 1)).otherwise(bucket).cast("long"))
       case HandleInvalid.Skip =>
         df.filter(!invalid).withColumn(s"${column}_bucket", bucket.cast("long"))
       case HandleInvalid.Error =>
+        val bad = df.filter(invalid).count()
+        if (bad > 0)
+          throw new IllegalArgumentException(
+            s"$bad NaN/null values in '$column' with handleInvalid=Error")
         df.withColumn(s"${column}_bucket", bucket.cast("long"))
     }
-    out
   }
 }
 
@@ -59,13 +62,21 @@ object Discretizer {
   }
 
   /** Greedy binning on the value histogram (discretizer.py:192-263):
-    * target equal-weight bins walked greedily over sorted distinct values. */
+    * target equal-weight bins walked greedily over sorted distinct values.
+    * If the column's cardinality exceeds `maxDistinct` the full histogram
+    * cannot be collected — rather than silently truncating the upper tail,
+    * fall back to quantile edges (which stay distributed). */
   def fitGreedy(df: DataFrame, column: String, nBuckets: Int,
       maxDistinct: Int = 100000,
       handleInvalid: HandleInvalid = HandleInvalid.Keep): DiscretizerModel = {
-    val hist = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
+    val valid = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
+    val nDistinct = valid.select(column).distinct().count()
+    if (nDistinct > maxDistinct)
+      return fitQuantile(df, column, nBuckets,
+        relativeError = 1.0 / (4.0 * nBuckets), handleInvalid = handleInvalid)
+    val hist = valid
       .groupBy(column).agg(F.count(F.lit(1)).as("_c"))
-      .orderBy(column).limit(maxDistinct)
+      .orderBy(column)
       .collect().map(r => (r.getAs[Number](0).doubleValue(), r.getLong(1)))
     require(hist.nonEmpty, s"no valid values in $column")
     val total = hist.map(_._2).sum

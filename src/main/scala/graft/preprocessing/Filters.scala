@@ -150,9 +150,11 @@ final case class QuantileItemsFilter(
 ) extends InteractionFilter {
   def transform(df: DataFrame): DataFrame = {
     val itemCounts = df.groupBy(itemCol).agg(F.count(F.lit(1)).as("_item_cnt"))
-    val q = itemCounts.agg(
+    val qRow = itemCounts.agg(
       F.percentile_approx(F.col("_item_cnt"), F.lit(alphaQuantile), F.lit(10000))
-    ).first().getLong(0)
+    ).first()
+    if (qRow.isNullAt(0)) return df // empty input: nothing to undersample
+    val q = qRow.getLong(0)
     val userCounts = df.groupBy(queryCol).agg(F.count(F.lit(1)).as("_user_cnt"))
     val annotated = df
       .join(itemCounts, Seq(itemCol))

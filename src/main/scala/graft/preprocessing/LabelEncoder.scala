@@ -67,7 +67,10 @@ final class LabelEncoder private (
   /** Append unseen labels with codes after the current max
     * (label_encoder.py:227-309). */
   def partialFit(df: DataFrame): LabelEncoder = {
-    val maxCode = mapping.agg(F.max("code")).first().getLong(0)
+    val maxCode = mapping.agg(F.max("code")).first() match {
+      case r if r.isNullAt(0) => -1L // empty mapping: new codes start at 0
+      case r                  => r.getLong(0)
+    }
     val fresh = df.select(F.col(column).as("label")).distinct()
       .join(mapping.select("label"), Seq("label"), "left_anti")
     val freshCoded = LabelEncoder.denseIds(fresh, "label")

@@ -28,7 +28,9 @@ object SequenceEncoder {
   }
 
   /** Relational path for very large mappings: posexplode → join →
-    * re-collect ordered by position (label_encoder.py's own shape). */
+    * re-collect ordered by position (label_encoder.py's own shape).
+    * Rows with empty/null arrays survive (posexplode emits nothing for
+    * them, so the re-join must be left + coalesce to an empty array). */
   def transformViaJoin(encoder: LabelEncoder, df: DataFrame, arrayCol: String,
       idCols: Seq[String]): DataFrame = {
     val exploded = df.select(
@@ -39,7 +41,9 @@ object SequenceEncoder {
       .agg(F.transform(
         F.sort_array(F.collect_list(F.struct(F.col("_pos"), F.col("code")))),
         s => s.getField("code")).as(arrayCol))
-    df.drop(arrayCol).join(regrouped, idCols)
+    df.drop(arrayCol).join(regrouped, idCols, "left")
+      .withColumn(arrayCol,
+        F.coalesce(F.col(arrayCol), F.array().cast("array<bigint>")))
   }
 }
 

@@ -40,15 +40,14 @@ trait Splitter {
 }
 
 object Splitter {
-  /** Portable deterministic pseudo-random ordering key:
-    * md5(seed || ":" || value). Equals DuckDB md5(seed || ':' || value). */
+  /** Portable deterministic pseudo-random ordering key — delegates to the
+    * single shared recipe in [[graft.core.PortableHash]]. */
   def hashKey(seed: Long, cols: Column*): Column =
-    F.md5(F.concat_ws(":", (F.lit(seed.toString) +: cols.map(_.cast("string"))): _*))
+    graft.core.PortableHash.key(seed, cols: _*)
 
-  /** Same, as a BIGINT in [0, 2^60): parse the first 15 hex chars.
-    * DuckDB twin: ('0x' || substr(md5(...), 1, 15))::BIGINT. */
+  /** Same, as a BIGINT in [0, 2^60). */
   def hashLong(seed: Long, cols: Column*): Column =
-    F.conv(F.substring(hashKey(seed, cols: _*), 1, 15), 16, 10).cast("long")
+    graft.core.PortableHash.long(seed, cols: _*)
 
   /** Repair split flags that cut a session in half: every event of a
     * (user, session) takes the flag of the session's LAST event

@@ -44,10 +44,10 @@ object Dedup {
   }
 
   /** Portable seeded hash of a string column (md5-derived 60-bit int, same
-    * value in any engine); xxhash64 variant for production speed. */
+    * value in any engine — the shared [[graft.core.PortableHash]] recipe);
+    * xxhash64 variant for production speed. */
   def portableHash(seed: Int, c: Column): Column =
-    F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed.toString), c)), 1, 15), 16, 10)
-      .cast("long")
+    graft.core.PortableHash.long(seed.toLong, c)
   def fastHash(seed: Int, c: Column): Column = F.xxhash64(F.lit(seed), c)
 
   /** MinHash signature: for each of `numPerms` seeded hash functions, the

@@ -94,6 +94,22 @@ class ModelsSpec extends SparkSpec {
     assert(r1 == r2 && r1.size == 3)
   }
 
+  test("RandomRec(popular) prefers heavy items (the sampling direction)") {
+    // item 0 is 50x more popular than items 1..3 — it must win the top-1
+    // slot for most (user, seed) draws; an inverted sampling key would
+    // make it LOSE most draws
+    val skewed = ((1 to 50).map(i => (i.toLong, 0L, 1.0)) ++
+      Seq((1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 1.0)))
+      .toDF("query_id", "item_id", "rating")
+    val wins = (0 until 10).map { s =>
+      new RandomRec("popular", seed = s).fit(skewed)
+        .predict(skewed, k = 1, filterSeen = false)
+        .filter($"item_id" === 0L).count()
+    }.sum
+    val total = 10L * 50L // 10 seeds x 50 users
+    assert(wins > total / 2, s"popular item won only $wins of $total slots")
+  }
+
   test("ItemKNN cosine similarity golden values") {
     // items 1,2 co-occur for users 1,2; item 1 appears for 3 users, item 2 for 2
     val m = new ItemKNN(numNeighbours = 2).fit(log)
