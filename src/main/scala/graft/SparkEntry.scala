@@ -472,9 +472,17 @@ object SparkEntry {
         graft.text.TextStats.langId(F.col("text")).as("lang_pred"))
     }),
     "text_rolling_hash" -> ((s, d) => {
-      // Karp–Rabin over xxhash64 — engine-specific hash, rows-only
+      // Karp–Rabin fold over the portable token hash — the DuckDB twin
+      // folds with list_reduce over a 0-prepended hash list
       Tables.documents(s, d).select(F.col("doc_id"),
-        graft.text.TextStats.rollingHash(F.col("text")).as("content_hash"))
+        graft.text.TextStats.rollingHash(F.col("text"),
+          tokenHash = t => graft.core.PortableHash.long(0, t)).as("content_hash"))
+    }),
+    "model_item_knn_bm25" -> ((s, d) => {
+      // bm25-weighted variant (knn.py:92-156) — float-sum dots are
+      // summation-order dependent, rows-only
+      new models.ItemKNN(numNeighbours = 5, weighting = Some("bm25"))
+        .fit(Tables.interactions(s, d)).similarity
     }),
     "dedup_exact" -> ((s, d) => {
       graft.text.Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -1168,6 +1176,14 @@ object SparkEntry {
         |         / len(string_split_regex(trim(lower(text)), '\s+'))) * 4.0, 1.0) * 0.5),
         |    6) AS quality,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(trim(text), '\s+'),
+        |        t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 2147483647)),
+        |    (acc, x) -> (acc * 257 + x) % 2147483647) AS content_hash
         |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,

@@ -69,4 +69,18 @@ object StreamingOps {
       outputMode: OutputMode = OutputMode.Update()): StreamingQuery =
     stream.writeStream.format("memory").queryName(queryName)
       .outputMode(outputMode).start()
+
+  /** foreachBatch bridge for incremental model refit: every micro-batch is
+    * merged into a batch-world `UCBState` (reference ucb.py:147-177 refit
+    * driven by a stream instead of manual batching). The state object is
+    * the same one batch code uses — one refit path for both worlds. */
+  def foreachBatchRefit(stream: DataFrame,
+      state: graft.models.UCBState): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) state.refit(batch)
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
 }

@@ -76,12 +76,14 @@ object TextStats {
   /** Karp–Rabin rolling hash over tokens (base 257, mod 2^31−1) — an
     * order-sensitive content hash usable for shift-invariant chunk
     * fingerprinting. Modulus kept below 2^31 so acc*257+x never overflows
-    * a Long under ANSI arithmetic. */
-  def rollingHash(text: Column): Column = {
+    * a Long under ANSI arithmetic. `tokenHash` defaults to xxhash64
+    * (production); pass a portable hash for cross-engine parity. */
+  def rollingHash(text: Column,
+      tokenHash: Column => Column = t => F.xxhash64(t)): Column = {
     val M = 2147483647L // 2^31 - 1
     F.aggregate(
       tokens(text),
       F.lit(0L),
-      (acc, t) => F.pmod(acc * F.lit(257L) + F.pmod(F.xxhash64(t), F.lit(M)), F.lit(M)))
+      (acc, t) => F.pmod(acc * F.lit(257L) + F.pmod(tokenHash(t), F.lit(M)), F.lit(M)))
   }
 }

@@ -95,4 +95,24 @@ class MetricsSpec extends SparkSpec {
     assert(out.storageLevel.useMemory)
     out.unpersist()
   }
+
+  test("GridSearch ranks the better hyper-parameter first") {
+    import graft.models.{PopRec, Wilson, BaseRecommender}
+    val train = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0),
+    ).toDF("query_id", "item_id", "rating")
+    val test = Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 0L))
+      .map { case (q, i) => (q, i, 1.0) }
+      .toDF("query_id", "item_id", "rating")
+    // "z" selects between two model shapes; just verifies plumbing + order
+    val trials = GridSearch.search(
+      Map("useRating" -> Seq(0.0, 1.0)),
+      p => if (p("useRating") > 0.5) new PopRec(useRating = true) else new PopRec(),
+      train, test, metric = "hit_rate", k = 2)
+    assert(trials.length == 2)
+    assert(trials.head.score >= trials.last.score) // sorted best-first
+    val grid = GridSearch.grid(Map("a" -> Seq(1.0, 2.0), "b" -> Seq(3.0)))
+    assert(grid.toSet == Set(Map("a" -> 1.0, "b" -> 3.0), Map("a" -> 2.0, "b" -> 3.0)))
+  }
 }

@@ -56,4 +56,23 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((1L, 2.0, 3.0))) // matches UCBState.refit on the union
     assert(last(2L) == ((2L, 1.0, 1.0)))
   }
+
+  test("foreachBatchRefit merges micro-batches into the batch UCBState") {
+    import graft.models.UCBState
+    implicit val sqlCtx = spark.sqlContext
+    val b0 = Seq((0L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val state = new UCBState().fit(b0)
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("query_id", "item_id", "rating")
+    val q = StreamingOps.foreachBatchRefit(stream, state)
+    input.addData((1L, 1L, 0.0), (2L, 2L, 1.0))
+    q.processAllAvailable()
+    input.addData((3L, 1L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = state.state.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2.0, 3.0))) // pos=1+0+1, total=3
+    assert(got(2L) == ((1.0, 1.0)))
+  }
 }
