@@ -175,6 +175,13 @@ object SparkEntry {
         .transform(Tables.events(s, d))
         .select("event_id", "user_id", "session_seq")
     }),
+    "sessionize_filtered" -> ((s, d) => {
+      // session-size post-filter (sessionizer.py:246-263)
+      Sessionizer(sessionGapSec = 1800, userCol = "user_id", tsCol = "ts",
+          tieCol = Some("event_id"), minSessionEvents = Some(3))
+        .transform(Tables.events(s, d))
+        .select("event_id", "user_id", "session_seq")
+    }),
     "discretize_greedy" -> ((s, d) => {
       // LightGBM-style greedy binning (discretizer.py:63-374); fit is
       // histogram-driven — oracle omitted (rows-only check)
@@ -686,6 +693,21 @@ object SparkEntry {
         |  FROM (SELECT *, lag(ts) OVER (
         |          PARTITION BY user_id ORDER BY ts, event_id) AS _prev
         |        FROM events))""".stripMargin,
+    "sessionize_filtered" ->
+      """WITH se AS (
+        |  SELECT event_id, user_id,
+        |    sum(CASE WHEN _prev IS NULL
+        |             OR epoch_us(ts) - epoch_us(_prev) >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (SELECT *, lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        |        FROM events)),
+        |sized AS (SELECT *, count(*) OVER (PARTITION BY user_id, session_seq) AS n
+        |          FROM se)
+        |SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
+        |FROM sized WHERE n >= 3""".stripMargin,
     "split_ratio" ->
       """SELECT event_id, user_id, (_rn > _n * (1 - 0.2)) AS is_test FROM (
         |  SELECT event_id, user_id,
