@@ -393,9 +393,10 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")
     }),
     "filter_quantile_items" -> ((s, d) => {
-      // percentile_approx-driven undersampling — approx quantile has no
-      // DuckDB twin, rows-only
-      QuantileItemsFilter(alphaQuantile = 0.95, itemsProportion = 0.5)
+      // percentile_approx at accuracy 10000 is exact here and coincides
+      // with DuckDB quantile_disc (probed) — fully oracle-checked
+      QuantileItemsFilter(alphaQuantile = 0.95, itemsProportion = 0.5,
+          tieCols = Seq("rating", "session_id"))
         .transform(Tables.interactions(s, d))
         .select("query_id", "item_id", "rating")
     }),
@@ -1320,6 +1321,25 @@ object SparkEntry {
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
         |FROM documents""".stripMargin,
+    "filter_quantile_items" ->
+      s"""$interactionsSql,
+         |ic AS (SELECT item_id, count(*) AS icnt FROM interactions GROUP BY 1),
+         |qv AS (SELECT quantile_disc(icnt, 0.95) AS q FROM ic),
+         |uc AS (SELECT query_id, count(*) AS ucnt FROM interactions GROUP BY 1),
+         |ann AS (
+         |  SELECT i.*, ic.icnt, uc.ucnt FROM interactions i
+         |  JOIN ic ON i.item_id = ic.item_id
+         |  JOIN uc ON i.query_id = uc.query_id),
+         |hot AS (
+         |  SELECT query_id, item_id, rating FROM (
+         |    SELECT *, floor((icnt - (SELECT q FROM qv)) * 0.5) AS nd,
+         |      row_number() OVER (PARTITION BY item_id
+         |        ORDER BY ucnt DESC, query_id, rating, session_id) AS rn
+         |    FROM ann WHERE icnt > (SELECT q FROM qv))
+         |  WHERE rn > nd),
+         |cold AS (SELECT query_id, item_id, rating FROM ann
+         |         WHERE icnt <= (SELECT q FROM qv))
+         |SELECT * FROM cold UNION ALL SELECT * FROM hot""".stripMargin,
     "join_anti_consistency" ->
       """SELECT count(*) AS n_cold FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,

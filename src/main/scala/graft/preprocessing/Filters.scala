@@ -147,6 +147,8 @@ final case class QuantileItemsFilter(
     itemsProportion: Double = 0.5,
     queryCol: String = QueryId,
     itemCol: String = ItemId,
+    tieCols: Seq[String] = Nil, // extend to a TOTAL order when duplicate
+                                // (query,item) rows differ in other columns
 ) extends InteractionFilter {
   def transform(df: DataFrame): DataFrame = {
     val itemCounts = df.groupBy(itemCol).agg(F.count(F.lit(1)).as("_item_cnt"))
@@ -163,7 +165,9 @@ final case class QuantileItemsFilter(
       .withColumn("_n_delete",
         F.floor((F.col("_item_cnt") - F.lit(q)) * F.lit(itemsProportion)))
       .withColumn("_rn", F.row_number().over(
-        Window.partitionBy(itemCol).orderBy(F.col("_user_cnt").desc, F.col(queryCol).asc)))
+        Window.partitionBy(itemCol).orderBy(
+          (Seq(F.col("_user_cnt").desc, F.col(queryCol).asc)
+            ++ tieCols.map(F.col(_).asc)): _*)))
       .filter(F.col("_rn") > F.col("_n_delete"))
     val cold = annotated.filter(F.col("_item_cnt") <= q)
     cold.unionByName(hot.drop("_n_delete", "_rn")).drop("_item_cnt", "_user_cnt")
