@@ -1212,35 +1212,49 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash" ->
-      """WITH toks AS (
+    "dedup_minhash" -> {
+      import graft.text.Dedup.{MinhashPrime => P, mixA, mixB}
+      // one md5 per shingle; 16 universal-hash permutations as linear
+      // mixes — constants interpolated from the SAME Scala source of truth
+      val minCols = (0 until 16)
+        .map(p => s"min((${mixA(p)}*h + ${mixB(p)}) % $P) AS h$p").mkString(",\n        ")
+      val bandSigs = (0 until 4).map { b =>
+        val cs = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)")
+        s"($b, ${cs.mkString(" || ',' || ")})"
+      }.mkString(",\n          ")
+      val matchSum = (0 until 16)
+        .map(p => s"(CASE WHEN a.h$p = b.h$p THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
-        |      generate_series(0, len(string_split_regex(trim(lower(text)), '\s+')) - 3),
+        |      generate_series(0, len(string_split_regex(trim(lower(text)), '\\s+')) - 3),
         |      i -> array_to_string(
-        |        string_split_regex(trim(lower(text)), '\s+')[i+1:i+3], ' '))) AS shs
+        |        string_split_regex(trim(lower(text)), '\\s+')[i+1:i+3], ' '))) AS shs
         |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
-        |hashes AS (
-        |  SELECT t.doc_id, p.p,
-        |    min(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || s.sh), 1, 15))::BIGINT) AS h
-        |  FROM toks t, unnest(t.shs) s(sh), range(0, 16) p(p)
-        |  GROUP BY 1, 2),
+        |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+        |hs AS (
+        |  SELECT t.doc_id,
+        |    ('0x' || substr(md5('0:' || s.sh), 1, 15))::BIGINT % $P AS h
+        |  FROM toks t, unnest(t.shs) s(sh)),
+        |sigs AS (
+        |  SELECT doc_id,
+        |        $minCols
+        |  FROM hs GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, CAST(p // 4 AS INT) AS band,
-        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS sig
-        |  FROM hashes GROUP BY 1, 2),
+        |  SELECT doc_id, b.band, b.sig FROM sigs,
+        |    LATERAL (VALUES
+        |          $bandSigs) AS b(band, sig)),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
         |    AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT c.id_a, c.id_b,
-        |  sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |  ($matchSum) / 16.0 AS est_jaccard
         |FROM cand c
-        |JOIN hashes ha ON ha.doc_id = c.id_a
-        |JOIN hashes hb ON hb.doc_id = c.id_b AND ha.p = hb.p
-        |GROUP BY 1, 2""".stripMargin,
+        |JOIN sigs a ON a.doc_id = c.id_a
+        |JOIN sigs b ON b.doc_id = c.id_b""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

@@ -101,6 +101,47 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     queries.select(cols.query).crossJoin(F.broadcast(ranked))
   }
 
+  /** Seen-filtered predict with a PER-USER rank crop: a user who has seen
+    * `s_u` items can lose at most `s_u` of the globally ranked candidates
+    * to the seen-filter, so rank ≤ k + s_u per user retains everything the
+    * final top-k can ever surface — identical output to the global
+    * k + maxSeen crop, but the anti-join and final window see
+    * Σ(k + s_u) rows instead of |queries|·(k + maxSeen). At 100 TB the
+    * difference is the gap between "shuffle a bounded rec set" and
+    * "shuffle the candidate cross product". */
+  override def predict(
+      log: DataFrame,
+      k: Int,
+      queries: Option[DataFrame] = None,
+      filterSeen: Boolean = true,
+  ): DataFrame = {
+    if (!filterSeen) return super.predict(log, k, queries, filterSeen)
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
+    val history = log.join(qs, Seq(cols.query), "left_semi")
+    val seenCnt = history.groupBy(cols.query)
+      .agg(F.count(F.lit(1)).as("_seen")).cache()
+    val maxSeen = seenCnt.agg(F.max("_seen")).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val ranked = itemPopularity
+      .withColumn("_rank", F.row_number().over(
+        Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
+      .filter(F.col("_rank") <= k + maxSeen)
+    val cand = qs.select(cols.query)
+      .join(seenCnt, Seq(cols.query), "left")
+      .na.fill(0L, Seq("_seen"))
+      .crossJoin(F.broadcast(ranked))
+      .filter(F.col("_rank") <= F.lit(k) + F.col("_seen"))
+      .drop("_rank", "_seen")
+    val unseen = cand.join(history.select(cols.query, cols.item).distinct(),
+      Seq(cols.query, cols.item), "left_anti")
+    // seenCnt stays cached: it feeds both the maxSeen action above and the
+    // (lazy) candidate plan — unpersisting here would force a recompute.
+    Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
+  }
+
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
     pairs.join(itemPopularity, Seq(cols.item), "left")
       .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(coldFill)))

@@ -50,35 +50,56 @@ object Dedup {
     graft.core.PortableHash.long(seed.toLong, c)
   def fastHash(seed: Int, c: Column): Column = F.xxhash64(F.lit(seed), c)
 
-  /** MinHash signature: for each of `numPerms` seeded hash functions, the
-    * min hash over the doc's shingles. Returned as an array column.
+  /** Modulus for the universal-hash permutation family (2^31 − 1, prime). */
+  val MinhashPrime = 2147483647L
+
+  private def mixConst(tag: String, p: Int, mod: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$p".getBytes("UTF-8"))
+    val hex = d.take(8).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+  /** Per-permutation universal-hash constants h_p(x) = (a_p·x + b_p) mod P.
+    * MD5-derived on the driver so the DuckDB oracle can interpolate the
+    * same decimal literals — the permuted hashes are engine-portable. */
+  def mixA(p: Int): Long = 1L + mixConst("mixa", p, MinhashPrime - 1)
+  def mixB(p: Int): Long = mixConst("mixb", p, MinhashPrime)
+
+  /** One permuted hash: base hash folded into [0, P), then a·x+b mod P.
+    * a < P < 2^31 and x < 2^31 keep a·x+b < 2^62 — no Long overflow
+    * (ANSI mode would throw, not wrap). */
+  private def permuted(p: Int, baseHash: Column): Column =
+    (F.lit(mixA(p)) * baseHash + F.lit(mixB(p))) % MinhashPrime
+
+  /** MinHash signature: for each of `numPerms` permutations, the min
+    * permuted hash over the doc's shingles. Each shingle is hashed ONCE
+    * (seed 0); the `numPerms` permutations are cheap linear mixes of that
+    * one hash — the classic universal-hashing trick, 16× less md5/xxhash
+    * work than hashing per (perm, shingle).
     * (Expression form — fine for few perms; the frame-level
     * `minhashSignatures` is the scalable path.) */
   def minhashSignature(text: Column, numPerms: Int,
       hash: (Int, Column) => Column = fastHash): Column = {
-    val sh = shingles(text)
+    val hs = F.transform(shingles(text), s => F.pmod(hash(0, s), F.lit(MinhashPrime)))
     F.array((0 until numPerms).map { p =>
-      F.array_min(F.transform(sh, s => hash(p, s)))
+      F.array_min(F.transform(hs, h => permuted(p, h)))
     }: _*)
   }
 
-  /** (id, signature array) via the relational route: explode shingles ×
-    * perms → per-(doc, perm) min → re-collect ordered. Hashes each shingle
-    * exactly once per perm and keeps the codegen tree flat — the
-    * expression form above inlines the whole shingle pipeline numPerms
-    * times, which at 16 perms dominated a benchmark run. */
+  /** (id, signature array) via the relational route: explode shingles →
+    * one base hash per shingle row (a concrete projected column, so the
+    * per-perm aggregates reference it instead of re-inlining the md5 —
+    * Spark has no CSE across aggregate expressions) → ONE groupBy with
+    * `numPerms` min aggregates. One shuffle of |doc|·|shingles| narrow
+    * rows; no per-perm row blowup, no second shuffle. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int, hash: (Int, Column) => Column = fastHash): DataFrame = {
-    val sh = docs.select(F.col(idCol), F.explode(shingles(F.col(textCol))).as("_s"))
-    val perPerm = sh.select(F.col(idCol), F.explode(F.array(
-        (0 until numPerms).map(p =>
-          F.struct(F.lit(p).as("p"), hash(p, F.col("_s")).as("h"))): _*)).as("_ph"))
-      .select(F.col(idCol), F.col("_ph.p").as("_p"), F.col("_ph.h").as("_h"))
-    perPerm.groupBy(idCol, "_p").agg(F.min("_h").as("_mh"))
-      .groupBy(idCol)
-      .agg(F.transform(
-        F.sort_array(F.collect_list(F.struct(F.col("_p"), F.col("_mh")))),
-        s => s.getField("_mh")).as("_sig"))
+    val sh = docs
+      .select(F.col(idCol), F.explode(shingles(F.col(textCol))).as("_s"))
+      .select(F.col(idCol), F.pmod(hash(0, F.col("_s")), F.lit(MinhashPrime)).as("_h"))
+    sh.groupBy(idCol)
+      .agg(F.array((0 until numPerms).map(p => F.min(permuted(p, F.col("_h")))): _*)
+        .as("_sig"))
   }
 
   /** LSH candidate pairs: split the signature into bands of `bandSize`;
