@@ -183,10 +183,17 @@ object SparkEntry {
         .select("event_id", "user_id", "session_seq")
     }),
     "discretize_greedy" -> ((s, d) => {
-      // LightGBM-style greedy binning (discretizer.py:63-374); fit is
-      // histogram-driven — oracle omitted (rows-only check)
+      // LightGBM-style greedy binning (discretizer.py:63-374); the greedy
+      // walk has a closed form (edge_j = max(edge_{j-1}+1, first cumsum
+      // crossing of j·perBin)) mirrored in the oracle
       val docs = Tables.documents(s, d)
       Discretizer.fitGreedy(docs, "n_chars", nBuckets = 5)
+        .transform(docs).select("doc_id", "n_chars", "n_chars_bucket")
+    }),
+    "discretize_quantile" -> ((s, d) => {
+      // exact-percentile edges (discretizer.py:376-601) ≡ quantile_cont
+      val docs = Tables.documents(s, d)
+      Discretizer.fitQuantile(docs, "n_chars", nBuckets = 5)
         .transform(docs).select("doc_id", "n_chars", "n_chars_bucket")
     }),
 
@@ -411,18 +418,22 @@ object SparkEntry {
       new models.LinUCB(alpha = 0.5).fit(i, qf).predict(qf, k = 3)
     }),
     "experiment_table" -> ((s, d) => {
-      // models × metrics table (experiment.py:7-200) — rows-only
+      // models × metrics table (experiment.py:7-200); metric means rounded
+      // to 6dp for cross-engine float parity
       val i = Tables.interactions(s, d)
       val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
       val train = marked.filter(!F.col("is_test")).drop("is_test")
       val test = marked.filter(F.col("is_test")).drop("is_test")
-      new graft.metrics.Experiment(Seq("hit_rate", "ndcg"), Seq(5))
+      val t = new graft.metrics.Experiment(Seq("hit_rate", "ndcg"), Seq(5))
         .run(Map(
           "pop_rec" -> new models.PopRec(),
           "wilson" -> new models.Wilson()), // binary-ish: quantity ratings
           train.withColumn("rating", (F.col("rating") > 25).cast("double")),
           test, k = 5)
         .table(s)
+      t.select(F.col("model"),
+        F.round(F.col("hit_rate_at_5"), 6).as("hit_rate_at_5"),
+        F.round(F.col("ndcg_at_5"), 6).as("ndcg_at_5"))
     }),
 
     // ---- §2.11 metrics ----------------------------------------------------
@@ -487,10 +498,13 @@ object SparkEntry {
           tokenHash = t => graft.core.PortableHash.long(0, t)).as("content_hash"))
     }),
     "model_item_knn_bm25" -> ((s, d) => {
-      // bm25-weighted variant (knn.py:92-156) — float-sum dots are
-      // summation-order dependent, rows-only
+      // bm25-weighted variant (knn.py:92-156); sims are rounded to 9dp
+      // before the neighbour window (order parity), output rounded to 6dp
+      // (value parity) — the round-9-then-6 pattern
       new models.ItemKNN(numNeighbours = 5, weighting = Some("bm25"))
         .fit(Tables.interactions(s, d)).similarity
+        .select(F.col("item_one"), F.col("item_two"),
+          F.round(F.col("similarity"), 6).as("similarity"))
     }),
     "dedup_exact" -> ((s, d) => {
       graft.text.Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -521,7 +535,7 @@ object SparkEntry {
         emb.filter(F.col("vec_id") < 10), emb, k = 5)
     }),
     "embed_lsh_neardup" -> ((s, d) => {
-      // xxhash64-derived hyperplanes — engine-specific, rows-only
+      // portable-md5 hyperplanes — the oracle interpolates the same planes
       graft.text.Similarity.lshNearDup(Tables.embeddings(s, d),
         threshold = 0.2, planes = 4, tables = 8)
     }),
@@ -671,8 +685,56 @@ object SparkEntry {
       s"""$interactionsSql
          |SELECT query_id, item_id, rating FROM interactions
          |WHERE item_id IN (SELECT p_partkey FROM part WHERE p_size >= 25)""".stripMargin,
-    // filter_interaction_entries: fixpoint loop — not ANSI-SQL-expressible,
-    // driver records the weaker rows-only check.
+    // filter_interaction_entries: the fixpoint loop unrolled to 16 steps —
+    // each step is idempotent once converged, so unrolling past the actual
+    // iteration count (3-4 at sf0.01) is a no-op, and 16 leaves a wide margin.
+    "filter_interaction_entries" -> {
+      val steps = (1 to 16).map { i =>
+        s"""s$i AS (SELECT query_id, item_id, rating, session_id FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY query_id) AS cu,
+           |            count(*) OVER (PARTITION BY item_id) AS ci
+           |  FROM s${i - 1}) WHERE cu >= 10 AND ci >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""$interactionsSql,
+         |s0 AS (SELECT query_id, item_id, rating, session_id FROM interactions),
+         |$steps
+         |SELECT query_id, item_id, rating, session_id FROM s16""".stripMargin
+    },
+    // greedy discretizer: closed-form walk — f_j = first cumsum crossing of
+    // j·perBin; e_j = max over m<=j of (f_m + j - m) ≡ max(e_{j-1}+1, f_j).
+    "discretize_greedy" ->
+      """WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS totc, count(*) AS nvals FROM hist),
+        |cum AS (SELECT v, row_number() OVER (ORDER BY v) AS idx,
+        |        CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cm
+        |        FROM hist),
+        |f AS (SELECT j, min(idx) AS fj
+        |      FROM cum, range(1, 5) r(j), tot
+        |      WHERE cm >= (CAST(totc AS DOUBLE) / 5) * j GROUP BY j),
+        |e AS (SELECT a.j, max(b.fj + (a.j - b.j)) AS ej
+        |      FROM f a JOIN f b ON b.j <= a.j GROUP BY a.j),
+        |edges0 AS (SELECT min(v) AS v FROM hist
+        |           UNION
+        |           SELECT c.v FROM e JOIN cum c ON c.idx = e.ej
+        |             JOIN tot ON e.ej <= tot.nvals
+        |           UNION
+        |           SELECT max(v) FROM hist),
+        |inner_e AS (SELECT v AS e FROM edges0
+        |            WHERE v > (SELECT min(v) FROM edges0)
+        |              AND v < (SELECT max(v) FROM edges0))
+        |SELECT d.doc_id, d.n_chars, CAST(count(i.e) AS BIGINT) AS n_chars_bucket
+        |FROM documents d LEFT JOIN inner_e i ON d.n_chars >= i.e
+        |GROUP BY 1, 2""".stripMargin,
+    "discretize_quantile" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS qs
+        |           FROM documents),
+        |edges0 AS (SELECT DISTINCT unnest(qs) AS v FROM q),
+        |inner_e AS (SELECT v AS e FROM edges0
+        |            WHERE v > (SELECT min(v) FROM edges0)
+        |              AND v < (SELECT max(v) FROM edges0))
+        |SELECT d.doc_id, d.n_chars, CAST(count(i.e) AS BIGINT) AS n_chars_bucket
+        |FROM documents d LEFT JOIN inner_e i ON d.n_chars >= i.e
+        |GROUP BY 1, 2""".stripMargin,
     "label_encode_fit" ->
       """SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
         |FROM (SELECT DISTINCT l_partkey AS item_id FROM lineitem)""".stripMargin,
@@ -868,7 +930,7 @@ object SparkEntry {
          |        UNION ALL
          |        SELECT item_two, item_one, dot FROM dots),
          |sims AS (
-         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  SELECT item_one, item_two, round(dot/(n1.nrm*n2.nrm + 0.0), 9) AS similarity
          |  FROM sym
          |  JOIN norms n1 ON sym.item_one = n1.item_id
          |  JOIN norms n2 ON sym.item_two = n2.item_id)
@@ -889,7 +951,7 @@ object SparkEntry {
          |        UNION ALL
          |        SELECT item_two, item_one, dot FROM dots),
          |sims AS (
-         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  SELECT item_one, item_two, round(dot/(n1.nrm*n2.nrm + 0.0), 9) AS similarity
          |  FROM sym
          |  JOIN norms n1 ON sym.item_one = n1.item_id
          |  JOIN norms n2 ON sym.item_two = n2.item_id),
@@ -912,6 +974,39 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    // bm25 weights mirrored term-by-term (same operand order as
+    // ItemKNN.reweight); sims rounded to 9 before ranking, 6 on output.
+    "model_item_knn_bm25" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |nq AS (SELECT CAST(count(DISTINCT query_id) AS DOUBLE) AS nu FROM base),
+         |ulen AS (SELECT query_id, count(*) AS len FROM base GROUP BY 1),
+         |avglen AS (SELECT avg(len) AS al FROM ulen),
+         |idf AS (SELECT item_id, count(*) AS df FROM base GROUP BY 1),
+         |w AS (
+         |  SELECT b.query_id, b.item_id,
+         |    ln((nu - df + 0.5)/(df + 0.5) + 1.0) * (1.2 + 1.0) /
+         |      (1.0 + 1.2 * ((1 - 0.75) + 0.75 * len / al)) AS v
+         |  FROM base b JOIN ulen u ON b.query_id = u.query_id
+         |  JOIN idf i ON b.item_id = i.item_id, nq, avglen),
+         |norms AS (SELECT item_id, sqrt(sum(v*v)) AS nrm FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(a.v*b.v) AS dot
+         |  FROM w a JOIN w b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, round(dot/(n1.nrm*n2.nrm + 0.0), 9) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id)
+         |SELECT item_one, item_two, round(similarity, 6) AS similarity FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |  FROM sims) WHERE rn <= 5""".stripMargin,
     "model_assoc_rules" ->
       s"""$interactionsSql,
          |events AS (SELECT DISTINCT session_id AS s, item_id FROM interactions),
@@ -1037,7 +1132,75 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "metrics_ranking" -> metricsRankingSql,
     "metrics_ranking_bounded" -> metricsRankingSql,
+    "experiment_table" -> experimentTableSql,
   ) ++ oracleSqlRest
+
+  /** experiment_table: the metrics_ranking split + gt, then per model
+    * (PopRec, Wilson on rating>25-binarized train) the full predict-top5
+    * pipeline and hit_rate/ndcg@5 means — one row per model. */
+  private lazy val experimentTableSql: String = {
+    // per-model block: scores CTE `<p>score(item_id, rating)` → top-5 recs
+    // → per-user hr/ndcg; shares users/ms/seen/gt/gtc/idcg
+    def modelBlock(p: String): String =
+      s"""${p}ranked AS (SELECT item_id, rating,
+         |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM ${p}score),
+         |${p}cand AS (SELECT q.query_id, r.item_id, r.rating
+         |  FROM users q CROSS JOIN ${p}ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+         |${p}unseen AS (SELECT c.* FROM ${p}cand c ANTI JOIN seen s
+         |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
+         |${p}top5 AS (SELECT query_id, item_id, rn FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM ${p}unseen) WHERE rn <= 5),
+         |${p}predc AS (SELECT query_id, count(*) AS npred FROM ${p}top5 GROUP BY 1),
+         |${p}hits AS (SELECT t.query_id, t.rn AS rnk FROM ${p}top5 t
+         |  JOIN gt g ON t.query_id = g.query_id AND t.item_id = g.item_id),
+         |${p}hs AS (SELECT query_id, count(*) AS nhits,
+         |  sum(1.0/log2(rnk + 1)) AS dcg FROM ${p}hits GROUP BY 1),
+         |${p}pu AS (SELECT g.query_id,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       WHEN coalesce(h.nhits, 0) > 0 THEN 1.0 ELSE 0.0 END AS hr,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.dcg, 0.0) / i.idcg END AS ndcg_
+         |  FROM gtc g
+         |  LEFT JOIN ${p}predc p ON g.query_id = p.query_id
+         |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
+         |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
+    s"""$interactionsSql,
+       |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
+       |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
+       |cut AS (SELECT min(ts0) AS t FROM cum
+       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+       |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
+       |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
+       |users AS (SELECT DISTINCT query_id FROM train),
+       |seen AS (SELECT DISTINCT query_id, item_id FROM train),
+       |ms AS (SELECT max(cnt) AS mx FROM (
+       |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
+       |gt AS (SELECT DISTINCT query_id, item_id FROM test),
+       |gtc AS (SELECT query_id, count(*) AS ngt FROM gt GROUP BY 1),
+       |idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
+       |        FROM gtc g JOIN range(1, 6) r(i) ON r.i <= least(5, g.ngt)
+       |        GROUP BY 1),
+       |pscore AS (SELECT item_id, count(DISTINCT query_id) /
+       |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
+       |  FROM train GROUP BY 1),
+       |wpt AS (SELECT item_id,
+       |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+       |    CAST(count(*) AS DOUBLE) AS total
+       |  FROM train GROUP BY 1),
+       |wscore AS (SELECT item_id,
+       |  (pos/total + (1.96*1.96)/(2*total)
+       |   - 1.96 * sqrt(((pos/total)*(1 - pos/total) + (1.96*1.96)/(4*total))/total))
+       |  / (1 + (1.96*1.96)/total) AS rating FROM wpt),
+       |${modelBlock("p")},
+       |${modelBlock("w")}
+       |SELECT 'pop_rec' AS model, round(avg(hr), 6) AS hit_rate_at_5,
+       |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM ppu
+       |UNION ALL
+       |SELECT 'wilson' AS model, round(avg(hr), 6) AS hit_rate_at_5,
+       |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM wpu""".stripMargin
+  }
 
   /** Shared by metrics_ranking and its bounded-aggregator twin. */
   private lazy val metricsRankingSql: String =
@@ -1302,6 +1465,41 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM dotn) WHERE rank <= 5""".stripMargin,
+    // sign-LSH near-dup: hyperplanes re-derived from the portable md5
+    // recipe ("0:table:plane:dim" → first 15 hex → /2^60*2-1), buckets as
+    // sign bits of sequential-sum projections, exact cosine on candidates.
+    "embed_lsh_neardup" ->
+      """WITH planes AS (
+        |  SELECT t.tbl, p.p, i.i,
+        |    ('0x' || substr(md5('0:' || t.tbl || ':' || p.p || ':' || i.i), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 * 2 - 1 AS r
+        |  FROM range(0, 8) t(tbl), range(0, 4) p(p), range(0, 64) i(i)),
+        |rl AS (SELECT tbl, p, list(r ORDER BY i) AS rs FROM planes GROUP BY 1, 2),
+        |proj AS (
+        |  SELECT v.vec_id, r.tbl, r.p,
+        |    list_sum(list_transform(list_zip(v.embedding, r.rs),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS pj
+        |  FROM embeddings v CROSS JOIN rl r),
+        |bkt AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN pj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bkt = b.bkt
+        |    AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(list_zip(va.embedding, va.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(list_zip(vb.embedding, vb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings va ON c.id_a = va.vec_id
+        |  JOIN embeddings vb ON c.id_b = vb.vec_id)
+        |WHERE cosine >= 0.2""".stripMargin,
     "text_langid" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -88,7 +88,12 @@ final class ItemKNN(
       .join(norms.withColumnRenamed(cols.item, "item_two")
         .withColumnRenamed("_norm", "_n2"), Seq("item_two"))
       .select(F.col("item_one"), F.col("item_two"),
-        (F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink))).as("similarity"))
+        // round to 9 decimals BEFORE the top-k window: weighted dots are
+        // float sums (partition-order dependent at the last ulp), and an
+        // unrounded similarity would make the neighbour ranking
+        // non-deterministic across engines/runs
+        F.round(F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink)), 9)
+          .as("similarity"))
 
     // symmetrize (unionByName, reference association_rules.py:229-235 style)
     val sym = half.unionByName(half.select(

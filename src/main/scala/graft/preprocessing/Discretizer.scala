@@ -51,13 +51,19 @@ final case class DiscretizerModel(column: String, edges: Array[Double],
 }
 
 object Discretizer {
-  /** Quantile binning: edges at i/n quantiles, exact when relativeError=0. */
+  /** Quantile binning: edges at i/n quantiles. relativeError=0 uses the
+    * exact interpolated percentile (one distributed aggregation, ANSI
+    * `percentile_cont` semantics); >0 uses Greenwald–Khanna sketches. */
   def fitQuantile(df: DataFrame, column: String, nBuckets: Int,
       relativeError: Double = 0.0,
       handleInvalid: HandleInvalid = HandleInvalid.Keep): DiscretizerModel = {
     val probes = (0 to nBuckets).map(_.toDouble / nBuckets).toArray
-    val qs = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
-      .stat.approxQuantile(column, probes, relativeError)
+    val valid = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
+    val qs =
+      if (relativeError == 0.0)
+        valid.agg(F.percentile(F.col(column), F.lit(probes)).as("q"))
+          .first().getAs[scala.collection.Seq[Double]](0).toArray
+      else valid.stat.approxQuantile(column, probes, relativeError)
     DiscretizerModel(column, qs.distinct.sorted, handleInvalid)
   }
 
@@ -81,15 +87,15 @@ object Discretizer {
     require(hist.nonEmpty, s"no valid values in $column")
     val total = hist.map(_._2).sum
     val perBin = total.toDouble / nBuckets
+    // multiplicative bin target (j-th edge at the first value whose cumsum
+    // reaches j·perBin, never before the previous edge) — equivalent to the
+    // accumulating walk but with a float-exact closed form
     val edges = scala.collection.mutable.ArrayBuffer[Double](hist.head._1)
     var acc = 0L
-    var binTarget = perBin
     hist.foreach { case (v, c) =>
       acc += c
-      if (acc >= binTarget && edges.length < nBuckets) {
+      if (acc >= perBin * edges.length && edges.length < nBuckets)
         edges += v
-        binTarget += perBin
-      }
     }
     edges += hist.last._1
     DiscretizerModel(column, edges.distinct.sorted.toArray, handleInvalid)

@@ -47,20 +47,27 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
-  /** Pseudo-random unit-free hyperplane component for (table, plane, dim):
-    * a deterministic hash mapped to [-1, 1). No stored model needed —
-    * any executor recomputes the same planes. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (F.xxhash64(F.lit(table), F.lit(plane), dim).cast("double") /
-      F.lit(Long.MaxValue.toDouble))
+  /** Deterministic hyperplane for (table, plane): the portable md5 hash
+    * (core.PortableHash recipe, key "0:table:plane:dim") mapped to [-1, 1).
+    * Reproducible on any engine — the DuckDB oracle interpolates the same
+    * planes from the same md5 strings. Computed once driver-side and
+    * shipped as an array literal: the planes depend only on (table, plane,
+    * dim), so hashing per row would be pure waste at scale. */
+  private[text] def planeVector(table: Int, plane: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val hex = md.digest(s"0:$table:$plane:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60) * 2.0 - 1.0
+    }.toArray
+  }
 
-  /** h-bit sign-LSH bucket key per (table, vector). */
-  def signBucket(vec: Column, table: Int, planes: Int): Column =
+  /** h-bit sign-LSH bucket key per (table, vector); `dims` is the fixed
+    * embedding dimensionality. */
+  def signBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       val proj = F.aggregate(
-        F.zip_with(vec,
-          F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-            i => planeComponent(table, p, i)),
+        F.zip_with(vec, F.typedlit(planeVector(table, p, dims)),
           (x, r) => x.cast("double") * r),
         F.lit(0.0), (acc, v) => acc + v)
       F.when(proj > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
@@ -69,11 +76,11 @@ object Similarity {
   /** Candidate pairs from `tables` independent sign-LSH tables, then exact
     * cosine on candidates only; returns pairs with cosine >= threshold. */
   def lshNearDup(vectors: DataFrame, threshold: Double, planes: Int = 12,
-      tables: Int = 4, idCol: String = "vec_id",
+      tables: Int = 4, dims: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val buckets = vectors.select(F.col(idCol), F.col(vecCol),
       F.explode(F.array((0 until tables).map { t =>
-        F.struct(F.lit(t).as("tbl"), signBucket(F.col(vecCol), t, planes).as("bkt"))
+        F.struct(F.lit(t).as("tbl"), signBucket(F.col(vecCol), t, planes, dims).as("bkt"))
       }: _*)).as("_b"))
       .select(F.col(idCol), F.col(vecCol),
         F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))

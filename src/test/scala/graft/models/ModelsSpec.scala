@@ -115,10 +115,11 @@ class ModelsSpec extends SparkSpec {
     val m = new ItemKNN(numNeighbours = 2).fit(log)
     val sims = m.similarity.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sims are rounded to 9dp before the neighbour window → 5e-10 tolerance
     // sim(1,2) = 2 / (sqrt(3)*sqrt(2))
-    assert(math.abs(sims((1L, 2L)) - 2.0 / (math.sqrt(3) * math.sqrt(2))) < 1e-12)
+    assert(math.abs(sims((1L, 2L)) - 2.0 / (math.sqrt(3) * math.sqrt(2))) < 5e-10)
     // sim(0,1) = 1 / (sqrt(1)*sqrt(3))
-    assert(math.abs(sims((0L, 1L)) - 1.0 / math.sqrt(3)) < 1e-12)
+    assert(math.abs(sims((0L, 1L)) - 1.0 / math.sqrt(3)) < 5e-10)
     // symmetric
     assert(sims.contains((2L, 1L)) && sims((2L, 1L)) == sims((1L, 2L)))
   }
