@@ -97,11 +97,11 @@ object SparkEntry {
         .select("event_id", "user_id", "cum_value", "cum_n")
     }),
     "window_global_rank" -> ((s, d) => {
-      // global ranking without partition (base_rec.py:1235-1237)
+      // global ranking (base_rec.py:1235-1237) via the distributed
+      // range-partition rank — no single-partition window over the catalog
       val pop = Tables.interactions(s, d)
         .groupBy("item_id").agg(F.sum("rating").as("score"))
-      pop.withColumn("rank",
-          F.row_number().over(Window.orderBy(F.col("score").desc, F.col("item_id").asc)).cast("long"))
+      Ops.globalRowNumber(pop, "rank", F.col("score").desc, F.col("item_id").asc)
         .filter(F.col("rank") <= 100)
     }),
 

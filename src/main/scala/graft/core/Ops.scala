@@ -36,6 +36,24 @@ object Ops {
   ): DataFrame =
     topK(recs, Seq(queryCol), Seq(F.col(ratingCol).desc, F.col(itemCol).asc), k)
 
+  /** 1-based global row_number over a TOTAL order, without the
+    * single-partition `Window.orderBy` plan: range repartitioning keeps
+    * partitions globally ordered, so zipWithIndex numbers rows exactly as
+    * a global sort would — every partition ranks in parallel. Use for
+    * entity-set-sized frames (all users, all items) where one task holding
+    * the whole set is the scale hazard; `order` must be a total order
+    * (include a unique tie-break column). */
+  def globalRowNumber(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
   /** Drop (query, item) pairs already present in history.
     * Reference: base_rec.py:152-201 `_filter_seen` — rank-crop to
     * k + max_seen BEFORE the anti-join so the join input stays bounded. */

@@ -90,12 +90,12 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
   }
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
-    // rank items ONCE globally, crop to k+maxSeen, then cross join: the
-    // cropped item list is tiny → broadcast; no per-query shuffle
-    // (reference base_rec.py:1235-1257)
-    val ranked = itemPopularity
-      .withColumn("_rank", F.row_number().over(
-        Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
+    // rank items ONCE globally (distributed range-partition rank — no
+    // single-partition window over the catalog), crop to k+maxSeen, then
+    // cross join: the cropped item list is tiny → broadcast; no per-query
+    // shuffle (reference base_rec.py:1235-1257)
+    val ranked = Ops.globalRowNumber(itemPopularity, "_rank",
+        F.col(cols.rating).desc, F.col(cols.item).asc)
       .filter(F.col("_rank") <= k + maxSeen)
       .drop("_rank")
     queries.select(cols.query).crossJoin(F.broadcast(ranked))
@@ -125,9 +125,8 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
-    val ranked = itemPopularity
-      .withColumn("_rank", F.row_number().over(
-        Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
+    val ranked = Ops.globalRowNumber(itemPopularity, "_rank",
+        F.col(cols.rating).desc, F.col(cols.item).asc)
       .filter(F.col("_rank") <= k + maxSeen)
     val cand = qs.select(cols.query)
       .join(seenCnt, Seq(cols.query), "left")

@@ -177,11 +177,12 @@ final case class NewUsersSplitter(
 ) extends Splitter {
   def mark(df: DataFrame): DataFrame = {
     val firsts = df.groupBy(queryCol).agg(F.min(tsCol).as("_first_ts"))
-    val ranked = firsts
-      .withColumn("_rn", F.row_number().over(
-        Window.orderBy(F.col("_first_ts").desc, F.col(queryCol).desc)))
-      .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
-      .withColumn("_is_new", F.col("_rn") <= F.col("_n") * testSize)
+    // distributed global rank (no single-partition window over all users);
+    // total user count as a broadcast 1-row frame, not a global window
+    val ranked = graft.core.Ops.globalRowNumber(firsts, "_rn",
+        F.col("_first_ts").desc, F.col(queryCol).desc)
+      .crossJoin(F.broadcast(firsts.agg(F.count(F.lit(1)).as("_nq"))))
+      .withColumn("_is_new", F.col("_rn") <= F.col("_nq") * testSize)
       .select(F.col(queryCol), F.col("_is_new"))
     df.join(ranked, Seq(queryCol), "left")
       .withColumn("is_test", F.coalesce(F.col("_is_new"), F.lit(false)))
@@ -202,11 +203,11 @@ final case class ColdUserSplitter(
 ) extends Splitter {
   def mark(df: DataFrame): DataFrame = {
     val users = df.select(queryCol).distinct()
-    val picked = users
-      .withColumn("_rn", F.row_number().over(
-        Window.orderBy(Splitter.hashKey(seed, F.col(queryCol)), F.col(queryCol))))
-      .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
-      .withColumn("_picked", F.col("_rn") <= F.col("_n") * testSize)
+      .withColumn("_hk", Splitter.hashKey(seed, F.col(queryCol)))
+    val picked = graft.core.Ops.globalRowNumber(users, "_rn",
+        F.col("_hk").asc, F.col(queryCol).asc)
+      .crossJoin(F.broadcast(users.agg(F.count(F.lit(1)).as("_nq"))))
+      .withColumn("_picked", F.col("_rn") <= F.col("_nq") * testSize)
       .select(F.col(queryCol), F.col("_picked"))
     df.join(picked, Seq(queryCol), "left")
       .withColumn("is_test", F.coalesce(F.col("_picked"), F.lit(false)))
@@ -229,11 +230,11 @@ final case class TwoStageSplitter(
 ) extends Splitter {
   def mark(df: DataFrame): DataFrame = {
     val users = df.select(queryCol).distinct()
-    val picked = users
-      .withColumn("_rn", F.row_number().over(
-        Window.orderBy(Splitter.hashKey(seed, F.col(queryCol)), F.col(queryCol))))
-      .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
-      .withColumn("_picked", F.col("_rn") <= F.col("_n") * userFraction)
+      .withColumn("_hk", Splitter.hashKey(seed, F.col(queryCol)))
+    val picked = graft.core.Ops.globalRowNumber(users, "_rn",
+        F.col("_hk").asc, F.col(queryCol).asc)
+      .crossJoin(F.broadcast(users.agg(F.count(F.lit(1)).as("_nq"))))
+      .withColumn("_picked", F.col("_rn") <= F.col("_nq") * userFraction)
       .select(F.col(queryCol), F.col("_picked"))
     val order = Seq(F.col(tsCol).asc) ++ tieCol.map(F.col(_).asc).toSeq
     val w = Window.partitionBy(queryCol).orderBy(order: _*)

@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
       "cropped item list should broadcast into the per-query cross join")
   }
 
+  test("entity-set ranks avoid single-partition global windows") {
+    // NewUsers/ColdUser splitters and the global item rank use the
+    // range-partition + zipWithIndex rank — a Window node here would mean
+    // the whole entity set sorts in one task at scale
+    for (q <- Seq("split_new_users", "split_cold_user", "window_global_rank")) {
+      val plan = optimizedPlan(q)
+      assert(!plan.contains("Window"), s"$q still plans a global window")
+    }
+  }
+
   test("metric kernels stay inside whole-stage codegen (no UDFs)") {
     val plan = optimizedPlan("metrics_ranking")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
