@@ -64,12 +64,20 @@ final class Word2VecRec(
     val window: Int = 5,
     val useIdf: Boolean = false,
     val seed: Long = 42,
+    // candidate generation: probe annProbe of annCentroids IVF lists per
+    // query instead of scoring the whole catalog (annCentroids = 0 → exact
+    // full cross join, the spec oracle). At a 10⁸-item catalog the cross
+    // join is the scale-killer; IVF bounds the per-query candidate set to
+    // ~|items|·annProbe/annCentroids with exact re-scoring on candidates.
+    val annCentroids: Int = 16,
+    val annProbe: Int = 4,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   import org.apache.spark.ml.feature.Word2Vec
 
   var itemVectors: DataFrame = _ // (item, vector array<double>)
   var userVectors: DataFrame = _ // (query, vector array<double>)
+  var itemIvf: graft.text.IvfIndex = _ // null when annCentroids == 0
 
   protected def doFit(log: DataFrame): Unit = {
     val sentences = log.groupBy(cols.query).agg(
@@ -109,14 +117,42 @@ final class Word2VecRec(
             F.size(F.col("_vs"))).as("vec"))
       .cache()
     userVectors.count()
+
+    // IVF only pays off (and KMeans only makes sense) when the catalog is
+    // meaningfully larger than the centroid count — else score exactly
+    if (annCentroids > 0 && itemVectors.count() >= annCentroids * 4L)
+      itemIvf = new graft.text.IvfIndex(nCentroids = annCentroids,
+        nProbe = annProbe, seed = seed, idCol = cols.item, vecCol = "vec")
+        .fit(itemVectors)
   }
+
+  private def dotCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x * y),
+      F.lit(0.0), (acc, v) => acc + v)
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
     val uv = userVectors.join(queries.select(cols.query), Seq(cols.query), "left_semi")
-    uv.crossJoin(itemVectors.withColumnRenamed("vec", "_iv"))
-      .select(F.col(cols.query), F.col(cols.item),
-        F.aggregate(F.zip_with(F.col("vec"), F.col("_iv"), (a, b) => a * b),
-          F.lit(0.0), (acc, v) => acc + v).as(cols.rating))
+    if (itemIvf == null)
+      // exact full-catalog scoring — the oracle path
+      uv.crossJoin(itemVectors.withColumnRenamed("vec", "_iv"))
+        .select(F.col(cols.query), F.col(cols.item),
+          dotCol(F.col("vec"), F.col("_iv")).as(cols.rating))
+    else {
+      // probe the annProbe nearest centroids (by dot — the scoring metric),
+      // then exact dot only on items in the probed inverted lists
+      val qc = uv.crossJoin(F.broadcast(itemIvf.centroidFrame))
+        .withColumn("_d", dotCol(F.col("vec"), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(
+          Window.partitionBy(cols.query)
+            .orderBy(F.col("_d").desc, F.col("_centroid").asc)))
+        .filter(F.col("_rn") <= annProbe)
+        .select(F.col(cols.query), F.col("vec"), F.col("_centroid"))
+      qc.join(itemIvf.assigned.select(F.col(cols.item).as(cols.item),
+          F.col("vec").as("_iv"), F.col("_centroid")), Seq("_centroid"))
+        .select(F.col(cols.query), F.col(cols.item),
+          dotCol(F.col("vec"), F.col("_iv")).as(cols.rating))
+    }
   }
 
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =

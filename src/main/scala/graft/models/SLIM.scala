@@ -26,13 +26,13 @@ final class SLIM(
   protected def doFit(log: DataFrame): Unit = {
     val spark = log.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
 
     // dense re-index users/items for array-backed math
     val users = log.select(cols.query).distinct().orderBy(cols.query)
       .collect().map(_.getLong(0)).zipWithIndex.toMap
     val items = log.select(cols.item).distinct().orderBy(cols.item)
       .collect().map(_.getLong(0)).zipWithIndex.toMap
-    val itemIds = items.toSeq.sortBy(_._2).map(_._1).toArray
     val nItems = items.size
 
     // CSC: per item, sorted (userIdx, rating) pairs
@@ -44,16 +44,42 @@ final class SLIM(
       buf.map(_.sortBy(_._1).toArray)
     }
     val bcCsc = spark.sparkContext.broadcast(csc)
-    val bcIds = spark.sparkContext.broadcast(itemIds)
+    val bcIdx = spark.sparkContext.broadcast(items)
     val (l1c, l2c, iters, tolc, maxNbr) = (l1, l2, maxIter, tol, maxNeighbours)
 
+    // candidate preselect, DISTRIBUTED (standard practical-SLIM feature
+    // selection): co-occurrence dots via one self-join shuffle on the user
+    // key (the ItemKNN plan), top-maxNeighbours per target item — no
+    // per-item scan over the whole catalog, so the preselect stage is
+    // O(co-occurring pairs), not O(|items|²). Ratings are integral in
+    // practice, so the distributed sums equal the driver-side dots exactly.
+    val base = log.select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
+    val lhs = base.select(F.col(cols.query), F.col(cols.item).as("_i1"),
+      F.col(cols.rating).as("_v1"))
+    val rhs = base.select(F.col(cols.query), F.col(cols.item).as("_i2"),
+      F.col(cols.rating).as("_v2"))
+    val dotsHalf = lhs.join(rhs, Seq(cols.query))
+      .filter(F.col("_i1") < F.col("_i2"))
+      .groupBy("_i1", "_i2").agg(F.sum(F.col("_v1") * F.col("_v2")).as("_d"))
+    val dotsSym = dotsHalf.unionByName(dotsHalf.select(
+      F.col("_i2").as("_i1"), F.col("_i1").as("_i2"), F.col("_d")))
+    val candW = Window.partitionBy("_i1")
+      .orderBy(F.col("_d").desc, F.col("_i2").asc)
+    val candLists = dotsSym.filter(F.col("_d") > 0)
+      .withColumn("_rn", F.row_number().over(candW))
+      .filter(F.col("_rn") <= maxNbr)
+      .groupBy("_i1").agg(
+        F.collect_list(F.struct(F.col("_rn"), F.col("_i2"), F.col("_d"))).as("_c"))
+      .select(F.col("_i1"),
+        F.transform(F.array_sort(F.col("_c")), x => x.getField("_i2")).as("_cids"),
+        F.transform(F.array_sort(F.col("_c")), x => x.getField("_d")).as("_corrs"))
+      .as[(Long, Seq[Long], Seq[Double])]
+
     // one coordinate-descent solve per target item, distributed over items
-    val sims = spark.createDataset(0 until nItems).repartition(
-        spark.sparkContext.defaultParallelism)
-      .flatMap { j =>
+    val sims = candLists.repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (jId, cIds, corrSeq) =>
         val m = bcCsc.value
-        val ids = bcIds.value
-        val n = m.length
+        val idx = bcIdx.value
         def dot(a: Array[(Int, Double)], b: Array[(Int, Double)]): Double = {
           var s = 0.0; var x = 0; var y = 0
           while (x < a.length && y < b.length) {
@@ -62,20 +88,10 @@ final class SLIM(
           }
           s
         }
-        val target = m(j)
-        // candidate preselect: only items correlated with the target take
-        // part in the solve (standard practical-SLIM feature selection —
-        // caps the CD cost per item at maxNeighbours², independent of the
-        // catalog size)
-        val corrAll = Array.tabulate(n)(i => if (i == j) 0.0 else dot(m(i), target))
-        val cand = (0 until n)
-          .filter(i => i != j && corrAll(i) > 0)
-          .sortBy(i => (-corrAll(i), i))
-          .take(maxNbr)
-          .toArray
+        val cand = cIds.map(idx).toArray
         val nc = cand.length
         val colNormSq = cand.map(i => m(i).map(v => v._2 * v._2).sum)
-        val corr = cand.map(corrAll)
+        val corr = corrSeq.toArray
         val w = new Array[Double](nc)
         val gram = Array.ofDim[Double](nc, nc)
         var gi = 0
@@ -114,7 +130,7 @@ final class SLIM(
           }
           it += 1
         }
-        (0 until nc).filter(i => w(i) > 0).map(i => (ids(cand(i)), ids(j), w(i)))
+        (0 until nc).filter(i => w(i) > 0).map(i => (cIds(i), jId, w(i)))
       }
       .toDF("item_one", "item_two", "similarity")
     materialize(sims)

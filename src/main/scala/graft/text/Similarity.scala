@@ -127,11 +127,14 @@ final class IvfIndex(
     this
   }
 
+  /** Tiny (nCentroids-row) frame of centroid vectors — always broadcast. */
+  def centroidFrame: DataFrame = assigned.sparkSession.createDataFrame(
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+  ).toDF("_centroid", "_cvec")
+
   /** Top-k cosine among vectors in the query's nProbe nearest centroids. */
   def search(queries: DataFrame, k: Int): DataFrame = {
-    val centroidDf = assigned.sparkSession.createDataFrame(
-      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-    ).toDF("_centroid", "_cvec")
+    val centroidDf = centroidFrame
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("_qv"))
     // nearest nProbe centroids per query (centroid table is tiny → broadcast)
     val qc = q.crossJoin(F.broadcast(centroidDf))

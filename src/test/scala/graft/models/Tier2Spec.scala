@@ -35,6 +35,17 @@ class Tier2Spec extends SparkSpec {
     assert(iv.zip(uv).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("Word2Vec IVF candidate generation keeps >= 0.95 recall vs brute force") {
+    val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
+    val exact = new Word2VecRec(vectorSize = 8, annCentroids = 0)
+      .fitPredict(i, 5).cache()
+    val ann = new Word2VecRec(vectorSize = 8, annCentroids = 8, annProbe = 4)
+      .fitPredict(i, 5)
+    val hits = ann.join(exact, Seq("query_id", "item_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.95, s"ANN recall vs brute force = $recall")
+  }
+
   test("ClusterRec groups users by features and recommends cluster items") {
     val qf = Seq((0L, 1.0), (1L, 1.1), (2L, 9.0), (3L, 9.1))
       .toDF("query_id", "f1")
