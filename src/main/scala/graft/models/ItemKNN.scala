@@ -13,9 +13,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale: the user self-join is the hazard (power-law users explode the
   * per-user pair count — SURVEY §7.4.3). `maxUserHistory` caps each user's
-  * contribution to a deterministic `maxUserHistory`-item subset (ordered
-  * by item id — timestamps are already projected away at this point)
-  * before the join, bounding the per-user pair fan-out; AQE skew-join
+  * contribution to a deterministic pseudo-random `maxUserHistory`-item
+  * subset (portable-hash order — unbiased w.r.t. item ids) before the
+  * join, bounding the per-user pair fan-out; AQE skew-join
   * handles residual skew. Pair generation is item1 < item2 then
   * symmetrized, halving the shuffle volume.
   */
@@ -62,9 +62,14 @@ final class ItemKNN(
 
   protected def doFit(log: DataFrame): Unit = {
     val weighted0 = reweight(log)
-    // cap per-user history to bound the self-join fan-out
+    // cap per-user history to bound the self-join fan-out; crop order is
+    // the portable hash of (user, item) — a deterministic pseudo-random
+    // subset, not the lowest item ids (which would bias capped users'
+    // contributions toward one corner of the catalog)
     val weighted = if (maxUserHistory > 0) {
-      val w = Window.partitionBy(cols.query).orderBy(F.col(cols.item).asc)
+      val w = Window.partitionBy(cols.query).orderBy(
+        graft.core.PortableHash.key(7, F.col(cols.query), F.col(cols.item)),
+        F.col(cols.item).asc)
       weighted0.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
     } else weighted0

@@ -69,6 +69,24 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
 
   def fitPredict(log: DataFrame, k: Int): DataFrame = fit(log).predict(log, k)
 
+  /** Sparse action distribution for off-policy evaluation (reference
+    * `_predict_proba`, base_rec.py:371-430): probability that `query` is
+    * shown `item` at top-k position `position` (0-based). The reference
+    * pivots this to a dense (n_users, n_items, k) numpy array on the
+    * driver; the distributed sparse frame here is the same tensor without
+    * the scale-killing collect — deterministic rankers put mass 1.0 on one
+    * item per position. */
+  def predictProba(log: DataFrame, k: Int,
+      queries: Option[DataFrame] = None,
+      filterSeen: Boolean = true): DataFrame = {
+    val recs = predict(log, k, queries, filterSeen)
+    val w = Window.partitionBy(cols.query)
+      .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)
+    recs.withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+      .select(F.col(cols.query), F.col(cols.item),
+        F.col("position"), F.lit(1.0).as("prob"))
+  }
+
   /** Score explicit (query, item) pairs (reference predict_pairs,
     * base_rec.py:502-603). Default: join pair keys onto the full score. */
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame

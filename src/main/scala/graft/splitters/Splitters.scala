@@ -51,10 +51,12 @@ object Splitter {
 
   /** Repair split flags that cut a session in half: every event of a
     * (user, session) takes the flag of the session's LAST event
-    * (reference base_splitter.py:198-209 first/last over unbounded window). */
+    * (reference base_splitter.py:198-209 first/last over unbounded window).
+    * `tieCols` break timestamp ties so "last" is deterministic. */
   def repairSessions(marked: DataFrame, queryCol: String, sessionCol: String,
-      tsCol: String): DataFrame = {
-    val w = Window.partitionBy(queryCol, sessionCol).orderBy(F.col(tsCol).asc)
+      tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order = F.col(tsCol).asc +: tieCols.map(F.col(_).asc)
+    val w = Window.partitionBy(queryCol, sessionCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     marked.withColumn("is_test", F.last("is_test").over(w))
   }

@@ -24,6 +24,18 @@ class ModelsSpec extends SparkSpec {
     assert(recs == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("predictProba is a one-hot action distribution per (query, position)") {
+    val p = new PopRec().fit(log).predictProba(log, k = 2)
+    // every (query, position) cell carries total mass exactly 1.0 (≤ 1 per
+    // the OBP contract; deterministic rankers are one-hot)
+    val sums = p.groupBy("query_id", "position").agg(F.sum("prob").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(_ == 1.0))
+    // positions are 0-based and bounded by k
+    assert(p.agg(F.max("position")).first().getLong(0) < 2L)
+    assert(p.agg(F.min("position")).first().getLong(0) == 0L)
+  }
+
   test("PopRec useRating sums ratings") {
     val weighted = Seq((0L, 0L, 5.0), (1L, 0L, 1.0), (1L, 1L, 3.0))
       .toDF("query_id", "item_id", "rating")

@@ -46,6 +46,13 @@ class Tier2Spec extends SparkSpec {
     assert(recall >= 0.95, s"ANN recall vs brute force = $recall")
   }
 
+  test("solver-backed models clear the NDCG quality floor") {
+    val rows = graft.SparkEntry.queries("model_quality_floor")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 3, rows.mkString(", "))
+    assert(rows.forall(_.getBoolean(3)), rows.mkString(", "))
+  }
+
   test("ClusterRec groups users by features and recommends cluster items") {
     val qf = Seq((0L, 1.0), (1L, 1.1), (2L, 9.0), (3L, 9.1))
       .toDF("query_id", "f1")
