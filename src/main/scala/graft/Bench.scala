@@ -49,8 +49,11 @@ object Bench {
       Tables.events(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
 
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val t0 = System.nanoTime()
       val ok = try { qs(name)(spark, sfDir).count(); true }
       catch { case e: Throwable =>

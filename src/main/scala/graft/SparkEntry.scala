@@ -1026,7 +1026,7 @@ object SparkEntry {
          |        UNION ALL
          |        SELECT item_two, item_one, dot FROM dots),
          |sims AS (
-         |  SELECT item_one, item_two, round(dot/(n1.nrm*n2.nrm + 0.0), 9) AS similarity
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
          |  FROM sym
          |  JOIN norms n1 ON sym.item_one = n1.item_id
          |  JOIN norms n2 ON sym.item_two = n2.item_id)
@@ -1047,7 +1047,7 @@ object SparkEntry {
          |        UNION ALL
          |        SELECT item_two, item_one, dot FROM dots),
          |sims AS (
-         |  SELECT item_one, item_two, round(dot/(n1.nrm*n2.nrm + 0.0), 9) AS similarity
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
          |  FROM sym
          |  JOIN norms n1 ON sym.item_one = n1.item_id
          |  JOIN norms n2 ON sym.item_two = n2.item_id),

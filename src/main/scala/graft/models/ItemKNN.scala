@@ -62,13 +62,15 @@ final class ItemKNN(
 
   protected def doFit(log: DataFrame): Unit = {
     val weighted0 = reweight(log)
-    // cap per-user history to bound the self-join fan-out; crop order is
-    // the portable hash of (user, item) — a deterministic pseudo-random
-    // subset, not the lowest item ids (which would bias capped users'
-    // contributions toward one corner of the catalog)
+    // cap per-user history to bound the self-join fan-out; crop order is a
+    // deterministic hash of (user, item) — a pseudo-random subset, not the
+    // lowest item ids (which would bias capped users' contributions toward
+    // one corner of the catalog). xxhash64, not the md5 portable hash: the
+    // cap is never oracle-mirrored and the long sort key is ~3× cheaper
+    // than a hex-string one.
     val weighted = if (maxUserHistory > 0) {
       val w = Window.partitionBy(cols.query).orderBy(
-        graft.core.PortableHash.key(7, F.col(cols.query), F.col(cols.item)),
+        F.xxhash64(F.col(cols.query), F.col(cols.item)),
         F.col(cols.item).asc)
       weighted0.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
@@ -92,13 +94,16 @@ final class ItemKNN(
         .withColumnRenamed("_norm", "_n1"), Seq("item_one"))
       .join(norms.withColumnRenamed(cols.item, "item_two")
         .withColumnRenamed("_norm", "_n2"), Seq("item_two"))
-      .select(F.col("item_one"), F.col("item_two"),
-        // round to 9 decimals BEFORE the top-k window: weighted dots are
-        // float sums (partition-order dependent at the last ulp), and an
-        // unrounded similarity would make the neighbour ranking
-        // non-deterministic across engines/runs
-        F.round(F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink)), 9)
-          .as("similarity"))
+      .select(F.col("item_one"), F.col("item_two"), {
+        val sim = F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink))
+        // weighted dots are float sums (partition-order dependent at the
+        // last ulp) — round to 9 decimals BEFORE the top-k window so the
+        // neighbour ranking is deterministic across engines/runs. The
+        // unweighted path sums products of exact 1.0s: already exact in
+        // any order, and round() on doubles is BigDecimal-backed (~15%
+        // of fit time at sf0.1), so skip it there.
+        (if (weighting.isEmpty) sim else F.round(sim, 9)).as("similarity")
+      })
 
     // symmetrize (unionByName, reference association_rules.py:229-235 style)
     val sym = half.unionByName(half.select(

@@ -107,15 +107,20 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     itemPopularity.count() // eager, reference pop_rec.py:135
   }
 
+  /** Top-`limit` items by rating with their global rank. `orderBy.limit`
+    * lowers to TakeOrderedAndProject — each partition keeps only `limit`
+    * rows, merged once — so no task ever sorts the whole catalog; the rank
+    * window then runs on the already-limited (k+maxSeen-sized) set. */
+  protected def topRanked(limit: Int): DataFrame =
+    itemPopularity
+      .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc).limit(limit)
+      .withColumn("_rank", F.row_number().over(
+        Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
+
   protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
-    // rank items ONCE globally (distributed range-partition rank — no
-    // single-partition window over the catalog), crop to k+maxSeen, then
-    // cross join: the cropped item list is tiny → broadcast; no per-query
-    // shuffle (reference base_rec.py:1235-1257)
-    val ranked = Ops.globalRowNumber(itemPopularity, "_rank",
-        F.col(cols.rating).desc, F.col(cols.item).asc)
-      .filter(F.col("_rank") <= k + maxSeen)
-      .drop("_rank")
+    // rank/crop ONCE globally, then cross join: the cropped item list is
+    // tiny → broadcast; no per-query shuffle (reference base_rec.py:1235-1257)
+    val ranked = topRanked(k + maxSeen).drop("_rank")
     queries.select(cols.query).crossJoin(F.broadcast(ranked))
   }
 
@@ -143,9 +148,7 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
-    val ranked = Ops.globalRowNumber(itemPopularity, "_rank",
-        F.col(cols.rating).desc, F.col(cols.item).asc)
-      .filter(F.col("_rank") <= k + maxSeen)
+    val ranked = topRanked(k + maxSeen.toInt)
     val cand = qs.select(cols.query)
       .join(seenCnt, Seq(cols.query), "left")
       .na.fill(0L, Seq("_seen"))
