@@ -280,10 +280,13 @@ object SparkEntry {
       m.itemPopularity.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
     "model_klucb" -> ((s, d) => {
-      // bisection-solver UDF — not SQL-expressible, rows-only check
+      // bisection solver: deterministic branch sequence — the oracle
+      // unrolls the same bisection as a recursive CTE; round 6 absorbs
+      // sub-1e-6 tail divergence from last-ulp ln() differences
       val binary = Tables.interactions(s, d)
         .withColumn("rating", (F.col("rating") > 25).cast("double"))
-      new models.KLUCB().fit(binary).itemPopularity
+      val pop = new models.KLUCB().fit(binary).itemPopularity
+      pop.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
     "model_thompson" -> ((s, d) => {
       // seeded Beta sampling — rows-only check
@@ -438,7 +441,8 @@ object SparkEntry {
         .select("query_id", "item_id", "rating")
     }),
     "model_linucb" -> ((s, d) => {
-      // distributed sufficient stats + driver d×d inversion — rows-only
+      // distributed sufficient stats; d=2 → closed-form adjugate inverse,
+      // mirrored term-by-term in the oracle; round-9 pre-rank, 6 on output
       val i = Tables.interactions(s, d)
         .withColumn("rating", (F.col("rating") > 25).cast("double"))
       val qf = Tables.customer(s, d).select(
@@ -446,6 +450,8 @@ object SparkEntry {
         (F.col("c_acctbal") / 1000).as("f1"),
         F.col("c_nationkey").cast("double").as("f2"))
       new models.LinUCB(alpha = 0.5).fit(i, qf).predict(qf, k = 3)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.round(F.col("rating"), 6).as("rating"))
     }),
     "model_quality_floor" -> ((s, d) => {
       // gate-visible learning certificate for the solver-backed models
@@ -1002,6 +1008,60 @@ object SparkEntry {
          |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
          |  6) AS rating
          |FROM pt""".stripMargin,
+    // KL-UCB: the per-item bisection unrolled as a recursive CTE with the
+    // exact same clamp/target/branch arithmetic as the Scala solver.
+    "model_klucb" ->
+      s"""${interactionsSql.replaceFirst("WITH", "WITH RECURSIVE")},
+         |pt AS (
+         |  SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM interactions GROUP BY item_id),
+         |base AS (
+         |  SELECT item_id,
+         |    greatest(least(pos/total, 1 - 1e-9), 1e-9) AS p,
+         |    ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total AS target
+         |  FROM pt),
+         |bis AS (
+         |  SELECT item_id, p, target, p AS lo, 1 - 1e-9 AS hi, 0 AS i FROM base
+         |  UNION ALL
+         |  SELECT item_id, p, target,
+         |    CASE WHEN p * ln(p/mid) + (1-p) * ln((1-p)/(1-mid)) > target
+         |         THEN lo ELSE mid END AS lo,
+         |    CASE WHEN p * ln(p/mid) + (1-p) * ln((1-p)/(1-mid)) > target
+         |         THEN mid ELSE hi END AS hi,
+         |    i + 1 AS i
+         |  FROM (SELECT *, (lo + hi)/2 AS mid FROM bis
+         |        WHERE hi - lo > 1e-9 AND i < 100)),
+         |fin AS (SELECT item_id, lo, hi,
+         |  row_number() OVER (PARTITION BY item_id ORDER BY i DESC) AS rn FROM bis)
+         |SELECT item_id, round((lo + hi)/2, 6) AS rating FROM fin WHERE rn = 1""".stripMargin,
+    // LinUCB (d=2): per-arm Gram/b sums, closed-form adjugate inverse and
+    // scoring mirrored with the same operand order as the Scala solver.
+    "model_linucb" ->
+      s"""$interactionsSql,
+         |feats AS (SELECT c_custkey AS query_id, c_acctbal/1000 AS f1,
+         |          CAST(c_nationkey AS DOUBLE) AS f2 FROM customer),
+         |j AS (SELECT i.item_id, f.f1, f.f2,
+         |      CASE WHEN i.rating > 25 THEN 1.0 ELSE 0.0 END AS r
+         |      FROM interactions i JOIN feats f ON i.query_id = f.query_id),
+         |g AS (SELECT item_id, sum(f1*f1) AS g11, sum(f1*f2) AS g12,
+         |             sum(f2*f2) AS g22, sum(f1*r) AS b1, sum(f2*r) AS b2
+         |      FROM j GROUP BY 1),
+         |dets AS (SELECT *, (g11 + 1.0) * (g22 + 1.0) - g12 * g12 AS det FROM g),
+         |arms AS (SELECT item_id,
+         |  (g22 + 1.0) / det AS ai11, -g12 / det AS ai12,
+         |  -g12 / det AS ai21, (g11 + 1.0) / det AS ai22, b1, b2 FROM dets),
+         |th AS (SELECT *,
+         |  ai11 * b1 + ai12 * b2 AS t1, ai21 * b1 + ai22 * b2 AS t2 FROM arms),
+         |sc AS (SELECT f.query_id, a.item_id,
+         |  round((t1 * f1 + t2 * f2) + 0.5 * sqrt(
+         |    f1 * (ai11 * f1 + ai12 * f2) + f2 * (ai21 * f1 + ai22 * f2)), 9) AS rating
+         |  FROM feats f CROSS JOIN th a)
+         |SELECT query_id, item_id, round(rating, 6) AS rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM sc) WHERE rn <= 3""".stripMargin,
     "model_random_rec" ->
       s"""$interactionsSql,
          |w AS (SELECT item_id, CAST(count(*) AS DOUBLE) AS wt

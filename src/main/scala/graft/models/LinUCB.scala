@@ -55,10 +55,22 @@ final class LinUCB(
       val item = row.getLong(0)
       val gram = row.getSeq[Double](1).toArray
       val bvec = row.getSeq[Double](2).toArray
-      val A = DenseMatrix.create(d, d, gram) + DenseMatrix.eye[Double](d) * lam
-      val aInv = inv(A)
-      val theta = aInv * DenseVector(bvec)
-      (item, theta.toArray, aInv.toArray)
+      if (d == 2) {
+        // closed-form adjugate inverse — the exact arithmetic the SQL
+        // oracle mirrors (LAPACK's LU path below rounds differently)
+        val a11 = gram(0) + lam; val a12 = gram(1)
+        val a21 = gram(2); val a22 = gram(3) + lam
+        val det = a11 * a22 - a12 * a21
+        val ai = Array(a22 / det, -a12 / det, -a21 / det, a11 / det)
+        val theta = Array(ai(0) * bvec(0) + ai(1) * bvec(1),
+          ai(2) * bvec(0) + ai(3) * bvec(1))
+        (item, theta, ai)
+      } else {
+        val A = DenseMatrix.create(d, d, gram) + DenseMatrix.eye[Double](d) * lam
+        val aInv = inv(A)
+        val theta = aInv * DenseVector(bvec)
+        (item, theta.toArray, aInv.toArray)
+      }
     }.toDF(cols.item, "theta", "ainv")
     armState = solved.cache()
     armState.count()
@@ -81,9 +93,12 @@ final class LinUCB(
           F.element_at(F.col("_x"), j + 1)))
     val quad = F.aggregate(F.zip_with(F.col("_x"), aInvX, (a, b) => a * b),
       F.lit(0.0), (acc, v) => acc + v)
+    // round to 9 before ranking: the distributed Gram sums are float-order
+    // dependent at the last ulp; unrounded scores would make the top-k
+    // membership nondeterministic across layouts/engines
     val scored = q.crossJoin(armState)
       .select(F.col(cols.query), F.col(cols.item),
-        (thetaX + F.lit(alpha) * F.sqrt(quad)).as(cols.rating))
+        F.round(thetaX + F.lit(alpha) * F.sqrt(quad), 9).as(cols.rating))
     val w = Window.partitionBy(cols.query)
       .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)
     scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
