@@ -98,13 +98,20 @@ object Ops {
       itemCol: String = ItemId,
       ratingCol: String = Rating,
   ): DataFrame = {
-    val Row2 = main.agg(F.min(ratingCol), F.max(ratingCol)).first()
-    val fbRow = fallback.agg(F.min(ratingCol), F.max(ratingCol)).first()
-    if (fbRow.isNullAt(0)) return main
-    val mainMin = if (Row2.isNullAt(0)) 0.0 else Row2.getDouble(0)
-    val fbMax   = fbRow.getDouble(1)
+    // shift constant as broadcast 1-row aggregates, NOT driver actions:
+    // the old first()-based shift ran the main and fallback plans twice
+    // (once for the scalars, once in the join); lazy scalars keep it one
+    // job and let AQE reuse the aggregation exchanges. Empty fallback →
+    // zero shifted rows → the merge degenerates to main, same as before.
+    val mm = main.agg(
+      F.coalesce(F.min(ratingCol), F.lit(0.0)).as("_main_min"))
+    val fm = fallback.agg(F.max(ratingCol).as("_fb_max"))
     // shift so max(fallback) < min(main)  (reference spark_utils.py:497-503)
-    val shifted = fallback.withColumn(ratingCol, F.col(ratingCol) - F.lit(fbMax - mainMin + 1.0))
+    val shifted = fallback
+      .crossJoin(F.broadcast(fm)).crossJoin(F.broadcast(mm))
+      .withColumn(ratingCol,
+        F.col(ratingCol) - (F.col("_fb_max") - F.col("_main_min") + F.lit(1.0)))
+      .drop("_fb_max", "_main_min")
     val m = main.select(F.col(queryCol), F.col(itemCol), F.col(ratingCol).as("_r_main"))
     val f = shifted.select(F.col(queryCol), F.col(itemCol), F.col(ratingCol).as("_r_fb"))
     m.join(f, Seq(queryCol, itemCol), "full_outer")
