@@ -312,6 +312,14 @@ object SparkEntry {
       m.predict(i, k = 5)
         .select(F.col("query_id"), F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
+    "model_pop_rec_items" -> ((s, d) => {
+      // candidate-restricted predict (reference _predict_wrap `items` arg,
+      // base_rec.py:316-342): catalog filtered BEFORE the rank crop
+      val i = Tables.interactions(s, d)
+      val big = Tables.part(s, d).filter(F.col("p_size") >= 25)
+        .select(F.col("p_partkey").as("item_id"))
+      new models.PopRec().fit(i).predict(i, k = 5, items = Some(big))
+    }),
     "model_predict_proba" -> ((s, d) => {
       // sparse OBP action distribution (base_rec.py:371-430): one-hot over
       // (item, position) per query for a deterministic ranker
@@ -948,6 +956,38 @@ object SparkEntry {
          |  CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
          |unseen AS (
          |  SELECT c.* FROM cand c ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) s
+         |    ON c.query_id = s.query_id AND c.item_id = s.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_pop_rec_items" ->
+      s"""$interactionsSql,
+         |pop AS (
+         |  SELECT item_id,
+         |    count(DISTINCT query_id) /
+         |      CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE)
+         |    AS rating
+         |  FROM interactions GROUP BY item_id),
+         |rpop AS (SELECT p.* FROM pop p
+         |         WHERE p.item_id IN (SELECT p_partkey FROM part WHERE p_size >= 25)),
+         |ms AS (SELECT max(c) AS mx FROM (
+         |  SELECT count(*) AS c FROM interactions GROUP BY query_id)),
+         |ranked AS (SELECT item_id, rating,
+         |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM rpop),
+         |cand AS (
+         |  SELECT q.query_id, r.item_id, r.rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) q
+         |  CROSS JOIN ranked r),
+         |percand AS (
+         |  SELECT c.* FROM cand c
+         |  JOIN (SELECT query_id, count(*) AS seen FROM interactions GROUP BY 1) s
+         |    ON c.query_id = s.query_id
+         |  JOIN ranked r ON c.item_id = r.item_id
+         |  WHERE r.rnk <= 5 + s.seen AND r.rnk <= 5 + (SELECT mx FROM ms)),
+         |unseen AS (
+         |  SELECT c.* FROM percand c ANTI JOIN
          |    (SELECT DISTINCT query_id, item_id FROM interactions) s
          |    ON c.query_id = s.query_id AND c.item_id = s.item_id)
          |SELECT query_id, item_id, rating FROM (

@@ -37,9 +37,15 @@ final class ALSRec(
         F.col("features")), cols.item, "features"))
   }
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame =
-    ann match {
-      case Some(ix) =>
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame =
+    (ann, items) match {
+      case (_, Some(it)) =>
+        // candidate restriction → score explicit pairs via model.transform
+        // (reference als.py:137-146 switches off the blocked top-k path)
+        predictPairs(queries.select(cols.query).crossJoin(
+          it.select(cols.item).distinct()), null)
+      case (Some(ix), None) =>
         val uf = model.userFactors
           .select(F.col("id").cast("long").as(cols.query), F.col("features"))
           .join(queries.select(F.col(cols.query).cast("long").as(cols.query)),
@@ -47,7 +53,7 @@ final class ALSRec(
         ix.candidates(uf, cols.query, "features")
           .select(F.col(cols.query), F.col(cols.item).cast("long").as(cols.item),
             F.col("score").cast("double").as(cols.rating))
-      case None =>
+      case (None, None) =>
         val users = queries.select(F.col(cols.query).cast("int").as(cols.query))
         model.recommendForUserSubset(users, k + maxSeen)
           .select(F.col(cols.query), F.explode(F.col("recommendations")).as("_r"))
@@ -136,16 +142,19 @@ final class Word2VecRec(
     ann.foreach(_.fit(itemVectors, cols.item, "vec"))
   }
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame = {
     val uv = userVectors.join(queries.select(cols.query), Seq(cols.query), "left_semi")
-    ann match {
-      case Some(ix) =>
+    (ann, items) match {
+      case (Some(ix), None) =>
         ix.candidates(uv, cols.query, "vec")
           .select(F.col(cols.query), F.col(cols.item),
             F.col("score").as(cols.rating))
-      case None =>
-        // exact full-catalog scoring — the oracle path
-        uv.crossJoin(itemVectors.withColumnRenamed("vec", "_iv"))
+      case _ =>
+        // exact scoring over the (optionally restricted) catalog — the
+        // oracle path; a restricted catalog is usually small enough that
+        // the exact join is the right plan anyway
+        uv.crossJoin(restrictItems(itemVectors, items).withColumnRenamed("vec", "_iv"))
           .select(F.col(cols.query), F.col(cols.item),
             AnnIndex.dot(F.col("vec"), F.col("_iv")).as(cols.rating))
     }

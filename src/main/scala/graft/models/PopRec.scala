@@ -42,8 +42,10 @@ final class QueryPopRec(cols: RecCols = RecCols()) extends BaseRecommender(cols)
     queryProfile.count()
   }
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame =
-    queryProfile.join(queries.select(cols.query), Seq(cols.query), "left_semi")
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame =
+    restrictItems(queryProfile, items)
+      .join(queries.select(cols.query), Seq(cols.query), "left_semi")
 
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
     pairs.join(queryProfile, Seq(cols.query, cols.item), "left")

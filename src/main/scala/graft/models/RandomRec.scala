@@ -42,7 +42,8 @@ final class RandomRec(
     itemWeights.count()
   }
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame = {
     val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
       .cast("double") / F.lit(math.pow(2, 60))
     // Efraimidis–Spirakis: sample-without-replacement by weight w selects
@@ -50,7 +51,7 @@ final class RandomRec(
     // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
     // and high-weight items win as the distribution demands.
     // u in [0,1); epsilon guards ln(0).
-    queries.select(cols.query).crossJoin(itemWeights)
+    queries.select(cols.query).crossJoin(restrictItems(itemWeights, items))
       .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
       .drop("_w")
   }

@@ -37,17 +37,29 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
     this
   }
 
+  /** Restrict an item-keyed state frame to a candidate item set
+    * (reference `_filter_interactions_queries_items_dataframes`,
+    * base_rec.py:316-342). Applied to the model STATE before any rank
+    * crop, so restricted top-k stays exact. */
+  protected def restrictItems(df: DataFrame, items: Option[DataFrame]): DataFrame =
+    items.map(it => df.join(it.select(F.col(cols.item)).distinct(),
+      Seq(cols.item), "left_semi")).getOrElse(df)
+
   /** Lazy (query, item, rating) scores for the given queries, already
-    * bounded to ~k+maxSeen candidates per query where possible. */
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame
+    * bounded to ~k+maxSeen candidates per query where possible; `items`
+    * (when given) restricts the candidate catalog BEFORE any crop. */
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame
 
   /** Top-k recommendations per query (reference _predict_wrap,
-    * base_rec.py:258-314). `filterSeen` drops history pairs first. */
+    * base_rec.py:258-314). `filterSeen` drops history pairs first;
+    * `items` restricts candidates to the given item set. */
   def predict(
       log: DataFrame,
       k: Int,
       queries: Option[DataFrame] = None,
       filterSeen: Boolean = true,
+      items: Option[DataFrame] = None,
   ): DataFrame = {
     // loaded models (ModelIO) have no fit frames → fall back to the log
     val qs = queries.orElse(Option(fitQueriesDf))
@@ -60,7 +72,7 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
           case r                  => r.getLong(0).toInt
         }
       else 0
-    var recs = score(qs, k, maxSeen)
+    var recs = score(qs, k, maxSeen, items)
     if (filterSeen)
       recs = recs.join(history.select(cols.query, cols.item).distinct(),
         Seq(cols.query, cols.item), "left_anti")
@@ -107,20 +119,22 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     itemPopularity.count() // eager, reference pop_rec.py:135
   }
 
-  /** Top-`limit` items by rating with their global rank. `orderBy.limit`
-    * lowers to TakeOrderedAndProject — each partition keeps only `limit`
-    * rows, merged once — so no task ever sorts the whole catalog; the rank
+  /** Top-`limit` items by rating with their global rank, optionally
+    * restricted to a candidate item set first. `orderBy.limit` lowers to
+    * TakeOrderedAndProject — each partition keeps only `limit` rows,
+    * merged once — so no task ever sorts the whole catalog; the rank
     * window then runs on the already-limited (k+maxSeen-sized) set. */
-  protected def topRanked(limit: Int): DataFrame =
-    itemPopularity
+  protected def topRanked(limit: Int, items: Option[DataFrame] = None): DataFrame =
+    restrictItems(itemPopularity, items)
       .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc).limit(limit)
       .withColumn("_rank", F.row_number().over(
         Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame = {
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame = {
     // rank/crop ONCE globally, then cross join: the cropped item list is
     // tiny → broadcast; no per-query shuffle (reference base_rec.py:1235-1257)
-    val ranked = topRanked(k + maxSeen).drop("_rank")
+    val ranked = topRanked(k + maxSeen, items).drop("_rank")
     queries.select(cols.query).crossJoin(F.broadcast(ranked))
   }
 
@@ -137,8 +151,9 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       k: Int,
       queries: Option[DataFrame] = None,
       filterSeen: Boolean = true,
+      items: Option[DataFrame] = None,
   ): DataFrame = {
-    if (!filterSeen) return super.predict(log, k, queries, filterSeen)
+    if (!filterSeen) return super.predict(log, k, queries, filterSeen, items)
     val qs = queries.orElse(Option(fitQueriesDf))
       .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
@@ -148,7 +163,7 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
-    val ranked = topRanked(k + maxSeen.toInt)
+    val ranked = topRanked(k + maxSeen.toInt, items)
     val cand = qs.select(cols.query)
       .join(seenCnt, Seq(cols.query), "left")
       .na.fill(0L, Seq("_seen"))
@@ -180,7 +195,8 @@ abstract class NeighbourRec(cols: RecCols = RecCols()) extends BaseRecommender(c
     similarity.count()
   }
 
-  protected def score(queries: DataFrame, k: Int, maxSeen: Int): DataFrame =
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame =
     throw new UnsupportedOperationException("NeighbourRec scores from history; use predict")
 
   override def predict(
@@ -188,17 +204,23 @@ abstract class NeighbourRec(cols: RecCols = RecCols()) extends BaseRecommender(c
       k: Int,
       queries: Option[DataFrame] = None,
       filterSeen: Boolean = true,
+      items: Option[DataFrame] = None,
   ): DataFrame = {
     val qs = queries.orElse(Option(fitQueriesDf))
       .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
+    // candidate restriction: filter the similarity table on the PREDICTED
+    // side before the sum — commutes with the per-item aggregation
+    val sim = items.map(it => similarity.join(
+      it.select(F.col(cols.item).as("item_two")).distinct(),
+      Seq("item_two"), "left_semi")).getOrElse(similarity)
     // history ⋈ similarity: shuffle on item — the similarity side is
     // already cropped to top neighbours per item, bounding the fan-out
     // round to 9 decimals before ranking: float sums are partition-order
     // dependent at the last ulp, and an unrounded rating would make
     // "equal" candidates rank differently between runs/layouts
     var recs = history.select(F.col(cols.query), F.col(cols.item))
-      .join(similarity, F.col(cols.item) === F.col("item_one"))
+      .join(sim, F.col(cols.item) === F.col("item_one"))
       .groupBy(F.col(cols.query), F.col("item_two").as(cols.item))
       .agg(F.round(F.sum("similarity"), 9).as(cols.rating))
     if (filterSeen)

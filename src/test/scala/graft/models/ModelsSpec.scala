@@ -36,6 +36,21 @@ class ModelsSpec extends SparkSpec {
     assert(p.agg(F.min("position")).first().getLong(0) == 0L)
   }
 
+  test("items-restricted predict stays within the candidate set, pre-crop") {
+    val allowed = Seq(Tuple1(0L)).toDF("item_id")
+    // user 0 has seen 0,1; restricted to {0} with filterSeen → no recs;
+    // users 1,2 haven't seen 0 → get it (even though item 2 outranks 0
+    // globally for user 0 — the restriction must apply before the crop)
+    val recs = new PopRec().fit(log)
+      .predict(log, k = 1, items = Some(allowed)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recs == Map(1L -> 0L, 2L -> 0L))
+    // NeighbourRec path: ItemKNN restricted to {2}
+    val knn = new ItemKNN(numNeighbours = 2).fit(log)
+      .predict(log, k = 2, items = Some(Seq(Tuple1(2L)).toDF("item_id")))
+    assert(knn.select("item_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("PopRec useRating sums ratings") {
     val weighted = Seq((0L, 0L, 5.0), (1L, 0L, 1.0), (1L, 1L, 3.0))
       .toDF("query_id", "item_id", "rating")
