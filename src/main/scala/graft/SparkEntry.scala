@@ -396,6 +396,13 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionWindows(
         Tables.events(s, d), gapSeconds = 1800)
     }),
+    "streaming_dedup" -> ((s, d) => {
+      // batch twin of the watermarked streaming dedup (StreamingSpec runs
+      // the real stream): one surviving row per content fingerprint
+      val docs = Tables.documents(s, d)
+        .select(graft.text.TextStats.fingerprint(F.col("text")).as("fp"))
+      graft.streaming.StreamingOps.streamingDedup(docs, Seq("fp"))
+    }),
     "agg_percentile" -> ((s, d) => {
       // exact interpolated percentile (§2.4; percentile_approx reserved
       // for scale) — parity with DuckDB quantile_cont
@@ -522,6 +529,26 @@ object SparkEntry {
       val out = graft.metrics.Metrics.compute(
         recs, gt, graft.metrics.Metrics.RankingMetrics, Seq(5))
       out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+    }),
+    "metrics_descriptors" -> ((s, d) => {
+      // Mean / Median / CI descriptors over per-user metric values
+      // (descriptors.py:35-130) — one row per descriptor
+      import graft.metrics.{Descriptor, Metrics}
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      val gt = test.select("query_id", "item_id").distinct()
+      def row(name: String, dsc: Descriptor): DataFrame = {
+        val o = Metrics.compute(recs, gt, Seq("hit_rate", "ndcg"), Seq(5), dsc)
+        o.select(F.lit(name).as("descriptor"),
+          F.round(F.col("hit_rate_at_5"), 6).as("hit_rate_at_5"),
+          F.round(F.col("ndcg_at_5"), 6).as("ndcg_at_5"))
+      }
+      row("mean", Descriptor.Mean)
+        .unionByName(row("median", Descriptor.Median))
+        .unionByName(row("ci", Descriptor.ConfidenceInterval(1.96)))
     }),
     "metrics_catalog" -> ((s, d) => {
       import graft.metrics.Metrics
@@ -1314,6 +1341,9 @@ object SparkEntry {
          |          - epoch_us(timestamp) AS DOUBLE) / (86400.0 * 1e6)), 0.0)
          |  AS rating
          |FROM interactions""".stripMargin,
+    "streaming_dedup" ->
+      """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
     "streaming_session_window" ->
       """WITH se AS (
         |  SELECT user_id, ts, value,
@@ -1335,6 +1365,19 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "metrics_ranking" -> metricsRankingSql,
     "metrics_ranking_bounded" -> metricsRankingSql,
+    "metrics_descriptors" ->
+      s"""$metricsPuSql
+         |SELECT 'mean' AS descriptor, round(avg(hr), 6) AS hit_rate_at_5,
+         |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM pu
+         |UNION ALL
+         |SELECT 'median' AS descriptor,
+         |  round(quantile_cont(hr, 0.5), 6) AS hit_rate_at_5,
+         |  round(quantile_cont(ndcg_, 0.5), 6) AS ndcg_at_5 FROM pu
+         |UNION ALL
+         |SELECT 'ci' AS descriptor,
+         |  round(1.96 * coalesce(stddev(hr), 0.0) / sqrt(count(hr)), 6) AS hit_rate_at_5,
+         |  round(1.96 * coalesce(stddev(ndcg_), 0.0) / sqrt(count(ndcg_)), 6) AS ndcg_at_5
+         |FROM pu""".stripMargin,
     "experiment_table" -> experimentTableSql,
   ) ++ oracleSqlRest
 
@@ -1405,8 +1448,20 @@ object SparkEntry {
        |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM wpu""".stripMargin
   }
 
-  /** Shared by metrics_ranking and its bounded-aggregator twin. */
+  /** Shared by metrics_ranking, its bounded-aggregator twin, and the
+    * descriptor query: everything up to the per-user metric frame `pu`. */
   private lazy val metricsRankingSql: String =
+    s"""$metricsPuSql
+       |SELECT round(avg(hr), 6) AS hit_rate_at_5,
+       |  round(avg(prec), 6) AS precision_at_5,
+       |  round(avg(rec), 6) AS recall_at_5,
+       |  round(avg(map_), 6) AS map_at_5,
+       |  round(avg(mrr_), 6) AS mrr_at_5,
+       |  round(avg(ndcg_), 6) AS ndcg_at_5,
+       |  round(avg(auc), 6) AS roc_auc_at_5
+       |FROM pu""".stripMargin
+
+  private lazy val metricsPuSql: String =
       s"""$interactionsSql,
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
          |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
@@ -1466,15 +1521,7 @@ object SparkEntry {
          |  FROM gtc g
          |  LEFT JOIN predc p ON g.query_id = p.query_id
          |  LEFT JOIN hs h ON g.query_id = h.query_id
-         |  LEFT JOIN idcg i ON g.query_id = i.query_id)
-         |SELECT round(avg(hr), 6) AS hit_rate_at_5,
-         |  round(avg(prec), 6) AS precision_at_5,
-         |  round(avg(rec), 6) AS recall_at_5,
-         |  round(avg(map_), 6) AS map_at_5,
-         |  round(avg(mrr_), 6) AS mrr_at_5,
-         |  round(avg(ndcg_), 6) AS ndcg_at_5,
-         |  round(avg(auc), 6) AS roc_auc_at_5
-         |FROM pu""".stripMargin
+         |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
 
   private lazy val oracleSqlRest: Map[String, String] = Map(
     "metrics_catalog" ->

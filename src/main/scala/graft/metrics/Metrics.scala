@@ -130,7 +130,10 @@ object Descriptor {
     def apply(col: Column): Column = F.avg(col)
   }
   case object Median extends Descriptor {
-    def apply(col: Column): Column = F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+    // exact interpolated percentile (ANSI percentile_cont semantics):
+    // still a one-pass distributed aggregate, and oracle-mirrorable —
+    // percentile_approx sketches have no cross-engine twin
+    def apply(col: Column): Column = F.percentile(col, F.lit(0.5))
   }
   final case class ConfidenceInterval(z: Double = 1.96) extends Descriptor {
     def apply(col: Column): Column =

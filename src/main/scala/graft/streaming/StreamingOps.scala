@@ -63,6 +63,20 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup on a content key (the streaming twin of
+    * text.Dedup.exactGroups' fingerprint dedup): keeps the first arrival
+    * per key; `dropDuplicatesWithinWatermark` bounds the state store to
+    * the watermark horizon — at a 100 TB/day ingest the unbounded
+    * `dropDuplicates` state would grow without limit, so the horizon is
+    * the knob that trades dedup window for state size. Works on batch
+    * frames too (falls back to plain dropDuplicates, same result when
+    * everything fits one batch). */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   /** Run a memory-sink streaming query to completion over the given
     * micro-batch source and return the result table (test harness). */
   def runToMemorySink(stream: DataFrame, queryName: String,

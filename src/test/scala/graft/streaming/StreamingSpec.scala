@@ -57,6 +57,28 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((2L, 1.0, 1.0)))
   }
 
+  test("streamingDedup keeps first arrival per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("fp", "ts")
+    val q = streamingDedup(stream, Seq("fp"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // duplicate within the watermark horizon → dropped
+    input.addData(("a", ts("2024-01-01 10:30:00")), ("c", ts("2024-01-01 10:31:00")))
+    q.processAllAvailable()
+    val keys = spark.table("deduped").collect().map(_.getString(0))
+    q.stop()
+    assert(keys.sorted.toSeq == Seq("a", "b", "c"))
+    // batch frame: same operator, plain dropDuplicates
+    val batch = Seq(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:30:00")))
+      .toDF("fp", "ts")
+    assert(streamingDedup(batch, Seq("fp")).count() == 1)
+  }
+
   test("foreachBatchRefit merges micro-batches into the batch UCBState") {
     import graft.models.UCBState
     implicit val sqlCtx = spark.sqlContext
