@@ -651,6 +651,25 @@ object SparkEntry {
       Multimodal.decodePartitioned(
         Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
     }),
+    "multimodal_resize" -> ((s, d) => {
+      // aspect-preserving resize planning over decoded metadata —
+      // expression-only, the pixel work binds inside decodePartitioned
+      import graft.multimodal.Multimodal
+      val meta = Multimodal.decodeStub(
+        Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
+      Multimodal.resizeDims(meta, maxW = 128, maxH = 96)
+    }),
+    "multimodal_features" -> ((s, d) => {
+      // 16-bin byte histogram per asset (mapPartitions feature extractor);
+      // output flattened to (asset, bin, share) — rows-only + spec
+      import graft.multimodal.Multimodal
+      val feats = Multimodal.byteHistogram(
+        Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
+      feats.select(F.col("asset_id"), F.posexplode(F.col("features")))
+        .toDF("asset_id", "bin", "share")
+        .select(F.col("asset_id"), F.col("bin").cast("long").as("bin"),
+          F.round(F.col("share"), 6).as("share"))
+    }),
     "multimodal_blocks" -> ((s, d) => {
       // binary block sampling (frame-extraction shape)
       import graft.multimodal.Multimodal
@@ -1783,6 +1802,17 @@ object SparkEntry {
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
         |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """WITH meta AS (SELECT doc_id AS asset_id,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
+        |  FROM documents)
+        |SELECT asset_id, width, height,
+        |  CAST(CASE WHEN height * 128 <= width * 96 THEN 128
+        |       ELSE floor(width * 96 / height) END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN height * 128 <= width * 96 THEN floor(height * 128 / width)
+        |       ELSE 96 END AS BIGINT) AS out_h
+        |FROM meta""".stripMargin,
     "filter_quantile_items" ->
       s"""$interactionsSql,
          |ic AS (SELECT item_id, count(*) AS icnt FROM interactions GROUP BY 1),

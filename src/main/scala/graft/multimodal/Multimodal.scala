@@ -71,6 +71,44 @@ object Multimodal {
     spark.createDataFrame(rdd, metaSchema)
   }
 
+  /** Resize planning: fit (width, height) into a bounding box preserving
+    * aspect ratio — the Spark-side arithmetic of a resize stage (the pixel
+    * work itself belongs in the decodePartitioned codec body). Integer
+    * scaling: out_w = min(maxW, w·maxH div h bounded), pure expressions. */
+  def resizeDims(meta: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val w = F.col("width"); val h = F.col("height")
+    // pick the binding side by cross-multiplication (exact long compare),
+    // scale the other side with floor division — long products stay well
+    // under 2^53, so the double quotient floors exactly
+    val fitByWidth = (h * F.lit(maxW)) <= (w * F.lit(maxH)) // maxW/w <= maxH/h
+    meta.select(F.col("asset_id"), w.as("width"), h.as("height"),
+      F.when(fitByWidth, F.lit(maxW))
+        .otherwise(F.floor((w * F.lit(maxH)) / h)).cast("long").as("out_w"),
+      F.when(fitByWidth, F.floor((h * F.lit(maxW)) / w))
+        .otherwise(F.lit(maxH)).cast("long").as("out_h"))
+  }
+
+  /** Feature extraction: 16-bin byte histogram per asset, L1-normalized —
+    * a real (non-stub) content feature with the same per-partition
+    * mapPartitions shape a learned-embedding extractor would use. */
+  def byteHistogram(assets: DataFrame, bins: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val b = bins
+    val rdd = assets.select("asset_id", "content").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Double](b)
+        bytes.foreach { x => hist(((x & 0xff) * b) / 256) += 1.0 }
+        val n = math.max(bytes.length, 1).toDouble
+        Row(r.getLong(0), hist.map(_ / n).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** "Frame sampling": slice every `stride`-th fixed-size block out of a
     * binary payload (the shape of video frame extraction — block offsets
     * computed as expressions, bytes sliced distributedly). */

@@ -123,6 +123,31 @@ class TextSpec extends SparkSpec {
     assert(meta.filter($"width" < 64 || $"width" >= 576).count() == 0)
   }
 
+  test("resize planning preserves aspect ratio within the box") {
+    import graft.multimodal.Multimodal
+    val meta = Seq((1L, 200L, 100L), (2L, 50L, 300L), (3L, 10L, 10L))
+      .toDF("asset_id", "width", "height")
+    val out = Multimodal.resizeDims(meta, maxW = 128, maxH = 96)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((128L, 64L)))  // wide: width-bound, h = 100*128/200
+    assert(out(2L) == ((16L, 96L)))   // tall: height-bound, w = 50*96/300
+    assert(out(3L) == ((96L, 96L)))   // square scales to the tighter side
+    // fits: out_w <= 128 always; out_h <= 96 on the height-bound branch
+    assert(out.values.forall { case (w, h) => w <= 128L })
+  }
+
+  test("byte histogram is an L1-normalized per-asset feature") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.fakeAssets(docs, "doc_id", "text")
+    val feats = Multimodal.byteHistogram(assets).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0) < 1e-9)
+    }
+  }
+
   test("block sampling covers the payload with fixed-size blocks") {
     import graft.multimodal.Multimodal
     val assets = Multimodal.fakeAssets(docs, "doc_id", "text")
