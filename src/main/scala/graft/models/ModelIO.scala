@@ -50,6 +50,28 @@ object ModelIO {
     m
   }
 
+  /** Vector-state persistence for Word2VecRec: the fitted item/user
+    * vectors are the whole inference state (the MLlib model itself is
+    * only needed to fit). Loaded models score exactly; pass an AnnIndex
+    * to re-index the loaded item vectors for the candidate path. */
+  def saveWord2Vec(m: Word2VecRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "word2vec"))
+    m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
+    m.userVectors.write.mode("overwrite").parquet(s"$path/user_vectors")
+  }
+
+  def loadWord2Vec(spark: SparkSession, path: String,
+      ann: Option[AnnIndex] = None): Word2VecRec = {
+    require(readJson(path)("kind") == "word2vec", s"not a Word2VecRec at $path")
+    val m = new Word2VecRec(ann = ann)
+    m.itemVectors = spark.read.parquet(s"$path/item_vectors").cache()
+    m.userVectors = spark.read.parquet(s"$path/user_vectors").cache()
+    m.fitItemsDf = m.itemVectors.select(m.cols.item)
+    m.fitQueriesDf = m.userVectors.select(m.cols.query)
+    ann.foreach(_.fit(m.itemVectors, m.cols.item, "vec"))
+    m
+  }
+
   /** Encoder mapping persistence (reference persists the fitted mapping;
     * label_encoder save path). */
   def saveEncoder(e: graft.preprocessing.LabelEncoder, path: String): Unit = {

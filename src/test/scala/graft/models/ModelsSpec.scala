@@ -222,6 +222,20 @@ class ModelIOSpec extends graft.SparkSpec {
     assert(loaded.predict(log, k = 1).count() > 0)
   }
 
+  test("Word2Vec save/load roundtrip preserves vectors and predictions") {
+    val tlog = log.withColumn("timestamp",
+      org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2024-01-01 10:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("w2v").toString
+    val m = new Word2VecRec(vectorSize = 4, ann = None).fit(tlog)
+    ModelIO.saveWord2Vec(m, dir)
+    val loaded = ModelIO.loadWord2Vec(spark, dir)
+    assert(loaded.itemVectors.count() == m.itemVectors.count())
+    val a = m.predict(tlog, k = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = loaded.predict(tlog, k = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("load with wrong kind fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("wrong").toString
     ModelIO.saveNonPersonalized(new PopRec().fit(log), dir, "pop_rec")
