@@ -88,4 +88,25 @@ class DatasetSpec extends SparkSpec {
     assert(t.count() == 2)
     spark.sql("DROP TABLE bucketed_log_test")
   }
+
+  test("bucketed-bucketed join on the bucket key plans with no shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("wh2").toString
+    Session.writeBucketed(log, "bk_a", "query_id", 4, path = Some(s"$dir/a"))
+    Session.writeBucketed(log, "bk_b", "query_id", 4, path = Some(s"$dir/b"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("bk_a").join(
+        spark.table("bk_b").withColumnRenamed("item_id", "i2")
+          .withColumnRenamed("rating", "r2"), "query_id")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located buckets: the sort-merge join must read both sides
+      // in place — an Exchange here means bucketing didn't line up
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(600))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE bk_a"); spark.sql("DROP TABLE bk_b")
+    }
+  }
 }
