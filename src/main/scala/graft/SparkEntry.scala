@@ -804,11 +804,12 @@ object SparkEntry {
       s"""$interactionsSql
          |SELECT query_id, item_id, rating FROM interactions
          |WHERE item_id IN (SELECT p_partkey FROM part WHERE p_size >= 25)""".stripMargin,
-    // filter_interaction_entries: the fixpoint loop unrolled to 16 steps —
+    // filter_interaction_entries: the fixpoint loop unrolled to 24 steps —
     // each step is idempotent once converged, so unrolling past the actual
-    // iteration count (3-4 at sf0.01) is a no-op, and 16 leaves a wide margin.
+    // iteration count (3-4 at sf0.01) is a no-op; 24 is a ~6x margin over
+    // anything observed (the Spark side iterates to the true fixpoint).
     "filter_interaction_entries" -> {
-      val steps = (1 to 16).map { i =>
+      val steps = (1 to 24).map { i =>
         s"""s$i AS (SELECT query_id, item_id, rating, session_id FROM (
            |  SELECT *, count(*) OVER (PARTITION BY query_id) AS cu,
            |            count(*) OVER (PARTITION BY item_id) AS ci
@@ -817,7 +818,7 @@ object SparkEntry {
       s"""$interactionsSql,
          |s0 AS (SELECT query_id, item_id, rating, session_id FROM interactions),
          |$steps
-         |SELECT query_id, item_id, rating, session_id FROM s16""".stripMargin
+         |SELECT query_id, item_id, rating, session_id FROM s24""".stripMargin
     },
     // greedy discretizer: closed-form walk — f_j = first cumsum crossing of
     // j·perBin; e_j = max over m<=j of (f_m + j - m) ≡ max(e_{j-1}+1, f_j).

@@ -26,11 +26,12 @@ trait AnnIndex extends Serializable {
 }
 
 object AnnIndex {
-  /** Sequential-sum dot product (parity twin of Similarity.dot). */
+  /** Sequential-sum dot product — the ONE parity-sensitive kernel, shared
+    * with the text module (a drifting copy would silently break the
+    * cross-engine float parity every oracle relies on). */
   private[models] def dot(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0), (acc, v) => acc + v)
+    Similarity.dot(a, b)
 }
 
 /** IVF (inverted-file) candidate generator: KMeans coarse quantizer over
@@ -92,26 +93,16 @@ final class LshAnn(
 
   def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type = {
     itemCol = idCol
-    buckets = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv"),
-      F.explode(F.array((0 until tables).map { t =>
-        F.struct(F.lit(t).as("tbl"),
-          Similarity.signBucket(F.col(vecCol), t, planes, dims).as("bkt"))
-      }: _*)).as("_b"))
-      .select(F.col(idCol), F.col("_iv"),
-        F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
+    buckets = Similarity.signBuckets(itemVectors, idCol, vecCol, planes, tables, dims)
+      .withColumnRenamed(vecCol, "_iv")
       .cache()
     buckets.count()
     this
   }
 
   def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
-    val qb = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"),
-      F.explode(F.array((0 until tables).map { t =>
-        F.struct(F.lit(t).as("tbl"),
-          Similarity.signBucket(F.col(vecCol), t, planes, dims).as("bkt"))
-      }: _*)).as("_b"))
-      .select(F.col(queryIdCol), F.col("_qv"),
-        F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
+    val qb = Similarity.signBuckets(queryVecs, queryIdCol, vecCol, planes, tables, dims)
+      .withColumnRenamed(vecCol, "_qv")
     qb.join(buckets, Seq("tbl", "bkt"))
       .select(F.col(queryIdCol), F.col(itemCol), F.col("_qv"), F.col("_iv"))
       .distinct()

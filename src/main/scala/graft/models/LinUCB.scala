@@ -57,9 +57,12 @@ final class LinUCB(
       val bvec = row.getSeq[Double](2).toArray
       if (d == 2) {
         // closed-form adjugate inverse — the exact arithmetic the SQL
-        // oracle mirrors (LAPACK's LU path below rounds differently)
+        // oracle mirrors (LAPACK's LU path below rounds differently).
+        // The off-diagonal is ONE sum, gram(1): gram(2) is the same
+        // products reduced in a different aggregation group, which can
+        // differ at the last ulp — using it would break the mirror.
         val a11 = gram(0) + lam; val a12 = gram(1)
-        val a21 = gram(2); val a22 = gram(3) + lam
+        val a21 = a12; val a22 = gram(3) + lam
         val det = a11 * a22 - a12 * a21
         val ai = Array(a22 / det, -a12 / det, -a21 / det, a11 / det)
         val theta = Array(ai(0) * bvec(0) + ai(1) * bvec(1),

@@ -61,7 +61,9 @@ object ModelIO {
   }
 
   def loadWord2Vec(spark: SparkSession, path: String,
-      ann: Option[AnnIndex] = None): Word2VecRec = {
+      // default matches the Word2VecRec constructor default, so a
+      // save/load roundtrip of a default-configured model scores the same
+      ann: Option[AnnIndex] = Some(new IvfAnn(nCentroids = 16, nProbe = 4))): Word2VecRec = {
     require(readJson(path)("kind") == "word2vec", s"not a Word2VecRec at $path")
     val m = new Word2VecRec(ann = ann)
     m.itemVectors = spark.read.parquet(s"$path/item_vectors").cache()

@@ -28,15 +28,22 @@ final class SLIM(
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
+    // aggregate duplicate (query, item) rows up front (scipy csr_matrix
+    // sums duplicate entries — slim.py inherits that semantic): both the
+    // CSC solver arrays and the distributed candidate dots below read this
+    // ONE matrix, so they stay mutually consistent on any input
+    val mat = log.groupBy(cols.query, cols.item)
+      .agg(F.sum(cols.rating).as(cols.rating)).cache()
+
     // dense re-index users/items for array-backed math
-    val users = log.select(cols.query).distinct().orderBy(cols.query)
+    val users = mat.select(cols.query).distinct().orderBy(cols.query)
       .collect().map(_.getLong(0)).zipWithIndex.toMap
-    val items = log.select(cols.item).distinct().orderBy(cols.item)
+    val items = mat.select(cols.item).distinct().orderBy(cols.item)
       .collect().map(_.getLong(0)).zipWithIndex.toMap
     val nItems = items.size
 
     // CSC: per item, sorted (userIdx, rating) pairs
-    val triples = log.select(cols.query, cols.item, cols.rating).collect()
+    val triples = mat.select(cols.query, cols.item, cols.rating).collect()
       .map(r => (items(r.getLong(1)), users(r.getLong(0)), r.getDouble(2)))
     val csc: Array[Array[(Int, Double)]] = {
       val buf = Array.fill(nItems)(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])
@@ -53,10 +60,9 @@ final class SLIM(
     // per-item scan over the whole catalog, so the preselect stage is
     // O(co-occurring pairs), not O(|items|²). Ratings are integral in
     // practice, so the distributed sums equal the driver-side dots exactly.
-    val base = log.select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
-    val lhs = base.select(F.col(cols.query), F.col(cols.item).as("_i1"),
+    val lhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i1"),
       F.col(cols.rating).as("_v1"))
-    val rhs = base.select(F.col(cols.query), F.col(cols.item).as("_i2"),
+    val rhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i2"),
       F.col(cols.rating).as("_v2"))
     val dotsHalf = lhs.join(rhs, Seq(cols.query))
       .filter(F.col("_i1") < F.col("_i2"))
@@ -70,9 +76,10 @@ final class SLIM(
       .filter(F.col("_rn") <= maxNbr)
       .groupBy("_i1").agg(
         F.collect_list(F.struct(F.col("_rn"), F.col("_i2"), F.col("_d"))).as("_c"))
+      .withColumn("_sorted", F.array_sort(F.col("_c"))) // sort once, read twice
       .select(F.col("_i1"),
-        F.transform(F.array_sort(F.col("_c")), x => x.getField("_i2")).as("_cids"),
-        F.transform(F.array_sort(F.col("_c")), x => x.getField("_d")).as("_corrs"))
+        F.transform(F.col("_sorted"), x => x.getField("_i2")).as("_cids"),
+        F.transform(F.col("_sorted"), x => x.getField("_d")).as("_corrs"))
       .as[(Long, Seq[Long], Seq[Double])]
 
     // one coordinate-descent solve per target item, distributed over items

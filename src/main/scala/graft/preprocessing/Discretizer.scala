@@ -60,10 +60,13 @@ object Discretizer {
     val probes = (0 to nBuckets).map(_.toDouble / nBuckets).toArray
     val valid = df.filter(!F.isnan(F.col(column)) && F.col(column).isNotNull)
     val qs =
-      if (relativeError == 0.0)
-        valid.agg(F.percentile(F.col(column), F.lit(probes)).as("q"))
-          .first().getAs[scala.collection.Seq[Double]](0).toArray
-      else valid.stat.approxQuantile(column, probes, relativeError)
+      if (relativeError == 0.0) {
+        // percentile over zero valid rows aggregates to NULL — degrade to
+        // the empty edge set like the sketch path does
+        val row = valid.agg(F.percentile(F.col(column), F.lit(probes)).as("q")).first()
+        if (row.isNullAt(0)) Array.empty[Double]
+        else row.getAs[scala.collection.Seq[Double]](0).toArray
+      } else valid.stat.approxQuantile(column, probes, relativeError)
     DiscretizerModel(column, qs.distinct.sorted, handleInvalid)
   }
 

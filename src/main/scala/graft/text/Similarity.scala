@@ -73,17 +73,23 @@ object Similarity {
       F.when(proj > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
     }.reduce(_ + _)
 
-  /** Candidate pairs from `tables` independent sign-LSH tables, then exact
-    * cosine on candidates only; returns pairs with cosine >= threshold. */
-  def lshNearDup(vectors: DataFrame, threshold: Double, planes: Int = 12,
-      tables: Int = 4, dims: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val buckets = vectors.select(F.col(idCol), F.col(vecCol),
+  /** One (id, vec, tbl, bkt) row per (vector, hash table) — the shared
+    * bucket builder for near-dup pairing and ANN candidate generation. */
+  def signBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, tables: Int, dims: Int): DataFrame =
+    df.select(F.col(idCol), F.col(vecCol),
       F.explode(F.array((0 until tables).map { t =>
         F.struct(F.lit(t).as("tbl"), signBucket(F.col(vecCol), t, planes, dims).as("bkt"))
       }: _*)).as("_b"))
       .select(F.col(idCol), F.col(vecCol),
         F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
+
+  /** Candidate pairs from `tables` independent sign-LSH tables, then exact
+    * cosine on candidates only; returns pairs with cosine >= threshold. */
+  def lshNearDup(vectors: DataFrame, threshold: Double, planes: Int = 12,
+      tables: Int = 4, dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val buckets = signBuckets(vectors, idCol, vecCol, planes, tables, dims)
     val a = buckets.select(F.col(idCol).as("id_a"), F.col(vecCol).as("_va"),
       F.col("tbl"), F.col("bkt"))
     val b = buckets.select(F.col(idCol).as("id_b"), F.col(vecCol).as("_vb"),
