@@ -67,7 +67,10 @@ final class ItemKNN(
     // lowest item ids (which would bias capped users' contributions toward
     // one corner of the catalog). xxhash64, not the md5 portable hash: the
     // cap is never oracle-mirrored and the long sort key is ~3× cheaper
-    // than a hex-string one.
+    // than a hex-string one. NOTE: the SQL oracles for model_item_knn*
+    // assume the cap does NOT bind (histories < maxUserHistory, true for
+    // the gate data by a 25× margin) — an input with >1000-item histories
+    // diverges from those mirrors by design.
     val weighted = if (maxUserHistory > 0) {
       val w = Window.partitionBy(cols.query).orderBy(
         F.xxhash64(F.col(cols.query), F.col(cols.item)),
