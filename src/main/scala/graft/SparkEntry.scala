@@ -1803,6 +1803,22 @@ object SparkEntry {
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
         |FROM documents""".stripMargin,
+    // byte histogram: bytes recovered byte-true in SQL by slicing the hex
+    // encoding of the blob two chars at a time
+    "multimodal_features" ->
+      """WITH b AS (SELECT doc_id AS asset_id, encode(text) AS bb FROM documents),
+        |bytes AS (SELECT asset_id,
+        |    ('0x' || substring(hex(bb), 2*u.i - 1, 2))::BIGINT AS v
+        |  FROM b, unnest(range(1, octet_length(bb) + 1)) u(i)),
+        |hist AS (SELECT asset_id, (v * 16) // 256 AS bin, count(*) AS c
+        |         FROM bytes GROUP BY 1, 2),
+        |lens AS (SELECT asset_id, greatest(octet_length(bb), 1) AS n FROM b),
+        |dense AS (SELECT l.asset_id, g.bin, l.n, coalesce(h.c, 0) AS c
+        |  FROM lens l CROSS JOIN range(0, 16) g(bin)
+        |  LEFT JOIN hist h ON l.asset_id = h.asset_id AND g.bin = h.bin)
+        |SELECT asset_id, CAST(bin AS BIGINT) AS bin,
+        |  round(CAST(c AS DOUBLE) / n, 6) AS share
+        |FROM dense""".stripMargin,
     "multimodal_resize" ->
       """WITH meta AS (SELECT doc_id AS asset_id,
         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
