@@ -112,23 +112,28 @@ final case class InteractionEntriesFilter(
     maxIterations: Int = 100,
 ) extends InteractionFilter {
   def transform(df: DataFrame): DataFrame = {
-    var current = df
+    // checkpoint the input once: each iteration reads `current` three
+    // times (two count aggregations + the join), so it must be
+    // materialized, and localCheckpoint also stops lineage growth
+    var current = df.localCheckpoint(true)
     var previous = -1L
     var rows = current.count()
     var iter = 0
     while (rows != previous && iter < maxIterations) {
       previous = rows
-      val wu = Window.partitionBy(queryCol)
-      val wi = Window.partitionBy(itemCol)
-      var step = current
-        .withColumn("_cu", F.count(F.lit(1)).over(wu))
-        .withColumn("_ci", F.count(F.lit(1)).over(wi))
+      // per-entity counts as aggregations + equi-joins, not count-over
+      // windows: the aggregates shuffle only (entity, count) pairs and
+      // AQE broadcasts them back, where a window would shuffle AND sort
+      // every interaction row twice per iteration
+      val uc = current.groupBy(queryCol).agg(F.count(F.lit(1)).as("_cu"))
+      val ic = current.groupBy(itemCol).agg(F.count(F.lit(1)).as("_ci"))
       var cond: Column = F.lit(true)
       minInterPerUser.foreach(v => cond = cond && F.col("_cu") >= v)
       maxInterPerUser.foreach(v => cond = cond && F.col("_cu") <= v)
       minInterPerItem.foreach(v => cond = cond && F.col("_ci") >= v)
       maxInterPerItem.foreach(v => cond = cond && F.col("_ci") <= v)
-      step = step.filter(cond).drop("_cu", "_ci")
+      val step = current.join(uc, Seq(queryCol)).join(ic, Seq(itemCol))
+        .filter(cond).drop("_cu", "_ci")
       current = step.localCheckpoint(true)
       rows = current.count()
       iter += 1
