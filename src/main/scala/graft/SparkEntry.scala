@@ -169,6 +169,21 @@ object SparkEntry {
       val enc = LabelEncoder.fit(i, "item_id")
       enc.transform(i).select("query_id", "item_id", "rating", "session_id")
     }),
+    "label_encode_roundtrip" -> ((s, d) => {
+      // transform → inverseTransform is the identity on seen labels
+      // (label_encoder.py:440+)
+      val i = Tables.interactions(s, d).select("query_id", "item_id")
+      val enc = LabelEncoder.fit(i, "item_id")
+      enc.inverseTransform(enc.transform(i)).select("query_id", "item_id")
+    }),
+    "label_encode_partial" -> ((s, d) => {
+      // partialFit appends unseen labels after the current max code
+      // (label_encoder.py:227-309)
+      val low = Tables.lineitem(s, d).filter(F.col("l_quantity") <= 25)
+        .select(F.col("l_partkey").as("item_id"))
+      val all = Tables.lineitem(s, d).select(F.col("l_partkey").as("item_id"))
+      LabelEncoder.fit(low, "item_id").partialFit(all).mapping
+    }),
     "sessionize" -> ((s, d) => {
       Sessionizer(sessionGapSec = 1800, userCol = "user_id", tsCol = "ts",
           tieCol = Some("event_id"))
@@ -278,6 +293,18 @@ object SparkEntry {
         .withColumn("rating", (F.col("rating") > 25).cast("double"))
       val m = new models.UCB().fit(binary)
       m.itemPopularity.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
+    }),
+    "model_ucb_refit" -> ((s, d) => {
+      // incremental refit ≡ batch fit on the union (ucb.py:147-177): fit
+      // on the earlier 80%, refit with the tail — the oracle computes the
+      // one-shot batch formula over all interactions
+      val i = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val st = new models.UCBState()
+        .fit(marked.filter(!F.col("is_test")).drop("is_test"))
+        .refit(marked.filter(F.col("is_test")).drop("is_test"))
+      st.scores.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
     "model_klucb" -> ((s, d) => {
       // bisection solver: deterministic branch sequence — the oracle
@@ -529,6 +556,31 @@ object SparkEntry {
       val out = graft.metrics.Metrics.compute(
         recs, gt, graft.metrics.Metrics.RankingMetrics, Seq(5))
       out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+    }),
+    "metrics_ncis" -> ((s, d) => {
+      // NCIS precision@5 with 1/position propensity weights over the
+      // PopRec time-split recs (kernel semantics traced to the reference's
+      // ScalaPySparkUDFs.scala:142-158); mean over ground-truth users
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      val pred = recs.groupBy("query_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct(
+          (-F.col("rating")).as("nr"), F.col("item_id").as("i")))),
+          x => x.getField("i")).as("pred"))
+      val gts = test.select("query_id", "item_id").distinct()
+        .groupBy("query_id").agg(F.collect_set("item_id").as("gt"))
+      val joined = gts.join(pred, Seq("query_id"), "left")
+        .withColumn("pred", F.coalesce(F.col("pred"),
+          F.array().cast("array<long>")))
+        .withColumn("w", F.when(F.size(F.col("pred")) > 0,
+          F.transform(F.sequence(F.lit(1), F.size(F.col("pred"))),
+            i => F.lit(1.0) / i)).otherwise(F.array().cast("array<double>")))
+      joined.select(graft.metrics.Kernels.ncisPrecision(
+          F.col("pred"), F.col("w"), F.col("gt"), 5).as("v"))
+        .agg(F.round(F.avg("v"), 6).as("ncis_precision_at_5"))
     }),
     "metrics_descriptors" -> ((s, d) => {
       // Mean / Median / CI descriptors over per-user metric values
@@ -858,6 +910,24 @@ object SparkEntry {
     "label_encode_fit" ->
       """SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
         |FROM (SELECT DISTINCT l_partkey AS item_id FROM lineitem)""".stripMargin,
+    // encode→decode is the identity on seen labels
+    "label_encode_roundtrip" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id FROM interactions""".stripMargin,
+    // partialFit: fresh labels sorted AFTER the fitted block, codes
+    // continuing from count(fitted)
+    "label_encode_partial" ->
+      """WITH a AS (SELECT DISTINCT l_partkey AS label FROM lineitem
+        |           WHERE l_quantity <= 25),
+        |ca AS (SELECT label, row_number() OVER (ORDER BY label) - 1 AS code FROM a),
+        |fresh AS (SELECT DISTINCT l_partkey AS label FROM lineitem
+        |          WHERE l_partkey NOT IN (SELECT label FROM a)),
+        |cf AS (SELECT label,
+        |  (SELECT count(*) FROM a) + row_number() OVER (ORDER BY label) - 1 AS code
+        |  FROM fresh)
+        |SELECT label, CAST(code AS BIGINT) AS code FROM ca
+        |UNION ALL
+        |SELECT label, CAST(code AS BIGINT) AS code FROM cf""".stripMargin,
     "label_encode_transform" ->
       s"""$interactionsSql,
          |enc AS (
@@ -1085,6 +1155,19 @@ object SparkEntry {
          |  / (1 + (1.96*1.96)/total), 6) AS rating
          |FROM pt""".stripMargin,
     "model_ucb" ->
+      s"""$interactionsSql,
+         |pt AS (
+         |  SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM interactions GROUP BY item_id)
+         |SELECT item_id, round(
+         |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
+         |  6) AS rating
+         |FROM pt""".stripMargin,
+    // refit(tail) after fit(head) must equal the batch formula over the
+    // whole log — the oracle IS the batch form (n = Σ total)
+    "model_ucb_refit" ->
       s"""$interactionsSql,
          |pt AS (
          |  SELECT item_id,
@@ -1385,6 +1468,20 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "metrics_ranking" -> metricsRankingSql,
     "metrics_ranking_bounded" -> metricsRankingSql,
+    "metrics_ncis" ->
+      s"""$metricsPuSql,
+         |hw AS (SELECT query_id, sum(1.0/rnk) AS w FROM hits GROUP BY 1),
+         |tw AS (SELECT query_id, sum(1.0/i) AS t
+         |       FROM predc, range(1, 6) r(i) WHERE r.i <= npred
+         |       GROUP BY query_id),
+         |nc AS (SELECT g.query_id,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.w, 0.0) / t.t END AS v
+         |  FROM gtc g
+         |  LEFT JOIN predc p ON g.query_id = p.query_id
+         |  LEFT JOIN hw h ON g.query_id = h.query_id
+         |  LEFT JOIN tw t ON g.query_id = t.query_id)
+         |SELECT round(avg(v), 6) AS ncis_precision_at_5 FROM nc""".stripMargin,
     "metrics_descriptors" ->
       s"""$metricsPuSql
          |SELECT 'mean' AS descriptor, round(avg(hr), 6) AS hit_rate_at_5,
