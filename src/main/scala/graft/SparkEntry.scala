@@ -524,6 +524,25 @@ object SparkEntry {
         (m, math.rint(v * 1e6) / 1e6, math.rint(floor * 1e6) / 1e6, v >= floor)
       }.toDF("model", "ndcg_at_5", "floor", "passed")
     }),
+    "grid_search" -> ((s, d) => {
+      // deterministic hyper-parameter grid (Optuna replacement,
+      // optimization/optuna_mixin.py:17-244): Wilson z ∈ {1.0, 1.96}
+      // scored by NDCG@5 on the shared time split
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val trials = graft.metrics.GridSearch.search(
+        space = Map("z" -> Seq(1.0, 1.96)),
+        build = p => new models.Wilson(z = p("z")),
+        train = train, test = test, metric = "ndcg", k = 5)
+      import s.implicits._
+      trials.map { t =>
+        (t.params("z"),
+          BigDecimal(t.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("z", "ndcg_at_5")
+    }),
     "experiment_table" -> ((s, d) => {
       // models × metrics table (experiment.py:7-200); metric means rounded
       // to 6dp for cross-engine float parity
@@ -1496,7 +1515,65 @@ object SparkEntry {
          |  round(1.96 * coalesce(stddev(ndcg_), 0.0) / sqrt(count(ndcg_)), 6) AS ndcg_at_5
          |FROM pu""".stripMargin,
     "experiment_table" -> experimentTableSql,
+    "grid_search" -> gridSearchSql,
   ) ++ oracleSqlRest
+
+  /** grid_search: the experiment split + the Wilson predict/ndcg block
+    * instantiated once per z value on the grid. */
+  private lazy val gridSearchSql: String = {
+    def wblock(p: String, z: String): String =
+      s"""${p}pt AS (SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM train GROUP BY item_id),
+         |${p}score AS (SELECT item_id,
+         |  (pos/total + ($z*$z)/(2*total)
+         |   - $z * sqrt(((pos/total)*(1 - pos/total) + ($z*$z)/(4*total))/total))
+         |  / (1 + ($z*$z)/total) AS rating FROM ${p}pt),
+         |${p}ranked AS (SELECT item_id, rating,
+         |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM ${p}score),
+         |${p}cand AS (SELECT q.query_id, r.item_id, r.rating
+         |  FROM users q CROSS JOIN ${p}ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+         |${p}unseen AS (SELECT c.* FROM ${p}cand c ANTI JOIN seen s
+         |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
+         |${p}top5 AS (SELECT query_id, item_id, rn FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM ${p}unseen) WHERE rn <= 5),
+         |${p}predc AS (SELECT query_id, count(*) AS npred FROM ${p}top5 GROUP BY 1),
+         |${p}hits AS (SELECT t.query_id, t.rn AS rnk FROM ${p}top5 t
+         |  JOIN gt g ON t.query_id = g.query_id AND t.item_id = g.item_id),
+         |${p}hs AS (SELECT query_id, sum(1.0/log2(rnk + 1)) AS dcg
+         |  FROM ${p}hits GROUP BY 1),
+         |${p}pu AS (SELECT g.query_id,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.dcg, 0.0) / i.idcg END AS ndcg_
+         |  FROM gtc g
+         |  LEFT JOIN ${p}predc p ON g.query_id = p.query_id
+         |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
+         |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
+    s"""$interactionsSql,
+       |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
+       |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
+       |cut AS (SELECT min(ts0) AS t FROM cum
+       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+       |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
+       |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
+       |users AS (SELECT DISTINCT query_id FROM train),
+       |seen AS (SELECT DISTINCT query_id, item_id FROM train),
+       |ms AS (SELECT max(cnt) AS mx FROM (
+       |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
+       |gt AS (SELECT DISTINCT query_id, item_id FROM test),
+       |gtc AS (SELECT query_id, count(*) AS ngt FROM gt GROUP BY 1),
+       |idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
+       |        FROM gtc g JOIN range(1, 6) r(i) ON r.i <= least(5, g.ngt)
+       |        GROUP BY 1),
+       |${wblock("z1", "1.0")},
+       |${wblock("z2", "1.96")}
+       |SELECT CAST(1.0 AS DOUBLE) AS z, round(avg(ndcg_), 6) AS ndcg_at_5 FROM z1pu
+       |UNION ALL
+       |SELECT CAST(1.96 AS DOUBLE) AS z, round(avg(ndcg_), 6) AS ndcg_at_5 FROM z2pu""".stripMargin
+  }
 
   /** experiment_table: the metrics_ranking split + gt, then per model
     * (PopRec, Wilson on rating>25-binarized train) the full predict-top5
