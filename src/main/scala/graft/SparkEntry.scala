@@ -519,10 +519,11 @@ object SparkEntry {
         "cluster" -> ndcg(new models.ClusterRec(nClusters = 5).fit(train, qf).predict(train, 5)),
       )
       val floor = base * 0.5
+      def r6(v: Double): Double = // same HALF_UP convention as F.round/DuckDB
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
-      scores.map { case (m, v) =>
-        (m, math.rint(v * 1e6) / 1e6, math.rint(floor * 1e6) / 1e6, v >= floor)
-      }.toDF("model", "ndcg_at_5", "floor", "passed")
+      scores.map { case (m, v) => (m, r6(v), r6(floor), v >= floor) }
+        .toDF("model", "ndcg_at_5", "floor", "passed")
     }),
     "grid_search" -> ((s, d) => {
       // deterministic hyper-parameter grid (Optuna replacement,
@@ -1173,30 +1174,11 @@ object SparkEntry {
          |   - 1.96 * sqrt(((pos/total)*(1 - pos/total) + (1.96*1.96)/(4*total))/total))
          |  / (1 + (1.96*1.96)/total), 6) AS rating
          |FROM pt""".stripMargin,
-    "model_ucb" ->
-      s"""$interactionsSql,
-         |pt AS (
-         |  SELECT item_id,
-         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
-         |    CAST(count(*) AS DOUBLE) AS total
-         |  FROM interactions GROUP BY item_id)
-         |SELECT item_id, round(
-         |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
-         |  6) AS rating
-         |FROM pt""".stripMargin,
+    "model_ucb" -> ucbBatchSql,
     // refit(tail) after fit(head) must equal the batch formula over the
-    // whole log — the oracle IS the batch form (n = Σ total)
-    "model_ucb_refit" ->
-      s"""$interactionsSql,
-         |pt AS (
-         |  SELECT item_id,
-         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
-         |    CAST(count(*) AS DOUBLE) AS total
-         |  FROM interactions GROUP BY item_id)
-         |SELECT item_id, round(
-         |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
-         |  6) AS rating
-         |FROM pt""".stripMargin,
+    // whole log — the oracle IS the batch form (n = Σ total), shared with
+    // model_ucb so the "refit ≡ batch" identity cannot drift
+    "model_ucb_refit" -> ucbBatchSql,
     // KL-UCB: the per-item bisection unrolled as a recursive CTE with the
     // exact same clamp/target/branch arithmetic as the Scala solver.
     "model_klucb" ->
@@ -1552,22 +1534,7 @@ object SparkEntry {
          |  LEFT JOIN ${p}predc p ON g.query_id = p.query_id
          |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
          |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
-    s"""$interactionsSql,
-       |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
-       |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
-       |cut AS (SELECT min(ts0) AS t FROM cum
-       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
-       |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
-       |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
-       |users AS (SELECT DISTINCT query_id FROM train),
-       |seen AS (SELECT DISTINCT query_id, item_id FROM train),
-       |ms AS (SELECT max(cnt) AS mx FROM (
-       |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
-       |gt AS (SELECT DISTINCT query_id, item_id FROM test),
-       |gtc AS (SELECT query_id, count(*) AS ngt FROM gt GROUP BY 1),
-       |idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
-       |        FROM gtc g JOIN range(1, 6) r(i) ON r.i <= least(5, g.ngt)
-       |        GROUP BY 1),
+    s"""$timeSplitEvalSql,
        |${wblock("z1", "1.0")},
        |${wblock("z2", "1.96")}
        |SELECT CAST(1.0 AS DOUBLE) AS z, round(avg(ndcg_), 6) AS ndcg_at_5 FROM z1pu
@@ -1606,22 +1573,7 @@ object SparkEntry {
          |  LEFT JOIN ${p}predc p ON g.query_id = p.query_id
          |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
          |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
-    s"""$interactionsSql,
-       |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
-       |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
-       |cut AS (SELECT min(ts0) AS t FROM cum
-       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
-       |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
-       |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
-       |users AS (SELECT DISTINCT query_id FROM train),
-       |seen AS (SELECT DISTINCT query_id, item_id FROM train),
-       |ms AS (SELECT max(cnt) AS mx FROM (
-       |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
-       |gt AS (SELECT DISTINCT query_id, item_id FROM test),
-       |gtc AS (SELECT query_id, count(*) AS ngt FROM gt GROUP BY 1),
-       |idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
-       |        FROM gtc g JOIN range(1, 6) r(i) ON r.i <= least(5, g.ngt)
-       |        GROUP BY 1),
+    s"""$timeSplitEvalSql,
        |pscore AS (SELECT item_id, count(DISTINCT query_id) /
        |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
        |  FROM train GROUP BY 1),
@@ -1641,6 +1593,41 @@ object SparkEntry {
        |SELECT 'wilson' AS model, round(avg(hr), 6) AS hit_rate_at_5,
        |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM wpu""".stripMargin
   }
+
+  /** The shared time-split evaluation preamble (80/20 quantile cut,
+    * train/test, seen sets, crop bound, ground truth + idcg) used by the
+    * experiment_table and grid_search oracles — one copy so a split or
+    * crop fix cannot desynchronize the mirrors. */
+  private lazy val timeSplitEvalSql: String =
+    s"""$interactionsSql,
+       |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
+       |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
+       |cut AS (SELECT min(ts0) AS t FROM cum
+       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+       |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
+       |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
+       |users AS (SELECT DISTINCT query_id FROM train),
+       |seen AS (SELECT DISTINCT query_id, item_id FROM train),
+       |ms AS (SELECT max(cnt) AS mx FROM (
+       |        SELECT count(*) AS cnt FROM train GROUP BY query_id)),
+       |gt AS (SELECT DISTINCT query_id, item_id FROM test),
+       |gtc AS (SELECT query_id, count(*) AS ngt FROM gt GROUP BY 1),
+       |idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
+       |        FROM gtc g JOIN range(1, 6) r(i) ON r.i <= least(5, g.ngt)
+       |        GROUP BY 1)""".stripMargin
+
+  /** UCB batch formula — shared by model_ucb and model_ucb_refit. */
+  private lazy val ucbBatchSql: String =
+    s"""$interactionsSql,
+       |pt AS (
+       |  SELECT item_id,
+       |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+       |    CAST(count(*) AS DOUBLE) AS total
+       |  FROM interactions GROUP BY item_id)
+       |SELECT item_id, round(
+       |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
+       |  6) AS rating
+       |FROM pt""".stripMargin
 
   /** Shared by metrics_ranking, its bounded-aggregator twin, and the
     * descriptor query: everything up to the per-user metric frame `pu`. */

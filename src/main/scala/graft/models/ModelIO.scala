@@ -52,19 +52,31 @@ object ModelIO {
 
   /** Vector-state persistence for Word2VecRec: the fitted item/user
     * vectors are the whole inference state (the MLlib model itself is
-    * only needed to fit). Loaded models score exactly; pass an AnnIndex
-    * to re-index the loaded item vectors for the candidate path. */
+    * only needed to fit). The ANN configuration is persisted too, so a
+    * save/load roundtrip keeps the model's scoring mode: IVF configs are
+    * re-fit over the loaded vectors at load (candidate sets may differ at
+    * KMeans-tie boundaries across refits; the recall contract holds);
+    * other AnnIndex implementations load as exact. */
   def saveWord2Vec(m: Word2VecRec, path: String): Unit = {
-    writeJson(path, Map("kind" -> "word2vec"))
+    val annKind = m.ann match {
+      case Some(i: IvfAnn) => s"ivf:${i.nCentroids}:${i.nProbe}"
+      case Some(_)         => "none" // non-IVF indexes are not persisted
+      case None            => "none"
+    }
+    writeJson(path, Map("kind" -> "word2vec", "ann" -> annKind))
     m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
     m.userVectors.write.mode("overwrite").parquet(s"$path/user_vectors")
   }
 
-  def loadWord2Vec(spark: SparkSession, path: String,
-      // default matches the Word2VecRec constructor default, so a
-      // save/load roundtrip of a default-configured model scores the same
-      ann: Option[AnnIndex] = Some(new IvfAnn(nCentroids = 16, nProbe = 4))): Word2VecRec = {
-    require(readJson(path)("kind") == "word2vec", s"not a Word2VecRec at $path")
+  def loadWord2Vec(spark: SparkSession, path: String): Word2VecRec = {
+    val params = readJson(path)
+    require(params("kind") == "word2vec", s"not a Word2VecRec at $path")
+    val ann = params.getOrElse("ann", "none") match {
+      case s if s.startsWith("ivf:") =>
+        val parts = s.split(":")
+        Some(new IvfAnn(nCentroids = parts(1).toInt, nProbe = parts(2).toInt))
+      case _ => None
+    }
     val m = new Word2VecRec(ann = ann)
     m.itemVectors = spark.read.parquet(s"$path/item_vectors").cache()
     m.userVectors = spark.read.parquet(s"$path/user_vectors").cache()

@@ -141,5 +141,6 @@ final class SLIM(
       }
       .toDF("item_one", "item_two", "similarity")
     materialize(sims)
+    mat.unpersist() // state is materialized; don't hold the matrix cached
   }
 }

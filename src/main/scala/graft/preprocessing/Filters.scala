@@ -125,15 +125,22 @@ final case class InteractionEntriesFilter(
       // windows: the aggregates shuffle only (entity, count) pairs and
       // AQE broadcasts them back, where a window would shuffle AND sort
       // every interaction row twice per iteration
+      // null-safe join keys (the window version grouped NULL keys too) and
+      // the input column order restored after the joins hoist the keys
       val uc = current.groupBy(queryCol).agg(F.count(F.lit(1)).as("_cu"))
+        .withColumnRenamed(queryCol, "_q")
       val ic = current.groupBy(itemCol).agg(F.count(F.lit(1)).as("_ci"))
+        .withColumnRenamed(itemCol, "_i")
       var cond: Column = F.lit(true)
       minInterPerUser.foreach(v => cond = cond && F.col("_cu") >= v)
       maxInterPerUser.foreach(v => cond = cond && F.col("_cu") <= v)
       minInterPerItem.foreach(v => cond = cond && F.col("_ci") >= v)
       maxInterPerItem.foreach(v => cond = cond && F.col("_ci") <= v)
-      val step = current.join(uc, Seq(queryCol)).join(ic, Seq(itemCol))
-        .filter(cond).drop("_cu", "_ci")
+      val step = current
+        .join(uc, F.col(queryCol) <=> F.col("_q"))
+        .join(ic, F.col(itemCol) <=> F.col("_i"))
+        .filter(cond)
+        .select(current.columns.map(F.col): _*)
       current = step.localCheckpoint(true)
       rows = current.count()
       iter += 1
