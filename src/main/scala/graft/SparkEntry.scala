@@ -454,6 +454,16 @@ object SparkEntry {
         .filter(F.col("item_id") < 100)
       m.predictPairs(pairs, i)
     }),
+    "predict_pairs_knn" -> ((s, d) => {
+      // NeighbourRec pair scoring (base_neighbour_rec.py predict_pairs):
+      // Σ similarity of the user's seen items to the pair's item
+      val i = Tables.interactions(s, d)
+      val m = new models.ItemKNN(numNeighbours = 5).fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+        .filter(F.col("item_id") < 100)
+      m.predictPairs(pairs, i).select(F.col("query_id"), F.col("item_id"),
+        F.round(F.col("rating"), 6).as("rating"))
+    }),
     "sequence_encode" -> ((s, d) => {
       // array-column encoding, order-preserving (label_encoder.py:568-792)
       val i = Tables.interactions(s, d)
@@ -601,6 +611,19 @@ object SparkEntry {
       joined.select(graft.metrics.Kernels.ncisPrecision(
           F.col("pred"), F.col("w"), F.col("gt"), 5).as("v"))
         .agg(F.round(F.avg("v"), 6).as("ncis_precision_at_5"))
+    }),
+    "metrics_multi_k" -> ((s, d) => {
+      // one enrichment, every metric × every k in one pass
+      // (offline_metrics.py:12-482): hit_rate and ndcg at k ∈ {1, 5}
+      import graft.metrics.Metrics
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      val gt = test.select("query_id", "item_id").distinct()
+      val out = Metrics.compute(recs, gt, Seq("hit_rate", "ndcg"), Seq(1, 5))
+      out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
     }),
     "metrics_descriptors" -> ((s, d) => {
       // Mean / Median / CI descriptors over per-user metric values
@@ -1396,6 +1419,38 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY k, item_id) AS rn
          |  FROM keyed) WHERE rn <= 2""".stripMargin,
+    "predict_pairs_knn" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |scores AS (
+         |  SELECT h.query_id, t.item_two AS item_id, sum(t.similarity) AS r
+         |  FROM (SELECT query_id, item_id FROM interactions) h
+         |  JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2)
+         |SELECT p.query_id, p.item_id, round(coalesce(s.r, 0.0), 6) AS rating
+         |FROM (SELECT DISTINCT query_id, item_id FROM interactions
+         |      WHERE item_id < 100) p
+         |LEFT JOIN scores s
+         |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin,
     "predict_pairs" ->
       s"""$interactionsSql,
          |pop AS (SELECT item_id, count(DISTINCT query_id) /
@@ -1498,7 +1553,53 @@ object SparkEntry {
          |FROM pu""".stripMargin,
     "experiment_table" -> experimentTableSql,
     "grid_search" -> gridSearchSql,
+    "metrics_multi_k" -> metricsMultiKSql,
   ) ++ oracleSqlRest
+
+  /** metrics_multi_k: one PopRec top-5 rec set, hit_rate/ndcg evaluated
+    * at every k — the per-k block is parametrized, the split shared. */
+  private lazy val metricsMultiKSql: String = {
+    def kBlock(p: String, k: Int): String =
+      s"""${p}top AS (SELECT query_id, item_id, rn FROM top5 WHERE rn <= $k),
+         |${p}predc AS (SELECT query_id, count(*) AS npred FROM ${p}top GROUP BY 1),
+         |${p}hits AS (SELECT t.query_id, t.rn AS rnk FROM ${p}top t
+         |  JOIN gt g ON t.query_id = g.query_id AND t.item_id = g.item_id),
+         |${p}hs AS (SELECT query_id, count(*) AS nhits,
+         |  sum(1.0/log2(rnk + 1)) AS dcg FROM ${p}hits GROUP BY 1),
+         |${p}idcg AS (SELECT g.query_id, sum(1.0/log2(i + 1)) AS idcg
+         |  FROM gtc g JOIN range(1, ${k + 1}) r(i) ON r.i <= least($k, g.ngt)
+         |  GROUP BY 1),
+         |${p}pu AS (SELECT g.query_id,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       WHEN coalesce(h.nhits, 0) > 0 THEN 1.0 ELSE 0.0 END AS hr,
+         |  CASE WHEN coalesce(p.npred, 0) = 0 THEN 0.0
+         |       ELSE coalesce(h.dcg, 0.0) / i.idcg END AS ndcg_
+         |  FROM gtc g
+         |  LEFT JOIN ${p}predc p ON g.query_id = p.query_id
+         |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
+         |  LEFT JOIN ${p}idcg i ON g.query_id = i.query_id)""".stripMargin
+    s"""$timeSplitEvalSql,
+       |pscore AS (SELECT item_id, count(DISTINCT query_id) /
+       |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
+       |  FROM train GROUP BY 1),
+       |ranked AS (SELECT item_id, rating,
+       |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pscore),
+       |cand AS (SELECT q.query_id, r.item_id, r.rating
+       |  FROM users q CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+       |unseen AS (SELECT c.* FROM cand c ANTI JOIN seen s
+       |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
+       |top5 AS (SELECT query_id, item_id, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+       |  FROM unseen) WHERE rn <= 5),
+       |${kBlock("k1", 1)},
+       |${kBlock("k5", 5)}
+       |SELECT
+       |  (SELECT round(avg(hr), 6) FROM k1pu) AS hit_rate_at_1,
+       |  (SELECT round(avg(hr), 6) FROM k5pu) AS hit_rate_at_5,
+       |  (SELECT round(avg(ndcg_), 6) FROM k1pu) AS ndcg_at_1,
+       |  (SELECT round(avg(ndcg_), 6) FROM k5pu) AS ndcg_at_5""".stripMargin
+  }
 
   /** grid_search: the experiment split + the Wilson predict/ndcg block
     * instantiated once per z value on the grid. */
