@@ -367,6 +367,25 @@ object SparkEntry {
       m.predict(itemCats.select("category").distinct(), k = 5)
     }),
 
+    "model_cat_pop_tree" -> ((s, d) => {
+      // 2-level tree: leaf brands under brand-prefix parents; predicting
+      // for the PARENTS exercises the closure aggregation
+      // (cat_pop_rec.py:245-279 — leaf counts summed per ancestor)
+      val part = Tables.part(s, d)
+      val itemCats = part.select(F.col("p_partkey").as("item_id"),
+        F.col("p_brand").as("category"))
+      // parent = brand family by first digit ("Brand#1"/"Brand#13" →
+      // grp_1) — a pure prefix would make 7-char brands their own parent
+      val leaves = part.select(F.col("p_brand").as("category")).distinct()
+        .withColumn("parent_cat",
+          F.concat(F.lit("grp_"), F.substring(F.col("category"), 7, 1)))
+      val parents = leaves.select(F.col("parent_cat").as("category")).distinct()
+        .withColumn("parent_cat", F.lit(null).cast("string"))
+      val m = new models.CatPopRec(leaves.unionByName(parents), itemCats)
+        .fit(Tables.interactions(s, d))
+      m.predict(parents.select("category"), k = 5)
+    }),
+
     // ---- §2.10 tier-2 models (MLlib / solver-backed — rows-only) ----------
     "model_als" -> ((s, d) => {
       val i = Tables.interactions(s, d)
@@ -1419,6 +1438,24 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY k, item_id) AS rn
          |  FROM keyed) WHERE rn <= 2""".stripMargin,
+    "model_cat_pop_tree" ->
+      s"""$interactionsSql,
+         |icat AS (SELECT p_partkey AS item_id, p_brand AS leaf FROM part),
+         |leafcnt AS (
+         |  SELECT c.leaf, i.item_id, count(*) AS cnt
+         |  FROM interactions i JOIN icat c ON i.item_id = c.item_id
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT 'grp_' || substring(leaf, 7, 1) AS category, item_id,
+         |        CAST(sum(cnt) AS BIGINT) AS cnt
+         |        FROM leafcnt GROUP BY 1, 2),
+         |catcnt AS (SELECT category, sum(cnt) AS cc FROM agg GROUP BY 1)
+         |SELECT category, item_id, rating FROM (
+         |  SELECT a.category, a.item_id,
+         |    CAST(a.cnt AS DOUBLE) / c.cc AS rating,
+         |    row_number() OVER (PARTITION BY a.category
+         |      ORDER BY CAST(a.cnt AS DOUBLE) / c.cc DESC, a.item_id) AS rn
+         |  FROM agg a JOIN catcnt c ON a.category = c.category)
+         |WHERE rn <= 5""".stripMargin,
     "predict_pairs_knn" ->
       s"""$interactionsSql,
          |base AS (SELECT DISTINCT query_id, item_id FROM interactions),

@@ -92,27 +92,37 @@ final class CatPopRec(
     closure
   }
 
-  var catPopularity: DataFrame = _
+  /** per-LEAF-category raw item counts — predict re-aggregates these over
+    * each requested category's descendant leaves (reference
+    * cat_pop_rec.py:245-279 sums leaf interactions, then normalizes
+    * within the requested category). */
+  var leafItemCounts: DataFrame = _
 
   def fit(log: DataFrame): this.type = {
     val withCat = log.join(itemCats, Seq(cols.item))
-    val pairCnt = withCat.groupBy("category", cols.item)
+    leafItemCounts = withCat.groupBy("category", cols.item)
       .agg(F.count(F.lit(1)).as("_cnt"))
-    val catCnt = pairCnt.groupBy("category").agg(F.sum("_cnt").as("_cat_cnt"))
-    catPopularity = pairCnt.join(catCnt, Seq("category"))
-      .select(col("category"), col(cols.item),
-        (col("_cnt").cast("double") / col("_cat_cnt")).as(cols.rating))
+      .withColumnRenamed("category", "leaf")
       .cache()
-    catPopularity.count()
+    leafItemCounts.count()
     this
   }
 
-  /** Top-k items per requested category (partitioned window). */
+  /** Top-k items per requested category: resolve the category to its
+    * descendant leaves via the closure, sum leaf item counts, normalize
+    * by the category total (a flat tree degenerates to leaf shares). */
   def predict(categories: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val res = categories.select("category").distinct()
+      .join(leafClosure, Seq("category")) // (category, leaf)
+    val itemAgg = res.join(leafItemCounts, Seq("leaf"))
+      .groupBy("category", cols.item).agg(F.sum("_cnt").as("_cnt"))
+    val catAgg = itemAgg.groupBy("category").agg(F.sum("_cnt").as("_cat_cnt"))
     val w = Window.partitionBy("category")
       .orderBy(col(cols.rating).desc, col(cols.item).asc)
-    catPopularity.join(categories.select("category"), Seq("category"), "left_semi")
+    itemAgg.join(catAgg, Seq("category"))
+      .select(col("category"), col(cols.item),
+        (col("_cnt").cast("double") / col("_cat_cnt")).as(cols.rating))
       .withColumn("_rn", F.row_number().over(w))
       .filter(col("_rn") <= k).drop("_rn")
   }
