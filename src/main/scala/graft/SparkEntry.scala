@@ -169,6 +169,21 @@ object SparkEntry {
       val enc = LabelEncoder.fit(i, "item_id")
       enc.transform(i).select("query_id", "item_id", "rating", "session_id")
     }),
+    "label_encode_drop" -> ((s, d) => {
+      // handleUnknown=Drop: rows with unseen labels vanish
+      // (label_encoder.py:352-379)
+      val known = Tables.lineitem(s, d).filter(F.col("l_partkey") % 3 === 0)
+        .select(F.col("l_partkey").as("item_id"))
+      val enc = LabelEncoder.fit(known, "item_id", HandleUnknown.Drop)
+      enc.transform(Tables.interactions(s, d)).select("query_id", "item_id")
+    }),
+    "label_encode_default" -> ((s, d) => {
+      // handleUnknown=UseDefault(-1): unseen labels map to the default
+      val known = Tables.lineitem(s, d).filter(F.col("l_partkey") % 3 === 0)
+        .select(F.col("l_partkey").as("item_id"))
+      val enc = LabelEncoder.fit(known, "item_id", HandleUnknown.UseDefault(-1L))
+      enc.transform(Tables.interactions(s, d)).select("query_id", "item_id")
+    }),
     "label_encode_roundtrip" -> ((s, d) => {
       // transform → inverseTransform is the identity on seen labels
       // (label_encoder.py:440+)
@@ -972,6 +987,20 @@ object SparkEntry {
     "label_encode_fit" ->
       """SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
         |FROM (SELECT DISTINCT l_partkey AS item_id FROM lineitem)""".stripMargin,
+    "label_encode_drop" ->
+      s"""$interactionsSql,
+         |m AS (SELECT label, row_number() OVER (ORDER BY label) - 1 AS code
+         |      FROM (SELECT DISTINCT l_partkey AS label FROM lineitem
+         |            WHERE l_partkey % 3 = 0))
+         |SELECT i.query_id, m.code AS item_id
+         |FROM interactions i JOIN m ON i.item_id = m.label""".stripMargin,
+    "label_encode_default" ->
+      s"""$interactionsSql,
+         |m AS (SELECT label, row_number() OVER (ORDER BY label) - 1 AS code
+         |      FROM (SELECT DISTINCT l_partkey AS label FROM lineitem
+         |            WHERE l_partkey % 3 = 0))
+         |SELECT i.query_id, CAST(coalesce(m.code, -1) AS BIGINT) AS item_id
+         |FROM interactions i LEFT JOIN m ON i.item_id = m.label""".stripMargin,
     // encode→decode is the identity on seen labels
     "label_encode_roundtrip" ->
       s"""$interactionsSql
