@@ -451,6 +451,21 @@ object SparkEntry {
           Tables.interactions(s, d), "linear", alpha = 0.01)
         .select("query_id", "item_id", "session_id", "rating")
     }),
+    "time_smoothing_power" -> ((s, d) => {
+      // (age+1)^-alpha kernel; pow differs at the last ulp across libm
+      // implementations → round 6
+      graft.preprocessing.TimeSmoothing.smooth(
+          Tables.interactions(s, d), "power", alpha = 0.1)
+        .select(F.col("query_id"), F.col("item_id"), F.col("session_id"),
+          F.round(F.col("rating"), 6).as("rating"))
+    }),
+    "time_smoothing_exp" -> ((s, d) => {
+      // c^age kernel (c = 0.9)
+      graft.preprocessing.TimeSmoothing.smooth(
+          Tables.interactions(s, d), "exp", alpha = 0.9)
+        .select(F.col("query_id"), F.col("item_id"), F.col("session_id"),
+          F.round(F.col("rating"), 6).as("rating"))
+    }),
 
     // ---- §2.12 streaming surface (batch-equivalent session_window) --------
     "streaming_session_window" -> ((s, d) => {
@@ -1565,6 +1580,21 @@ object SparkEntry {
          |    (CAST(epoch_us((SELECT max(timestamp) FROM interactions))
          |          - epoch_us(timestamp) AS DOUBLE) / (86400.0 * 1e6)), 0.0)
          |  AS rating
+         |FROM interactions""".stripMargin,
+    "time_smoothing_power" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id, session_id,
+         |  round(rating * power(
+         |    (CAST(epoch_us((SELECT max(timestamp) FROM interactions))
+         |          - epoch_us(timestamp) AS DOUBLE) / (86400.0 * 1e6)) + 1.0,
+         |    -0.1), 6) AS rating
+         |FROM interactions""".stripMargin,
+    "time_smoothing_exp" ->
+      s"""$interactionsSql
+         |SELECT query_id, item_id, session_id,
+         |  round(rating * power(0.9,
+         |    CAST(epoch_us((SELECT max(timestamp) FROM interactions))
+         |         - epoch_us(timestamp) AS DOUBLE) / (86400.0 * 1e6)), 6) AS rating
          |FROM interactions""".stripMargin,
     "streaming_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
