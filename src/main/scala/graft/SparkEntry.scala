@@ -155,6 +155,14 @@ object SparkEntry {
         .transform(Tables.interactions(s, d))
         .select("query_id", "item_id", "rating", "session_id")
     }),
+    "filter_interaction_entries_max" -> ((s, d) => {
+      // the max-bound side of the fixpoint: cap power users, keep items
+      // with enough support — removing a capped user's rows can drop an
+      // item below its minimum, hence still iterative
+      InteractionEntriesFilter(maxInterPerUser = Some(50), minInterPerItem = Some(3))
+        .transform(Tables.interactions(s, d))
+        .select("query_id", "item_id", "rating", "session_id")
+    }),
 
     // ---- §2.8 encoding / sessionization / discretization ------------------
     "label_encode_fit" -> ((s, d) => {
@@ -253,6 +261,13 @@ object SparkEntry {
       LastNSplitter(2, queryCol = "user_id", tsCol = "ts", tieCol = Some("event_id"))
         .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
     }),
+    "split_last_n_seconds" -> ((s, d) => {
+      // byTimeSeconds variant (last_n_splitter.py:186-366): test = events
+      // within the final 7 days of each user's history
+      LastNSplitter(604800, byTimeSeconds = true, queryCol = "user_id",
+          tsCol = "ts")
+        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+    }),
     "split_time_quantile" -> ((s, d) => {
       graft.splitters.TimeSplitter.byQuantile(Tables.events(s, d), 0.8, tsCol = "ts")
         .select("event_id", "user_id", "is_test")
@@ -339,6 +354,16 @@ object SparkEntry {
     "model_random_rec" -> ((s, d) => {
       val i = Tables.interactions(s, d)
       val m = new models.RandomRec("popular", alpha = 0.0, seed = 42).fit(i)
+      val recs = m.predict(i, k = 3)
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("rating").desc, F.col("item_id").asc)
+      recs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "item_id", "rank")
+    }),
+    "model_random_rec_relevance" -> ((s, d) => {
+      // relevance-weighted sampling: weights = Σ rating per item
+      val i = Tables.interactions(s, d)
+      val m = new models.RandomRec("relevance", seed = 42).fit(i)
       val recs = m.predict(i, k = 3)
       val w = Window.partitionBy("query_id")
         .orderBy(F.col("rating").desc, F.col("item_id").asc)
@@ -1002,6 +1027,19 @@ object SparkEntry {
     "label_encode_fit" ->
       """SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
         |FROM (SELECT DISTINCT l_partkey AS item_id FROM lineitem)""".stripMargin,
+    // max-bound fixpoint variant, same 24-step idempotent unroll
+    "filter_interaction_entries_max" -> {
+      val steps = (1 to 24).map { i =>
+        s"""t$i AS (SELECT query_id, item_id, rating, session_id FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY query_id) AS cu,
+           |            count(*) OVER (PARTITION BY item_id) AS ci
+           |  FROM t${i - 1}) WHERE cu <= 50 AND ci >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""$interactionsSql,
+         |t0 AS (SELECT query_id, item_id, rating, session_id FROM interactions),
+         |$steps
+         |SELECT query_id, item_id, rating, session_id FROM t24""".stripMargin
+    },
     "label_encode_drop" ->
       s"""$interactionsSql,
          |m AS (SELECT label, row_number() OVER (ORDER BY label) - 1 AS code
@@ -1092,6 +1130,13 @@ object SparkEntry {
          |SELECT query_id, item_id, session_id FROM repaired
          |WHERE is_test AND item_id IN (
          |  SELECT DISTINCT item_id FROM repaired WHERE NOT is_test)""".stripMargin,
+    "split_last_n_seconds" ->
+      """SELECT event_id, user_id,
+        |  (CAST(floor(epoch(ts)) AS BIGINT) >
+        |   CAST(floor(epoch(_mx)) AS BIGINT) - 604800) AS is_test FROM (
+        |  SELECT event_id, user_id, ts,
+        |    max(ts) OVER (PARTITION BY user_id) AS _mx
+        |  FROM events)""".stripMargin,
     "split_last_n" ->
       """SELECT event_id, user_id, (_rn > _n - 2) AS is_test FROM (
         |  SELECT event_id, user_id,
@@ -1319,6 +1364,24 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM sc) WHERE rn <= 3""".stripMargin,
+    "model_random_rec_relevance" ->
+      s"""$interactionsSql,
+         |w AS (SELECT item_id, CAST(sum(rating) AS DOUBLE) AS wt
+         |      FROM interactions GROUP BY 1),
+         |scored AS (
+         |  SELECT q.query_id, w.item_id,
+         |    ln((('0x' || substr(md5('42:' || CAST(q.query_id AS VARCHAR) || ':'
+         |           || CAST(w.item_id AS VARCHAR)), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) + 1e-18) / wt AS rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) q CROSS JOIN w),
+         |unseen AS (
+         |  SELECT s.* FROM scored s ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
+         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
+         |SELECT query_id, item_id, rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rank
+         |  FROM unseen) WHERE rank <= 3""".stripMargin,
     "model_random_rec" ->
       s"""$interactionsSql,
          |w AS (SELECT item_id, CAST(count(*) AS DOUBLE) AS wt
