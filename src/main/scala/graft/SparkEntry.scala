@@ -17,6 +17,12 @@ import graft.splitters._
 object SparkEntry {
   import Tables.interactionsSql
 
+  /** Driver-side 6dp rounding with the SAME half-up convention as
+    * F.round / DuckDB round — the one cross-engine rounding used by every
+    * gate that rounds on the driver. */
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Flagship: the full SURVEY §7.2 end-to-end slice on sf0.001 —
     * scan → filter → split → encode → PopRec fit/predict (seen-filtered
     * top-k) → ranking metrics stapled on as a sanity column. */
@@ -603,8 +609,6 @@ object SparkEntry {
         "cluster" -> ndcg(new models.ClusterRec(nClusters = 5).fit(train, qf).predict(train, 5)),
       )
       val floor = base * 0.5
-      def r6(v: Double): Double = // same HALF_UP convention as F.round/DuckDB
-        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
       scores.map { case (m, v) => (m, r6(v), r6(floor), v >= floor) }
         .toDF("model", "ndcg_at_5", "floor", "passed")
@@ -623,10 +627,7 @@ object SparkEntry {
         build = p => new models.Wilson(z = p("z")),
         train = train, test = test, metric = "ndcg", k = 5)
       import s.implicits._
-      trials.map { t =>
-        (t.params("z"),
-          BigDecimal(t.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("z", "ndcg_at_5")
+      trials.map(t => (t.params("z"), r6(t.score))).toDF("z", "ndcg_at_5")
     }),
     "experiment_table" -> ((s, d) => {
       // models × metrics table (experiment.py:7-200); metric means rounded
@@ -670,15 +671,10 @@ object SparkEntry {
       val train = marked.filter(!F.col("is_test")).drop("is_test")
       val test = marked.filter(F.col("is_test")).drop("is_test")
       val recs = new models.PopRec().fitPredict(train, 5)
-      val pred = recs.groupBy("query_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct(
-          (-F.col("rating")).as("nr"), F.col("item_id").as("i")))),
-          x => x.getField("i")).as("pred"))
-      val gts = test.select("query_id", "item_id").distinct()
-        .groupBy("query_id").agg(F.collect_set("item_id").as("gt"))
-      val joined = gts.join(pred, Seq("query_id"), "left")
-        .withColumn("pred", F.coalesce(F.col("pred"),
-          F.array().cast("array<long>")))
+      // the ONE shared enrichment every metric gate rides on, plus the
+      // propensity-weight column NCIS needs
+      val joined = graft.metrics.Metrics.enrich(recs,
+          test.select("query_id", "item_id").distinct())
         .withColumn("w", F.when(F.size(F.col("pred")) > 0,
           F.transform(F.sequence(F.lit(1), F.size(F.col("pred"))),
             i => F.lit(1.0) / i)).otherwise(F.array().cast("array<double>")))

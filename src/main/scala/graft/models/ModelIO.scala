@@ -60,8 +60,11 @@ object ModelIO {
   def saveWord2Vec(m: Word2VecRec, path: String): Unit = {
     val annKind = m.ann match {
       case Some(i: IvfAnn) => s"ivf:${i.nCentroids}:${i.nProbe}"
-      case Some(_)         => "none" // non-IVF indexes are not persisted
-      case None            => "none"
+      case Some(l: LshAnn) => s"lsh:${l.planes}:${l.tables}:${l.dims}"
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"cannot persist ann index ${other.getClass.getSimpleName}")
+      case None => "none"
     }
     writeJson(path, Map("kind" -> "word2vec", "ann" -> annKind))
     m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
@@ -75,6 +78,10 @@ object ModelIO {
       case s if s.startsWith("ivf:") =>
         val parts = s.split(":")
         Some(new IvfAnn(nCentroids = parts(1).toInt, nProbe = parts(2).toInt))
+      case s if s.startsWith("lsh:") =>
+        val parts = s.split(":")
+        Some(new LshAnn(planes = parts(1).toInt, tables = parts(2).toInt,
+          dims = parts(3).toInt))
       case _ => None
     }
     val m = new Word2VecRec(ann = ann)

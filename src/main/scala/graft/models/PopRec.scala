@@ -95,7 +95,11 @@ final class CatPopRec(
   /** per-LEAF-category raw item counts — predict re-aggregates these over
     * each requested category's descendant leaves (reference
     * cat_pop_rec.py:245-279 sums leaf interactions, then normalizes
-    * within the requested category). */
+    * within the requested category). Items must attach to LEAF categories:
+    * the closure maps a category to its descendant leaves only, so counts
+    * keyed by an internal node never join — matching the reference, whose
+    * mapping also replaces an internal node's self-entry with its
+    * children (cat_pop_rec.py:51-66 coalesce walk). */
   var leafItemCounts: DataFrame = _
 
   def fit(log: DataFrame): this.type = {
