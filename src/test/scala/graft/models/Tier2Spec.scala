@@ -58,6 +58,19 @@ class Tier2Spec extends SparkSpec {
     assert(recall >= 0.9, s"ALS ANN recall vs exact = $recall")
   }
 
+  test("Word2Vec predicts end-to-end through an LshAnn index") {
+    val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
+    val exact = new Word2VecRec(vectorSize = 8, ann = None)
+      .fitPredict(i, 5).cache()
+    val lsh = new Word2VecRec(vectorSize = 8,
+      ann = Some(new LshAnn(planes = 2, tables = 8, dims = 8))).fitPredict(i, 5)
+    assert(lsh.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ <= 5))
+    val hits = lsh.join(exact, Seq("query_id", "item_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, s"LSH recall vs brute force = $recall")
+  }
+
   test("LshAnn generates candidates that contain the true nearest item") {
     val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
     val m = new Word2VecRec(vectorSize = 8, ann = None).fit(i)
