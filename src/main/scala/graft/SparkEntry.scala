@@ -393,6 +393,21 @@ object SparkEntry {
         .select(F.col("p_partkey").as("item_id"))
       new models.PopRec().fit(i).predict(i, k = 5, items = Some(big))
     }),
+    "model_pop_rec_items_cold" -> ((s, d) => {
+      // cold-item fill (reference add_cold_items/cold_weight,
+      // base_rec.py:1144-1201): candidate items unseen at fit are scored
+      // at min(rating)·cold_weight instead of being silently dropped —
+      // the +10M shifted partkeys below never appear in interactions; the
+      // warm candidate set is deliberately tiny (3 items) so the fill
+      // value genuinely surfaces in every user's top-5, not just in the plan
+      val i = Tables.interactions(s, d)
+      val part = Tables.part(s, d)
+      val cand = part.filter(F.col("p_partkey") <= 3)
+        .select(F.col("p_partkey").as("item_id"))
+        .unionByName(part.filter(F.col("p_size") >= 45)
+          .select((F.col("p_partkey") + F.lit(10000000L)).as("item_id")))
+      new models.PopRec(coldWeight = 0.5).fit(i).predict(i, k = 5, items = Some(cand))
+    }),
     "model_predict_proba" -> ((s, d) => {
       // sparse OBP action distribution (base_rec.py:371-430): one-hot over
       // (item, position) per query for a deterministic ranker
@@ -438,8 +453,17 @@ object SparkEntry {
       new models.ALSRec(rank = 8, maxIter = 5).fitPredict(i, k = 5)
     }),
     "model_word2vec" -> ((s, d) => {
+      // exact scoring (ann = None, the reference default)
       val i = Tables.interactions(s, d)
       new models.Word2VecRec(vectorSize = 16).fitPredict(i, k = 3)
+    }),
+    "model_word2vec_ann" -> ((s, d) => {
+      // IVF-routed candidate generation (ann_mixin.py:78-186 analogue) —
+      // the 100 TB predict path; recall-vs-exact contract in Tier2Spec
+      val i = Tables.interactions(s, d)
+      new models.Word2VecRec(vectorSize = 16,
+        ann = Some(new models.IvfAnn(nCentroids = 16, nProbe = 4)))
+        .fitPredict(i, k = 3)
     }),
     "model_als_ann" -> ((s, d) => {
       // ALS + pluggable IVF candidate index (ann_mixin.py:78-186 analogue)
@@ -1226,6 +1250,39 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_pop_rec_items_cold" ->
+      s"""$interactionsSql,
+         |pop AS (
+         |  SELECT item_id,
+         |    count(DISTINCT query_id) /
+         |      CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE)
+         |    AS rating
+         |  FROM interactions GROUP BY item_id),
+         |cand AS (
+         |  SELECT p_partkey AS item_id FROM part WHERE p_partkey <= 3
+         |  UNION ALL
+         |  SELECT p_partkey + 10000000 FROM part WHERE p_size >= 45),
+         |spop AS (
+         |  SELECT c.item_id,
+         |    coalesce(pop.rating, (SELECT min(rating) FROM pop) * 0.5) AS rating
+         |  FROM cand c LEFT JOIN pop ON c.item_id = pop.item_id),
+         |ranked AS (SELECT item_id, rating,
+         |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM spop),
+         |seen AS (SELECT query_id, count(DISTINCT item_id) AS s
+         |         FROM interactions GROUP BY 1),
+         |percand AS (
+         |  SELECT q.query_id, r.item_id, r.rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) q
+         |  JOIN seen s ON q.query_id = s.query_id
+         |  JOIN ranked r ON r.rnk <= 5 + s.s),
+         |unseen AS (
+         |  SELECT c.* FROM percand c ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) se
+         |    ON c.query_id = se.query_id AND c.item_id = se.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
     "model_pop_rec_items" ->
       s"""$interactionsSql,
          |pop AS (
@@ -1596,7 +1653,8 @@ object SparkEntry {
          |pop AS (SELECT item_id, count(DISTINCT query_id) /
          |          CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE)
          |        AS rating FROM interactions GROUP BY 1)
-         |SELECT p.query_id, p.item_id, coalesce(pop.rating, 0.0) AS rating
+         |SELECT p.query_id, p.item_id,
+         |  coalesce(pop.rating, (SELECT min(rating) FROM pop) * 0.5) AS rating
          |FROM (SELECT DISTINCT query_id, item_id FROM interactions
          |      WHERE item_id < 100) p
          |LEFT JOIN pop ON p.item_id = pop.item_id""".stripMargin,

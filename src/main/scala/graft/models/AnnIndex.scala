@@ -88,24 +88,45 @@ final class LshAnn(
     val tables: Int = 4,
     val dims: Int = 64,
 ) extends AnnIndex {
-  private var buckets: DataFrame = _ // (itemId, _iv, tbl, bkt)
+  private var buckets: DataFrame = _  // (itemId, tbl, bkt) — ids only
+  private var itemVecs: DataFrame = _ // (itemId, _iv)
   private var itemCol: String = _
 
   def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type = {
     itemCol = idCol
+    // fail fast on a dims mismatch: zip_with null-pads, so a wrong `dims`
+    // would make every plane projection aggregate to NULL → contribute 0,
+    // collapsing ALL vectors into bucket 0 of every table — candidates
+    // silently degrade to the full cross join LSH exists to avoid
+    itemVectors.select(F.size(F.col(vecCol))).head(1).foreach { r =>
+      require(r.getInt(0) == dims,
+        s"LshAnn dims=$dims but vectors have size ${r.getInt(0)}")
+    }
+    itemVecs = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv")).cache()
+    // bucket table carries ids only: caching the vector `tables`× over
+    // would multiply memory for no lookup benefit
     buckets = Similarity.signBuckets(itemVectors, idCol, vecCol, planes, tables, dims)
-      .withColumnRenamed(vecCol, "_iv")
+      .select(F.col(idCol), F.col("tbl"), F.col("bkt"))
       .cache()
     buckets.count()
     this
   }
 
   def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
+    queryVecs.select(F.size(F.col(vecCol))).head(1).foreach { r =>
+      require(r.getInt(0) == dims,
+        s"LshAnn dims=$dims but query vectors have size ${r.getInt(0)}")
+    }
+    val qv = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"))
     val qb = Similarity.signBuckets(queryVecs, queryIdCol, vecCol, planes, tables, dims)
-      .withColumnRenamed(vecCol, "_qv")
-    qb.join(buckets, Seq("tbl", "bkt"))
-      .select(F.col(queryIdCol), F.col(itemCol), F.col("_qv"), F.col("_iv"))
-      .distinct()
+      .select(F.col(queryIdCol), F.col("tbl"), F.col("bkt"))
+    // dedup multi-table collisions on bare (query, item) ids — at dims=512
+    // a vector-carrying distinct would shuffle multi-KB rows per
+    // candidate; vectors rejoin AFTER the dedup for exact re-scoring
+    val pairs = qb.join(buckets, Seq("tbl", "bkt"))
+      .select(F.col(queryIdCol), F.col(itemCol)).distinct()
+    pairs.join(qv, Seq(queryIdCol))
+      .join(itemVecs, Seq(itemCol))
       .select(F.col(queryIdCol), F.col(itemCol),
         AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
   }

@@ -88,11 +88,13 @@ final class Word2VecRec(
     val useIdf: Boolean = false,
     val seed: Long = 42,
     // pluggable candidate index (reference ann_mixin.py:78-186): score
-    // only the probed candidate lists instead of the whole catalog (None →
-    // exact full cross join, the spec oracle). At a 10⁸-item catalog the
-    // cross join is the scale-killer; IVF bounds the per-query candidate
-    // set to ~|items|·nProbe/nCentroids with exact re-scoring.
-    val ann: Option[AnnIndex] = Some(new IvfAnn(nCentroids = 16, nProbe = 4)),
+    // only the probed candidate lists instead of the whole catalog. None
+    // (the default — matching the reference's `index_builder=None` and the
+    // sibling ALSRec, so predict is EXACT unless the caller opts in) →
+    // full cross-join scoring. At a 10⁸-item catalog the cross join is the
+    // scale-killer; opt into IvfAnn to bound the per-query candidate set
+    // to ~|items|·nProbe/nCentroids with exact re-scoring.
+    val ann: Option[AnnIndex] = None,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   import org.apache.spark.ml.feature.Word2Vec
@@ -124,18 +126,25 @@ final class Word2VecRec(
       } else
         itemVectors.select(F.col(cols.item), F.lit(1.0).as("_idf"))
 
-    // user vector = mean over history of idf·item_vec — zip_with + element
-    // -wise aggregation, no VectorUDT UDFs (word2vec.py:194-198 equivalent)
+    // user vector = mean over history of idf·item_vec (word2vec.py:194-198
+    // equivalent). posexplode → per-(user, dim) sums — the LinUCB
+    // summedArray pattern — so aggregation state is O(1) per group; a
+    // collect_list would buffer |history|·dims doubles per user (a 10⁶-
+    // event user at dims=300 is a ~2.4 GB group). The final collect_list
+    // reassembles exactly `vectorSize` entries per user — bounded.
     val hist = log.select(cols.query, cols.item).distinct()
       .join(itemVectors, Seq(cols.item)).join(idf, Seq(cols.item))
       .select(F.col(cols.query),
         F.transform(F.col("vec"), x => x * F.col("_idf")).as("wvec"))
-    userVectors = hist.groupBy(cols.query)
-      .agg(F.collect_list("wvec").as("_vs"))
-      .select(F.col(cols.query),
-        F.transform(F.sequence(F.lit(0), F.lit(vectorSize - 1)), i =>
-          F.aggregate(F.col("_vs"), F.lit(0.0), (acc, v) => acc + v.getItem(i)) /
-            F.size(F.col("_vs"))).as("vec"))
+    userVectors = hist
+      .select(F.col(cols.query), F.posexplode(F.col("wvec")))
+      .toDF(cols.query, "_i", "_v")
+      .groupBy(cols.query, "_i")
+      .agg((F.sum("_v") / F.count(F.lit(1))).as("_m"))
+      .groupBy(cols.query)
+      .agg(F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("_i"), F.col("_m")))),
+        s => s.getField("_m")).as("vec"))
       .cache()
     userVectors.count()
 

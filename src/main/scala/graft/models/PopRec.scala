@@ -10,6 +10,8 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 final class PopRec(
     val useRating: Boolean = false,
+    override val addColdItems: Boolean = true,
+    override val coldWeight: Double = 0.5,
     cols: RecCols = RecCols(),
 ) extends NonPersonalizedRec(cols) {
 

@@ -24,11 +24,16 @@ final class RandomRec(
     val distribution: String = "uniform",
     val alpha: Double = 0.0,
     val seed: Long = 42,
+    val addColdItems: Boolean = true,
+    val coldWeight: Double = 0.5,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   var itemWeights: DataFrame = _
+  private var fillCache: Option[Double] = None
 
   protected def doFit(log: DataFrame): Unit = {
+    require(coldWeight > 0 && coldWeight <= 1,
+      s"coldWeight must be in (0, 1], got $coldWeight")
     val w = distribution match {
       case "uniform" => log.select(cols.item).distinct().withColumn("_w", F.lit(1.0))
       case "popular" =>
@@ -38,9 +43,31 @@ final class RandomRec(
         log.groupBy(cols.item).agg(F.sum(cols.rating).as("_w"))
       case other => throw new IllegalArgumentException(s"unknown distribution $other")
     }
+    fillCache = None
     itemWeights = w.cache()
     itemWeights.count()
   }
+
+  /** Weight for candidate items unseen at fit: min(weight)·coldWeight
+    * (reference random_rec.py:210 via `_calc_fill`). */
+  private def coldFill: Double = {
+    if (fillCache.isEmpty)
+      fillCache = Some(itemWeights.agg(F.min("_w")).first() match {
+        case r if r.isNullAt(0) => 0.0
+        case r                  => r.getDouble(0) * coldWeight
+      })
+    fillCache.get
+  }
+
+  /** Candidate weights: right join + cold fill when `addColdItems`
+    * (reference `_get_selected_item_popularity`), semi-join otherwise. */
+  private def selectedWeights(items: Option[DataFrame]): DataFrame =
+    items match {
+      case Some(it) if addColdItems =>
+        itemWeights.join(it.select(F.col(cols.item)).distinct(), Seq(cols.item), "right")
+          .withColumn("_w", F.coalesce(F.col("_w"), F.lit(coldFill)))
+      case _ => restrictItems(itemWeights, items)
+    }
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame = {
@@ -51,7 +78,7 @@ final class RandomRec(
     // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
     // and high-weight items win as the distribution demands.
     // u in [0,1); epsilon guards ln(0).
-    queries.select(cols.query).crossJoin(restrictItems(itemWeights, items))
+    queries.select(cols.query).crossJoin(selectedWeights(items))
       .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
       .drop("_w")
   }
@@ -61,7 +88,7 @@ final class RandomRec(
       .cast("double") / F.lit(math.pow(2, 60))
     pairs.join(itemWeights, Seq(cols.item), "left")
       .withColumn(cols.rating,
-        F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(1.0)))
+        F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(coldFill)))
       .drop("_w")
   }
 }

@@ -65,9 +65,13 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
     val qs = queries.orElse(Option(fitQueriesDf))
       .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
+    // distinct pairs, not raw events (reference _calc_max_hist_len,
+    // base_rec.py:1203-1220 countDistinct): the seen-filter can only drop
+    // distinct pairs, so re-interaction-heavy logs shouldn't widen the crop
     val maxSeen =
       if (filterSeen)
-        history.groupBy(cols.query).count().agg(F.max("count")).first() match {
+        history.groupBy(cols.query).agg(F.countDistinct(cols.item).as("_n"))
+          .agg(F.max("_n")).first() match {
           case r if r.isNullAt(0) => 0
           case r                  => r.getLong(0).toInt
         }
@@ -111,13 +115,52 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
   /** (item, rating) — materialized by doFit. */
   var itemPopularity: DataFrame = _
 
-  /** Rating for items absent from the popularity table in predictPairs. */
-  protected def coldFill: Double = 0.0
+  /** When a candidate `items` set contains items unseen at fit, keep them
+    * and score at `coldFill` instead of dropping them (reference
+    * `add_cold_items`, base_rec.py:1144-1201). */
+  def addColdItems: Boolean = true
+
+  /** Scales the cold fill value; must be in (0, 1] (reference
+    * NonPersonalizedRecommender.__init__, base_rec.py:1157-1162). */
+  def coldWeight: Double = 0.5
+
+  private var fillCache: Option[Double] = None
+
+  /** Rating for items absent from the fitted popularity table:
+    * min(rating)·coldWeight (reference `_calc_fill`, base_rec.py:1176-1183)
+    * — always strictly below every warm rating for positive ratings, so
+    * cold items rank after warm ones. UCB overrides with its optimistic
+    * exploration bound (ucb.py:188). Computed lazily — one tiny job over
+    * the cached popularity table, only on predict paths that need it. */
+  protected def coldFill: Double = {
+    if (fillCache.isEmpty)
+      fillCache = Some(itemPopularity.agg(F.min(cols.rating)).first() match {
+        case r if r.isNullAt(0) => 0.0
+        case r                  => r.getDouble(0) * coldWeight
+      })
+    fillCache.get
+  }
 
   protected def materialize(state: DataFrame): Unit = {
+    require(coldWeight > 0 && coldWeight <= 1,
+      s"coldWeight must be in (0, 1], got $coldWeight")
+    fillCache = None
     itemPopularity = state.cache()
     itemPopularity.count() // eager, reference pop_rec.py:135
   }
+
+  /** The popularity table restricted to a candidate set: right join +
+    * cold fill when `addColdItems` (reference
+    * `_get_selected_item_popularity`, base_rec.py:1192-1201), plain
+    * semi-join restriction otherwise. */
+  protected def selectedPopularity(items: Option[DataFrame]): DataFrame =
+    items match {
+      case Some(it) if addColdItems =>
+        itemPopularity
+          .join(it.select(F.col(cols.item)).distinct(), Seq(cols.item), "right")
+          .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(coldFill)))
+      case _ => restrictItems(itemPopularity, items)
+    }
 
   /** Top-`limit` items by rating with their global rank, optionally
     * restricted to a candidate item set first. `orderBy.limit` lowers to
@@ -125,7 +168,7 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     * merged once — so no task ever sorts the whole catalog; the rank
     * window then runs on the already-limited (k+maxSeen-sized) set. */
   protected def topRanked(limit: Int, items: Option[DataFrame] = None): DataFrame =
-    restrictItems(itemPopularity, items)
+    selectedPopularity(items)
       .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc).limit(limit)
       .withColumn("_rank", F.row_number().over(
         Window.orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)))
@@ -158,7 +201,7 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
     val seenCnt = history.groupBy(cols.query)
-      .agg(F.count(F.lit(1)).as("_seen")).cache()
+      .agg(F.countDistinct(cols.item).as("_seen")).cache()
     val maxSeen = seenCnt.agg(F.max("_seen")).first() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
@@ -177,9 +220,15 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
   }
 
+  /** Pair scoring: left join + cold fill when `addColdItems`, inner join
+    * (cold pairs dropped) otherwise (reference `_predict_pairs`,
+    * base_rec.py:1385-1398). */
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
-    pairs.join(itemPopularity, Seq(cols.item), "left")
-      .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(coldFill)))
+    if (addColdItems)
+      pairs.join(itemPopularity, Seq(cols.item), "left")
+        .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(coldFill)))
+    else
+      pairs.join(itemPopularity, Seq(cols.item))
 }
 
 /** Models whose state is an item-item similarity table; prediction is

@@ -89,14 +89,19 @@ object Similarity {
   def lshNearDup(vectors: DataFrame, threshold: Double, planes: Int = 12,
       tables: Int = 4, dims: Int = 64, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // bucket join and multi-table dedup on bare ids — a vector-carrying
+    // distinct would shuffle 2·dims doubles per candidate pair; vectors
+    // rejoin after the dedup for the exact cosine verification
     val buckets = signBuckets(vectors, idCol, vecCol, planes, tables, dims)
-    val a = buckets.select(F.col(idCol).as("id_a"), F.col(vecCol).as("_va"),
-      F.col("tbl"), F.col("bkt"))
-    val b = buckets.select(F.col(idCol).as("id_b"), F.col(vecCol).as("_vb"),
-      F.col("tbl"), F.col("bkt"))
-    a.join(b, Seq("tbl", "bkt"))
+      .select(F.col(idCol), F.col("tbl"), F.col("bkt"))
+    val pairIds = buckets.select(F.col(idCol).as("id_a"), F.col("tbl"), F.col("bkt"))
+      .join(buckets.select(F.col(idCol).as("id_b"), F.col("tbl"), F.col("bkt")),
+        Seq("tbl", "bkt"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b", "_va", "_vb").distinct()
+      .select("id_a", "id_b").distinct()
+    pairIds
+      .join(vectors.select(F.col(idCol).as("id_a"), F.col(vecCol).as("_va")), Seq("id_a"))
+      .join(vectors.select(F.col(idCol).as("id_b"), F.col(vecCol).as("_vb")), Seq("id_b"))
       .select(F.col("id_a"), F.col("id_b"), cosine(F.col("_va"), F.col("_vb")).as("cosine"))
       .filter(F.col("cosine") >= threshold)
   }

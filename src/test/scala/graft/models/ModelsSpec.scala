@@ -51,6 +51,37 @@ class ModelsSpec extends SparkSpec {
     assert(knn.select("item_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("cold candidate items are filled at min(rating)·coldWeight, not dropped") {
+    // item 9 never appears in the log; min warm popularity = 1/3 → fill 1/6
+    val cand = Seq(Tuple1(0L), Tuple1(9L)).toDF("item_id")
+    val m = new PopRec().fit(log)
+    val recs = m.predict(log, k = 2, items = Some(cand))
+    val u1 = recs.filter($"query_id" === 1L).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // user 1 (seen {1,2}): warm candidate 0 at 1/3, cold candidate 9 at 1/6
+    assert(u1 == Map(0L -> 1.0 / 3, 9L -> 1.0 / 6))
+    // addColdItems=false reverts to the semi-join restriction
+    val dropped = new PopRec(addColdItems = false).fit(log)
+      .predict(log, k = 2, items = Some(cand))
+    assert(dropped.filter($"item_id" === 9L).isEmpty)
+    // predictPairs follows the same contract (left+fill vs inner)
+    val pairs = Seq((1L, 0L), (1L, 9L)).toDF("query_id", "item_id")
+    val pp = m.predictPairs(pairs, log).collect()
+      .map(r => r.getAs[Long]("item_id") -> r.getAs[Double]("rating")).toMap
+    assert(pp == Map(0L -> 1.0 / 3, 9L -> 1.0 / 6))
+    assert(new PopRec(addColdItems = false).fit(log)
+      .predictPairs(pairs, log).count() == 1L)
+  }
+
+  test("coldWeight outside (0,1] is rejected") {
+    intercept[IllegalArgumentException] {
+      new PopRec(coldWeight = 0.0).fit(log)
+    }
+    intercept[IllegalArgumentException] {
+      new PopRec(coldWeight = 1.5).fit(log)
+    }
+  }
+
   test("PopRec useRating sums ratings") {
     val weighted = Seq((0L, 0L, 5.0), (1L, 0L, 1.0), (1L, 1L, 3.0))
       .toDF("query_id", "item_id", "rating")
