@@ -366,6 +366,15 @@ object SparkEntry {
       recs.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("query_id", "item_id", "rank")
     }),
+    "model_random_rec_proba" -> ((s, d) => {
+      // sampling-model action distribution (base_rec.py:1399-1442):
+      // weight-normalized selection probabilities tiled over positions —
+      // closed-form, so fully oracle-checkable unlike the sampled recs
+      val i = Tables.interactions(s, d)
+      val m = new models.RandomRec("popular", alpha = 0.0, seed = 42).fit(i)
+      val qs = i.select("query_id").distinct().filter(F.col("query_id") < 100)
+      m.predictProba(i, k = 3, queries = Some(qs))
+    }),
     "model_random_rec_relevance" -> ((s, d) => {
       // relevance-weighted sampling: weights = Σ rating per item
       val i = Tables.interactions(s, d)
@@ -1435,6 +1444,15 @@ object SparkEntry {
          |  SELECT query_id, item_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rank
          |  FROM unseen) WHERE rank <= 3""".stripMargin,
+    "model_random_rec_proba" ->
+      s"""$interactionsSql,
+         |w AS (SELECT item_id, CAST(count(*) AS DOUBLE) AS wt
+         |      FROM interactions GROUP BY 1),
+         |q AS (SELECT DISTINCT query_id FROM interactions WHERE query_id < 100),
+         |pos AS (SELECT * FROM (VALUES (0),(1),(2)) AS p(position))
+         |SELECT q.query_id, w.item_id, CAST(pos.position AS BIGINT) AS position,
+         |  w.wt / (SELECT sum(wt) FROM w) AS prob
+         |FROM q CROSS JOIN w CROSS JOIN pos""".stripMargin,
     "model_random_rec" ->
       s"""$interactionsSql,
          |w AS (SELECT item_id, CAST(count(*) AS DOUBLE) AS wt

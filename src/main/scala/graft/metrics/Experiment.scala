@@ -14,29 +14,42 @@ final class Experiment(
 ) {
   private val results = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
 
-  def addResult(name: String, recs: DataFrame, groundTruth: DataFrame): this.type = {
+  def addResult(name: String, recs: DataFrame, groundTruth: DataFrame,
+      fitPredTime: Double = Double.NaN): this.type = {
     val row = Metrics.compute(recs, groundTruth, metrics, ks, Descriptor.Mean, cols).first()
     val names = for (m <- metrics; k <- ks) yield s"${m}_at_$k"
     results(name) = names.zipWithIndex.map { case (n, i) =>
       n -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
-    }.toMap
+    }.toMap + ("fit_pred_time" -> fitPredTime)
     this
   }
 
+  /** Fit-predict every model, recording wall-clock `fit_pred_time` per
+    * model (the column the reference's experiment tables publish and
+    * BASELINE timings are built from, res_1m.csv): the rec set is cached
+    * and counted inside the timed span so the lazy predict plan actually
+    * executes there, then reused by the metric pass. */
   def run(models: Map[String, BaseRecommender], train: DataFrame, test: DataFrame,
       k: Int): this.type = {
     val gt = test.select(cols.query, cols.item).distinct()
     models.foreach { case (name, model) =>
-      addResult(name, model.fitPredict(train, k), gt)
+      val t0 = System.nanoTime()
+      val recs = model.fitPredict(train, k).cache()
+      recs.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      addResult(name, recs, gt, secs)
+      recs.unpersist()
     }
     this
   }
 
-  /** One row per model, one column per metric@k. */
+  /** One row per model, one column per metric@k, plus fit_pred_time
+    * (NaN for rows added via addResult without timing). */
   def table(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val names = (for (m <- metrics; k <- ks) yield s"${m}_at_$k").toList
+    val names = (for (m <- metrics; k <- ks) yield s"${m}_at_$k").toList :+ "fit_pred_time"
     val rows = results.toSeq.map { case (model, vals) =>
-      org.apache.spark.sql.Row.fromSeq(model +: names.map(vals))
+      org.apache.spark.sql.Row.fromSeq(model +: names.map(n =>
+        vals.getOrElse(n, Double.NaN)))
     }
     import org.apache.spark.sql.types._
     val schema = StructType(StructField("model", StringType) ::

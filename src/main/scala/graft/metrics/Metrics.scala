@@ -139,6 +139,16 @@ object Descriptor {
     def apply(col: Column): Column =
       F.lit(z) * F.coalesce(F.stddev(col), F.lit(0.0)) / F.sqrt(F.count(col))
   }
+  /** Sketch-based median for metrics over very large user sets: the exact
+    * `percentile` buffers every per-user value in the final aggregation
+    * task, which at 10⁹ users is a single-task memory hotspot.
+    * `percentile_approx` keeps bounded state (error ≤ relativeError) — use
+    * it at scale; keep `Median` where the exact value (or an oracle
+    * mirror) is required. */
+  final case class MedianApprox(relativeError: Double = 0.001) extends Descriptor {
+    def apply(col: Column): Column =
+      F.percentile_approx(col, F.lit(0.5), F.lit((1.0 / relativeError).toInt))
+  }
 }
 
 /** Shared-enrichment evaluator (reference: base_metric.py:111-343 +

@@ -45,7 +45,7 @@ final class UCB(val coef: Double = 2.0, cols: RecCols = RecCols())
     materialize(pt.select(F.col(cols.item), score.as(cols.rating)))
   }
 
-  override protected def coldFill: Double =
+  override protected def computeFill: Double =
     1.0 + math.sqrt(coef * math.log(totalTrials))
 }
 

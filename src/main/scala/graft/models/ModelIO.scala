@@ -1,12 +1,19 @@
 package graft.models
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import java.nio.file.{Files, Paths}
 
 /** Model persistence (reference: replay/utils/model_handler.py:42-118 +
   * spark_utils.py:789-818 — the reference pickles params into a 1-row
   * parquet for HDFS-safety; here state DataFrames are written as plain
-  * parquet plus a JSON params sidecar, the `MLWritable`-style layout). */
+  * parquet plus a JSON params sidecar, the `MLWritable`-style layout).
+  *
+  * Every inference-bearing family round-trips: non-personalized
+  * (PopRec/Wilson/UCB/KLUCB/Thompson — popularity table + fill),
+  * neighbour (ItemKNN/AssociationRules/SLIM — similarity table),
+  * ALS (MLlib ALSModel native save), Word2Vec (item/user vectors), each
+  * with its ANN config where applicable (reference round-trips every model,
+  * model_handler.py:42-118). */
 object ModelIO {
   private def writeJson(path: String, fields: Map[String, String]): Unit = {
     val body = fields.map { case (k, v) =>
@@ -23,32 +30,177 @@ object ModelIO {
       .toMap
   }
 
+  /** ANN config ⇄ string. The IVF seed is persisted (a non-default seed
+    * must survive the round trip — the rebuilt candidate sets depend on
+    * it); legacy 3-part `ivf:c:p` strings parse with the default seed. */
+  private def annString(ann: Option[AnnIndex]): String = ann match {
+    case Some(i: IvfAnn) => s"ivf:${i.nCentroids}:${i.nProbe}:${i.seed}"
+    case Some(l: LshAnn) => s"lsh:${l.planes}:${l.tables}:${l.dims}"
+    case Some(other) =>
+      throw new IllegalArgumentException(
+        s"cannot persist ann index ${other.getClass.getSimpleName}")
+    case None => "none"
+  }
+
+  private def parseAnn(s: String): Option[AnnIndex] = s match {
+    case s if s.startsWith("ivf:") =>
+      val p = s.split(":")
+      Some(new IvfAnn(nCentroids = p(1).toInt, nProbe = p(2).toInt,
+        seed = if (p.length > 3) p(3).toLong else 42L))
+    case s if s.startsWith("lsh:") =>
+      val p = s.split(":")
+      Some(new LshAnn(planes = p(1).toInt, tables = p(2).toInt, dims = p(3).toInt))
+    case _ => None
+  }
+
+  // ---- non-personalized family -------------------------------------------
+
+  private def nonPersonalizedKind(m: NonPersonalizedRec): String = m match {
+    case _: PopRec           => "pop_rec"
+    case _: Wilson           => "wilson"
+    case _: UCB              => "ucb"
+    case _: KLUCB            => "klucb"
+    case _: ThompsonSampling => "thompson"
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown non-personalized model ${other.getClass.getSimpleName}")
+  }
+
+  def saveNonPersonalized(m: NonPersonalizedRec, path: String): Unit =
+    saveNonPersonalized(m, path, nonPersonalizedKind(m))
+
+  /** Persists the popularity table plus the params a faithful reload needs
+    * — including the computed `fill` (reference `_save_model` adds it to
+    * the params pickle, base_rec.py:1164-1166), so a loaded UCB keeps its
+    * optimistic cold bound without refitting. */
   def saveNonPersonalized(m: NonPersonalizedRec, path: String, kind: String): Unit = {
-    writeJson(path, Map("kind" -> kind))
+    val extra: Map[String, String] = m match {
+      case p: PopRec => Map("useRating" -> p.useRating.toString,
+        "addColdItems" -> p.addColdItems.toString,
+        "coldWeight" -> p.coldWeight.toString)
+      case w: Wilson           => Map("z" -> w.z.toString)
+      case u: UCB              => Map("coef" -> u.coef.toString)
+      case k: KLUCB            => Map("c" -> k.c.toString)
+      case t: ThompsonSampling => Map("seed" -> t.seed.toString)
+      case _                   => Map.empty
+    }
+    writeJson(path, Map("kind" -> kind, "fill" -> m.fillValue.toString) ++ extra)
     m.itemPopularity.write.mode("overwrite").parquet(s"$path/item_popularity")
   }
 
-  def loadPopRec(spark: SparkSession, path: String): PopRec = {
-    require(readJson(path)("kind") == "pop_rec", s"not a PopRec at $path")
-    val m = new PopRec()
+  /** Kind-dispatched loader for the whole non-personalized family. */
+  def loadNonPersonalized(spark: SparkSession, path: String): NonPersonalizedRec = {
+    val p = readJson(path)
+    val m: NonPersonalizedRec = p("kind") match {
+      case "pop_rec" => new PopRec(
+        useRating = p.getOrElse("useRating", "false").toBoolean,
+        addColdItems = p.getOrElse("addColdItems", "true").toBoolean,
+        coldWeight = p.getOrElse("coldWeight", "0.5").toDouble)
+      case "wilson"   => new Wilson(z = p.getOrElse("z", "1.96").toDouble)
+      case "ucb"      => new UCB(coef = p.getOrElse("coef", "2.0").toDouble)
+      case "klucb"    => new KLUCB(c = p.getOrElse("c", "0.0").toDouble)
+      case "thompson" => new ThompsonSampling(seed = p.getOrElse("seed", "42").toLong)
+      case other =>
+        throw new IllegalArgumentException(s"unknown non-personalized kind $other")
+    }
     m.itemPopularity = spark.read.parquet(s"$path/item_popularity").cache()
+    p.get("fill").foreach(f => m.setFill(f.toDouble))
     m.fitItemsDf = m.itemPopularity.select(m.cols.item)
     m
   }
 
+  def loadPopRec(spark: SparkSession, path: String): PopRec = {
+    require(readJson(path)("kind") == "pop_rec", s"not a PopRec at $path")
+    loadNonPersonalized(spark, path).asInstanceOf[PopRec]
+  }
+
+  // ---- neighbour family --------------------------------------------------
+
+  private def neighbourKind(m: NeighbourRec): String = m match {
+    case _: ItemKNN          => "item_knn"
+    case _: AssociationRules => "assoc_rules"
+    case _: SLIM             => "slim"
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown neighbour model ${other.getClass.getSimpleName}")
+  }
+
+  def saveNeighbour(m: NeighbourRec, path: String): Unit =
+    saveNeighbour(m, path, neighbourKind(m))
+
   def saveNeighbour(m: NeighbourRec, path: String, kind: String): Unit = {
     writeJson(path, Map("kind" -> kind))
     m.similarity.write.mode("overwrite").parquet(s"$path/similarity")
+    m match {
+      case a: AssociationRules if a.rules != null =>
+        a.rules.write.mode("overwrite").parquet(s"$path/rules")
+      case _ => ()
+    }
+  }
+
+  /** Kind-dispatched loader for the neighbour family. The similarity table
+    * IS the inference state (predict sums similarities over history), so a
+    * loaded model predicts identically without refitting; fit-only
+    * hyperparameters reload as defaults. */
+  def loadNeighbour(spark: SparkSession, path: String): NeighbourRec = {
+    val p = readJson(path)
+    val m: NeighbourRec = p("kind") match {
+      case "item_knn"    => new ItemKNN()
+      case "assoc_rules" =>
+        val a = new AssociationRules()
+        if (Files.exists(Paths.get(s"$path/rules")))
+          a.rules = spark.read.parquet(s"$path/rules").cache()
+        a
+      case "slim"        => new SLIM()
+      case other => throw new IllegalArgumentException(s"unknown neighbour kind $other")
+    }
+    m.similarity = spark.read.parquet(s"$path/similarity").cache()
+    m.fitItemsDf = m.similarity.select(F.col("item_one").as(m.cols.item)).distinct()
+    m
   }
 
   def loadItemKNN(spark: SparkSession, path: String): ItemKNN = {
     require(readJson(path)("kind") == "item_knn", s"not an ItemKNN at $path")
-    val m = new ItemKNN()
-    m.similarity = spark.read.parquet(s"$path/similarity").cache()
-    m.fitItemsDf = m.similarity.select(org.apache.spark.sql.functions.col("item_one")
-      .as(m.cols.item)).distinct()
+    loadNeighbour(spark, path).asInstanceOf[ItemKNN]
+  }
+
+  // ---- ALS ---------------------------------------------------------------
+
+  /** ALS persists through MLlib's native `ALSModel.save` (factor matrices
+    * as parquet) plus the wrapper params and ANN config. */
+  def saveALS(m: ALSRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "als",
+      "rank" -> m.rank.toString, "maxIter" -> m.maxIter.toString,
+      "regParam" -> m.regParam.toString,
+      "implicitPrefs" -> m.implicitPrefs.toString,
+      "seed" -> m.seed.toString, "ann" -> annString(m.ann)))
+    m.model.write.overwrite().save(s"$path/als_model")
+  }
+
+  def loadALS(spark: SparkSession, path: String): ALSRec = {
+    import org.apache.spark.ml.recommendation.ALSModel
+    val p = readJson(path)
+    require(p("kind") == "als", s"not an ALSRec at $path")
+    val ann = parseAnn(p.getOrElse("ann", "none"))
+    val m = new ALSRec(
+      rank = p.getOrElse("rank", "10").toInt,
+      maxIter = p.getOrElse("maxIter", "10").toInt,
+      regParam = p.getOrElse("regParam", "0.1").toDouble,
+      implicitPrefs = p.getOrElse("implicitPrefs", "true").toBoolean,
+      seed = p.getOrElse("seed", "42").toLong,
+      ann = ann)
+    m.model = ALSModel.load(s"$path/als_model")
+    m.fitQueriesDf = m.model.userFactors
+      .select(F.col("id").cast("long").as(m.cols.query))
+    m.fitItemsDf = m.model.itemFactors
+      .select(F.col("id").cast("long").as(m.cols.item))
+    ann.foreach(_.fit(
+      m.model.itemFactors.select(F.col("id").cast("long").as(m.cols.item),
+        F.col("features")), m.cols.item, "features"))
     m
   }
+
+  // ---- Word2Vec ----------------------------------------------------------
 
   /** Vector-state persistence for Word2VecRec: the fitted item/user
     * vectors are the whole inference state (the MLlib model itself is
@@ -58,15 +210,7 @@ object ModelIO {
     * KMeans-tie boundaries across refits; the recall contract holds);
     * other AnnIndex implementations load as exact. */
   def saveWord2Vec(m: Word2VecRec, path: String): Unit = {
-    val annKind = m.ann match {
-      case Some(i: IvfAnn) => s"ivf:${i.nCentroids}:${i.nProbe}"
-      case Some(l: LshAnn) => s"lsh:${l.planes}:${l.tables}:${l.dims}"
-      case Some(other) =>
-        throw new IllegalArgumentException(
-          s"cannot persist ann index ${other.getClass.getSimpleName}")
-      case None => "none"
-    }
-    writeJson(path, Map("kind" -> "word2vec", "ann" -> annKind))
+    writeJson(path, Map("kind" -> "word2vec", "ann" -> annString(m.ann)))
     m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
     m.userVectors.write.mode("overwrite").parquet(s"$path/user_vectors")
   }
@@ -74,16 +218,7 @@ object ModelIO {
   def loadWord2Vec(spark: SparkSession, path: String): Word2VecRec = {
     val params = readJson(path)
     require(params("kind") == "word2vec", s"not a Word2VecRec at $path")
-    val ann = params.getOrElse("ann", "none") match {
-      case s if s.startsWith("ivf:") =>
-        val parts = s.split(":")
-        Some(new IvfAnn(nCentroids = parts(1).toInt, nProbe = parts(2).toInt))
-      case s if s.startsWith("lsh:") =>
-        val parts = s.split(":")
-        Some(new LshAnn(planes = parts(1).toInt, tables = parts(2).toInt,
-          dims = parts(3).toInt))
-      case _ => None
-    }
+    val ann = parseAnn(params.getOrElse("ann", "none"))
     val m = new Word2VecRec(ann = ann)
     m.itemVectors = spark.read.parquet(s"$path/item_vectors").cache()
     m.userVectors = spark.read.parquet(s"$path/user_vectors").cache()

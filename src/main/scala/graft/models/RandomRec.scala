@@ -83,6 +83,32 @@ final class RandomRec(
       .drop("_w")
   }
 
+  /** True action distribution for the sampler (reference
+    * base_rec.py:1399-1442): P(query shown item at position) =
+    * w_item / Σw, the weight-normalized selection probability, tiled over
+    * the k positions. This is EXACT at position 0 (the first
+    * Efraimidis–Spirakis draw selects item i with probability w_i/Σw) and
+    * a documented approximation beyond — the reference makes the same
+    * position-independent approximation (np.tile over k), ignoring the
+    * without-replacement renormalization at later positions. Zero weights
+    * are floored at 1e-6 before normalizing (base_rec.py:1262-1269), so
+    * per-(query, position) mass sums to exactly 1. */
+  override def predictProba(log: DataFrame, k: Int,
+      queries: Option[DataFrame] = None,
+      filterSeen: Boolean = true): DataFrame = {
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
+    val guarded = itemWeights.select(F.col(cols.item),
+      F.when(F.col("_w") === 0.0, F.lit(1e-6)).otherwise(F.col("_w")).as("_w"))
+    val total = guarded.agg(F.sum("_w")).first().getDouble(0)
+    qs.select(cols.query)
+      .crossJoin(F.broadcast(guarded.select(F.col(cols.item),
+        (F.col("_w") / F.lit(total)).as("prob"))))
+      .select(F.col(cols.query), F.col(cols.item),
+        F.explode(F.sequence(F.lit(0L), F.lit((k - 1).toLong))).as("position"),
+        F.col("prob"))
+  }
+
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {
     val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
       .cast("double") / F.lit(math.pow(2, 60))

@@ -127,19 +127,28 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
   private var fillCache: Option[Double] = None
 
   /** Rating for items absent from the fitted popularity table:
-    * min(rating)·coldWeight (reference `_calc_fill`, base_rec.py:1176-1183)
-    * — always strictly below every warm rating for positive ratings, so
-    * cold items rank after warm ones. UCB overrides with its optimistic
-    * exploration bound (ucb.py:188). Computed lazily — one tiny job over
-    * the cached popularity table, only on predict paths that need it. */
+    * `computeFill`, cached — computed lazily (one tiny job over the cached
+    * popularity table, only on predict paths that need it), or restored
+    * verbatim from persistence via `setFill` (the reference round-trips
+    * `fill` in its params pickle, base_rec.py:1164-1166). */
   protected def coldFill: Double = {
-    if (fillCache.isEmpty)
-      fillCache = Some(itemPopularity.agg(F.min(cols.rating)).first() match {
-        case r if r.isNullAt(0) => 0.0
-        case r                  => r.getDouble(0) * coldWeight
-      })
+    if (fillCache.isEmpty) fillCache = Some(computeFill)
     fillCache.get
   }
+
+  /** min(rating)·coldWeight (reference `_calc_fill`, base_rec.py:1176-1183)
+    * — always strictly below every warm rating for positive ratings, so
+    * cold items rank after warm ones. UCB overrides with its optimistic
+    * exploration bound (ucb.py:188). */
+  protected def computeFill: Double =
+    itemPopularity.agg(F.min(cols.rating)).first() match {
+      case r if r.isNullAt(0) => 0.0
+      case r                  => r.getDouble(0) * coldWeight
+    }
+
+  /** Persistence hook: restore the fill value without recomputation. */
+  private[models] def setFill(f: Double): Unit = fillCache = Some(f)
+  private[models] def fillValue: Double = coldFill
 
   protected def materialize(state: DataFrame): Unit = {
     require(coldWeight > 0 && coldWeight <= 1,

@@ -20,6 +20,12 @@ final class SLIM(
     val maxIter: Int = 50,
     val tol: Double = 1e-4,
     val maxNeighbours: Int = 50, // CD runs over the top-correlated items
+    // hard bound on the interaction entries collected to the driver — the
+    // explicit contract the reference exposes as `allow_collect_to_master`
+    // (slim.py inherits the driver-CSC design); 5·10⁷ entries ≈ 0.8 GB of
+    // driver arrays. Exceeding it fails FAST with a clear message instead
+    // of OOMing mid-collect.
+    val maxCollectEntries: Long = 50000000L,
     cols: RecCols = RecCols(),
 ) extends NeighbourRec(cols) {
 
@@ -34,6 +40,16 @@ final class SLIM(
     // ONE matrix, so they stay mutually consistent on any input
     val mat = log.groupBy(cols.query, cols.item)
       .agg(F.sum(cols.rating).as(cols.rating)).cache()
+
+    val nnz = mat.count()
+    if (nnz > maxCollectEntries)
+      throw new IllegalStateException(
+        s"SLIM.fit would collect $nnz distinct (query, item) entries to the " +
+        s"driver (bound: $maxCollectEntries). The per-item ElasticNet solver " +
+        "is driver-CSC-backed by design (reference slim.py " +
+        "allow_collect_to_master contract); for larger matrices raise " +
+        "maxCollectEntries only if driver memory allows, or use ItemKNN / " +
+        "ALSRec, whose fits are fully distributed.")
 
     // dense re-index users/items for array-backed math
     val users = mat.select(cols.query).distinct().orderBy(cols.query)

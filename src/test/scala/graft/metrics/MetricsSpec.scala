@@ -96,6 +96,33 @@ class MetricsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("Experiment.run records positive fit_pred_time per model") {
+    import graft.models.PopRec
+    val train = Seq((0L, 0L, 1.0), (1L, 0L, 1.0), (0L, 1L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val test = Seq((1L, 1L, 1.0)).toDF("query_id", "item_id", "rating")
+    val t = new Experiment(Seq("hit_rate"), Seq(1))
+      .run(Map("pop" -> new PopRec()), train, test, k = 1)
+      .table(spark)
+    assert(t.columns.contains("fit_pred_time"))
+    val secs = t.select("fit_pred_time").as[Double].first()
+    assert(secs > 0.0 && secs < 600.0)
+    // addResult without timing yields NaN, not a schema change
+    val t2 = new Experiment(Seq("hit_rate"), Seq(1))
+      .addResult("ext", test.select("query_id", "item_id", "rating"),
+        test.select("query_id", "item_id"))
+      .table(spark)
+    assert(t2.select("fit_pred_time").as[Double].first().isNaN)
+  }
+
+  test("MedianApprox tracks the exact median on small inputs") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val exact = vals.agg(Descriptor.Median(F.col("v"))).first().getDouble(0)
+    val approx = vals.agg(Descriptor.MedianApprox()(F.col("v"))).first().getDouble(0)
+    // sketch is exact below its accuracy threshold; 3.0 either way
+    assert(exact == 3.0 && approx == 3.0)
+  }
+
   test("GridSearch ranks the better hyper-parameter first") {
     import graft.models.{PopRec, Wilson, BaseRecommender}
     val train = Seq(

@@ -82,6 +82,22 @@ class ModelsSpec extends SparkSpec {
     }
   }
 
+  test("RandomRec predictProba tiles normalized weights; mass sums to 1 per position") {
+    val m = new RandomRec("popular", seed = 42).fit(log)
+    val p = m.predictProba(log, k = 2)
+    // per-(query, position) mass sums to 1 (float-tolerant)
+    val sums = p.groupBy("query_id", "position").agg(F.sum("prob").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // position 0 is the exact first-draw probability: item 1 has count 3
+    // of 6 interactions → 1/2
+    val p1 = p.filter($"item_id" === 1L && $"position" === 0L)
+      .select("prob").as[Double].first()
+    assert(math.abs(p1 - 0.5) < 1e-12)
+    // tiled: identical distribution at every position
+    assert(p.select("position").distinct().count() == 2)
+  }
+
   test("PopRec useRating sums ratings") {
     val weighted = Seq((0L, 0L, 5.0), (1L, 0L, 1.0), (1L, 1L, 3.0))
       .toDF("query_id", "item_id", "rating")
@@ -207,6 +223,15 @@ class ModelsSpec extends SparkSpec {
     assert(math.abs(lift01 - 4.0 * (2.0 / 3) / 3.0) < 1e-12)
   }
 
+  test("SLIM fails fast when the driver collect would exceed its bound") {
+    val sessions = Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 0L, 1.0), (1L, 2L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val e = intercept[IllegalStateException] {
+      new SLIM(maxCollectEntries = 2L).fit(sessions)
+    }
+    assert(e.getMessage.contains("maxCollectEntries"))
+  }
+
   test("Fallback merge ranks main recs above fallback recs") {
     val main = new PopRec()
     val fb = new RandomRec("uniform", seed = 1)
@@ -271,5 +296,84 @@ class ModelIOSpec extends graft.SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("wrong").toString
     ModelIO.saveNonPersonalized(new PopRec().fit(log), dir, "pop_rec")
     intercept[IllegalArgumentException] { ModelIO.loadItemKNN(spark, dir) }
+  }
+
+  def binary = Seq((0L, 0L, 1.0), (1L, 0L, 0.0), (2L, 0L, 1.0), (0L, 1L, 1.0))
+    .toDF("query_id", "item_id", "rating")
+
+  test("generic NonPersonalized loader round-trips every bandit kind") {
+    for (m <- Seq(new Wilson().fit(binary), new UCB().fit(binary),
+        new KLUCB().fit(binary), new ThompsonSampling(seed = 7).fit(binary))) {
+      val dir = java.nio.file.Files.createTempDirectory("np").toString
+      ModelIO.saveNonPersonalized(m, dir)
+      val loaded = ModelIO.loadNonPersonalized(spark, dir)
+      assert(loaded.getClass == m.getClass)
+      assert(loaded.itemPopularity.collect().map(_.toSeq).toSet ==
+        m.itemPopularity.collect().map(_.toSeq).toSet)
+      // predict-equality incl. a COLD pair: the persisted fill must be
+      // used verbatim (UCB's optimistic bound is not recomputable from
+      // the popularity table alone)
+      val pairs = Seq((0L, 0L), (0L, 9L)).toDF("query_id", "item_id")
+      val a = m.predictPairs(pairs, binary).collect()
+        .map(r => (r.getAs[Long]("item_id"), r.getAs[Double]("rating"))).toSet
+      val b = loaded.predictPairs(pairs, binary).collect()
+        .map(r => (r.getAs[Long]("item_id"), r.getAs[Double]("rating"))).toSet
+      assert(a == b, s"predictPairs mismatch for ${m.getClass.getSimpleName}")
+    }
+  }
+
+  test("generic Neighbour loader round-trips AssociationRules and SLIM") {
+    // no item may appear in EVERY session (confidence_gain divides by
+    // sessions-without-antecedent)
+    val sessions = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L),
+        (3L, 1L), (3L, 2L))
+      .map { case (s, i) => (s, i, s, 1.0) }
+      .toDF("query_id", "item_id", "session_id", "rating")
+    val ar = new AssociationRules(minItemCount = 1, minPairCount = 1).fit(sessions)
+    val dir1 = java.nio.file.Files.createTempDirectory("ar").toString
+    ModelIO.saveNeighbour(ar, dir1)
+    val lar = ModelIO.loadNeighbour(spark, dir1)
+    assert(lar.isInstanceOf[AssociationRules])
+    assert(lar.asInstanceOf[AssociationRules].rules.count() == ar.rules.count())
+    assert(lar.predict(sessions, k = 1).collect().map(_.toSeq).toSet ==
+      ar.predict(sessions, k = 1).collect().map(_.toSeq).toSet)
+
+    val sl = new SLIM(maxIter = 5).fit(sessions)
+    val dir2 = java.nio.file.Files.createTempDirectory("slim").toString
+    ModelIO.saveNeighbour(sl, dir2)
+    val lsl = ModelIO.loadNeighbour(spark, dir2)
+    assert(lsl.isInstanceOf[SLIM])
+    assert(lsl.similarity.collect().map(_.toSeq).toSet ==
+      sl.similarity.collect().map(_.toSeq).toSet)
+  }
+
+  test("ALS round-trips through MLlib native save with ANN config") {
+    val tlog = Seq((0, 0, 1.0f), (0, 1, 1.0f), (1, 1, 1.0f), (1, 2, 1.0f),
+      (2, 0, 1.0f), (2, 2, 1.0f))
+      .toDF("query_id", "item_id", "rating")
+    val m = new ALSRec(rank = 2, maxIter = 2, seed = 11).fit(tlog)
+    val dir = java.nio.file.Files.createTempDirectory("als").toString
+    ModelIO.saveALS(m, dir)
+    val loaded = ModelIO.loadALS(spark, dir)
+    assert(loaded.rank == 2 && loaded.seed == 11 && loaded.ann.isEmpty)
+    val pairs = Seq((0L, 2L), (1L, 0L)).toDF("query_id", "item_id")
+    val a = m.predictPairs(pairs, tlog).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = loaded.predictPairs(pairs, tlog).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("Word2Vec persists the IVF seed in its ANN config") {
+    val tlog = log.withColumn("timestamp",
+      org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.lit("2024-01-01 10:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("w2vseed").toString
+    val m = new Word2VecRec(vectorSize = 4,
+      ann = Some(new IvfAnn(nCentroids = 2, nProbe = 1, seed = 123))).fit(tlog)
+    ModelIO.saveWord2Vec(m, dir)
+    val loaded = ModelIO.loadWord2Vec(spark, dir)
+    val ivf = loaded.ann.get.asInstanceOf[IvfAnn]
+    assert(ivf.seed == 123 && ivf.nCentroids == 2 && ivf.nProbe == 1)
   }
 }
