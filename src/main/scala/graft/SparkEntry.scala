@@ -495,6 +495,15 @@ object SparkEntry {
       new models.SLIM(maxIter = 15, maxNeighbours = 30).fit(binary)
         .similarity
     }),
+    // the fully distributed Gram-join path (maxCollectEntries=0 forces it);
+    // integral ratings → must equal model_slim bit-for-bit (spec-asserted)
+    "model_slim_distributed" -> ((s, d) => {
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", F.lit(1.0))
+        .select("query_id", "item_id", "rating").distinct()
+      new models.SLIM(maxIter = 15, maxNeighbours = 30,
+        maxCollectEntries = 0L).fit(binary).similarity
+    }),
 
     // ---- §2.8 history features + time smoothing ---------------------------
     "history_features" -> ((s, d) => {

@@ -227,9 +227,25 @@ class ModelsSpec extends SparkSpec {
     val sessions = Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 0L, 1.0), (1L, 2L, 1.0))
       .toDF("query_id", "item_id", "rating")
     val e = intercept[IllegalStateException] {
-      new SLIM(maxCollectEntries = 2L).fit(sessions)
+      new SLIM(maxCollectEntries = 2L, distributedFallback = false).fit(sessions)
     }
     assert(e.getMessage.contains("maxCollectEntries"))
+  }
+
+  test("SLIM distributed fallback matches the driver-CSC path exactly") {
+    // integral ratings → distributed dot sums are exact, so the two paths
+    // must produce bit-identical weights
+    val binary = Seq(
+      (0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L),
+      (3L, 2L), (4L, 2L), (0L, 2L), (2L, 3L), (3L, 3L), (4L, 1L),
+    ).map { case (u, i) => (u, i, 1.0) }.toDF("query_id", "item_id", "rating")
+    def simMap(m: SLIM) = m.similarity.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val driver = simMap(new SLIM(maxIter = 30).fit(binary))
+    val dist = simMap(
+      new SLIM(maxIter = 30, maxCollectEntries = 1L).fit(binary))
+    assert(dist == driver)
+    assert(driver.nonEmpty)
   }
 
   test("Fallback merge ranks main recs above fallback recs") {
