@@ -342,6 +342,37 @@ object SparkEntry {
         .refit(marked.filter(F.col("is_test")).drop("is_test"))
       st.scores.select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
+    "model_ucb_sample" -> ((s, d) => {
+      // sampled bandit predict (ucb.py:78-90 sample=True via
+      // base_rec.py:1283-1364): each query draws k + |seen| items without
+      // replacement proportional to its UCB score through the portable
+      // Efraimidis–Spirakis key, then ranks the unseen survivors by
+      // selection probability — deterministic given the seed, so fully
+      // hash-oracled (ranks only: rank order is invariant to the Σw
+      // normalization, so cross-engine float-sum ulps cannot flip it)
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val m = new models.UCB().fit(binary)
+      m.sample = true
+      val recs = m.predict(binary, k = 3)
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("rating").desc, F.col("item_id").asc)
+      recs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "item_id", "rank")
+    }),
+    "model_ucb_sample_proba" -> ((s, d) => {
+      // sampling-mode action distribution for the bandit family
+      // (base_rec.py:1400-1443): zero-floored UCB scores normalized and
+      // tiled over the k positions
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val m = new models.UCB().fit(binary)
+      m.sample = true
+      val qs = binary.select("query_id").distinct().filter(F.col("query_id") < 100)
+      m.predictProba(binary, k = 3, queries = Some(qs))
+        .select(F.col("query_id"), F.col("item_id"), F.col("position"),
+          F.round(F.col("prob"), 9).as("prob"))
+    }),
     "model_klucb" -> ((s, d) => {
       // bisection solver: deterministic branch sequence — the oracle
       // unrolls the same bisection as a recursive CTE; round 6 absorbs
@@ -1381,6 +1412,50 @@ object SparkEntry {
     // whole log — the oracle IS the batch form (n = Σ total), shared with
     // model_ucb so the "refit ≡ batch" identity cannot drift
     "model_ucb_refit" -> ucbBatchSql,
+    // sampled predict: UNROUNDED UCB scores (the engine samples over the
+    // raw popularity table), zero-floor + normalize, E–S key from the
+    // portable md5 hash, per-query crop at 3 + |seen|, seen anti-join,
+    // final rank by selection probability (≡ raw score order)
+    "model_ucb_sample" ->
+      s"""$ucbRawScoreSql,
+         |g AS (SELECT item_id,
+         |        CASE WHEN w = 0.0 THEN 1e-6 ELSE w END AS w FROM sc),
+         |p AS (SELECT item_id, w / (SELECT sum(w) FROM g) AS prob FROM g),
+         |q AS (SELECT DISTINCT query_id FROM interactions),
+         |seen AS (SELECT query_id, count(DISTINCT item_id) AS c
+         |         FROM interactions GROUP BY 1),
+         |keyed AS (
+         |  SELECT q.query_id, p.item_id, p.prob,
+         |    ln((('0x' || substr(md5('42:' || CAST(q.query_id AS VARCHAR) || ':'
+         |           || CAST(p.item_id AS VARCHAR)), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) + 1e-18) / p.prob AS ek
+         |  FROM q CROSS JOIN p),
+         |drawn AS (
+         |  SELECT query_id, item_id, prob,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY ek DESC, item_id) AS rn
+         |  FROM keyed),
+         |crop AS (
+         |  SELECT d.query_id, d.item_id, d.prob
+         |  FROM drawn d JOIN seen s ON d.query_id = s.query_id
+         |  WHERE d.rn <= 3 + s.c),
+         |unseen AS (
+         |  SELECT c.* FROM crop c ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
+         |    ON c.query_id = h.query_id AND c.item_id = h.item_id)
+         |SELECT query_id, item_id, rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY prob DESC, item_id) AS rank
+         |  FROM unseen) WHERE rank <= 3""".stripMargin,
+    "model_ucb_sample_proba" ->
+      s"""$ucbRawScoreSql,
+         |g AS (SELECT item_id,
+         |        CASE WHEN w = 0.0 THEN 1e-6 ELSE w END AS w FROM sc),
+         |q AS (SELECT DISTINCT query_id FROM interactions WHERE query_id < 100),
+         |pos AS (SELECT * FROM (VALUES (0),(1),(2)) AS p(position))
+         |SELECT q.query_id, g.item_id, CAST(pos.position AS BIGINT) AS position,
+         |  round(g.w / (SELECT sum(w) FROM g), 9) AS prob
+         |FROM q CROSS JOIN g CROSS JOIN pos""".stripMargin,
     // KL-UCB: the per-item bisection unrolled as a recursive CTE with the
     // exact same clamp/target/branch arithmetic as the Scala solver.
     "model_klucb" ->
@@ -1958,17 +2033,23 @@ object SparkEntry {
        |        GROUP BY 1)""".stripMargin
 
   /** UCB batch formula — shared by model_ucb and model_ucb_refit. */
-  private lazy val ucbBatchSql: String =
+  /** Unrounded per-item UCB scores as CTE `sc(item_id, w)` — the sampled
+    * predict/proba oracles consume the raw scores the engine samples over. */
+  private lazy val ucbRawScoreSql: String =
     s"""$interactionsSql,
        |pt AS (
        |  SELECT item_id,
        |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
        |    CAST(count(*) AS DOUBLE) AS total
-       |  FROM interactions GROUP BY item_id)
-       |SELECT item_id, round(
-       |  pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total),
-       |  6) AS rating
-       |FROM pt""".stripMargin
+       |  FROM interactions GROUP BY item_id),
+       |sc AS (
+       |  SELECT item_id,
+       |    pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM interactions)) / total) AS w
+       |  FROM pt)""".stripMargin
+
+  private lazy val ucbBatchSql: String =
+    s"""$ucbRawScoreSql
+       |SELECT item_id, round(w, 6) AS rating FROM sc""".stripMargin
 
   /** Shared by metrics_ranking, its bounded-aggregator twin, and the
     * descriptor query: everything up to the per-user metric frame `pu`. */

@@ -84,7 +84,9 @@ object ModelIO {
       case t: ThompsonSampling => Map("seed" -> t.seed.toString)
       case _                   => Map.empty
     }
-    writeJson(path, Map("kind" -> kind, "fill" -> m.fillValue.toString) ++ extra)
+    writeJson(path, Map("kind" -> kind, "fill" -> m.fillValue.toString,
+      "sample" -> m.sample.toString, "sampleSeed" -> m.sampleSeed.toString)
+      ++ extra)
     m.itemPopularity.write.mode("overwrite").parquet(s"$path/item_popularity")
   }
 
@@ -105,6 +107,8 @@ object ModelIO {
     }
     m.itemPopularity = spark.read.parquet(s"$path/item_popularity").cache()
     p.get("fill").foreach(f => m.setFill(f.toDouble))
+    m.sample = p.getOrElse("sample", "false").toBoolean
+    m.sampleSeed = p.getOrElse("sampleSeed", "42").toLong
     m.fitItemsDf = m.itemPopularity.select(m.cols.item)
     m
   }

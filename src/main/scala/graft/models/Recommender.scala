@@ -115,6 +115,18 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
   /** (item, rating) — materialized by doFit. */
   var itemPopularity: DataFrame = _
 
+  /** Sampling strategy flag (reference ucb.py:78-90, base_rec.py:1283-1364):
+    * when true, predict draws items with probability proportional to their
+    * zero-floored relevance instead of ranking deterministically. Mutable
+    * after fit, exactly like the reference attribute ("could be changed
+    * after model training by setting the `sample` attribute"). */
+  var sample: Boolean = false
+
+  /** Seed for the sampling hash. The reference seeds numpy per query
+    * (base_rec.py:1319); here the portable (seed, query, item) hash gives
+    * the same reproducibility without any RNG state on executors. */
+  var sampleSeed: Long = 42L
+
   /** When a candidate `items` set contains items unseen at fit, keep them
     * and score at `coldFill` instead of dropping them (reference
     * `add_cold_items`, base_rec.py:1144-1201). */
@@ -205,6 +217,7 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       filterSeen: Boolean = true,
       items: Option[DataFrame] = None,
   ): DataFrame = {
+    if (sample) return predictSampled(log, k, queries, filterSeen, items)
     if (!filterSeen) return super.predict(log, k, queries, filterSeen, items)
     val qs = queries.orElse(Option(fitQueriesDf))
       .getOrElse(log.select(cols.query).distinct())
@@ -227,6 +240,93 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     // seenCnt stays cached: it feeds both the maxSeen action above and the
     // (lazy) candidate plan — unpersisting here would force a recompute.
     Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
+  }
+
+  /** Sampled predict (reference `_predict_with_sampling`,
+    * base_rec.py:1283-1364): each query draws
+    * cnt = min(k + |seen_q|, |items|) items WITHOUT replacement with
+    * probability proportional to the zero-floored relevance
+    * (`get_items_pd`, base_rec.py:1259-1281: zeros → 1e-6, then normalize);
+    * the returned rating is the selection probability itself, so the final
+    * top-k ranks the sampled survivors by popularity. The reference runs
+    * numpy `choice` per query in applyInPandas behind a collect-to-master
+    * warning; here the draw is the Efraimidis–Spirakis key
+    * -ln(u)/p — u from the portable (seed, query, item) hash — so the whole
+    * sampler is one window over a cross join: pure Catalyst, deterministic
+    * across partition layouts, and the catalog never leaves the executors.
+    * The constant k+maxSeen pre-crop keeps WindowGroupLimit in play; the
+    * exact per-query cnt crop then drops to k + |seen_q| (LEAST against
+    * |items| is implicit — a rank never exceeds the partition size). */
+  private def predictSampled(
+      log: DataFrame,
+      k: Int,
+      queries: Option[DataFrame],
+      filterSeen: Boolean,
+      items: Option[DataFrame],
+  ): DataFrame = {
+    import graft.splitters.Splitter
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
+    val history = log.join(qs, Seq(cols.query), "left_semi")
+    val seenCnt =
+      if (filterSeen)
+        history.groupBy(cols.query)
+          .agg(F.countDistinct(cols.item).as("_seen")).cache()
+      else null
+    val maxSeen =
+      if (filterSeen) seenCnt.agg(F.max("_seen")).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      else 0L
+    val guarded = selectedPopularity(items).select(F.col(cols.item),
+      F.when(F.col(cols.rating) === 0.0, F.lit(1e-6))
+        .otherwise(F.col(cols.rating)).as("_w"))
+    // normalization total as a lazy broadcast scalar — no driver action
+    val probs = guarded
+      .crossJoin(F.broadcast(guarded.agg(F.sum("_w").as("_tot"))))
+      .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("_p"))
+    val u = Splitter.hashLong(sampleSeed, F.col(cols.query), F.col(cols.item))
+      .cast("double") / F.lit(math.pow(2, 60))
+    val keyW = Window.partitionBy(cols.query)
+      .orderBy(F.col("_key").desc, F.col(cols.item).asc)
+    var drawn = qs.select(cols.query).crossJoin(probs)
+      .withColumn("_key", F.log(u + F.lit(1e-18)) / F.col("_p"))
+      .withColumn("_rn", F.row_number().over(keyW))
+      .filter(F.col("_rn") <= k + maxSeen.toInt) // constant → WindowGroupLimit
+    if (filterSeen)
+      drawn = drawn
+        .join(seenCnt, Seq(cols.query), "left").na.fill(0L, Seq("_seen"))
+        .filter(F.col("_rn") <= F.lit(k) + F.col("_seen"))
+        .join(history.select(cols.query, cols.item).distinct(),
+          Seq(cols.query, cols.item), "left_anti")
+    val recs = drawn.select(F.col(cols.query), F.col(cols.item),
+      F.col("_p").as(cols.rating))
+    Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+  }
+
+  /** Action distribution (reference base_rec.py:1400-1443): deterministic
+    * rankers inherit the one-hot base; a sampling model reports the
+    * zero-floored, weight-normalized selection probability tiled over the
+    * k positions — exact at position 0, the reference's own
+    * position-independent approximation beyond (np.tile, ignoring the
+    * without-replacement renormalization at later positions). */
+  override def predictProba(log: DataFrame, k: Int,
+      queries: Option[DataFrame] = None,
+      filterSeen: Boolean = true): DataFrame = {
+    if (!sample) return super.predictProba(log, k, queries, filterSeen)
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
+    val guarded = itemPopularity.select(F.col(cols.item),
+      F.when(F.col(cols.rating) === 0.0, F.lit(1e-6))
+        .otherwise(F.col(cols.rating)).as("_w"))
+    qs.select(cols.query)
+      .crossJoin(F.broadcast(guarded
+        .crossJoin(F.broadcast(guarded.agg(F.sum("_w").as("_tot"))))
+        .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("prob"))))
+      .select(F.col(cols.query), F.col(cols.item),
+        F.explode(F.sequence(F.lit(0L), F.lit((k - 1).toLong))).as("position"),
+        F.col("prob"))
   }
 
   /** Pair scoring: left join + cold fill when `addColdItems`, inner join

@@ -36,6 +36,43 @@ class ModelsSpec extends SparkSpec {
     assert(p.agg(F.min("position")).first().getLong(0) == 0L)
   }
 
+  test("sampled predict draws k unseen items; deterministic under the seed") {
+    val m = new PopRec().fit(log)
+    m.sample = true
+    val recs = m.predict(log, k = 1)
+    // one rec per user, never a seen pair
+    assert(recs.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ == 1L))
+    assert(recs.join(log.select("query_id", "item_id"),
+      Seq("query_id", "item_id"), "left_semi").count() == 0)
+    // reruns agree bit-for-bit (portable hash, not an RNG stream)
+    assert(recs.collect().map(_.toSeq).toSet ==
+      m.predict(log, k = 1).collect().map(_.toSeq).toSet)
+    // a different seed may select differently, but stays valid
+    m.sampleSeed = 7L
+    val recs2 = m.predict(log, k = 1)
+    assert(recs2.count() == 3)
+    // flag off → the deterministic path, unchanged
+    m.sample = false
+    m.sampleSeed = 42L
+    val det = m.predict(log, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(det == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("sampled predictProba tiles normalized popularity; mass sums to 1") {
+    val m = new PopRec().fit(log)
+    m.sample = true
+    val p = m.predictProba(log, k = 2)
+    val sums = p.groupBy("query_id", "position").agg(F.sum("prob").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-12))
+    // probability proportional to popularity: item 1 (pop 1.0) carries
+    // 1.0/(1/3 + 1 + 2/3) = 0.5 at every position
+    val p1 = p.filter($"item_id" === 1L).select("prob").as[Double].collect()
+    assert(p1.forall(v => math.abs(v - 0.5) < 1e-12))
+  }
+
   test("items-restricted predict stays within the candidate set, pre-crop") {
     val allowed = Seq(Tuple1(0L)).toDF("item_id")
     // user 0 has seen 0,1; restricted to {0} with filterSeen → no recs;
@@ -276,12 +313,18 @@ class ModelIOSpec extends graft.SparkSpec {
   test("PopRec save/load roundtrip preserves popularity and predictions") {
     val dir = java.nio.file.Files.createTempDirectory("poprec").toString
     val m = new PopRec().fit(log)
+    m.sample = true
+    m.sampleSeed = 7L
     ModelIO.saveNonPersonalized(m, dir, "pop_rec")
     val loaded = ModelIO.loadPopRec(spark, dir)
     assert(loaded.itemPopularity.collect().map(_.toSeq).toSet ==
       m.itemPopularity.collect().map(_.toSeq).toSet)
+    // the sampling mode round-trips (reference mutable `sample` attribute)
+    assert(loaded.sample && loaded.sampleSeed == 7L)
     val recs = loaded.predict(log, k = 1)
     assert(recs.count() > 0)
+    assert(recs.collect().map(_.toSeq).toSet ==
+      m.predict(log, k = 1).collect().map(_.toSeq).toSet)
   }
 
   test("ItemKNN save/load roundtrip preserves similarity") {
