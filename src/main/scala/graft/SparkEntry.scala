@@ -2126,6 +2126,45 @@ object SparkEntry {
          |  LEFT JOIN hs h ON g.query_id = h.query_id
          |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
 
+  /** MinHash-LSH candidate pairs as CTEs `toks, hs, sigs, bands, cand` —
+    * one md5 per shingle; 16 universal-hash permutations as linear mixes,
+    * constants interpolated from the SAME Scala source of truth. Shared by
+    * dedup_minhash (pair similarity) and dedup_cluster* (components). */
+  private lazy val minhashCandSql: String = {
+    import graft.text.Dedup.{MinhashPrime => P, mixA, mixB}
+    val minCols = (0 until 16)
+      .map(p => s"min((${mixA(p)}*h + ${mixB(p)}) % $P) AS h$p").mkString(",\n        ")
+    val bandSigs = (0 until 4).map { b =>
+      val cs = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)")
+      s"($b, ${cs.mkString(" || ',' || ")})"
+    }.mkString(",\n          ")
+    s"""toks AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(0, len(string_split_regex(trim(lower(text)), '\\s+')) - 3),
+      |      i -> array_to_string(
+      |        string_split_regex(trim(lower(text)), '\\s+')[i+1:i+3], ' '))) AS shs
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+      |hs AS (
+      |  SELECT t.doc_id,
+      |    ('0x' || substr(md5('0:' || s.sh), 1, 15))::BIGINT % $P AS h
+      |  FROM toks t, unnest(t.shs) s(sh)),
+      |sigs AS (
+      |  SELECT doc_id,
+      |        $minCols
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b.band, b.sig FROM sigs,
+      |    LATERAL (VALUES
+      |          $bandSigs) AS b(band, sig)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
   private lazy val oracleSqlRest: Map[String, String] = Map(
     "metrics_catalog" ->
       s"""$interactionsSql,
@@ -2229,48 +2268,72 @@ object SparkEntry {
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash" -> {
-      import graft.text.Dedup.{MinhashPrime => P, mixA, mixB}
-      // one md5 per shingle; 16 universal-hash permutations as linear
-      // mixes — constants interpolated from the SAME Scala source of truth
-      val minCols = (0 until 16)
-        .map(p => s"min((${mixA(p)}*h + ${mixB(p)}) % $P) AS h$p").mkString(",\n        ")
-      val bandSigs = (0 until 4).map { b =>
-        val cs = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)")
-        s"($b, ${cs.mkString(" || ',' || ")})"
-      }.mkString(",\n          ")
       val matchSum = (0 until 16)
         .map(p => s"(CASE WHEN a.h$p = b.h$p THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH toks AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(0, len(string_split_regex(trim(lower(text)), '\\s+')) - 3),
-        |      i -> array_to_string(
-        |        string_split_regex(trim(lower(text)), '\\s+')[i+1:i+3], ' '))) AS shs
-        |  FROM documents
-        |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
-        |hs AS (
-        |  SELECT t.doc_id,
-        |    ('0x' || substr(md5('0:' || s.sh), 1, 15))::BIGINT % $P AS h
-        |  FROM toks t, unnest(t.shs) s(sh)),
-        |sigs AS (
-        |  SELECT doc_id,
-        |        $minCols
-        |  FROM hs GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b.band, b.sig FROM sigs,
-        |    LATERAL (VALUES
-        |          $bandSigs) AS b(band, sig)),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $minhashCandSql
         |SELECT c.id_a, c.id_b,
         |  ($matchSum) / 16.0 AS est_jaccard
         |FROM cand c
         |JOIN sigs a ON a.doc_id = c.id_a
         |JOIN sigs b ON b.doc_id = c.id_b""".stripMargin
     },
+    // LSH pairs → duplicate clusters: the recursive CTE computes, for each
+    // node of the candidate graph, the min id among all reachable nodes —
+    // the exact fixpoint the engine's min-label propagation converges to
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+        |          UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT node, min(lbl) AS component FROM reach GROUP BY 1""".stripMargin,
+    // survivors of cluster-level dedup: every doc except non-representative
+    // cluster members (docs in no candidate pair survive untouched)
+    "dedup_cluster_keep" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+        |          UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+        |SELECT d.doc_id, d.source FROM documents d
+        |ANTI JOIN (SELECT node FROM comp WHERE node <> component) x
+        |  ON d.doc_id = x.node""".stripMargin,
+    // sqrt-scaled soft dedup of exact-duplicate groups, portable-hash pick
+    "dedup_soft" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, f,
+        |    row_number() OVER (PARTITION BY f ORDER BY
+        |      ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY f) AS n
+        |  FROM fp)
+        |SELECT doc_id FROM r
+        |WHERE rn <= CAST(ceil(pow(n, 0.5)) AS BIGINT)""".stripMargin,
+    // concat-and-chunk sequence packing: token-count prefix sum over the
+    // doc_id order, then integer chunk-span arithmetic per doc
+    "pack_sequences" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |cs AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tc),
+        |sp AS (SELECT doc_id, n, cum, cum - n AS strt FROM cs)
+        |SELECT sp.doc_id, c.c AS chunk_id,
+        |  greatest(c.c * 256, strt) - strt AS slice_begin,
+        |  least((c.c + 1) * 256, cum) - greatest(c.c * 256, strt) AS slice_len
+        |FROM sp, generate_series(strt // 256, (cum - 1) // 256) c(c)""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

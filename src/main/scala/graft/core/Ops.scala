@@ -54,6 +54,33 @@ object Ops {
       schema)
   }
 
+  /** Inclusive prefix sum of `valueCol` (Long) over a TOTAL order, without
+    * the single-partition `Window.orderBy` plan: range repartitioning keeps
+    * partitions globally ordered; per-partition totals (one Long per
+    * partition — driver-bounded by the partition count, not the data) give
+    * each partition its starting offset, then every partition accumulates
+    * locally in parallel. Same shape as [[globalRowNumber]]; the offsets
+    * pass re-reads the range-shuffle files, not the source. `order` must be
+    * a total order. */
+  def globalCumsum(df: DataFrame, valueCol: String, outCol: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        var acc = offsets(i)
+        it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+      }, schema)
+  }
+
   /** Drop (query, item) pairs already present in history.
     * Reference: base_rec.py:152-201 `_filter_seen` — rank-crop to
     * k + max_seen BEFORE the anti-join so the join input stays bounded. */

@@ -157,6 +157,88 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns LSH candidate PAIRS into duplicate GROUPS (a pair list
+    * alone can't answer "which docs survive": near-dup relations chain,
+    * A~B~C must collapse to one representative).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round a node takes the min label over itself and its
+    * neighbors; fixpoint = every node holds the min id of its component.
+    * Rounds needed = graph diameter — small for dedup graphs (duplicate
+    * clusters are dense), and each round is one equi-join + one groupBy
+    * min, both plain shuffles on the node id, so the algorithm is
+    * all-executor with no driver state. The edge list is persisted
+    * pre-partitioned on the join key so only the (small) label frame
+    * re-shuffles per round; `localCheckpoint` truncates the per-iteration
+    * lineage that would otherwise grow unboundedly.
+    *
+    * Returns (node, component) with component = min node id reachable.
+    * Isolated docs (no candidate pair) never enter the frame — they are
+    * their own components implicitly. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(F.col(srcCol).cast("long").as("node"), F.col(dstCol).cast("long").as("_nb"))
+      .union(edges
+        .select(F.col(dstCol).cast("long").as("node"), F.col(srcCol).cast("long").as("_nb")))
+      .distinct()
+      .repartition(F.col("_nb")) // join key below — reused every round
+      .persist()
+    var labels = sym.select(F.col("node"), F.col("node").as("component"))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = sym.isEmpty
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.select(F.col("node").as("_nb"), F.col("component")), Seq("_nb"))
+        .select("node", "component")
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(F.min("component").as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("component", "_old"), Seq("node"))
+        .filter(F.col("component") < F.col("_old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Survivors after cluster-level dedup: drop every doc that belongs to a
+    * component but is not its (min-id) representative. Docs outside any
+    * pair survive untouched — one anti-join, no full-catalog shuffle of
+    * doc payloads. */
+  def keepClusterRepresentatives(docs: DataFrame, idCol: String,
+      components: DataFrame): DataFrame =
+    docs.join(
+      components.filter(F.col("node") =!= F.col("component"))
+        .select(F.col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Frequency-aware soft dedup: instead of collapsing each exact-duplicate
+    * group to one doc, keep ceil(|group|^alpha) of them (alpha=0.5 → sqrt
+    * scaling), chosen deterministically by a portable seeded hash — the
+    * standard "don't fully flatten the natural duplication signal" policy
+    * for LLM corpora. One fingerprint shuffle; the per-group rank is a
+    * bounded window inside each duplicate group. */
+  def softDedup(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5, seed: Int = 7): DataFrame = {
+    val fp = TextStats.fingerprint(F.col(textCol))
+    val w = Window.partitionBy("_fp")
+    val keyed = docs.withColumn("_fp", fp)
+      .withColumn("_r", portableHash(seed, F.col(idCol)))
+    val ranked = keyed
+      .withColumn("_rn", F.row_number().over(
+        w.orderBy(F.col("_r"), F.col(idCol))))
+      .withColumn("_n", F.count(F.lit(1)).over(w))
+    ranked
+      .filter(F.col("_rn") <= F.ceil(F.pow(F.col("_n"), F.lit(alpha))))
+      .drop("_fp", "_r", "_rn", "_n")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked by a key column
     * (e.g. source): pairs sharing ≥1 shingle, J = |∩| / (|A|+|B|−|∩|). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
