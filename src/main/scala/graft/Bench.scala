@@ -48,6 +48,8 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // see Session: keep the bounded top-k crop hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()

@@ -36,6 +36,32 @@ object Ops {
   ): DataFrame =
     topK(recs, Seq(queryCol), Seq(F.col(ratingCol).desc, F.col(itemCol).asc), k)
 
+  /** getTopKRecs twin for HUGE scored inputs (|queries| × |catalog| rows,
+    * e.g. exact embedding scoring: 15k × 20k = 300M rows at sf0.1,
+    * unbounded at 100 TB). The rank window must SORT the whole scored
+    * stream inside each partition before WindowGroupLimit can crop — that
+    * sort, not the scoring, dominates (measured 2.7 s scan vs ~60 s
+    * window at sf0.1). This twin is a hash aggregation with O(k) state
+    * per query (TopKList.BoundedTopK): no sort anywhere, map-side partial
+    * crop for free. Same rows out, same (rating desc, item asc)
+    * semantics. Item ids are emitted as bigint, ratings as double (the
+    * engine's canonical rec types). Requires the ObjectHashAggregate
+    * sort-fallback threshold raised above the per-task group count
+    * (Session sets it to 4M) — at the 128-group default Spark silently
+    * falls back to sort-based aggregation, reintroducing the sort this
+    * exists to avoid. */
+  def getTopKRecsBounded(
+      recs: DataFrame,
+      k: Int,
+      queryCol: String = QueryId,
+      itemCol: String = ItemId,
+      ratingCol: String = Rating,
+  ): DataFrame =
+    recs.groupBy(queryCol)
+      .agg(graft.metrics.TopKList.topKPairs(k, ratingCol, itemCol).as("_tk"))
+      .select(F.col(queryCol), F.explode(F.col("_tk")).as("_p"))
+      .select(F.col(queryCol), F.col("_p._2").as(itemCol), F.col("_p._1").as(ratingCol))
+
   /** 1-based global row_number over a TOTAL order, without the
     * single-partition `Window.orderBy` plan: range repartitioning keeps
     * partitions globally ordered, so zipWithIndex numbers rows exactly as

@@ -27,6 +27,12 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate (typed Aggregators, e.g. the bounded top-k
+      // crop) falls back to SORT-based aggregation after this many hash
+      // map entries — the 128 default turns every >128-query task into
+      // the full-stream sort the bounded aggregator exists to avoid.
+      // 4M groups × O(k) list state is still executor-memory-bounded.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -88,14 +88,12 @@ final class LinUCB(
     val q = queryFeatures.select(F.col(cols.query), x.as("_x"))
     val d = dim
     // θᵀx and xᵀA⁻¹x as array expressions over the flattened matrix
-    val thetaX = F.aggregate(F.zip_with(F.col("theta"), F.col("_x"),
-      (a, b) => a * b), F.lit(0.0), (acc, v) => acc + v)
+    val thetaX = graft.core.DotProduct(F.col("theta"), F.col("_x"))
     val aInvX = F.transform(F.sequence(F.lit(0), F.lit(d - 1)), i =>
       F.aggregate(F.sequence(F.lit(0), F.lit(d - 1)), F.lit(0.0), (acc, j) =>
         acc + F.element_at(F.col("ainv"), i * d + j + 1) *
           F.element_at(F.col("_x"), j + 1)))
-    val quad = F.aggregate(F.zip_with(F.col("_x"), aInvX, (a, b) => a * b),
-      F.lit(0.0), (acc, v) => acc + v)
+    val quad = graft.core.DotProduct(F.col("_x"), aInvX)
     // round to 9 before ranking: the distributed Gram sums are float-order
     // dependent at the last ulp; unrounded scores would make the top-k
     // membership nondeterministic across layouts/engines

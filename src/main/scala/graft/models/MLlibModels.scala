@@ -2,6 +2,7 @@ package graft.models
 
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
+import graft.core.Ops
 
 /** ALS wrapper (reference: replay/models/als.py:69-165).
   * Implicit preference mode by default; predict uses
@@ -95,6 +96,14 @@ final class Word2VecRec(
     // scale-killer; opt into IvfAnn to bound the per-query candidate set
     // to ~|items|·nProbe/nCentroids with exact re-scoring.
     val ann: Option[AnnIndex] = None,
+    // skip-gram training parallelism. MLlib's Word2Vec default is 1 —
+    // a SINGLE task trains over the whole corpus (375 s at sf0.1 on 32
+    // cores, and unbounded at 100 TB). The reference defaults to the
+    // input's partition count (word2vec.py:145-151) so training scales
+    // with the cluster; None reproduces that. More partitions trade a
+    // little embedding quality (per-partition gradient averaging) for
+    // linear speedup — the quality-floor spec pins the floor.
+    val numPartitions: Option[Int] = None,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   import org.apache.spark.ml.feature.Word2Vec
@@ -108,8 +117,10 @@ final class Word2VecRec(
         F.sort_array(F.collect_list(F.struct(F.col(cols.ts).as("t"),
           F.col(cols.item).as("i")))),
         s => s.getField("i").cast("string")).as("sentence"))
+    val parts = numPartitions.getOrElse(sentences.rdd.getNumPartitions)
     val w2v = new Word2Vec().setVectorSize(vectorSize).setMinCount(minCount)
       .setWindowSize(window).setSeed(seed)
+      .setNumPartitions(math.max(1, parts))
       .setInputCol("sentence").setOutputCol("_uv")
     val model = w2v.fit(sentences)
     itemVectors = model.getVectors
@@ -161,11 +172,16 @@ final class Word2VecRec(
             F.col("score").as(cols.rating))
       case _ =>
         // exact scoring over the (optionally restricted) catalog — the
-        // oracle path; a restricted catalog is usually small enough that
-        // the exact join is the right plan anyway
-        uv.crossJoin(restrictItems(itemVectors, items).withColumnRenamed("vec", "_iv"))
+        // oracle path. The scored stream is |queries| × |catalog| rows, so
+        // crop to the k+maxSeen contract HERE with the bounded hash
+        // aggregation (no sort, O(k) state per query): the base predict's
+        // anti-join and final window then run on 15k × ~(k+maxSeen) rows
+        // instead of 300M.
+        val scored = uv
+          .crossJoin(restrictItems(itemVectors, items).withColumnRenamed("vec", "_iv"))
           .select(F.col(cols.query), F.col(cols.item),
             AnnIndex.dot(F.col("vec"), F.col("_iv")).as(cols.rating))
+        Ops.getTopKRecsBounded(scored, k + maxSeen, cols.query, cols.item, cols.rating)
     }
   }
 
@@ -173,8 +189,7 @@ final class Word2VecRec(
     pairs.join(userVectors, Seq(cols.query))
       .join(itemVectors.withColumnRenamed("vec", "_iv"), Seq(cols.item))
       .select(F.col(cols.query), F.col(cols.item),
-        F.aggregate(F.zip_with(F.col("vec"), F.col("_iv"), (a, b) => a * b),
-          F.lit(0.0), (acc, v) => acc + v).as(cols.rating))
+        AnnIndex.dot(F.col("vec"), F.col("_iv")).as(cols.rating))
 }
 
 /** KMeans cluster recommender (reference: replay/models/cluster.py:43-120):
@@ -218,6 +233,7 @@ final class ClusterRec(
       .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
     val unseen = recs.join(log.select(cols.query, cols.item).distinct(),
       Seq(cols.query, cols.item), "left_anti")
-    graft.core.Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
+    // |queries| × |cluster catalog| rows — bounded crop, not a rank window
+    Ops.getTopKRecsBounded(unseen, k, cols.query, cols.item, cols.rating)
   }
 }

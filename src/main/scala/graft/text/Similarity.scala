@@ -22,11 +22,11 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
   /** Sequential-sum dot product of two float-array columns, in double.
     * (Matches DuckDB's list_zip+CAST+list_sum exactly — unlike
-    * list_dot_product, which accumulates in float32.) */
-  def dot(a: Column, b: Column): Column =
-    F.aggregate(
-      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0), (acc, v) => acc + v)
+    * list_dot_product, which accumulates in float32.) Lowered to the
+    * native codegen [[graft.core.DotProduct]] expression — bitwise-equal
+    * to the previous `aggregate(zip_with(...))` fold but whole-stage
+    * compiled. */
+  def dot(a: Column, b: Column): Column = graft.core.DotProduct(a, b)
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
@@ -66,10 +66,7 @@ object Similarity {
     * embedding dimensionality. */
   def signBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val proj = F.aggregate(
-        F.zip_with(vec, F.typedlit(planeVector(table, p, dims)),
-          (x, r) => x.cast("double") * r),
-        F.lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, F.typedlit(planeVector(table, p, dims)))
       F.when(proj > 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
     }.reduce(_ + _)
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made `ExpressionUtils` and the
+  * `Column(expr)` constructor `private[sql]`; a one-object shim inside the
+  * sql package is the standard way for an extension library to register
+  * custom Catalyst expressions without a SparkSessionExtensions round-trip.
+  * Only used by graft.core.DotProduct (and future native expressions). */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

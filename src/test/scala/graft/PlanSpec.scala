@@ -63,4 +63,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       "metric kernels must be native expressions")
   }
+
+  test("bounded top-k crop plans as hash aggregation — no sort, no window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val big = spark.range(10000).select(
+      (col("id") % 100).as("query_id"), col("id").as("item_id"),
+      (col("id") * 7 % 997).cast("double").as("rating"))
+    val df = graft.core.Ops.getTopKRecsBounded(big, 5)
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(plan.contains("ObjectHashAggregate"), "bounded crop should object-hash aggregate")
+    assert(!plan.contains("SortExec") && !"\\bSort\\b".r.findFirstIn(plan).isDefined,
+      "bounded crop must not sort the scored stream:\n" + plan.take(800))
+    assert(!plan.contains("Window"), "bounded crop must not plan a window")
+  }
+
+  test("exact embedding scoring keeps dot_product in codegen (no HOF fold)") {
+    val plan = optimizedPlan("embed_cosine_topk")
+    assert(plan.contains("dot_product"), "expected the native dot_product expression")
+    assert(!plan.contains("aggregate(zip_with"),
+      "dot product must not fall back to the interpreted HOF chain")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+/** DotProduct must be a drop-in for the HOF fold it replaced: bitwise-equal
+  * values (the DuckDB oracles hash the exact doubles) and identical null
+  * semantics, in both codegen and interpreted evaluation. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, v) => acc + v)
+
+  test("dot_product matches the HOF fold bitwise on random double arrays") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)(
+      (Array.fill(17)(rnd.nextDouble() * 2 - 1), Array.fill(17)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(DotProduct(F.col("a"), F.col("b")).as("fast"),
+        hofDot(F.col("a"), F.col("b")).as("slow"))
+    assert(df.filter(F.col("fast") =!= F.col("slow")).count() == 0)
+    // bitwise, not approx: the accumulation order must be identical
+    val (f, s) = df.as[(Double, Double)].collect().head match { case t => t }
+    assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(s))
+  }
+
+  test("dot_product accepts float arrays (element-wise cast)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 0.5, 1.0)))
+      .toDF("a", "b")
+      .select(DotProduct(F.col("a"), F.col("b")).as("d"))
+    assert(df.as[Double].head() == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+  }
+
+  test("dot_product null semantics match zip_with padding") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0)))),          // unequal → null
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(4.0)))),    // null elem → null
+      (None, Some(Seq(Some(1.0)))),                                     // null array → null
+      (Some(Seq.empty[Option[Double]]), Some(Seq.empty[Option[Double]])), // empty → 0.0
+      (Some(Seq(Some(2.0), Some(3.0))), Some(Seq(Some(4.0), Some(5.0)))), // plain → 23.0
+    ).toDF("a", "b")
+      .select(DotProduct(F.col("a"), F.col("b")).as("fast"),
+        hofDot(F.col("a"), F.col("b")).as("slow"))
+    val got = df.as[(Option[Double], Option[Double])].collect()
+    assert(got.forall { case (f, s) => f == s })
+    assert(got.map(_._1).toSeq == Seq(None, None, None, Some(0.0), Some(23.0)))
+  }
+
+  test("dot_product interpreted eval agrees with codegen") {
+    // forcing the interpreted path: evaluate the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1.5, -2.0, 0.25)), ArrayType(DoubleType))
+    val b = Literal.create(ArrayData.toArrayData(Array(2.0, 1.0, 4.0)), ArrayType(DoubleType))
+    assert(DotProduct(a, b).eval(null) == 1.5 * 2.0 + -2.0 * 1.0 + 0.25 * 4.0)
+  }
+}
