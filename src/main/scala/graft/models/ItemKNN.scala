@@ -117,9 +117,13 @@ final class ItemKNN(
       F.col("item_two").as("item_one"), F.col("item_one").as("item_two"),
       F.col("similarity")))
 
-    val topW = Window.partitionBy("item_one")
-      .orderBy(F.col("similarity").desc, F.col("item_two").asc)
-    materialize(sym.withColumn("_rn", F.row_number().over(topW))
-      .filter(F.col("_rn") <= numNeighbours).drop("_rn"))
+    // bounded heap crop, not a rank window: the symmetrized pair table is
+    // ~|common-user item pairs|×2 rows (16M at sf0.1, quadratic-ish in
+    // history length at scale) and the window would sort all of it; the
+    // O(numNeighbours) aggregation crops map-side with no sort. Identical
+    // rows: similarities are deterministic (exact sums unweighted, rounded
+    // otherwise) and the (similarity desc, item_two asc) order matches.
+    materialize(graft.core.Ops.getTopKRecsBounded(
+      sym, numNeighbours, "item_one", "item_two", "similarity"))
   }
 }

@@ -288,12 +288,21 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("_p"))
     val u = Splitter.hashLong(sampleSeed, F.col(cols.query), F.col(cols.item))
       .cast("double") / F.lit(math.pow(2, 60))
+    val keyed = qs.select(cols.query).crossJoin(probs)
+      .withColumn("_key", F.log(u + F.lit(1e-18)) / F.col("_p"))
+    // bounded heap crop over the |queries| × |catalog| key stream (the
+    // same full-stream-sort hazard as exact embedding scoring); the
+    // row_number below then ranks only the ~(k+maxSeen)-per-query
+    // survivors, and the broadcast re-join recovers the selection
+    // probability the crop's (rating, item) state doesn't carry.
+    val cropped = Ops.getTopKRecsBounded(
+      keyed.select(F.col(cols.query), F.col(cols.item), F.col("_key")),
+      k + maxSeen.toInt, cols.query, cols.item, "_key")
     val keyW = Window.partitionBy(cols.query)
       .orderBy(F.col("_key").desc, F.col(cols.item).asc)
-    var drawn = qs.select(cols.query).crossJoin(probs)
-      .withColumn("_key", F.log(u + F.lit(1e-18)) / F.col("_p"))
+    var drawn = cropped
       .withColumn("_rn", F.row_number().over(keyW))
-      .filter(F.col("_rn") <= k + maxSeen.toInt) // constant → WindowGroupLimit
+      .join(F.broadcast(probs), Seq(cols.item))
     if (filterSeen)
       drawn = drawn
         .join(seenCnt, Seq(cols.query), "left").na.fill(0L, Seq("_seen"))
