@@ -28,10 +28,12 @@ object Bench {
     "model_pop_rec_predict", "model_item_knn", "model_item_knn_predict",
     "model_assoc_rules", "model_wilson", "model_ucb",
     "model_als", "model_word2vec", "model_slim",
+    "model_cluster", "model_linucb",
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing",
     "dedup_exact", "dedup_minhash", "text_stats",
-    "embed_cosine_topk", "streaming_session_window", "multimodal_decode",
+    "embed_cosine_topk", "embed_lsh_neardup", "pack_sequences",
+    "streaming_session_window", "streaming_dedup", "multimodal_decode",
   )
 
   def main(args: Array[String]): Unit = {

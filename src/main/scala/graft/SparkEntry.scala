@@ -85,6 +85,14 @@ object SparkEntry {
       agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     }),
+    "window_top_k_bounded" -> ((s, d) => {
+      // the same crop via the no-sort bounded heap aggregation
+      // (Ops.getTopKRecsBounded) — must hash-match the rank-window oracle,
+      // proving the O(k)-state scale path is a drop-in for the window
+      val agg = Tables.interactions(s, d)
+        .groupBy("query_id", "item_id").agg(F.sum("rating").as("score"))
+      graft.core.Ops.getTopKRecsBounded(agg, 3, "query_id", "item_id", "score")
+    }),
     "window_dedup_keep_max" -> ((s, d) => {
       // dedup keep-max (experimental/metrics/base_metric.py:96-107)
       val w = Window.partitionBy("user_id", "event_type")
@@ -858,6 +866,41 @@ object SparkEntry {
       Dedup.minhashSimilarity(cand, docs, "doc_id", "text",
         numPerms = 16, precomputedSigs = Some(sigs))
     }),
+    "dedup_cluster" -> ((s, d) => {
+      // LSH candidate pairs → duplicate clusters via distributed min-label
+      // propagation; the oracle's recursive CTE computes the same fixpoint
+      import graft.text.Dedup
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        numPerms = 16, hash = Dedup.portableHash).cache()
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numPerms = 16, bandSize = 4, precomputedSigs = Some(sigs))
+      Dedup.connectedComponents(cand)
+    }),
+    "dedup_cluster_keep" -> ((s, d) => {
+      // survivors after cluster dedup: docs outside any candidate pair
+      // survive untouched; one anti-join against non-representatives
+      import graft.text.Dedup
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        numPerms = 16, hash = Dedup.portableHash).cache()
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numPerms = 16, bandSize = 4, precomputedSigs = Some(sigs))
+      Dedup.keepClusterRepresentatives(
+        docs.select("doc_id", "source"), "doc_id",
+        Dedup.connectedComponents(cand))
+    }),
+    "dedup_soft" -> ((s, d) => {
+      // sqrt-scaled soft dedup: keep ceil(|group|^0.5) of each exact-
+      // duplicate group, portable-hash pick
+      graft.text.Dedup.softDedup(Tables.documents(s, d), "doc_id", "text",
+        alpha = 0.5, seed = 7).select("doc_id")
+    }),
+    "pack_sequences" -> ((s, d) => {
+      // concat-and-chunk packing, doc_id order, 256-token chunks
+      graft.text.Packing.packChunks(Tables.documents(s, d),
+        "doc_id", "text", chunkTokens = 256)
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       graft.text.Dedup.ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", blockCol = "source", k = 3, threshold = 0.2)
@@ -984,6 +1027,14 @@ object SparkEntry {
          |agg AS (SELECT query_id, item_id, sum(rating) AS score
          |        FROM interactions GROUP BY 1, 2)
          |SELECT query_id, item_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
+         |  FROM agg) WHERE rank <= 3""".stripMargin,
+    "window_top_k_bounded" ->
+      s"""$interactionsSql,
+         |agg AS (SELECT query_id, item_id, sum(rating) AS score
+         |        FROM interactions GROUP BY 1, 2)
+         |SELECT query_id, item_id, score FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
          |  FROM agg) WHERE rank <= 3""".stripMargin,
@@ -2327,13 +2378,17 @@ object SparkEntry {
         |  FROM documents),
         |cs AS (
         |  SELECT doc_id, n,
-        |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM tc),
-        |sp AS (SELECT doc_id, n, cum, cum - n AS strt FROM cs)
-        |SELECT sp.doc_id, c.c AS chunk_id,
-        |  greatest(c.c * 256, strt) - strt AS slice_begin,
-        |  least((c.c + 1) * 256, cum) - greatest(c.c * 256, strt) AS slice_len
-        |FROM sp, generate_series(strt // 256, (cum - 1) // 256) c(c)""".stripMargin,
+        |sp AS (SELECT doc_id, n, cum, cum - n AS strt FROM cs),
+        |ex AS (
+        |  SELECT doc_id, cum, strt,
+        |    unnest(generate_series(strt // 256, (cum - 1) // 256)) AS chunk_id
+        |  FROM sp)
+        |SELECT doc_id, chunk_id,
+        |  greatest(chunk_id * 256, strt) - strt AS slice_begin,
+        |  least((chunk_id + 1) * 256, cum) - greatest(chunk_id * 256, strt) AS slice_len
+        |FROM ex""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

@@ -56,11 +56,17 @@ object Ops {
       queryCol: String = QueryId,
       itemCol: String = ItemId,
       ratingCol: String = Rating,
-  ): DataFrame =
+  ): DataFrame = {
+    // contract: ratings non-null (the primitive heap has no null slot; the
+    // window twin would sort nulls last). Every scoring path guarantees it.
+    if (k <= 0) return recs
+      .select(F.col(queryCol), F.col(itemCol), F.col(ratingCol))
+      .filter(F.lit(false)) // window twin's k<=0 result: empty
     recs.groupBy(queryCol)
       .agg(graft.metrics.TopKList.topKPairs(k, ratingCol, itemCol).as("_tk"))
       .select(F.col(queryCol), F.explode(F.col("_tk")).as("_p"))
       .select(F.col(queryCol), F.col("_p._2").as(itemCol), F.col("_p._1").as(ratingCol))
+  }
 
   /** 1-based global row_number over a TOTAL order, without the
     * single-partition `Window.orderBy` plan: range repartitioning keeps

@@ -85,23 +85,38 @@ final class LinUCB(
     import org.apache.spark.sql.expressions.Window
     val featCols = queryFeatures.columns.filterNot(_ == cols.query)
     val x = F.array(featCols.map(c => F.col(c).cast("double")): _*)
+    // repartition: query features usually come from one small parquet scan
+    // (1 partition); the cross join below fans each query row out to the
+    // whole arm catalog, so at 1 input partition all |q|×|arms| rows would
+    // be produced — and crop-aggregated — by a single task
     val q = queryFeatures.select(F.col(cols.query), x.as("_x"))
+      .repartition(F.col(cols.query))
     val d = dim
     // θᵀx and xᵀA⁻¹x as array expressions over the flattened matrix
     val thetaX = graft.core.DotProduct(F.col("theta"), F.col("_x"))
-    val aInvX = F.transform(F.sequence(F.lit(0), F.lit(d - 1)), i =>
-      F.aggregate(F.sequence(F.lit(0), F.lit(d - 1)), F.lit(0.0), (acc, j) =>
-        acc + F.element_at(F.col("ainv"), i * d + j + 1) *
-          F.element_at(F.col("_x"), j + 1)))
-    val quad = graft.core.DotProduct(F.col("_x"), aInvX)
+    // xᵀA⁻¹x unrolled into plain scalar arithmetic (d is known at predict
+    // time and context dims are small): every term codegens, where the
+    // previous transform/aggregate HOF chain was interpreted per row — on
+    // a |queries| × |arms| cross join that interpretation dominated the
+    // whole predict. Each fold seeds with 0.0 exactly like the HOF
+    // aggregate it replaces, so the float result is bitwise-identical
+    // (the DuckDB oracle mirrors this arithmetic term by term).
+    def ainvAt(idx: Int) = F.element_at(F.col("ainv"), idx + 1)
+    def xAt(j: Int) = F.element_at(F.col("_x"), j + 1)
+    val quad = (0 until d).map { i =>
+      val aInvXi = (0 until d).map(j => ainvAt(i * d + j) * xAt(j))
+        .foldLeft(F.lit(0.0))(_ + _)
+      xAt(i) * aInvXi
+    }.foldLeft(F.lit(0.0))(_ + _)
     // round to 9 before ranking: the distributed Gram sums are float-order
     // dependent at the last ulp; unrounded scores would make the top-k
     // membership nondeterministic across layouts/engines
     val scored = q.crossJoin(armState)
       .select(F.col(cols.query), F.col(cols.item),
         F.round(thetaX + F.lit(alpha) * F.sqrt(quad), 9).as(cols.rating))
-    val w = Window.partitionBy(cols.query)
-      .orderBy(F.col(cols.rating).desc, F.col(cols.item).asc)
-    scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    // |queries| × |arms| scored rows — bounded heap crop, not a rank
+    // window (same no-sort rationale as exact embedding scoring; the
+    // round-9 rating makes the (rating desc, item asc) order identical)
+    graft.core.Ops.getTopKRecsBounded(scored, k, cols.query, cols.item, cols.rating)
   }
 }

@@ -214,7 +214,13 @@ final class ClusterRec(
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("cluster")
       .fit(assembled)
-    queryClusters = km.transform(assembled).select(F.col(cols.query), F.col("cluster")).cache()
+    // repartition before caching: query features typically arrive as one
+    // small parquet scan (1 partition), and predict fans every query row
+    // out to the full per-cluster catalog — cached at 1 partition that
+    // 300M-row expansion would run in a single task
+    queryClusters = km.transform(assembled)
+      .select(F.col(cols.query), F.col("cluster"))
+      .repartition(F.col(cols.query)).cache()
 
     val withCluster = log.join(queryClusters, Seq(cols.query))
     val counts = withCluster.groupBy("cluster", cols.item)
@@ -229,11 +235,25 @@ final class ClusterRec(
   }
 
   def predict(log: DataFrame, k: Int): DataFrame = {
-    val recs = queryClusters.join(clusterItems, Seq("cluster"))
+    // explicit broadcast: the join key has only nClusters distinct values,
+    // so a shuffle join would collapse to nClusters tasks (measured 3× the
+    // whole predict at sf0.1); the per-cluster item table is small by
+    // construction (nClusters × catalog crop)
+    val recs = queryClusters.join(F.broadcast(clusterItems), Seq("cluster"))
       .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
-    val unseen = recs.join(log.select(cols.query, cols.item).distinct(),
-      Seq(cols.query, cols.item), "left_anti")
-    // |queries| × |cluster catalog| rows — bounded crop, not a rank window
-    Ops.getTopKRecsBounded(unseen, k, cols.query, cols.item, cols.rating)
+    // crop BEFORE the seen-filter: anti-joining the full |queries| ×
+    // |cluster catalog| stream shuffles 300M rows at sf0.1; the k+maxSeen
+    // bounded crop is exact (the filter removes at most maxSeen rows per
+    // query) and shrinks the anti-join input to ~(k+maxSeen)·|queries|
+    val seen = log.select(cols.query, cols.item).distinct().cache()
+    val maxSeen = seen.groupBy(cols.query).agg(F.count(F.lit(1)).as("_n"))
+      .agg(F.max("_n")).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val cropped = Ops.getTopKRecsBounded(
+      recs, k + maxSeen.toInt, cols.query, cols.item, cols.rating)
+    val unseen = cropped.join(seen, Seq(cols.query, cols.item), "left_anti")
+    Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
   }
 }
