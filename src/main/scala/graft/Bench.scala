@@ -27,8 +27,9 @@ object Bench {
     "split_ratio", "split_random_next_n",
     "model_pop_rec_predict", "model_item_knn", "model_item_knn_predict",
     "model_assoc_rules", "model_wilson", "model_ucb",
-    "model_als", "model_word2vec", "model_slim",
+    "model_als", "model_als_explicit", "model_word2vec", "model_slim",
     "model_cluster", "model_linucb",
+    "model_random_rec", "model_random_rec_relevance",
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing",
     "dedup_exact", "dedup_minhash", "text_stats",

@@ -520,6 +520,13 @@ object SparkEntry {
         ann = Some(new models.IvfAnn(nCentroids = 16, nProbe = 4)))
         .fitPredict(i, k = 5)
     }),
+    "model_als_explicit" -> ((s, d) => {
+      // explicit-feedback mode (reference als.py implicit_prefs=False;
+      // baseline res_1m.csv:17 has a published time for this config)
+      val i = Tables.interactions(s, d)
+      new models.ALSRec(rank = 8, maxIter = 5, implicitPrefs = false)
+        .fitPredict(i, k = 5)
+    }),
     "model_cluster" -> ((s, d) => {
       val i = Tables.interactions(s, d)
       val qf = Tables.customer(s, d).select(
@@ -795,6 +802,14 @@ object SparkEntry {
       row("mean", Descriptor.Mean)
         .unionByName(row("median", Descriptor.Median))
         .unionByName(row("ci", Descriptor.ConfidenceInterval(1.96)))
+    }),
+    "metrics_item_distribution" -> ((s, d) => {
+      // popularity-bias diagnostic (utils/distributions.py:11-33): log
+      // exposure vs top-k rec exposure per item, outer-joined, 0-filled
+      val i = Tables.interactions(s, d)
+      val recs = i.groupBy("query_id", "item_id")
+        .agg(F.sum("rating").as("rating"))
+      graft.metrics.Metrics.itemDistribution(i, recs, k = 3)
     }),
     "metrics_catalog" -> ((s, d) => {
       import graft.metrics.Metrics
@@ -2217,6 +2232,22 @@ object SparkEntry {
   }
 
   private lazy val oracleSqlRest: Map[String, String] = Map(
+    "metrics_item_distribution" ->
+      s"""$interactionsSql,
+         |agg AS (SELECT query_id, item_id, sum(rating) AS rating
+         |        FROM interactions GROUP BY 1, 2),
+         |top3 AS (SELECT query_id, item_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM agg) WHERE rn <= 3),
+         |lc AS (SELECT item_id, count(DISTINCT query_id) AS user_count
+         |       FROM interactions GROUP BY 1),
+         |rc AS (SELECT item_id, count(DISTINCT query_id) AS rec_count
+         |       FROM top3 GROUP BY 1)
+         |SELECT coalesce(lc.item_id, rc.item_id) AS item_id,
+         |  coalesce(user_count, 0) AS user_count,
+         |  coalesce(rec_count, 0) AS rec_count
+         |FROM lc FULL OUTER JOIN rc ON lc.item_id = rc.item_id""".stripMargin,
     "metrics_catalog" ->
       s"""$interactionsSql,
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),

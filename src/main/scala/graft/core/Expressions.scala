@@ -79,3 +79,48 @@ object DotProduct {
       GraftExpressionBridge.expression(a.cast("array<double>")),
       GraftExpressionBridge.expression(b.cast("array<double>"))))
 }
+
+/** First 60 bits of md5(input) as a non-negative long — bit-for-bit the
+  * value of `conv(substring(md5(s), 1, 15), 16, 10)` (the portable-hash
+  * recipe), but computed straight from the digest bytes: no 32-char hex
+  * string, no substring slice, no base-16 string parse. Those three
+  * allocations per row dominate when the hash runs per (query, item) pair
+  * (weighted samplers: |queries| × |catalog| rows) or per shingle
+  * (MinHash). The DuckDB oracles keep using the hex-string form — same
+  * 60 bits either way (spec-pinned against the conv chain). */
+case class Md5Prefix60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Md5Prefix60.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** 60-bit big-endian prefix of the md5 digest: bytes 0-6 fully, plus the
+    * high nibble of byte 7 — exactly the first 15 hex characters. */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    ((b(0) & 0xffL) << 52) | ((b(1) & 0xffL) << 44) | ((b(2) & 0xffL) << 36) |
+      ((b(3) & 0xffL) << 28) | ((b(4) & 0xffL) << 20) | ((b(5) & 0xffL) << 12) |
+      ((b(6) & 0xffL) << 4) | ((b(7) & 0xffL) >>> 4)
+  }
+
+  def apply(c: Column): Column =
+    GraftExpressionBridge.column(Md5Prefix60(
+      GraftExpressionBridge.expression(c.cast("string"))))
+}

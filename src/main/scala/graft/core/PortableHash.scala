@@ -18,9 +18,12 @@ object PortableHash {
   def key(seed: Long, cols: Column*): Column =
     F.md5(F.concat_ws(":", (F.lit(seed.toString) +: cols.map(_.cast("string"))): _*))
 
-  /** 60-bit non-negative integer hash. */
+  /** 60-bit non-negative integer hash. Lowered to the native
+    * [[Md5Prefix60]] expression — bit-identical to
+    * `conv(substring(key, 1, 15), 16, 10)` (the form the DuckDB oracles
+    * keep using) without the hex-string round-trip per row. */
   def long(seed: Long, cols: Column*): Column =
-    F.conv(F.substring(key(seed, cols: _*), 1, 15), 16, 10).cast("long")
+    Md5Prefix60(F.concat_ws(":", (F.lit(seed.toString) +: cols.map(_.cast("string"))): _*))
 
   /** Uniform double in [0, 1). */
   def uniform(seed: Long, cols: Column*): Column =

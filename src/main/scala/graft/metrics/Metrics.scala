@@ -219,6 +219,22 @@ object Metrics {
 
   // ---- catalog metrics (different inputs) --------------------------------
 
+  /** Item exposure distribution: per item, distinct users interacting in
+    * the log vs distinct users recommended it in the top-k — the
+    * popularity-bias diagnostic (reference: utils/distributions.py:11-33,
+    * minus the collect-to-master pandas conversion: the frame stays
+    * distributed). Items in neither frame are absent; one-sided items get
+    * 0 on the other side (fillna(0) parity). */
+  def itemDistribution(log: DataFrame, recs: DataFrame, k: Int,
+      cols: RecCols = RecCols()): DataFrame = {
+    val lc = log.groupBy(cols.item)
+      .agg(F.countDistinct(cols.query).as("user_count"))
+    val rc = graft.core.Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+      .groupBy(cols.item).agg(F.countDistinct(cols.query).as("rec_count"))
+    lc.join(rc, Seq(cols.item), "outer")
+      .na.fill(0L, Seq("user_count", "rec_count"))
+  }
+
   /** Coverage@k: share of train items that appear in any user's top-k recs
     * (reference: coverage.py:93-139). */
   def coverage(recs: DataFrame, train: DataFrame, k: Int,

@@ -78,9 +78,14 @@ final class RandomRec(
     // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
     // and high-weight items win as the distribution demands.
     // u in [0,1); epsilon guards ln(0).
-    queries.select(cols.query).crossJoin(selectedWeights(items))
+    val keyed = queries.select(cols.query).crossJoin(selectedWeights(items))
       .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
       .drop("_w")
+    // honor the k+maxSeen contract: the keyed stream is |queries| ×
+    // |catalog| rows, and without this crop the base predict's seen
+    // anti-join and final window would shuffle/sort all of it (measured
+    // 75 s at sf0.1 vs ~8 s cropped; unbounded at 100 TB)
+    Ops.getTopKRecsBounded(keyed, k + maxSeen, cols.query, cols.item, cols.rating)
   }
 
   /** True action distribution for the sampler (reference

@@ -50,6 +50,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(None, None, None, Some(0.0), Some(23.0)))
   }
 
+  test("md5_prefix60 equals the hex conv chain bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)(rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString) :+
+      "" :+ "42:0:7" :+ "α:β"  // empty, delimiter-looking, multi-byte UTF-8
+    val df = rows.toDF("s").select(
+      Md5Prefix60(F.col("s")).as("fast"),
+      F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long").as("slow"))
+    assert(df.filter(F.col("fast") =!= F.col("slow")).count() == 0)
+    assert(df.filter(F.col("fast") < 0).count() == 0) // 60 bits, never negative
+  }
+
+  test("md5_prefix60 null passthrough and interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val got = Seq((Some("x"), 1), (None, 2)).toDF("s", "i")
+      .select(Md5Prefix60(F.col("s")).as("h")).as[Option[Long]].collect()
+    assert(got(1).isEmpty && got(0).nonEmpty)
+    val e = Md5Prefix60(Literal.create(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x"),
+      org.apache.spark.sql.types.StringType))
+    assert(e.eval(null) == got(0).get) // interpreted == codegen
+  }
+
   test("dot_product interpreted eval agrees with codegen") {
     // forcing the interpreted path: evaluate the expression directly
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -123,6 +123,19 @@ class MetricsSpec extends SparkSpec {
     assert(exact == 3.0 && approx == 3.0)
   }
 
+  test("itemDistribution: outer join of log vs rec exposure, zero-filled") {
+    val log = Seq(
+      (0L, 10L, 1.0), (1L, 10L, 1.0), (0L, 10L, 2.0), // item 10: 2 users
+      (0L, 20L, 1.0),                                 // item 20: 1 user, never recommended
+    ).toDF("query_id", "item_id", "rating")
+    val recs = Seq(
+      (0L, 10L, 5.0), (1L, 30L, 4.0), // item 30 recommended but not in log
+    ).toDF("query_id", "item_id", "rating")
+    val got = Metrics.itemDistribution(log, recs, k = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 2L, 1L), (20L, 1L, 0L), (30L, 0L, 1L)))
+  }
+
   test("GridSearch ranks the better hyper-parameter first") {
     import graft.models.{PopRec, Wilson, BaseRecommender}
     val train = Seq(
