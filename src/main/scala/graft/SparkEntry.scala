@@ -598,6 +598,14 @@ object SparkEntry {
         .select(graft.text.TextStats.fingerprint(F.col("text")).as("fp"))
       graft.streaming.StreamingOps.streamingDedup(docs, Seq("fp"))
     }),
+    "streaming_windowed_counts" -> ((s, d) => {
+      // batch twin of the watermarked tumbling-window aggregation
+      // (StreamingSpec pins batch ≡ stream); epoch-aligned hourly windows
+      graft.streaming.StreamingOps.windowedCounts(
+        Tables.events(s, d), windowSeconds = 3600)
+        .select(F.unix_millis(F.col("window_start")).as("window_start_ms"),
+          F.col("event_type"), F.col("n"))
+    }),
     "agg_percentile" -> ((s, d) => {
       // exact interpolated percentile (§2.4; percentile_approx reserved
       // for scale) — parity with DuckDB quantile_cont
@@ -1898,6 +1906,10 @@ object SparkEntry {
         |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM se GROUP BY user_id, sid""".stripMargin,
+    "streaming_windowed_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "agg_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

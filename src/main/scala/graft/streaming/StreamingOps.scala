@@ -42,6 +42,19 @@ object StreamingOps {
     sessionWindows(stream.withWatermark(tsCol, watermark),
       gapSeconds, userCol, tsCol, valueCol)
 
+  /** Tumbling-window counts per key — the canonical watermarked streaming
+    * aggregation. Batch and stream share this exact plan shape; on a
+    * stream, add `withWatermark(tsCol, horizon)` upstream and the state
+    * store holds only windows newer than the watermark (bounded state at
+    * any input volume). Epoch-aligned windows (Spark `window()` default),
+    * so the batch twin is mirror-able as `date_trunc` for divisor-of-hour
+    * window sizes. */
+  def windowedCounts(df: DataFrame, windowSeconds: Long,
+      tsCol: String = "ts", keyCol: String = "event_type"): DataFrame =
+    df.groupBy(F.window(F.col(tsCol), s"$windowSeconds seconds"), F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as("window_start"), F.col(keyCol), F.col("n"))
+
   final case class ItemEvent(item_id: Long, rating: Double)
   final case class ItemStats(item_id: Long, pos: Double, total: Double)
 

@@ -39,6 +39,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 2L, 3.0))) // first session emitted on close
   }
 
+  test("windowedCounts: stream with watermark equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:55:00"), "click"),
+      (ts("2024-01-01 10:10:00"), "view"),
+      (ts("2024-01-01 11:05:00"), "click"),
+      (ts("2024-01-01 15:00:00"), "view"), // watermark pusher
+    )
+    val batch = windowedCounts(
+      events.toDF("ts", "event_type"), windowSeconds = 3600)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = windowedCounts(
+      input.toDF().toDF("ts", "event_type").withWatermark("ts", "1 hour"),
+      windowSeconds = 3600)
+      .writeStream.format("memory").queryName("wcounts")
+      .outputMode("append").start()
+    input.addData(events.take(4): _*); q.processAllAvailable()
+    input.addData(events.drop(4): _*); q.processAllAvailable()
+    input.addData((ts("2024-01-02 10:00:00"), "view")); q.processAllAvailable()
+    val streamed = spark.table("wcounts")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    q.stop()
+    // every window closed by the watermark must match the batch result
+    val closed = batch.filter(_._1.before(ts("2024-01-01 15:00:00")))
+    assert(closed.subsetOf(streamed), s"closed=$closed streamed=$streamed")
+    assert(streamed.subsetOf(batch))
+  }
+
   test("streamingItemStats accumulates (pos, total) across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemEvent]
