@@ -63,9 +63,9 @@ object Ops {
       .select(F.col(queryCol), F.col(itemCol), F.col(ratingCol))
       .filter(F.lit(false)) // window twin's k<=0 result: empty
     recs.groupBy(queryCol)
-      .agg(graft.metrics.TopKList.topKPairs(k, ratingCol, itemCol).as("_tk"))
+      .agg(BoundedTopKAgg.topKPairs(k, F.col(ratingCol), F.col(itemCol)).as("_tk"))
       .select(F.col(queryCol), F.explode(F.col("_tk")).as("_p"))
-      .select(F.col(queryCol), F.col("_p._2").as(itemCol), F.col("_p._1").as(ratingCol))
+      .select(F.col(queryCol), F.col("_p.item").as(itemCol), F.col("_p.rating").as(ratingCol))
   }
 
   /** 1-based global row_number over a TOTAL order, without the
