@@ -889,6 +889,30 @@ object SparkEntry {
       Dedup.minhashSimilarity(cand, docs, "doc_id", "text",
         numPerms = 16, precomputedSigs = Some(sigs))
     }),
+    "text_repetition" -> ((s, d) => {
+      // Gopher-style within-doc repeated-token signal
+      Tables.documents(s, d).select(F.col("doc_id"),
+        F.round(graft.text.TextStats.repetitionRatio(F.col("text")), 6)
+          .as("repetition"))
+    }),
+    "text_redact_pii" -> ((s, d) => {
+      // PII scrub over text spiked with a synthetic email + number (the
+      // raw corpus has none, so the spike exercises both patterns)
+      val spiked = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+          F.lit("@example.com or call "),
+          (F.col("doc_id") + 1000000L) * 7).as("_t"))
+      spiked.select(F.col("doc_id"),
+        graft.text.TextStats.redactPii(F.col("_t")).as("clean"))
+    }),
+    "text_contamination" -> ((s, d) => {
+      // decontamination pass: benchmark = docs with doc_id < 25
+      val docs = Tables.documents(s, d)
+      graft.text.Dedup.contamination(
+        docs, docs.filter(F.col("doc_id") < 25), "doc_id", "text", n = 3)
+        .select(F.col("doc_id"), F.col("n_ngrams"), F.col("n_contaminated"),
+          F.round(F.col("contamination"), 6).as("contamination"))
+    }),
     "dedup_cluster" -> ((s, d) => {
       // LSH candidate pairs → duplicate clusters via distributed min-label
       // propagation; the oracle's recursive CTE computes the same fixpoint
@@ -2357,6 +2381,46 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 2147483647)),
         |    (acc, x) -> (acc * 257 + x) % 2147483647) AS content_hash
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  round(1.0 - len(list_distinct(
+        |      string_split_regex(trim(lower(text)), '\s+')))::DOUBLE
+        |    / len(string_split_regex(trim(lower(text)), '\s+')), 6) AS repetition
+        |FROM documents""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com or call '
+        |           || CAST((doc_id + 1000000) * 7 AS VARCHAR),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUMBER>', 'g') AS clean
+        |FROM documents""".stripMargin,
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(0, len(ts) - 3),
+        |      i -> array_to_string(ts[i+1:i+3], ' ')))
+        |    ELSE [] END AS shs
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s.s AS sgl FROM sh, unnest(shs) s(s)
+        |          WHERE doc_id < 25),
+        |ex AS (SELECT doc_id, s.s AS sgl FROM sh, unnest(shs) s(s)),
+        |hits AS (
+        |  SELECT ex.doc_id,
+        |    sum(CASE WHEN b.sgl IS NOT NULL THEN 1 ELSE 0 END) AS n_c
+        |  FROM ex LEFT JOIN bench b ON ex.sgl = b.sgl GROUP BY ex.doc_id)
+        |SELECT sh.doc_id, CAST(len(sh.shs) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(h.n_c, 0) AS BIGINT) AS n_contaminated,
+        |  round(CASE WHEN len(sh.shs) > 0
+        |        THEN coalesce(h.n_c, 0)::DOUBLE / len(sh.shs)
+        |        ELSE 0.0 END, 6) AS contamination
+        |FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_docs

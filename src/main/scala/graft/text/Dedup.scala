@@ -239,6 +239,30 @@ object Dedup {
       .drop("_fp", "_r", "_rn", "_n")
   }
 
+  /** Benchmark-contamination check (the decontamination pass every
+    * training pipeline runs before a model ships): per corpus doc, the
+    * fraction of its distinct word n-grams that appear ANYWHERE in the
+    * benchmark corpus. Docs with no n-grams (shorter than n tokens) report
+    * 0. Scale shape: the benchmark n-gram set is tiny next to the corpus
+    * (eval suites vs 100 TB), so the join is a broadcast semi-join against
+    * the exploded corpus shingles — never corpus × corpus. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = corpus.select(F.col(idCol), shingles(F.col(textCol), n).as("_shs"))
+      .select(F.col(idCol), F.size(F.col("_shs")).cast("long").as("n_ngrams"),
+        F.explode_outer(F.col("_shs")).as("_sgl"))
+    val bench = benchmark
+      .select(F.explode(shingles(F.col(textCol), n)).as("_sgl")).distinct()
+    sh.join(F.broadcast(bench.withColumn("_hit", F.lit(1L))), Seq("_sgl"), "left")
+      .groupBy(idCol)
+      .agg(F.max("n_ngrams").as("n_ngrams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        F.when(F.col("n_ngrams") > 0,
+          F.col("n_contaminated").cast("double") / F.col("n_ngrams"))
+          .otherwise(F.lit(0.0)))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked by a key column
     * (e.g. source): pairs sharing ≥1 shingle, J = |∩| / (|A|+|B|−|∩|). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -68,6 +68,25 @@ object TextStats {
     F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
   }
 
+  /** Repeated-token ratio: 1 − |distinct tokens| / |tokens| (case-folded)
+    * — the Gopher-style within-document repetition signal; near 0 for
+    * natural prose, near 1 for boilerplate/keyword-stuffed spam. */
+  def repetitionRatio(text: Column): Column = {
+    val ts = tokens(F.lower(text))
+    F.lit(1.0) - F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+  }
+
+  /** PII redaction: emails → `<EMAIL>`, 7+-digit runs (phone/account
+    * numbers) → `<NUMBER>`. Conservative patterns valid in both Java regex
+    * and RE2, so the scrub is oracle-mirrorable and safe for RE2-based
+    * engines. A scan-side expression — at 100 TB, scrubbing must ride the
+    * ingest scan, not a separate pass. */
+  def redactPii(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUMBER>")
+
   /** Normalized-text fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the canonical key for exact dedup after normalization. */
   def fingerprint(text: Column): Column =

@@ -155,4 +155,32 @@ class TextSpec extends SparkSpec {
     assert(blocks.filter($"block_len" > 8).count() == 0)
     assert(blocks.groupBy("asset_id").count().count() == 4)
   }
+
+  test("repetitionRatio: 0 for all-distinct, rises with repeats") {
+    val df = Seq((1L, "a b c d"), (2L, "spam spam spam spam"), (3L, "x x y z"))
+      .toDF("id", "text")
+      .select($"id", TextStats.repetitionRatio($"text").as("r"))
+    val m = df.as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.0 && m(2L) == 0.75 && m(3L) == 0.25)
+  }
+
+  test("redactPii scrubs emails and long digit runs, keeps prose") {
+    val out = Seq("mail me at jo.doe+x@corp.io or 12345678, not 123456!")
+      .toDF("text").select(TextStats.redactPii($"text")).as[String].head()
+    assert(out == "mail me at <EMAIL> or <NUMBER>, not 123456!")
+  }
+
+  test("contamination: benchmark n-gram overlap per doc, 0 for short docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 'the quick brown' etc
+      (2L, "totally novel content here now"),
+      (3L, "hi"),                           // < n tokens → 0 ngrams
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "the quick brown fox leaps")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 2.0 / 3)))  // 'the quick brown', 'quick brown fox' hit
+    assert(got(2L) == ((2L, 3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+  }
 }
