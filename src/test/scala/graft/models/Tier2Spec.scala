@@ -22,6 +22,22 @@ class Tier2Spec extends SparkSpec {
     assert(pairs.count() == 1)
   }
 
+  test("ALSRec explicit mode trains a distinct model with finite scores") {
+    // explicit-feedback config (reference res_1m.csv:17 documents it as a
+    // much weaker ranker on implicit-shaped data — so the certificate here
+    // is behavioral, not a quality floor): it must still produce bounded
+    // per-user lists, and its pair scores must differ from implicit mode
+    val imp = new ALSRec(rank = 4, maxIter = 3).fit(log)
+    val exp = new ALSRec(rank = 4, maxIter = 3, implicitPrefs = false).fit(log)
+    val recs = exp.predict(log, k = 2)
+    assert(recs.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 2))
+    val p = Seq((0L, 2L)).toDF("query_id", "item_id")
+    val se = exp.predictPairs(p, log).select("rating").as[Double].head()
+    val si = imp.predictPairs(p, log).select("rating").as[Double].head()
+    assert(!se.isNaN && !se.isInfinite)
+    assert(se != si, "explicit and implicit ALS should not coincide")
+  }
+
   test("Word2VecRec builds item and user vectors and ranks items") {
     val m = new Word2VecRec(vectorSize = 8, minCount = 1).fit(log)
     assert(m.itemVectors.count() == 3)
