@@ -889,6 +889,13 @@ object SparkEntry {
       Dedup.minhashSimilarity(cand, docs, "doc_id", "text",
         numPerms = 16, precomputedSigs = Some(sigs))
     }),
+    "mixture_sample" -> ((s, d) => {
+      // domain mixing: largest corpus at exactly 50/30/20 over three
+      // sources, portable-hash pick; other sources dropped
+      graft.text.Mixing.sampleToMixture(Tables.documents(s, d),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 7)
+        .select("doc_id", "source")
+    }),
     "text_repetition" -> ((s, d) => {
       // Gopher-style within-doc repeated-token signal
       Tables.documents(s, d).select(F.col("doc_id"),
@@ -2381,6 +2388,23 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 2147483647)),
         |    (acc, x) -> (acc * 257 + x) % 2147483647) AS content_hash
         |FROM documents""".stripMargin,
+    "mixture_sample" ->
+      """WITH tgt(src, p) AS (VALUES
+        |    ('src0', CAST(0.5 AS DOUBLE)),
+        |    ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE))),
+        |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT min(floor(n / p)) AS t
+        |      FROM cnt JOIN tgt ON cnt.source = tgt.src),
+        |lim AS (SELECT src, CAST(floor(p * (SELECT t FROM t)) AS BIGINT) AS lim
+        |        FROM tgt),
+        |r AS (SELECT d.doc_id, d.source,
+        |        row_number() OVER (PARTITION BY d.source ORDER BY
+        |          ('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |          d.doc_id) AS rn
+        |      FROM documents d JOIN tgt ON d.source = tgt.src)
+        |SELECT r.doc_id, r.source
+        |FROM r JOIN lim ON r.source = lim.src WHERE r.rn <= lim.lim""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id,
         |  round(1.0 - len(list_distinct(

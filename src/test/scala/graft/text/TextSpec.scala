@@ -170,6 +170,28 @@ class TextSpec extends SparkSpec {
     assert(out == "mail me at <EMAIL> or <NUMBER>, not 123456!")
   }
 
+  test("sampleToMixture hits exact target proportions, largest feasible") {
+    val corpus = (0L until 40L).map(i =>
+      (i, if (i < 10) "web" else if (i < 20) "code" else "books", "t"))
+      .toDF("doc_id", "source", "text")
+    // books (20 docs) binds: T = min(10/.25, 10/.25, 20/.5) = 40
+    val out = Mixing.sampleToMixture(corpus,
+      Map("web" -> 0.25, "code" -> 0.25, "books" -> 0.5), seed = 1)
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("web" -> 10L, "code" -> 10L, "books" -> 20L))
+    // tighter web supply: web binds, T = min(10/.5, 10/.25, 20/.25) = 20
+    val out2 = Mixing.sampleToMixture(corpus,
+      Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25), seed = 1)
+    val by2 = out2.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(by2 == Map("web" -> 10L, "code" -> 5L, "books" -> 5L))
+    // deterministic: same seed, same pick
+    val again = Mixing.sampleToMixture(corpus,
+      Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25), seed = 1)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      out2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("contamination: benchmark n-gram overlap per doc, 0 for short docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),   // shares 'the quick brown' etc
