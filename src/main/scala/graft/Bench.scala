@@ -33,6 +33,7 @@ object Bench {
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing",
     "dedup_exact", "dedup_minhash", "text_stats",
+    "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "pack_sequences",
     "streaming_session_window", "streaming_dedup", "multimodal_decode",
   )
