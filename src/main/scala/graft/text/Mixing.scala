@@ -29,8 +29,11 @@ object Mixing {
     // per-source counts: #sources rows — driver-bounded by design
     val counts = docs.groupBy(sourceCol).agg(F.count(F.lit(1)).as("_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = target.keySet -- counts.keySet
+    require(missing.isEmpty, // fail fast, not a silently-empty corpus
+      s"target sources absent from the corpus: ${missing.mkString(", ")}")
     val total = target.map { case (s, p) =>
-      math.floor(counts.getOrElse(s, 0L) / p) }.min.toLong
+      math.floor(counts(s) / p) }.min.toLong
     val limits = target.map { case (s, p) => s -> math.floor(p * total).toLong }
     val limCol = limits.foldLeft(F.lit(0L)) { case (acc, (s, n)) =>
       F.when(F.col(sourceCol) === s, F.lit(n)).otherwise(acc) }

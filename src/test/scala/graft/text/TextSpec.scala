@@ -190,6 +190,11 @@ class TextSpec extends SparkSpec {
       Map("web" -> 0.5, "code" -> 0.25, "books" -> 0.25), seed = 1)
     assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
       out2.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a target source missing from the corpus fails fast, not silently-empty
+    val err = intercept[IllegalArgumentException] {
+      Mixing.sampleToMixture(corpus, Map("web" -> 0.5, "papers" -> 0.5))
+    }
+    assert(err.getMessage.contains("papers"))
   }
 
   test("contamination: benchmark n-gram overlap per doc, 0 for short docs") {
