@@ -29,7 +29,7 @@ object Bench {
     "model_assoc_rules", "model_wilson", "model_ucb",
     "model_als", "model_als_explicit", "model_word2vec", "model_slim",
     "model_cluster", "model_linucb",
-    "model_random_rec", "model_random_rec_relevance",
+    "model_random_rec", "model_random_rec_relevance", "model_random_rec_fast",
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing",
     "dedup_exact", "dedup_minhash", "text_stats",

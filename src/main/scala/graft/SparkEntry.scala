@@ -424,6 +424,21 @@ object SparkEntry {
       recs.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("query_id", "item_id", "rank")
     }),
+    "model_random_rec_fast" -> ((s, d) => {
+      // production hash knob: same sampler, xxhash64 draws instead of the
+      // portable md5 (no DuckDB mirror → rows-only; RandomRecSpec pins
+      // layout-independence and the per-query row contract). The md5 is
+      // the single dominant cost of the portable path at |q|×|catalog|
+      // scale — this row measures the sampler with that tax removed.
+      val i = Tables.interactions(s, d)
+      val m = new models.RandomRec("popular", alpha = 0.0, seed = 42,
+        hashMode = "fast").fit(i)
+      val recs = m.predict(i, k = 3)
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("rating").desc, F.col("item_id").asc)
+      recs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "item_id", "rank")
+    }),
     "model_item_knn" -> ((s, d) => {
       new models.ItemKNN(numNeighbours = 5).fit(Tables.interactions(s, d)).similarity
     }),
@@ -501,15 +516,18 @@ object SparkEntry {
       new models.ALSRec(rank = 8, maxIter = 5).fitPredict(i, k = 5)
     }),
     "model_word2vec" -> ((s, d) => {
-      // exact scoring (ann = None, the reference default)
+      // exact scoring (ann = None, the reference default); numPartitions
+      // pinned so the trained embeddings don't drift with file-split
+      // layout between runs (see Word2VecRec scaladoc)
       val i = Tables.interactions(s, d)
-      new models.Word2VecRec(vectorSize = 16).fitPredict(i, k = 3)
+      new models.Word2VecRec(vectorSize = 16, numPartitions = Some(32))
+        .fitPredict(i, k = 3)
     }),
     "model_word2vec_ann" -> ((s, d) => {
       // IVF-routed candidate generation (ann_mixin.py:78-186 analogue) —
       // the 100 TB predict path; recall-vs-exact contract in Tier2Spec
       val i = Tables.interactions(s, d)
-      new models.Word2VecRec(vectorSize = 16,
+      new models.Word2VecRec(vectorSize = 16, numPartitions = Some(32),
         ann = Some(new models.IvfAnn(nCentroids = 16, nProbe = 4)))
         .fitPredict(i, k = 3)
     }),
@@ -701,7 +719,8 @@ object SparkEntry {
         F.col("c_acctbal"), F.col("c_nationkey").cast("double").as("c_nat"))
       val scores = Seq(
         "als" -> ndcg(new models.ALSRec(rank = 8, maxIter = 5).fitPredict(train, 5)),
-        "word2vec" -> ndcg(new models.Word2VecRec(vectorSize = 16).fitPredict(train, 5)),
+        "word2vec" -> ndcg(new models.Word2VecRec(vectorSize = 16,
+          numPartitions = Some(32)).fitPredict(train, 5)),
         "cluster" -> ndcg(new models.ClusterRec(nClusters = 5).fit(train, qf).predict(train, 5)),
       )
       val floor = base * 0.5
@@ -724,6 +743,27 @@ object SparkEntry {
         train = train, test = test, metric = "ndcg", k = 5)
       import s.implicits._
       trials.map(t => (t.params("z"), r6(t.score))).toDF("z", "ndcg_at_5")
+    }),
+    "grid_search_budget" -> ((s, d) => {
+      // budgeted random search (the reference's optimize(budget=…,
+      // param_borders=…), optuna_mixin.py:167-244; TPE → seeded md5 draws):
+      // Wilson z ~ U[1.0, 2.0], budget 3, NDCG@5 on the shared time split.
+      // Rows emit in TRIAL order — the oracle recomputes the identical
+      // draw sequence from md5('7:t:z') inside SQL.
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val trials = graft.metrics.RandomSearch.search(
+        borders = Map("z" -> (1.0, 2.0)),
+        build = p => new models.Wilson(z = p("z")),
+        train = train, test = test, metric = "ndcg", k = 5,
+        budget = 3, seed = 7)
+      import s.implicits._
+      trials.zipWithIndex.map { case (t, idx) =>
+        (idx.toLong, r6(t.params("z")), r6(t.score))
+      }.toDF("trial", "z", "ndcg_at_5")
     }),
     "experiment_table" -> ((s, d) => {
       // models × metrics table (experiment.py:7-200); metric means rounded
@@ -1608,8 +1648,8 @@ object SparkEntry {
          |th AS (SELECT *,
          |  ai11 * b1 + ai12 * b2 AS t1, ai21 * b1 + ai22 * b2 AS t2 FROM arms),
          |sc AS (SELECT f.query_id, a.item_id,
-         |  round((t1 * f1 + t2 * f2) + 0.5 * sqrt(
-         |    f1 * (ai11 * f1 + ai12 * f2) + f2 * (ai21 * f1 + ai22 * f2)), 9) AS rating
+         |  round((t1 * f1 + t2 * f2) + 0.5 * sqrt(greatest(
+         |    f1 * (ai11 * f1 + ai12 * f2) + f2 * (ai21 * f1 + ai22 * f2), 0.0)), 9) AS rating
          |  FROM feats f CROSS JOIN th a)
          |SELECT query_id, item_id, round(rating, 6) AS rating FROM (
          |  SELECT *, row_number() OVER (
@@ -1977,6 +2017,7 @@ object SparkEntry {
          |FROM pu""".stripMargin,
     "experiment_table" -> experimentTableSql,
     "grid_search" -> gridSearchSql,
+    "grid_search_budget" -> gridSearchBudgetSql,
     "metrics_multi_k" -> metricsMultiKSql,
   ) ++ oracleSqlRest
 
@@ -2025,10 +2066,11 @@ object SparkEntry {
        |  (SELECT round(avg(ndcg_), 6) FROM k5pu) AS ndcg_at_5""".stripMargin
   }
 
-  /** grid_search: the experiment split + the Wilson predict/ndcg block
-    * instantiated once per z value on the grid. */
-  private lazy val gridSearchSql: String = {
-    def wblock(p: String, z: String): String =
+  /** Wilson-score predict → NDCG@5 per-user block, parameterized by a z
+    * EXPRESSION (a literal for grid_search, the md5 draw expression for
+    * grid_search_budget) — one copy so the two search oracles cannot
+    * drift. Assumes the [[timeSplitEvalSql]] CTEs are in scope. */
+  private def wilsonNdcgBlock(p: String, z: String): String =
       s"""${p}pt AS (SELECT item_id,
          |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
          |    CAST(count(*) AS DOUBLE) AS total
@@ -2059,12 +2101,33 @@ object SparkEntry {
          |  LEFT JOIN ${p}predc p ON g.query_id = p.query_id
          |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
          |  LEFT JOIN idcg i ON g.query_id = i.query_id)""".stripMargin
+
+  /** grid_search: the experiment split + the Wilson predict/ndcg block
+    * instantiated once per z value on the grid. */
+  private lazy val gridSearchSql: String =
     s"""$timeSplitEvalSql,
-       |${wblock("z1", "1.0")},
-       |${wblock("z2", "1.96")}
+       |${wilsonNdcgBlock("z1", "1.0")},
+       |${wilsonNdcgBlock("z2", "1.96")}
        |SELECT CAST(1.0 AS DOUBLE) AS z, round(avg(ndcg_), 6) AS ndcg_at_5 FROM z1pu
        |UNION ALL
        |SELECT CAST(1.96 AS DOUBLE) AS z, round(avg(ndcg_), 6) AS ndcg_at_5 FROM z2pu""".stripMargin
+
+  /** grid_search_budget: the z value of trial t is the SAME md5 draw the
+    * Scala RandomSearch makes — lo + u·(hi−lo), u = md5("7:t:z") first 15
+    * hex / 2^60 — recomputed inside SQL, so the oracle mirrors the whole
+    * budgeted search (draw sequence AND scores), not just the scoring. */
+  private def zDrawSql(t: Int): String =
+    s"(1.0 + (('0x' || substr(md5('7:$t:z'), 1, 15))::BIGINT" +
+      " / 1152921504606846976.0) * (2.0 - 1.0))"
+
+  private lazy val gridSearchBudgetSql: String = {
+    val blocks = (0 until 3).map(t => wilsonNdcgBlock(s"b$t", zDrawSql(t)))
+      .mkString(",\n")
+    val selects = (0 until 3).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS trial, round(${zDrawSql(t)}, 6) AS z,
+         |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM b${t}pu""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"$timeSplitEvalSql,\n$blocks\n$selects"
   }
 
   /** experiment_table: the metrics_ranking split + gt, then per model

@@ -44,12 +44,23 @@ object Ops {
     * window at sf0.1). This twin is a hash aggregation with O(k) state
     * per query (TopKList.BoundedTopK): no sort anywhere, map-side partial
     * crop for free. Same rows out, same (rating desc, item asc)
-    * semantics. Item ids are emitted as bigint, ratings as double (the
-    * engine's canonical rec types). Requires the ObjectHashAggregate
-    * sort-fallback threshold raised above the per-task group count
-    * (Session sets it to 4M) — at the 128-group default Spark silently
-    * falls back to sort-based aggregation, reintroducing the sort this
-    * exists to avoid. */
+    * semantics. Requires the ObjectHashAggregate sort-fallback threshold
+    * raised above the per-task group count (Session sets it to 4M) — at
+    * the 128-group default Spark silently falls back to sort-based
+    * aggregation, reintroducing the sort this exists to avoid.
+    *
+    * CONTRACT (narrower than the window twin — assert at call sites):
+    *  - output is EXACTLY the 3 columns (queryCol, itemCol, ratingCol);
+    *    any other input column is dropped, and items coerce to bigint /
+    *    ratings to double (the engine's canonical rec types). Callers with
+    *    payload columns must re-join them on (query, item) afterwards
+    *    (ItemKNN does exactly this for its similarity payload).
+    *  - ratings must be non-null AND non-NaN: the primitive heap has no
+    *    null slot, and its `better` treats NaN as never-better — a NaN row
+    *    is silently dropped once the heap fills, where the window twin
+    *    would rank NaN FIRST (Spark orders NaN above all doubles desc).
+    *    Scoring paths that can produce NaN must clamp first (LinUCB clamps
+    *    its quadratic form at 0 before sqrt). */
   def getTopKRecsBounded(
       recs: DataFrame,
       k: Int,

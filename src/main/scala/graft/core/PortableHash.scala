@@ -28,4 +28,22 @@ object PortableHash {
   /** Uniform double in [0, 1). */
   def uniform(seed: Long, cols: Column*): Column =
     long(seed, cols: _*).cast("double") / F.lit(math.pow(2, 60))
+
+  /** Production fast twin of [[uniform]]: xxhash64 (whole-stage codegen, no
+    * per-row md5) → top 60 bits → [0, 1). NOT engine-portable (no DuckDB
+    * mirror) and a different draw sequence than the md5 path — reserve for
+    * perf-mode sampling where cross-engine parity is not required. */
+  def uniformFast(seed: Long, cols: Column*): Column =
+    F.shiftrightunsigned(F.xxhash64((F.lit(seed) +: cols): _*), 4)
+      .cast("double") / F.lit(math.pow(2, 60))
+
+  /** Mode dispatch: "portable" (md5, oracle-checkable — the default
+    * everywhere) | "fast" (xxhash64, ~order-of-magnitude cheaper per draw
+    * on wide cross joins). */
+  def uniformBy(mode: String, seed: Long, cols: Column*): Column = mode match {
+    case "portable" => uniform(seed, cols: _*)
+    case "fast"     => uniformFast(seed, cols: _*)
+    case other => throw new IllegalArgumentException(
+      s"unknown hash mode '$other' (expected portable|fast)")
+  }
 }

@@ -31,7 +31,12 @@ object Session {
       // crop) falls back to SORT-based aggregation after this many hash
       // map entries — the 128 default turns every >128-query task into
       // the full-stream sort the bounded aggregator exists to avoid.
-      // 4M groups × O(k) list state is still executor-memory-bounded.
+      // Memory bound is k-DEPENDENT: up to 4M groups × O(k) primitive
+      // arrays per task. At the engine's k+maxSeen crops (k ≤ ~10³) that
+      // is ≤ a few GB per task; callers with very large k (e.g.
+      // enrichBounded at maxK ≫ 10⁴, or heavy-history logs driving
+      // maxSeen ≫ 10⁴) should lower this threshold or stay on the
+      // rank-window path, which spills.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -94,3 +94,107 @@ object GridSearch {
     }.sortBy(-_.score)
   }
 }
+
+/** Budgeted hyper-parameter search over continuous borders — the engine's
+  * replacement for the reference's Optuna `optimize(budget, param_borders)`
+  * (models/optimization/optuna_mixin.py:167-244). The TPE sampler is
+  * replaced by seeded md5 draws: every trial's parameters are a pure
+  * function of (seed, trial index, param name), so the whole search is
+  * deterministic, independent of cluster layout, and mirrorable
+  * term-by-term in a SQL oracle — properties TPE cannot give. At the
+  * ≤ tens-of-trials budgets the reference defaults to (budget=10), random
+  * search is within noise of TPE on low-dimensional spaces. */
+object RandomSearch {
+  import GridSearch.Trial
+
+  /** Driver-side twin of [[graft.core.PortableHash.uniform]]: md5 of the
+    * key string → first 15 hex chars → BIGINT / 2^60 ∈ [0, 1). Computed on
+    * the JVM (the trial sequence must exist at plan-build time); the
+    * DuckDB oracle recomputes the identical value as
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT / 2^60`. */
+  def uniformDraw(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble / math.pow(2, 60)
+  }
+
+  /** The deterministic trial sequence: param p of trial t is
+    * lo + u·(hi−lo) with u = uniformDraw("seed:t:p"). Degenerate borders
+    * (lo == hi) pin the param — the reference does the same for params the
+    * user excludes from `param_borders` (optuna_mixin.py:120-128). */
+  def draws(borders: Map[String, (Double, Double)], budget: Int,
+      seed: Long): Seq[Map[String, Double]] =
+    (0 until budget).map { t =>
+      borders.map { case (p, (lo, hi)) =>
+        require(hi >= lo, s"invalid borders for $p: [$lo, $hi]")
+        p -> (lo + uniformDraw(s"$seed:$t:$p") * (hi - lo))
+      }
+    }
+
+  private[metrics] def evaluate(
+      params: Map[String, Double],
+      build: Map[String, Double] => graft.models.BaseRecommender,
+      train: DataFrame, gt: DataFrame,
+      metric: String, k: Int, cols: RecCols): Trial = {
+    val recs = build(params).fitPredict(train, k)
+    val score = Metrics.compute(recs, gt, Seq(metric), Seq(k), Descriptor.Mean, cols)
+      .first().getDouble(0)
+    Trial(params, score)
+  }
+
+  /** Evaluate the full budget on the full train split. Trials return in
+    * DRAW order (not score order) so downstream consumers — and the SQL
+    * oracle — address trials by index; use [[best]] for the winner. */
+  def search(
+      borders: Map[String, (Double, Double)],
+      build: Map[String, Double] => graft.models.BaseRecommender,
+      train: DataFrame, test: DataFrame,
+      metric: String = "ndcg", k: Int = 10,
+      budget: Int = 10, seed: Long = 42,
+      cols: RecCols = RecCols(),
+  ): Seq[Trial] = {
+    val gt = test.select(cols.query, cols.item).distinct()
+    draws(borders, budget, seed).map(
+      evaluate(_, build, train, gt, metric, k, cols))
+  }
+
+  def best(trials: Seq[Trial]): Trial = trials.maxBy(_.score)
+
+  /** Successive halving (Jamieson & Talwalkar, AISTATS 2016) over the same
+    * draw sequence: rung r scores the surviving trials on a hash-sampled
+    * fraction 1/eta^(R−1−r) of training QUERIES (sampling whole users keeps
+    * every survivor's per-user history intact — item-row sampling would
+    * bias history-dependent models), keeps the top ceil(n/eta), and the
+    * final rung runs on the full split. B trials cost ≈ Σ n_r·frac_r ≈
+    * B·(R/eta^(R-1) amortized) full fits instead of B — the budget knob a
+    * user tuning 3+ params needs. With one rung (budget < eta) this
+    * degenerates to exactly [[search]]. */
+  def successiveHalving(
+      borders: Map[String, (Double, Double)],
+      build: Map[String, Double] => graft.models.BaseRecommender,
+      train: DataFrame, test: DataFrame,
+      metric: String = "ndcg", k: Int = 10,
+      budget: Int = 10, eta: Int = 2, seed: Long = 42,
+      cols: RecCols = RecCols(),
+  ): Seq[Trial] = {
+    require(eta >= 2, s"eta must be >= 2, got $eta")
+    val rungs = math.max(1,
+      (math.log(budget.toDouble) / math.log(eta.toDouble)).floor.toInt + 1)
+    val gt = test.select(cols.query, cols.item).distinct()
+    var live = draws(borders, budget, seed)
+    var scored: Seq[Trial] = Nil
+    for (r <- 0 until rungs if live.nonEmpty) {
+      val frac = 1.0 / math.pow(eta.toDouble, (rungs - 1 - r).toDouble)
+      val tr =
+        if (frac >= 1.0) train
+        else train.filter(
+          graft.core.PortableHash.uniform(seed, F.col(cols.query)) < frac)
+      scored = live.map(evaluate(_, build, tr, gt, metric, k, cols))
+      if (r < rungs - 1) {
+        val keep = math.max(1, math.ceil(live.size.toDouble / eta).toInt)
+        live = scored.sortBy(-_.score).take(keep).map(_.params)
+      }
+    }
+    scored.sortBy(-_.score)
+  }
+}

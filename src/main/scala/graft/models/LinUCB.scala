@@ -17,11 +17,16 @@ import breeze.linalg.{DenseMatrix, DenseVector, inv}
 final class LinUCB(
     val alpha: Double = 1.0,
     val lambdaReg: Double = 1.0,
-    cols: RecCols = RecCols(),
+    val cols: RecCols = RecCols(),
 ) extends Serializable {
   /** (item, theta[d], ainv[d*d]) */
   var armState: DataFrame = _
   private var dim: Int = 0
+
+  /** Persistence hooks (ModelIO): the feature dimension is fit-time state
+    * the flattened ainv array can't be unambiguously parsed without. */
+  private[models] def dimension: Int = dim
+  private[models] def setDimension(d: Int): Unit = dim = d
 
   def fit(log: DataFrame, queryFeatures: DataFrame): this.type = {
     val spark = log.sparkSession
@@ -110,10 +115,16 @@ final class LinUCB(
     }.foldLeft(F.lit(0.0))(_ + _)
     // round to 9 before ranking: the distributed Gram sums are float-order
     // dependent at the last ulp; unrounded scores would make the top-k
-    // membership nondeterministic across layouts/engines
+    // membership nondeterministic across layouts/engines.
+    // The quadratic form xᵀA⁻¹x is ≥ 0 in exact arithmetic (A is PD) but
+    // float error can drive it a hair negative → sqrt = NaN, which the
+    // bounded top-k crop would silently drop while a rank window ranks
+    // NaN first; clamp at 0 (mirrored in the SQL oracle) so the no-NaN
+    // contract of getTopKRecsBounded holds.
     val scored = q.crossJoin(armState)
       .select(F.col(cols.query), F.col(cols.item),
-        F.round(thetaX + F.lit(alpha) * F.sqrt(quad), 9).as(cols.rating))
+        F.round(thetaX + F.lit(alpha) * F.sqrt(F.greatest(quad, F.lit(0.0))), 9)
+          .as(cols.rating))
     // |queries| × |arms| scored rows — bounded heap crop, not a rank
     // window (same no-sort rationale as exact embedding scoring; the
     // round-9 rating makes the (rating desc, item asc) order identical)

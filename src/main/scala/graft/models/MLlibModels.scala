@@ -103,6 +103,12 @@ final class Word2VecRec(
     // with the cluster; None reproduces that. More partitions trade a
     // little embedding quality (per-partition gradient averaging) for
     // linear speedup — the quality-floor spec pins the floor.
+    // REPRODUCIBILITY: with None the trained embeddings depend on the
+    // input's partition layout (file splits, cluster size) even at a
+    // fixed seed — the per-partition gradient averaging changes with the
+    // layout. Pin numPartitions explicitly (e.g. Some(32)) wherever
+    // run-to-run bit-stability across layouts matters; the repo's bench
+    // config does.
     val numPartitions: Option[Int] = None,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
@@ -198,7 +204,7 @@ final class Word2VecRec(
 final class ClusterRec(
     val nClusters: Int = 10,
     val seed: Long = 42,
-    cols: RecCols = RecCols(),
+    val cols: RecCols = RecCols(),
 ) extends Serializable {
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.feature.VectorAssembler
@@ -235,25 +241,30 @@ final class ClusterRec(
   }
 
   def predict(log: DataFrame, k: Int): DataFrame = {
-    // explicit broadcast: the join key has only nClusters distinct values,
-    // so a shuffle join would collapse to nClusters tasks (measured 3× the
-    // whole predict at sf0.1); the per-cluster item table is small by
-    // construction (nClusters × catalog crop)
-    val recs = queryClusters.join(F.broadcast(clusterItems), Seq("cluster"))
-      .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
-    // crop BEFORE the seen-filter: anti-joining the full |queries| ×
-    // |cluster catalog| stream shuffles 300M rows at sf0.1; the k+maxSeen
-    // bounded crop is exact (the filter removes at most maxSeen rows per
-    // query) and shrinks the anti-join input to ~(k+maxSeen)·|queries|
     val seen = log.select(cols.query, cols.item).distinct().cache()
     val maxSeen = seen.groupBy(cols.query).agg(F.count(F.lit(1)).as("_n"))
       .agg(F.max("_n")).first() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
-    val cropped = Ops.getTopKRecsBounded(
-      recs, k + maxSeen.toInt, cols.query, cols.item, cols.rating)
-    val unseen = cropped.join(seen, Seq(cols.query, cols.item), "left_anti")
+    // crop the catalog PER CLUSTER before the query fan-out: every query in
+    // a cluster sees the same item list, so its per-query top-(k+maxSeen)
+    // under (rating desc, item asc) is exactly the cluster's
+    // top-(k+maxSeen) under the same order — cropping first is exact, and
+    // it shrinks the fan-out from |catalog|/cluster rows per query
+    // (~300 M total at sf0.1, unbounded at a 10⁸-item catalog) to
+    // k+maxSeen per query. It also bounds the broadcast payload to
+    // nClusters × (k+maxSeen) rows regardless of catalog size — without
+    // the crop the full per-(cluster, item) table would eventually hit the
+    // 8 GB broadcast limit.
+    val croppedCatalog = Ops.getTopKRecsBounded(
+      clusterItems, k + maxSeen.toInt, "cluster", cols.item, cols.rating)
+    // explicit broadcast: the join key has only nClusters distinct values,
+    // so a shuffle join would collapse to nClusters tasks (measured 3× the
+    // whole predict at sf0.1)
+    val recs = queryClusters.join(F.broadcast(croppedCatalog), Seq("cluster"))
+      .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
+    val unseen = recs.join(seen, Seq(cols.query, cols.item), "left_anti")
     Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)
   }
 }

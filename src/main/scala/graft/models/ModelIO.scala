@@ -85,7 +85,8 @@ object ModelIO {
       case _                   => Map.empty
     }
     writeJson(path, Map("kind" -> kind, "fill" -> m.fillValue.toString,
-      "sample" -> m.sample.toString, "sampleSeed" -> m.sampleSeed.toString)
+      "sample" -> m.sample.toString, "sampleSeed" -> m.sampleSeed.toString,
+      "sampleHashMode" -> m.sampleHashMode)
       ++ extra)
     m.itemPopularity.write.mode("overwrite").parquet(s"$path/item_popularity")
   }
@@ -109,6 +110,7 @@ object ModelIO {
     p.get("fill").foreach(f => m.setFill(f.toDouble))
     m.sample = p.getOrElse("sample", "false").toBoolean
     m.sampleSeed = p.getOrElse("sampleSeed", "42").toLong
+    m.sampleHashMode = p.getOrElse("sampleHashMode", "portable")
     m.fitItemsDf = m.itemPopularity.select(m.cols.item)
     m
   }
@@ -229,6 +231,55 @@ object ModelIO {
     m.fitItemsDf = m.itemVectors.select(m.cols.item)
     m.fitQueriesDf = m.userVectors.select(m.cols.query)
     ann.foreach(_.fit(m.itemVectors, m.cols.item, "vec"))
+    m
+  }
+
+  // ---- ClusterRec --------------------------------------------------------
+
+  /** ClusterRec's inference state is the two fitted tables — the query →
+    * cluster assignment and the per-cluster item relevance; the KMeans
+    * model itself is fit-only (reference model_handler.py round-trips
+    * every model, cluster.py included). */
+  def saveClusterRec(m: ClusterRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "cluster",
+      "nClusters" -> m.nClusters.toString, "seed" -> m.seed.toString))
+    m.queryClusters.write.mode("overwrite").parquet(s"$path/query_clusters")
+    m.clusterItems.write.mode("overwrite").parquet(s"$path/cluster_items")
+  }
+
+  def loadClusterRec(spark: SparkSession, path: String): ClusterRec = {
+    val p = readJson(path)
+    require(p("kind") == "cluster", s"not a ClusterRec at $path")
+    val m = new ClusterRec(nClusters = p.getOrElse("nClusters", "10").toInt,
+      seed = p.getOrElse("seed", "42").toLong)
+    // same repartition-before-cache rationale as fit: predict fans queries
+    // out to the per-cluster catalog, so a 1-partition parquet scan would
+    // serialize the whole expansion into one task
+    m.queryClusters = spark.read.parquet(s"$path/query_clusters")
+      .repartition(F.col(m.cols.query)).cache()
+    m.clusterItems = spark.read.parquet(s"$path/cluster_items").cache()
+    m
+  }
+
+  // ---- LinUCB ------------------------------------------------------------
+
+  /** LinUCB's inference state is the per-arm solved table (item, θ, A⁻¹);
+    * the feature dimension is persisted because predict unrolls the
+    * quadratic form to d² scalar terms at plan-build time. */
+  def saveLinUCB(m: LinUCB, path: String): Unit = {
+    writeJson(path, Map("kind" -> "linucb",
+      "alpha" -> m.alpha.toString, "lambdaReg" -> m.lambdaReg.toString,
+      "dim" -> m.dimension.toString))
+    m.armState.write.mode("overwrite").parquet(s"$path/arm_state")
+  }
+
+  def loadLinUCB(spark: SparkSession, path: String): LinUCB = {
+    val p = readJson(path)
+    require(p("kind") == "linucb", s"not a LinUCB at $path")
+    val m = new LinUCB(alpha = p.getOrElse("alpha", "1.0").toDouble,
+      lambdaReg = p.getOrElse("lambdaReg", "1.0").toDouble)
+    m.setDimension(p("dim").toInt)
+    m.armState = spark.read.parquet(s"$path/arm_state").cache()
     m
   }
 

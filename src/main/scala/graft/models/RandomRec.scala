@@ -2,7 +2,6 @@ package graft.models
 
 import org.apache.spark.sql.{DataFrame, functions => F}
 import graft.core.Ops
-import graft.splitters.Splitter
 
 /** Weighted random recommender (reference: random_rec.py:180-228 +
   * base_rec.py:1283-1364).
@@ -26,6 +25,12 @@ final class RandomRec(
     val seed: Long = 42,
     val addColdItems: Boolean = true,
     val coldWeight: Double = 0.5,
+    // "portable" (md5 — every draw mirrors in DuckDB, the oracle mode) |
+    // "fast" (xxhash64 — codegen'd, for production runs where the per-pair
+    // md5 over |queries| × |catalog| is the dominant cost and cross-engine
+    // parity is not needed). Same sampling distribution either way; a
+    // different (still deterministic, layout-independent) draw sequence.
+    val hashMode: String = "portable",
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
   var itemWeights: DataFrame = _
@@ -71,8 +76,8 @@ final class RandomRec(
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame = {
-    val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
-      .cast("double") / F.lit(math.pow(2, 60))
+    val u = graft.core.PortableHash.uniformBy(
+      hashMode, seed, F.col(cols.query), F.col(cols.item))
     // Efraimidis–Spirakis: sample-without-replacement by weight w selects
     // the SMALLEST -ln(u)/w keys. predict() ranks rating DESC, so the
     // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
@@ -105,18 +110,20 @@ final class RandomRec(
       .getOrElse(log.select(cols.query).distinct())
     val guarded = itemWeights.select(F.col(cols.item),
       F.when(F.col("_w") === 0.0, F.lit(1e-6)).otherwise(F.col("_w")).as("_w"))
-    val total = guarded.agg(F.sum("_w")).first().getDouble(0)
+    // normalization total as a lazy broadcast scalar (the
+    // NonPersonalizedRec.predictProba pattern) — no extra driver action
     qs.select(cols.query)
-      .crossJoin(F.broadcast(guarded.select(F.col(cols.item),
-        (F.col("_w") / F.lit(total)).as("prob"))))
+      .crossJoin(F.broadcast(guarded
+        .crossJoin(F.broadcast(guarded.agg(F.sum("_w").as("_tot"))))
+        .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("prob"))))
       .select(F.col(cols.query), F.col(cols.item),
         F.explode(F.sequence(F.lit(0L), F.lit((k - 1).toLong))).as("position"),
         F.col("prob"))
   }
 
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {
-    val u = Splitter.hashLong(seed, F.col(cols.query), F.col(cols.item))
-      .cast("double") / F.lit(math.pow(2, 60))
+    val u = graft.core.PortableHash.uniformBy(
+      hashMode, seed, F.col(cols.query), F.col(cols.item))
     pairs.join(itemWeights, Seq(cols.item), "left")
       .withColumn(cols.rating,
         F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(coldFill)))

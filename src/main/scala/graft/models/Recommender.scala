@@ -127,6 +127,12 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     * the same reproducibility without any RNG state on executors. */
   var sampleSeed: Long = 42L
 
+  /** Sampling-hash mode: "portable" (md5, DuckDB-mirrorable — the oracle
+    * default) | "fast" (xxhash64, codegen'd — for production runs where the
+    * per-pair md5 over |queries| × |catalog| dominates). Both are
+    * deterministic and layout-independent; the draw sequences differ. */
+  var sampleHashMode: String = "portable"
+
   /** When a candidate `items` set contains items unseen at fit, keep them
     * and score at `coldFill` instead of dropping them (reference
     * `add_cold_items`, base_rec.py:1144-1201). */
@@ -264,7 +270,6 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       filterSeen: Boolean,
       items: Option[DataFrame],
   ): DataFrame = {
-    import graft.splitters.Splitter
     val qs = queries.orElse(Option(fitQueriesDf))
       .getOrElse(log.select(cols.query).distinct())
     val history = log.join(qs, Seq(cols.query), "left_semi")
@@ -286,8 +291,8 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
     val probs = guarded
       .crossJoin(F.broadcast(guarded.agg(F.sum("_w").as("_tot"))))
       .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("_p"))
-    val u = Splitter.hashLong(sampleSeed, F.col(cols.query), F.col(cols.item))
-      .cast("double") / F.lit(math.pow(2, 60))
+    val u = graft.core.PortableHash.uniformBy(
+      sampleHashMode, sampleSeed, F.col(cols.query), F.col(cols.item))
     val keyed = qs.select(cols.query).crossJoin(probs)
       .withColumn("_key", F.log(u + F.lit(1e-18)) / F.col("_p"))
     // bounded heap crop over the |queries| × |catalog| key stream (the

@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "bounded crop must not plan a window")
   }
 
+  test("ClusterRec broadcasts the per-cluster CROPPED catalog, not the full table") {
+    val plan = optimizedPlan("model_cluster")
+    assert(plan.contains("ObjectHashAggregate"),
+      "per-cluster k+maxSeen crop (bounded top-k aggregation) missing " +
+        "before the broadcast fan-out")
+    assert(plan.contains("BroadcastExchange"),
+      "cluster join should broadcast the cropped catalog")
+  }
+
   test("exact embedding scoring keeps dot_product in codegen (no HOF fold)") {
     val plan = optimizedPlan("embed_cosine_topk")
     assert(plan.contains("dot_product"), "expected the native dot_product expression")

@@ -155,4 +155,68 @@ class MetricsSpec extends SparkSpec {
     val grid = GridSearch.grid(Map("a" -> Seq(1.0, 2.0), "b" -> Seq(3.0)))
     assert(grid.toSet == Set(Map("a" -> 1.0, "b" -> 3.0), Map("a" -> 2.0, "b" -> 3.0)))
   }
+
+  test("RandomSearch draws are deterministic, in-bounds, and pin degenerate borders") {
+    val d1 = RandomSearch.draws(Map("z" -> (1.0, 2.0), "c" -> (5.0, 5.0)), 4, seed = 7)
+    val d2 = RandomSearch.draws(Map("z" -> (1.0, 2.0), "c" -> (5.0, 5.0)), 4, seed = 7)
+    assert(d1 == d2)                                   // same seed → same sequence
+    assert(d1.forall(p => p("z") >= 1.0 && p("z") < 2.0))
+    assert(d1.forall(p => p("c") == 5.0))              // lo == hi pins the param
+    assert(d1.map(_("z")).distinct.size == 4)          // draws actually vary
+    val d3 = RandomSearch.draws(Map("z" -> (1.0, 2.0)), 4, seed = 8)
+    assert(d3.map(_("z")) != d1.map(_("z")))           // seed matters
+    // driver-side md5 recipe == the Spark PortableHash column recipe
+    val sparkU = spark.range(1).select(
+      graft.core.PortableHash.uniform(7L,
+        org.apache.spark.sql.functions.lit(0),
+        org.apache.spark.sql.functions.lit("z"))).first().getDouble(0)
+    assert(RandomSearch.uniformDraw("7:0:z") == sparkU)
+  }
+
+  test("RandomSearch with degenerate borders reproduces the grid-point score") {
+    import graft.models.PopRec
+    val train = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0),
+    ).toDF("query_id", "item_id", "rating")
+    val test = Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 0L))
+      .map { case (q, i) => (q, i, 1.0) }
+      .toDF("query_id", "item_id", "rating")
+    def build(p: Map[String, Double]) =
+      if (p("useRating") > 0.5) new PopRec(useRating = true) else new PopRec()
+    val gridScore = GridSearch.search(Map("useRating" -> Seq(1.0)),
+      build, train, test, metric = "hit_rate", k = 2).head.score
+    // borders pinned at the same grid point: every budgeted trial must
+    // reproduce the grid result exactly
+    val rs = RandomSearch.search(Map("useRating" -> (1.0, 1.0)),
+      build, train, test, metric = "hit_rate", k = 2, budget = 2, seed = 3)
+    assert(rs.length == 2 && rs.forall(_.score == gridScore))
+  }
+
+  test("successive halving with a single rung equals plain random search") {
+    import graft.models.PopRec
+    val train = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0),
+    ).toDF("query_id", "item_id", "rating")
+    val test = Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 0L))
+      .map { case (q, i) => (q, i, 1.0) }
+      .toDF("query_id", "item_id", "rating")
+    def build(p: Map[String, Double]) =
+      if (p("useRating") > 0.5) new PopRec(useRating = true) else new PopRec()
+    // budget 3 < eta 4 → one rung at frac 1.0 → same trials as search
+    val sh = RandomSearch.successiveHalving(Map("useRating" -> (0.0, 1.0)),
+      build, train, test, metric = "hit_rate", k = 2, budget = 3, eta = 4, seed = 5)
+    val rs = RandomSearch.search(Map("useRating" -> (0.0, 1.0)),
+      build, train, test, metric = "hit_rate", k = 2, budget = 3, seed = 5)
+    assert(sh.map(t => (t.params, t.score)).toSet ==
+      rs.map(t => (t.params, t.score)).toSet)
+    assert(sh.head.score == sh.map(_.score).max) // sorted best-first
+    // multi-rung halving: final survivors are scored on the FULL split and
+    // the winner's params come from the same deterministic draw sequence
+    val sh2 = RandomSearch.successiveHalving(Map("useRating" -> (0.0, 1.0)),
+      build, train, test, metric = "hit_rate", k = 2, budget = 4, eta = 2, seed = 5)
+    val drawn = RandomSearch.draws(Map("useRating" -> (0.0, 1.0)), 4, seed = 5).toSet
+    assert(sh2.nonEmpty && sh2.forall(t => drawn.contains(t.params)))
+  }
 }

@@ -293,6 +293,20 @@ class ModelsSpec extends SparkSpec {
       .collect().forall(_ <= 2))
   }
 
+  test("RandomRec fast hash mode is deterministic and layout-independent") {
+    val a = new RandomRec("popular", seed = 42, hashMode = "fast").fit(log)
+      .predict(log, k = 2).collect().map(_.toSeq).toSet
+    val b = new RandomRec("popular", seed = 42, hashMode = "fast")
+      .fit(log.repartition(7)).predict(log.repartition(3), k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "fast-hash sampling must not depend on partition layout")
+    assert(a.nonEmpty)
+    // unknown mode fails fast at plan build
+    intercept[IllegalArgumentException] {
+      new RandomRec("popular", hashMode = "bogus").fit(log).predict(log, k = 1)
+    }
+  }
+
   test("CatPopRec leaf closure flattens a 2-level tree") {
     val tree = Seq(("root", null.asInstanceOf[String]), ("a", "root"), ("b", "root"))
       .toDF("category", "parent_cat")
@@ -420,6 +434,36 @@ class ModelIOSpec extends graft.SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val b = loaded.predictPairs(pairs, tlog).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("ClusterRec save/load roundtrip: predict-after-load ≡ predict-before-save") {
+    val qf = Seq((0L, 1.0, 2.0), (1L, 5.0, 1.0), (2L, 5.2, 1.1))
+      .toDF("query_id", "f1", "f2")
+    val clog = Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 1L, 1.0), (2L, 2L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val m = new ClusterRec(nClusters = 2, seed = 7).fit(clog, qf)
+    val dir = java.nio.file.Files.createTempDirectory("cluster").toString
+    ModelIO.saveClusterRec(m, dir)
+    val loaded = ModelIO.loadClusterRec(spark, dir)
+    assert(loaded.nClusters == 2 && loaded.seed == 7L)
+    val a = m.predict(clog, k = 2).collect().map(_.toSeq).toSet
+    val b = loaded.predict(clog, k = 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("LinUCB save/load roundtrip: predict-after-load ≡ predict-before-save") {
+    val qf = Seq((0L, 1.0, 2.0), (1L, 5.0, 1.0), (2L, 3.0, 4.0))
+      .toDF("query_id", "f1", "f2")
+    val blog = Seq((0L, 0L, 1.0), (1L, 0L, 0.0), (2L, 1L, 1.0), (0L, 1L, 0.0))
+      .toDF("query_id", "item_id", "rating")
+    val m = new LinUCB(alpha = 0.5, lambdaReg = 2.0).fit(blog, qf)
+    val dir = java.nio.file.Files.createTempDirectory("linucb").toString
+    ModelIO.saveLinUCB(m, dir)
+    val loaded = ModelIO.loadLinUCB(spark, dir)
+    assert(loaded.alpha == 0.5 && loaded.lambdaReg == 2.0 && loaded.dimension == 2)
+    val a = m.predict(qf, k = 2).collect().map(_.toSeq).toSet
+    val b = loaded.predict(qf, k = 2).collect().map(_.toSeq).toSet
     assert(a == b)
   }
 

@@ -115,6 +115,25 @@ class Tier2Spec extends SparkSpec {
     assert(m.predict(log, 2).count() > 0)
   }
 
+  test("ClusterRec per-cluster crop is exact vs the uncropped fan-out") {
+    // catalog big enough that the per-cluster crop (k + maxSeen) genuinely
+    // drops items — the crop must still return byte-identical recs
+    val qf = (0L to 9L).map(q => (q, if (q < 5) 1.0 else 9.0)).toDF("query_id", "f1")
+    val big = (for (q <- 0L to 9L; i <- 0L to 30L; if (q + i) % 3 == 0)
+      yield (q, i, 1.0)).toDF("query_id", "item_id", "rating")
+    val m = new ClusterRec(nClusters = 2, seed = 1).fit(big, qf)
+    val got = m.predict(big, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // uncropped reference: full fan-out → seen anti-join → window top-k
+    val full = m.queryClusters.join(m.clusterItems, Seq("cluster"))
+      .select("query_id", "item_id", "rating")
+      .join(big.select("query_id", "item_id").distinct(),
+        Seq("query_id", "item_id"), "left_anti")
+    val want = graft.core.Ops.getTopKRecs(full, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("SLIM learns positive item-item weights that reconstruct co-occurrence") {
     // items 0,1 co-occur strongly; item 2 co-occurs with both weakly
     val binary = Seq(
