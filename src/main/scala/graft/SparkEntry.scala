@@ -624,6 +624,14 @@ object SparkEntry {
         .select(F.unix_millis(F.col("window_start")).as("window_start_ms"),
           F.col("event_type"), F.col("n"))
     }),
+    "streaming_top_k" -> ((s, d) => {
+      // streaming popularity: per-hourly-window top-2 event types by count
+      // (windowedCounts ∘ top-k crop; StreamingSpec runs the real stream)
+      graft.streaming.StreamingOps.windowedTopK(
+        Tables.events(s, d), windowSeconds = 3600, k = 2)
+        .select(F.unix_millis(F.col("window_start")).as("window_start_ms"),
+          F.col("event_type"), F.col("n"))
+    }),
     "agg_percentile" -> ((s, d) => {
       // exact interpolated percentile (§2.4; percentile_approx reserved
       // for scale) — parity with DuckDB quantile_cont
@@ -668,6 +676,17 @@ object SparkEntry {
       SequenceEncoder.transform(enc, seqs, "items")
         .select(F.col("session_id"), F.posexplode(F.col("items")))
         .toDF("session_id", "pos", "code")
+        .withColumn("pos", F.col("pos").cast("long"))
+    }),
+    "sequence_pad" -> ((s, d) => {
+      // padded-sequence tokenizer (sequence_tokenizer.py:189-246 +
+      // torch_sequential_dataset.py:91-137): last-8 truncation, left pad 0;
+      // posexploded so the array semantics are fully hash-checkable
+      val i = Tables.interactions(s, d)
+      graft.preprocessing.SequenceTokenizer.pad(i, maxLen = 8)
+        .select(F.col("query_id"), F.col("length"),
+          F.posexplode(F.col("items")))
+        .toDF("query_id", "length", "pos", "token")
         .withColumn("pos", F.col("pos").cast("long"))
     }),
     "merge_subsets" -> ((s, d) => {
@@ -1914,6 +1933,20 @@ object SparkEntry {
          |         FROM interactions)
          |SELECT s.session_id, s.pos, e.code
          |FROM seqs s JOIN enc e ON s.item_id = e.label""".stripMargin,
+    // sequence_pad: per-query ascending (ts, item) list → keep the last 8
+    // → left-pad with 0; positions unrolled so every cell hash-compares
+    "sequence_pad" ->
+      s"""$interactionsSql,
+         |seqs AS (SELECT query_id, list(item_id ORDER BY timestamp, item_id) AS its
+         |         FROM interactions GROUP BY 1),
+         |tr AS (SELECT query_id,
+         |         CASE WHEN len(its) > 8 THEN its[len(its)-7:] ELSE its END AS t
+         |       FROM seqs)
+         |SELECT tr.query_id, CAST(len(tr.t) AS BIGINT) AS length,
+         |  CAST(p.pos AS BIGINT) AS pos,
+         |  CASE WHEN p.pos < 8 - len(tr.t) THEN 0
+         |       ELSE tr.t[p.pos - (8 - len(tr.t)) + 1] END AS token
+         |FROM tr CROSS JOIN range(0, 8) p(pos)""".stripMargin,
     "merge_subsets" ->
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
@@ -1981,6 +2014,15 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "streaming_top_k" ->
+      """WITH wc AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start_ms, event_type, n FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start_ms ORDER BY n DESC, event_type) AS rn
+        |  FROM wc) WHERE rn <= 2""".stripMargin,
     "agg_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

@@ -47,6 +47,58 @@ object SequenceEncoder {
   }
 }
 
+/** Padded-sequence tokenizer — the training-tensor exporter of the
+  * reference's NN data family (replay/data/nn/sequence_tokenizer.py:189-246
+  * groups per-query time-sorted sequences; truncation and padding semantics
+  * from torch_sequential_dataset.py:91-137: truncation keeps the MOST
+  * RECENT maxLen events, padding is on the LEFT — `padded[-len:] = seq` —
+  * so the sequence always ends at the array's end, where a
+  * next-item-prediction model reads it).
+  *
+  * Scale shape: a rank-window crop (lowered to WindowGroupLimit — bounded
+  * per-group state, no full-partition sort survives the limit pushdown)
+  * drops everything but each query's last maxLen events BEFORE any array
+  * is built, so aggregation state is O(maxLen) per query, not O(history) —
+  * a 10⁶-event user costs the same as a 10-event one past the crop. The
+  * groupBy reuses the window's hash partitioning on the query key, so the
+  * whole operator is one shuffle. */
+object SequenceTokenizer {
+  import org.apache.spark.sql.expressions.Window
+
+  /** (query, items array[maxLen] left-padded with `padValue`, length =
+    * un-padded element count). Order inside the array is (ts asc, item
+    * asc) — the tie-break makes output layout-independent. */
+  def pad(
+      log: DataFrame,
+      maxLen: Int,
+      padValue: Long = 0L,
+      queryCol: String = "query_id",
+      itemCol: String = "item_id",
+      tsCol: String = "timestamp",
+  ): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    // keep the most recent maxLen events: (ts desc, item desc) rank is the
+    // exact reverse of the rebuild order below, so the kept multiset is
+    // the ascending list's last maxLen elements
+    val w = Window.partitionBy(queryCol)
+      .orderBy(F.col(tsCol).desc, F.col(itemCol).desc)
+    val recent = log
+      .select(F.col(queryCol), F.col(itemCol).cast("long").as(itemCol), F.col(tsCol))
+      .withColumn("_rn", F.row_number().over(w))
+      .filter(F.col("_rn") <= maxLen)
+    val seqs = recent.groupBy(queryCol).agg(
+      F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col(tsCol).as("t"),
+          F.col(itemCol).as("i")))),
+        s => s.getField("i")).as("_t"))
+    seqs.select(F.col(queryCol),
+      F.concat(
+        F.array_repeat(F.lit(padValue), F.lit(maxLen) - F.size(F.col("_t"))),
+        F.col("_t")).as("items"),
+      F.size(F.col("_t")).cast("long").as("length"))
+  }
+}
+
 /** Union N interaction frames with a duplicate policy
   * (reference: replay/preprocessing/utils.py:100-180 merge_subsets). */
 object MergeSubsets {

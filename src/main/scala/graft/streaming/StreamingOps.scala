@@ -55,6 +55,37 @@ object StreamingOps {
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("window.start").as("window_start"), F.col(keyCol), F.col("n"))
 
+  /** Per-window top-k keys by event count — streaming popularity, the
+    * composition of [[windowedCounts]] and the engine's top-k crop. The
+    * crop dispatches on the key type: integral keys (item catalogs, where
+    * per-window cardinality can reach catalog size at a 100 TB/day ingest)
+    * go through the bounded-heap aggregation — O(k) state per window, no
+    * per-window sort; other key types (low-cardinality strings like event
+    * type) take the rank window, whose per-group state is bounded by the
+    * key vocabulary. Both paths break ties (count desc, key asc).
+    * On a stream, chain after a watermark: the windowed count is the
+    * stateful step (state bounded by the horizon); run the crop per
+    * micro-batch (foreachBatch) or as a downstream batch read. */
+  def windowedTopK(df: DataFrame, windowSeconds: Long, k: Int,
+      tsCol: String = "ts", keyCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core.Ops
+    val counts = windowedCounts(df, windowSeconds, tsCol, keyCol)
+    df.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Ops.getTopKRecsBounded(
+          counts.select(F.col("window_start"),
+            F.col(keyCol).cast("long").as(keyCol),
+            F.col("n").cast("double").as("_r")),
+          k, "window_start", keyCol, "_r")
+          .select(F.col("window_start"), F.col(keyCol),
+            F.col("_r").cast("long").as("n"))
+      case _ =>
+        Ops.topK(counts, Seq("window_start"),
+          Seq(F.col("n").desc, F.col(keyCol).asc), k)
+    }
+  }
+
   final case class ItemEvent(item_id: Long, rating: Double)
   final case class ItemStats(item_id: Long, pos: Double, total: Double)
 

@@ -68,4 +68,37 @@ class EncoderSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap.values
     assert(sizes.forall(s => s > 150 && s < 350))
   }
+
+  test("sequence tokenizer: left-pad short users, keep most recent for long ones") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      // user 1: 2 events < maxLen 4 → left-padded with 2 zeros
+      (1L, 10L, t("2024-01-01 10:00:00")), (1L, 11L, t("2024-01-02 10:00:00")),
+      // user 2: 6 events > maxLen 4 → keeps the 4 MOST RECENT (23..26)
+      (2L, 21L, t("2024-01-01 10:00:00")), (2L, 22L, t("2024-01-02 10:00:00")),
+      (2L, 23L, t("2024-01-03 10:00:00")), (2L, 24L, t("2024-01-04 10:00:00")),
+      (2L, 25L, t("2024-01-05 10:00:00")), (2L, 26L, t("2024-01-06 10:00:00")),
+      // user 3: exactly maxLen → unchanged, no padding
+      (3L, 31L, t("2024-01-01 10:00:00")), (3L, 32L, t("2024-01-02 10:00:00")),
+      (3L, 33L, t("2024-01-03 10:00:00")), (3L, 34L, t("2024-01-04 10:00:00")),
+    ).toDF("query_id", "item_id", "timestamp")
+    val out = SequenceTokenizer.pad(log, maxLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toList, r.getLong(2)))).toMap
+    assert(out(1L) == ((List(0L, 0L, 10L, 11L), 2L)))
+    assert(out(2L) == ((List(23L, 24L, 25L, 26L), 4L)))
+    assert(out(3L) == ((List(31L, 32L, 33L, 34L), 4L)))
+    // same-timestamp ties break on item id, both in crop and rebuild
+    val ties = Seq(
+      (9L, 5L, t("2024-01-01 10:00:00")), (9L, 3L, t("2024-01-01 10:00:00")),
+      (9L, 4L, t("2024-01-01 10:00:00")),
+    ).toDF("query_id", "item_id", "timestamp")
+    val tied = SequenceTokenizer.pad(ties, maxLen = 2).collect().head
+    assert(tied.getSeq[Long](1).toList == List(4L, 5L) && tied.getLong(2) == 2L)
+    // non-default pad value
+    val pv = SequenceTokenizer.pad(log.filter($"query_id" === 1L),
+      maxLen = 3, padValue = -1L).collect().head
+    assert(pv.getSeq[Long](1).toList == List(-1L, 10L, 11L))
+    intercept[IllegalArgumentException] { SequenceTokenizer.pad(log, maxLen = 0) }
+  }
 }

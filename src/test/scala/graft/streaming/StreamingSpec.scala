@@ -70,6 +70,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("windowedTopK crops per window; stream+crop equals the batch twin") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:06:00"), "click"),
+      (ts("2024-01-01 10:10:00"), "view"), (ts("2024-01-01 10:11:00"), "view"),
+      (ts("2024-01-01 10:20:00"), "buy"),
+      (ts("2024-01-01 11:05:00"), "buy"),
+    )
+    val batch = windowedTopK(events.toDF("ts", "event_type"),
+      windowSeconds = 3600, k = 2)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // hour 10: click=2, view=2, buy=1 → top-2 = click, view (tie → key asc)
+    assert(batch == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L),
+      (ts("2024-01-01 10:00:00"), "view", 2L),
+      (ts("2024-01-01 11:00:00"), "buy", 1L)))
+
+    // the streaming shape: watermarked windowedCounts emits closed windows,
+    // the crop runs on the sink (per-micro-batch/downstream) — must agree
+    // with the batch twin on every closed window
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = windowedCounts(
+      input.toDF().toDF("ts", "event_type").withWatermark("ts", "1 hour"),
+      windowSeconds = 3600)
+      .writeStream.format("memory").queryName("wtopk_counts")
+      .outputMode("append").start()
+    input.addData(events: _*); q.processAllAvailable()
+    input.addData((ts("2024-01-02 10:00:00"), "view")); q.processAllAvailable()
+    val cropped = graft.core.Ops.topK(spark.table("wtopk_counts"),
+      Seq("window_start"), Seq($"n".desc, $"event_type".asc), 2)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    q.stop()
+    val closed = batch.filter(_._1.before(ts("2024-01-01 11:00:00")))
+    assert(closed.subsetOf(cropped), s"closed=$closed cropped=$cropped")
+  }
+
+  test("windowedTopK dispatches integral keys to the bounded-heap crop") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), 7L), (ts("2024-01-01 10:06:00"), 7L),
+      (ts("2024-01-01 10:10:00"), 3L), (ts("2024-01-01 10:11:00"), 3L),
+      (ts("2024-01-01 10:20:00"), 9L),
+    ).toDF("ts", "item_id")
+    val df = windowedTopK(events, windowSeconds = 3600, k = 2, keyCol = "item_id")
+    val rows = df.as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    // counts: 7→2, 3→2, 9→1; tie at 2 breaks on key asc → items 3, 7
+    assert(rows == Set(
+      (ts("2024-01-01 10:00:00"), 3L, 2L),
+      (ts("2024-01-01 10:00:00"), 7L, 2L)))
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(plan.contains("ObjectHashAggregate"),
+      "integral-key windowed top-k should take the bounded-heap path")
+  }
+
   test("streamingItemStats accumulates (pos, total) across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemEvent]
