@@ -58,6 +58,23 @@ final class IvfAnn(
     this
   }
 
+  /** Persistence hooks (ModelIO): the trained coarse quantizer IS the
+    * centroid set — persisting it and rebuilding the inverted lists by
+    * nearest-centroid assignment round-trips the index exactly, where a
+    * refit could land on different centroids. None when the tiny-catalog
+    * exact fallback is active (nothing to persist). */
+  private[models] def centroidArrays: Option[Array[Array[Double]]] =
+    Option(ivf).map(_.centroids)
+
+  private[models] def fitFromCentroids(itemVectors: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Double]]): this.type = {
+    itemCol = idCol
+    ivf = new graft.text.IvfIndex(nCentroids = nCentroids, nProbe = nProbe,
+      seed = seed, idCol = idCol, vecCol = vecCol)
+      .fitFromCentroids(itemVectors.select(F.col(idCol), F.col(vecCol)), cents)
+    this
+  }
+
   def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
     val qv = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"))
     if (ivf == null)

@@ -211,14 +211,25 @@ object ModelIO {
   /** Vector-state persistence for Word2VecRec: the fitted item/user
     * vectors are the whole inference state (the MLlib model itself is
     * only needed to fit). The ANN configuration is persisted too, so a
-    * save/load roundtrip keeps the model's scoring mode: IVF configs are
-    * re-fit over the loaded vectors at load (candidate sets may differ at
-    * KMeans-tie boundaries across refits; the recall contract holds);
-    * other AnnIndex implementations load as exact. */
+    * save/load roundtrip keeps the model's scoring mode. A trained IVF
+    * quantizer additionally persists its CENTROIDS — load rebuilds the
+    * inverted lists by nearest-centroid assignment over the loaded
+    * vectors, reproducing the fitted candidate sets instead of re-running
+    * KMeans (whose refit could land on different centroids); other
+    * AnnIndex implementations load as exact. */
   def saveWord2Vec(m: Word2VecRec, path: String): Unit = {
     writeJson(path, Map("kind" -> "word2vec", "ann" -> annString(m.ann)))
     m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
     m.userVectors.write.mode("overwrite").parquet(s"$path/user_vectors")
+    for {
+      ivf <- m.ann.collect { case i: IvfAnn => i }
+      cents <- ivf.centroidArrays
+    } {
+      val spark = m.itemVectors.sparkSession
+      spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+        .toDF("_centroid", "_cvec")
+        .write.mode("overwrite").parquet(s"$path/ivf_centroids")
+    }
   }
 
   def loadWord2Vec(spark: SparkSession, path: String): Word2VecRec = {
@@ -230,7 +241,82 @@ object ModelIO {
     m.userVectors = spark.read.parquet(s"$path/user_vectors").cache()
     m.fitItemsDf = m.itemVectors.select(m.cols.item)
     m.fitQueriesDf = m.userVectors.select(m.cols.query)
-    ann.foreach(_.fit(m.itemVectors, m.cols.item, "vec"))
+    val centroidsPath = Paths.get(s"$path/ivf_centroids")
+    ann.foreach {
+      case ivf: IvfAnn if Files.exists(centroidsPath) =>
+        // nCentroids rows of dims doubles — driver-bounded by construction
+        val cents = spark.read.parquet(s"$path/ivf_centroids")
+          .orderBy("_centroid").collect()
+          .map(_.getSeq[Double](1).toArray)
+        ivf.fitFromCentroids(m.itemVectors, m.cols.item, "vec", cents)
+      case other => other.fit(m.itemVectors, m.cols.item, "vec")
+    }
+    m
+  }
+
+  // ---- QueryPopRec -------------------------------------------------------
+
+  /** QueryPopRec's inference state is the per-(query, item) share table. */
+  def saveQueryPop(m: QueryPopRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "query_pop"))
+    m.queryProfile.write.mode("overwrite").parquet(s"$path/query_profile")
+  }
+
+  def loadQueryPop(spark: SparkSession, path: String): QueryPopRec = {
+    require(readJson(path)("kind") == "query_pop", s"not a QueryPopRec at $path")
+    val m = new QueryPopRec()
+    m.queryProfile = spark.read.parquet(s"$path/query_profile").cache()
+    m.fitQueriesDf = m.queryProfile.select(m.cols.query).distinct()
+    m.fitItemsDf = m.queryProfile.select(m.cols.item).distinct()
+    m
+  }
+
+  // ---- RandomRec ---------------------------------------------------------
+
+  /** RandomRec's inference state is the fitted item-weight table; the cold
+    * fill is deterministic from it (min·coldWeight), so unlike UCB's
+    * optimistic bound it needs no persisted fill. */
+  def saveRandomRec(m: RandomRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "random_rec",
+      "distribution" -> m.distribution, "alpha" -> m.alpha.toString,
+      "seed" -> m.seed.toString, "addColdItems" -> m.addColdItems.toString,
+      "coldWeight" -> m.coldWeight.toString, "hashMode" -> m.hashMode))
+    m.itemWeights.write.mode("overwrite").parquet(s"$path/item_weights")
+  }
+
+  def loadRandomRec(spark: SparkSession, path: String): RandomRec = {
+    val p = readJson(path)
+    require(p("kind") == "random_rec", s"not a RandomRec at $path")
+    val m = new RandomRec(
+      distribution = p.getOrElse("distribution", "uniform"),
+      alpha = p.getOrElse("alpha", "0.0").toDouble,
+      seed = p.getOrElse("seed", "42").toLong,
+      addColdItems = p.getOrElse("addColdItems", "true").toBoolean,
+      coldWeight = p.getOrElse("coldWeight", "0.5").toDouble,
+      hashMode = p.getOrElse("hashMode", "portable"))
+    m.itemWeights = spark.read.parquet(s"$path/item_weights").cache()
+    m.fitItemsDf = m.itemWeights.select(m.cols.item)
+    m
+  }
+
+  // ---- CatPopRec ---------------------------------------------------------
+
+  /** CatPopRec's inference state is the computed leaf closure plus the
+    * per-leaf item counts — predict never consults the raw tree, so the
+    * loaded model reconstructs neither catTree nor itemCats. */
+  def saveCatPopRec(m: CatPopRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "cat_pop_rec"))
+    m.leafClosure.write.mode("overwrite").parquet(s"$path/leaf_closure")
+    m.leafItemCounts.write.mode("overwrite").parquet(s"$path/leaf_item_counts")
+  }
+
+  def loadCatPopRec(spark: SparkSession, path: String): CatPopRec = {
+    val p = readJson(path)
+    require(p("kind") == "cat_pop_rec", s"not a CatPopRec at $path")
+    // tree/itemCats deliberately absent: both are fit-time-only inputs
+    val m = new CatPopRec(null, null)
+    m.setClosure(spark.read.parquet(s"$path/leaf_closure").cache())
+    m.leafItemCounts = spark.read.parquet(s"$path/leaf_item_counts").cache()
     m
   }
 

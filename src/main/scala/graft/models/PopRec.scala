@@ -65,9 +65,19 @@ final class CatPopRec(
 ) extends Serializable {
   import org.apache.spark.sql.functions.col
 
+  private var closureCache: DataFrame = _
+
+  /** Persistence hook (ModelIO): restore a computed closure so a loaded
+    * model never touches the (unpersisted) catTree. */
+  private[models] def setClosure(c: DataFrame): Unit = closureCache = c
+
   /** leaf-closure: map every category to all its descendant leaves. */
-  lazy val leafClosure: DataFrame = {
-    val sess = catTree.sparkSession
+  def leafClosure: DataFrame = {
+    if (closureCache == null) closureCache = computeClosure()
+    closureCache
+  }
+
+  private def computeClosure(): DataFrame = {
     val edges = catTree.select(col("category"), col("parent_cat")).cache()
     val leaves = edges.select(col("category").as("leaf"))
       .join(edges.select(col("parent_cat").as("leaf")).distinct(),

@@ -135,6 +135,34 @@ final class IvfIndex(
     this
   }
 
+  /** Rebuild the index from PERSISTED centroids (ModelIO round-trip):
+    * assignment is the argmin of squared Euclidean distance, ties to the
+    * lowest centroid index — KMeans's own assignment rule — so the same
+    * centroids over the same vectors reproduce the same inverted lists
+    * without re-running the (seed- and init-sensitive) training loop.
+    * Distance is computed per (vector, centroid) pair against the
+    * broadcast nCentroids-row table; no training iterations, one pass. */
+  def fitFromCentroids(vectors: DataFrame, cents: Array[Array[Double]]): this.type = {
+    centroids = cents
+    val centroidDf = vectors.sparkSession.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("_centroid", "_cvec")
+    val sqDist = F.aggregate(
+      F.zip_with(F.transform(F.col(vecCol), x => x.cast("double")),
+        F.col("_cvec"), (x, y) => (x - y) * (x - y)),
+      F.lit(0.0), (acc, v) => acc + v)
+    assigned = vectors.select(F.col(idCol), F.col(vecCol))
+      .crossJoin(F.broadcast(centroidDf))
+      .withColumn("_d", sqDist)
+      .withColumn("_rn", F.row_number().over(
+        Window.partitionBy(idCol).orderBy(F.col("_d").asc, F.col("_centroid").asc)))
+      .filter(F.col("_rn") === 1)
+      .select(F.col(idCol), F.col(vecCol), F.col("_centroid"))
+      .cache()
+    assigned.count()
+    this
+  }
+
   /** Tiny (nCentroids-row) frame of centroid vectors — always broadcast. */
   def centroidFrame: DataFrame = assigned.sparkSession.createDataFrame(
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq

@@ -437,6 +437,45 @@ class ModelIOSpec extends graft.SparkSpec {
     assert(a == b)
   }
 
+  test("QueryPopRec save/load roundtrip preserves the profile and predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("querypop").toString
+    val m = new QueryPopRec().fit(log)
+    ModelIO.saveQueryPop(m, dir)
+    val loaded = ModelIO.loadQueryPop(spark, dir)
+    assert(loaded.queryProfile.collect().map(_.toSeq).toSet ==
+      m.queryProfile.collect().map(_.toSeq).toSet)
+    assert(loaded.predict(log, k = 1, filterSeen = false).collect().map(_.toSeq).toSet ==
+      m.predict(log, k = 1, filterSeen = false).collect().map(_.toSeq).toSet)
+  }
+
+  test("RandomRec save/load roundtrip preserves weights, hash mode, predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("randomrec").toString
+    val m = new RandomRec("popular", alpha = 0.5, seed = 9).fit(log)
+    ModelIO.saveRandomRec(m, dir)
+    val loaded = ModelIO.loadRandomRec(spark, dir)
+    assert(loaded.distribution == "popular" && loaded.alpha == 0.5 &&
+      loaded.seed == 9L && loaded.hashMode == "portable")
+    assert(loaded.itemWeights.collect().map(_.toSeq).toSet ==
+      m.itemWeights.collect().map(_.toSeq).toSet)
+    assert(loaded.predict(log, k = 1).collect().map(_.toSeq).toSet ==
+      m.predict(log, k = 1).collect().map(_.toSeq).toSet)
+  }
+
+  test("CatPopRec save/load roundtrip: predict from closure + counts only") {
+    val tree = Seq(("root", null.asInstanceOf[String]), ("a", "root"), ("b", "root"))
+      .toDF("category", "parent_cat")
+    val itemCats = Seq((0L, "a"), (1L, "a"), (2L, "b")).toDF("item_id", "category")
+    val clog = Seq((0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 1.0), (3L, 2L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val m = new CatPopRec(tree, itemCats).fit(clog)
+    val dir = java.nio.file.Files.createTempDirectory("catpop").toString
+    ModelIO.saveCatPopRec(m, dir)
+    val loaded = ModelIO.loadCatPopRec(spark, dir)
+    val cats = Seq("root", "a").toDF("category")
+    assert(loaded.predict(cats, k = 2).collect().map(_.toSeq).toSet ==
+      m.predict(cats, k = 2).collect().map(_.toSeq).toSet)
+  }
+
   test("ClusterRec save/load roundtrip: predict-after-load ≡ predict-before-save") {
     val qf = Seq((0L, 1.0, 2.0), (1L, 5.0, 1.0), (2L, 5.2, 1.1))
       .toDF("query_id", "f1", "f2")
@@ -464,6 +503,31 @@ class ModelIOSpec extends graft.SparkSpec {
     assert(loaded.alpha == 0.5 && loaded.lambdaReg == 2.0 && loaded.dimension == 2)
     val a = m.predict(qf, k = 2).collect().map(_.toSeq).toSet
     val b = loaded.predict(qf, k = 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("Word2Vec+IVF roundtrip rebuilds identical lists from persisted centroids") {
+    val rnd = new scala.util.Random(3)
+    val rows = (for (u <- 0L until 6L; i <- 0L until 10L; if rnd.nextBoolean())
+      yield (u, i, 1.0)) ++ (0L until 10L).map(i => (99L, i, 1.0))
+    val tlog = rows.toDF("query_id", "item_id", "rating")
+      .withColumn("timestamp", F.to_timestamp(F.lit("2024-01-01 10:00:00")))
+    // 10 items ≥ 4·nCentroids → the real quantizer trains (not the exact
+    // fallback), so centroids genuinely persist
+    val m = new Word2VecRec(vectorSize = 4, numPartitions = Some(1),
+      ann = Some(new IvfAnn(nCentroids = 2, nProbe = 1))).fit(tlog)
+    val dir = java.nio.file.Files.createTempDirectory("w2vivf").toString
+    ModelIO.saveWord2Vec(m, dir)
+    val loaded = ModelIO.loadWord2Vec(spark, dir)
+    val ivfA = m.ann.get.asInstanceOf[IvfAnn]
+    val ivfB = loaded.ann.get.asInstanceOf[IvfAnn]
+    assert(ivfB.centroidArrays.isDefined)
+    assert(ivfA.centroidArrays.get.map(_.toSeq).toSeq ==
+      ivfB.centroidArrays.get.map(_.toSeq).toSeq)
+    val a = m.predict(tlog, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = loaded.predict(tlog, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
 
