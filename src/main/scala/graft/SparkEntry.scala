@@ -603,6 +603,22 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"), F.col("session_id"),
           F.round(F.col("rating"), 6).as("rating"))
     }),
+    "time_smoothing_decay" -> ((s, d) => {
+      // decay-CALIBRATED smoothe_time (the reference's public API,
+      // time.py:114-254): weight(30 days) = 0.5 exactly, floored at 0.1;
+      // round 6 absorbs last-ulp pow differences across libm
+      graft.preprocessing.TimeSmoothing.smoothCalibrated(
+          Tables.interactions(s, d), decay = 30.0, limit = 0.1, kind = "exp")
+        .select(F.col("query_id"), F.col("item_id"), F.col("session_id"),
+          F.round(F.col("rating"), 6).as("rating"))
+    }),
+    "item_recency" -> ((s, d) => {
+      // get_item_recency (time.py:10-111): item collapses to its mean
+      // interaction time, weighted by the calibrated power kernel
+      graft.preprocessing.TimeSmoothing.itemRecency(
+          Tables.interactions(s, d), decay = 30.0, limit = 0.1, kind = "power")
+        .select(F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
+    }),
 
     // ---- §2.12 streaming surface (batch-equivalent session_window) --------
     "streaming_session_window" -> ((s, d) => {
@@ -1993,6 +2009,36 @@ object SparkEntry {
          |    CAST(epoch_us((SELECT max(timestamp) FROM interactions))
          |         - epoch_us(timestamp) AS DOUBLE) / (86400.0 * 1e6)), 6) AS rating
          |FROM interactions""".stripMargin,
+    // decay-calibrated exp: base = e^(ln 0.5 / 30) computed ONCE in Scala
+    // and embedded as a literal — both engines pow the identical double.
+    // Whole-second age (unix_timestamp truncation) like the engine.
+    "time_smoothing_decay" -> {
+      val base = math.exp(math.log(0.5) / 30.0)
+      s"""$interactionsSql,
+         |secs AS (SELECT *, CAST(epoch_us(CAST(timestamp AS TIMESTAMP)) / 1000000 AS BIGINT) AS s
+         |         FROM interactions),
+         |mx AS (SELECT max(s) AS m FROM secs)
+         |SELECT query_id, item_id, session_id,
+         |  round(rating * (CASE
+         |    WHEN power($base, (mx.m - s) / 86400.0) < 0.1 THEN 0.1
+         |    ELSE power($base, (mx.m - s) / 86400.0) END), 6) AS rating
+         |FROM secs, mx""".stripMargin
+    },
+    // item recency: per-item floored mean second, calibrated power kernel
+    // with exponent ln 0.5 / ln 30 embedded as a Scala-computed literal
+    "item_recency" -> {
+      val expo = math.log(0.5) / math.log(30.0)
+      s"""$interactionsSql,
+         |it AS (SELECT item_id,
+         |         CAST(floor(avg(epoch_us(CAST(timestamp AS TIMESTAMP)) / 1000000)) AS BIGINT) AS s
+         |       FROM interactions GROUP BY 1),
+         |mx AS (SELECT max(s) AS m FROM it)
+         |SELECT item_id,
+         |  round(CASE
+         |    WHEN power((mx.m - s) / 86400.0 + 1.0, $expo) < 0.1 THEN 0.1
+         |    ELSE power((mx.m - s) / 86400.0 + 1.0, $expo) END, 6) AS rating
+         |FROM it, mx""".stripMargin
+    },
     "streaming_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,

@@ -81,4 +81,61 @@ object TimeSmoothing {
     }
     log.withColumn(ratingCol, F.col(ratingCol) * w)
   }
+
+  /** Decay-CALIBRATED weight column (the reference's actual public API,
+    * `smoothe_time` time.py:114-254): the kernel constant is derived from
+    * `decay` so that weight(decay days) == 0.5 exactly, and the weight is
+    * floored at `limit`. Age is whole-seconds-based like the reference
+    * (unix_timestamp truncation).
+    *  - power:  (age+1) ^ (ln 0.5 / ln decay)
+    *  - exp:    (e^(ln 0.5 / decay)) ^ age
+    *  - linear: 1 − (0.5/decay)·age
+    */
+  private def calibratedWeight(ageDays: Column, decay: Double, limit: Double,
+      kind: String): Column = {
+    require(decay > 1, s"decay must be > 1, got $decay")
+    val w = kind match {
+      case "power"  => F.pow(ageDays + F.lit(1.0),
+        F.lit(math.log(0.5) / math.log(decay)))
+      case "exp"    => F.pow(F.lit(math.exp(math.log(0.5) / decay)), ageDays)
+      case "linear" => F.lit(1.0) - F.lit(0.5 / decay) * ageDays
+      case other    => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+    F.when(w < limit, F.lit(limit)).otherwise(w)
+  }
+
+  /** Reference-exact `smoothe_time`: relevance *= calibrated weight.
+    * The single max-timestamp driver action mirrors [[smooth]]. */
+  def smoothCalibrated(log: DataFrame, decay: Double = 30.0,
+      limit: Double = 0.1, kind: String = "exp",
+      ratingCol: String = Rating, tsCol: String = Timestamp): DataFrame = {
+    val lastSecs = log
+      .agg(F.max(F.unix_timestamp(F.col(tsCol).cast("timestamp"))))
+      .first().getLong(0)
+    val age = (F.lit(lastSecs) - F.unix_timestamp(F.col(tsCol).cast("timestamp")))
+      .cast("double") / F.lit(86400.0)
+    log.withColumn(ratingCol,
+      F.col(ratingCol) * calibratedWeight(age, decay, limit, kind))
+  }
+
+  /** Per-item recency weight (reference `get_item_recency`, time.py:10-111):
+    * each item collapses to its MEAN interaction time (whole seconds,
+    * floored like the reference's unix_timestamp round-trip), then the
+    * calibrated kernel weighs it against the latest item mean. One
+    * aggregation over the log; output has |items| rows
+    * (item, timestamp, rating). */
+  def itemRecency(log: DataFrame, decay: Double = 30.0, limit: Double = 0.1,
+      kind: String = "exp", itemCol: String = ItemId,
+      tsCol: String = Timestamp, ratingCol: String = Rating): DataFrame = {
+    val items = log
+      .select(F.col(itemCol),
+        F.unix_timestamp(F.col(tsCol).cast("timestamp")).as("_s"))
+      .groupBy(itemCol)
+      .agg(F.floor(F.avg("_s")).cast("long").as("_secs"))
+    val lastSecs = items.agg(F.max("_secs")).first().getLong(0)
+    val age = (F.lit(lastSecs) - F.col("_secs")).cast("double") / F.lit(86400.0)
+    items.select(F.col(itemCol),
+      F.timestamp_seconds(F.col("_secs")).as(tsCol),
+      calibratedWeight(age, decay, limit, kind).as(ratingCol))
+  }
 }

@@ -150,6 +150,55 @@ class Tier2Spec extends SparkSpec {
     assert(recs.count() > 0)
   }
 
+  test("calibrated smoothing: weight(decay)=0.5, limit floor, all kinds") {
+    import graft.preprocessing.TimeSmoothing
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, 1.0, t("2024-01-31 00:00:00")), // age 0 → weight 1
+      (1L, 2L, 1.0, t("2024-01-01 00:00:00")), // age 30 = decay → exactly 0.5
+      (1L, 3L, 1.0, t("2020-01-01 00:00:00")), // ~1491 days old
+    ).toDF("query_id", "item_id", "rating", "timestamp")
+    for (kind <- Seq("power", "exp", "linear")) {
+      val out = TimeSmoothing.smoothCalibrated(df, decay = 30.0, limit = 0.1,
+        kind = kind).collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(math.abs(out(1L) - 1.0) < 1e-12, s"$kind at age 0")
+      // exp/linear hit 0.5 exactly at age == decay; power is the
+      // reference's own approximation — its (age+1) shift gives
+      // (decay+1)^(ln .5 / ln decay) ≈ 0.4967 at decay = 30
+      val tol = if (kind == "power") 5e-3 else 1e-12
+      assert(math.abs(out(2L) - 0.5) < tol, s"$kind at decay: ${out(2L)}")
+    }
+    // the floor binds where the kernel actually sinks below it: exp decays
+    // to ~1e-15 and linear goes negative at this age; power decays too
+    // slowly to reach 0.1 (needs ~222 years at decay=30)
+    for (kind <- Seq("exp", "linear")) {
+      val out = TimeSmoothing.smoothCalibrated(df, decay = 30.0, limit = 0.1,
+        kind = kind).collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(out(3L) == 0.1, s"$kind floor")
+    }
+    val pw = TimeSmoothing.smoothCalibrated(df, decay = 30.0, limit = 0.1,
+      kind = "power").collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(pw(3L) > 0.1 && pw(3L) < 0.5)
+  }
+
+  test("itemRecency weighs items by mean interaction time (reference doctest)") {
+    import graft.preprocessing.TimeSmoothing
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2099-03-19 00:00:00")), (1L, t("2099-03-20 00:00:00")),
+      (2L, t("2099-03-22 00:00:00")),
+      (3L, t("2099-03-27 00:00:00")), (3L, t("2099-03-25 00:00:00")),
+    ).map { case (i, ts) => (0L, i, 1.0, ts) }
+      .toDF("query_id", "item_id", "rating", "timestamp")
+    val out = TimeSmoothing.itemRecency(df, decay = 30.0, limit = 0.1,
+      kind = "power").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // means: item1 = 03-19 12:00 (age 6.5 d), item2 = 03-22 (age 4 d),
+    // item3 = 03-26 (newest, age 0); (age+1)^(ln .5 / ln 30)
+    assert(math.abs(out(1L) - 0.6632) < 5e-4)
+    assert(math.abs(out(2L) - 0.7204) < 5e-4)
+    assert(out(3L) == 1.0)
+  }
+
   test("history features and linear smoothing golden values") {
     import graft.preprocessing.{HistoryFeatures, TimeSmoothing}
     val st = HistoryFeatures.entityStats(log, "query_id")
