@@ -87,6 +87,22 @@ class PlanSpec extends SparkSpec {
       "cluster join should broadcast the cropped catalog")
   }
 
+  test("sequence tokenizer is ONE shuffle: groupBy reuses the window key") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1000).select(
+      (col("id") % 50).as("query_id"), col("id").as("item_id"),
+      org.apache.spark.sql.functions.timestamp_seconds(col("id") * 60).as("timestamp"))
+    val out = graft.preprocessing.SequenceTokenizer.pad(df, maxLen = 5)
+    out.collect()
+    // count in the FINAL adaptive plan only — executedPlan.toString appends
+    // the "== Initial Plan ==" section, which would double-count exchanges
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "window crop and groupBy must share one hash shuffle on the query key:\n"
+        + plan.take(800))
+  }
+
   test("exact embedding scoring keeps dot_product in codegen (no HOF fold)") {
     val plan = optimizedPlan("embed_cosine_topk")
     assert(plan.contains("dot_product"), "expected the native dot_product expression")

@@ -69,6 +69,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SequenceTokenizer.pad: fixed width, correct length, ordered suffix") {
+    import graft.preprocessing.SequenceTokenizer
+    for (seed <- 1 to 4) {
+      val maxLen = seed % 4 + 2
+      val rnd = new scala.util.Random(seed)
+      val rows = List.fill(60)((rnd.nextInt(8).toLong, rnd.nextInt(50).toLong,
+        rnd.nextInt(1000).toLong))
+      val df = rows.toDF("query_id", "item_id", "_s")
+        .withColumn("timestamp", F.timestamp_seconds(F.col("_s"))).drop("_s")
+      val out = SequenceTokenizer.pad(df, maxLen, padValue = -1L)
+        .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2))))
+        .toMap
+      val hist = rows.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => (r._3, r._2)).sorted.map(_._2) // (ts, item) asc
+      }
+      for ((q, items) <- hist) {
+        val (arr, len) = out(q)
+        assert(arr.length == maxLen, s"seed=$seed q=$q: not fixed-width")
+        assert(len == math.min(items.length, maxLen).toLong, s"seed=$seed q=$q len")
+        assert(arr.takeRight(len.toInt) == items.takeRight(len.toInt),
+          s"seed=$seed q=$q: suffix should be the most recent events in order")
+        assert(arr.dropRight(len.toInt).forall(_ == -1L), s"seed=$seed q=$q pad")
+      }
+    }
+  }
+
   test("filterSeen never returns a history pair; minhash est sim in [0,1]") {
     for (seed <- 1 to 3) {
       val log = randomLog(seed, 30).toDF("query_id", "item_id", "rating")
