@@ -48,6 +48,35 @@ final case class RsDataset(
       r.getAs[Number](1).longValue() >= 0L
   }
 
+  /** Basic log statistics string (reference `get_log_info`,
+    * spark_utils.py:325-359) — one aggregate job instead of the
+    * reference's three separate scans. */
+  def logInfo: String = {
+    val r = interactions.agg(
+      F.count(F.lit(1)), F.countDistinct(F.col(queryColumn)),
+      F.countDistinct(F.col(itemColumn))).first()
+    s"total lines: ${r.getLong(0)}, total users: ${r.getLong(1)}, " +
+      s"total items: ${r.getLong(2)}"
+  }
+
+  def queryCount: Long = interactions.select(queryColumn).distinct().count()
+  def itemCount: Long = interactions.select(itemColumn).distinct().count()
+
+  /** Feature-subset projection (reference `Dataset.subset`,
+    * dataset.py:397-440): the id columns survive even when not listed;
+    * each table keeps only the surviving columns it actually has.
+    * Pure projection — no consistency re-check needed, column values are
+    * untouched (the reference skips it for the same reason). */
+  def subset(featuresToKeep: Iterable[String]): RsDataset = {
+    val keep = featuresToKeep.toSet + queryColumn + itemColumn
+    def proj(df: DataFrame): DataFrame =
+      df.select(df.columns.filter(keep.contains).map(F.col).toSeq: _*)
+    copy(
+      interactions = proj(interactions),
+      queryFeatures = queryFeatures.map(proj),
+      itemFeatures = itemFeatures.map(proj))
+  }
+
   def cache(): RsDataset = {
     interactions.cache(); queryFeatures.foreach(_.cache()); itemFeatures.foreach(_.cache())
     this

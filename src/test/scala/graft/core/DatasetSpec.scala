@@ -89,6 +89,25 @@ class DatasetSpec extends SparkSpec {
     spark.sql("DROP TABLE bucketed_log_test")
   }
 
+  test("logInfo and subset mirror the reference Dataset helpers") {
+    import org.apache.spark.sql.functions.lit
+    val ds = RsDataset(
+      interactions = log.withColumn("rating", lit(1.0)),
+      queryFeatures = Some(log.select("query_id").distinct()
+        .withColumn("f1", lit(2.0)).withColumn("f2", lit(3.0))))
+    // reference doctest format (spark_utils.py:325-359)
+    val expectedUsers = log.select("query_id").distinct().count()
+    val expectedItems = log.select("item_id").distinct().count()
+    assert(ds.logInfo ==
+      s"total lines: ${log.count()}, total users: $expectedUsers, " +
+        s"total items: $expectedItems")
+    assert(ds.queryCount == expectedUsers && ds.itemCount == expectedItems)
+    val sub = ds.subset(Seq("f1"))
+    // ids always survive; rating and f2 are dropped
+    assert(sub.interactions.columns.toSet == Set("query_id", "item_id"))
+    assert(sub.queryFeatures.get.columns.toSet == Set("query_id", "f1"))
+  }
+
   test("bucketed-bucketed join on the bucket key plans with no shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("wh2").toString
     Session.writeBucketed(log, "bk_a", "query_id", 4, path = Some(s"$dir/a"))
