@@ -31,11 +31,13 @@ object Bench {
     "model_cluster", "model_linucb",
     "model_random_rec", "model_random_rec_relevance", "model_random_rec_fast",
     "metrics_ranking", "metrics_catalog", "history_features",
-    "sample_top_k", "time_smoothing",
-    "dedup_exact", "dedup_minhash", "text_stats",
+    "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
+    "sequence_pad", "grid_search_budget",
+    "dedup_exact", "dedup_minhash", "text_stats", "text_unigram_logprob",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "pack_sequences",
-    "streaming_session_window", "streaming_dedup", "multimodal_decode",
+    "streaming_session_window", "streaming_top_k", "streaming_dedup",
+    "multimodal_decode",
   )
 
   def main(args: Array[String]): Unit = {

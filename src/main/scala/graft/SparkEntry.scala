@@ -941,6 +941,13 @@ object SparkEntry {
         graft.text.TextStats.rollingHash(F.col("text"),
           tokenHash = t => graft.core.PortableHash.long(0, t)).as("content_hash"))
     }),
+    "text_unigram_logprob" -> ((s, d) => {
+      // CCNet-style unigram LM quality proxy (perplexity-filter analogue):
+      // mean ln P(token) under the corpus' own unigram distribution
+      graft.text.TextStats.unigramLogProb(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(F.col("doc_id"), F.round(F.col("logprob"), 6).as("logprob"))
+    }),
     "model_item_knn_bm25" -> ((s, d) => {
       // bm25-weighted variant (knn.py:92-156); sims are rounded to 9dp
       // before the neighbour window (order parity), output rounded to 6dp
@@ -2539,6 +2546,18 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 2147483647)),
         |    (acc, x) -> (acc * 257 + x) % 2147483647) AS content_hash
         |FROM documents""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freqs),
+        |sc AS (SELECT t.doc_id, avg(ln(CAST(f.cnt AS DOUBLE) / n.n)) AS lp
+        |       FROM toks t JOIN freqs f ON t.tok = f.tok, n GROUP BY 1)
+        |SELECT d.doc_id, round(coalesce(sc.lp, 0.0), 6) AS logprob
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "mixture_sample" ->
       """WITH tgt(src, p) AS (VALUES
         |    ('src0', CAST(0.5 AS DOUBLE)),

@@ -105,4 +105,31 @@ object TextStats {
       F.lit(0L),
       (acc, t) => F.pmod(acc * F.lit(257L) + F.pmod(tokenHash(t), F.lit(M)), F.lit(M)))
   }
+
+  /** CCNet-style unigram LM quality proxy (Wenzek et al. 2020 filter on
+    * KenLM perplexity; the unigram table is the engine-side, fully
+    * SQL-mirrorable analogue): doc score = mean over tokens of
+    * ln P(token), with P from the corpus' own unigram counts. Very
+    * negative → rare-token-heavy docs (garbled bytes, identifier soup);
+    * closer to 0 → common fluent vocabulary — threshold or
+    * quantile-bucket downstream like a perplexity filter.
+    *
+    * Scale shape: one explode, one |vocab|-row aggregate re-joined on the
+    * token key, one per-doc re-agg; the corpus token total rides along as
+    * a lazy 1-row broadcast scalar (no driver action). At 100 TB the only
+    * wide exchange is the token-key join, and the frequency side is
+    * |vocab| rows, not |tokens|. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(F.col(idCol),
+      F.explode(tokens(F.lower(F.col(textCol)))).as("_tok"))
+    val freqs = toks.groupBy("_tok").agg(F.count(F.lit(1)).as("_cnt"))
+    val scored = toks.join(freqs, Seq("_tok"))
+      .crossJoin(F.broadcast(freqs.agg(F.sum("_cnt").as("_n"))))
+      .groupBy(idCol)
+      .agg(F.avg(F.log(F.col("_cnt").cast("double") / F.col("_n"))).as("logprob"))
+    // null-text docs produce no tokens → keep them at 0.0 (the reference
+    // perplexity filters treat empty docs as a separate length filter's job)
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("logprob", F.coalesce(F.col("logprob"), F.lit(0.0)))
+  }
 }

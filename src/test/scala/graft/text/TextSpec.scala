@@ -210,4 +210,19 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, 0L, 0.0)))
     assert(got(3L) == ((3L, 0L, 0L, 0.0)))
   }
+
+  test("unigramLogProb: mean ln P(token) under corpus unigram counts") {
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // freqs: a → 2, b → 1, N = 3
+    assert(math.abs(got(1L) - (math.log(2.0 / 3) + math.log(1.0 / 3)) / 2) < 1e-12)
+    assert(math.abs(got(2L) - math.log(2.0 / 3)) < 1e-12)
+    // the common-vocabulary doc scores strictly higher than the rare one
+    val mixed = Seq((1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "zqx wvu kjh")).toDF("doc_id", "text")
+    val sc = TextStats.unigramLogProb(mixed, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(sc(1L) > sc(3L) && sc(2L) > sc(3L))
+  }
 }
