@@ -185,10 +185,14 @@ object RandomSearch {
     var scored: Seq[Trial] = Nil
     for (r <- 0 until rungs if live.nonEmpty) {
       val frac = 1.0 / math.pow(eta.toDouble, (rungs - 1 - r).toDouble)
+      // xxhash64, not the portable md5: rung sampling has no SQL oracle to
+      // mirror, and at full-corpus scale a per-row md5 would tax every
+      // rung; xxhash64 keeps the only property needed — deterministic,
+      // layout-independent query selection
       val tr =
         if (frac >= 1.0) train
         else train.filter(
-          graft.core.PortableHash.uniform(seed, F.col(cols.query)) < frac)
+          graft.core.PortableHash.uniformFast(seed, F.col(cols.query)) < frac)
       scored = live.map(evaluate(_, build, tr, gt, metric, k, cols))
       if (r < rungs - 1) {
         val keep = math.max(1, math.ceil(live.size.toDouble / eta).toInt)
