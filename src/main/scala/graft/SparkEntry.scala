@@ -831,7 +831,7 @@ object SparkEntry {
       val gt = test.select("query_id", "item_id").distinct()
       val out = graft.metrics.Metrics.compute(
         recs, gt, graft.metrics.Metrics.RankingMetrics, Seq(5))
-      out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+      out.select(out.columns.toIndexedSeq.map(c => F.round(F.col(c), 6).as(c)): _*)
     }),
     "metrics_ncis" -> ((s, d) => {
       // NCIS precision@5 with 1/position propensity weights over the
@@ -864,7 +864,7 @@ object SparkEntry {
       val recs = new models.PopRec().fitPredict(train, 5)
       val gt = test.select("query_id", "item_id").distinct()
       val out = Metrics.compute(recs, gt, Seq("hit_rate", "ndcg"), Seq(1, 5))
-      out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+      out.select(out.columns.toIndexedSeq.map(c => F.round(F.col(c), 6).as(c)): _*)
     }),
     "metrics_descriptors" -> ((s, d) => {
       // Mean / Median / CI descriptors over per-user metric values
@@ -911,7 +911,7 @@ object SparkEntry {
         .crossJoin(Metrics.surprisal(recsSeen, train, 5))
         .crossJoin(Metrics.unexpectedness(recsSeen, recsAll, 5))
         .crossJoin(Metrics.categoricalDiversity(recsSeen, brands, 5))
-      one.select(one.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+      one.select(one.columns.toIndexedSeq.map(c => F.round(F.col(c), 6).as(c)): _*)
     }),
 
     // ---- training-data pipeline: text / dedup / ANN / multimodal ----------
@@ -1110,7 +1110,7 @@ object SparkEntry {
       val enriched = graft.metrics.TopKList.enrichBounded(recs, gt, maxK = 5)
       val out = graft.metrics.Metrics.computeFrom(
         enriched, graft.metrics.Metrics.RankingMetrics, Seq(5))
-      out.select(out.columns.map(c => F.round(F.col(c), 6).as(c)): _*)
+      out.select(out.columns.toIndexedSeq.map(c => F.round(F.col(c), 6).as(c)): _*)
     }),
 
     // ---- §2.3 joins -------------------------------------------------------

@@ -33,7 +33,7 @@ final class LinUCB(
     import spark.implicits._
     val featCols = queryFeatures.columns.filterNot(_ == cols.query)
     dim = featCols.length
-    val x = F.array(featCols.map(c => F.col(c).cast("double")): _*)
+    val x = F.array(featCols.toIndexedSeq.map(c => F.col(c).cast("double")): _*)
     val joined = log.join(queryFeatures, Seq(cols.query))
       .select(F.col(cols.item), x.as("_x"), F.col(cols.rating).cast("double").as("_r"))
 
@@ -89,7 +89,7 @@ final class LinUCB(
   def predict(queryFeatures: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val featCols = queryFeatures.columns.filterNot(_ == cols.query)
-    val x = F.array(featCols.map(c => F.col(c).cast("double")): _*)
+    val x = F.array(featCols.toIndexedSeq.map(c => F.col(c).cast("double")): _*)
     // repartition: query features usually come from one small parquet scan
     // (1 partition); the cross join below fans each query row out to the
     // whole arm catalog, so at 1 input partition all |q|×|arms| rows would

@@ -140,7 +140,7 @@ final case class InteractionEntriesFilter(
         .join(uc, F.col(queryCol) <=> F.col("_q"))
         .join(ic, F.col(itemCol) <=> F.col("_i"))
         .filter(cond)
-        .select(current.columns.map(F.col): _*)
+        .select(current.columns.toIndexedSeq.map(F.col): _*)
       current = step.localCheckpoint(true)
       rows = current.count()
       iter += 1
