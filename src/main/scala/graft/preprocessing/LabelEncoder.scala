@@ -104,3 +104,61 @@ object LabelEncoder {
     spark.createDataFrame(rdd, schema)
   }
 }
+
+/** Dataset-level encoder (reference: replay/data/dataset_utils/
+  * dataset_label_encoder.py:20-200): one LabelEncoder per id column,
+  * fitted over the UNION of the ids in interactions and the matching
+  * feature table — a feature-only entity (cold user with a profile, item
+  * not yet interacted) still gets a code — then applied consistently
+  * across all three tables so every table speaks the same dense id space.
+  * Extra categorical feature columns encode within their own table. */
+final class DatasetLabelEncoder(
+    val handleUnknown: HandleUnknown = HandleUnknown.Error,
+    val categoricalQueryFeatures: Seq[String] = Nil,
+    val categoricalItemFeatures: Seq[String] = Nil,
+) extends Serializable {
+  import graft.core.RsDataset
+
+  var queryEncoder: LabelEncoder = _
+  var itemEncoder: LabelEncoder = _
+  var featureEncoders: Map[String, LabelEncoder] = Map.empty
+
+  def fit(ds: RsDataset): this.type = {
+    def idUnion(col: String, feat: Option[DataFrame]): DataFrame =
+      feat.map(f => ds.interactions.select(col).unionByName(f.select(col)))
+        .getOrElse(ds.interactions.select(col))
+    queryEncoder = LabelEncoder.fit(
+      idUnion(ds.queryColumn, ds.queryFeatures), ds.queryColumn, handleUnknown)
+    itemEncoder = LabelEncoder.fit(
+      idUnion(ds.itemColumn, ds.itemFeatures), ds.itemColumn, handleUnknown)
+    require(categoricalQueryFeatures.isEmpty || ds.queryFeatures.isDefined,
+      "categoricalQueryFeatures given but the dataset has no query features")
+    require(categoricalItemFeatures.isEmpty || ds.itemFeatures.isDefined,
+      "categoricalItemFeatures given but the dataset has no item features")
+    featureEncoders =
+      (categoricalQueryFeatures.map(c =>
+        c -> LabelEncoder.fit(ds.queryFeatures.get, c, handleUnknown)) ++
+       categoricalItemFeatures.map(c =>
+        c -> LabelEncoder.fit(ds.itemFeatures.get, c, handleUnknown))).toMap
+    this
+  }
+
+  def transform(ds: RsDataset): RsDataset = {
+    val qf = ds.queryFeatures.map { f =>
+      categoricalQueryFeatures.foldLeft(queryEncoder.transform(f)) {
+        (d, c) => featureEncoders(c).transform(d)
+      }
+    }
+    val itf = ds.itemFeatures.map { f =>
+      categoricalItemFeatures.foldLeft(itemEncoder.transform(f)) {
+        (d, c) => featureEncoders(c).transform(d)
+      }
+    }
+    ds.copy(
+      interactions = itemEncoder.transform(queryEncoder.transform(ds.interactions)),
+      queryFeatures = qf,
+      itemFeatures = itf)
+  }
+
+  def fitTransform(ds: RsDataset): RsDataset = fit(ds).transform(ds)
+}

@@ -69,6 +69,32 @@ class EncoderSpec extends SparkSpec {
     assert(sizes.forall(s => s > 150 && s < 350))
   }
 
+  test("DatasetLabelEncoder: one consistent dense id space across all tables") {
+    import graft.core.RsDataset
+    val interactions = Seq((10L, 100L, 1.0), (20L, 200L, 1.0), (10L, 200L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    // user 30 is feature-only (no interactions) — must still get a code
+    val qf = Seq((10L, "a"), (20L, "b"), (30L, "a"))
+      .toDF("query_id", "segment")
+    val itf = Seq((100L, 1.0), (200L, 2.0)).toDF("item_id", "weight")
+    val ds = RsDataset(interactions, Some(qf), Some(itf))
+    val enc = new DatasetLabelEncoder(
+      categoricalQueryFeatures = Seq("segment"))
+    val out = enc.fitTransform(ds)
+    // dense codes 0..n-1, consistent across interactions and features
+    val qi = out.interactions.select("query_id").as[Long].collect().toSet
+    val qq = out.queryFeatures.get.select("query_id").as[Long].collect().toSet
+    assert(qq == Set(0L, 1L, 2L))      // includes the feature-only user
+    assert(qi.subsetOf(qq))
+    assert(out.checkEncoded())
+    // the categorical feature is re-coded to dense longs
+    val segs = out.queryFeatures.get.select("segment").as[Long].collect().toSet
+    assert(segs == Set(0L, 1L))
+    // id joins between tables still line up after encoding
+    val joined = out.interactions.join(out.queryFeatures.get, "query_id").count()
+    assert(joined == interactions.count())
+  }
+
   test("sequence tokenizer: left-pad short users, keep most recent for long ones") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val log = Seq(
