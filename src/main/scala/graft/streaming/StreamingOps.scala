@@ -107,6 +107,48 @@ object StreamingOps {
       }
   }
 
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * hand-rolled twin of [[sessionWindows]], for session logic the native
+    * operator cannot express (capping session length, emitting
+    * intermediate snapshots, custom merge rules). State per user is the
+    * ONE open session (4 scalars — bounded at any event volume); a
+    * session emits when a later event arrives past the gap. The last open
+    * session per user stays in state until a closing event (or a timeout
+    * policy, which a caller can add via ProcessingTimeTimeout) — exactly
+    * the append-mode semantics of the native session_window. Gap logic
+    * matches Sessionizer/sessionWindows: new session when
+    * ts − last ≥ gap. Events inside one micro-batch sort in-memory per
+    * (user, batch) — bounded by per-batch volume, not history. */
+  def sessionizeWithState(events: Dataset[UserEvent],
+      gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var open = state.getOption.orNull
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (open == null) open = OpenSession(t, t, 1L, e.value)
+            else if (t - open.last >= gapMs) {
+              closed += SessionOut(user, open.start, open.n,
+                math.rint(open.sum * 100) / 100)
+              open = OpenSession(t, t, 1L, e.value)
+            } else open = OpenSession(open.start, t, open.n + 1, open.sum + e.value)
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key (the streaming twin of
     * text.Dedup.exactGroups' fingerprint dedup): keeps the first arrival
     * per key; `dropDuplicatesWithinWatermark` bounds the state store to

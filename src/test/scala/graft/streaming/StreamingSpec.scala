@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
       "integral-key windowed top-k should take the bounded-heap path")
   }
 
+  test("sessionizeWithState: closed sessions match the native session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      UserEvent(1L, ts("2024-01-01 10:30:00"), 2.0),   // same session (< 1h gap)
+      UserEvent(1L, ts("2024-01-01 12:30:00"), 3.0),   // closes session 1
+      UserEvent(2L, ts("2024-01-01 09:00:00"), 4.0),
+      UserEvent(2L, ts("2024-01-01 11:00:00"), 5.0),   // closes user 2's first
+    )
+    val input = MemoryStream[UserEvent]
+    val q = sessionizeWithState(input.toDS(), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    input.addData(events.take(2): _*); q.processAllAvailable()
+    input.addData(events.drop(2): _*); q.processAllAvailable()
+    val closed = spark.table("state_sessions")
+      .as[SessionOut].collect().toSet
+    q.stop()
+    // sessions CLOSED by a later event; the final session per user stays
+    // open in state (append-mode semantics, same as session_window)
+    assert(closed == Set(
+      SessionOut(1L, ts("2024-01-01 10:00:00").getTime, 2L, 3.0),
+      SessionOut(2L, ts("2024-01-01 09:00:00").getTime, 1L, 4.0)))
+    // the native-operator batch twin agrees on these sessions
+    val batch = sessionWindows(
+      events.map(e => (e.user_id, e.ts, e.value)).toDF("user_id", "ts", "value"),
+      gapSeconds = 3600)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => SessionOut(r._1, r._2, r._3, r._4)).toSet
+    assert(closed.subsetOf(batch))
+  }
+
   test("streamingItemStats accumulates (pos, total) across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemEvent]
