@@ -81,4 +81,25 @@ class ExpressionsSpec extends SparkSpec {
     val b = Literal.create(ArrayData.toArrayData(Array(2.0, 1.0, 4.0)), ArrayType(DoubleType))
     assert(DotProduct(a, b).eval(null) == 1.5 * 2.0 + -2.0 * 1.0 + 0.25 * 4.0)
   }
+
+  test("GraftExtensions exposes the native expressions to pure SQL") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].first()
+    assert(dot == 11.0)
+    // SQL form == DSL form == the hex-string conv chain the oracles use
+    val row = spark.sql(
+      """SELECT md5_prefix60('42:7:z') AS h,
+        |  CAST(conv(substring(md5('42:7:z'), 1, 15), 16, 10) AS BIGINT) AS ref
+        |""".stripMargin).first()
+    assert(row.getLong(0) == row.getLong(1))
+    // float arrays coerce like the Column wrapper
+    val f = spark.sql(
+      "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(2.0D)) AS d")
+      .as[Double].first()
+    assert(f == 3.0)
+    // arity errors fail at analysis, not at runtime
+    intercept[Exception] { spark.sql("SELECT dot_product(array(1.0D))").collect() }
+  }
 }
