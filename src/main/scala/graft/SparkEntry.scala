@@ -1362,7 +1362,7 @@ object SparkEntry {
         |SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
         |FROM sized WHERE n >= 3""".stripMargin,
     "split_ratio" ->
-      """SELECT event_id, user_id, (_rn > _n * (1 - 0.2)) AS is_test FROM (
+      """SELECT event_id, user_id, (_rn > _n * (1 - CAST(0.2 AS DOUBLE))) AS is_test FROM (
         |  SELECT event_id, user_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
         |    count(*) OVER (PARTITION BY user_id) AS _n
@@ -1375,7 +1375,7 @@ object SparkEntry {
          |  SELECT query_id, item_id, session_id, timestamp,
          |    (row_number() OVER (PARTITION BY query_id
          |       ORDER BY timestamp, session_id, item_id)
-         |     > count(*) OVER (PARTITION BY query_id) * (1 - 0.2)) AS is_test
+         |     > count(*) OVER (PARTITION BY query_id) * (1 - CAST(0.2 AS DOUBLE))) AS is_test
          |  FROM i0),
          |repaired AS (
          |  SELECT query_id, item_id, session_id,
@@ -1403,7 +1403,7 @@ object SparkEntry {
       """WITH counts AS (SELECT ts, count(*) AS c FROM events GROUP BY ts),
         |cum AS (SELECT ts, CAST(sum(c) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM counts),
         |cut AS (SELECT min(ts) AS t FROM cum
-        |        WHERE cum >= ceil((SELECT count(*) FROM events) * 0.8))
+        |        WHERE cum >= ceil((SELECT count(*) FROM events) * CAST(0.8 AS DOUBLE)))
         |SELECT event_id, user_id, (ts > (SELECT t FROM cut)) AS is_test
         |FROM events""".stripMargin,
     "split_new_users" ->
@@ -1411,7 +1411,7 @@ object SparkEntry {
         |ranked AS (SELECT user_id,
         |    row_number() OVER (ORDER BY ft DESC, user_id DESC) AS rn,
         |    count(*) OVER () AS n FROM firsts),
-        |flags AS (SELECT user_id, (rn <= n * 0.2) AS isn FROM ranked)
+        |flags AS (SELECT user_id, (rn <= n * CAST(0.2 AS DOUBLE)) AS isn FROM ranked)
         |SELECT e.event_id, e.user_id, coalesce(f.isn, false) AS is_test
         |FROM events e LEFT JOIN flags f USING (user_id)""".stripMargin,
     "split_cold_user" ->
@@ -1420,7 +1420,7 @@ object SparkEntry {
         |    row_number() OVER (
         |      ORDER BY md5('42:' || CAST(user_id AS VARCHAR)), user_id) AS rn,
         |    count(*) OVER () AS n FROM users),
-        |flags AS (SELECT user_id, (rn <= n * 0.2) AS p FROM ranked)
+        |flags AS (SELECT user_id, (rn <= n * CAST(0.2 AS DOUBLE)) AS p FROM ranked)
         |SELECT e.event_id, e.user_id, coalesce(f.p, false) AS is_test
         |FROM events e LEFT JOIN flags f USING (user_id)""".stripMargin,
     "split_two_stage" ->
@@ -1429,9 +1429,9 @@ object SparkEntry {
         |    row_number() OVER (
         |      ORDER BY md5('42:' || CAST(user_id AS VARCHAR)), user_id) AS rn,
         |    count(*) OVER () AS n FROM users),
-        |flags AS (SELECT user_id, (rn <= n * 0.5) AS p FROM ranked)
+        |flags AS (SELECT user_id, (rn <= n * CAST(0.5 AS DOUBLE)) AS p FROM ranked)
         |SELECT e.event_id, e.user_id,
-        |  (coalesce(f.p, false) AND _rn > _cnt * (1 - 0.3)) AS is_test
+        |  (coalesce(f.p, false) AND _rn > _cnt * (1 - CAST(0.3 AS DOUBLE))) AS is_test
         |FROM (SELECT event_id, user_id,
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn,
         |        count(*) OVER (PARTITION BY user_id) AS _cnt
@@ -2286,7 +2286,7 @@ object SparkEntry {
        |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
        |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
        |cut AS (SELECT min(ts0) AS t FROM cum
-       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+       |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * CAST(0.8 AS DOUBLE))),
        |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
        |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
        |users AS (SELECT DISTINCT query_id FROM train),
@@ -2336,7 +2336,7 @@ object SparkEntry {
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
          |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
          |cut AS (SELECT min(ts0) AS t FROM cum
-         |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+         |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * CAST(0.8 AS DOUBLE))),
          |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
          |test AS (SELECT * FROM interactions WHERE timestamp > (SELECT t FROM cut)),
          |pop AS (SELECT item_id, count(DISTINCT query_id) /
@@ -2454,7 +2454,7 @@ object SparkEntry {
          |counts AS (SELECT timestamp AS ts0, count(*) AS c FROM interactions GROUP BY 1),
          |cum AS (SELECT ts0, CAST(sum(c) OVER (ORDER BY ts0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM counts),
          |cut AS (SELECT min(ts0) AS t FROM cum
-         |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * 0.8)),
+         |        WHERE cm >= ceil((SELECT count(*) FROM interactions) * CAST(0.8 AS DOUBLE))),
          |train AS (SELECT * FROM interactions WHERE timestamp <= (SELECT t FROM cut)),
          |users AS (SELECT DISTINCT query_id FROM train),
          |pop AS (SELECT item_id, count(DISTINCT query_id) /
