@@ -107,6 +107,33 @@ object StreamingOps {
       }
   }
 
+  /** TRUE single-query streaming top-k: two CHAINED stateful aggregations
+    * (Spark ≥3.4 multiple-stateful-operator support) — stage 1 is the
+    * watermarked per-(window, key) count, stage 2 re-windows on
+    * `window_time` and crops with the bounded top-k AGGREGATOR (an
+    * aggregation, not a rank window — streaming disallows window
+    * functions, but a typed aggregate with O(k) state chains fine).
+    * Emits once per closed window in append mode. Integral keys only
+    * (the heap holds (double, long) pairs) — the item-catalog case,
+    * where per-window cardinality is the reason a rank window wouldn't
+    * scale anyway. Batch twin: [[windowedTopK]] (same counts, same crop
+    * order, spec-pinned equal). */
+  def streamingWindowedTopK(stream: DataFrame, windowSeconds: Long, k: Int,
+      watermark: String = "1 hour", tsCol: String = "ts",
+      keyCol: String = "item_id"): DataFrame = {
+    val counts = stream.withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), s"$windowSeconds seconds"), F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n"))
+    counts
+      .groupBy(F.window(F.window_time(F.col("window")), s"$windowSeconds seconds"))
+      .agg(graft.core.BoundedTopKAgg.topKPairs(k,
+        F.col("n").cast("double"), F.col(keyCol).cast("long")).as("_tk"))
+      .select(F.col("window.start").as("window_start"),
+        F.explode(F.col("_tk")).as("_p"))
+      .select(F.col("window_start"), F.col("_p.item").as(keyCol),
+        F.col("_p.rating").cast("long").as("n"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start_ms: Long,

@@ -107,6 +107,39 @@ class StreamingSpec extends SparkSpec {
     assert(closed.subsetOf(cropped), s"closed=$closed cropped=$cropped")
   }
 
+  test("streamingWindowedTopK: one query, two chained stateful aggregations") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), 7L), (ts("2024-01-01 10:06:00"), 7L),
+      (ts("2024-01-01 10:10:00"), 3L), (ts("2024-01-01 10:11:00"), 3L),
+      (ts("2024-01-01 10:20:00"), 9L),
+      (ts("2024-01-01 11:40:00"), 9L),
+    )
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = streamingWindowedTopK(
+      input.toDF().toDF("ts", "item_id"), windowSeconds = 3600, k = 2)
+      .writeStream.format("memory").queryName("stream_topk")
+      .outputMode("append").start()
+    input.addData(events: _*); q.processAllAvailable()
+    // push the watermark past hour 10 so its window closes END-TO-END
+    // (both stateful stages must emit)
+    input.addData((ts("2024-01-02 12:00:00"), 1L)); q.processAllAvailable()
+    val got = spark.table("stream_topk")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    q.stop()
+    // hour 10: item 3 and 7 tie at 2 (key asc wins), 9 dropped by k=2
+    val hour10 = got.filter(_._1 == ts("2024-01-01 10:00:00"))
+    assert(hour10 == Set(
+      (ts("2024-01-01 10:00:00"), 3L, 2L),
+      (ts("2024-01-01 10:00:00"), 7L, 2L)), s"got=$got")
+    // batch twin agrees on the closed window
+    val batch = windowedTopK(events.toDF("ts", "item_id"),
+      windowSeconds = 3600, k = 2, keyCol = "item_id")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(hour10.subsetOf(batch))
+  }
+
   test("windowedTopK dispatches integral keys to the bounded-heap crop") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
