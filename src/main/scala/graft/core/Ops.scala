@@ -56,11 +56,14 @@ object Ops {
     *    payload columns must re-join them on (query, item) afterwards
     *    (ItemKNN does exactly this for its similarity payload).
     *  - ratings must be non-null AND non-NaN: the primitive heap has no
-    *    null slot, and its `better` treats NaN as never-better — a NaN row
-    *    is silently dropped once the heap fills, where the window twin
-    *    would rank NaN FIRST (Spark orders NaN above all doubles desc).
-    *    Scoring paths that can produce NaN must clamp first (LinUCB clamps
-    *    its quadratic form at 0 before sqrt). */
+    *    null slot, and its `better` treats NaN as never-better — a NaN
+    *    arriving at a full heap is silently dropped, and one arriving
+    *    while the heap still fills slips in and corrupts the comparison
+    *    order (arrival-order-dependent results) — where the window twin
+    *    would deterministically rank NaN FIRST (Spark orders NaN above
+    *    all doubles desc). Scoring paths that can produce NaN must clamp
+    *    first (LinUCB clamps its quadratic form at 0 before sqrt);
+    *    TopKBoundedSpec pins the divergence. */
   def getTopKRecsBounded(
       recs: DataFrame,
       k: Int,

@@ -42,4 +42,23 @@ class TopKBoundedSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(got == Seq((1L, 3L, 5.0), (1L, 7L, 5.0)))
   }
+
+  test("no-NaN contract: heap drops NaN where the window ranks it first") {
+    // Pins the DOCUMENTED divergence behind getTopKRecsBounded's no-NaN
+    // input contract (scoring paths must clamp first — LinUCB clamps its
+    // quadratic form): a NaN arriving at a FULL heap is never-better and
+    // silently dropped, while the rank window puts NaN above every double
+    // under `desc`. (A NaN arriving while the heap still fills can even
+    // slip in and corrupt the order — arrival-order-dependent — which is
+    // why the contract bans NaN outright rather than defining semantics.)
+    val df = Seq(
+      (1L, 1L, 5.0), (1L, 2L, Double.NaN),
+    ).toDF("query_id", "item_id", "rating")
+    val win = Ops.getTopKRecs(df, 1).as[(Long, Long, Double)]
+      .collect().map(_._2).toSet
+    val agg = Ops.getTopKRecsBounded(df, 1).as[(Long, Long, Double)]
+      .collect().map(_._2).toSet
+    assert(win == Set(2L), "Spark desc ordering ranks NaN above all doubles")
+    assert(agg == Set(1L), "a full heap never admits NaN")
+  }
 }
