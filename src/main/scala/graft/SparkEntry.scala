@@ -705,6 +705,18 @@ object SparkEntry {
         .toDF("query_id", "length", "pos", "token")
         .withColumn("pos", F.col("pos").cast("long"))
     }),
+    "dataset_encode" -> ((s, d) => {
+      // dataset-level encoding (dataset_label_encoder.py:20-200): the
+      // query encoder fits over interactions ∪ the feature table (cold
+      // customers with profiles get codes too), the item encoder over
+      // interactions; both applied to the interaction log
+      val i = Tables.interactions(s, d)
+      val qf = Tables.customer(s, d)
+        .select(F.col("c_custkey").as("query_id"), F.col("c_acctbal"))
+      val ds = graft.core.RsDataset(i, queryFeatures = Some(qf))
+      val out = new graft.preprocessing.DatasetLabelEncoder().fitTransform(ds)
+      out.interactions.select("query_id", "item_id", "rating")
+    }),
     "merge_subsets" -> ((s, d) => {
       // unionByName + duplicate policy (preprocessing/utils.py:100-180)
       val e = Tables.events(s, d)
@@ -1956,6 +1968,19 @@ object SparkEntry {
          |         FROM interactions)
          |SELECT s.session_id, s.pos, e.code
          |FROM seqs s JOIN enc e ON s.item_id = e.label""".stripMargin,
+    // dataset_encode: dense codes in sorted-label order; the query code
+    // space is the UNION of interaction users and feature-table customers
+    "dataset_encode" ->
+      s"""$interactionsSql,
+         |qmap AS (SELECT label, row_number() OVER (ORDER BY label) - 1 AS code
+         |  FROM (SELECT DISTINCT query_id AS label FROM interactions
+         |        UNION SELECT DISTINCT c_custkey FROM customer)),
+         |imap AS (SELECT label, row_number() OVER (ORDER BY label) - 1 AS code
+         |  FROM (SELECT DISTINCT item_id AS label FROM interactions))
+         |SELECT q.code AS query_id, im.code AS item_id, i.rating
+         |FROM interactions i
+         |JOIN qmap q ON i.query_id = q.label
+         |JOIN imap im ON i.item_id = im.label""".stripMargin,
     // sequence_pad: per-query ascending (ts, item) list → keep the last 8
     // → left-pad with 0; positions unrolled so every cell hash-compares
     "sequence_pad" ->
