@@ -160,6 +160,31 @@ object RandomSearch {
 
   def best(trials: Seq[Trial]): Trial = trials.maxBy(_.score)
 
+  /** Optimize a (main, fallback) model pair the way the reference's
+    * Fallback scenario does (scenarios/fallback.py:125-178): each model
+    * searches its OWN borders with the same budget, independently, scored
+    * by the same metric on the same split. Returns both winners; None for
+    * the fallback when it has nothing to search (the reference skips
+    * models with an empty search space). */
+  def optimizeFallback(
+      mainBorders: Map[String, (Double, Double)],
+      fallbackBorders: Map[String, (Double, Double)],
+      buildMain: Map[String, Double] => graft.models.BaseRecommender,
+      buildFallback: Map[String, Double] => graft.models.BaseRecommender,
+      train: DataFrame, test: DataFrame,
+      metric: String = "ndcg", k: Int = 10,
+      budget: Int = 10, seed: Long = 42,
+      cols: RecCols = RecCols(),
+  ): (Trial, Option[Trial]) = {
+    val main = best(search(mainBorders, buildMain, train, test,
+      metric, k, budget, seed, cols))
+    val fb =
+      if (fallbackBorders.isEmpty) None
+      else Some(best(search(fallbackBorders, buildFallback, train, test,
+        metric, k, budget, seed, cols)))
+    (main, fb)
+  }
+
   /** Successive halving (Jamieson & Talwalkar, AISTATS 2016) over the same
     * draw sequence: rung r scores the surviving trials on a hash-sampled
     * fraction 1/eta^(R−1−r) of training QUERIES (sampling whole users keeps

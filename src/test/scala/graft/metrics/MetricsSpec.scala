@@ -193,6 +193,37 @@ class MetricsSpec extends SparkSpec {
     assert(rs.length == 2 && rs.forall(_.score == gridScore))
   }
 
+  test("optimizeFallback searches each model's borders independently") {
+    import graft.models.{PopRec, Wilson}
+    val train = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0),
+    ).toDF("query_id", "item_id", "rating")
+    val test = Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 0L))
+      .map { case (q, i) => (q, i, 1.0) }
+      .toDF("query_id", "item_id", "rating")
+    val (main, fb) = RandomSearch.optimizeFallback(
+      mainBorders = Map("useRating" -> (0.0, 1.0)),
+      fallbackBorders = Map("z" -> (1.0, 2.0)),
+      buildMain = p =>
+        if (p("useRating") > 0.5) new PopRec(useRating = true) else new PopRec(),
+      buildFallback = p => new Wilson(z = p("z")),
+      train = train, test = test, metric = "hit_rate", k = 2,
+      budget = 2, seed = 5)
+    assert(main.params.contains("useRating") && fb.get.params.contains("z"))
+    // winner = best of that model's own trial sequence
+    val mainTrials = RandomSearch.search(Map("useRating" -> (0.0, 1.0)),
+      p => if (p("useRating") > 0.5) new PopRec(useRating = true) else new PopRec(),
+      train, test, metric = "hit_rate", k = 2, budget = 2, seed = 5)
+    assert(main.score == mainTrials.map(_.score).max)
+    // an empty fallback space is skipped, reference-style
+    val (_, none) = RandomSearch.optimizeFallback(
+      Map("useRating" -> (0.0, 1.0)), Map.empty,
+      p => new PopRec(), p => new Wilson(),
+      train, test, metric = "hit_rate", k = 2, budget = 1, seed = 5)
+    assert(none.isEmpty)
+  }
+
   test("successive halving with a single rung equals plain random search") {
     import graft.models.PopRec
     val train = Seq(
