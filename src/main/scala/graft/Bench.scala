@@ -1,5 +1,8 @@
 package graft
 
+import java.io.File
+import java.util.concurrent.TimeUnit
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR and
@@ -12,12 +15,25 @@ import org.apache.spark.sql.SparkSession
   * baseline times (res_1m.csv: 10.1 / 25.1 / 12.5 s on ML-1M) and therefore
   * need an engine-side measurement.
   *
-  * Each query is run REPS times and the MEDIAN is reported: single-run
-  * timings on a shared local[32] JVM showed ±35% run-to-run noise on
-  * sub-second queries (round-3 `filter_entity_days`), which burned review
-  * time on phantom regressions. The DataFrame cache is cleared between
-  * repetitions so a query that caches its inputs cannot have runs 2–3
-  * served from run 1's cache (which would fake the median low).
+  * MEASUREMENT INTEGRITY (round 7): every query now runs in its OWN forked
+  * JVM. The round-6 official sweep showed that one long-lived local[32] JVM
+  * running all ~49 rows sequentially degrades as it runs — later rows
+  * measured 2.5-6.6× slower on code untouched since the previous round, and
+  * a strictly-cheaper plan (xxhash64 sampler) measured slower than the plan
+  * it undercuts (md5). Heap fragmentation / GC pressure / JIT+codegen cache
+  * state accumulated across queries is not attributable per-row, so the
+  * only way to make the 2× baseline gate adjudicable is process-level
+  * isolation: the parent forks `java -cp <same classpath> graft.BenchChild
+  * <query>` per row, each child builds a fresh SparkSession, warms up,
+  * runs REPS repetitions (median, cache cleared between reps), prints one
+  * JSON line, and exits. The parent aggregates.
+  *
+  * Knobs:
+  *   SPARK_GRAFT_BENCH_FORK=0   legacy single-JVM in-process sweep (fast
+  *                              local iteration; NOT for official numbers)
+  *   SPARK_GRAFT_BENCH_ONLY=a,b comma-separated subset
+  *   SPARK_GRAFT_BENCH_REPS=N   repetitions per query inside each child
+  *                              (median reported; default 3)
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -40,10 +56,26 @@ object Bench {
     "multimodal_decode",
   )
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  /** Spark 4.x on JDK 17 needs these opens when SparkSession is created
+    * outside spark-submit; mirrors
+    * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+    * (and build.sbt's javaOptions, which cover the parent).
+    */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** The shared benchmark SparkSession shape (parent legacy path and every
+    * forked child use the identical config, so the two modes differ only in
+    * process isolation).
+    */
+  def benchSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // one shuffle partition per core: measured 28% faster than the
@@ -60,36 +92,134 @@ object Bench {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
 
-    // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // the first measured query
+  /** Untimed warmup: JVM/codegen/parquet-footer costs land here, not on the
+    * first measured query.
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit =
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).limit(1000).count()
       Tables.events(spark, sfDir).limit(1000).count()
     } catch { case _: Throwable => () }
 
-    // optional comma-separated subset for local iteration
+  /** reps timed runs of one query in the given session; median seconds, or
+    * -1.0 if every rep failed. Cache cleared between reps so a query that
+    * caches its inputs cannot have runs 2-3 served from run 1's cache.
+    */
+  def timeQuery(spark: SparkSession, sfDir: String, name: String, reps: Int): Double = {
+    val qs = SparkEntry.queries
+    val times = (1 to reps).flatMap { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { qs(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+      }
+    }
+    if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+  }
+
+  private def selectedQueries(): Seq[String] = {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
-      val times = (1 to reps).flatMap { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
-        }
-      }
-      val median =
-        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      name -> median
-    }
+    headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
+  }
+
+  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+  }
+
+  /** Fork one fresh JVM for `name`; parse the child's JSON line. The child
+    * inherits this JVM's exact classpath (sbt `run / fork := true` puts the
+    * full path in java.class.path) and the same -Xmx, so parent-mode and
+    * child-mode measurements are comparable.
+    */
+  private def forkOne(name: String, sfDir: String, reps: Int, cpus: String): Double = {
+    val java = new File(new File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+    val cmd: Seq[String] =
+      Seq(java) ++ jdk17AddOpens ++ Seq(
+        xmx,
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchChild", name, sfDir, reps.toString, cpus)
+    val out = File.createTempFile(s"bench_$name", ".out")
+    out.deleteOnExit()
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(out)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_MIN", "20").toLong
+    val finished = proc.waitFor(timeoutMin, TimeUnit.MINUTES)
+    if (!finished) {
+      proc.destroyForcibly()
+      System.err.println(s"[bench] $name: child timed out after $timeoutMin min")
+      return -1.0
+    }
+    val lines = scala.io.Source.fromFile(out)
+    val median =
+      try {
+        lines.getLines().toSeq.reverse
+          .collectFirst { case l if l.startsWith("""{"name":""") =>
+            l.split(""""median":""")(1).takeWhile(c => c != '}' && c != ',').toDouble
+          }.getOrElse {
+            System.err.println(s"[bench] $name: no result line (exit ${proc.exitValue()})")
+            -1.0
+          }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name: parse failed: ${e.getMessage}"); -1.0
+      } finally lines.close()
+    out.delete()
+    median
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val names = selectedQueries()
+
+    val results: Seq[(String, Double)] =
+      if (fork) {
+        names.zipWithIndex.map { case (name, i) =>
+          System.err.println(s"[bench] (${i + 1}/${names.size}) forking $name")
+          name -> forkOne(name, sfDir, reps, cpus)
+        }
+      } else {
+        val spark = benchSession(cpus)
+        warmup(spark, sfDir)
+        val rs = names.map(name => name -> timeQuery(spark, sfDir, name, reps))
+        spark.stop()
+        rs
+      }
+    emit(results, sfDir)
+  }
+}
+
+/** Child process entry: measures exactly ONE headline query in a fresh JVM
+  * and prints one JSON line {"name":"…","median":…}. See Bench scaladoc for
+  * why process isolation is required for adjudicable numbers.
+  */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, repsS, cpus) = args
+    val spark = Bench.benchSession(cpus)
+    Bench.warmup(spark, sfDir)
+    val median = Bench.timeQuery(spark, sfDir, name, repsS.toInt)
+    println(s"""{"name":"$name","median":$median}""")
     spark.stop()
+    // Structured-streaming queries leave non-daemon threads behind in some
+    // shutdown orders; the measurement is printed, so a hard exit is safe
+    // and keeps the parent's per-child wall time bounded.
+    sys.exit(if (median >= 0) 0 else 1)
   }
 }
