@@ -448,6 +448,18 @@ object SparkEntry {
       m.predict(i, k = 5)
         .select(F.col("query_id"), F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
+    "model_nearest_items" -> ((s, d) => {
+      // item-to-item "similar items" query (reference get_nearest_items,
+      // base_rec.py:709-777 / base_neighbour_rec.py:144-188): anchors =
+      // items ≤ 50, candidates restricted to even ids BEFORE the top-k
+      // crop, tie-break (similarity DESC, neighbour DESC) per the
+      // reference wrap (base_rec.py:653-658)
+      val i = Tables.interactions(s, d)
+      val m = new models.ItemKNN(numNeighbours = 5).fit(i)
+      val anchors = i.select("item_id").filter(F.col("item_id") <= 50)
+      val cands = i.select("item_id").filter(F.col("item_id") % 2 === 0)
+      m.getNearestItems(anchors, k = 3, candidates = Some(cands))
+    }),
     "model_pop_rec_items" -> ((s, d) => {
       // candidate-restricted predict (reference _predict_wrap `items` arg,
       // base_rec.py:316-342): catalog filtered BEFORE the rank crop
@@ -1811,6 +1823,36 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_nearest_items" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |filt AS (
+         |  SELECT * FROM top_sims
+         |  WHERE item_one <= 50 AND item_two % 2 = 0)
+         |SELECT item_one AS item_id, item_two AS neighbour_item_id, similarity
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY item_one ORDER BY similarity DESC, item_two DESC) AS rn
+         |  FROM filt) WHERE rn <= 3""".stripMargin,
     // bm25 weights mirrored term-by-term (same operand order as
     // ItemKNN.reweight); sims rounded to 9 before ranking, 6 on output.
     "model_item_knn_bm25" ->

@@ -79,6 +79,24 @@ final class AssociationRules(
         F.col("consequent").as("item_two"),
         F.col("lift").as("similarity")))
   }
+
+  /** Association metrics valid for item-to-item queries
+    * (association_rules.py:106-111). */
+  val itemToItemMetrics: Seq[String] = Seq("lift", "confidence_gain")
+
+  /** Top-k associated items per anchor by `lift` or `confidence_gain`,
+    * from the FULL rule table — not the numNeighbours-cropped similarity
+    * state (reference association_rules.py:297-355 queries
+    * self.similarity, which it materializes uncropped). */
+  def getNearestItems(items: DataFrame, k: Int, metric: String,
+      candidates: Option[DataFrame]): DataFrame = {
+    require(itemToItemMetrics.contains(metric),
+      s"metric must be one of ${itemToItemMetrics.mkString(", ")}: got $metric")
+    NearestItems.fromSimilarity(
+      rules.select(F.col("antecedent").as("item_one"),
+        F.col("consequent").as("item_two"), F.col(metric)),
+      cols.item, items, k, candidates, relCol = metric)
+  }
 }
 
 /** Main + fallback recommender (reference: replay/scenarios/fallback.py:13-120):

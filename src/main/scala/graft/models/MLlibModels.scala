@@ -73,6 +73,20 @@ final class ALSRec(
 
   def userFactors: DataFrame = model.userFactors
   def itemFactors: DataFrame = model.itemFactors
+
+  /** Item factors as `(item, vec)` for item-to-item queries (reference
+    * `_get_item_vectors`, als.py / base_rec.py:703-707). */
+  def itemVectorsDF: DataFrame = model.itemFactors.select(
+    F.col("id").cast("long").as(cols.item),
+    F.col("features").cast("array<double>").as("vec"))
+
+  /** Top-k similar items per anchor by factor-space metric (reference
+    * ItemVectorModel.get_nearest_items, base_rec.py:709-777). */
+  def getNearestItems(items: DataFrame, k: Int,
+      metric: String = "cosine_similarity",
+      candidates: Option[DataFrame] = None): DataFrame =
+    NearestItems.fromVectors(itemVectorsDF, cols.item, "vec", items, k,
+      metric, candidates)
 }
 
 /** Word2Vec item-embedding recommender
@@ -196,6 +210,14 @@ final class Word2VecRec(
       .join(itemVectors.withColumnRenamed("vec", "_iv"), Seq(cols.item))
       .select(F.col(cols.query), F.col(cols.item),
         AnnIndex.dot(F.col("vec"), F.col("_iv")).as(cols.rating))
+
+  /** Top-k similar items per anchor by embedding-space metric (reference
+    * ItemVectorModel.get_nearest_items, base_rec.py:709-777). */
+  def getNearestItems(items: DataFrame, k: Int,
+      metric: String = "cosine_similarity",
+      candidates: Option[DataFrame] = None): DataFrame =
+    NearestItems.fromVectors(itemVectors, cols.item, "vec", items, k,
+      metric, candidates)
 }
 
 /** KMeans cluster recommender (reference: replay/models/cluster.py:43-120):

@@ -409,4 +409,12 @@ abstract class NeighbourRec(cols: RecCols = RecCols()) extends BaseRecommender(c
     pairs.join(scores, Seq(cols.query, cols.item), "left")
       .withColumn(cols.rating, F.coalesce(F.col(cols.rating), F.lit(0.0)))
   }
+
+  /** Top-k similar items per anchor from the materialized similarity table
+    * (reference base_neighbour_rec.py:144-188 — the metric argument is not
+    * used by neighbour models: the table's own similarity IS the metric).
+    */
+  def getNearestItems(items: DataFrame, k: Int,
+      candidates: Option[DataFrame] = None): DataFrame =
+    NearestItems.fromSimilarity(similarity, cols.item, items, k, candidates)
 }
