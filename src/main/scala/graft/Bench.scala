@@ -51,7 +51,8 @@ object Bench {
     "sequence_pad", "grid_search_budget",
     "dedup_exact", "dedup_minhash", "text_stats", "text_unigram_logprob",
     "text_contamination", "mixture_sample",
-    "embed_cosine_topk", "embed_lsh_neardup", "pack_sequences",
+    "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",
+    "pack_sequences",
     "streaming_session_window", "streaming_top_k", "streaming_dedup",
     "multimodal_decode",
   )

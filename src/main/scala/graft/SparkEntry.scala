@@ -1076,9 +1076,23 @@ object SparkEntry {
         emb.filter(F.col("vec_id") < 10), emb, k = 5)
     }),
     "embed_lsh_neardup" -> ((s, d) => {
-      // portable-md5 hyperplanes — the oracle interpolates the same planes
+      // portable-md5 hyperplanes — the oracle interpolates the same planes.
+      // planes=4 is an ORACLE-TRACTABILITY setting (32 SQL plane
+      // interpolations), not the production shape — see the _prod row.
       graft.text.Similarity.lshNearDup(Tables.embeddings(s, d),
         threshold = 0.2, planes = 4, tables = 8)
+    }),
+    "embed_lsh_neardup_prod" -> ((s, d) => {
+      // PRODUCTION plane count (planesFor(2000)=13; 12 is the operator
+      // default): 2^12 buckets per table keeps candidate pairs ~n·2⁻¹
+      // instead of the toy setting's n²/32. threshold=-1 keeps every
+      // verified candidate pair, so the row measures the full pipeline
+      // (96 projections/vector → bucket join → id-distinct → vector
+      // rejoin → exact cosine) without depending on corpus near-dup
+      // recall for a non-empty result. Rows-only gate; the planes=4 twin
+      // above carries the full DuckDB oracle for the same code path.
+      graft.text.Similarity.lshNearDup(Tables.embeddings(s, d),
+        threshold = -1.0, planes = 12, tables = 8)
     }),
     "embed_ivf_search" -> ((s, d) => {
       // KMeans-backed IVF — model-driven, rows-only (recall vs brute

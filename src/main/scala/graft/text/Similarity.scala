@@ -81,16 +81,75 @@ object Similarity {
       .select(F.col(idCol), F.col(vecCol),
         F.col("_b.tbl").as("tbl"), F.col("_b.bkt").as("bkt"))
 
+  /** Plane count that keeps the candidate-pair volume SUBLINEAR in the
+    * corpus size. With near-uniform sign buckets, expected candidate pairs
+    * per table ≈ n²/2^(planes+1); at planes = ⌈log₂ n⌉ + margin that is
+    * ≤ n/2^(margin+1) — the bucket-join shuffle then scales with n, not
+    * n². margin=2 keeps ≤ n/8 expected pairs per table; raise it for
+    * tighter budgets, lower it (or add tables) for higher recall. Clamped
+    * to [4, 62]: the bucket key packs one bit per plane into a Long.
+    *
+    * A 10⁹-vector corpus gets planes = 30+2 = 32 — NOT the planes=4 toy
+    * (16 buckets ⇒ ~n²/32 pairs per table ≈ all-pairs at that n), which is
+    * only tractable as a small-n oracle configuration. */
+  def planesFor(n: Long, margin: Int = 2): Int = {
+    require(n > 0, s"corpus size must be positive: $n")
+    val log2n = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt
+    math.min(62, math.max(4, log2n + margin))
+  }
+
+  /** Per-table LSH candidate-pair counts for a bucket configuration —
+    * the occupancy audit: Σ_buckets occ·(occ−1)/2 per table. One
+    * aggregation over n·tables id rows; run it (or rely on the guard in
+    * [[lshNearDup]]) before committing a plane count to a large corpus. */
+  def lshCandidateStats(vectors: DataFrame, planes: Int, tables: Int,
+      dims: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    signBuckets(vectors, idCol, vecCol, planes, tables, dims)
+      .groupBy("tbl", "bkt").agg(F.count(F.lit(1)).as("_occ"))
+      .groupBy("tbl").agg(
+        F.sum(F.col("_occ") * (F.col("_occ") - 1) / 2).cast("long")
+          .as("candidate_pairs"),
+        F.max("_occ").as("max_bucket"),
+        F.count(F.lit(1)).as("nonempty_buckets"))
+
   /** Candidate pairs from `tables` independent sign-LSH tables, then exact
-    * cosine on candidates only; returns pairs with cosine >= threshold. */
+    * cosine on candidates only; returns pairs with cosine >= threshold.
+    *
+    * `guardOccupancy` (on by default) audits the bucket histogram before
+    * the pair join and logs a stderr warning when the expected candidate
+    * pairs exceed `guardFactor`·n in any table — the signature of a plane
+    * count too small for the corpus (the join would degrade toward
+    * all-pairs). The audit is one extra aggregation over the (id, tbl,
+    * bkt) frame — O(n·tables) narrow rows, cached for reuse by the join
+    * itself — so the guard costs a scan, never a shuffle of pairs. */
   def lshNearDup(vectors: DataFrame, threshold: Double, planes: Int = 12,
       tables: Int = 4, dims: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", guardOccupancy: Boolean = true,
+      guardFactor: Double = 4.0): DataFrame = {
     // bucket join and multi-table dedup on bare ids — a vector-carrying
     // distinct would shuffle 2·dims doubles per candidate pair; vectors
     // rejoin after the dedup for the exact cosine verification
-    val buckets = signBuckets(vectors, idCol, vecCol, planes, tables, dims)
+    val buckets0 = signBuckets(vectors, idCol, vecCol, planes, tables, dims)
       .select(F.col(idCol), F.col("tbl"), F.col("bkt"))
+    // the guard consumes the bucket frame once before the pair join does —
+    // cache it so the hyperplane projections are computed a single time
+    val buckets = if (guardOccupancy) buckets0.cache() else buckets0
+    if (guardOccupancy) {
+      val stats = buckets.groupBy("tbl", "bkt").agg(F.count(F.lit(1)).as("_occ"))
+        .groupBy("tbl")
+        .agg(F.sum(F.col("_occ") * (F.col("_occ") - 1) / 2).as("_pairs"),
+          F.sum("_occ").as("_n"))
+        .agg(F.max("_pairs").as("_worst"), F.max("_n").as("_n"))
+        .first()
+      val worstPairs = Option(stats.get(0)).fold(0.0)(_.toString.toDouble)
+      val n = Option(stats.get(1)).fold(0L)(_.toString.toLong)
+      if (n > 0 && worstPairs > guardFactor * n)
+        System.err.println(
+          f"[graft.lsh] WARN occupancy: planes=$planes yields ~$worstPairs%.0f " +
+            f"candidate pairs in the worst table for n=$n vectors " +
+            f"(> $guardFactor%.1f×n); use planes >= planesFor(n) = ${planesFor(n)}")
+    }
     val pairIds = buckets.select(F.col(idCol).as("id_a"), F.col("tbl"), F.col("bkt"))
       .join(buckets.select(F.col(idCol).as("id_b"), F.col("tbl"), F.col("bkt")),
         Seq("tbl", "bkt"))

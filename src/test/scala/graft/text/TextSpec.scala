@@ -113,6 +113,50 @@ class TextSpec extends SparkSpec {
     assert(ivf.intersect(bf).size >= 8)
   }
 
+  test("planesFor scales with log2(n) and clamps to the Long bucket key") {
+    assert(Similarity.planesFor(2000) == 13)       // ceil(log2 2000)=11, +2
+    assert(Similarity.planesFor(1000000000L) == 32)
+    assert(Similarity.planesFor(1) == 4)           // floor clamp
+    assert(Similarity.planesFor(Long.MaxValue / 2) == 62) // bucket-key cap
+    assert(Similarity.planesFor(2000, margin = 4) == 15)
+  }
+
+  test("LSH candidate volume stays near-linear when planes follow planesFor") {
+    // 4× the corpus with planes = planesFor(n) must grow candidates far
+    // slower than the quadratic 16× a FIXED plane count would give —
+    // the occupancy contract a 100 TB caller relies on
+    // dims must exceed the plane count for sign cells to stay near-uniform
+    // (planes > dims in a low-dim space collapse into correlated cells)
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(n: Int, planes: Int): Long =
+      Similarity.lshCandidateStats(corpus(n), planes, tables = 2, dims = 16)
+        .agg(F.sum("candidate_pairs")).as[Long].head()
+    val small = pairs(512, Similarity.planesFor(512))    // planes=11
+    val large = pairs(2048, Similarity.planesFor(2048))  // planes=13
+    assert(small > 0, "sanity: some candidates at n=512")
+    assert(large < 8 * math.max(small, 1),
+      s"4x corpus must stay near-linear: $small -> $large")
+    // the same 4x corpus under the SMALL-n plane count grows quadratically
+    val unscaled = pairs(2048, Similarity.planesFor(512))
+    assert(unscaled > large, "fixed planes must produce more candidates")
+  }
+
+  test("occupancy guard does not change lshNearDup results") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f * i, 0f, 0f)
+                 else Array(0f, 0f, 1.0f, 0.1f * i)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    def run(guard: Boolean) =
+      Similarity.lshNearDup(vecs, threshold = 0.5, planes = 4, tables = 2,
+        dims = 4, guardOccupancy = guard)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(true) == run(false))
+  }
+
   test("multimodal decode stub: expression and mapPartitions paths agree") {
     import graft.multimodal.Multimodal
     val assets = Multimodal.fakeAssets(docs, "doc_id", "text")
