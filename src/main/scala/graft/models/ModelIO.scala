@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths}
   * with its ANN config where applicable (reference round-trips every model,
   * model_handler.py:42-118). */
 object ModelIO {
-  private def writeJson(path: String, fields: Map[String, String]): Unit = {
+  private[graft] def writeJson(path: String, fields: Map[String, String]): Unit = {
     val body = fields.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
@@ -23,7 +23,7 @@ object ModelIO {
     Files.writeString(Paths.get(s"$path/params.json"), body)
   }
 
-  private def readJson(path: String): Map[String, String] = {
+  private[graft] def readJson(path: String): Map[String, String] = {
     val raw = Files.readString(Paths.get(s"$path/params.json"))
     """"([^"]+)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(raw)
       .map(m => m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\"))
