@@ -80,6 +80,23 @@ final class AssociationRules(
         F.col("lift").as("similarity")))
   }
 
+  /** Reference association_rules.py:110-118: min_item_count / min_pair_count
+    * int [3,10], num_neighbours int [300,2000]. (use_rating and
+    * similarity_metric are categorical knobs this engine fixes to the
+    * distinct-pair / lift semantics its oracle pins.) */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "min_item_count" -> (3.0, 10.0), "min_pair_count" -> (3.0, 10.0),
+    "num_neighbours" -> (300.0, 2000.0))
+
+  override def withParams(p: Map[String, Double]): AssociationRules =
+    new AssociationRules(
+      sessionCol,
+      minItemCount = p.get("min_item_count").map(math.round).getOrElse(minItemCount),
+      minPairCount = p.get("min_pair_count").map(math.round).getOrElse(minPairCount),
+      numNeighbours = p.get("num_neighbours").map(v => math.round(v).toInt)
+        .getOrElse(numNeighbours),
+      cols)
+
   /** Association metrics valid for item-to-item queries
     * (association_rules.py:106-111). */
   val itemToItemMetrics: Seq[String] = Seq("lift", "confidence_gain")

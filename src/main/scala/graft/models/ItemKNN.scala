@@ -126,4 +126,19 @@ final class ItemKNN(
     materialize(graft.core.Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
   }
+
+  /** Reference knn.py:32-37: num_neighbours int [1,100], shrink int
+    * [0,100], weighting categorical [None, tf_idf, bm25] (index-encoded). */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "num_neighbours" -> (1.0, 100.0), "shrink" -> (0.0, 100.0),
+    "weighting" -> (0.0, 3.0))
+
+  override def withParams(p: Map[String, Double]): ItemKNN = new ItemKNN(
+    numNeighbours = p.get("num_neighbours").map(v => math.round(v).toInt)
+      .getOrElse(numNeighbours),
+    shrink = p.get("shrink").map(v => math.round(v).toDouble).getOrElse(shrink),
+    weighting = p.get("weighting").map(v =>
+      Seq(None, Some("tf_idf"), Some("bm25"))(math.min(2, v.floor.toInt)))
+      .getOrElse(weighting),
+    maxUserHistory, bm25K1, bm25B, cols)
 }

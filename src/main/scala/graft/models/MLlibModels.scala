@@ -87,6 +87,14 @@ final class ALSRec(
       candidates: Option[DataFrame] = None): DataFrame =
     NearestItems.fromVectors(itemVectorsDF, cols.item, "vec", items, k,
       metric, candidates)
+
+  /** Reference als.py:22-24: rank ~ loguniform_int [8, 256] (ln-space). */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "rank" -> (math.log(8.0), math.log(256.0)))
+
+  override def withParams(p: Map[String, Double]): ALSRec = new ALSRec(
+    rank = p.get("rank").map(v => math.round(math.exp(v)).toInt).getOrElse(rank),
+    maxIter, regParam, implicitPrefs, seed, ann, cols)
 }
 
 /** Word2Vec item-embedding recommender
@@ -218,6 +226,19 @@ final class Word2VecRec(
       candidates: Option[DataFrame] = None): DataFrame =
     NearestItems.fromVectors(itemVectors, cols.item, "vec", items, k,
       metric, candidates)
+
+  /** Reference word2vec.py:52-56: rank int [50,300] (= vectorSize),
+    * window_size int [1,100], use_idf categorical (index-encoded). */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "rank" -> (50.0, 300.0), "window_size" -> (1.0, 100.0),
+    "use_idf" -> (0.0, 2.0))
+
+  override def withParams(p: Map[String, Double]): Word2VecRec = new Word2VecRec(
+    vectorSize = p.get("rank").map(v => math.round(v).toInt).getOrElse(vectorSize),
+    minCount,
+    window = p.get("window_size").map(v => math.round(v).toInt).getOrElse(window),
+    useIdf = p.get("use_idf").map(_.floor >= 1.0).getOrElse(useIdf),
+    seed, ann, numPartitions, cols)
 }
 
 /** KMeans cluster recommender (reference: replay/models/cluster.py:43-120):

@@ -129,4 +129,17 @@ final class RandomRec(
         F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(coldFill)))
       .drop("_w")
   }
+
+  /** Reference random_rec.py:123-129: distribution categorical
+    * [popular, relevance, uniform] (index-encoded, reference order),
+    * alpha uniform [-0.5, 100]. */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "distribution" -> (0.0, 3.0), "alpha" -> (-0.5, 100.0))
+
+  override def withParams(p: Map[String, Double]): RandomRec = new RandomRec(
+    distribution = p.get("distribution").map(v =>
+      Seq("popular", "relevance", "uniform")(math.min(2, v.floor.toInt)))
+      .getOrElse(distribution),
+    alpha = p.getOrElse("alpha", alpha),
+    seed, addColdItems, coldWeight, hashMode, cols)
 }

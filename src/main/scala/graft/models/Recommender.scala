@@ -106,6 +106,38 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
   /** Score explicit (query, item) pairs (reference predict_pairs,
     * base_rec.py:502-603). Default: join pair keys onto the full score. */
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame
+
+  /** Default hyperparameter search space (reference `_search_space` —
+    * als.py:22, knn.py:32, slim.py:29, word2vec.py:52, random_rec.py:123,
+    * association_rules.py:110), expressed as uniform-draw borders for
+    * [[graft.metrics.RandomSearch]]. Conventions, decoded by
+    * [[withParams]]: integer params round at build time; log-scale params
+    * store ln-space borders; categorical params store a [0, nOptions)
+    * index range (uniform draw + floor = uniform choice). Empty = nothing
+    * to tune. */
+  def searchBorders: Map[String, (Double, Double)] = Map.empty
+
+  /** A fresh UNFITTED copy of this model with the drawn params applied
+    * (per the [[searchBorders]] encoding); config not named in `params`
+    * is inherited from this instance. */
+  def withParams(params: Map[String, Double]): BaseRecommender =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no default search space")
+
+  /** `model.optimize(train, test, budget)` — the reference's zero-config
+    * tuning surface (optuna_mixin.py:167-244 with `param_borders=None`
+    * falling back to the model's own `_search_space`), driven by the
+    * engine's budgeted seeded RandomSearch. Returns the best trial. */
+  def optimize(train: DataFrame, test: DataFrame,
+      paramBorders: Option[Map[String, (Double, Double)]] = None,
+      metric: String = "ndcg", k: Int = 10, budget: Int = 10,
+      seed: Long = 42): graft.metrics.GridSearch.Trial = {
+    val borders = paramBorders.getOrElse(searchBorders)
+    require(borders.nonEmpty,
+      s"${getClass.getSimpleName} has no default search space; pass paramBorders")
+    graft.metrics.RandomSearch.best(graft.metrics.RandomSearch.search(
+      borders, withParams, train, test, metric, k, budget, seed, cols))
+  }
 }
 
 /** Models whose state is a single item-popularity table — every query gets

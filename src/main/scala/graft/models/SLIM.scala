@@ -244,4 +244,15 @@ final class SLIM(
       }
       .toDF("item_one", "item_two", "similarity")
   }
+
+  /** Reference slim.py:29-32: beta (L2) ~ loguniform [1e-6, 5],
+    * lambda_ (L1) ~ loguniform [1e-6, 2] — ln-space borders. */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "beta" -> (math.log(1e-6), math.log(5.0)),
+    "lambda_" -> (math.log(1e-6), math.log(2.0)))
+
+  override def withParams(p: Map[String, Double]): SLIM = new SLIM(
+    l1 = p.get("lambda_").map(math.exp).getOrElse(l1),
+    l2 = p.get("beta").map(math.exp).getOrElse(l2),
+    maxIter, tol, maxNeighbours, maxCollectEntries, distributedFallback, cols)
 }
