@@ -109,9 +109,22 @@ object Bench {
   /** reps timed runs of one query in the given session; median seconds, or
     * -1.0 if every rep failed. Cache cleared between reps so a query that
     * caches its inputs cannot have runs 2-3 served from run 1's cache.
+    *
+    * One UNTIMED warmup rep of the query itself runs first (knob
+    * SPARK_GRAFT_BENCH_WARMUP, default 1): a fresh-per-query JVM measures
+    * cold JIT on its first pass — 20-30% on expression-heavy rows — which
+    * is startup cost, not query cost; the timed reps then measure
+    * steady-state. (The generic session warmup in [[warmup]] cannot reach
+    * query-specific codegen paths.)
     */
   def timeQuery(spark: SparkSession, sfDir: String, name: String, reps: Int): Double = {
     val qs = SparkEntry.queries
+    val warmupReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    (1 to warmupReps).foreach { _ =>
+      spark.catalog.clearCache()
+      try qs(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val times = (1 to reps).flatMap { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

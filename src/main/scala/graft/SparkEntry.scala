@@ -2103,7 +2103,7 @@ object SparkEntry {
     "time_smoothing_decay" -> {
       val base = math.exp(math.log(0.5) / 30.0)
       s"""$interactionsSql,
-         |secs AS (SELECT *, CAST(epoch_us(CAST(timestamp AS TIMESTAMP)) / 1000000 AS BIGINT) AS s
+         |secs AS (SELECT *, CAST(floor(epoch_us(CAST(timestamp AS TIMESTAMP)) / 1000000) AS BIGINT) AS s
          |         FROM interactions),
          |mx AS (SELECT max(s) AS m FROM secs)
          |SELECT query_id, item_id, session_id,
@@ -2118,7 +2118,7 @@ object SparkEntry {
       val expo = math.log(0.5) / math.log(30.0)
       s"""$interactionsSql,
          |it AS (SELECT item_id,
-         |         CAST(floor(avg(epoch_us(CAST(timestamp AS TIMESTAMP)) / 1000000)) AS BIGINT) AS s
+         |         CAST(floor(avg(floor(epoch_us(CAST(timestamp AS TIMESTAMP)) / 1000000))) AS BIGINT) AS s
          |       FROM interactions GROUP BY 1),
          |mx AS (SELECT max(s) AS m FROM it)
          |SELECT item_id,

@@ -30,6 +30,21 @@ object ModelIO {
       .toMap
   }
 
+  /** Column-role names ⇄ JSON fields. A model fit with non-default RecCols
+    * must load with the SAME roles — loaders that fell back to defaults
+    * produced frames whose predict referenced columns that don't exist in
+    * the persisted state (loadClusterRec even repartitioned on the default
+    * query column). */
+  private def colsFields(c: RecCols): Map[String, String] = Map(
+    "col_query" -> c.query, "col_item" -> c.item,
+    "col_rating" -> c.rating, "col_ts" -> c.ts)
+
+  private def colsOf(p: Map[String, String]): RecCols = RecCols(
+    query = p.getOrElse("col_query", RecCols().query),
+    item = p.getOrElse("col_item", RecCols().item),
+    rating = p.getOrElse("col_rating", RecCols().rating),
+    ts = p.getOrElse("col_ts", RecCols().ts))
+
   /** ANN config ⇄ string. The IVF seed is persisted (a non-default seed
     * must survive the round trip — the rebuilt candidate sets depend on
     * it); legacy 3-part `ivf:c:p` strings parse with the default seed. */
@@ -221,14 +236,26 @@ object ModelIO {
     writeJson(path, Map("kind" -> "word2vec", "ann" -> annString(m.ann)))
     m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
     m.userVectors.write.mode("overwrite").parquet(s"$path/user_vectors")
-    for {
+    val centroids = for {
       ivf <- m.ann.collect { case i: IvfAnn => i }
       cents <- ivf.centroidArrays
-    } {
-      val spark = m.itemVectors.sparkSession
-      spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
-        .toDF("_centroid", "_cvec")
-        .write.mode("overwrite").parquet(s"$path/ivf_centroids")
+    } yield cents
+    centroids match {
+      case Some(cents) =>
+        val spark = m.itemVectors.sparkSession
+        spark.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+          .toDF("_centroid", "_cvec")
+          .write.mode("overwrite").parquet(s"$path/ivf_centroids")
+      case None =>
+        // re-saving a centroid-less model over a path that previously had
+        // a trained quantizer must not leave the stale parquet behind —
+        // a later load would silently rebuild from the OLD centroids
+        val stale = Paths.get(s"$path/ivf_centroids")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.delete(p))
+        }
     }
   }
 
@@ -258,13 +285,14 @@ object ModelIO {
 
   /** QueryPopRec's inference state is the per-(query, item) share table. */
   def saveQueryPop(m: QueryPopRec, path: String): Unit = {
-    writeJson(path, Map("kind" -> "query_pop"))
+    writeJson(path, Map("kind" -> "query_pop") ++ colsFields(m.cols))
     m.queryProfile.write.mode("overwrite").parquet(s"$path/query_profile")
   }
 
   def loadQueryPop(spark: SparkSession, path: String): QueryPopRec = {
-    require(readJson(path)("kind") == "query_pop", s"not a QueryPopRec at $path")
-    val m = new QueryPopRec()
+    val p = readJson(path)
+    require(p("kind") == "query_pop", s"not a QueryPopRec at $path")
+    val m = new QueryPopRec(colsOf(p))
     m.queryProfile = spark.read.parquet(s"$path/query_profile").cache()
     m.fitQueriesDf = m.queryProfile.select(m.cols.query).distinct()
     m.fitItemsDf = m.queryProfile.select(m.cols.item).distinct()
@@ -280,7 +308,8 @@ object ModelIO {
     writeJson(path, Map("kind" -> "random_rec",
       "distribution" -> m.distribution, "alpha" -> m.alpha.toString,
       "seed" -> m.seed.toString, "addColdItems" -> m.addColdItems.toString,
-      "coldWeight" -> m.coldWeight.toString, "hashMode" -> m.hashMode))
+      "coldWeight" -> m.coldWeight.toString, "hashMode" -> m.hashMode)
+      ++ colsFields(m.cols))
     m.itemWeights.write.mode("overwrite").parquet(s"$path/item_weights")
   }
 
@@ -293,7 +322,7 @@ object ModelIO {
       seed = p.getOrElse("seed", "42").toLong,
       addColdItems = p.getOrElse("addColdItems", "true").toBoolean,
       coldWeight = p.getOrElse("coldWeight", "0.5").toDouble,
-      hashMode = p.getOrElse("hashMode", "portable"))
+      hashMode = p.getOrElse("hashMode", "portable"), cols = colsOf(p))
     m.itemWeights = spark.read.parquet(s"$path/item_weights").cache()
     m.fitItemsDf = m.itemWeights.select(m.cols.item)
     m
@@ -305,7 +334,7 @@ object ModelIO {
     * per-leaf item counts — predict never consults the raw tree, so the
     * loaded model reconstructs neither catTree nor itemCats. */
   def saveCatPopRec(m: CatPopRec, path: String): Unit = {
-    writeJson(path, Map("kind" -> "cat_pop_rec"))
+    writeJson(path, Map("kind" -> "cat_pop_rec") ++ colsFields(m.cols))
     m.leafClosure.write.mode("overwrite").parquet(s"$path/leaf_closure")
     m.leafItemCounts.write.mode("overwrite").parquet(s"$path/leaf_item_counts")
   }
@@ -314,7 +343,7 @@ object ModelIO {
     val p = readJson(path)
     require(p("kind") == "cat_pop_rec", s"not a CatPopRec at $path")
     // tree/itemCats deliberately absent: both are fit-time-only inputs
-    val m = new CatPopRec(null, null)
+    val m = new CatPopRec(null, null, colsOf(p))
     m.setClosure(spark.read.parquet(s"$path/leaf_closure").cache())
     m.leafItemCounts = spark.read.parquet(s"$path/leaf_item_counts").cache()
     m
@@ -328,7 +357,8 @@ object ModelIO {
     * every model, cluster.py included). */
   def saveClusterRec(m: ClusterRec, path: String): Unit = {
     writeJson(path, Map("kind" -> "cluster",
-      "nClusters" -> m.nClusters.toString, "seed" -> m.seed.toString))
+      "nClusters" -> m.nClusters.toString, "seed" -> m.seed.toString)
+      ++ colsFields(m.cols))
     m.queryClusters.write.mode("overwrite").parquet(s"$path/query_clusters")
     m.clusterItems.write.mode("overwrite").parquet(s"$path/cluster_items")
   }
@@ -337,7 +367,7 @@ object ModelIO {
     val p = readJson(path)
     require(p("kind") == "cluster", s"not a ClusterRec at $path")
     val m = new ClusterRec(nClusters = p.getOrElse("nClusters", "10").toInt,
-      seed = p.getOrElse("seed", "42").toLong)
+      seed = p.getOrElse("seed", "42").toLong, cols = colsOf(p))
     // same repartition-before-cache rationale as fit: predict fans queries
     // out to the per-cluster catalog, so a 1-partition parquet scan would
     // serialize the whole expansion into one task
@@ -355,7 +385,7 @@ object ModelIO {
   def saveLinUCB(m: LinUCB, path: String): Unit = {
     writeJson(path, Map("kind" -> "linucb",
       "alpha" -> m.alpha.toString, "lambdaReg" -> m.lambdaReg.toString,
-      "dim" -> m.dimension.toString))
+      "dim" -> m.dimension.toString) ++ colsFields(m.cols))
     m.armState.write.mode("overwrite").parquet(s"$path/arm_state")
   }
 
@@ -363,7 +393,7 @@ object ModelIO {
     val p = readJson(path)
     require(p("kind") == "linucb", s"not a LinUCB at $path")
     val m = new LinUCB(alpha = p.getOrElse("alpha", "1.0").toDouble,
-      lambdaReg = p.getOrElse("lambdaReg", "1.0").toDouble)
+      lambdaReg = p.getOrElse("lambdaReg", "1.0").toDouble, cols = colsOf(p))
     m.setDimension(p("dim").toInt)
     m.armState = spark.read.parquet(s"$path/arm_state").cache()
     m

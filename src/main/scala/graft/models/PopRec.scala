@@ -61,7 +61,7 @@ final class QueryPopRec(cols: RecCols = RecCols()) extends BaseRecommender(cols)
 final class CatPopRec(
     catTree: DataFrame,   // (category, parent_cat); roots have null parent
     itemCats: DataFrame,  // (item_id, category)
-    cols: RecCols = RecCols(),
+    val cols: RecCols = RecCols(),
 ) extends Serializable {
   import org.apache.spark.sql.functions.col
 

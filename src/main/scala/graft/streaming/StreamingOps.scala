@@ -166,8 +166,12 @@ object StreamingOps {
             val t = e.ts.getTime
             if (open == null) open = OpenSession(t, t, 1L, e.value)
             else if (t - open.last >= gapMs) {
+              // HALF_UP, matching the batch twin's F.round(sum, 2)
+              // (math.rint is half-even: sums landing exactly on a .005
+              // boundary would diverge between the twins)
               closed += SessionOut(user, open.start, open.n,
-                math.rint(open.sum * 100) / 100)
+                BigDecimal(open.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
               open = OpenSession(t, t, 1L, e.value)
             } else open = OpenSession(open.start, t, open.n + 1, open.sum + e.value)
           }

@@ -437,6 +437,62 @@ class ModelIOSpec extends graft.SparkSpec {
     assert(a == b)
   }
 
+  test("re-saving a centroid-less Word2Vec clears a stale ivf_centroids dir") {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    // 12 items over enough users: |items| >= 4*nCentroids trains the IVF
+    val big = (0L until 8L).flatMap(q => (0L until 12L).filter(i => (q + i) % 2 == 0)
+      .map(i => (q, i, 1.0))).toDF("query_id", "item_id", "rating")
+      .withColumn("timestamp", to_timestamp(lit("2024-01-01 10:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("w2v_stale").toString
+    val trained = new Word2VecRec(vectorSize = 4,
+      ann = Some(new IvfAnn(nCentroids = 2, nProbe = 1))).fit(big)
+    ModelIO.saveWord2Vec(trained, dir)
+    val centDir = java.nio.file.Paths.get(s"$dir/ivf_centroids")
+    assert(java.nio.file.Files.exists(centDir), "trained IVF must persist centroids")
+    // tiny catalog -> IVF exact fallback, centroidArrays None; re-save to
+    // the SAME path must remove the stale dir or a later load silently
+    // rebuilds from the OLD centroids
+    val tlog = log.withColumn("timestamp", to_timestamp(lit("2024-01-01 10:00:00")))
+    val untrained = new Word2VecRec(vectorSize = 4,
+      ann = Some(new IvfAnn(nCentroids = 2, nProbe = 1))).fit(tlog)
+    ModelIO.saveWord2Vec(untrained, dir)
+    assert(!java.nio.file.Files.exists(centDir), "stale centroid dir must be cleared")
+    assert(ModelIO.loadWord2Vec(spark, dir).predict(tlog, k = 1).count() > 0)
+  }
+
+  test("loaders restore non-default RecCols (QueryPop, RandomRec, ClusterRec)") {
+    import org.apache.spark.sql.functions.lit
+    val c = RecCols(query = "u", item = "i", rating = "r")
+    val clog = Seq((0L, 0L, 1.0), (0L, 1L, 1.0), (1L, 1L, 1.0), (1L, 0L, 1.0))
+      .toDF("u", "i", "r")
+
+    val qp = new QueryPopRec(c).fit(clog)
+    val d1 = java.nio.file.Files.createTempDirectory("qp_cols").toString
+    ModelIO.saveQueryPop(qp, d1)
+    val lqp = ModelIO.loadQueryPop(spark, d1)
+    assert(lqp.cols == c)
+    assert(lqp.predict(clog, k = 1).columns.contains("u"))
+
+    val rr = new RandomRec("uniform", seed = 3, cols = c).fit(clog)
+    val d2 = java.nio.file.Files.createTempDirectory("rr_cols").toString
+    ModelIO.saveRandomRec(rr, d2)
+    val lrr = ModelIO.loadRandomRec(spark, d2)
+    assert(lrr.cols == c)
+    assert(lrr.predict(clog, k = 1).collect().map(_.toSeq).toSet ==
+      rr.predict(clog, k = 1).collect().map(_.toSeq).toSet)
+
+    // loadClusterRec used to repartition on the DEFAULT query column —
+    // an AnalysisException on any model fit with renamed columns
+    val feats = Seq((0L, 0.0, 1.0), (1L, 5.0, 4.0)).toDF("u", "f1", "f2")
+    val cr = new ClusterRec(nClusters = 2, cols = c).fit(clog, feats)
+    val d3 = java.nio.file.Files.createTempDirectory("cr_cols").toString
+    ModelIO.saveClusterRec(cr, d3)
+    val lcr = ModelIO.loadClusterRec(spark, d3)
+    assert(lcr.cols == c)
+    assert(lcr.predict(clog, k = 1).collect().map(_.toSeq).toSet ==
+      cr.predict(clog, k = 1).collect().map(_.toSeq).toSet)
+  }
+
   test("QueryPopRec save/load roundtrip preserves the profile and predictions") {
     val dir = java.nio.file.Files.createTempDirectory("querypop").toString
     val m = new QueryPopRec().fit(log)

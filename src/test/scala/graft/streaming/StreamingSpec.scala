@@ -191,6 +191,26 @@ class StreamingSpec extends SparkSpec {
     assert(closed.subsetOf(batch))
   }
 
+  test("sessionizeWithState rounds HALF_UP like the batch twin's round(sum, 2)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // session sum = 2.125, exactly representable: HALF_UP -> 2.13
+    // (math.rint's half-even gave 2.12, diverging from F.round)
+    val input = MemoryStream[UserEvent]
+    val q = sessionizeWithState(input.toDS(), gapSeconds = 3600)
+      .writeStream.format("memory").queryName("halfup_sessions")
+      .outputMode("append").start()
+    input.addData(
+      UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      UserEvent(1L, ts("2024-01-01 10:10:00"), 1.125),
+      UserEvent(1L, ts("2024-01-01 12:00:00"), 9.0)) // closes the session
+    q.processAllAvailable()
+    val closed = spark.table("halfup_sessions").as[SessionOut].collect()
+    q.stop()
+    assert(closed.toSeq == Seq(
+      SessionOut(1L, ts("2024-01-01 10:00:00").getTime, 2L, 2.13)))
+  }
+
   test("streamingItemStats accumulates (pos, total) across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ItemEvent]
