@@ -1101,6 +1101,13 @@ object SparkEntry {
       new graft.text.IvfIndex(nCentroids = 8, nProbe = 2).fit(emb)
         .search(emb.filter(F.col("vec_id") < 10), k = 5)
     }),
+    "embed_hnsw_search" -> ((s, d) => {
+      // driver-built broadcast HNSW graph (reference hnswlib builder
+      // parity) — model-driven, rows-only; recall/determinism in HnswSpec
+      val emb = Tables.embeddings(s, d)
+      graft.models.HnswAnn.searchNeighbors(
+        emb, emb.filter(F.col("vec_id") < 10), k = 5)
+    }),
     "multimodal_decode" -> ((s, d) => {
       import graft.multimodal.Multimodal
       Multimodal.decodePartitioned(

@@ -51,6 +51,11 @@ object ModelIO {
   private def annString(ann: Option[AnnIndex]): String = ann match {
     case Some(i: IvfAnn) => s"ivf:${i.nCentroids}:${i.nProbe}:${i.seed}"
     case Some(l: LshAnn) => s"lsh:${l.planes}:${l.tables}:${l.dims}"
+    // config-only: the graph rebuilds deterministically from the persisted
+    // item vectors (sorted-id insertion + seeded levels), so unlike IVF's
+    // KMeans there is no trained state to round-trip
+    case Some(h: HnswAnn) =>
+      s"hnsw:${h.m}:${h.efConstruction}:${h.efSearch}:${h.maxCollect}:${h.seed}"
     case Some(other) =>
       throw new IllegalArgumentException(
         s"cannot persist ann index ${other.getClass.getSimpleName}")
@@ -65,6 +70,10 @@ object ModelIO {
     case s if s.startsWith("lsh:") =>
       val p = s.split(":")
       Some(new LshAnn(planes = p(1).toInt, tables = p(2).toInt, dims = p(3).toInt))
+    case s if s.startsWith("hnsw:") =>
+      val p = s.split(":")
+      Some(new HnswAnn(m = p(1).toInt, efConstruction = p(2).toInt,
+        efSearch = p(3).toInt, maxCollect = p(4).toInt, seed = p(5).toLong))
     case _ => None
   }
 
