@@ -29,6 +29,16 @@ object PortableHash {
   def uniform(seed: Long, cols: Column*): Column =
     long(seed, cols: _*).cast("double") / F.lit(math.pow(2, 60))
 
+  /** Bit-identical twin of [[uniform]] for the two-BIGINT-column hot path
+    * (weighted samplers hash every (query, item) pair): one native
+    * [[Md5Pair60]] call that writes "seed:q:i" into a thread-local block
+    * and runs a single in-register MD5 transform — no per-row string
+    * casts, concat, or MessageDigest allocation. Same 60 bits, same DuckDB
+    * oracle. Callers must verify both columns are LongType (see
+    * RandomRec.pairUniform for the schema dispatch). */
+  def uniformPairLong(seed: Long, a: Column, b: Column): Column =
+    Md5Pair60(seed, a, b).cast("double") / F.lit(math.pow(2, 60))
+
   /** Production fast twin of [[uniform]]: xxhash64 (whole-stage codegen, no
     * per-row md5) → top 60 bits → [0, 1). NOT engine-portable (no DuckDB
     * mirror) and a different draw sequence than the md5 path — reserve for

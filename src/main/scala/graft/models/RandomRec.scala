@@ -74,10 +74,28 @@ final class RandomRec(
       case _ => restrictItems(itemWeights, items)
     }
 
+  /** The per-pair uniform draw. Portable mode lowers to the single-block
+    * native MD5 ([[graft.core.Md5Pair60]]) when both id columns are
+    * BIGINT — the common case after dataset encoding — which removes the
+    * per-row string-build + MessageDigest tax from the |queries| ×
+    * |catalog| stream while producing the SAME bits (and so the same
+    * draws, recs, and oracle hashes) as the generic md5-of-string chain,
+    * which remains the fallback for non-long id schemas. */
+  private def pairUniform(queryType: org.apache.spark.sql.types.DataType,
+      itemType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types.LongType
+    if (hashMode == "portable" && queryType == LongType && itemType == LongType)
+      graft.core.PortableHash.uniformPairLong(
+        seed, F.col(cols.query), F.col(cols.item))
+    else
+      graft.core.PortableHash.uniformBy(
+        hashMode, seed, F.col(cols.query), F.col(cols.item))
+  }
+
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame = {
-    val u = graft.core.PortableHash.uniformBy(
-      hashMode, seed, F.col(cols.query), F.col(cols.item))
+    val u = pairUniform(queries.schema(cols.query).dataType,
+      itemWeights.schema(cols.item).dataType)
     // Efraimidis–Spirakis: sample-without-replacement by weight w selects
     // the SMALLEST -ln(u)/w keys. predict() ranks rating DESC, so the
     // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
@@ -122,8 +140,8 @@ final class RandomRec(
   }
 
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {
-    val u = graft.core.PortableHash.uniformBy(
-      hashMode, seed, F.col(cols.query), F.col(cols.item))
+    val u = pairUniform(pairs.schema(cols.query).dataType,
+      pairs.schema(cols.item).dataType)
     pairs.join(itemWeights, Seq(cols.item), "left")
       .withColumn(cols.rating,
         F.log(u + F.lit(1e-18)) / F.coalesce(F.col("_w"), F.lit(coldFill)))

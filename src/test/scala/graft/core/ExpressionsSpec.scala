@@ -102,4 +102,26 @@ class ExpressionsSpec extends SparkSpec {
     // arity errors fail at analysis, not at runtime
     intercept[Exception] { spark.sql("SELECT dot_product(array(1.0D))").collect() }
   }
+
+  test("md5_pair60 equals the generic string-concat chain bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(500)((rnd.nextLong(), rnd.nextLong())) ++ Seq(
+      (0L, 0L), (-1L, 1L), (Long.MinValue, Long.MaxValue),
+      (Long.MaxValue, Long.MinValue), (10L, -10L), (9999999999L, 1L))
+    Seq(42L, 0L, -7L, Long.MinValue).foreach { seed =>
+      val df = rows.toDF("q", "i").select(
+        Md5Pair60(seed, F.col("q"), F.col("i")).as("fast"),
+        Md5Prefix60(F.concat_ws(":", F.lit(seed.toString),
+          F.col("q").cast("string"), F.col("i").cast("string"))).as("slow"))
+      assert(df.filter(F.col("fast") =!= F.col("slow")).count() == 0,
+        s"pair-hash drift at seed=$seed")
+      assert(df.filter(F.col("fast") < 0).count() == 0)
+    }
+    // interpreted eval == codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = Md5Pair60(42L, Literal(7L), Literal(-3L))
+    val viaDf = Seq((7L, -3L)).toDF("q", "i")
+      .select(Md5Pair60(42L, F.col("q"), F.col("i"))).as[Long].head()
+    assert(e.eval(null) == viaDf)
+  }
 }

@@ -293,6 +293,25 @@ class ModelsSpec extends SparkSpec {
       .collect().forall(_ <= 2))
   }
 
+  test("RandomRec native pair-hash path draws identically to the generic string path") {
+    // long id columns dispatch to Md5Pair60 (single-block native MD5);
+    // int ids fall back to the generic cast-to-string concat chain — the
+    // decimal strings are identical, so the draws, recs, and ratings must
+    // be too (the oracle-parity contract of the optimization)
+    val intLog = log.select($"query_id".cast("int").as("query_id"),
+      $"item_id".cast("int").as("item_id"), $"rating")
+    val native = new RandomRec("popular", seed = 42).fit(log)
+      .predict(log, k = 2, filterSeen = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val generic = new RandomRec("popular", seed = 42).fit(intLog)
+      .predict(intLog, k = 2, filterSeen = false)
+      .select($"query_id".cast("long"), $"item_id".cast("long"), $"rating")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == generic, "pair-hash optimization changed the draws")
+    assert(native.nonEmpty)
+  }
+
   test("RandomRec fast hash mode is deterministic and layout-independent") {
     val a = new RandomRec("popular", seed = 42, hashMode = "fast").fit(log)
       .predict(log, k = 2).collect().map(_.toSeq).toSet
