@@ -41,6 +41,7 @@ object FastMd5 {
     6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
 
   private val block = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](128))
+  private val words = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](16))
 
   private val MIN_LONG_BYTES = Long.MinValue.toString.getBytes("US-ASCII")
 
@@ -91,27 +92,56 @@ object FastMd5 {
     var h1 = 0xefcdab89
     var h2 = 0x98badcfe
     var h3 = 0x10325476
+    val m = words.get()
     var base = 0
     while (base < total) {
+      // decode the 16 little-endian message words ONCE per block (decoding
+      // inside the round loop would redo each 4-byte assembly 4 times)
+      var w = 0
+      while (w < 16) {
+        val o = base + (w << 2)
+        m(w) = (buf(o) & 0xff) | ((buf(o + 1) & 0xff) << 8) |
+          ((buf(o + 2) & 0xff) << 16) | ((buf(o + 3) & 0xff) << 24)
+        w += 1
+      }
       var a = h0
       var b = h1
       var c = h2
       var d = h3
       var r = 0
-      while (r < 64) {
-        var f = 0
-        var g = 0
-        if (r < 16) { f = (b & c) | (~b & d); g = r }
-        else if (r < 32) { f = (d & b) | (~d & c); g = (5 * r + 1) & 15 }
-        else if (r < 48) { f = b ^ c ^ d; g = (3 * r + 5) & 15 }
-        else { f = c ^ (b | ~d); g = (7 * r) & 15 }
-        val gi = base + (g << 2)
-        val m = (buf(gi) & 0xff) | ((buf(gi + 1) & 0xff) << 8) |
-          ((buf(gi + 2) & 0xff) << 16) | ((buf(gi + 3) & 0xff) << 24)
+      while (r < 16) {
+        val f = (b & c) | (~b & d)
         val tmp = d
         d = c
         c = b
-        b = b + Integer.rotateLeft(a + f + K(r) + m, S(r))
+        b = b + Integer.rotateLeft(a + f + K(r) + m(r), S(r))
+        a = tmp
+        r += 1
+      }
+      while (r < 32) {
+        val f = (d & b) | (~d & c)
+        val tmp = d
+        d = c
+        c = b
+        b = b + Integer.rotateLeft(a + f + K(r) + m((5 * r + 1) & 15), S(r))
+        a = tmp
+        r += 1
+      }
+      while (r < 48) {
+        val f = b ^ c ^ d
+        val tmp = d
+        d = c
+        c = b
+        b = b + Integer.rotateLeft(a + f + K(r) + m((3 * r + 5) & 15), S(r))
+        a = tmp
+        r += 1
+      }
+      while (r < 64) {
+        val f = c ^ (b | ~d)
+        val tmp = d
+        d = c
+        c = b
+        b = b + Integer.rotateLeft(a + f + K(r) + m((7 * r) & 15), S(r))
         a = tmp
         r += 1
       }
