@@ -92,23 +92,90 @@ final class RandomRec(
         hashMode, seed, F.col(cols.query), F.col(cols.item))
   }
 
+  /** Safety factor for the threshold pre-crop: the filter threshold is
+    * solved so ~preCropSafety·(k+maxSeen) candidates per query survive in
+    * expectation. Per-query underflow probability is then bounded by
+    * exp(−m(c−1)²/2c) (Chernoff on the survivor count) — at c=4, m≈100
+    * that is ~e⁻¹¹⁰, so the exact repair pass below never runs in
+    * practice; it exists so the crop is EXACT, not probabilistic. */
+  private[graft] var preCropSafety: Double = 4.0
+  private[graft] var preCropEnabled: Boolean = true
+  /** Test hook: force a (bad) threshold to exercise the repair path. */
+  private[graft] var forcedThreshold: Option[Double] = None
+
+  /** Solve Σᵢ (1 − exp(−wᵢ·t)) ≥ c·m for the pre-crop threshold t. The
+    * E–S key −ln(u)/w of item i is Exp(wᵢ)-distributed, so a pair survives
+    * `key < t` independently with probability 1 − exp(−wᵢ·t); t is pushed
+    * (doubling from the uncapped solution c·m/Σw) until the expected
+    * per-query survivor count reaches c·m even under weight skew, where
+    * heavy items cap at probability 1. Driver loop of catalog-sized
+    * aggregates over the cached weights — O(log) iterations, ms each,
+    * same bounded-scalar contract as `coldFill`. Returns None (no crop)
+    * when the catalog is too small for a crop to matter. */
+  private def solveThreshold(sel: DataFrame, m: Int): Option[Double] = {
+    if (!preCropEnabled || m <= 0) return None
+    if (forcedThreshold.isDefined) return forcedThreshold
+    val target = preCropSafety * m
+    val pos = sel.filter(F.col("_w") > 0)
+    val row = pos.agg(F.sum("_w").as("s"), F.count(F.lit(1)).as("n")).first()
+    if (row.isNullAt(0)) return None
+    if (row.getLong(1) <= target) return None // catalog ~ m: nothing to crop
+    var t = target / row.getDouble(0)
+    var iters = 0
+    while (iters < 64) {
+      val e = pos.agg(F.sum(F.lit(1.0) - F.exp(F.col("_w") * -t))).first().getDouble(0)
+      if (e >= target) return Some(t)
+      t *= 2; iters += 1
+    }
+    None
+  }
+
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame = {
     val u = pairUniform(queries.schema(cols.query).dataType,
       itemWeights.schema(cols.item).dataType)
+    val sel = selectedWeights(items)
+    val m = k + maxSeen
     // Efraimidis–Spirakis: sample-without-replacement by weight w selects
     // the SMALLEST -ln(u)/w keys. predict() ranks rating DESC, so the
     // rating is the negated key, ln(u)/w — in (-inf, 0), larger = better,
     // and high-weight items win as the distribution demands.
     // u in [0,1); epsilon guards ln(0).
-    val keyed = queries.select(cols.query).crossJoin(selectedWeights(items))
+    def keyed(qs: DataFrame): DataFrame = qs.select(cols.query).crossJoin(sel)
       .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
-      .drop("_w")
     // honor the k+maxSeen contract: the keyed stream is |queries| ×
     // |catalog| rows, and without this crop the base predict's seen
     // anti-join and final window would shuffle/sort all of it (measured
     // 75 s at sf0.1 vs ~8 s cropped; unbounded at 100 TB)
-    Ops.getTopKRecsBounded(keyed, k + maxSeen, cols.query, cols.item, cols.rating)
+    def crop(qs: DataFrame, pre: Option[Double]): DataFrame = pre match {
+      case None => Ops.getTopKRecsBounded(
+        keyed(qs).drop("_w"), m, cols.query, cols.item, cols.rating)
+      case Some(t) =>
+        // Threshold pre-crop: the bounded heap is a non-codegen object
+        // aggregation (~1 µs/row — the measured floor of this operator),
+        // so crop the |queries|×|catalog| stream in whole-stage codegen
+        // FIRST: keep key < t ⟺ rating > −t, plus every non-positive-
+        // weight row (outside the Exp(w) model; they must reach the heap
+        // unconditionally). Exactness: if ≥ m rows survive for a query,
+        // the m-th largest rating is > −t, so the true top-m under
+        // (rating desc, item asc) all survive and the heap returns
+        // exactly what it would have unfiltered. Queries whose heap
+        // comes back short are recomputed unfiltered below.
+        val agged = keyed(qs)
+          .filter(F.col(cols.rating) > F.lit(-t) || F.col("_w") <= 0)
+          .groupBy(cols.query)
+          .agg(graft.core.BoundedTopKAgg.topKPairs(
+            m, F.col(cols.rating), F.col(cols.item)).as("_tk"))
+          .cache()
+        val good = agged.filter(F.size(F.col("_tk")) >= m)
+        val short = qs.select(cols.query)
+          .join(good.select(cols.query), Seq(cols.query), "left_anti")
+        good.select(F.col(cols.query), F.explode(F.col("_tk")).as("_p"))
+          .select(F.col(cols.query), F.col("_p.item").as(cols.item),
+            F.col("_p.rating").as(cols.rating))
+          .unionByName(crop(short, None))
+    }
+    crop(queries, solveThreshold(sel, m))
   }
 
   /** True action distribution for the sampler (reference

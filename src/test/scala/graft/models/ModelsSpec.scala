@@ -293,6 +293,45 @@ class ModelsSpec extends SparkSpec {
       .collect().forall(_ <= 2))
   }
 
+  // Catalog wide enough that the threshold pre-crop engages
+  // (n > preCropSafety·(k+maxSeen)); one heavy relevance item (rating 50
+  // everywhere) exercises the solver's skew-doubling loop.
+  private def wideLog = {
+    val rows = for (u <- 0 until 40; j <- 0 until 5)
+      yield (u.toLong, ((u * 7 + j * 13) % 300).toLong, ((u + j) % 5 + 1).toDouble)
+    val heavy = (0 until 40).map(u => (u.toLong, 777L, 50.0))
+    (rows ++ heavy).toDF("query_id", "item_id", "rating")
+  }
+
+  private def recsOf(m: RandomRec, df: org.apache.spark.sql.DataFrame) =
+    m.fit(df).predict(df, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+
+  test("RandomRec threshold pre-crop is exact: cropped ≡ uncropped per distribution") {
+    val df = wideLog
+    for (dist <- Seq("uniform", "popular", "relevance")) {
+      val cropped = recsOf(new RandomRec(dist, seed = 5), df)
+      val plain = new RandomRec(dist, seed = 5)
+      plain.preCropEnabled = false
+      assert(cropped.sameElements(recsOf(plain, df)),
+        s"pre-crop changed $dist results")
+      assert(cropped.nonEmpty)
+    }
+  }
+
+  test("RandomRec pre-crop repair path: a degenerate threshold still yields exact results") {
+    // a threshold that keeps (almost) nothing forces every query through
+    // the unfiltered repair recompute — the exactness fallback
+    val df = wideLog
+    val broken = new RandomRec("popular", seed = 5)
+    broken.forcedThreshold = Some(1e-12)
+    val plain = new RandomRec("popular", seed = 5)
+    plain.preCropEnabled = false
+    assert(recsOf(broken, df).sameElements(recsOf(plain, df)),
+      "repair path diverged from the uncropped sampler")
+  }
+
   test("RandomRec native pair-hash path draws identically to the generic string path") {
     // long id columns dispatch to Md5Pair60 (single-block native MD5);
     // int ids fall back to the generic cast-to-string concat chain — the
