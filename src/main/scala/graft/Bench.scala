@@ -52,6 +52,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "text_stats", "text_unigram_logprob",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",
+    "embed_pq_search",
     "pack_sequences",
     "streaming_session_window", "streaming_top_k", "streaming_dedup",
     "multimodal_decode",

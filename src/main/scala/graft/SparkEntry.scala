@@ -1108,6 +1108,33 @@ object SparkEntry {
       graft.models.HnswAnn.searchNeighbors(
         emb, emb.filter(F.col("vec_id") < 10), k = 5)
     }),
+    "embed_quantize_int8" -> ((s, d) => {
+      // int8 scalar quantization (Quantize.quantizeInt8) — posexploded to
+      // cells (codes cast BIGINT for a dtype-stable cross-engine compare;
+      // the stored column is array<tinyint>)
+      val q = graft.text.Quantize.quantizeInt8(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+      q.select(F.col("vec_id"), F.posexplode(F.col("codes")).as(Seq("pos", "code")),
+          F.col("scale"))
+        .select(F.col("vec_id"), F.col("pos").cast("long").as("pos"),
+          F.col("code").cast("long").as("code"), F.col("scale"))
+    }),
+    "embed_quantized_topk" -> ((s, d) => {
+      // end-to-end quantized search: brute-force cosine top-k over the
+      // int8 round-trip (quantize → dequantize) — the full oracle proves
+      // the compressed pipeline, not just the codes
+      val dq = graft.text.Quantize.requantized(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+      graft.text.Similarity.bruteForceTopK(
+        dq.filter(F.col("vec_id") < 10), dq, k = 5)
+    }),
+    "embed_pq_search" -> ((s, d) => {
+      // product-quantization ADC scan + exact re-rank — KMeans-backed
+      // codebooks, rows-only (recall/exactness pinned in PqSpec)
+      val emb = Tables.embeddings(s, d)
+      new graft.text.PqIndex(numSubspaces = 8, codebookSize = 16).fit(emb)
+        .search(emb.filter(F.col("vec_id") < 10), k = 5)
+    }),
     "multimodal_decode" -> ((s, d) => {
       import graft.multimodal.Multimodal
       Multimodal.decodePartitioned(
@@ -2820,6 +2847,43 @@ object SparkEntry {
         |     sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cosine
         |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM dotn) WHERE rank <= 5""".stripMargin,
+    // int8 quantization: identical IEEE double chain — abs/max in double,
+    // floor(x*127/m + 0.5) half-up — cell-level so array semantics hash.
+    "embed_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      'max') AS m
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(p.pos AS BIGINT) AS pos,
+        |  CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * 127 / m
+        |                       + 0.5) AS BIGINT) END AS code,
+        |  CASE WHEN m = 0 THEN CAST(0 AS DOUBLE) ELSE m / 127 END AS scale
+        |FROM t CROSS JOIN range(0, 64) p(pos)""".stripMargin,
+    "embed_quantized_topk" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      'max') AS m
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |         ELSE list_transform(embedding, x ->
+        |           floor(CAST(x AS DOUBLE) * 127 / m + 0.5) * (m / 127)) END AS v
+        |  FROM t),
+        |dotn AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2]))) *
+        |     sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2])))) AS cosine
+        |  FROM dq q, dq c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT *, row_number() OVER (

@@ -148,3 +148,59 @@ final class LshAnn(
         AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
   }
 }
+
+/** Product-quantization candidate generator (graft.text.PqIndex): item
+  * vectors live as M-byte PQ codes; candidates are the top
+  * `candidatesPerQuery` items by asymmetric-distance (ADC) dot
+  * approximation, re-scored with the exact dot — so the score column
+  * keeps the AnnIndex contract while the scan runs over the compressed
+  * code table. The shape for catalogs whose raw vector table itself is
+  * the memory problem; compose semantics match IVF/LSH (approximate
+  * candidate set, exact scores). Degrades to the exact full join when
+  * the catalog is too small to quantize meaningfully.
+  *
+  * Persistence (ModelIO `pq:...`) stores the CONFIG; load refits the
+  * seeded per-subspace KMeans over the persisted item vectors — like
+  * Word2Vec's own embeddings this is deterministic for a fixed seed and
+  * input layout (the vector frames ModelIO writes reload with a stable
+  * layout). */
+final class PqAnn(
+    val numSubspaces: Int = 8,
+    val codebookSize: Int = 16,
+    val candidatesPerQuery: Int = 200,
+    val seed: Long = 42,
+) extends AnnIndex {
+  private var pq: graft.text.PqIndex = _
+  private var itemVecs: DataFrame = _ // (itemId, _iv) for exact re-score
+  private var exactItems: DataFrame = _
+  private var itemCol: String = _
+
+  def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type = {
+    itemCol = idCol
+    if (itemVectors.count() < codebookSize * 4L) {
+      exactItems = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv"))
+    } else {
+      itemVecs = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv")).cache()
+      pq = new graft.text.PqIndex(numSubspaces, codebookSize, seed,
+        idCol = idCol, vecCol = vecCol).fit(itemVectors)
+    }
+    this
+  }
+
+  def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
+    val qv = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"))
+    if (pq == null)
+      qv.crossJoin(exactItems)
+        .select(F.col(queryIdCol), F.col(itemCol),
+          AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+    else {
+      // adcTopR reads the vector under the INDEX's column name
+      val renamed = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as(pq.vecCol))
+      pq.adcTopR(renamed, queryIdCol, candidatesPerQuery, excludeSelf = false)
+        .join(qv, Seq(queryIdCol))
+        .join(itemVecs, Seq(itemCol))
+        .select(F.col(queryIdCol), F.col(itemCol),
+          AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+    }
+  }
+}

@@ -87,6 +87,20 @@ class Tier2Spec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall vs brute force = $recall")
   }
 
+  test("Word2Vec predicts end-to-end through a PqAnn index") {
+    val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
+    val exact = new Word2VecRec(vectorSize = 8, ann = None)
+      .fitPredict(i, 5).cache()
+    val pq = new Word2VecRec(vectorSize = 8,
+      ann = Some(new PqAnn(numSubspaces = 2, codebookSize = 8,
+        candidatesPerQuery = 50))).fitPredict(i, 5)
+    assert(pq.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ <= 5))
+    val hits = pq.join(exact, Seq("query_id", "item_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, s"PQ recall vs brute force = $recall")
+  }
+
   test("LshAnn generates candidates that contain the true nearest item") {
     val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
     val m = new Word2VecRec(vectorSize = 8, ann = None).fit(i)

@@ -269,4 +269,78 @@ class TextSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(sc(1L) > sc(3L) && sc(2L) > sc(3L))
   }
+
+  test("int8 quantization: codes bounded, max element hits ±127, error ≤ scale/2") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(2.0f, 2.0f, -2.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0, codes 0
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Byte](1).toArray, r.getDouble(2)))).toMap
+    assert(q(0L)._1.toSeq == Seq(64, -127, 32, 0)) // 0.5/1.0*127=63.5 → 64
+    assert(q(0L)._2 == 1.0 / 127)
+    assert(q(1L)._1.forall(c => c >= -127 && c <= 127))
+    assert(q(1L)._1.max == 127 && q(1L)._1.min == -127)
+    assert(q(2L)._1.forall(_ == 0) && q(2L)._2 == 0.0)
+    // round-trip error bound: |x - c·scale| ≤ scale/2 per element
+    val rt = Quantize.requantized(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((id, dq) <- rt; (x, y) <- orig(id).zip(dq))
+      assert(math.abs(x - y) <= math.max(q(id)._2 / 2, 1e-12),
+        s"vec $id: $x vs $y exceeds half-step")
+  }
+
+  def pqClusters = {
+    val rnd = new scala.util.Random(13)
+    def cluster(c: Array[Double], n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong,
+        c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat)))
+    (cluster(Array(1, 0, 0, 0), 20, 0) ++
+     cluster(Array(0, 1, 0, 0), 20, 100) ++
+     cluster(Array(0, 0, 1, 0), 20, 200)).toDF("vec_id", "embedding")
+  }
+
+  test("PQ search equals brute force when the ADC crop keeps the whole catalog") {
+    // rerank·k ≥ n ⇒ every item survives stage 1 and stage 2 re-scores
+    // exactly — pins the explode/join/regroup plumbing independent of
+    // quantization quality
+    val vecs = pqClusters
+    val queries = vecs.filter($"vec_id" === 0L || $"vec_id" === 100L)
+    val bf = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.toSeq).toSet
+    val pq = new PqIndex(numSubspaces = 2, codebookSize = 4, seed = 3).fit(vecs)
+      .search(queries, k = 5, rerank = 12) // 60 ≥ 60-vector catalog
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(pq == bf)
+  }
+
+  test("PQ tight-crop search equals brute force when ADC keeps the right cluster") {
+    // codebookSize=4 collapses each cluster to ONE code, so ADC ties all
+    // 20 own-cluster items at the top. rerank·k = 20 keeps them all (the
+    // bounded heap crops at cluster granularity — exactly the PQ
+    // contract), and the exact re-rank then reproduces brute force.
+    val vecs = pqClusters
+    val queries = vecs.filter($"vec_id" === 0L || $"vec_id" === 100L)
+    val bf = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.toSeq).toSet
+    val pq = new PqIndex(numSubspaces = 2, codebookSize = 4, seed = 3).fit(vecs)
+      .search(queries, k = 5, rerank = 4) // 20 survivors of a 60-item catalog
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(pq == bf)
+  }
+
+  test("PQ codes are deterministic under the seed") {
+    val vecs = pqClusters
+    def codesOf() = new PqIndex(numSubspaces = 2, codebookSize = 4, seed = 3)
+      .fit(vecs).codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codesOf() == codesOf())
+  }
 }
