@@ -56,6 +56,10 @@ object ModelIO {
     // KMeans there is no trained state to round-trip
     case Some(h: HnswAnn) =>
       s"hnsw:${h.m}:${h.efConstruction}:${h.efSearch}:${h.maxCollect}:${h.seed}"
+    // config-only like HNSW: load refits the seeded per-subspace KMeans
+    // over the persisted vectors (deterministic for fixed seed + layout)
+    case Some(p: PqAnn) =>
+      s"pq:${p.numSubspaces}:${p.codebookSize}:${p.candidatesPerQuery}:${p.seed}"
     case Some(other) =>
       throw new IllegalArgumentException(
         s"cannot persist ann index ${other.getClass.getSimpleName}")
@@ -74,6 +78,10 @@ object ModelIO {
       val p = s.split(":")
       Some(new HnswAnn(m = p(1).toInt, efConstruction = p(2).toInt,
         efSearch = p(3).toInt, maxCollect = p(4).toInt, seed = p(5).toLong))
+    case s if s.startsWith("pq:") =>
+      val p = s.split(":")
+      Some(new PqAnn(numSubspaces = p(1).toInt, codebookSize = p(2).toInt,
+        candidatesPerQuery = p(3).toInt, seed = p(4).toLong))
     case _ => None
   }
 
@@ -408,10 +416,82 @@ object ModelIO {
     m
   }
 
-  /** Encoder mapping persistence (reference persists the fitted mapping;
-    * label_encoder save path). */
+  /** Encoder mapping persistence (reference persists the fitted mapping
+    * AND the unknown-label strategy; label_encoder save path +
+    * handle_unknown round-trip). */
   def saveEncoder(e: graft.preprocessing.LabelEncoder, path: String): Unit = {
-    writeJson(path, Map("kind" -> "label_encoder", "column" -> e.column))
+    import graft.preprocessing.HandleUnknown
+    val policy = e.handleUnknown match {
+      case HandleUnknown.Error          => "error"
+      case HandleUnknown.Drop           => "drop"
+      case HandleUnknown.UseDefault(d)  => s"default:$d"
+    }
+    writeJson(path, Map("kind" -> "label_encoder", "column" -> e.column,
+      "handleUnknown" -> policy))
     e.mapping.write.mode("overwrite").parquet(s"$path/mapping")
   }
+
+  def loadEncoder(spark: SparkSession, path: String): graft.preprocessing.LabelEncoder = {
+    import graft.preprocessing.{HandleUnknown, LabelEncoder}
+    val p = readJson(path)
+    require(p("kind") == "label_encoder", s"not a LabelEncoder at $path")
+    val policy = p.getOrElse("handleUnknown", "error") match {
+      case "error" => HandleUnknown.Error
+      case "drop"  => HandleUnknown.Drop
+      case s if s.startsWith("default:") =>
+        HandleUnknown.UseDefault(s.stripPrefix("default:").toLong)
+      case other =>
+        throw new IllegalArgumentException(s"unknown handleUnknown policy $other")
+    }
+    LabelEncoder.fromState(
+      spark.read.parquet(s"$path/mapping").cache(), p("column"), policy)
+  }
+
+  // ---- generic dispatch --------------------------------------------------
+
+  /** Type-dispatched save — one entry point for every persistable object
+    * (reference `save_to_replay`, replay/utils/common.py:62-68, which
+    * dispatches on the object's own `.save`). */
+  def save(obj: AnyRef, path: String): Unit = obj match {
+    case m: NonPersonalizedRec => saveNonPersonalized(m, path)
+    case m: NeighbourRec       => saveNeighbour(m, path)
+    case m: ALSRec             => saveALS(m, path)
+    case m: Word2VecRec        => saveWord2Vec(m, path)
+    case m: QueryPopRec        => saveQueryPop(m, path)
+    case m: RandomRec          => saveRandomRec(m, path)
+    case m: CatPopRec          => saveCatPopRec(m, path)
+    case m: ClusterRec         => saveClusterRec(m, path)
+    case m: LinUCB             => saveLinUCB(m, path)
+    case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
+    case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
+    case k: graft.splitters.KFolds   => graft.splitters.SplitterIO.save(k, path)
+    case other => throw new IllegalArgumentException(
+      s"don't know how to persist ${other.getClass.getName}")
+  }
+
+  /** Kind-dispatched load — reads the persisted `kind` tag and routes to
+    * the typed loader, so a caller can reload a directory without knowing
+    * what was saved there (reference `load_from_replay`,
+    * replay/utils/common.py:71-84, which unpickles the class name from the
+    * saved metadata). Splitter kinds route through SplitterIO. */
+  def load(spark: SparkSession, path: String): AnyRef =
+    readJson(path)("kind") match {
+      case "pop_rec" | "wilson" | "ucb" | "klucb" | "thompson" =>
+        loadNonPersonalized(spark, path)
+      case "item_knn" | "assoc_rules" | "slim" => loadNeighbour(spark, path)
+      case "als"           => loadALS(spark, path)
+      case "word2vec"      => loadWord2Vec(spark, path)
+      case "query_pop"     => loadQueryPop(spark, path)
+      case "random_rec"    => loadRandomRec(spark, path)
+      case "cat_pop_rec"   => loadCatPopRec(spark, path)
+      case "cluster"       => loadClusterRec(spark, path)
+      case "linucb"        => loadLinUCB(spark, path)
+      case "label_encoder" => loadEncoder(spark, path)
+      case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
+      case "ratio" | "last_n" | "time" | "hash_random" | "new_users"
+         | "cold_user" | "two_stage" | "random_next_n" =>
+        graft.splitters.SplitterIO.load(path)
+      case other => throw new IllegalArgumentException(
+        s"unknown persisted kind $other at $path")
+    }
 }

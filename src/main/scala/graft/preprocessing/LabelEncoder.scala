@@ -89,6 +89,12 @@ object LabelEncoder {
     new LabelEncoder(denseIds(distinct, "label"), column, handleUnknown)
   }
 
+  /** Rehydrate from persisted state (ModelIO.loadEncoder) — the fitted
+    * mapping IS the model, so no refit happens on load. */
+  private[graft] def fromState(mapping: DataFrame, column: String,
+      handleUnknown: HandleUnknown): LabelEncoder =
+    new LabelEncoder(mapping, column, handleUnknown)
+
   /** Codes 0..n-1 in sorted label order without a single-partition global
     * window: range partitioning keeps partitions globally ordered, so
     * zipWithIndex yields the same ids a global sort would. */

@@ -429,6 +429,57 @@ class ModelIOSpec extends graft.SparkSpec {
     intercept[IllegalArgumentException] { ModelIO.loadItemKNN(spark, dir) }
   }
 
+  // reference save_to_replay/load_from_replay (common.py:62-84): one
+  // entry point that persists by runtime type and reloads by the saved
+  // kind tag, without the caller naming the class
+  test("generic save/load dispatches models by the persisted kind") {
+    val m = new PopRec().fit(log)
+    val dir = java.nio.file.Files.createTempDirectory("gen_pop").toString
+    ModelIO.save(m, dir)
+    val loaded = ModelIO.load(spark, dir)
+    assert(loaded.isInstanceOf[PopRec])
+    assert(loaded.asInstanceOf[PopRec].predict(log, k = 1)
+      .collect().map(_.toSeq).toSet ==
+      m.predict(log, k = 1).collect().map(_.toSeq).toSet)
+
+    val knn = new ItemKNN().fit(log)
+    val kdir = java.nio.file.Files.createTempDirectory("gen_knn").toString
+    ModelIO.save(knn, kdir)
+    assert(ModelIO.load(spark, kdir).isInstanceOf[ItemKNN])
+
+    val baddir = java.nio.file.Files.createTempDirectory("gen_bad").toString
+    intercept[IllegalArgumentException] { ModelIO.save("not a model", baddir) }
+  }
+
+  test("generic save/load routes splitter configs through SplitterIO") {
+    import graft.splitters.{KFolds, RatioSplitter}
+    val s = RatioSplitter(0.25)
+    val dir = java.nio.file.Files.createTempDirectory("gen_split").toString
+    ModelIO.save(s, dir)
+    assert(ModelIO.load(spark, dir) == s) // case-class equality: full config
+
+    val k = KFolds(3, seed = 11)
+    val kdir = java.nio.file.Files.createTempDirectory("gen_kf").toString
+    ModelIO.save(k, kdir)
+    assert(ModelIO.load(spark, kdir) == k)
+  }
+
+  test("encoder round-trip preserves the mapping and the unknown-label policy") {
+    import graft.preprocessing.{HandleUnknown, LabelEncoder}
+    val e = LabelEncoder.fit(log, "item_id", HandleUnknown.UseDefault(-1L))
+    val dir = java.nio.file.Files.createTempDirectory("gen_enc").toString
+    ModelIO.save(e, dir)
+    val loaded = ModelIO.load(spark, dir).asInstanceOf[LabelEncoder]
+    assert(loaded.column == "item_id")
+    assert(loaded.handleUnknown == HandleUnknown.UseDefault(-1L))
+    assert(loaded.mapping.collect().map(_.toSeq).toSet ==
+      e.mapping.collect().map(_.toSeq).toSet)
+    // an unseen label hits the persisted policy, not the Error default
+    val unseen = Seq((9L, 999L, 1.0)).toDF("query_id", "item_id", "rating")
+    assert(loaded.transform(unseen).select("item_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(-1L))
+  }
+
   def binary = Seq((0L, 0L, 1.0), (1L, 0L, 0.0), (2L, 0L, 1.0), (0L, 1L, 1.0))
     .toDF("query_id", "item_id", "rating")
 
