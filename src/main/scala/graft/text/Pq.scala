@@ -37,6 +37,12 @@ final class PqIndex(
     val seed: Long = 42,
     val idCol: String = "vec_id",
     val vecCol: String = "embedding",
+    /** Codebook-training sample fraction. Codebooks need a representative
+      * sample, not the corpus — at 10⁹ vectors full-corpus KMeans×M is
+      * the bottleneck; ~10⁵-10⁶ sampled rows train the same centroids.
+      * Encoding always covers every vector. Seeded, so still
+      * deterministic. */
+    val trainFraction: Double = 1.0,
 ) extends Serializable {
   import org.apache.spark.ml.clustering.KMeans
   import org.apache.spark.ml.functions.array_to_vector
@@ -64,8 +70,11 @@ final class PqIndex(
       s"dim $d not divisible into $numSubspaces subspaces")
     dsub = d / numSubspaces
     raw = vectors.select(F.col(idCol), F.col(vecCol)).cache()
+    val trainSet =
+      if (trainFraction >= 1.0) raw
+      else raw.sample(withReplacement = false, trainFraction, seed).cache()
     codebooks = Array.tabulate(numSubspaces) { m =>
-      val withVec = raw.withColumn("_features",
+      val withVec = trainSet.withColumn("_features",
         array_to_vector(F.slice(dvec(F.col(vecCol)), m * dsub + 1, dsub)))
       new KMeans().setK(codebookSize).setSeed(seed + m)
         .setFeaturesCol("_features").setPredictionCol("_c")

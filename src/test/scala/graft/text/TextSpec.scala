@@ -343,4 +343,21 @@ class TextSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
     assert(codesOf() == codesOf())
   }
+
+  test("PQ sampled codebook training still encodes every vector, deterministically") {
+    val vecs = pqClusters
+    def idx() = new PqIndex(numSubspaces = 2, codebookSize = 4, seed = 3,
+      trainFraction = 0.5).fit(vecs)
+    val a = idx()
+    assert(a.codes.count() == 60) // encoding covers the full corpus
+    assert(a.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      == idx().codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap)
+    // the crop-covers-catalog exactness property is training-independent
+    val queries = vecs.filter($"vec_id" === 0L)
+    val bf = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = a.search(queries, k = 5, rerank = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == bf)
+  }
 }
