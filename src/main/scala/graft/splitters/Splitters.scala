@@ -131,15 +131,17 @@ final case class TimeSplitter(
 object TimeSplitter {
   /** Quantile variant: the cut is the smallest timestamp t such that at
     * least `q` of rows have ts <= t (rank-based, no interpolation —
-    * portable to SQL). Uses distinct-ts running counts rather than a
-    * per-row global window, so the single-partition window only sees one
-    * row per distinct timestamp. */
+    * portable to SQL). The running count goes through the distributed
+    * prefix sum (`Ops.globalCumsum`), not a global `Window.orderBy`: with
+    * fine-grained timestamps the distinct-ts frame approaches the row
+    * count, so a single-partition window over it is the one task that
+    * would hold the whole log at 100 TB. */
   def byQuantile(df: DataFrame, q: Double, tsCol: String = Timestamp): DataFrame = {
     val n = df.count()
     val cutRank = math.ceil(n * q).toLong
-    val counts = df.groupBy(tsCol).agg(F.count(F.lit(1)).as("_c"))
-      .withColumn("_cum", F.sum("_c").over(Window.orderBy(F.col(tsCol).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val counts = graft.core.Ops.globalCumsum(
+      df.groupBy(tsCol).agg(F.count(F.lit(1)).as("_c")),
+      "_c", "_cum", F.col(tsCol).asc)
     // .get(0) + F.lit: works for both TimestampType and TimestampNTZType
     // (parquet ms-timestamps arrive as NTZ in Spark 4 → LocalDateTime)
     val cut = counts.filter(F.col("_cum") >= cutRank)

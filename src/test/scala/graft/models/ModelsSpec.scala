@@ -423,6 +423,28 @@ class ModelIOSpec extends graft.SparkSpec {
     assert(a == b)
   }
 
+  test("Word2Vec with PqAnn round-trips its ann config and predicts after load") {
+    val tlog = (for (u <- 0 until 8; i <- 0 until 6 if (u + i) % 3 != 0)
+      yield (u.toLong, i.toLong, 1.0)).toDF("query_id", "item_id", "rating")
+      .withColumn("timestamp",
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.lit("2024-01-01 10:00:00")))
+    val dir = java.nio.file.Files.createTempDirectory("w2vpq").toString
+    val m = new Word2VecRec(vectorSize = 4,
+      ann = Some(new PqAnn(numSubspaces = 2, codebookSize = 2,
+        candidatesPerQuery = 10, seed = 9))).fit(tlog)
+    ModelIO.saveWord2Vec(m, dir)
+    val loaded = ModelIO.loadWord2Vec(spark, dir)
+    val ann = loaded.ann.collect { case p: PqAnn => p }
+    assert(ann.isDefined, "pq config must round-trip")
+    assert(ann.get.numSubspaces == 2 && ann.get.codebookSize == 2 &&
+      ann.get.candidatesPerQuery == 10 && ann.get.seed == 9)
+    val recs = loaded.predict(tlog, k = 2)
+    assert(recs.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ <= 2))
+    assert(recs.count() > 0)
+  }
+
   test("load with wrong kind fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("wrong").toString
     ModelIO.saveNonPersonalized(new PopRec().fit(log), dir, "pop_rec")
