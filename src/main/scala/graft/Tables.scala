@@ -18,14 +18,21 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long, then floor to µs with INTEGER division —
-    * `/` on longs is a double division that rounds (ns ...999935 would
-    * round UP a microsecond; DuckDB truncates, so must we). */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver testdata generations, so the loader
+    * is schema-adaptive. NANOS is rejected by Spark 4 by default: read
+    * nanos as long, then floor to µs with INTEGER division — `/` on longs
+    * is a double division that rounds (ns ...999935 would round UP a
+    * microsecond; DuckDB truncates, so must we). MICROS arrives as a
+    * ready TIMESTAMP_NTZ and passes through untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

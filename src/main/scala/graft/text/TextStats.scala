@@ -106,6 +106,79 @@ object TextStats {
       (acc, t) => F.pmod(acc * F.lit(257L) + F.pmod(tokenHash(t), F.lit(M)), F.lit(M)))
   }
 
+  /** The Gopher rules' stop-word presence list (Rae et al. 2021 §A1.1.2):
+    * a document must contain at least two distinct words from this set. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality flags (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1.2 — the public MassiveWeb filter): per-rule
+    * booleans plus an overall `keep`, as ONE struct-valued expression so
+    * the whole filter rides the ingest scan in whole-stage codegen.
+    *
+    * Rules (all thresholds overridable):
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *  - symbol-to-word ratio (# and ... occurrences) ≤ maxSymbolWordRatio
+    *  - fraction of lines starting with a bullet ≤ maxBulletLineFrac
+    *  - fraction of lines ending in an ellipsis ≤ maxEllipsisLineFrac
+    *  - fraction of words containing an alphabetic char ≥ minAlphaWordFrac
+    *  - ≥ minStopwordHits distinct stop words present
+    *
+    * Every sub-expression is exact integer/string arithmetic (counts and
+    * ratios of split arrays), so a SQL engine reproduces each flag
+    * bit-for-bit — no float-boundary risk beyond the ratios' IEEE division,
+    * which both sides compute identically. */
+  def gopherRules(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopwordHits: Int = 2): Column = {
+    val ts = tokens(text)
+    val nWords = F.size(ts).cast("long")
+    val wordCountOk = nWords.between(minWords, maxWords)
+    val mwl = meanTokenLength(text)
+    val meanWordLenOk = mwl.between(minMeanWordLen, maxMeanWordLen)
+    // '#' chars + non-overlapping "..." runs, counted by length difference
+    val hashCount = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    val ellipsisCount =
+      (F.length(text) - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolOk =
+      (hashCount + ellipsisCount).cast("double") / nWords <= maxSymbolWordRatio
+    val lines = F.split(text, "\n")
+    val nLines = F.size(lines)
+    val bulletFrac = F.size(F.filter(lines,
+      l => F.trim(l).startsWith("- ") || F.trim(l).startsWith("* ") ||
+        F.trim(l).startsWith("•"))).cast("double") / nLines
+    val bulletOk = bulletFrac <= maxBulletLineFrac
+    val ellipsisFrac = F.size(F.filter(lines,
+      l => F.rtrim(l).endsWith("..."))).cast("double") / nLines
+    val ellipsisOk = ellipsisFrac <= maxEllipsisLineFrac
+    val alphaFrac = F.size(F.filter(ts,
+      t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+    val alphaOk = alphaFrac >= minAlphaWordFrac
+    val stopwordHits =
+      F.size(F.filter(F.array_distinct(tokens(F.lower(text))),
+        t => t.isInCollection(stopwords)))
+    val stopwordOk = stopwordHits >= minStopwordHits
+    val keep = wordCountOk && meanWordLenOk && symbolOk && bulletOk &&
+      ellipsisOk && alphaOk && stopwordOk
+    F.struct(
+      nWords.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      meanWordLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      keep.as("keep"))
+  }
+
   /** CCNet-style unigram LM quality proxy (Wenzek et al. 2020 filter on
     * KenLM perplexity; the unigram table is the engine-side, fully
     * SQL-mirrorable analogue): doc score = mean over tokens of
