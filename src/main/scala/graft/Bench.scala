@@ -34,6 +34,8 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_BENCH_ONLY=a,b comma-separated subset
   *   SPARK_GRAFT_BENCH_REPS=N   repetitions per query inside each child
   *                              (median reported; default 3)
+  *   SPARK_GRAFT_BENCH_CALIBRATE=0  skip the box-speed calibration rows
+  *                              (see [[calibrationWorkload]]; default on)
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -44,6 +46,7 @@ object Bench {
     "model_pop_rec_predict", "model_item_knn", "model_item_knn_predict",
     "model_assoc_rules", "model_wilson", "model_ucb",
     "model_als", "model_als_explicit", "model_word2vec", "model_slim",
+    "model_slim_distributed",
     "model_cluster", "model_linucb",
     "model_random_rec", "model_random_rec_relevance", "model_random_rec_fast",
     "metrics_ranking", "metrics_catalog", "history_features",
@@ -57,6 +60,31 @@ object Bench {
     "streaming_session_window", "streaming_top_k", "streaming_dedup",
     "multimodal_decode",
   )
+
+  /** Name of the box-speed calibration row (not a graft operator). */
+  val CalibrationName = "_calibration"
+
+  /** Fixed synthetic calibration workload: a seeded 2×10⁸-row generate →
+    * shuffle (1M keys) → aggregate, touching ZERO graft operators and ZERO
+    * input data. Its cost is a pure function of box speed (CPU + memory
+    * bandwidth + scheduler), so the driver can normalize the 2× baseline
+    * gate across machine-load swings: two consecutive official sweeps
+    * measured untouched code 2-6× apart (VERDICT r6/r7 "Performance"),
+    * including 4× moves on 0.1-second rows — a box signature, not a code
+    * one. Measured in its own forked child at sweep START and END (load can
+    * drift within a sweep); reported as top-level "calibration" in the
+    * bench JSON, NOT summed into "total".
+    */
+  def calibrationWorkload(spark: SparkSession): Unit = {
+    spark.range(0L, 200000000L, 1L, 64)
+      // pmod keeps the 2×10⁸-row sum far from Long overflow (ANSI mode)
+      .selectExpr("id % 1000000 AS k", "pmod(xxhash64(id), 1000) AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .selectExpr("sum(s + n) AS chk")
+      .collect()
+  }
 
   /** Spark 4.x on JDK 17 needs these opens when SparkSession is created
     * outside spark-submit; mirrors
@@ -119,17 +147,19 @@ object Bench {
     * query-specific codegen paths.)
     */
   def timeQuery(spark: SparkSession, sfDir: String, name: String, reps: Int): Double = {
-    val qs = SparkEntry.queries
+    val run: () => Unit =
+      if (name == CalibrationName) () => calibrationWorkload(spark)
+      else { val qs = SparkEntry.queries; () => { qs(name)(spark, sfDir).count(); () } }
     val warmupReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     (1 to warmupReps).foreach { _ =>
       spark.catalog.clearCache()
-      try qs(name)(spark, sfDir).count()
+      try run()
       catch { case _: Throwable => () }
     }
     val times = (1 to reps).flatMap { _ =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try { run(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
@@ -143,11 +173,15 @@ object Bench {
     headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
   }
 
-  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
+  private def emit(results: Seq[(String, Double)], sfDir: String,
+      calibration: Option[(Double, Double)]): Unit = {
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val calJson = calibration
+      .map { case (s, e) => s""","calibration":{"start":$s,"end":$e}""" }
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$calJson}""")
   }
 
   /** Fork one fresh JVM for `name`; parse the child's JSON line. The child
@@ -203,20 +237,31 @@ object Bench {
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val names = selectedQueries()
 
-    val results: Seq[(String, Double)] =
+    val calibrate = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIBRATE", "1") != "0"
+
+    val (results, calibration) =
       if (fork) {
-        names.zipWithIndex.map { case (name, i) =>
+        val calStart =
+          if (calibrate) forkOne(CalibrationName, sfDir, reps, cpus) else -1.0
+        val rs = names.zipWithIndex.map { case (name, i) =>
           System.err.println(s"[bench] (${i + 1}/${names.size}) forking $name")
           name -> forkOne(name, sfDir, reps, cpus)
         }
+        val calEnd =
+          if (calibrate) forkOne(CalibrationName, sfDir, reps, cpus) else -1.0
+        (rs, if (calibrate) Some((calStart, calEnd)) else None)
       } else {
         val spark = benchSession(cpus)
         warmup(spark, sfDir)
+        val calStart =
+          if (calibrate) timeQuery(spark, sfDir, CalibrationName, reps) else -1.0
         val rs = names.map(name => name -> timeQuery(spark, sfDir, name, reps))
+        val calEnd =
+          if (calibrate) timeQuery(spark, sfDir, CalibrationName, reps) else -1.0
         spark.stop()
-        rs
+        (rs, if (calibrate) Some((calStart, calEnd)) else None)
       }
-    emit(results, sfDir)
+    emit(results, sfDir, calibration)
   }
 }
 

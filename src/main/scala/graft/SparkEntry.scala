@@ -1008,6 +1008,44 @@ object SparkEntry {
         F.round(graft.text.TextStats.repetitionRatio(F.col("text")), 6)
           .as("repetition"))
     }),
+    "text_gopher_rules" -> ((s, d) => {
+      // Gopher/MassiveWeb rule flags (Rae et al. §A1.1.2). The synthetic
+      // corpus contains no '#'/'...'/'…'/newlines, so the text is spiked
+      // deterministically by doc_id residue (mirrored in the oracle) to
+      // exercise every rule: stopword presence (%3 — the corpus vocabulary
+      // carries at most ONE Gopher stopword per doc, so keep would be
+      // constant-false unspiked), hash symbols (%5), Unicode ellipsis
+      // count (%13 — with %5∩%13 docs pinning the SEPARATE-ratio rule:
+      // each symbol under 0.1 alone, over it summed), bullet lines (%7),
+      // ellipsis-terminated lines in both forms (%11).
+      val spiked = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(
+          F.col("text"),
+          F.when(F.col("doc_id") % 3 === 0, F.lit(" that have"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 5 === 0, F.lit(" #a #b #c #d"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 13 === 0, F.lit(" x… y… z… w…"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 7 === 0,
+            F.lit("\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 11 === 0,
+            F.lit("\np...\nq…\nr...\ns…")).otherwise(F.lit("")),
+        ).as("_t"))
+      val g = graft.text.TextStats.gopherRules(F.col("_t"))
+      spiked.select(F.col("doc_id"), g.as("_g")).select(
+        F.col("doc_id"),
+        F.col("_g.n_words").as("n_words"),
+        F.col("_g.word_count_ok").as("word_count_ok"),
+        F.col("_g.mean_word_len_ok").as("mean_word_len_ok"),
+        F.col("_g.symbol_ok").as("symbol_ok"),
+        F.col("_g.bullet_ok").as("bullet_ok"),
+        F.col("_g.ellipsis_ok").as("ellipsis_ok"),
+        F.col("_g.alpha_ok").as("alpha_ok"),
+        F.col("_g.stopword_ok").as("stopword_ok"),
+        F.col("_g.keep").as("keep"))
+    }),
     "text_redact_pii" -> ((s, d) => {
       // PII scrub over text spiked with a synthetic email + number (the
       // raw corpus has none, so the spike exercises both patterns)
@@ -1095,18 +1133,31 @@ object SparkEntry {
         threshold = -1.0, planes = 12, tables = 8)
     }),
     "embed_ivf_search" -> ((s, d) => {
-      // KMeans-backed IVF — model-driven, rows-only (recall vs brute
-      // force asserted in SimilaritySpec)
+      // KMeans-backed IVF, gated as a THRESHOLD check (r8): recall@5 vs
+      // the engine's exact brute-force top-k must clear 0.95, asserted by
+      // the DuckDB oracle on the one-row summary — the ≥0.95 contract now
+      // lives in the driver gate, not only in ScalaTest at toy scale.
+      // nProbe=6/8: the synthetic embeddings are UNSTRUCTURED under cosine
+      // (unit-norm, true top-5 shares a label 10% of the time — measured),
+      // so recall ≈ fraction of cells probed; clustered corpora reach the
+      // contract at low nProbe (TextSpec "IVF search recall" on clusters)
       val emb = Tables.embeddings(s, d)
-      new graft.text.IvfIndex(nCentroids = 8, nProbe = 2).fit(emb)
-        .search(emb.filter(F.col("vec_id") < 10), k = 5)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      val ann = new graft.text.IvfIndex(nCentroids = 8, nProbe = 6).fit(emb)
+        .search(queries, k = 5)
+      graft.text.Similarity
+        .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
+        .select("n_queries", "k", "recall_ok")
     }),
     "embed_hnsw_search" -> ((s, d) => {
       // driver-built broadcast HNSW graph (reference hnswlib builder
-      // parity) — model-driven, rows-only; recall/determinism in HnswSpec
+      // parity), threshold-gated like embed_ivf_search (r8)
       val emb = Tables.embeddings(s, d)
-      graft.models.HnswAnn.searchNeighbors(
-        emb, emb.filter(F.col("vec_id") < 10), k = 5)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      val ann = graft.models.HnswAnn.searchNeighbors(emb, queries, k = 5)
+      graft.text.Similarity
+        .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
+        .select("n_queries", "k", "recall_ok")
     }),
     "embed_quantize_int8" -> ((s, d) => {
       // int8 scalar quantization (Quantize.quantizeInt8) — posexploded to
@@ -1130,10 +1181,17 @@ object SparkEntry {
     }),
     "embed_pq_search" -> ((s, d) => {
       // product-quantization ADC scan + exact re-rank — KMeans-backed
-      // codebooks, rows-only (recall/exactness pinned in PqSpec)
+      // codebooks, threshold-gated like embed_ivf_search (r8).
+      // rerank=48 (240-candidate pool): 8×16 codebooks are coarse on
+      // unstructured 64-dim vectors, so the re-rank pool carries the
+      // recall contract; rerank×k stays constant as the corpus grows
       val emb = Tables.embeddings(s, d)
-      new graft.text.PqIndex(numSubspaces = 8, codebookSize = 16).fit(emb)
-        .search(emb.filter(F.col("vec_id") < 10), k = 5)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      val ann = new graft.text.PqIndex(numSubspaces = 8, codebookSize = 16).fit(emb)
+        .search(queries, k = 5, rerank = 48)
+      graft.text.Similarity
+        .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
+        .select("n_queries", "k", "recall_ok")
     }),
     "multimodal_decode" -> ((s, d) => {
       import graft.multimodal.Multimodal
@@ -2653,6 +2711,53 @@ object SparkEntry {
         |    6) AS quality,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    // Gopher rules: the spike CASEs mirror the Spark gate exactly; every
+    // flag is integer/boolean arithmetic except the IEEE ratio divisions,
+    // which both engines compute identically (CAST thresholds AS DOUBLE —
+    // bare decimals are exact DECIMALs in DuckDB, the r6 lesson).
+    "text_gopher_rules" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' that have' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' #a #b #c #d' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' x… y… z… w…' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN e'\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN e'\np...\nq…\nr...\ns…' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    string_split_regex(trim(t), '\s+') AS toks,
+        |    CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT) AS nw,
+        |    string_split(t, chr(10)) AS lines,
+        |    length(t) - length(replace(t, '#', '')) AS hashes,
+        |    (length(t) - length(replace(t, '...', ''))) / 3.0
+        |      + (length(t) - length(replace(t, '…', ''))) AS ellipses
+        |  FROM sp),
+        |f AS (
+        |  SELECT doc_id, nw,
+        |    nw BETWEEN 50 AND 100000 AS word_count_ok,
+        |    (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / nw)
+        |      BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE) AS mean_word_len_ok,
+        |    (CAST(hashes AS DOUBLE) / nw <= CAST(0.1 AS DOUBLE)
+        |      AND CAST(ellipses AS DOUBLE) / nw <= CAST(0.1 AS DOUBLE)) AS symbol_ok,
+        |    (CAST(len(list_filter(lines, l -> starts_with(trim(l), '- ')
+        |        OR starts_with(trim(l), '* ') OR starts_with(trim(l), '•'))) AS DOUBLE)
+        |      / len(lines)) <= CAST(0.9 AS DOUBLE) AS bullet_ok,
+        |    (CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+        |        OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+        |      / len(lines)) <= CAST(0.3 AS DOUBLE) AS ellipsis_ok,
+        |    (CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |      / nw) >= CAST(0.8 AS DOUBLE) AS alpha_ok,
+        |    len(list_filter(list_distinct(string_split_regex(trim(lower(t)), '\s+')),
+        |      x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2
+        |      AS stopword_ok
+        |  FROM m)
+        |SELECT doc_id, nw AS n_words, word_count_ok, mean_word_len_ok,
+        |  symbol_ok, bullet_ok, ellipsis_ok, alpha_ok, stopword_ok,
+        |  (word_count_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok
+        |    AND ellipsis_ok AND alpha_ok AND stopword_ok) AS keep
+        |FROM f""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(
@@ -2852,6 +2957,16 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM dotn) WHERE rank <= 5""".stripMargin,
+    // ANN threshold gates (r8): the engine emits a one-row recall summary
+    // vs its own exact brute-force top-k; the oracle asserts the shape AND
+    // the >= 0.95 contract. The oracle cannot (and need not) re-run the
+    // ANN — a recall drop below threshold flips recall_ok and the hash.
+    "embed_ivf_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
+    "embed_hnsw_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
+    "embed_pq_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
     // int8 quantization: identical IEEE double chain — abs/max in double,
     // floor(x*127/m + 0.5) half-up — cell-level so array semantics hash.
     "embed_quantize_int8" ->

@@ -18,19 +18,24 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
-    * TIMESTAMP(MICROS) across driver testdata generations, so the loader
-    * is schema-adaptive. NANOS is rejected by Spark 4 by default: read
-    * nanos as long, then floor to µs with INTEGER division — `/` on longs
-    * is a double division that rounds (ns ...999935 would round UP a
-    * microsecond; DuckDB truncates, so must we). MICROS arrives as a
-    * ready TIMESTAMP_NTZ and passes through untouched. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) and as
+    * TIMESTAMP(MICROS) without a UTC flag across driver testdata
+    * generations, so the loader is schema-adaptive. NANOS is rejected by
+    * Spark 4 by default: read nanos as long, then floor to µs with INTEGER
+    * division — `/` on longs is a double division that rounds (ns ...999935
+    * would round UP a microsecond; DuckDB truncates, so must we).
+    * Unadjusted MICROS arrives as TIMESTAMP_NTZ, which the time operators
+    * (`unix_micros`, `session_window`, …) reject with DATATYPE_MISMATCH —
+    * cast to TimestampType, value-identical under the pinned UTC session
+    * timezone (Session.scala sets spark.sql.session.timeZone=UTC). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

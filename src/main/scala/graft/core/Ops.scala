@@ -203,13 +203,17 @@ object Ops {
       F.coalesce(F.stddev(col), F.lit(0.0)).as(s"stddev_$col"),
     )
 
-  /** Normalize a timestamp column that may arrive as timestamp, numeric unix
-    * seconds, or a formatted date string
-    * (reference: replay/utils/spark_utils.py:573-609). */
+  /** Normalize a timestamp column that may arrive as timestamp (with or
+    * without timezone), numeric unix seconds, or a formatted date string
+    * (reference: replay/utils/spark_utils.py:573-609). TIMESTAMP_NTZ — what
+    * Spark 4 infers for parquet TIMESTAMP(MICROS) files written without the
+    * UTC-adjusted flag — is cast to TimestampType, value-identical under
+    * the engine's pinned UTC session timezone. */
   def processTimestampColumn(df: DataFrame, col: String, format: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
     df.schema(col).dataType match {
-      case TimestampType | DateType => df.withColumn(col, F.col(col).cast(TimestampType))
+      case TimestampType | TimestampNTZType | DateType =>
+        df.withColumn(col, F.col(col).cast(TimestampType))
       case _: NumericType => df.withColumn(col, F.timestamp_seconds(F.col(col).cast(LongType)))
       case StringType =>
         format match {
@@ -217,6 +221,20 @@ object Ops {
           case None      => df.withColumn(col, F.to_timestamp(F.col(col)))
         }
       case other => throw new IllegalArgumentException(s"cannot normalize $col of type $other")
+    }
+  }
+
+  /** No-op unless `col` is TIMESTAMP_NTZ, in which case it is cast to
+    * TimestampType — value-identical under the engine's pinned UTC session
+    * timezone. Spark 4 infers NTZ for parquet TIMESTAMP files written
+    * without the UTC-adjusted flag, and the time operators (`unix_micros`,
+    * `session_window`, …) reject NTZ with DATATYPE_MISMATCH; every operator
+    * consuming a caller-supplied timestamp column goes through this. */
+  def ensureTimestamp(df: DataFrame, col: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(col).dataType match {
+      case TimestampNTZType => df.withColumn(col, F.col(col).cast(TimestampType))
+      case _                => df
     }
   }
 

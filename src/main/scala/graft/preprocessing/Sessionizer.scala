@@ -25,7 +25,9 @@ final case class Sessionizer(
     minUserSessions: Option[Long] = None,
     maxUserSessions: Option[Long] = None,
 ) {
-  def transform(df: DataFrame): DataFrame = {
+  def transform(df0: DataFrame): DataFrame = {
+    // NTZ-proof the gap arithmetic: unix_micros rejects TIMESTAMP_NTZ
+    val df = graft.core.Ops.ensureTimestamp(df0, tsCol)
     val order = Seq(F.col(tsCol).asc) ++ tieCol.map(F.col(_).asc).toSeq
     val w = Window.partitionBy(userCol).orderBy(order: _*)
     val flagged = df

@@ -20,8 +20,9 @@ object StreamingOps {
   /** Per-(user, session) aggregates using the native session_window
     * operator. `df` may be a batch frame or a stream (add a watermark for
     * streams). Gap semantics match graft.preprocessing.Sessionizer. */
-  def sessionWindows(df: DataFrame, gapSeconds: Long, userCol: String = "user_id",
-      tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+  def sessionWindows(df0: DataFrame, gapSeconds: Long, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val df = graft.core.Ops.ensureTimestamp(df0, tsCol)
     df.groupBy(F.col(userCol), F.session_window(F.col(tsCol), s"$gapSeconds seconds"))
       .agg(F.count(F.lit(1)).as("n_events"),
         F.round(F.sum(valueCol), 2).as("sum_value"),
@@ -32,6 +33,7 @@ object StreamingOps {
       .select(F.col(userCol),
         F.unix_millis(F.col("first_ts")).as("session_start_ms"),
         F.col("n_events"), F.col("sum_value"))
+  }
 
   /** Streaming sessionization with a watermark: late events beyond
     * `watermark` are dropped; sessions emit on window close
@@ -39,7 +41,8 @@ object StreamingOps {
   def streamingSessionize(stream: DataFrame, gapSeconds: Long,
       watermark: String = "1 hour", userCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame =
-    sessionWindows(stream.withWatermark(tsCol, watermark),
+    sessionWindows(
+      graft.core.Ops.ensureTimestamp(stream, tsCol).withWatermark(tsCol, watermark),
       gapSeconds, userCol, tsCol, valueCol)
 
   /** Tumbling-window counts per key — the canonical watermarked streaming
@@ -49,11 +52,13 @@ object StreamingOps {
     * any input volume). Epoch-aligned windows (Spark `window()` default),
     * so the batch twin is mirror-able as `date_trunc` for divisor-of-hour
     * window sizes. */
-  def windowedCounts(df: DataFrame, windowSeconds: Long,
-      tsCol: String = "ts", keyCol: String = "event_type"): DataFrame =
+  def windowedCounts(df0: DataFrame, windowSeconds: Long,
+      tsCol: String = "ts", keyCol: String = "event_type"): DataFrame = {
+    val df = graft.core.Ops.ensureTimestamp(df0, tsCol)
     df.groupBy(F.window(F.col(tsCol), s"$windowSeconds seconds"), F.col(keyCol))
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("window.start").as("window_start"), F.col(keyCol), F.col("n"))
+  }
 
   /** Per-window top-k keys by event count — streaming popularity, the
     * composition of [[windowedCounts]] and the engine's top-k crop. The
@@ -118,9 +123,10 @@ object StreamingOps {
     * where per-window cardinality is the reason a rank window wouldn't
     * scale anyway. Batch twin: [[windowedTopK]] (same counts, same crop
     * order, spec-pinned equal). */
-  def streamingWindowedTopK(stream: DataFrame, windowSeconds: Long, k: Int,
+  def streamingWindowedTopK(stream0: DataFrame, windowSeconds: Long, k: Int,
       watermark: String = "1 hour", tsCol: String = "ts",
       keyCol: String = "item_id"): DataFrame = {
+    val stream = graft.core.Ops.ensureTimestamp(stream0, tsCol)
     val counts = stream.withWatermark(tsCol, watermark)
       .groupBy(F.window(F.col(tsCol), s"$windowSeconds seconds"), F.col(keyCol))
       .agg(F.count(F.lit(1)).as("n"))
@@ -188,11 +194,13 @@ object StreamingOps {
     * the knob that trades dedup window for state size. Works on batch
     * frames too (falls back to plain dropDuplicates, same result when
     * everything fits one batch). */
-  def streamingDedup(df: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
-      watermark: String = "1 hour"): DataFrame =
+  def streamingDedup(df0: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val df = if (df0.columns.contains(tsCol)) graft.core.Ops.ensureTimestamp(df0, tsCol) else df0
     if (df.isStreaming)
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
+  }
 
   /** Run a memory-sink streaming query to completion over the given
     * micro-batch source and return the result table (test harness). */

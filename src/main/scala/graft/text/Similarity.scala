@@ -47,6 +47,30 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
+  /** Recall@k of an ANN result against the exact brute-force top-k, as a
+    * ONE-row threshold gate: (n_queries, k, mean_recall_pct, recall_ok).
+    * `mean_recall_pct` is mean recall FLOORED to whole percent — floored so
+    * a DuckDB oracle can assert `recall_ok = mean >= threshold` without
+    * reproducing the ANN's float internals; the pct column is diagnostic
+    * (a failing gate shows how far off it was). Both frames must carry
+    * (query_id, neighbor_id); `brute` defines the denominator (its row
+    * count is n_queries × k by construction). Scale shape: one semi-join
+    * on (query, neighbor) + two scalar aggregates — the brute side is the
+    * only O(n) term and is the caller's explicit choice of query count. */
+  def recallSummary(ann: DataFrame, brute: DataFrame, k: Int,
+      threshold: Double = 0.95): DataFrame = {
+    val hits = brute.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(F.count(F.lit(1)).as("_nhits"))
+    val denom = brute.agg(F.countDistinct("query_id").as("_nq"))
+    hits.crossJoin(denom).select(
+      F.col("_nq").cast("long").as("n_queries"),
+      F.lit(k.toLong).as("k"),
+      F.floor(F.col("_nhits") * 100.0 / (F.col("_nq") * k)).as("mean_recall_pct"),
+      (F.col("_nhits").cast("double") / (F.col("_nq") * k) >= threshold).as("recall_ok"))
+  }
+
   /** Deterministic hyperplane for (table, plane): the portable md5 hash
     * (core.PortableHash recipe, key "0:table:plane:dim") mapped to [-1, 1).
     * Reproducible on any engine — the DuckDB oracle interpolates the same
@@ -231,12 +255,20 @@ final class IvfIndex(
   def search(queries: DataFrame, k: Int): DataFrame = {
     val centroidDf = centroidFrame
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("_qv"))
-    // nearest nProbe centroids per query (centroid table is tiny → broadcast)
+    // nearest nProbe centroids per query (centroid table is tiny → broadcast).
+    // Probe rule MUST match the assignment rule (argmin squared Euclidean,
+    // KMeans's own): probing by raw dot product disagrees with Euclidean
+    // assignment whenever centroid norms differ (argmin ‖q−c‖² =
+    // argmax (q·c − ‖c‖²/2), not argmax q·c), sending probes to the wrong
+    // inverted lists and silently costing recall.
+    val sqDistQ = F.aggregate(
+      F.zip_with(F.transform(F.col("_qv"), x => x.cast("double")),
+        F.col("_cvec"), (x, y) => (x - y) * (x - y)),
+      F.lit(0.0), (acc, v) => acc + v)
     val qc = q.crossJoin(F.broadcast(centroidDf))
-      .withColumn("_d", Similarity.dot(
-        F.transform(F.col("_qv"), x => x.cast("double")), F.col("_cvec")))
+      .withColumn("_d", sqDistQ)
       .withColumn("_rn", F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.col("_d").desc, F.col("_centroid").asc)))
+        Window.partitionBy("query_id").orderBy(F.col("_d").asc, F.col("_centroid").asc)))
       .filter(F.col("_rn") <= nProbe)
       .select("query_id", "_qv", "_centroid")
     val scored = qc.join(assigned, Seq("_centroid"))

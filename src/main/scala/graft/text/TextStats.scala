@@ -143,12 +143,18 @@ object TextStats {
     val wordCountOk = nWords.between(minWords, maxWords)
     val mwl = meanTokenLength(text)
     val meanWordLenOk = mwl.between(minMeanWordLen, maxMeanWordLen)
-    // '#' chars + non-overlapping "..." runs, counted by length difference
+    // '#' chars and ellipsis runs ("..." AND the Unicode '…' U+2026),
+    // counted by length difference. Each symbol's word-ratio thresholds
+    // SEPARATELY ("greater than 0.1 for either the hash symbol or the
+    // ellipsis", Rae et al. §A1.1.2) — a summed form would wrongly reject
+    // docs whose individual ratios are each under the threshold.
     val hashCount = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
     val ellipsisCount =
-      (F.length(text) - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))) / 3
+      (F.length(text) - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+        (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
     val symbolOk =
-      (hashCount + ellipsisCount).cast("double") / nWords <= maxSymbolWordRatio
+      (hashCount.cast("double") / nWords <= maxSymbolWordRatio) &&
+        (ellipsisCount.cast("double") / nWords <= maxSymbolWordRatio)
     val lines = F.split(text, "\n")
     val nLines = F.size(lines)
     val bulletFrac = F.size(F.filter(lines,
@@ -156,10 +162,14 @@ object TextStats {
         F.trim(l).startsWith("•"))).cast("double") / nLines
     val bulletOk = bulletFrac <= maxBulletLineFrac
     val ellipsisFrac = F.size(F.filter(lines,
-      l => F.rtrim(l).endsWith("..."))).cast("double") / nLines
+      l => F.rtrim(l).endsWith("...") || F.rtrim(l).endsWith("…")))
+      .cast("double") / nLines
     val ellipsisOk = ellipsisFrac <= maxEllipsisLineFrac
+    // \p{L}: any Unicode letter — ASCII-only [A-Za-z] would over-filter
+    // accented or non-Latin text relative to the paper's "contain at
+    // least one alphabetic character"
     val alphaFrac = F.size(F.filter(ts,
-      t => t.rlike("[A-Za-z]"))).cast("double") / nWords
+      t => t.rlike("\\p{L}"))).cast("double") / nWords
     val alphaOk = alphaFrac >= minAlphaWordFrac
     val stopwordHits =
       F.size(F.filter(F.array_distinct(tokens(F.lower(text))),

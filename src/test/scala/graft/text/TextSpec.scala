@@ -360,4 +360,39 @@ class TextSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(pq == bf)
   }
+
+  private def gopherFlags(text: String): Map[String, Any] = {
+    val df = Seq(Tuple1(text)).toDF("text")
+      .select(TextStats.gopherRules(F.col("text"),
+        minWords = 5, minStopwordHits = 0).as("g"))
+    val row = df.select("g.*").collect()(0)
+    df.select("g.*").columns.zip(row.toSeq).toMap
+  }
+
+  test("gopherRules thresholds hash and ellipsis ratios SEPARATELY") {
+    // 50 words; 3 hashes (0.06) and 3 ellipses (0.06): each under 0.1 —
+    // the paper's rule keeps it; a summed 0.12 would wrongly reject
+    val words = (1 to 44).map(i => s"w$i").mkString(" ")
+    val both = s"$words # # # ... ... ..."
+    assert(gopherFlags(both)("symbol_ok") == true)
+    // 6 hashes alone (0.12) must still reject
+    val hashes = s"$words # # # # # #"
+    assert(gopherFlags(hashes)("symbol_ok") == false)
+  }
+
+  test("gopherRules counts the Unicode ellipsis U+2026") {
+    val words = (1 to 14).map(i => s"w$i").mkString(" ")
+    // 6 unicode ellipses over 20 words = 0.3 > 0.1
+    assert(gopherFlags(s"$words … … … … … …")("symbol_ok") == false)
+    // and a line ending in '…' counts toward the ellipsis-line fraction
+    assert(gopherFlags("one two three four five…")("ellipsis_ok") == false)
+    assert(gopherFlags("one two three four five...")("ellipsis_ok") == false)
+  }
+
+  test("gopherRules alpha check accepts any Unicode letter") {
+    // accented + Cyrillic + CJK words all count as alphabetic
+    assert(gopherFlags("café müller Москва 東京 naïve")("alpha_ok") == true)
+    // digit-only tokens do not
+    assert(gopherFlags("11 22 33 44 55")("alpha_ok") == false)
+  }
 }
