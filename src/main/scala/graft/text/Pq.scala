@@ -73,13 +73,26 @@ final class PqIndex(
     val trainSet =
       if (trainFraction >= 1.0) raw
       else raw.sample(withReplacement = false, trainFraction, seed).cache()
-    codebooks = Array.tabulate(numSubspaces) { m =>
-      val withVec = trainSet.withColumn("_features",
-        array_to_vector(F.slice(dvec(F.col(vecCol)), m * dsub + 1, dsub)))
-      new KMeans().setK(codebookSize).setSeed(seed + m)
-        .setFeaturesCol("_features").setPredictionCol("_c")
-        .fit(withVec).clusterCenters.map(_.toArray)
-    }
+    // The M per-subspace KMeans fits are independent distributed jobs —
+    // submit them CONCURRENTLY (Spark's fair scheduler interleaves their
+    // stages) instead of serializing M driver-blocking fits: each fit
+    // underutilizes the cluster at the tails (driver-side init/aggregation
+    // barriers), so wall-clock ≈ max instead of sum. Determinism is
+    // untouched: each fit is independently seeded (seed + m) and KMeans
+    // results don't depend on what else is running.
+    trainSet.count() // materialize the shared cache ONCE, not M times racing
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    codebooks = Await.result(
+      Future.sequence((0 until numSubspaces).map { m => Future {
+        val withVec = trainSet.withColumn("_features",
+          array_to_vector(F.slice(dvec(F.col(vecCol)), m * dsub + 1, dsub)))
+        new KMeans().setK(codebookSize).setSeed(seed + m)
+          .setFeaturesCol("_features").setPredictionCol("_c")
+          .fit(withVec).clusterCenters.map(_.toArray)
+      }}.toSeq),
+      Duration.Inf).toArray
     codes = encode(raw).cache()
     codes.count()
     this
