@@ -1075,6 +1075,48 @@ object SparkEntry {
         numPerms = 16, bandSize = 4, precomputedSigs = Some(sigs))
       Dedup.connectedComponents(cand)
     }),
+    "dedup_lines" -> ((s, d) => {
+      // CCNet line-level boilerplate removal. Corpus docs are single-line,
+      // so recurring boilerplate is spiked by doc_id residue (mirrored in
+      // the oracle): the %2 and %3 lines recur corpus-wide → dropped; the
+      // %5 tail embeds doc_id → per-doc unique, kept; line 1 (the doc
+      // text) is unique per doc → kept.
+      val spiked = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 2 === 0,
+            F.lit("\ncookie notice accept all")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.lit("\nall rights reserved")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 5 === 0,
+            F.concat(F.lit("\nunique tail "), F.col("doc_id")))
+            .otherwise(F.lit(""))).as("_t"))
+      graft.text.Dedup.dedupLines(spiked, "doc_id", "_t", minDocs = 2)
+    }),
+    "sketch_cms" -> ((s, d) => {
+      // deterministic Count-Min sketch counters over the interaction item
+      // stream — portable hashes, so DuckDB rebuilds every cell exactly
+      graft.core.Sketch.cmsCounters(
+        Tables.interactions(s, d).select("item_id"), "item_id",
+        depth = 4, width = 64)
+        .select(F.col("row").cast("long").as("row"), F.col("bucket"),
+          F.col("counter"))
+    }),
+    "sketch_cms_estimate" -> ((s, d) => {
+      // CMS point estimates vs exact counts for the item_id < 100 key set,
+      // with the never-under guarantee surfaced as a checked column
+      val inter = Tables.interactions(s, d)
+      val counters = graft.core.Sketch.cmsCounters(
+        inter.select("item_id"), "item_id", depth = 4, width = 64)
+      val keys = inter.filter(F.col("item_id") < 100)
+        .select("item_id").distinct()
+      val exact = inter.filter(F.col("item_id") < 100)
+        .groupBy("item_id").agg(F.count(F.lit(1)).as("exact_count"))
+      graft.core.Sketch.cmsEstimate(counters, keys, "item_id",
+          depth = 4, width = 64)
+        .join(exact, Seq("item_id"))
+        .select(F.col("item_id"), F.col("estimate"), F.col("exact_count"),
+          (F.col("estimate") >= F.col("exact_count")).as("never_under"))
+    }),
     "dedup_cluster_keep" -> ((s, d) => {
       // survivors after cluster dedup: docs outside any candidate pair
       // survive untouched; one anti-join against non-representatives
@@ -2839,6 +2881,68 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    // CCNet line dedup: parallel unnests zip (line, position); the
+    // fingerprint is the engine's normalize+md5; string_agg ORDER BY pos
+    // mirrors the array_sort-by-position reassembly.
+    "dedup_lines" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN e'\ncookie notice accept all' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN e'\nall rights reserved' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN e'\nunique tail ' || doc_id ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos,
+        |    unnest(string_split(t, chr(10))) AS line
+        |  FROM sp),
+        |fp AS (
+        |  SELECT doc_id, pos, line,
+        |    md5(lower(regexp_replace(trim(line), '\s+', ' ', 'g'))) AS f
+        |  FROM ln),
+        |freq AS (SELECT f FROM fp GROUP BY f HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT doc_id, pos, line FROM fp
+        |         WHERE f NOT IN (SELECT f FROM freq))
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text,
+        |  CAST(count(k.line) AS BIGINT) AS n_lines_kept
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+    // Count-Min sketch: every cell is reproducible from the portable
+    // md5-prefix hash recipe; range(0,4) is the hash-row family.
+    "sketch_cms" ->
+      s"""$interactionsSql,
+        |cells AS (
+        |  SELECT r.r AS row,
+        |    ('0x' || substr(md5(r.r || ':' || item_id), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM interactions, range(0, 4) r(r))
+        |SELECT CAST(row AS BIGINT) AS row, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS counter
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+    "sketch_cms_estimate" ->
+      s"""$interactionsSql,
+        |cnt AS (
+        |  SELECT item_id, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM interactions WHERE item_id < 100 GROUP BY 1),
+        |cells AS (
+        |  SELECT row, bucket, CAST(count(*) AS BIGINT) AS counter FROM (
+        |    SELECT r.r AS row,
+        |      ('0x' || substr(md5(r.r || ':' || item_id), 1, 15))::BIGINT % 64 AS bucket
+        |    FROM interactions, range(0, 4) r(r))
+        |  GROUP BY 1, 2),
+        |qc AS (
+        |  SELECT t.item_id, r.r AS row,
+        |    ('0x' || substr(md5(r.r || ':' || t.item_id), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT DISTINCT item_id FROM interactions WHERE item_id < 100) t,
+        |    range(0, 4) r(r)),
+        |est AS (
+        |  SELECT qc.item_id, min(coalesce(ce.counter, 0)) AS estimate
+        |  FROM qc LEFT JOIN cells ce ON qc.row = ce.row AND qc.bucket = ce.bucket
+        |  GROUP BY 1)
+        |SELECT e.item_id, CAST(e.estimate AS BIGINT) AS estimate,
+        |  cnt.exact_count, e.estimate >= cnt.exact_count AS never_under
+        |FROM est e JOIN cnt ON e.item_id = cnt.item_id""".stripMargin,
     "dedup_minhash" -> {
       val matchSum = (0 until 16)
         .map(p => s"(CASE WHEN a.h$p = b.h$p THEN 1 ELSE 0 END)").mkString(" + ")

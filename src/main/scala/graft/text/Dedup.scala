@@ -239,6 +239,41 @@ object Dedup {
       .drop("_fp", "_r", "_rn", "_n")
   }
 
+  /** CCNet-style line-level dedup (Wenzek et al. 2020 §3.1: boilerplate —
+    * nav bars, cookie banners, license footers — is removed by dropping
+    * LINES duplicated across documents, before any document-level dedup):
+    * a line is dropped when its normalized fingerprint appears in ≥
+    * `minDocs` DISTINCT documents; survivors reassemble in original order.
+    * Every input document comes back (fully-boilerplate docs with empty
+    * text and n_lines_kept = 0).
+    *
+    * Scale shape: one posexplode (|lines| rows), one fingerprint groupBy
+    * (map-side combined down to |distinct lines|), one anti-join against
+    * the frequent-line set — which is the boilerplate vocabulary, tiny
+    * next to the corpus, hence a broadcast candidate — and one per-doc
+    * regroup. No pair joins, no driver state. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2): DataFrame = {
+    val lines = docs.select(F.col(idCol),
+        F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_fp", TextStats.fingerprint(F.col("_line")))
+    val frequent = lines.groupBy("_fp")
+      .agg(F.countDistinct(idCol).as("_ndocs"))
+      .filter(F.col("_ndocs") >= minDocs)
+      .select("_fp")
+    val kept = lines.join(F.broadcast(frequent), Seq("_fp"), "left_anti")
+    docs.select(F.col(idCol)).join(
+      kept.groupBy(idCol).agg(
+        F.array_join(F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_line")))),
+          s => s.getField("_line")), "\n").as("clean_text"),
+        F.count(F.lit(1)).as("n_lines_kept")),
+      Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0L)).as("n_lines_kept"))
+  }
+
   /** Benchmark-contamination check (the decontamination pass every
     * training pipeline runs before a model ships): per corpus doc, the
     * fraction of its distinct word n-grams that appear ANYWHERE in the

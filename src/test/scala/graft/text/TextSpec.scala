@@ -389,6 +389,28 @@ class TextSpec extends SparkSpec {
     assert(gopherFlags("one two three four five...")("ellipsis_ok") == false)
   }
 
+  test("dedupLines drops corpus-frequent lines, keeps order, keeps all docs") {
+    val docs = Seq(
+      (1L, "alpha unique\nSHARED footer\nbeta unique"),
+      (2L, "gamma unique\nshared   FOOTER"), // fingerprint-normalized match
+      (3L, "shared footer"),                 // fully boilerplate
+      (4L, "delta unique"),
+    ).toDF("doc_id", "text")
+    val m = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(m(1L) == (("alpha unique\nbeta unique", 2L))) // order preserved
+    assert(m(2L) == (("gamma unique", 1L)))
+    assert(m(3L) == (("", 0L)))      // fully-boilerplate doc still returned
+    assert(m(4L) == (("delta unique", 1L)))
+  }
+
+  test("dedupLines counts DISTINCT docs: repetition within one doc survives") {
+    val docs = Seq((1L, "echo line\necho line\necho line")).toDF("doc_id", "text")
+    val m = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) == 3L) // 3 copies in ONE doc is not cross-doc boilerplate
+  }
+
   test("gopherRules alpha check accepts any Unicode letter") {
     // accented + Cyrillic + CJK words all count as alphabetic
     assert(gopherFlags("café müller Москва 東京 naïve")("alpha_ok") == true)
