@@ -1117,6 +1117,26 @@ object SparkEntry {
         .select(F.col("item_id"), F.col("estimate"), F.col("exact_count"),
           (F.col("estimate") >= F.col("exact_count")).as("never_under"))
     }),
+    "sketch_hll" -> ((s, d) => {
+      // dense HyperLogLog register file over the interaction item stream —
+      // exact integer semantics (bin()-length ρ), every cell oracle-checked
+      graft.core.Sketch.hllRegisters(
+        Tables.interactions(s, d).select("item_id"), "item_id", p = 8)
+    }),
+    "sketch_hll_estimate" -> ((s, d) => {
+      // HLL cardinality vs exact distinct, thresholded like the ANN recall
+      // gates: the oracle computes the exact count and asserts the bound.
+      // p=10 (σ=3.25%) so the 10% bound is a 3σ contract; the p=8
+      // register-file gate above measured an unlucky-but-in-spec 1.4σ
+      // draw (8.9%) on this corpus
+      val inter = Tables.interactions(s, d)
+      val est = graft.core.Sketch.hllEstimate(
+        graft.core.Sketch.hllRegisters(inter.select("item_id"), "item_id", 10), 10)
+      val exact = inter.agg(F.countDistinct("item_id").as("n_exact"))
+      est.crossJoin(exact).select(F.col("n_exact"),
+        (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
+          <= 0.10).as("within_10pct"))
+    }),
     "dedup_cluster_keep" -> ((s, d) => {
       // survivors after cluster dedup: docs outside any candidate pair
       // survive untouched; one anti-join against non-representatives
@@ -2920,6 +2940,29 @@ object SparkEntry {
         |SELECT CAST(row AS BIGINT) AS row, CAST(bucket AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS counter
         |FROM cells GROUP BY 1, 2""".stripMargin,
+    // HLL registers: ρ from length(bin(w)) — integer string arithmetic,
+    // identical across engines (float log2 is libm-dependent at 2^j−1
+    // boundaries). Dense 256-bucket output via range left join.
+    "sketch_hll" ->
+      s"""$interactionsSql,
+        |hh AS (
+        |  SELECT ('0x' || substr(md5('0:' || item_id), 1, 15))::BIGINT AS h
+        |  FROM interactions),
+        |rr AS (
+        |  SELECT h >> 52 AS bucket,
+        |    CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+        |         ELSE 52 - (length(bin(h & ((1::BIGINT << 52) - 1))) - 1)
+        |    END AS rho
+        |  FROM hh),
+        |ag AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY 1)
+        |SELECT CAST(b.b AS BIGINT) AS bucket,
+        |  CAST(coalesce(ag.register, 0) AS BIGINT) AS register
+        |FROM range(0, 256) b(b) LEFT JOIN ag ON b.b = ag.bucket""".stripMargin,
+    "sketch_hll_estimate" ->
+      s"""$interactionsSql
+        |SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_10pct
+        |FROM interactions""".stripMargin,
     "sketch_cms_estimate" ->
       s"""$interactionsSql,
         |cnt AS (

@@ -42,6 +42,74 @@ object Sketch {
       .groupBy(F.col("_c._row").as("row"), F.col("_c._bucket").as("bucket"))
       .agg(F.count(F.lit(1)).as("counter"))
 
+  /** HyperLogLog registers (Flajolet et al. 2007), deterministic and
+    * engine-portable. For each key's 60-bit portable hash h:
+    * bucket = top p bits (h >> (60−p)); w = low (60−p) bits;
+    * ρ = leading-zero count of w within its (60−p)-bit window + 1 =
+    * (60−p) − floor(log₂ w) for w > 0, else (60−p)+1.
+    * register(b) = max ρ over the bucket's keys. DENSE output: all 2^p
+    * buckets present (empty → 0), so shard merge is a plain per-bucket
+    * max and the oracle's shape is fixed.
+    *
+    * floor(log₂ w) is computed as length(bin(w)) − 1 — INTEGER string
+    * arithmetic, identical in any engine, where float log2 near 2^j
+    * boundaries rounds differently across libm implementations (log₂(2⁵¹−1)
+    * rounds UP to 51.0 in ieee754 double — a cross-engine hash mismatch
+    * waiting to happen).
+    *
+    * Scale shape: identical to the CMS — one scan, map-side combined max,
+    * a 2^p-cell shuffle regardless of stream size; mergeable by per-bucket
+    * max; streaming-safe (max agg, update mode). */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
+    val m = 1L << p
+    val low = 60 - p
+    val h = PortableHash.long(0L, F.col(keyCol))
+    val bucket = F.shiftrightunsigned(h, low)
+    val w = h.bitwiseAND(F.lit((1L << low) - 1L))
+    val rho = F.when(w === 0L, F.lit(low + 1))
+      .otherwise(F.lit(low) - (F.length(F.bin(w)) - F.lit(1)))
+    val sparse = df.select(bucket.as("bucket"), rho.as("_rho"))
+      .groupBy("bucket").agg(F.max("_rho").cast("long").as("register"))
+    df.sparkSession.range(m).select(F.col("id").as("bucket"))
+      .join(sparse, Seq("bucket"), "left")
+      .select(F.col("bucket"),
+        F.coalesce(F.col("register"), F.lit(0L)).as("register"))
+  }
+
+  /** HLL cardinality estimate from a dense register frame: the raw
+    * estimator α·m²/Σ2^−Mⱼ with the standard linear-counting correction
+    * for the small range (E ≤ 2.5m with empty buckets). The power sum is
+    * computed EXACTLY as Σ2^(rmax−Mⱼ) in BIGINT (order-independent; each
+    * float Σ2^−Mⱼ would be summation-order-sensitive at the ulp level),
+    * so the only float ops are one division and the α constant — both
+    * bit-identical across engines. One row: (estimate). */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val scalars = registers.agg(F.max("register").as("_rmax"),
+      F.sum(F.when(F.col("register") === 0L, 1L).otherwise(0L)).as("_zeros"))
+    registers.crossJoin(F.broadcast(scalars))
+      .select(F.col("_rmax"), F.col("_zeros"),
+        F.expr("shiftleft(1L, cast(_rmax - register AS INT))").as("_t"))
+      .groupBy("_rmax", "_zeros")
+      .agg(F.sum("_t").as("_s"))
+      .select(
+        F.when(
+          F.col("_zeros") > 0L &&
+            (F.lit(alpha * m * m) * F.pow(2.0, F.col("_rmax")) / F.col("_s"))
+              <= F.lit(2.5 * m),
+          F.lit(m.toDouble) * F.log(F.lit(m.toDouble) / F.col("_zeros")))
+          .otherwise(
+            F.lit(alpha * m * m) * F.pow(2.0, F.col("_rmax")) / F.col("_s"))
+          .as("estimate"))
+  }
+
   /** Point estimates for `keys` (a frame carrying `keyCol`) against a
     * counter table from [[cmsCounters]] built with the SAME depth/width:
     * min over rows of the key's bucket counter; keys hashing only to

@@ -46,6 +46,36 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("HLL registers are dense and mergeable by per-bucket max") {
+    val all = (1L to 5000L).toDF("item_id")
+    val (a, b) = (all.filter($"item_id" <= 3000), all.filter($"item_id" > 2000))
+    val merged = Sketch.hllRegisters(a, "item_id", p = 8)
+      .unionAll(Sketch.hllRegisters(b, "item_id", p = 8))
+      .groupBy("bucket").agg(F.max("register").as("register"))
+      .as[(Long, Long)].collect().toMap
+    val whole = Sketch.hllRegisters(all, "item_id", p = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(whole.size == 256 && whole.keySet == (0L until 256L).toSet)
+    assert(merged == whole)
+  }
+
+  test("HLL estimate lands within 3 sigma of the truth (p=8: 19.5%)") {
+    for (n <- Seq(500L, 5000L, 50000L)) {
+      val est = Sketch.hllEstimate(
+        Sketch.hllRegisters(spark.range(n).select($"id".as("k")), "k", 8), 8)
+        .as[Double].collect()(0)
+      assert(math.abs(est - n) / n <= 0.195,
+        s"n=$n estimate=$est error=${math.abs(est - n) / n}")
+    }
+  }
+
+  test("HLL small range uses linear counting and is near-exact") {
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(Seq(1L, 2L, 3L).toDF("k"), "k", 8), 8)
+      .as[Double].collect()(0)
+    assert(math.abs(est - 3.0) <= 0.2, s"estimate=$est") // 256·ln(256/253)
+  }
+
   test("CMS total mass per row equals the stream size") {
     val perRow = Sketch.cmsCounters(stream, "item_id", 4, 16)
       .groupBy("row").agg(F.sum("counter").as("n"))
