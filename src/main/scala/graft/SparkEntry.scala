@@ -396,6 +396,53 @@ object SparkEntry {
         .withColumn("rating", (F.col("rating") > 25).cast("double"))
       new models.ThompsonSampling(seed = 42).fit(binary).itemPopularity
     }),
+    "model_thompson_bounds" -> ((s, d) => {
+      // structural certificate for the Beta sampler (r8): one state row
+      // per catalog item, every draw inside the open unit interval — both
+      // facts the oracle CAN assert (n_items from the log; TRUE for the
+      // support of any Beta(α>0, β>0))
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val pop = new models.ThompsonSampling(seed = 42).fit(binary).itemPopularity
+      pop.agg(F.count(F.lit(1)).as("n_items"),
+        (F.min("rating") > 0.0 && F.max("rating") < 1.0).as("in_unit_interval"))
+    }),
+    "model_slim_twin_parity" -> ((s, d) => {
+      // the driver-CSC solver and the distributed Gram/CD twin must agree
+      // BIT-FOR-BIT on integral ratings (r8: the Tier2Spec parity contract
+      // becomes a driver-enforced gate): full outer join of the two
+      // similarity tables, any missing cell or unequal value flips a flag
+      val binary = Tables.interactions(s, d)
+        .withColumn("rating", F.lit(1.0))
+        .select("query_id", "item_id", "rating").distinct()
+      def sim(collectBound: Long) =
+        new models.SLIM(maxIter = 15, maxNeighbours = 30,
+          maxCollectEntries = collectBound).fit(binary).similarity
+      sim(50000000L).withColumnRenamed("similarity", "_a")
+        .join(sim(0L).withColumnRenamed("similarity", "_b"),
+          Seq("item_one", "item_two"), "full_outer")
+        .agg(
+          (F.count(F.lit(1)) > 0L &&
+            F.sum(F.when(F.col("_a").isNull || F.col("_b").isNull, 1L)
+              .otherwise(0L)) === 0L).as("cells_match"),
+          (F.sum(F.when(F.col("_a") === F.col("_b"), 0L).otherwise(1L))
+            === 0L).as("values_match"))
+    }),
+    "model_w2v_ann_recall" -> ((s, d) => {
+      // IVF-routed Word2Vec predict vs the exact cross-join predict path
+      // on ONE shared fit (W2V training is nondeterministic across fits —
+      // see Word2VecRec.setAnn — so a refit is never a valid reference):
+      // recall@3 ≥ 0.95, threshold-gated like the embed_* gates (r8)
+      val i = Tables.interactions(s, d)
+      val m = new models.Word2VecRec(vectorSize = 16,
+        numPartitions = Some(32)).fit(i)
+      def recs() = m.predict(i, k = 3)
+        .select(F.col("query_id"), F.col("item_id").as("neighbor_id"))
+      val exact = recs()
+      m.setAnn(Some(new models.IvfAnn(nCentroids = 16, nProbe = 4)))
+      graft.text.Similarity.recallSummary(recs(), exact, k = 3)
+        .select("n_queries", "k", "recall_ok")
+    }),
     "model_random_rec" -> ((s, d) => {
       val i = Tables.interactions(s, d)
       val m = new models.RandomRec("popular", alpha = 0.0, seed = 42).fit(i)
@@ -784,8 +831,12 @@ object SparkEntry {
       )
       val floor = base * 0.5
       import s.implicits._
-      scores.map { case (m, v) => (m, r6(v), r6(floor), v >= floor) }
-        .toDF("model", "ndcg_at_5", "floor", "passed")
+      // (model, passed) only: the NDCG values are MLlib-solver internals no
+      // SQL oracle can reproduce, but the PASS/FAIL verdict is exactly what
+      // the driver gate should enforce (r8: full oracle asserts all-TRUE,
+      // same threshold-gate pattern as the ANN recall gates); the numeric
+      // scores remain spec-visible via Tier2Spec
+      scores.map { case (m, v) => (m, v >= floor) }.toDF("model", "passed")
     }),
     "grid_search" -> ((s, d) => {
       // deterministic hyper-parameter grid (Optuna replacement,
@@ -2773,6 +2824,26 @@ object SparkEntry {
         |    6) AS quality,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    // Threshold/structural certificates (r8): the oracle cannot reproduce
+    // MLlib-solver or RNG internals, but it CAN assert the verdicts — the
+    // quality floor, the driver-vs-distributed SLIM bit parity, the Beta
+    // sampler's support and state shape, and the W2V ANN recall contract.
+    "model_quality_floor" ->
+      """SELECT 'als' AS model, TRUE AS passed
+        |UNION ALL SELECT 'word2vec', TRUE
+        |UNION ALL SELECT 'cluster', TRUE""".stripMargin,
+    "model_thompson_bounds" ->
+      s"""$interactionsSql
+        |SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_items,
+        |  TRUE AS in_unit_interval
+        |FROM interactions""".stripMargin,
+    "model_slim_twin_parity" ->
+      "SELECT TRUE AS cells_match, TRUE AS values_match",
+    "model_w2v_ann_recall" ->
+      s"""$interactionsSql
+        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |  CAST(3 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM interactions""".stripMargin,
     // Gopher rules: the spike CASEs mirror the Spark gate exactly; every
     // flag is integer/boolean arithmetic except the IEEE ratio divisions,
     // which both engines compute identically (CAST thresholds AS DOUBLE —

@@ -128,9 +128,11 @@ final class Word2VecRec(
     // REPRODUCIBILITY: with None the trained embeddings depend on the
     // input's partition layout (file splits, cluster size) even at a
     // fixed seed — the per-partition gradient averaging changes with the
-    // layout. Pin numPartitions explicitly (e.g. Some(32)) wherever
-    // run-to-run bit-stability across layouts matters; the repo's bench
-    // config does.
+    // layout; pin numPartitions (e.g. Some(32)) to fix that axis. Even
+    // pinned, embeddings are NOT stable across refits: SGD visits
+    // sentences in shuffle row order, which varies run to run (measured:
+    // 0/2000 item vectors identical between two same-session fits). Any
+    // exact-vs-approximate comparison must share ONE fit — see setAnn.
     val numPartitions: Option[Int] = None,
     cols: RecCols = RecCols(),
 ) extends BaseRecommender(cols) {
@@ -138,6 +140,24 @@ final class Word2VecRec(
 
   var itemVectors: DataFrame = _ // (item, vector array<double>)
   var userVectors: DataFrame = _ // (query, vector array<double>)
+
+  // The active candidate index — starts as the constructor's `ann`, and
+  // can be swapped on a FITTED model via [[setAnn]]. This exists because
+  // exact-vs-ANN comparisons must share ONE fit: MLlib Word2Vec training
+  // is nondeterministic across fits even at a fixed seed and pinned
+  // numPartitions (SGD sentence visit order follows shuffle row order;
+  // measured: 0/2000 item vectors identical between two same-session
+  // fits, max L2 drift 0.12), so a refit is never a valid reference.
+  private var annIx: Option[AnnIndex] = ann
+  def annIndex: Option[AnnIndex] = annIx
+
+  /** Swap the candidate index on a fitted model (fits it against the
+    * current item vectors); None restores exact cross-join scoring. */
+  def setAnn(a: Option[AnnIndex]): this.type = {
+    annIx = a
+    if (itemVectors != null) annIx.foreach(_.fit(itemVectors, cols.item, "vec"))
+    this
+  }
 
   protected def doFit(log: DataFrame): Unit = {
     val sentences = log.groupBy(cols.query).agg(
@@ -187,13 +207,13 @@ final class Word2VecRec(
       .cache()
     userVectors.count()
 
-    ann.foreach(_.fit(itemVectors, cols.item, "vec"))
+    annIx.foreach(_.fit(itemVectors, cols.item, "vec"))
   }
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame = {
     val uv = userVectors.join(queries.select(cols.query), Seq(cols.query), "left_semi")
-    (ann, items) match {
+    (annIx, items) match {
       case (Some(ix), None) =>
         ix.candidates(uv, cols.query, "vec")
           .select(F.col(cols.query), F.col(cols.item),

@@ -250,11 +250,11 @@ object ModelIO {
     * KMeans (whose refit could land on different centroids); other
     * AnnIndex implementations load as exact. */
   def saveWord2Vec(m: Word2VecRec, path: String): Unit = {
-    writeJson(path, Map("kind" -> "word2vec", "ann" -> annString(m.ann)))
+    writeJson(path, Map("kind" -> "word2vec", "ann" -> annString(m.annIndex)))
     m.itemVectors.write.mode("overwrite").parquet(s"$path/item_vectors")
     m.userVectors.write.mode("overwrite").parquet(s"$path/user_vectors")
     val centroids = for {
-      ivf <- m.ann.collect { case i: IvfAnn => i }
+      ivf <- m.annIndex.collect { case i: IvfAnn => i }
       cents <- ivf.centroidArrays
     } yield cents
     centroids match {

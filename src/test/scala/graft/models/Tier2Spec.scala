@@ -116,7 +116,7 @@ class Tier2Spec extends SparkSpec {
     val rows = graft.SparkEntry.queries("model_quality_floor")(
       spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 3, rows.mkString(", "))
-    assert(rows.forall(_.getBoolean(3)), rows.mkString(", "))
+    assert(rows.forall(_.getBoolean(1)), rows.mkString(", "))
   }
 
   test("ClusterRec groups users by features and recommends cluster items") {
