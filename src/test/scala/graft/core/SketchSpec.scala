@@ -76,6 +76,49 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 3.0) <= 0.2, s"estimate=$est") // 256·ln(256/253)
   }
 
+  test("CMS and HLL run as real streams (complete mode) and match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1L to 200L) ++ (1L to 50L) // skew: 1..50 twice
+    val batchCms = Sketch.cmsCounters(keys.toDF("item_id"), "item_id", 4, 16)
+      .as[(Int, Long, Long)].collect().toSet
+
+    val in = MemoryStream[Long]
+    val q = Sketch.cmsCounters(in.toDF().toDF("item_id"), "item_id", 4, 16)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    in.addData(keys.take(100): _*); q.processAllAvailable()
+    in.addData(keys.drop(100): _*); q.processAllAvailable()
+    val streamed = spark.table("cms_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == batchCms)
+
+    // HLL: the sparse register aggregation is the streaming-safe part
+    // (the dense range join is a batch read of the final state)
+    val batchHll = Sketch.hllRegisters(keys.toDF("item_id"), "item_id", 8)
+      .filter($"register" > 0L).as[(Long, Long)].collect().toSet
+    val in2 = MemoryStream[Long]
+    val q2 = { // same sparse agg the operator builds internally
+      import graft.core.{PortableHash => PH}
+      val h = PH.long(0L, F.col("item_id"))
+      val low = 52
+      val w = h.bitwiseAND(F.lit((1L << low) - 1L))
+      val rho = F.when(w === 0L, F.lit(low + 1))
+        .otherwise(F.lit(low) - (F.length(F.bin(w)) - F.lit(1)))
+      in2.toDF().toDF("item_id")
+        .select(F.shiftrightunsigned(h, low).as("bucket"), rho.as("_rho"))
+        .groupBy("bucket").agg(F.max("_rho").cast("long").as("register"))
+        .writeStream.format("memory").queryName("hll_stream")
+        .outputMode("complete").start()
+    }
+    in2.addData(keys: _*); q2.processAllAvailable()
+    val streamedHll = spark.table("hll_stream")
+      .as[(Long, Long)].collect().toSet
+    q2.stop()
+    assert(streamedHll == batchHll)
+  }
+
   test("CMS total mass per row equals the stream size") {
     val perRow = Sketch.cmsCounters(stream, "item_id", 4, 16)
       .groupBy("row").agg(F.sum("counter").as("n"))
