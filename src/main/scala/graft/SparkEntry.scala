@@ -443,6 +443,44 @@ object SparkEntry {
       graft.text.Similarity.recallSummary(recs(), exact, k = 3)
         .select("n_queries", "k", "recall_ok")
     }),
+    "model_als_ann_recall" -> ((s, d) => {
+      // IVF-routed ALS predict vs MLlib's exact blocked top-k on ONE
+      // shared fit (ALSRec.setAnn — r8, the ALS twin of the W2V recall
+      // certificate): recall@5 ≥ 0.95, threshold-gated
+      val i = Tables.interactions(s, d)
+      val m = new models.ALSRec(rank = 8, maxIter = 5).fit(i)
+      def recs() = m.predict(i, k = 5)
+        .select(F.col("query_id"), F.col("item_id").as("neighbor_id"))
+      val exact = recs()
+      m.setAnn(Some(new models.IvfAnn(nCentroids = 16, nProbe = 6)))
+      graft.text.Similarity.recallSummary(recs(), exact, k = 5)
+        .select("n_queries", "k", "recall_ok")
+    }),
+    "model_recs_certificate" -> ((s, d) => {
+      // structural predict-contract certificates (r8) for the solver/RNG
+      // models the oracle can't score-check: ALS implicit + explicit,
+      // ClusterRec, fast-hash RandomRec — per-query count algebra, zero
+      // seen items, finite scores (Certificates.topK scaladoc). Same
+      // configs as their rows-only gates, so a contract break here
+      // localizes to the model, not the setup.
+      val i = Tables.interactions(s, d)
+      val als = models.Certificates.topK(
+        new models.ALSRec(rank = 8, maxIter = 5).fitPredict(i, k = 5),
+        i, 5, "als")
+      val alsX = models.Certificates.topK(
+        new models.ALSRec(rank = 8, maxIter = 5, implicitPrefs = false)
+          .fitPredict(i, k = 5), i, 5, "als_explicit")
+      val qf = Tables.customer(s, d).select(
+        F.col("c_custkey").as("query_id"),
+        F.col("c_acctbal"), F.col("c_nationkey").cast("double").as("c_nat"))
+      val clu = models.Certificates.topK(
+        new models.ClusterRec(nClusters = 5).fit(i, qf).predict(i, k = 5),
+        i, 5, "cluster", exactCount = false)
+      val rnd = models.Certificates.topK(
+        new models.RandomRec("popular", alpha = 0.0, seed = 42,
+          hashMode = "fast").fit(i).predict(i, k = 3), i, 3, "random_rec_fast")
+      als.unionAll(alsX).unionAll(clu).unionAll(rnd)
+    }),
     "model_random_rec" -> ((s, d) => {
       val i = Tables.interactions(s, d)
       val m = new models.RandomRec("popular", alpha = 0.0, seed = 42).fit(i)
@@ -1187,6 +1225,32 @@ object SparkEntry {
       est.crossJoin(exact).select(F.col("n_exact"),
         (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
           <= 0.10).as("within_10pct"))
+    }),
+    "sketch_bloom" -> ((s, d) => {
+      // dense Bloom filter bit table over the interaction item stream —
+      // portable hash family, every bit oracle-checked
+      graft.core.Sketch.bloomBits(
+        Tables.interactions(s, d).select("item_id"), "item_id",
+        numBits = 1024, numHashes = 4)
+    }),
+    "sketch_bloom_query" -> ((s, d) => {
+      // membership probes over a key grid straddling the catalog boundary
+      // (~half absent at gate scale): maybe_present vs ground truth, with
+      // the no-false-negative guarantee surfaced as a checked column
+      val inter = Tables.interactions(s, d)
+      val bits = graft.core.Sketch.bloomBits(
+        inter.select("item_id"), "item_id", numBits = 1024, numHashes = 4)
+      val keys = s.range(0, 4000, 20).select(F.col("id").as("item_id"))
+      val present = inter.select("item_id").distinct()
+        .withColumn("_present", F.lit(true))
+      graft.core.Sketch.bloomMayContain(bits, keys, "item_id",
+          numBits = 1024, numHashes = 4)
+        .join(present, Seq("item_id"), "left")
+        .select(F.col("item_id"), F.col("maybe_present"),
+          F.coalesce(F.col("_present"), F.lit(false)).as("actually_present"),
+          (F.col("maybe_present") ||
+            !F.coalesce(F.col("_present"), F.lit(false)))
+            .as("no_false_negative"))
     }),
     "dedup_cluster_keep" -> ((s, d) => {
       // survivors after cluster dedup: docs outside any candidate pair
@@ -2844,6 +2908,20 @@ object SparkEntry {
         |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
         |  CAST(3 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM interactions""".stripMargin,
+    "model_als_ann_recall" ->
+      s"""$interactionsSql
+        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |  CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM interactions""".stripMargin,
+    "model_recs_certificate" ->
+      s"""$interactionsSql,
+        |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n
+        |       FROM interactions)
+        |SELECT 'als' AS model, n AS n_queries, TRUE AS k_ok,
+        |  TRUE AS unseen_ok, TRUE AS scores_finite FROM nq
+        |UNION ALL SELECT 'als_explicit', n, TRUE, TRUE, TRUE FROM nq
+        |UNION ALL SELECT 'cluster', n, TRUE, TRUE, TRUE FROM nq
+        |UNION ALL SELECT 'random_rec_fast', n, TRUE, TRUE, TRUE FROM nq""".stripMargin,
     // Gopher rules: the spike CASEs mirror the Spark gate exactly; every
     // flag is integer/boolean arithmetic except the IEEE ratio divisions,
     // which both engines compute identically (CAST thresholds AS DOUBLE —
@@ -3057,6 +3135,37 @@ object SparkEntry {
         |SELECT e.item_id, CAST(e.estimate AS BIGINT) AS estimate,
         |  cnt.exact_count, e.estimate >= cnt.exact_count AS never_under
         |FROM est e JOIN cnt ON e.item_id = cnt.item_id""".stripMargin,
+    // Bloom filter: every bit reproducible from the portable md5-prefix
+    // recipe; range(0,4) is the hash-function family, 1024 the bit width.
+    "sketch_bloom" ->
+      s"""$interactionsSql,
+        |pos AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(r.r || ':' || item_id), 1, 15))::BIGINT % 1024 AS bit
+        |  FROM interactions, range(0, 4) r(r))
+        |SELECT CAST(b.b AS BIGINT) AS bit,
+        |  CAST(CASE WHEN pos.bit IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_set
+        |FROM range(0, 1024) b(b) LEFT JOIN pos ON b.b = pos.bit""".stripMargin,
+    "sketch_bloom_query" ->
+      s"""$interactionsSql,
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(r.r || ':' || item_id), 1, 15))::BIGINT % 1024 AS bit
+        |  FROM interactions, range(0, 4) r(r)),
+        |keys AS (SELECT CAST(k.k AS BIGINT) AS item_id FROM range(0, 4000, 20) k(k)),
+        |qpos AS (
+        |  SELECT keys.item_id,
+        |    ('0x' || substr(md5(r.r || ':' || keys.item_id), 1, 15))::BIGINT % 1024 AS bit
+        |  FROM keys, range(0, 4) r(r)),
+        |mp AS (
+        |  SELECT q.item_id,
+        |    min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1 AS maybe_present
+        |  FROM qpos q LEFT JOIN bits b ON q.bit = b.bit GROUP BY 1),
+        |pres AS (SELECT DISTINCT item_id FROM interactions)
+        |SELECT mp.item_id, mp.maybe_present,
+        |  pres.item_id IS NOT NULL AS actually_present,
+        |  (mp.maybe_present OR pres.item_id IS NULL) AS no_false_negative
+        |FROM mp LEFT JOIN pres ON mp.item_id = pres.item_id""".stripMargin,
     "dedup_minhash" -> {
       val matchSum = (0 until 16)
         .map(p => s"(CASE WHEN a.h$p = b.h$p THEN 1 ELSE 0 END)").mkString(" + ")

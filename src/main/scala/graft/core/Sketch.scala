@@ -123,4 +123,56 @@ object Sketch {
           F.col("_c._bucket") === F.col("bucket"), "left")
       .groupBy(keyCol)
       .agg(F.min(F.coalesce(F.col("counter"), F.lit(0L))).as("estimate"))
+
+  /** Bit positions a key sets in an m-bit Bloom filter: one portable hash
+    * per hash function index (seed = the index), mod m. */
+  private def bloomPositions(keyCol: String, numBits: Int, numHashes: Int) =
+    F.array((0 until numHashes).map { r =>
+      F.pmod(PortableHash.long(r.toLong, F.col(keyCol)), F.lit(numBits.toLong))
+    }: _*)
+
+  /** Deterministic, mergeable Bloom filter (Bloom 1970) as a dense bit
+    * table: one row per bit ∈ [0, numBits) with `is_set` ∈ {0, 1}.
+    *
+    * Membership never under-reports (no false negatives, spec-pinned);
+    * false-positive rate ≈ (1 − e^(−kn/m))^k for n inserted keys — size
+    * numBits ≈ 1.44·n·log₂(1/fpr) for a target rate.
+    *
+    * Same scale shape as the CMS/HLL: the filter IS a groupBy over bit
+    * positions — map-side combine collapses each partition to ≤ numBits
+    * cells, so the one shuffle moves O(numBits) rows regardless of stream
+    * size; shards merge by per-bit OR (max — spec-pinned); works unchanged
+    * on a stream (max agg, update mode). The portable hash family makes
+    * every bit DuckDB-reproducible and partition-layout-independent.
+    *
+    * The 100 TB use: a day's key set compressed to numBits bits becomes a
+    * broadcastable "probably seen" pre-filter ahead of an exact dedup
+    * anti-join — the anti-join's big-side shuffle then carries only the
+    * (1 − fpr-sized) candidate slice instead of the whole corpus. */
+  def bloomBits(df: DataFrame, keyCol: String,
+      numBits: Int = 1024, numHashes: Int = 4): DataFrame = {
+    require(numBits > 0 && numHashes > 0, s"bad bloom shape $numBits/$numHashes")
+    val sparse = df
+      .select(F.explode(bloomPositions(keyCol, numBits, numHashes)).as("bit"))
+      .groupBy("bit").agg(F.lit(1L).as("_one"))
+    df.sparkSession.range(numBits).select(F.col("id").as("bit"))
+      .join(sparse, Seq("bit"), "left")
+      .select(F.col("bit"),
+        F.coalesce(F.col("_one"), F.lit(0L)).as("is_set"))
+  }
+
+  /** Probabilistic membership for `keys` against a [[bloomBits]] table
+    * built with the SAME numBits/numHashes: maybe-present iff every one of
+    * the key's numHashes bits is set. The bit table is numBits rows —
+    * always a broadcast join; the verdict is min(is_set) over the key's
+    * positions, so a key is rejected the moment any position is clear. */
+  def bloomMayContain(bits: DataFrame, keys: DataFrame, keyCol: String,
+      numBits: Int = 1024, numHashes: Int = 4): DataFrame =
+    keys
+      .select(F.col(keyCol),
+        F.explode(bloomPositions(keyCol, numBits, numHashes)).as("_p"))
+      .join(F.broadcast(bits), F.col("_p") === F.col("bit"), "left")
+      .groupBy(keyCol)
+      .agg((F.min(F.coalesce(F.col("is_set"), F.lit(0L))) === 1L)
+        .as("maybe_present"))
 }

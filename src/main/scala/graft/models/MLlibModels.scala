@@ -23,6 +23,23 @@ final class ALSRec(
   import org.apache.spark.ml.recommendation.{ALS, ALSModel}
   var model: ALSModel = _
 
+  // Active candidate index — the constructor's `ann` until swapped via
+  // [[setAnn]] on a fitted model. Unlike Word2Vec, ALS at a fixed seed IS
+  // deterministic across fits, but sharing one fit is still the cleaner
+  // exact-vs-ANN comparison (and what model_als_ann_recall gates on).
+  private var annIx: Option[AnnIndex] = ann
+  def annIndex: Option[AnnIndex] = annIx
+
+  /** Swap the candidate index on a fitted model (fits it against the
+    * current item factors); None restores MLlib's exact blocked top-k. */
+  def setAnn(a: Option[AnnIndex]): this.type = {
+    annIx = a
+    if (model != null) annIx.foreach(_.fit(
+      model.itemFactors.select(F.col("id").cast("long").as(cols.item),
+        F.col("features")), cols.item, "features"))
+    this
+  }
+
   protected def doFit(log: DataFrame): Unit = {
     model = new ALS()
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
@@ -33,14 +50,14 @@ final class ALSRec(
         F.col(cols.query).cast("int").as(cols.query),
         F.col(cols.item).cast("int").as(cols.item),
         F.col(cols.rating).cast("float").as(cols.rating)))
-    ann.foreach(_.fit(
+    annIx.foreach(_.fit(
       model.itemFactors.select(F.col("id").cast("long").as(cols.item),
         F.col("features")), cols.item, "features"))
   }
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame =
-    (ann, items) match {
+    (annIx, items) match {
       case (_, Some(it)) =>
         // candidate restriction → score explicit pairs via model.transform
         // (reference als.py:137-146 switches off the blocked top-k path)

@@ -211,7 +211,7 @@ object ModelIO {
       "rank" -> m.rank.toString, "maxIter" -> m.maxIter.toString,
       "regParam" -> m.regParam.toString,
       "implicitPrefs" -> m.implicitPrefs.toString,
-      "seed" -> m.seed.toString, "ann" -> annString(m.ann)))
+      "seed" -> m.seed.toString, "ann" -> annString(m.annIndex)))
     m.model.write.overwrite().save(s"$path/als_model")
   }
 

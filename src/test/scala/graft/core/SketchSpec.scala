@@ -119,6 +119,43 @@ class SketchSpec extends SparkSpec {
     assert(streamedHll == batchHll)
   }
 
+  test("Bloom filter has no false negatives, at any width") {
+    val inserted = (1L to 50L).toDF("item_id")
+    for (m <- Seq(8, 64, 1024)) {
+      val bits = Sketch.bloomBits(inserted, "item_id", m, 4)
+      val verdicts = Sketch.bloomMayContain(bits, inserted.distinct(),
+          "item_id", m, 4)
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdicts.size == 50 && verdicts.values.forall(identity),
+        s"m=$m false negative among ${verdicts.filterNot(_._2).keys}")
+    }
+  }
+
+  test("Bloom filter is dense and rejects most absent keys at sized width") {
+    val bits = Sketch.bloomBits((1L to 50L).toDF("item_id"), "item_id", 1024, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bits.size == 1024 && bits.keySet == (0L until 1024L).toSet)
+    // 50 keys × 4 hashes into 1024 bits: fpr ≈ (1−e^(−200/1024))⁴ ≈ 0.1%
+    val absent = (1001L to 1200L).toDF("item_id")
+    val fps = Sketch.bloomMayContain(
+        Sketch.bloomBits((1L to 50L).toDF("item_id"), "item_id", 1024, 4),
+        absent, "item_id", 1024, 4)
+      .as[(Long, Boolean)].collect().count(_._2)
+    assert(fps <= 5, s"$fps/200 false positives at fpr≈0.1% sizing")
+  }
+
+  test("Bloom bit tables merge by per-bit OR (shard-parallel build)") {
+    val all = (1L to 100L).toDF("item_id")
+    val (a, b) = (all.filter($"item_id" <= 60), all.filter($"item_id" > 40))
+    val merged = Sketch.bloomBits(a, "item_id", 256, 4)
+      .unionAll(Sketch.bloomBits(b, "item_id", 256, 4))
+      .groupBy("bit").agg(F.max("is_set").as("is_set"))
+      .as[(Long, Long)].collect().toSet
+    val whole = Sketch.bloomBits(all, "item_id", 256, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("CMS total mass per row equals the stream size") {
     val perRow = Sketch.cmsCounters(stream, "item_id", 4, 16)
       .groupBy("row").agg(F.sum("counter").as("n"))
