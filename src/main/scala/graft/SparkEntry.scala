@@ -1226,6 +1226,19 @@ object SparkEntry {
         (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
           <= 0.10).as("within_10pct"))
     }),
+    "dedup_bloom_new_keys" -> ((s, d) => {
+      // EXACT day-over-day new-key anti-join, Bloom-accelerated: the
+      // filter reshapes the plan (only the maybe-present slice pays the
+      // shuffle) but the oracle runs the PLAIN anti-join SQL — exactness
+      // is the contract (Dedup.newKeys scaladoc)
+      val docs = Tables.documents(s, d)
+        .select(F.col("doc_id"),
+          graft.text.TextStats.fingerprint(F.col("text")).as("fp"))
+      val seen = docs.filter(F.col("doc_id") % 2 === 0).select("fp")
+      graft.text.Dedup.newKeys(docs, seen, "fp",
+          numBits = 4096, numHashes = 4)
+        .select("doc_id", "fp")
+    }),
     "sketch_bloom" -> ((s, d) => {
       // dense Bloom filter bit table over the interaction item stream —
       // portable hash family, every bit oracle-checked
@@ -1320,7 +1333,11 @@ object SparkEntry {
       // contract at low nProbe (TextSpec "IVF search recall" on clusters)
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(F.col("vec_id") < 10)
-      val ann = new graft.text.IvfIndex(nCentroids = 8, nProbe = 6).fit(emb)
+      // corpus-aware probe count (r8: the sf0.1 10x audit measured 92%
+      // recall at the fixed sf0.01 probe setting — the probed fraction
+      // must grow with corpus size on unstructured data, IvfIndex.probesFor)
+      val ann = new graft.text.IvfIndex(nCentroids = 8,
+          nProbe = graft.text.IvfIndex.probesFor(emb.count(), 8)).fit(emb)
         .search(queries, k = 5)
       graft.text.Similarity
         .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
@@ -1364,8 +1381,10 @@ object SparkEntry {
       // recall contract; rerank×k stays constant as the corpus grows
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(F.col("vec_id") < 10)
+      // corpus-aware re-rank pool (r8 10x audit: fixed 240-pool recall
+      // fell to 90% at 80k vectors; PqIndex.rerankFor grows it with n)
       val ann = new graft.text.PqIndex(numSubspaces = 8, codebookSize = 16).fit(emb)
-        .search(queries, k = 5, rerank = 48)
+        .search(queries, k = 5, rerank = graft.text.PqIndex.rerankFor(emb.count()))
       graft.text.Similarity
         .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
         .select("n_queries", "k", "recall_ok")
@@ -3135,6 +3154,16 @@ object SparkEntry {
         |SELECT e.item_id, CAST(e.estimate AS BIGINT) AS estimate,
         |  cnt.exact_count, e.estimate >= cnt.exact_count AS never_under
         |FROM est e JOIN cnt ON e.item_id = cnt.item_id""".stripMargin,
+    // Bloom-accelerated new-key dedup: the oracle is the PLAIN anti-join —
+    // the Bloom pre-filter must not change the answer, only the plan.
+    "dedup_bloom_new_keys" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0)
+        |SELECT f.doc_id, f.fp FROM fps f
+        |LEFT JOIN seen s ON f.fp = s.fp WHERE s.fp IS NULL""".stripMargin,
     // Bloom filter: every bit reproducible from the portable md5-prefix
     // recipe; range(0,4) is the hash-function family, 1024 the bit width.
     "sketch_bloom" ->

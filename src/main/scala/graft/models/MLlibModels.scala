@@ -321,6 +321,12 @@ final class ClusterRec(
   }
 
   def predict(log: DataFrame, k: Int): DataFrame = {
+    // predict for the LOG's queries (reference cluster_rec predict
+    // defaults queries = the dataset's query ids) — queryClusters spans
+    // every FEATURED query, a strict superset when some featured entities
+    // never interacted (1/15000 customers at sf0.1; caught by the r8
+    // model_recs_certificate n_queries cross-check)
+    val logQueries = log.select(cols.query).distinct()
     val seen = log.select(cols.query, cols.item).distinct().cache()
     val maxSeen = seen.groupBy(cols.query).agg(F.count(F.lit(1)).as("_n"))
       .agg(F.max("_n")).first() match {
@@ -342,7 +348,9 @@ final class ClusterRec(
     // explicit broadcast: the join key has only nClusters distinct values,
     // so a shuffle join would collapse to nClusters tasks (measured 3× the
     // whole predict at sf0.1)
-    val recs = queryClusters.join(F.broadcast(croppedCatalog), Seq("cluster"))
+    val recs = queryClusters
+      .join(logQueries, Seq(cols.query), "left_semi")
+      .join(F.broadcast(croppedCatalog), Seq("cluster"))
       .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
     val unseen = recs.join(seen, Seq(cols.query, cols.item), "left_anti")
     Ops.getTopKRecs(unseen, k, cols.query, cols.item, cols.rating)

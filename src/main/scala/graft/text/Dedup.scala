@@ -320,4 +320,34 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** EXACT incremental "new keys" anti-join, accelerated by a Bloom
+    * pre-filter (the day-over-day dedup shape: which of today's keys has
+    * yesterday's corpus never seen?).
+    *
+    * Result ≡ `batch.join(seen, key, "left_anti")` — the Bloom filter
+    * changes the PLAN, not the answer: keys whose bits miss the filter
+    * are definitely-new (no false negatives) and skip the anti-join
+    * entirely; only the maybe-present slice — the true positives plus an
+    * fpr-sized sliver — pays the shuffle against the seen set. At 100 TB
+    * the filter is numBits bits broadcast once, so the big-side shuffle
+    * shrinks from |batch| to |duplicates| + fpr·|batch|; size numBits ≈
+    * 1.44·|seen|·log₂(1/fpr). Exactness is gate-checked (the oracle runs
+    * the plain anti-join SQL) and spec-pinned against the unfiltered twin.
+    */
+  def newKeys(batch: DataFrame, seen: DataFrame, keyCol: String,
+      numBits: Int = 1 << 20, numHashes: Int = 4): DataFrame = {
+    import graft.core.Sketch
+    val bits = Sketch.bloomBits(seen.select(keyCol), keyCol, numBits, numHashes)
+    val verdicts = Sketch.bloomMayContain(
+      bits, batch.select(keyCol).distinct(), keyCol, numBits, numHashes)
+    val definitelyNew = batch.join(
+      verdicts.filter(!F.col("maybe_present")).select(keyCol),
+      Seq(keyCol), "left_semi")
+    val maybeSlice = batch.join(
+      verdicts.filter(F.col("maybe_present")).select(keyCol),
+      Seq(keyCol), "left_semi")
+      .join(seen.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    definitelyNew.unionAll(maybeSlice)
+  }
 }

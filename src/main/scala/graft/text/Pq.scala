@@ -31,6 +31,19 @@ import graft.core.Ops
   * for scan cost; unlike it, nothing lives outside Spark — the "index"
   * is a DataFrame of codes.
   */
+object PqIndex {
+  /** Re-rank pool size calibrated to the ≥0.95 recall@5 contract on an
+    * UNSTRUCTURED corpus: max(48, ⌈0.06·n⌉) — 48 at the 500-vector gate
+    * corpus (≥95%), 120 at 2000 (98% measured; the fixed 48 fell to 90%
+    * in the r8 10× audit). Coarse M×2^b codebooks quantize an
+    * unstructured corpus into wide ADC distance shells, so the covering
+    * pool is a constant FRACTION of the corpus, not a constant count —
+    * the ADC scan stays d/M× lighter than brute force regardless.
+    * Clustered corpora need far less (TextSpec cluster-granular crop). */
+  def rerankFor(n: Long): Int =
+    math.max(48, math.ceil(0.06 * n).toInt)
+}
+
 final class PqIndex(
     val numSubspaces: Int = 8,
     val codebookSize: Int = 16,

@@ -187,6 +187,24 @@ object Similarity {
   }
 }
 
+object IvfIndex {
+  /** Probe count calibrated to the ≥0.95 recall@5 contract on an
+    * UNSTRUCTURED corpus (unit-norm random vectors — IVF's worst case:
+    * true neighbors sit near cell boundaries, so recall tracks the probed
+    * fraction). Measured on the gate corpus: 6/8 probes at 500 vectors
+    * (≥95%), 7/8 at 2000 (96%; 6/8 gave 92% — the r8 10× audit's find) —
+    * the fraction must GROW with corpus size,
+    * 0.75 + 0.125·log₁₀(n/500), clamped to [1, nCentroids]. Clustered
+    * corpora reach the contract at far lower fractions (TextSpec
+    * clustered-recall at nProbe=2/16); treat this rule as the
+    * no-structure-assumed upper bound. */
+  def probesFor(n: Long, nCentroids: Int): Int = {
+    require(n > 0, s"corpus size must be positive: $n")
+    val frac = 0.75 + 0.125 * math.max(0.0, math.log10(n / 500.0))
+    math.min(nCentroids, math.max(1, math.ceil(nCentroids * frac).toInt))
+  }
+}
+
 /** IVF-Flat index: coarse k-means quantizer + per-centroid inverted lists.
   * Fit is MLlib KMeans (seeded); search probes the `nProbe` nearest
   * centroids and brute-forces only those lists. */

@@ -121,6 +121,20 @@ class TextSpec extends SparkSpec {
     assert(Similarity.planesFor(2000, margin = 4) == 15)
   }
 
+  test("IVF probesFor and PQ rerankFor grow with corpus size (10x audit rule)") {
+    // calibrated to the measured >=0.95 recall@5 contract on the
+    // unstructured gate corpus: 6/8 probes at 500, 7/8 at 2000, 8/8 at 50k
+    assert(IvfIndex.probesFor(500, 8) == 6)
+    assert(IvfIndex.probesFor(2000, 8) == 7)
+    assert(IvfIndex.probesFor(50000, 8) == 8)
+    assert(IvfIndex.probesFor(100, 8) == 6)          // small-n floor
+    assert(IvfIndex.probesFor(1L << 40, 8) == 8)     // clamps at nCentroids
+    assert(PqIndex.rerankFor(500) == 48)
+    assert(PqIndex.rerankFor(2000) == 120)
+    assert(PqIndex.rerankFor(100000) == 6000)
+    assert(PqIndex.rerankFor(10) == 48)              // floor
+  }
+
   test("LSH candidate volume stays near-linear when planes follow planesFor") {
     // 4× the corpus with planes = planesFor(n) must grow candidates far
     // slower than the quadratic 16× a FIXED plane count would give —
@@ -409,6 +423,20 @@ class TextSpec extends SparkSpec {
     val m = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(m(1L) == 3L) // 3 copies in ONE doc is not cross-doc boilerplate
+  }
+
+  test("Bloom-accelerated newKeys equals the plain anti-join at any width") {
+    val batch = (1L to 300L).map(i => (i, s"key_$i")).toDF("row_id", "k")
+    val seen = (1L to 300L).filter(_ % 3 == 0).map(i => s"key_$i").toDF("k")
+    val expected = batch.join(seen, Seq("k"), "left_anti")
+      .select("row_id").as[Long].collect().toSet
+    // m=16: nearly every bit set, almost everything routes through the
+    // exact check; m=4096: most new keys skip it — answer identical
+    for (m <- Seq(16, 256, 4096)) {
+      val got = Dedup.newKeys(batch, seen, "k", numBits = m, numHashes = 3)
+        .select("row_id").as[Long].collect().toSet
+      assert(got == expected, s"numBits=$m diverged from the anti-join")
+    }
   }
 
   test("gopherRules alpha check accepts any Unicode letter") {
