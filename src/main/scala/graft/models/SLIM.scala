@@ -118,16 +118,29 @@ final class SLIM(
         F.transform(F.col("_sorted"), x => x.getField("_d")).as("_corrs"))
 
     val nnz = mat.count()
-    val sims =
-      if (nnz <= maxCollectEntries) fitDriverCsc(mat, candLists)
-      else if (distributedFallback) fitDistributed(mat, dotsHalf, candLists)
-      else throw new IllegalStateException(
+    val useDistributed = nnz > maxCollectEntries && distributedFallback
+    if (!useDistributed && nnz > maxCollectEntries)
+      throw new IllegalStateException(
         s"SLIM.fit would collect $nnz distinct (query, item) entries to the " +
         s"driver (bound: $maxCollectEntries) and distributedFallback is " +
         "disabled (the reference slim.py allow_collect_to_master contract). " +
         "Enable distributedFallback for the fully distributed Gram-join " +
         "solver, or raise maxCollectEntries if driver memory allows.")
+    // the distributed path reads dotsHalf twice (candidate preselect, Gram
+    // fetch) and candLists twice (membership fan-out, final solve join) —
+    // unpersisted, each reuse would replay the co-occurrence self-join
+    // shuffle, the single most expensive stage (measured 3.3× the CSC twin
+    // at sf0.1 before this; the CSC path reads each exactly once)
+    import org.apache.spark.storage.StorageLevel
+    if (useDistributed) {
+      dotsHalf.persist(StorageLevel.MEMORY_AND_DISK)
+      candLists.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val sims =
+      if (useDistributed) fitDistributed(mat, dotsHalf, candLists)
+      else fitDriverCsc(mat, candLists)
     materialize(sims)
+    if (useDistributed) { dotsHalf.unpersist(); candLists.unpersist() }
     mat.unpersist() // state is materialized; don't hold the matrix cached
   }
 
