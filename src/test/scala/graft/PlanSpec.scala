@@ -109,4 +109,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("aggregate(zip_with"),
       "dot product must not fall back to the interpreted HOF chain")
   }
+
+  test("sketch builds are partial+final aggregations (fixed-size shuffle)") {
+    // the sketch scale contract: map-side combine collapses each partition
+    // to <= cells partials, so the one shuffle is O(cells) not O(stream)
+    for (gate <- Seq("sketch_cms", "sketch_bloom")) {
+      val plan = optimizedPlan(gate)
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"$gate: expected partial + final HashAggregate")
+      assert(!plan.contains("CartesianProduct"), s"$gate: cartesian leak")
+    }
+  }
+
+  test("Bloom membership probes broadcast the bit table, never shuffle it") {
+    val plan = optimizedPlan("sketch_bloom_query")
+    assert(plan.contains("BroadcastExchange"),
+      "bit table should broadcast into the probe join")
+    assert(!plan.contains("CartesianProduct"), "cartesian leak in probe join")
+  }
 }
