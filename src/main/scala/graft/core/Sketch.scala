@@ -124,6 +124,24 @@ object Sketch {
       .groupBy(keyCol)
       .agg(F.min(F.coalesce(F.col("counter"), F.lit(0L))).as("estimate"))
 
+  /** Shard merge for [[cmsCounters]] tables: per-cell counter addition.
+    * counters(A ∪ B) = merge(counters(A), counters(B)) — the property that
+    * lets a 100 TB stream build per-partition/per-day sketches
+    * independently and combine them in one O(cells) aggregation. */
+  def cmsMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_ unionAll _)
+      .groupBy("row", "bucket").agg(F.sum("counter").as("counter"))
+
+  /** Shard merge for [[hllRegisters]] tables: per-bucket register max. */
+  def hllMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_ unionAll _)
+      .groupBy("bucket").agg(F.max("register").as("register"))
+
+  /** Shard merge for [[bloomBits]] tables: per-bit OR (max). */
+  def bloomMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_ unionAll _)
+      .groupBy("bit").agg(F.max("is_set").as("is_set"))
+
   /** Bit positions a key sets in an m-bit Bloom filter: one portable hash
     * per hash function index (seed = the index), mod m. */
   private def bloomPositions(keyCol: String, numBits: Int, numHashes: Int) =

@@ -37,9 +37,9 @@ class SketchSpec extends SparkSpec {
 
   test("CMS counters merge by per-cell addition (shard-parallel build)") {
     val (a, b) = (stream.filter($"item_id" <= 10), stream.filter($"item_id" > 10))
-    val merged = Sketch.cmsCounters(a, "item_id", 4, 16)
-      .unionAll(Sketch.cmsCounters(b, "item_id", 4, 16))
-      .groupBy("row", "bucket").agg(F.sum("counter").as("counter"))
+    val merged = Sketch.cmsMerge(
+        Sketch.cmsCounters(a, "item_id", 4, 16),
+        Sketch.cmsCounters(b, "item_id", 4, 16))
       .as[(Int, Long, Long)].collect().toSet
     val whole = Sketch.cmsCounters(stream, "item_id", 4, 16)
       .as[(Int, Long, Long)].collect().toSet
@@ -49,9 +49,9 @@ class SketchSpec extends SparkSpec {
   test("HLL registers are dense and mergeable by per-bucket max") {
     val all = (1L to 5000L).toDF("item_id")
     val (a, b) = (all.filter($"item_id" <= 3000), all.filter($"item_id" > 2000))
-    val merged = Sketch.hllRegisters(a, "item_id", p = 8)
-      .unionAll(Sketch.hllRegisters(b, "item_id", p = 8))
-      .groupBy("bucket").agg(F.max("register").as("register"))
+    val merged = Sketch.hllMerge(
+        Sketch.hllRegisters(a, "item_id", p = 8),
+        Sketch.hllRegisters(b, "item_id", p = 8))
       .as[(Long, Long)].collect().toMap
     val whole = Sketch.hllRegisters(all, "item_id", p = 8)
       .as[(Long, Long)].collect().toMap
@@ -117,6 +117,26 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     q2.stop()
     assert(streamedHll == batchHll)
+
+    // Bloom: the sparse set-bit aggregation is the streaming-safe part,
+    // like HLL's register max (dense range join = batch read of state)
+    val batchBloom = Sketch.bloomBits(keys.toDF("item_id"), "item_id", 64, 3)
+      .filter($"is_set" === 1L).as[(Long, Long)].collect().toSet
+    val in3 = MemoryStream[Long]
+    val q3 = {
+      import graft.core.{PortableHash => PH}
+      in3.toDF().toDF("item_id")
+        .select(F.explode(F.array((0 until 3).map(r =>
+          F.pmod(PH.long(r.toLong, F.col("item_id")), F.lit(64L))): _*)).as("bit"))
+        .groupBy("bit").agg(F.max(F.lit(1L)).as("is_set"))
+        .writeStream.format("memory").queryName("bloom_stream")
+        .outputMode("complete").start()
+    }
+    in3.addData(keys: _*); q3.processAllAvailable()
+    val streamedBloom = spark.table("bloom_stream")
+      .as[(Long, Long)].collect().toSet
+    q3.stop()
+    assert(streamedBloom == batchBloom)
   }
 
   test("Bloom filter has no false negatives, at any width") {
@@ -147,9 +167,9 @@ class SketchSpec extends SparkSpec {
   test("Bloom bit tables merge by per-bit OR (shard-parallel build)") {
     val all = (1L to 100L).toDF("item_id")
     val (a, b) = (all.filter($"item_id" <= 60), all.filter($"item_id" > 40))
-    val merged = Sketch.bloomBits(a, "item_id", 256, 4)
-      .unionAll(Sketch.bloomBits(b, "item_id", 256, 4))
-      .groupBy("bit").agg(F.max("is_set").as("is_set"))
+    val merged = Sketch.bloomMerge(
+        Sketch.bloomBits(a, "item_id", 256, 4),
+        Sketch.bloomBits(b, "item_id", 256, 4))
       .as[(Long, Long)].collect().toSet
     val whole = Sketch.bloomBits(all, "item_id", 256, 4)
       .as[(Long, Long)].collect().toSet
