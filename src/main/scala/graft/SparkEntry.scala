@@ -1226,6 +1226,20 @@ object SparkEntry {
         (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
           <= 0.10).as("within_10pct"))
     }),
+    "text_pretokenize" -> ((s, d) => {
+      // GPT-2-style pre-tokenization (the BPE front half) — chunk count,
+      // alpha-chunk count, and boundary chunks, cell-exact vs the oracle
+      // running the SAME RE2-compatible pattern
+      import graft.text.TextStats
+      val toks = TextStats.preTokens(F.col("text"))
+      Tables.documents(s, d).select(
+        F.col("doc_id"),
+        TextStats.preTokenCount(F.col("text")).as("n_pretokens"),
+        F.size(F.filter(toks, t => t.rlike("\\p{L}"))).cast("long")
+          .as("n_alpha"),
+        F.get(toks, F.lit(0)).as("first_tok"),
+        F.get(toks, F.size(toks) - F.lit(1)).as("last_tok"))
+    }),
     "dedup_bloom_new_keys" -> ((s, d) => {
       // EXACT day-over-day new-key anti-join, Bloom-accelerated: the
       // filter reshapes the plan (only the maybe-present slice pays the
@@ -3154,6 +3168,18 @@ object SparkEntry {
         |SELECT e.item_id, CAST(e.estimate AS BIGINT) AS estimate,
         |  cnt.exact_count, e.estimate >= cnt.exact_count AS never_under
         |FROM est e JOIN cnt ON e.item_id = cnt.item_id""".stripMargin,
+    // GPT-2 pre-tokenizer: the SAME pattern runs in DuckDB's RE2 (the
+    // pattern deliberately avoids lookahead — TextStats.PreTokenPattern).
+    "text_pretokenize" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+        |  ) AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_pretokens,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS BIGINT)
+        |    AS n_alpha,
+        |  toks[1] AS first_tok, toks[-1] AS last_tok
+        |FROM t""".stripMargin,
     // Bloom-accelerated new-key dedup: the oracle is the PLAIN anti-join —
     // the Bloom pre-filter must not change the answer, only the plan.
     "dedup_bloom_new_keys" ->

@@ -15,6 +15,28 @@ object TextStats {
 
   def tokenCount(text: Column): Column = F.size(tokens(text)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019 — the regex
+    * that splits text into word/number/punctuation/contraction chunks
+    * BEFORE byte-pair merging; pre-token count upper-bounds BPE token
+    * count and tracks it closely on natural text). Two deviations from
+    * the original, both for engine portability: no `(?!\S)` lookahead
+    * (RE2 — the DuckDB oracle — has no lookahead; single inter-word
+    * spaces still attach to the following chunk via the ` ?` prefixes,
+    * only multi-space/newline runs surface as whitespace tokens) and no
+    * unicode case-insensitive contraction set (the literal lowercase
+    * alternatives, as in the original). */
+  val PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-token chunks, in order. */
+  def preTokens(text: Column): Column =
+    F.regexp_extract_all(text, F.lit(PreTokenPattern), F.lit(0))
+
+  /** Pre-token count — the "BPE-ish" token budget estimate (whitespace
+    * [[tokenCount]] undercounts punctuation-heavy text; this doesn't). */
+  def preTokenCount(text: Column): Column =
+    F.size(preTokens(text)).cast("long")
+
   /** Mean token length: total non-space chars / token count. */
   def meanTokenLength(text: Column): Column = {
     val ts = tokens(text)

@@ -425,6 +425,24 @@ class TextSpec extends SparkSpec {
     assert(m(1L) == 3L) // 3 copies in ONE doc is not cross-doc boilerplate
   }
 
+  test("GPT-2 pre-tokenizer: words, numbers, punctuation, contractions") {
+    def pre(s: String): Seq[String] =
+      Seq(s).toDF("text").select(TextStats.preTokens($"text"))
+        .as[Seq[String]].collect()(0)
+    assert(pre("Hello, world! I'm testing 123 naïve…") ==
+      Seq("Hello", ",", " world", "!", " I", "'m", " testing", " 123",
+        " naïve", "…"))
+    // single inter-word spaces attach to the next chunk; multi-space and
+    // newline runs surface as whitespace tokens (the no-lookahead
+    // deviation documented on PreTokenPattern)
+    assert(pre("a  b\nc") == Seq("a", "  ", "b", "\n", "c"))
+    assert(pre("don't we'll") == Seq("don", "'t", " we", "'ll"))
+    // pre-token count >= whitespace token count on punctuation-heavy text
+    val punct = "end. of. sentence. (with) [brackets]!"
+    val nPre = pre(punct).size
+    assert(nPre.toLong >= punct.split("\\s+").length)
+  }
+
   test("Bloom-accelerated newKeys equals the plain anti-join at any width") {
     val batch = (1L to 300L).map(i => (i, s"key_$i")).toDF("row_id", "k")
     val seen = (1L to 300L).filter(_ % 3 == 0).map(i => s"key_$i").toDF("k")
