@@ -53,7 +53,7 @@ object Bench {
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
     "sequence_pad", "grid_search_budget",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
-    "sketch_cms", "sketch_hll", "sketch_bloom",
+    "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "text_stats", "text_unigram_logprob",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",

@@ -1226,6 +1226,14 @@ object SparkEntry {
         (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
           <= 0.10).as("within_10pct"))
     }),
+    "dedup_substring" -> ((s, d) => {
+      // Lee et al. exact-substring dedup signal: 8-token window rolling
+      // hashes grouped across docs, portable token hash so DuckDB
+      // rebuilds every window chain
+      graft.text.Dedup.substringDupStats(
+        Tables.documents(s, d), "doc_id", "text", k = 8,
+        tokenHash = graft.text.Dedup.portableHash(0, _))
+    }),
     "text_pretokenize" -> ((s, d) => {
       // GPT-2-style pre-tokenization (the BPE front half) — chunk count,
       // alpha-chunk count, and boundary chunks, cell-exact vs the oracle
@@ -3168,6 +3176,32 @@ object SparkEntry {
         |SELECT e.item_id, CAST(e.estimate AS BIGINT) AS estimate,
         |  cnt.exact_count, e.estimate >= cnt.exact_count AS never_under
         |FROM est e JOIN cnt ON e.item_id = cnt.item_id""".stripMargin,
+    // Substring-dedup signal: every 8-token window's Karp-Rabin chain
+    // rebuilt in SQL from the portable md5 token hash; a window hash
+    // spanning >= 2 distinct docs is a repeated span.
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 2147483647) AS th
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(
+        |    list_transform(range(0, greatest(len(th) - 7, 0)),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+8]),
+        |        (acc, x) -> (acc * 257 + x) % 2147483647))) AS wh
+        |  FROM toks),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (
+        |  SELECT w.doc_id AS sid, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN d.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_dup_windows
+        |  FROM wins w LEFT JOIN dup d ON w.wh = d.wh GROUP BY 1)
+        |SELECT dd.doc_id, coalesce(st.n_windows, 0) AS n_windows,
+        |  coalesce(st.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(st.n_dup_windows, 0) > 0 AS has_dup
+        |FROM (SELECT DISTINCT doc_id FROM documents) dd
+        |LEFT JOIN st ON dd.doc_id = st.sid""".stripMargin,
     // GPT-2 pre-tokenizer: the SAME pattern runs in DuckDB's RE2 (the
     // pattern deliberately avoids lookahead — TextStats.PreTokenPattern).
     "text_pretokenize" ->

@@ -321,6 +321,42 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-document repeated-substring statistics — the exact-substring
+    * dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), computed relationally instead of via a
+    * suffix array: every k-token window's rolling hash
+    * (TextStats.windowHashes), grouped across the corpus; a window whose
+    * hash spans ≥ 2 DISTINCT docs is a repeated span. Returns one row per
+    * doc: (id, n_windows, n_dup_windows, has_dup).
+    *
+    * Scale shape: windows explode to n·(per-doc tokens − k + 1) rows, but
+    * the duplicate-hash vocabulary is found by ONE groupBy (map-side
+    * combined) and the verdict join is hash-equi on the window hash — no
+    * pair joins, no suffix array on any single machine. The reference
+    * suffix-array pipeline is a driver-side external tool; this is the
+    * Spark-native shape of the same signal. False positives are
+    * Karp–Rabin collisions (~n_windows²/2³¹ expected pairs); callers
+    * needing certainty re-verify flagged spans exactly. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8,
+      tokenHash: Column => Column = t => F.xxhash64(t)): DataFrame = {
+    val wh = docs.select(F.col(idCol),
+      F.explode(TextStats.windowHashes(F.col(textCol), k, tokenHash)).as("_wh"))
+    val dup = wh.groupBy("_wh")
+      .agg(F.countDistinct(idCol).as("_nd")).filter(F.col("_nd") >= 2)
+      .select("_wh").withColumn("_hit", F.lit(1L))
+    val st = wh.join(dup, Seq("_wh"), "left")
+      .groupBy(idCol).agg(
+        F.count(F.lit(1)).as("n_windows"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0L))).as("n_dup_windows"))
+    docs.select(idCol).distinct()
+      .join(st, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_windows"), F.lit(0L)).as("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0L)).as("n_dup_windows"),
+        (F.coalesce(F.col("n_dup_windows"), F.lit(0L)) > 0L).as("has_dup"))
+  }
+
   /** EXACT incremental "new keys" anti-join, accelerated by a Bloom
     * pre-filter (the day-over-day dedup shape: which of today's keys has
     * yesterday's corpus never seen?).

@@ -128,6 +128,24 @@ object TextStats {
       (acc, t) => F.pmod(acc * F.lit(257L) + F.pmod(tokenHash(t), F.lit(M)), F.lit(M)))
   }
 
+  /** Rolling hash of EVERY k-token window (the per-position Karp–Rabin
+    * chain [[rollingHash]] runs over the whole doc): windowHashes(i) =
+    * hash of tokens [i, i+k). Shorter docs yield an empty array. O(n·k)
+    * hash-mixes per doc — at k ≈ 8 that is a flat per-token constant, and
+    * the whole thing is one codegen'd HOF expression riding the scan (the
+    * O(n) prefix-hash trick needs modular inverses the relational oracle
+    * can't mirror cheaply; k is small by construction here). */
+  def windowHashes(text: Column, k: Int,
+      tokenHash: Column => Column = t => F.xxhash64(t)): Column = {
+    val M = 2147483647L
+    val th = F.transform(tokens(text), t => F.pmod(tokenHash(t), F.lit(M)))
+    F.when(F.size(th) >= k,
+      F.transform(F.sequence(F.lit(0), F.size(th) - k),
+        i => F.aggregate(F.slice(th, i + 1, F.lit(k)), F.lit(0L),
+          (acc, x) => F.pmod(acc * F.lit(257L) + x, F.lit(M)))))
+      .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+  }
+
   /** The Gopher rules' stop-word presence list (Rae et al. 2021 §A1.1.2):
     * a document must contain at least two distinct words from this set. */
   val GopherStopwords: Seq[String] =

@@ -425,6 +425,34 @@ class TextSpec extends SparkSpec {
     assert(m(1L) == 3L) // 3 copies in ONE doc is not cross-doc boilerplate
   }
 
+  test("substringDupStats flags cross-doc k-token spans, not within-doc") {
+    val span = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),            // carries the span
+      (2L, s"$span delta epsilon zeta eta theta"),// carries the span
+      (3L, "unique words only never repeated anywhere at all ok fine"),
+      (4L, s"$span $span"),                       // span twice IN ONE doc +
+                                                  // cross-doc with 1 and 2
+      (5L, "short doc"),                          // < k tokens: 0 windows
+    ).toDF("doc_id", "text")
+    val st = Dedup.substringDupStats(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 1: 11 tokens -> 4 windows; exactly 1 is the shared span
+    assert(st(1L) == ((4L, 1L, true)))
+    assert(st(2L)._3 && st(2L)._2 >= 1L)
+    assert(st(3L) == ((3L, 0L, false)))           // 10 tokens -> 3 windows
+    assert(st(4L)._3)
+    assert(st(5L) == ((0L, 0L, false)))
+    // within-doc-only repetition is NOT cross-doc: a doc repeating its own
+    // unique span with no second document stays clean
+    val solo = Seq((9L, ("own span tokens one two three four five " * 2).trim))
+      .toDF("doc_id", "text")
+    val soloSt = Dedup.substringDupStats(solo, "doc_id", "text", k = 8)
+      .collect()(0)
+    assert(!soloSt.getBoolean(3))
+  }
+
   test("GPT-2 pre-tokenizer: words, numbers, punctuation, contractions") {
     def pre(s: String): Seq[String] =
       Seq(s).toDF("text").select(TextStats.preTokens($"text"))
