@@ -1234,6 +1234,14 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", k = 8,
         tokenHash = graft.text.Dedup.portableHash(0, _))
     }),
+    "dedup_substring_remove" -> ((s, d) => {
+      // the removal operation on the substring signal: drop tokens under
+      // any cross-doc duplicate window, reassemble (whitespace-normalized
+      // — the reassembly is the normal form, like dedup_lines)
+      graft.text.Dedup.removeDuplicateSpans(
+        Tables.documents(s, d), "doc_id", "text", k = 8,
+        tokenHash = graft.text.Dedup.portableHash(0, _))
+    }),
     "text_pretokenize" -> ((s, d) => {
       // GPT-2-style pre-tokenization (the BPE front half) — chunk count,
       // alpha-chunk count, and boundary chunks, cell-exact vs the oracle
@@ -3202,6 +3210,38 @@ object SparkEntry {
         |  coalesce(st.n_dup_windows, 0) > 0 AS has_dup
         |FROM (SELECT DISTINCT doc_id FROM documents) dd
         |LEFT JOIN st ON dd.doc_id = st.sid""".stripMargin,
+    // ExactSubstr removal: kept-token reassembly, ORDER BY position.
+    "dedup_substring_remove" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT % 2147483647) AS th
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i.i+1:i.i+8]),
+        |      (acc, x) -> (acc * 257 + x) % 2147483647) AS wh
+        |  FROM base, LATERAL UNNEST(range(0, greatest(len(th) - 7, 0))) AS i(i)),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT w.doc_id, CAST(c.c AS BIGINT) AS ti
+        |  FROM wins w JOIN dup d ON w.wh = d.wh,
+        |    LATERAL UNNEST(range(w.pos, w.pos + 8)) AS c(c)),
+        |toks AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS ti, tk[i.i+1] AS tok
+        |  FROM base, LATERAL UNNEST(range(0, len(tk))) AS i(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.ti, t.tok FROM toks t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.ti = c.ti
+        |  WHERE c.ti IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id AS rid, string_agg(tok, ' ' ORDER BY ti) AS cleaned,
+        |    CAST(count(*) AS BIGINT) AS nkept
+        |  FROM kept GROUP BY 1),
+        |counts AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM base)
+        |SELECT c.doc_id, coalesce(r.cleaned, '') AS text, c.n_tokens,
+        |  c.n_tokens - coalesce(r.nkept, 0) AS n_removed
+        |FROM counts c LEFT JOIN rebuilt r ON c.doc_id = r.rid""".stripMargin,
     // GPT-2 pre-tokenizer: the SAME pattern runs in DuckDB's RE2 (the
     // pattern deliberately avoids lookahead — TextStats.PreTokenPattern).
     "text_pretokenize" ->

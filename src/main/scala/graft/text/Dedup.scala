@@ -357,6 +357,51 @@ object Dedup {
         (F.coalesce(F.col("n_dup_windows"), F.lit(0L)) > 0L).as("has_dup"))
   }
 
+  /** The substring-dedup OPERATION on top of [[substringDupStats]]'s
+    * signal: drop every token covered by a cross-doc duplicate k-window,
+    * reassemble the survivors in order (Lee et al. 2021's ExactSubstr
+    * removal). Output text is whitespace-normalized (single-space joined
+    * tokens) for ALL docs — the reassembly defines the normal form, like
+    * [[dedupLines]]. Returns (id, text, n_tokens, n_removed).
+    *
+    * Scale shape: the duplicate-window vocabulary is one groupBy; token
+    * coverage is an explode of the FLAGGED windows only (≤ k rows per
+    * duplicated window, nothing for clean docs) deduplicated per (doc,
+    * position); the rebuild is one per-doc sort_array over kept tokens —
+    * bounded by doc length, the same state dedupLines already carries. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8,
+      tokenHash: Column => Column = t => F.xxhash64(t)): DataFrame = {
+    val toks = docs.select(F.col(idCol),
+      F.posexplode_outer(TextStats.tokens(F.col(textCol))).as(Seq("_ti", "_tok")))
+    val wh = docs.select(F.col(idCol),
+      F.posexplode_outer(TextStats.windowHashes(F.col(textCol), k, tokenHash))
+        .as(Seq("_pos", "_wh")))
+    val dup = wh.groupBy("_wh")
+      .agg(F.countDistinct(idCol).as("_nd")).filter(F.col("_nd") >= 2)
+      .select("_wh")
+    val covered = wh.join(dup, Seq("_wh"), "left_semi")
+      .select(F.col(idCol),
+        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (k - 1))).as("_ti"))
+      .distinct()
+    val kept = toks.filter(F.col("_tok").isNotNull)
+      .join(covered, Seq(idCol, "_ti"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      F.concat_ws(" ",
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("_ti"), F.col("_tok")))),
+          x => x.getField("_tok"))).as("_cleaned"),
+      F.count(F.lit(1)).as("_nkept"))
+    val counts = toks.groupBy(idCol)
+      .agg(F.sum(F.when(F.col("_tok").isNotNull, 1L).otherwise(0L)).as("n_tokens"))
+    counts.join(rebuilt, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("_cleaned"), F.lit("")).as(textCol),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_nkept"), F.lit(0L)))
+          .as("n_removed"))
+  }
+
   /** EXACT incremental "new keys" anti-join, accelerated by a Bloom
     * pre-filter (the day-over-day dedup shape: which of today's keys has
     * yesterday's corpus never seen?).

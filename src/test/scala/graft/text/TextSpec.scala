@@ -453,6 +453,24 @@ class TextSpec extends SparkSpec {
     assert(!soloSt.getBoolean(3))
   }
 
+  test("removeDuplicateSpans drops covered tokens, keeps order, counts") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"pre $span post tail words"),
+      (3L, "completely unrelated text with enough tokens here ok"),
+    ).toDF("doc_id", "text")
+    val m = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: windows at pos 0..2; only the exact span window (pos 1) is
+    // cross-doc, covering tokens 1..8 -> "alpha" and "omega" survive
+    assert(m(1L) == (("alpha omega", 10L, 8L)))
+    assert(m(2L)._3 == 8L && m(2L)._1.startsWith("pre") &&
+      m(2L)._1.endsWith("post tail words"))
+    assert(m(3L) == (("completely unrelated text with enough tokens here ok", 8L, 0L)))
+  }
+
   test("GPT-2 pre-tokenizer: words, numbers, punctuation, contractions") {
     def pre(s: String): Seq[String] =
       Seq(s).toDF("text").select(TextStats.preTokens($"text"))
