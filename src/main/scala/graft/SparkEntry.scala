@@ -1234,6 +1234,18 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", k = 8,
         tokenHash = graft.text.Dedup.portableHash(0, _))
     }),
+    "mixture_temperature" -> ((s, d) => {
+      // alpha-sampling (temperature 0.5): target proportions computed
+      // FROM the per-source counts, p_s ∝ n_s^0.5 — every double op
+      // mirrored in the oracle, incl. the sorted-order normalization
+      // fold. The testdata sources are uniform, so the gate SKEWS the
+      // input (src0/src1 whole, others ~1/3) to make the temperature
+      // re-weighting actually drop rows.
+      val skewed = Tables.documents(s, d).filter(
+        F.col("doc_id") % 3 === 0 || F.col("source").isin("src0", "src1"))
+      graft.text.Mixing.sampleWithTemperature(skewed, alpha = 0.5, seed = 7)
+        .select("doc_id", "source")
+    }),
     "dedup_substring_remove" -> ((s, d) => {
       // the removal operation on the substring signal: drop tokens under
       // any cross-doc duplicate window, reassemble (whitespace-normalized
@@ -3210,6 +3222,30 @@ object SparkEntry {
         |  coalesce(st.n_dup_windows, 0) > 0 AS has_dup
         |FROM (SELECT DISTINCT doc_id FROM documents) dd
         |LEFT JOIN st ON dd.doc_id = st.sid""".stripMargin,
+    // alpha-sampling: target computed from counts, normalization via a
+    // sorted-order left fold (float-sum order, the r6 lesson).
+    "mixture_temperature" ->
+      """WITH sk AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1')),
+        |cnt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sk GROUP BY 1),
+        |pws AS (SELECT source, n,
+        |  pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) AS pw FROM cnt),
+        |z AS (SELECT list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE), list(pw ORDER BY source)),
+        |    (a, b) -> a + b) AS z FROM pws),
+        |tgt AS (SELECT source, n, pw / (SELECT z FROM z) AS p FROM pws),
+        |tot AS (SELECT min(floor(CAST(n AS DOUBLE) / p)) AS t FROM tgt),
+        |lim AS (SELECT source,
+        |  CAST(floor(p * (SELECT t FROM tot)) AS BIGINT) AS lim FROM tgt),
+        |r AS (SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      d.doc_id) AS rn
+        |  FROM sk d)
+        |SELECT r.doc_id, r.source
+        |FROM r JOIN lim ON r.source = lim.source WHERE r.rn <= lim.lim""".stripMargin,
     // ExactSubstr removal: kept-token reassembly, ORDER BY position.
     "dedup_substring_remove" ->
       """WITH base AS (

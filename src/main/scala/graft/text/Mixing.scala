@@ -42,4 +42,26 @@ object Mixing {
     docs.withColumn("_rn", F.row_number().over(w))
       .filter(F.col("_rn") <= limCol).drop("_rn")
   }
+
+  /** Temperature-scaled mixture: target p_s ∝ n_s^alpha (the
+    * multilingual/LLM "α-sampling" rule — Conneau & Lample 2019 §3.1;
+    * alpha = 1 keeps the natural distribution, alpha → 0 approaches
+    * uniform, intermediate values up-weight small sources without
+    * swamping large ones), then [[sampleToMixture]] at that target. The
+    * per-source counts are the same driver-bounded #sources aggregate. */
+  def sampleWithTemperature(docs: DataFrame, alpha: Double,
+      seed: Long = 7, idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val counts = docs.groupBy(sourceCol).agg(F.count(F.lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val pw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    // normalize with a SORTED-order left fold: a float sum's value depends
+    // on addend order at the ulp level, and the DuckDB oracle mirrors this
+    // exact sequence (list_reduce over list(… ORDER BY source))
+    val z = pw.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    sampleToMixture(docs, pw.map { case (s, v) => s -> v / z },
+      seed, idCol, sourceCol)
+  }
 }

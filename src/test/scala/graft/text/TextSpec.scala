@@ -228,6 +228,21 @@ class TextSpec extends SparkSpec {
     assert(out == "mail me at <EMAIL> or <NUMBER>, not 123456!")
   }
 
+  test("temperature sampling up-weights small sources; alpha=1 is natural") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (i + 100L, "small"))).toDF("doc_id", "source")
+    // alpha=0.5: p_small = √10/(√90+√10) = 1/4 exactly; T = min(120, 40)
+    val by = Mixing.sampleWithTemperature(docs, alpha = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(by == Map("big" -> 30L, "small" -> 10L)) // 3:1, not 9:1
+    // alpha=1 keeps the natural distribution — nothing dropped
+    assert(Mixing.sampleWithTemperature(docs, alpha = 1.0).count() == 100L)
+    // alpha out of range fails fast
+    intercept[IllegalArgumentException] {
+      Mixing.sampleWithTemperature(docs, alpha = 0.0)
+    }
+  }
+
   test("sampleToMixture hits exact target proportions, largest feasible") {
     val corpus = (0L until 40L).map(i =>
       (i, if (i < 10) "web" else if (i < 20) "code" else "books", "t"))
