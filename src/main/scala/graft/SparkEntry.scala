@@ -1234,6 +1234,23 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", k = 8,
         tokenHash = graft.text.Dedup.portableHash(0, _))
     }),
+    "join_asof" -> ((s, d) => {
+      // backward as-of join: each click picks the user's most recent view
+      // at-or-before it (point-in-time feature lookup). One keyed
+      // shuffle, zero pair blowup (Ops.asofJoin); DuckDB runs its NATIVE
+      // ASOF LEFT JOIN as the oracle — cross-engine operator semantics.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(F.col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(
+          F.max("event_id").as("view_id"),
+          F.max_by(F.col("value"), F.col("event_id")).as("view_value"))
+      graft.core.Ops.asofJoin(clicks, views, "user_id", "ts", "ts",
+          Seq("view_id", "view_value"))
+        .select(F.col("event_id"), F.unix_millis(F.col("ts")).as("ts_ms"),
+          F.col("asof_view_id"), F.col("asof_view_value"))
+    }),
     "mixture_temperature" -> ((s, d) => {
       // alpha-sampling (temperature 0.5): target proportions computed
       // FROM the per-source counts, p_s ∝ n_s^0.5 — every double op
@@ -3222,6 +3239,18 @@ object SparkEntry {
         |  coalesce(st.n_dup_windows, 0) > 0 AS has_dup
         |FROM (SELECT DISTINCT doc_id FROM documents) dd
         |LEFT JOIN st ON dd.doc_id = st.sid""".stripMargin,
+    // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle.
+    "join_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id,
+        |    arg_max("value", event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, epoch_ms(l.ts) AS ts_ms,
+        |  r.view_id AS asof_view_id, r.view_value AS asof_view_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     // alpha-sampling: target computed from counts, normalization via a
     // sorted-order left fold (float-sum order, the r6 lesson).
     "mixture_temperature" ->

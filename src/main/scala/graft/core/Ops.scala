@@ -299,4 +299,51 @@ object Ops {
     topK(normalized, Seq(queryCol), Seq(F.col("_key").asc, F.col(itemCol).asc), k)
       .drop("_p", "_key")
   }
+
+  /** Backward as-of join (point-in-time lookup): every left row picks THE
+    * most recent right row of its key with rightTs ≤ leftTs (`strict`:
+    * <). The matched right columns come back as `asof_<name>`, null when
+    * no right row precedes.
+    *
+    * Spark has no ASOF operator and the naive range theta-join explodes
+    * to |L|·|R| per key before filtering. This is the union-timeline
+    * shape instead: both sides merge into one per-key stream sorted by
+    * (ts, side-marker), and a running `last(payload, ignoreNulls)` window
+    * carries the latest right payload forward onto each left row — ONE
+    * shuffle on the key, O(n log n) per partition, zero pair blowup, and
+    * at 100 TB it degrades exactly like any other keyed sort (AQE-split
+    * skew keys notwithstanding the running-window's key partitioning).
+    * Semantics match DuckDB's native ASOF LEFT JOIN, which the oracle
+    * runs verbatim.
+    *
+    * `right` must be unique per (key, rightTs) — pre-aggregate (e.g.
+    * max_by) if it isn't; with duplicates the picked row would depend on
+    * sort-tie order. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => c.startsWith("_asof")),
+      "left side may not contain _asof* columns")
+    // side markers order right rows BEFORE left at equal ts (inclusive
+    // match) or AFTER (strict <)
+    val (rm, lm) = if (strict) (1, 0) else (0, 1)
+    val l = left
+      .withColumn("_asof_ts", F.col(leftTs))
+      .withColumn("_asof_m", F.lit(lm))
+    val r = right.select(
+      F.col(key), F.col(rightTs).as("_asof_ts"),
+      F.struct(valueCols.map(F.col): _*).as("_asof_pay"))
+      .withColumn("_asof_m", F.lit(rm))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(F.col("_asof_ts").asc, F.col("_asof_m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("_asof_match",
+      F.last(F.col("_asof_pay"), ignoreNulls = true).over(w))
+    matched.filter(F.col("_asof_pay").isNull)
+      .select(leftCols.map(F.col) ++
+        valueCols.map(c => F.col(s"_asof_match.$c").as(s"asof_$c")): _*)
+  }
 }

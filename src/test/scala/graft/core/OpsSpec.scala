@@ -78,4 +78,35 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "f_0", "f_1"))
     assert(out.first().getDouble(2) == 2.0)
   }
+
+  test("asofJoin: most recent at-or-before match, strict excludes equal ts") {
+    val left = Seq(
+      (10L, 1L, 100L), // before any right row -> null
+      (11L, 1L, 205L), // between right 200 and 300 -> 200
+      (12L, 1L, 300L), // equal ts: inclusive -> 300, strict -> 200
+      (13L, 1L, 999L), // far after the last -> 300
+      (14L, 2L, 500L), // other key: its own timeline -> 450
+      (15L, 3L, 500L), // key with no right rows at all -> null
+    ).toDF("id", "k", "lts")
+    val right = Seq(
+      (1L, 200L, "a"), (1L, 300L, "b"),
+      (2L, 450L, "c"), (2L, 600L, "d"),
+    ).toDF("k", "rts", "v")
+
+    val inc = Ops.asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(inc == Map(10L -> None, 11L -> Some("a"), 12L -> Some("b"),
+      13L -> Some("b"), 14L -> Some("c"), 15L -> None))
+
+    val strict = Ops.asofJoin(left, right, "k", "lts", "rts", Seq("v"),
+        strict = true)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(strict(12L) == Some("a")) // equal-ts right row excluded
+    assert(strict(11L) == Some("a") && strict(10L).isEmpty)
+
+    // left row count and columns are preserved exactly
+    val out = Ops.asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+    assert(out.count() == 6 &&
+      out.columns.toSeq == Seq("id", "k", "lts", "asof_v"))
+  }
 }
