@@ -1251,6 +1251,37 @@ object SparkEntry {
         .select(F.col("event_id"), F.unix_millis(F.col("ts")).as("ts_ms"),
           F.col("asof_view_id"), F.col("asof_view_value"))
     }),
+    "join_range" -> ((s, d) => {
+      // range join: clicks into the [first, last] span of the user's view
+      // sessions (30-min gap). Binned hash-equi join (Ops.rangeJoin) vs
+      // DuckDB's plain BETWEEN range join as the oracle. Sessions don't
+      // overlap, so each click matches at most one interval.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val vw = Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc, F.col("event_id").asc)
+      val sessions = ev.filter(F.col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts", 1).over(vw))
+        .withColumn("_new", F.when(F.col("_prev").isNull ||
+          F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_prev"))
+            >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", F.sum("_new").over(
+          vw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(
+          F.min("ts").as("s_start"),
+          // session stays open one gap past its last view — otherwise a
+          // single-view session is the degenerate [ts, ts] point and the
+          // gate would match ~nothing
+          F.timestamp_micros(F.unix_micros(F.max("ts")) + 1800000000L)
+            .as("s_end"),
+          F.count(F.lit(1)).as("n_views"))
+      graft.core.Ops.rangeJoin(clicks, sessions, "user_id", "ts",
+          "s_start", "s_end", Seq("sid", "n_views"))
+        .select(F.col("event_id"), F.unix_millis(F.col("ts")).as("ts_ms"),
+          F.col("sid"), F.col("n_views"))
+    }),
     "mixture_temperature" -> ((s, d) => {
       // alpha-sampling (temperature 0.5): target proportions computed
       // FROM the per-source counts, p_s ∝ n_s^0.5 — every double op
@@ -3239,6 +3270,29 @@ object SparkEntry {
         |  coalesce(st.n_dup_windows, 0) > 0 AS has_dup
         |FROM (SELECT DISTINCT doc_id FROM documents) dd
         |LEFT JOIN st ON dd.doc_id = st.sid""".stripMargin,
+    // Range join: DuckDB's plain BETWEEN range join is the oracle.
+    "join_range" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        |  FROM events WHERE event_type = 'view'),
+        |se AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN _prev IS NULL
+        |             OR epoch_us(ts) - epoch_us(_prev) >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM v),
+        |sess AS (
+        |  SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS s_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |    CAST(count(*) AS BIGINT) AS n_views
+        |  FROM se GROUP BY 1, 2)
+        |SELECT l.event_id, epoch_ms(l.ts) AS ts_ms, s.sid, s.n_views
+        |FROM events l JOIN sess s
+        |  ON l.user_id = s.user_id AND l.ts BETWEEN s.s_start AND s.s_end
+        |WHERE l.event_type = 'click'""".stripMargin,
     // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle.
     "join_asof" ->
       """WITH l AS (

@@ -346,4 +346,40 @@ object Ops {
       .select(leftCols.map(F.col) ++
         valueCols.map(c => F.col(s"_asof_match.$c").as(s"asof_$c")): _*)
   }
+
+  /** Range (interval) join: left timestamps against right [start, end]
+    * intervals of the same key, inclusive on both ends — one output row
+    * per (point, covering interval). The Spark default for a range
+    * predicate is a theta join (per-key |L|·|R| pairs filtered after the
+    * fact — BroadcastNestedLoop or a skewed SortMerge at scale). This is
+    * the standard BINNING shape instead: bin width = the longest right
+    * interval (one driver-bounded scalar agg), each interval lands in ≤ 2
+    * bins, each point in exactly 1, so the join is hash-equi on
+    * (key, bin) with the exact range predicate as a post-filter — output
+    * ∝ true matches, never the cross product. Each (point, interval)
+    * pair meets on the point's single bin, so no dedup is needed.
+    * Right `valueCols` must not collide with left column names. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      startCol: String, endCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "rangeJoin needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      "right value columns must not collide with left columns")
+    val span = right
+      .agg(F.max(F.unix_micros(F.col(endCol)) - F.unix_micros(F.col(startCol))))
+      .first()
+    val binUs = math.max(1L, if (span.isNullAt(0)) 1L else span.getLong(0))
+    val l = left.withColumn("_rj_bin",
+      F.floor(F.unix_micros(F.col(ts)) / binUs))
+    val r = right.select(
+      (Seq(F.col(key),
+        F.unix_micros(F.col(startCol)).as("_rj_s"),
+        F.unix_micros(F.col(endCol)).as("_rj_e")) ++
+        valueCols.map(F.col)): _*)
+      .withColumn("_rj_bin", F.explode(F.sequence(
+        F.floor(F.col("_rj_s") / binUs), F.floor(F.col("_rj_e") / binUs))))
+    l.join(r, Seq(key, "_rj_bin"))
+      .filter(F.unix_micros(F.col(ts)).between(F.col("_rj_s"), F.col("_rj_e")))
+      .select((leftCols ++ valueCols).map(F.col): _*)
+  }
 }

@@ -109,4 +109,24 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 6 &&
       out.columns.toSeq == Seq("id", "k", "lts", "asof_v"))
   }
+
+  test("rangeJoin: inclusive bounds, overlaps multiply, binning is exact") {
+    def t(us: Long) = F.timestamp_micros(F.lit(us))
+    val pts = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 150L),
+      (4L, 1L, 1000L), (5L, 2L, 50L))
+      .toDF("id", "k", "us")
+      .select($"id", $"k", F.timestamp_micros($"us").as("ts"))
+    // mixed-length intervals incl. two overlapping at [0,10] and [10,120]:
+    // the point AT 10 matches both (inclusive ends)
+    val iv = Seq((1L, 0L, 10L, "a"), (1L, 10L, 120L, "b"),
+      (1L, 140L, 160L, "c"), (2L, 40L, 60L, "d"))
+      .toDF("k", "s", "e", "name")
+      .select($"k", F.timestamp_micros($"s").as("start"),
+        F.timestamp_micros($"e").as("end"), $"name")
+    val out = Ops.rangeJoin(pts, iv, "k", "ts", "start", "end", Seq("name"))
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "c"), (5L, "d")))
+    // point 4 (us=1000) is outside every interval: absent from the output
+    assert(!out.exists(_._1 == 4L))
+  }
 }
