@@ -54,10 +54,11 @@ object Bench {
     "sequence_pad", "grid_search_budget",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
-    "text_stats", "text_unigram_logprob",
+    "text_stats", "text_unigram_logprob", "text_bpe_encode",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",
-    "embed_pq_search",
+    "embed_pq_search", "embed_ivfpq_search", "embed_hnsw_sharded",
+    "dedup_semantic",
     "pack_sequences",
     "streaming_session_window", "streaming_top_k", "streaming_dedup",
     "multimodal_decode",

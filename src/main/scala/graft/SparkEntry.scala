@@ -1316,6 +1316,52 @@ object SparkEntry {
         F.get(toks, F.lit(0)).as("first_tok"),
         F.get(toks, F.size(toks) - F.lit(1)).as("last_tok"))
     }),
+    "text_dsir_weights" -> ((s, d) => {
+      // DSIR importance log-weights (Xie et al. 2023): target = src0,
+      // raw = everything else; hashed unigram+bigram features (portable
+      // md5 hash), Laplace-smoothed bucket log-ratios, sorted-bucket left
+      // fold (cross-engine float-sum order), round-6 for ln libm drift
+      val docs = Tables.documents(s, d)
+      val w = graft.text.Dsir.logWeights(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"),
+        buckets = 1024, alpha = 0.5, seed = 7)
+      w.select(F.col("doc_id"), F.round(F.col("log_weight"), 6).as("log_weight"))
+    }),
+    "text_dsir_select" -> ((s, d) => {
+      // Gumbel-top-k resampling on the UNROUNDED weights: key = w +
+      // Gumbel(portable md5 uniform), global crop via the O(k) bounded
+      // heap — ranks are integers, so the gate hash carries no floats
+      val docs = Tables.documents(s, d)
+      val w = graft.text.Dsir.logWeights(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"),
+        buckets = 1024, alpha = 0.5, seed = 7)
+      graft.text.Dsir.resample(w, k = 50, seed = 11)
+        .select(F.col("doc_id"), F.col("rank"))
+    }),
+    "text_bpe_train" -> ((s, d) => {
+      // learned BPE merges (Sennrich et al. 2016) over the corpus's
+      // pre-token counts — the iterative argmax is not SQL-expressible
+      // (rows-only; BpeSpec pins the golden paper merges + driver ≡
+      // distributed twin parity)
+      graft.text.Bpe.train(Tables.documents(s, d), numMerges = 30)
+    }),
+    "text_bpe_encode" -> ((s, d) => {
+      // BPE merge APPLICATION, cross-engine: a FIXED 5-merge table
+      // (incl. the chained (t,h)→(th,e) to exercise multi-char symbols)
+      // drives the real encoder; the oracle replays the identical
+      // in-order leftmost-non-overlapping passes as chained
+      // regexp_replace over a paren-wrapped symbol string. addEow=false
+      // keeps the SQL mirror free of marker symbols.
+      import s.implicits._
+      val merges = Seq((0L, "e", "s", 0L), (1L, "t", "h", 0L),
+        (2L, "th", "e", 0L), (3L, "i", "n", 0L), (4L, "e", "r", 0L))
+        .toDF("step", "left", "right", "count")
+      graft.text.Bpe.encode(Tables.documents(s, d), merges, addEow = false)
+        .select(F.col("doc_id"), F.col("n_pretokens"), F.col("n_bpe_tokens"),
+          F.array_join(F.col("bpe_tokens"), "|").as("seg"))
+    }),
     "dedup_bloom_new_keys" -> ((s, d) => {
       // EXACT day-over-day new-key anti-join, Bloom-accelerated: the
       // filter reshapes the plan (only the maybe-present slice pays the
@@ -1478,6 +1524,63 @@ object SparkEntry {
       graft.text.Similarity
         .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
         .select("n_queries", "k", "recall_ok")
+    }),
+    "embed_hnsw_sharded" -> ((s, d) => {
+      // DISTRIBUTED graph build (r8): nShards executor-side HNSW graphs
+      // via one cogroup — no driver collect, no maxCollect bound; per-shard
+      // top-k lists merge to the global top-k. Same recall threshold gate
+      // as the driver-built twin.
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      val ann = graft.models.ShardedHnsw.searchNeighbors(emb, queries, k = 5,
+        nShards = 4)
+      graft.text.Similarity
+        .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
+        .select("n_queries", "k", "recall_ok")
+    }),
+    "embed_ivfpq_search" -> ((s, d) => {
+      // IVF-PQ composite (FAISS IndexIVFPQ shape): residual-space PQ
+      // codebooks inside coarse KMeans cells, ADC scan over probed cells
+      // only, exact re-rank. Probe count grows with the corpus
+      // (IvfIndex.probesFor) and the re-rank pool with PqIndex.rerankFor —
+      // the same corpus-aware contracts as the component indexes.
+      // nCentroids=16 (not the IVF-flat gate's 8): residual magnitude —
+      // and with it ADC quantization error — shrinks as cells tighten, so
+      // IVF-PQ wants MORE coarse cells than IVF-flat at the same corpus
+      // (measured: nc=8 → 94% recall at 2000 vectors, nc=16 → 100%;
+      // 98%/100% at sf0.01/sf0.1 with the corpus-aware probe count)
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val queries = emb.filter(F.col("vec_id") < 10)
+      val ann = new graft.text.IvfPqIndex(nCentroids = 16,
+          nProbe = graft.text.IvfIndex.probesFor(n, 16),
+          numSubspaces = 8, codebookSize = 16).fit(emb)
+        .search(queries, k = 5, rerank = graft.text.PqIndex.rerankFor(n))
+      graft.text.Similarity
+        .recallSummary(ann, graft.text.Similarity.bruteForceTopK(queries, emb, 5), 5)
+        .select("n_queries", "k", "recall_ok")
+    }),
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023) certificate gate. The synthetic
+      // embeddings are unstructured (max natural pairwise cosine ≈ 0.51
+      // at sf0.01), so the gate PLANTS 20 exact copies (vec_id+10000 of
+      // the first 20 vectors — identical vectors always share a KMeans
+      // cell and rank-tie to the lower id) and the oracle pins the exact
+      // drop algebra: n_kept = |corpus|, n_dropped = 20, every dropped id
+      // is a planted copy with a >= tau witness.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 10000).as("vec_id"), F.col("embedding"))
+      val v = graft.text.SemDedup.verdicts(emb.unionAll(planted),
+        nClusters = 8, tau = 0.95)
+      v.agg(
+        F.count(F.lit(1)).as("n_in"),
+        F.count_if(F.col("keep")).as("n_kept"),
+        F.count_if(!F.col("keep")).as("n_dropped"),
+        F.coalesce(F.bool_and(F.when(!F.col("keep"),
+          F.col("vec_id") >= 10000)), F.lit(true)).as("dropped_are_planted"),
+        F.coalesce(F.bool_and(F.when(!F.col("keep"),
+          F.col("max_prior_cos") >= 0.95)), F.lit(true)).as("witness_ok"))
     }),
     "multimodal_decode" -> ((s, d) => {
       import graft.multimodal.Multimodal
@@ -3373,6 +3476,148 @@ object SparkEntry {
         |    AS n_alpha,
         |  toks[1] AS first_tok, toks[-1] AS last_tok
         |FROM t""".stripMargin,
+    // DSIR: hashed-ngram buckets from the portable md5 recipe; Laplace
+    // smoothing with CAST(... AS DOUBLE) literals (the DECIMAL lesson);
+    // per-doc sum as the bucket-SORTED left fold; round-6 absorbs ln
+    // libm drift.
+    "text_dsir_weights" ->
+      """WITH tks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, list_concat(ts,
+        |    CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS gs
+        |  FROM tks),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('7:' || unnest(gs)), 1, 15))::BIGINT % 1024
+        |      AS bucket
+        |  FROM g),
+        |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM h
+        |       WHERE source = 'src0' GROUP BY 1),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM h
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |dom AS (SELECT unnest(range(0, 1024)) AS bucket),
+        |j AS (
+        |  SELECT d.bucket, COALESCE(tc.c, 0) AS tcnt, COALESCE(rc.c, 0) AS rcnt
+        |  FROM dom d LEFT JOIN tc ON d.bucket = tc.bucket
+        |  LEFT JOIN rc ON d.bucket = rc.bucket),
+        |nt AS (SELECT sum(tcnt) AS n FROM j),
+        |nr AS (SELECT sum(rcnt) AS n FROM j),
+        |lam AS (
+        |  SELECT bucket,
+        |    ln((CAST(tcnt AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST((SELECT n FROM nt) AS DOUBLE) + CAST(0.5 AS DOUBLE) * 1024)) -
+        |    ln((CAST(rcnt AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST((SELECT n FROM nr) AS DOUBLE) + CAST(0.5 AS DOUBLE) * 1024))
+        |      AS lam
+        |  FROM j),
+        |dc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM h
+        |       WHERE source <> 'src0' GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT doc_id, dc.bucket AS bucket, CAST(cnt AS DOUBLE) * lam AS term
+        |  FROM dc JOIN lam ON dc.bucket = lam.bucket)
+        |SELECT doc_id,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(term ORDER BY bucket)), (a, b) -> a + b), 6) AS log_weight
+        |FROM terms GROUP BY doc_id""".stripMargin,
+    "text_dsir_select" ->
+      """WITH tks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, list_concat(ts,
+        |    CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i + 1]) ELSE [] END) AS gs
+        |  FROM tks),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('7:' || unnest(gs)), 1, 15))::BIGINT % 1024
+        |      AS bucket
+        |  FROM g),
+        |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM h
+        |       WHERE source = 'src0' GROUP BY 1),
+        |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM h
+        |       WHERE source <> 'src0' GROUP BY 1),
+        |dom AS (SELECT unnest(range(0, 1024)) AS bucket),
+        |j AS (
+        |  SELECT d.bucket, COALESCE(tc.c, 0) AS tcnt, COALESCE(rc.c, 0) AS rcnt
+        |  FROM dom d LEFT JOIN tc ON d.bucket = tc.bucket
+        |  LEFT JOIN rc ON d.bucket = rc.bucket),
+        |nt AS (SELECT sum(tcnt) AS n FROM j),
+        |nr AS (SELECT sum(rcnt) AS n FROM j),
+        |lam AS (
+        |  SELECT bucket,
+        |    ln((CAST(tcnt AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST((SELECT n FROM nt) AS DOUBLE) + CAST(0.5 AS DOUBLE) * 1024)) -
+        |    ln((CAST(rcnt AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST((SELECT n FROM nr) AS DOUBLE) + CAST(0.5 AS DOUBLE) * 1024))
+        |      AS lam
+        |  FROM j),
+        |dc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM h
+        |       WHERE source <> 'src0' GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(cnt AS DOUBLE) * lam ORDER BY dc.bucket)),
+        |      (a, b) -> a + b) AS lw
+        |  FROM dc JOIN lam ON dc.bucket = lam.bucket GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT doc_id, lw - ln(-ln(CAST(1 AS DOUBLE) -
+        |    ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / CAST(1152921504606846976 AS DOUBLE))) AS gk
+        |  FROM w)
+        |SELECT doc_id, rank FROM (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY gk DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM keyed) WHERE rank <= 50""".stripMargin,
+    // BPE encode: the paren-wrapped symbol string makes every symbol
+    // boundary the literal ")(" — chained regexp_replace passes are then
+    // EXACTLY the paper's in-order leftmost-non-overlapping merge
+    // application (both engines' regex replace-all scans leftmost and
+    // resumes after each match). Token count = boundary count + 1 (symbol
+    // CONTENT can contain parens — a "(" pre-token — but never ")(",
+    // since only letter pairs are merged).
+    "text_bpe_encode" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+        |  ) AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+        |    unnest(toks) AS tok FROM t),
+        |ww AS (
+        |  SELECT doc_id, pos, trim(tok) AS word FROM w WHERE trim(tok) <> ''),
+        |wrapped AS (
+        |  SELECT doc_id, pos,
+        |    list_aggregate(list_transform(regexp_extract_all(word, '.'),
+        |      c -> '(' || c || ')'), 'string_agg', '') AS s0
+        |  FROM ww),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(s0,
+        |        '\(e\)\(s\)', '(es)', 'g'),
+        |        '\(t\)\(h\)', '(th)', 'g'),
+        |        '\(th\)\(e\)', '(the)', 'g'),
+        |        '\(i\)\(n\)', '(in)', 'g'),
+        |        '\(e\)\(r\)', '(er)', 'g') AS s
+        |  FROM wrapped),
+        |seg AS (
+        |  SELECT doc_id, pos,
+        |    replace(substr(s, 2, len(s) - 2), ')(', '|') AS wseg,
+        |    (len(s) - len(replace(s, ')(', ''))) // 2 + 1 AS ntok
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_pretokens,
+        |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+        |  string_agg(wseg, '|' ORDER BY pos) AS seg
+        |FROM seg GROUP BY doc_id""".stripMargin,
     // Bloom-accelerated new-key dedup: the oracle is the PLAIN anti-join —
     // the Bloom pre-filter must not change the answer, only the plan.
     "dedup_bloom_new_keys" ->
@@ -3542,6 +3787,21 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
     "embed_pq_search" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
+    "embed_hnsw_sharded" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
+    "embed_ivfpq_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k, TRUE AS recall_ok",
+    // SemDeDup: clustering is not SQL-reproducible, but the planted-copy
+    // construction pins the full drop algebra as literals — identical
+    // vectors always share a cell, rank-tie to the lower id, and no
+    // natural pair reaches tau=0.95 (max natural cosine ≈ 0.51/0.67 at
+    // sf0.01/sf0.1), so kept = corpus, dropped = the 20 plants, exactly.
+    "dedup_semantic" ->
+      """SELECT CAST(count(*) + 20 AS BIGINT) AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(20 AS BIGINT) AS n_dropped,
+        |  TRUE AS dropped_are_planted, TRUE AS witness_ok
+        |FROM embeddings""".stripMargin,
     // int8 quantization: identical IEEE double chain — abs/max in double,
     // floor(x*127/m + 0.5) half-up — cell-level so array semantics hash.
     "embed_quantize_int8" ->

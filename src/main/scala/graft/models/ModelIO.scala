@@ -56,6 +56,11 @@ object ModelIO {
     // KMeans there is no trained state to round-trip
     case Some(h: HnswAnn) =>
       s"hnsw:${h.m}:${h.efConstruction}:${h.efSearch}:${h.maxCollect}:${h.seed}"
+    // config-only like HNSW: shard layout is a pure hash of the ids and
+    // the per-shard graphs rebuild deterministically inside the search
+    // cogroup — nothing trained to persist
+    case Some(sh: ShardedHnswAnn) =>
+      s"shnsw:${sh.nShards}:${sh.m}:${sh.efConstruction}:${sh.efSearch}:${sh.seed}"
     // config-only like HNSW: load refits the seeded per-subspace KMeans
     // over the persisted vectors (deterministic for fixed seed + layout)
     case Some(p: PqAnn) =>
@@ -78,6 +83,10 @@ object ModelIO {
       val p = s.split(":")
       Some(new HnswAnn(m = p(1).toInt, efConstruction = p(2).toInt,
         efSearch = p(3).toInt, maxCollect = p(4).toInt, seed = p(5).toLong))
+    case s if s.startsWith("shnsw:") =>
+      val p = s.split(":")
+      Some(new ShardedHnswAnn(nShards = p(1).toInt, m = p(2).toInt,
+        efConstruction = p(3).toInt, efSearch = p(4).toInt, seed = p(5).toLong))
     case s if s.startsWith("pq:") =>
       val p = s.split(":")
       Some(new PqAnn(numSubspaces = p(1).toInt, codebookSize = p(2).toInt,

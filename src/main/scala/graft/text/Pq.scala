@@ -64,6 +64,9 @@ final class PqIndex(
   var codes: DataFrame = _                       // (id, _codes array<int>)
   private[text] var raw: DataFrame = _           // (id, vec) for re-rank
   private var dsub: Int = _
+  /** Sub-vector width d/M — composite indexes (IVF-PQ) build their own
+    * residual-space lookup tables from the fitted codebooks. */
+  private[text] def subDim: Int = dsub
 
   private def dvec(c: org.apache.spark.sql.Column) =
     F.transform(c, x => x.cast("double"))
