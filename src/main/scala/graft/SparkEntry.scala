@@ -1316,6 +1316,38 @@ object SparkEntry {
         F.get(toks, F.lit(0)).as("first_tok"),
         F.get(toks, F.size(toks) - F.lit(1)).as("last_tok"))
     }),
+    "text_c4_rules" -> ((s, d) => {
+      // C4 cleaning rules (Raffel et al. 2020 §2.2). The soup corpus has
+      // no newlines/punctuation, so doc_id-residue spikes (mirrored in
+      // the oracle) exercise every rule: a 3-sentence keepable block
+      // (%2 — drives sentences_ok), a too-short terminal line (%5,
+      // dropped by min-words), a javascript line (%7, line-dropped), the
+      // lorem-ipsum page flag (%11), the curly-brace page flag (%13), a
+      // bad-word page flag on an otherwise-keepable line (%17)
+      val spiked = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(
+          F.col("text"),
+          F.when(F.col("doc_id") % 2 === 0, F.lit("\nOne good sentence " +
+            "sits here. Another good one follows now. A third sentence " +
+            "ends this.")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 5 === 0, F.lit("\nShort line."))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 7 === 0,
+            F.lit("\nThis page uses javascript tricks today."))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 11 === 0,
+            F.lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 13 === 0, F.lit("\nbad { brace"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 17 === 0,
+            F.lit("\nAn obscene sentence appears right here."))
+            .otherwise(F.lit("")),
+        ).as("text"))
+      spiked.select(F.col("doc_id"),
+          graft.text.TextStats.c4Rules(F.col("text")).as("c4"))
+        .select(F.col("doc_id"), F.col("c4.*"))
+    }),
     "text_dsir_weights" -> ((s, d) => {
       // DSIR importance log-weights (Xie et al. 2023): target = src0,
       // raw = everything else; hashed unigram+bigram features (portable
@@ -3476,6 +3508,53 @@ object SparkEntry {
         |    AS n_alpha,
         |  toks[1] AS first_tok, toks[-1] AS last_tok
         |FROM t""".stripMargin,
+    // C4 rules: same spikes, same line/page predicates; empty kept-line
+    // list must produce '' (COALESCE — string_agg of [] is NULL), and
+    // sentence splitting keeps both engines' empty-field semantics
+    // behind the trim-nonempty filter.
+    "text_c4_rules" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN e'\nOne good sentence sits here. Another good one follows now. A third sentence ends this.' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN e'\nShort line.' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN e'\nThis page uses javascript tricks today.' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN e'\nlorem ipsum dolor sit amet.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN e'\nbad { brace' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN e'\nAn obscene sentence appears right here.' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM sp),
+        |k AS (
+        |  SELECT doc_id, t, lines,
+        |    list_filter(lines, x ->
+        |      (rtrim(x) LIKE '%.' OR rtrim(x) LIKE '%!' OR
+        |       rtrim(x) LIKE '%?' OR rtrim(x) LIKE '%"')
+        |      AND len(list_filter(string_split_regex(trim(x), '\s+'),
+        |        w -> w <> '')) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l),
+        |c AS (
+        |  SELECT doc_id, t, lines, kept,
+        |    COALESCE(list_aggregate(kept, 'string_agg', chr(10)), '')
+        |      AS cleaned
+        |  FROM k),
+        |m AS (
+        |  SELECT doc_id, t, lines, kept, cleaned,
+        |    CAST(len(list_filter(string_split_regex(cleaned, '[.!?"]+'),
+        |      s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+        |    NOT contains(lower(t), 'lorem ipsum') AS lorem_ok,
+        |    NOT contains(t, '{') AS brace_ok,
+        |    NOT (contains(lower(t), 'obscene') OR
+        |         contains(lower(t), 'offensive')) AS bad_word_ok
+        |  FROM c)
+        |SELECT doc_id, cleaned AS cleaned_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  n_sentences, lorem_ok, brace_ok, bad_word_ok,
+        |  n_sentences >= 3 AS sentences_ok,
+        |  (lorem_ok AND brace_ok AND bad_word_ok AND n_sentences >= 3)
+        |    AS keep
+        |FROM m""".stripMargin,
     // DSIR: hashed-ngram buckets from the portable md5 recipe; Laplace
     // smoothing with CAST(... AS DOUBLE) literals (the DECIMAL lesson);
     // per-doc sum as the bucket-SORTED left fold; round-6 absorbs ln

@@ -229,6 +229,56 @@ object TextStats {
       keep.as("keep"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the "Colossal Clean
+    * Crawled Corpus" heuristics, the other canonical rule set next to
+    * [[gopherRules]]). Line-level: keep only lines that end in a terminal
+    * punctuation mark (. ! ? "), contain at least `minWordsPerLine`
+    * words, and do not contain the word "javascript". Page-level: drop
+    * pages containing "lorem ipsum", a curly brace "{", or any term from
+    * the (pluggable) bad-word list, and pages whose KEPT lines hold fewer
+    * than `minSentences` sentences (terminal-punctuation count).
+    *
+    * Returns a struct: the cleaned text (kept lines re-joined with \n),
+    * line/sentence counts, each page flag, and the final keep verdict.
+    * Pure string/integer expressions end-to-end — a SQL engine reproduces
+    * every field bit-for-bit, cleaned text included. */
+  def c4Rules(text: Column,
+      minWordsPerLine: Int = 5, minSentences: Int = 3,
+      badWords: Seq[String] = Seq("obscene", "offensive")): Column = {
+    val lines = F.split(text, "\n")
+    def lineWords(l: Column) =
+      F.size(F.filter(F.split(F.trim(l), "\\s+"), t => t =!= ""))
+    def terminal(l: Column) = {
+      val r = F.rtrim(l)
+      r.endsWith(".") || r.endsWith("!") || r.endsWith("?") || r.endsWith("\"")
+    }
+    val keptLines = F.filter(lines, l =>
+      terminal(l) && (lineWords(l) >= minWordsPerLine) &&
+        !F.lower(l).contains("javascript"))
+    val cleaned = F.array_join(keptLines, "\n")
+    // sentence count over the KEPT text: runs of terminal punctuation
+    // count once ("Hi!?" is one boundary)
+    val nSentences = F.size(F.filter(
+      F.split(cleaned, "[.!?\"]+"), s => F.trim(s) =!= "")).cast("long")
+    val lower = F.lower(text)
+    val loremOk = !lower.contains("lorem ipsum")
+    val braceOk = !text.contains("{")
+    val badWordOk = F.size(F.filter(F.array(badWords.map(F.lit): _*),
+      w => lower.contains(w))) === 0
+    val sentencesOk = nSentences >= minSentences
+    val keep = loremOk && braceOk && badWordOk && sentencesOk
+    F.struct(
+      cleaned.as("cleaned_text"),
+      F.size(lines).cast("long").as("n_lines"),
+      F.size(keptLines).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      loremOk.as("lorem_ok"),
+      braceOk.as("brace_ok"),
+      badWordOk.as("bad_word_ok"),
+      sentencesOk.as("sentences_ok"),
+      keep.as("keep"))
+  }
+
   /** CCNet-style unigram LM quality proxy (Wenzek et al. 2020 filter on
     * KenLM perplexity; the unigram table is the engine-side, fully
     * SQL-mirrorable analogue): doc score = mean over tokens of

@@ -127,4 +127,38 @@ class PlanSpec extends SparkSpec {
       "bit table should broadcast into the probe join")
     assert(!plan.contains("CartesianProduct"), "cartesian leak in probe join")
   }
+
+  test("DSIR weights broadcast the bucket-ratio table and never cross-join docs") {
+    val plan = optimizedPlan("text_dsir_weights")
+    assert(plan.contains("BroadcastExchange"),
+      "the buckets-row lambda table should broadcast into the per-doc join")
+    assert(!plan.contains("CartesianProduct"), "cartesian leak in DSIR weights")
+  }
+
+  test("DSIR resample crops with the bounded heap, not a corpus-wide sort") {
+    val plan = optimizedPlan("text_dsir_select")
+    assert(plan.contains("topk_bounded") || plan.contains("TopKBounded") ||
+      plan.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k aggregation, got:\n${plan.take(800)}")
+  }
+
+  test("BPE encode joins segmentations per DISTINCT pre-token (vocab side aggregated)") {
+    val plan = optimizedPlan("text_bpe_encode")
+    assert(!plan.contains("CartesianProduct"), "cartesian leak in BPE encode")
+    // the vocab side must deduplicate before the per-token segmentation map
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "expected the distinct-word aggregation ahead of the segmentation join")
+  }
+
+  test("IVF-PQ ADC scan broadcasts codeword/centroid tables; no cartesian on the code join") {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = new graft.text.IvfPqIndex(nCentroids = 4, nProbe = 2,
+      numSubspaces = 4, codebookSize = 8).fit(emb)
+    val plan = executedPlan(idx.search(emb.filter(
+      org.apache.spark.sql.functions.col("vec_id") < 5), k = 3, rerank = 4))
+    assert(plan.contains("BroadcastExchange"),
+      "centroid/codeword tables should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "ADC code join must stay an equi-join on (cell, subspace, code)")
+  }
 }

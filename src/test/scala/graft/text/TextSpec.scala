@@ -524,4 +524,41 @@ class TextSpec extends SparkSpec {
     // digit-only tokens do not
     assert(gopherFlags("11 22 33 44 55")("alpha_ok") == false)
   }
+
+  private def c4(text: String): Map[String, Any] = {
+    val row = Seq(Tuple1(text)).toDF("text")
+      .select(TextStats.c4Rules(F.col("text")).as("c"))
+      .select("c.*").collect().head
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("c4Rules keeps only terminal-punctuation lines with enough words") {
+    val r = c4("no punctuation line here at all\n" +
+      "This proper sentence has six words.\n" +
+      "Short one.\n" +
+      "Does a question mark also terminate lines?\n" +
+      "A javascript mention drops this line fast.")
+    assert(r("n_lines") == 5L && r("n_lines_kept") == 2L)
+    assert(r("cleaned_text") == "This proper sentence has six words.\n" +
+      "Does a question mark also terminate lines?")
+    assert(r("n_sentences") == 2L)
+  }
+
+  test("c4Rules page flags: lorem ipsum, curly brace, bad words") {
+    assert(c4("A fine sentence with lorem ipsum inside.")("lorem_ok") == false)
+    assert(c4("A config block { appears on this page.")("brace_ok") == false)
+    assert(c4("An obscene word poisons the whole page.")("bad_word_ok") == false)
+    val clean = c4("First good sentence sits right here. Second good " +
+      "sentence follows directly after. Third good sentence closes the page.")
+    assert(clean("keep") == true && clean("n_sentences") == 3L)
+  }
+
+  test("c4Rules drops pages with fewer than three sentences in the KEPT text") {
+    // two sentences survive line filtering -> page dropped even though
+    // every page flag is clean
+    val r = c4("One good sentence sits right here. A second one follows.\n" +
+      "unterminated filler line with many words but no ending")
+    assert(r("n_sentences") == 2L && r("sentences_ok") == false &&
+      r("keep") == false)
+  }
 }
