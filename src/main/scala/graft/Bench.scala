@@ -54,6 +54,7 @@ object Bench {
     "sequence_pad", "grid_search_budget",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
+    "sketch_histogram",
     "text_stats", "text_unigram_logprob", "text_bpe_encode",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",

@@ -1061,6 +1061,47 @@ object SparkEntry {
           Tables.documents(s, d), "doc_id", "text")
         .select(F.col("doc_id"), F.round(F.col("logprob"), 6).as("logprob"))
     }),
+    "sketch_histogram" -> ((s, d) => {
+      // equi-width histogram sketch over l_extendedprice: 256 integer
+      // cells, one O(bins) shuffle; every cell reproducible in SQL from
+      // the same (min, max, floor) recipe
+      val li = Tables.lineitem(s, d)
+        .select(F.col("l_extendedprice").cast("double").as("v"))
+      val (lo, hi) = graft.core.Sketch.bounds(li, "v")
+      graft.core.Sketch.histogramBins(li, "v", lo, hi, 256)
+    }),
+    "sketch_histogram_quantile" -> ((s, d) => {
+      // interpolated quantile estimates from the histogram + a rank-error
+      // certificate: |rank(est) − q| must stay within the heaviest bin's
+      // mass (+1/n boundary-tie slack) — the sketch's accuracy contract,
+      // checked against the raw data, not against itself
+      import graft.core.Sketch
+      val li = Tables.lineitem(s, d)
+        .select(F.col("l_extendedprice").cast("double").as("v")).cache()
+      val (lo, hi) = Sketch.bounds(li, "v")
+      val hist = Sketch.histogramBins(li, "v", lo, hi, 256).cache()
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val est = Sketch.histogramQuantiles(hist, qs, lo, hi, 256)
+      val stats = hist.crossJoin(F.broadcast(li.agg(
+          F.count(F.lit(1)).cast("double").as("_n"))))
+        .agg(F.max(F.col("counter").cast("double") / F.col("_n")).as("_maxmass"),
+          F.first(F.col("_n")).as("_n"))
+      est.crossJoin(F.broadcast(stats))
+        .join(li, F.col("v") <= F.col("estimate"), "left")
+        .groupBy("q", "estimate", "_maxmass", "_n")
+        .agg(F.count(F.col("v")).cast("double").as("_below"))
+        .select(F.col("q"), F.col("estimate"),
+          (F.abs(F.col("_below") / F.col("_n") - F.col("q")) <=
+            F.col("_maxmass") + F.lit(1.0) / F.col("_n")).as("rank_err_ok"))
+    }),
+    "text_bigram_logprob" -> ((s, d) => {
+      // order-2 LM quality score (CCNet perplexity-filter analogue, one
+      // step past the unigram proxy): mean ln P(w_i | w_{i-1}) with add-k
+      // smoothing; per-doc mean is the position-ORDERED fold (float-sum
+      // order), round-6 for ln libm drift
+      graft.text.TextStats.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(F.col("doc_id"), F.round(F.col("logprob"), 6).as("logprob"))
+    }),
     "model_item_knn_bm25" -> ((s, d) => {
       // bm25-weighted variant (knn.py:92-156); sims are rounded to 9dp
       // before the neighbour window (order parity), output rounded to 6dp
@@ -3230,6 +3271,81 @@ object SparkEntry {
         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freqs),
         |sc AS (SELECT t.doc_id, avg(ln(CAST(f.cnt AS DOUBLE) / n.n)) AS lp
         |       FROM toks t JOIN freqs f ON t.tok = f.tok, n GROUP BY 1)
+        |SELECT d.doc_id, round(coalesce(sc.lp, 0.0), 6) AS logprob
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // Histogram sketch: every cell from the same (min, max, floor) recipe;
+    // Spark floor is LONG, DuckDB floor DOUBLE — CAST pins the type.
+    "sketch_histogram" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v)
+        |SELECT CAST(least(greatest(floor((v - (SELECT lo FROM b)) /
+        |    (((SELECT hi FROM b) - (SELECT lo FROM b)) / 256)), 0), 255)
+        |  AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS counter
+        |FROM v GROUP BY 1""".stripMargin,
+    // Quantile estimates: identical cumulative walk (first populated bin
+    // whose inclusive cum reaches q*n, linear interpolation inside it);
+    // the rank-error certificate is driver-enforced, oracle asserts TRUE.
+    "sketch_histogram_quantile" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |w AS (SELECT ((SELECT hi FROM b) - (SELECT lo FROM b)) / 256 AS w),
+        |hist AS (
+        |  SELECT CAST(least(greatest(floor((v - (SELECT lo FROM b)) /
+        |      (SELECT w FROM w)), 0), 255) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS counter
+        |  FROM v GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, counter, sum(counter) OVER (ORDER BY bin) AS cum
+        |  FROM hist),
+        |n AS (SELECT CAST(sum(counter) AS DOUBLE) AS n FROM hist),
+        |qs(q) AS (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+        |  (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+        |pick AS (
+        |  SELECT q.q, c.bin, c.counter, c.cum
+        |  FROM qs q JOIN cum c
+        |    ON CAST(c.cum AS DOUBLE) >= q.q * (SELECT n FROM n)
+        |  QUALIFY row_number() OVER (PARTITION BY q.q ORDER BY c.bin) = 1)
+        |SELECT q,
+        |  (SELECT lo FROM b) + (SELECT w FROM w) *
+        |    (bin + (q * (SELECT n FROM n) - CAST(cum - counter AS DOUBLE)) /
+        |      CAST(counter AS DOUBLE)) AS estimate,
+        |  TRUE AS rank_err_ok
+        |FROM pick""".stripMargin,
+    // bigram LM: parallel unnests zip (pos, prev, cur); add-k smoothing
+    // with CAST(... AS DOUBLE) literals; position-ordered left fold.
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(ts))) AS pos,
+        |    unnest(ts[1:len(ts) - 1]) AS prev,
+        |    unnest(ts[2:len(ts)]) AS cur
+        |  FROM t WHERE len(ts) >= 2),
+        |uc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS uc
+        |  FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY 1),
+        |bcnt AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc
+        |  FROM big GROUP BY 1, 2),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |terms AS (
+        |  SELECT b.doc_id, b.pos,
+        |    ln((CAST(bc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(uc AS DOUBLE) + CAST(0.5 AS DOUBLE) * (SELECT v FROM v)))
+        |      AS term
+        |  FROM big b
+        |  JOIN bcnt ON b.prev = bcnt.prev AND b.cur = bcnt.cur
+        |  JOIN uc ON b.prev = uc.tok),
+        |sc AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(term ORDER BY pos)), (a, b) -> a + b) / count(*) AS lp
+        |  FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, round(coalesce(sc.lp, 0.0), 6) AS logprob
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,

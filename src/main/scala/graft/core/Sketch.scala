@@ -193,4 +193,79 @@ object Sketch {
       .groupBy(keyCol)
       .agg((F.min(F.coalesce(F.col("is_set"), F.lit(0L))) === 1L)
         .as("maybe_present"))
+
+  /** Deterministic, mergeable equi-width histogram — the QUANTILE member
+    * of the sketch family (CMS counts, HLL distinct, Bloom membership):
+    * `bins` integer counters over [lo, hi], out-of-range values clamped
+    * into the edge bins. Same scale shape as the others: ONE groupBy
+    * whose map-side combine collapses each partition to ≤ bins cells, so
+    * the shuffle is O(bins) regardless of stream size; shard merge is
+    * per-bin addition ([[histogramMerge]]) — integer adds, so merge is
+    * BIT-exact and order-invariant (unlike KLL/t-digest, whose compaction
+    * order makes shard merges layout-dependent). Streaming-safe (count
+    * agg in update mode).
+    *
+    * Accuracy contract: rank error ≤ the heaviest bin's mass, value error
+    * of [[histogramQuantiles]] ≤ one bin width (the true quantile lies in
+    * the bin the cumulative count crosses, and the estimate interpolates
+    * inside that bin). Equi-width is the deterministic trade — size
+    * `bins` to the value range the way CMS width is sized to the key
+    * skew; [[bounds]] supplies (lo, hi) in one exact aggregation. */
+  def histogramBins(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int = 256): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"need bins >= 1, got $bins")
+    val w = (hi - lo) / bins
+    val bin = F.least(
+      F.greatest(F.floor((F.col(valueCol).cast("double") - lo) / w), F.lit(0L)),
+      F.lit(bins - 1L)).cast("long")
+    df.select(bin.as("bin"))
+      .groupBy("bin").agg(F.count(F.lit(1)).as("counter"))
+  }
+
+  /** Exact (lo, hi) bounds for [[histogramBins]] — one aggregation. */
+  def bounds(df: DataFrame, valueCol: String): (Double, Double) = {
+    val r = df.agg(F.min(F.col(valueCol).cast("double")),
+      F.max(F.col(valueCol).cast("double"))).first()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Shard merge for [[histogramBins]] tables: per-bin counter addition. */
+  def histogramMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_ unionAll _)
+      .groupBy("bin").agg(F.sum("counter").as("counter"))
+
+  /** Quantile estimates from a histogram: for each q, the first bin whose
+    * cumulative count reaches q·n, linearly interpolated inside the bin —
+    * `est = lo + w·(bin + (q·n − cumBefore)/count_bin)`. The ≤ bins-row
+    * cumulative walk runs on the driver (the same bounded contract as the
+    * discretizer bin tables); every step is deterministic IEEE
+    * arithmetic, so a second engine reproduces each estimate exactly.
+    * Output: (q, estimate). */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double,
+      hi: Double, bins: Int = 256): DataFrame = {
+    val w = (hi - lo) / bins
+    val cells = hist.select(F.col("bin").cast("long"),
+        F.col("counter").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = cells.map(_._2).sum.toDouble
+    val ests = qs.map { q =>
+      require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+      val t = q * n
+      var cum = 0.0
+      var est = lo
+      var found = false
+      for ((b, c) <- cells if !found) {
+        if (cum + c >= t) {
+          est = lo + w * (b + (t - cum) / c)
+          found = true
+        } else cum += c
+      }
+      if (!found && cells.nonEmpty) { // t beyond total (fp slack): top edge
+        est = lo + w * (cells.last._1 + 1.0)
+      }
+      (q, est)
+    }
+    hist.sparkSession.createDataFrame(ests).toDF("q", "estimate")
+  }
 }

@@ -292,6 +292,56 @@ object TextStats {
     * a lazy 1-row broadcast scalar (no driver action). At 100 TB the only
     * wide exchange is the token-key join, and the frequency side is
     * |vocab| rows, not |tokens|. */
+  /** Bigram-LM quality score — the order-2 upgrade of
+    * [[unigramLogProb]], one step closer to CCNet's KenLM perplexity
+    * filter (Wenzek et al. 2020 §3.2): per doc, the mean over positions
+    * i ≥ 2 of `ln P(wᵢ | wᵢ₋₁)` under the corpus's own add-k-smoothed
+    * bigram model, `P(w|v) = (c(v,w) + k) / (c(v) + k·V)` with V the
+    * unigram vocabulary size. Near 0 → fluent under the corpus
+    * distribution; strongly negative → rare transitions (noise, boilerplate
+    * soup, wrong language). Docs with < 2 tokens score 0.0.
+    *
+    * The per-doc mean folds its position-ORDERED term list (not a plain
+    * avg): float sums are order-sensitive, and the deterministic fold is
+    * what lets a second engine reproduce the value bit-for-bit.
+    *
+    * Scale shape: one bigram explode, one |bigram-vocab|-row and one
+    * |vocab|-row aggregate re-joined on their keys, V rides along as a
+    * lazy 1-row broadcast scalar; the only corpus-wide exchanges are the
+    * two count joins. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val ts = tokens(F.lower(F.col(textCol)))
+    val bigrams = F.when(F.size(ts) >= 2,
+      F.transform(F.sequence(F.lit(1), F.size(ts) - 1),
+        i => F.struct(i.as("_pos"),
+          F.element_at(ts, i).as("_prev"), F.element_at(ts, i + 1).as("_cur"))))
+      .otherwise(F.array())
+    val big = docs.select(F.col(idCol), F.explode(bigrams).as("_b"))
+      .select(F.col(idCol), F.col("_b._pos").as("_pos"),
+        F.col("_b._prev").as("_prev"), F.col("_b._cur").as("_cur"))
+    val uni = docs.select(F.explode(ts).as("_tok"))
+      .groupBy("_tok").agg(F.count(F.lit(1)).as("_uc"))
+    val bc = big.groupBy("_prev", "_cur").agg(F.count(F.lit(1)).as("_bc"))
+    val vocab = F.broadcast(uni.agg(F.count(F.lit(1)).cast("double").as("_v")))
+    val terms = big
+      .join(bc, Seq("_prev", "_cur"))
+      .join(uni.select(F.col("_tok").as("_prev"), F.col("_uc")), Seq("_prev"))
+      .crossJoin(vocab)
+      .select(F.col(idCol), F.col("_pos"),
+        F.log((F.col("_bc").cast("double") + k) /
+          (F.col("_uc").cast("double") + F.col("_v") * k)).as("_term"))
+    val scored = terms.groupBy(idCol)
+      .agg((F.aggregate(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_term")))),
+          s => s.getField("_term")),
+        F.lit(0.0), (acc, x) => acc + x) / F.count(F.lit(1)))
+        .as("logprob"))
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("logprob", F.coalesce(F.col("logprob"), F.lit(0.0)))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(F.col(idCol),
       F.explode(tokens(F.lower(F.col(textCol)))).as("_tok"))

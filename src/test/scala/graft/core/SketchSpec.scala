@@ -182,4 +182,46 @@ class SketchSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(perRow == (0 until 4).map(_ -> 210L).toMap)
   }
+
+  test("histogram bins clamp out-of-range values into the edge bins") {
+    val df = Seq(-5.0, 0.0, 2.5, 9.99, 10.0, 42.0).toDF("v")
+    val bins = Sketch.histogramBins(df, "v", lo = 0.0, hi = 10.0, bins = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(bins(0L) == 2L) // -5 clamped + 0.0
+    assert(bins(2L) == 1L) // 2.5
+    assert(bins(9L) == 3L) // 9.99 + 10.0 (hi) clamped + 42 clamped
+    assert(bins.values.sum == 6L)
+  }
+
+  test("histogram shard merge equals the whole-stream build, bit-exact") {
+    val all = (1 to 900).map(i => (i % 97).toDouble)
+    val whole = Sketch.histogramBins(all.toDF("v"), "v", 0.0, 100.0, 64)
+      .as[(Long, Long)].collect().toSet
+    val shards = all.grouped(300).map(s =>
+      Sketch.histogramBins(s.toDF("v"), "v", 0.0, 100.0, 64)).toSeq
+    val merged = Sketch.histogramMerge(shards: _*)
+      .as[(Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("histogram quantile estimates stay within one bin width of the exact quantile") {
+    val vals = (0 until 2000).map(i => (i * 37 % 1000).toDouble)
+    val df = vals.toDF("v")
+    val (lo, hi) = Sketch.bounds(df, "v")
+    val hist = Sketch.histogramBins(df, "v", lo, hi, 128)
+    val w = (hi - lo) / 128
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Sketch.histogramQuantiles(hist, qs, lo, hi, 128)
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
+      assert(math.abs(est(q) - exact) <= w + 1e-9,
+        s"q=$q est=${est(q)} exact=$exact w=$w")
+    }
+    // q=0 and q=1 hit the populated range's edges
+    val edges = Sketch.histogramQuantiles(hist, Seq(0.0, 1.0), lo, hi, 128)
+      .as[(Double, Double)].collect().toMap
+    assert(math.abs(edges(0.0) - lo) <= w && math.abs(edges(1.0) - hi) <= w)
+  }
 }

@@ -553,6 +553,24 @@ class TextSpec extends SparkSpec {
     assert(clean("keep") == true && clean("n_sentences") == 3L)
   }
 
+  test("bigramLogProb scores common transitions above rare ones; short docs 0.0") {
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"), // repeated bigrams
+      (2L, "sat the zebra cat quantum the sat"),   // rare transitions
+      (3L, "solo"),                                // < 2 tokens
+      (4L, "the cat sat the cat sat"),
+    ).toDF("doc_id", "text")
+    val lp = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(lp(1L) > lp(2L),
+      s"repeated-bigram doc must outscore rare transitions: $lp")
+    assert(lp(3L) == 0.0)
+    // deterministic across layouts (sorted-position fold)
+    val lp7 = TextStats.bigramLogProb(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(lp == lp7)
+  }
+
   test("c4Rules drops pages with fewer than three sentences in the KEPT text") {
     // two sentences survive line filtering -> page dropped even though
     // every page flag is clean
