@@ -1125,6 +1125,19 @@ object SparkEntry {
       Dedup.minhashSimilarity(cand, docs, "doc_id", "text",
         numPerms = 16, precomputedSigs = Some(sigs))
     }),
+    "dedup_edit_distance" -> ((s, d) => {
+      // last-mile exact verification of the LSH candidate slice:
+      // Levenshtein on whitespace-normalized text (native codegen
+      // expression, exists verbatim in DuckDB) — O(len²) per pair is why
+      // it runs AFTER banding, never on all pairs
+      import graft.text.Dedup
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numPerms = 16, bandSize = 4, hash = Dedup.portableHash)
+      Dedup.editDistanceVerify(cand, docs, "doc_id", "text", threshold = 0.8)
+        .select(F.col("id_a"), F.col("id_b"), F.col("edit_dist"),
+          F.round(F.col("edit_sim"), 6).as("edit_sim"), F.col("is_dup"))
+    }),
     "mixture_sample" -> ((s, d) => {
       // domain mixing: largest corpus at exactly 50/30/20 over three
       // sources, portable-hash pick; other sources dropped
@@ -3864,6 +3877,26 @@ object SparkEntry {
         |JOIN sigs a ON a.doc_id = c.id_a
         |JOIN sigs b ON b.doc_id = c.id_b""".stripMargin
     },
+    // Edit-distance verification of the LSH candidate slice: DuckDB's
+    // levenshtein is the same unit-cost insert/delete/substitute distance
+    // as Spark's; identical normalization chain on both sides.
+    "dedup_edit_distance" ->
+      s"""WITH $minhashCandSql,
+        |nt AS (
+        |  SELECT doc_id,
+        |    substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+        |      1, 1000) AS t
+        |  FROM documents)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+        |  round(CAST(1 AS DOUBLE) - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+        |    CAST(greatest(len(a.t), len(b.t)) AS DOUBLE), 6) AS edit_sim,
+        |  (CAST(1 AS DOUBLE) - CAST(levenshtein(a.t, b.t) AS DOUBLE) /
+        |    CAST(greatest(len(a.t), len(b.t)) AS DOUBLE))
+        |    >= CAST(0.8 AS DOUBLE) AS is_dup
+        |FROM cand c
+        |JOIN nt a ON a.doc_id = c.id_a
+        |JOIN nt b ON b.doc_id = c.id_b""".stripMargin,
     // LSH pairs → duplicate clusters: the recursive CTE computes, for each
     // node of the candidate graph, the min id among all reachable nodes —
     // the exact fixpoint the engine's min-label propagation converges to

@@ -143,6 +143,35 @@ object Dedup {
           (x, y) => x === y), (b: Column) => b)).cast("double") / numPerms).as("est_jaccard"))
   }
 
+  /** Edit-distance verification of candidate pairs — the LAST-MILE exact
+    * check fuzzy-dedup ladders run after the cheap signal (MinHash/SimHash
+    * finds the bucket, Levenshtein confirms the pair). Joins the pair
+    * frame back to its texts and emits the raw distance plus the
+    * normalized similarity `1 − dist / max(len_a, len_b)` the thresholds
+    * are usually stated in. Levenshtein is a native codegen'd expression
+    * (and exists verbatim in SQL engines), so the tier is cross-engine
+    * checkable. O(len²) per pair — that is WHY it runs only on the LSH
+    * candidate slice, never all pairs; texts are whitespace-normalized
+    * first (the same normal form the exact-dedup fingerprint uses).
+    * `maxLen` truncates both sides (Spark caps levenshtein inputs; long
+    * docs should be compared by the cheaper tiers anyway). */
+  def editDistanceVerify(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxLen: Int = 1000): DataFrame = {
+    val norm = F.substring(
+      F.lower(F.regexp_replace(F.trim(F.col(textCol)), "\\s+", " ")), 1, maxLen)
+    val t = docs.select(F.col(idCol), norm.as("_t"))
+    candidates
+      .join(t.select(F.col(idCol).as("id_a"), F.col("_t").as("_ta")), Seq("id_a"))
+      .join(t.select(F.col(idCol).as("id_b"), F.col("_t").as("_tb")), Seq("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long").as("edit_dist"),
+        (F.lit(1.0) - F.levenshtein(F.col("_ta"), F.col("_tb")).cast("double") /
+          F.greatest(F.length(F.col("_ta")), F.length(F.col("_tb")))
+            .cast("double")).as("edit_sim"))
+      .withColumn("is_dup", F.col("edit_sim") >= threshold)
+  }
+
   /** SimHash: bit b is the sign of Σ_tokens (±1 by token-hash bit b).
     * Near-duplicate docs agree on most bits; Hamming distance via
     * bit_count(xor). `bits` ≤ 63. */

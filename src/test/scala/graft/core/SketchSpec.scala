@@ -183,6 +183,23 @@ class SketchSpec extends SparkSpec {
     assert(perRow == (0 until 4).map(_ -> 210L).toMap)
   }
 
+  test("histogram runs as a real stream (complete mode) and matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (0 until 500).map(i => (i * 37 % 250).toDouble)
+    val batch = Sketch.histogramBins(vals.toDF("v"), "v", 0.0, 250.0, 32)
+      .as[(Long, Long)].collect().toSet
+    val in = MemoryStream[Double]
+    val q = Sketch.histogramBins(in.toDF().toDF("v"), "v", 0.0, 250.0, 32)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    in.addData(vals.take(200): _*); q.processAllAvailable()
+    in.addData(vals.drop(200): _*); q.processAllAvailable()
+    val streamed = spark.table("hist_stream").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("histogram bins clamp out-of-range values into the edge bins") {
     val df = Seq(-5.0, 0.0, 2.5, 9.99, 10.0, 42.0).toDF("v")
     val bins = Sketch.histogramBins(df, "v", lo = 0.0, hi = 10.0, bins = 10)

@@ -553,6 +553,30 @@ class TextSpec extends SparkSpec {
     assert(clean("keep") == true && clean("n_sentences") == 3L)
   }
 
+  test("editDistanceVerify confirms near-identical pairs and rejects distant ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"), // 1 word off
+      (3L, "completely unrelated text about database shuffle partitions"),
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val v = Dedup.editDistanceVerify(cand, docs, "doc_id", "text",
+      threshold = 0.8)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val near = v((1L, 2L))
+    assert(near._3 == 3L, s"dog->cat is 3 edits, got ${near._3}")
+    assert(near._5, "near-identical pair must verify as duplicate")
+    assert(!v((1L, 3L))._5, "distant pair must be rejected")
+    // normalization: case + whitespace runs do not count as edits
+    val norm = Dedup.editDistanceVerify(
+      Seq((1L, 2L)).toDF("id_a", "id_b"),
+      Seq((1L, "A  B\tC"), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect().head
+    assert(norm._3 == 0L && norm._4 == 1.0)
+  }
+
   test("bigramLogProb scores common transitions above rare ones; short docs 0.0") {
     val docs = Seq(
       (1L, "the cat sat the cat sat the cat sat"), // repeated bigrams
