@@ -1370,6 +1370,31 @@ object SparkEntry {
         F.get(toks, F.lit(0)).as("first_tok"),
         F.get(toks, F.size(toks) - F.lit(1)).as("last_tok"))
     }),
+    "text_quality_classifier" -> ((s, d) => {
+      // GPT-3-style learned quality filter (target-vs-raw logistic
+      // regression over DSIR's hashed-ngram features). The soup sources
+      // are identically distributed — no natural signal — so the target
+      // class is spiked with marker tokens (mirrored shape, not values:
+      // MLlib solver floats aren't bit-portable) and the gate certifies
+      // the BEHAVIOR: training AUC >= 0.95, plus SQL-checkable counts.
+      val docs = Tables.documents(s, d)
+      val spiked = docs.select(F.col("doc_id"), F.col("source"),
+        F.concat(F.col("text"),
+          F.when(F.col("source") === "src0",
+            F.lit(" qualitymark signalone signaltwo")).otherwise(F.lit("")))
+          .as("text"))
+      val clf = new graft.text.QualityClassifier(buckets = 2048)
+        .fit(spiked.filter(F.col("source") === "src0"),
+          spiked.filter(F.col("source") =!= "src0"))
+      val scores = clf.score(spiked)
+      val labels = spiked.select(F.col("doc_id"),
+        (F.col("source") === "src0").cast("int").as("label"))
+      val a = clf.auc(scores, labels)
+      val nT = labels.filter(F.col("label") === 1).count()
+      val nR = labels.filter(F.col("label") === 0).count()
+      import s.implicits._
+      Seq((nT, nR, a >= 0.95)).toDF("n_target", "n_raw", "auc_ok")
+    }),
     "text_c4_rules" -> ((s, d) => {
       // C4 cleaning rules (Raffel et al. 2020 §2.2). The soup corpus has
       // no newlines/punctuation, so doc_id-residue spikes (mirrored in
@@ -1667,6 +1692,24 @@ object SparkEntry {
           F.col("vec_id") >= 10000)), F.lit(true)).as("dropped_are_planted"),
         F.coalesce(F.bool_and(F.when(!F.col("keep"),
           F.col("max_prior_cos") >= 0.95)), F.lit(true)).as("witness_ok"))
+    }),
+    "embed_hard_negatives" -> ((s, d) => {
+      // DPR-style hard-negative mining: per anchor, the top-5 most
+      // similar corpus vectors that are not its labeled positives
+      // (positives = same-label pairs inside the small "annotated" slice
+      // vec_id < 50 — bounded per anchor, the realistic shape; the
+      // k+maxPositives overfetch then anti-join mirrors the recommenders'
+      // seen-item contract)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+      val anchors = emb.filter(F.col("vec_id") < 10)
+      val positives = anchors
+        .select(F.col("vec_id").as("anchor_id"), F.col("label"))
+        .join(emb.filter(F.col("vec_id") < 50)
+          .select(F.col("vec_id").as("positive_id"), F.col("label")), Seq("label"))
+        .filter(F.col("anchor_id") =!= F.col("positive_id"))
+        .select("anchor_id", "positive_id")
+      graft.text.Similarity.hardNegatives(anchors, emb, positives,
+        k = 5, maxPositives = 16)
     }),
     "multimodal_decode" -> ((s, d) => {
       import graft.multimodal.Multimodal
@@ -3637,6 +3680,13 @@ object SparkEntry {
         |    AS n_alpha,
         |  toks[1] AS first_tok, toks[-1] AS last_tok
         |FROM t""".stripMargin,
+    // Quality classifier: behavioral certificate (AUC >= 0.95 on the
+    // planted-marker classes, driver-enforced); counts SQL-checked.
+    "text_quality_classifier" ->
+      """SELECT CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS n_target,
+        |  CAST(count(*) FILTER (source <> 'src0') AS BIGINT) AS n_raw,
+        |  TRUE AS auc_ok
+        |FROM documents""".stripMargin,
     // C4 rules: same spikes, same line/page predicates; empty kept-line
     // list must produce '' (COALESCE — string_agg of [] is NULL), and
     // sentence splitting keeps both engines' empty-field semantics
@@ -4005,6 +4055,39 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM dotn) WHERE rank <= 5""".stripMargin,
+    // Hard negatives: brute top-(k+maxPositives) -> anti-join the
+    // same-label annotated positives -> re-rank to k. Same cosine chain
+    // as embed_cosine_topk.
+    "embed_hard_negatives" ->
+      """WITH dotn AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT anchor_id, neighbor_id, cosine FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY anchor_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |    FROM dotn) WHERE rk <= 21),
+        |pos AS (
+        |  SELECT a.vec_id AS anchor_id, p.vec_id AS positive_id
+        |  FROM embeddings a JOIN embeddings p ON a.label = p.label
+        |  WHERE a.vec_id < 10 AND p.vec_id < 50 AND a.vec_id <> p.vec_id),
+        |negs AS (
+        |  SELECT c.anchor_id, c.neighbor_id, c.cosine FROM cand c
+        |  ANTI JOIN pos p
+        |    ON c.anchor_id = p.anchor_id AND c.neighbor_id = p.positive_id)
+        |SELECT anchor_id, neighbor_id, cosine,
+        |  CAST(neg_rank AS BIGINT) AS neg_rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY cosine DESC, neighbor_id)
+        |    AS neg_rank
+        |  FROM negs) WHERE neg_rank <= 5""".stripMargin,
     // ANN threshold gates (r8): the engine emits a one-row recall summary
     // vs its own exact brute-force top-k; the oracle asserts the shape AND
     // the >= 0.95 contract. The oracle cannot (and need not) re-run the

@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Learned quality classifier over hashed n-gram features — the GPT-3 /
+  * fastText-style data-selection filter (Brown et al. 2020 §A: a linear
+  * classifier trained "high-quality corpus vs raw crawl", scoring every
+  * raw document), the LEARNED sibling of [[Dsir]]'s closed-form
+  * importance weights. Same feature space as DSIR (unigram+bigram counts
+  * hashed into `buckets` cells with the portable hash — one explode, no
+  * vocabulary state), so the two selection methods are directly
+  * comparable on the same corpus.
+  *
+  * Model = MLlib logistic regression (L2, seeded): the fit is a handful
+  * of distributed treeAggregate passes; scoring is one broadcast of a
+  * `buckets`-long coefficient vector — at 100 TB the classifier costs
+  * one feature explode + one dot product per doc, no joins at all once
+  * the sparse vectors are built.
+  *
+  * Like every MLlib solver in this engine, coefficient floats are
+  * layout-sensitive at the last ulp (treeAggregate sum order), so the
+  * contract is behavioral (separation/AUC — spec'd and certificate-gated)
+  * rather than bit-parity.
+  */
+final class QualityClassifier(
+    val buckets: Int = 4096,
+    val seed: Long = 7,
+    val regParam: Double = 0.01,
+    val maxIter: Int = 50,
+) extends Serializable {
+
+  var model: LogisticRegressionModel = _
+
+  private def featurize(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = buckets
+    Dsir.hashedCounts(docs, idCol, textCol, buckets, seed)
+      .groupBy(idCol)
+      .agg(F.array_sort(F.collect_list(
+        F.struct(F.col("bucket"), F.col("cnt")))).as("_cells"))
+      .as[(Long, Seq[(Long, Long)])]
+      .map { case (id, cells) =>
+        (id, Vectors.sparse(b,
+          cells.map(_._1.toInt).toArray, cells.map(_._2.toDouble).toArray))
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** Fit target-vs-raw: label 1 for `target` docs, 0 for `raw`. */
+  def fit(target: DataFrame, raw: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): this.type = {
+    val t = target.select(F.col(idCol), F.col(textCol))
+      .withColumn("_label", F.lit(1.0))
+    val r = raw.select(F.col(idCol), F.col(textCol))
+      .withColumn("_label", F.lit(0.0))
+    // disjoint surrogate ids so a doc_id shared across frames can't
+    // collapse in the feature groupBy
+    val all = t.withColumn("_sid", F.col(idCol) * 2)
+      .unionAll(r.withColumn("_sid", F.col(idCol) * 2 + 1))
+    val feats = featurize(all.select(F.col("_sid").as(idCol), F.col(textCol)),
+        idCol, textCol)
+      .join(all.select(F.col("_sid").as(idCol), F.col("_label")), Seq(idCol))
+    model = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("_label")
+      .setRegParam(regParam).setMaxIter(maxIter)
+      .fit(feats)
+    this
+  }
+
+  /** (idCol, quality_score) — P(target | doc) in [0, 1]. */
+  def score(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(model != null, "fit before score")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = model.transform(featurize(docs, idCol, textCol))
+      .select(F.col(idCol), F.col("probability"))
+      .as[(Long, org.apache.spark.ml.linalg.Vector)]
+      .map { case (id, p) => (id, p(1)) }
+      .toDF(idCol, "quality_score")
+    // docs with no tokens have no feature row: score them 0.5 (no signal)
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("quality_score",
+        F.coalesce(F.col("quality_score"), F.lit(0.5)))
+  }
+
+  /** Training-set AUC of [[score]] against known labels — the behavioral
+    * certificate (threshold-gated; MLlib solver floats are not
+    * bit-portable). Mann–Whitney form: AUC = (Σ ranks of positives −
+    * n₊(n₊+1)/2) / (n₊·n₋); the global rank uses the engine's
+    * range-partition + zipWithIndex helper (never a single-partition
+    * window), ties broken by id for determinism. */
+  def auc(scores: DataFrame, labels: DataFrame, idCol: String = "doc_id",
+      labelCol: String = "label"): Double = {
+    val joined = scores.join(labels.select(F.col(idCol),
+      F.col(labelCol).cast("double").as("_l")), Seq(idCol))
+    val ranked = graft.core.Ops.globalRowNumber(joined, "_rank",
+      F.col("quality_score").asc, F.col(idCol).asc)
+    val r = ranked.agg(
+      F.sum(F.when(F.col("_l") === 1.0, F.col("_rank"))).as("rp"),
+      F.count_if(F.col("_l") === 1.0).as("np"),
+      F.count_if(F.col("_l") === 0.0).as("nn")).first()
+    val (rp, np, nn) = (r.getLong(0).toDouble, r.getLong(1), r.getLong(2))
+    require(np > 0 && nn > 0, "AUC needs both classes")
+    (rp - np.toDouble * (np + 1) / 2) / (np.toDouble * nn)
+  }
+}

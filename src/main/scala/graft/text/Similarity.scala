@@ -116,6 +116,38 @@ object Similarity {
     * A 10⁹-vector corpus gets planes = 30+2 = 32 — NOT the planes=4 toy
     * (16 buckets ⇒ ~n²/32 pairs per table ≈ all-pairs at that n), which is
     * only tractable as a small-n oracle configuration. */
+  /** Hard-negative mining for contrastive training data (the DPR /
+    * sentence-transformers recipe): for each anchor, the top-k most
+    * similar corpus vectors that are NOT its labeled positives — close
+    * enough to be informative negatives, excluded if they are actually
+    * positive. `positives` carries (anchorIdCol, positiveIdCol) pairs;
+    * self-matches are always excluded.
+    *
+    * Shape: candidate top-(k + maxPositives) per anchor via the supplied
+    * scorer (brute-force cosine here; swap the candidate frame for an
+    * ANN index's output at corpus scale), then ONE left-anti join against
+    * the positive pairs, then the bounded re-crop to k. The overfetch
+    * bound `maxPositives` is the per-anchor positive-list cap — the same
+    * k+maxSeen contract the recommenders' seen-item anti-join uses. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      positives: DataFrame, k: Int, maxPositives: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      anchorIdCol: String = "anchor_id",
+      positiveIdCol: String = "positive_id"): DataFrame = {
+    val cand = bruteForceTopK(anchors, corpus, k + maxPositives, idCol, vecCol)
+      .withColumnRenamed("query_id", anchorIdCol)
+    val negs = cand.join(
+      positives.select(F.col(anchorIdCol), F.col(positiveIdCol)),
+      cand(anchorIdCol) === positives(anchorIdCol) &&
+        F.col("neighbor_id") === F.col(positiveIdCol),
+      "left_anti")
+    val w = Window.partitionBy(anchorIdCol)
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    negs.select(F.col(anchorIdCol), F.col("neighbor_id"), F.col("cosine"))
+      .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("neg_rank") <= k)
+  }
+
   def planesFor(n: Long, margin: Int = 2): Int = {
     require(n > 0, s"corpus size must be positive: $n")
     val log2n = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt

@@ -553,6 +553,29 @@ class TextSpec extends SparkSpec {
     assert(clean("keep") == true && clean("n_sentences") == 3L)
   }
 
+  test("hardNegatives: nearest non-positives, positives and self excluded, k kept under crowding") {
+    // anchor 0 along e1; 1,2 = labeled positives hugging the anchor;
+    // 3..5 = hard negatives at decreasing similarity; 6,7 = orthogonal
+    val vecs = Seq(
+      (0L, Seq(10.0, 0.0, 0.0)),
+      (1L, Seq(9.9, 0.1, 0.0)), (2L, Seq(9.8, 0.2, 0.0)),   // positives
+      (3L, Seq(9.0, 2.0, 0.0)), (4L, Seq(8.0, 4.0, 0.0)),
+      (5L, Seq(6.0, 6.0, 0.0)),
+      (6L, Seq(0.0, 0.0, 10.0)), (7L, Seq(0.0, 10.0, 0.0)),
+    ).toDF("vec_id", "embedding")
+    val anchors = vecs.filter($"vec_id" === 0L)
+    val pos = Seq((0L, 1L), (0L, 2L)).toDF("anchor_id", "positive_id")
+    val negs = Similarity.hardNegatives(anchors, vecs, pos, k = 3,
+        maxPositives = 4)
+      .orderBy("neg_rank")
+      .as[(Long, Long, Double, Long)].collect()
+    // the two positives crowd the top of the similarity list, yet k=3
+    // negatives survive: 3, 4, 5 in similarity order
+    assert(negs.map(_._2).toSeq == Seq(3L, 4L, 5L), s"got ${negs.toSeq}")
+    assert(negs.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    assert(!negs.exists(n => n._2 == 0L || n._2 == 1L || n._2 == 2L))
+  }
+
   test("editDistanceVerify confirms near-identical pairs and rejects distant ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
