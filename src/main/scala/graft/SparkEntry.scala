@@ -1370,6 +1370,13 @@ object SparkEntry {
         F.get(toks, F.lit(0)).as("first_tok"),
         F.get(toks, F.size(toks) - F.lit(1)).as("last_tok"))
     }),
+    "text_ppl_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail split by LM score terciles (scores rounded
+      // BEFORE the quantile so thresholds and boundary assignments come
+      // from identical doubles in both engines)
+      graft.text.TextStats.perplexityBuckets(
+        Tables.documents(s, d), "doc_id", "text")
+    }),
     "text_quality_classifier" -> ((s, d) => {
       // GPT-3-style learned quality filter (target-vs-raw logistic
       // regression over DSIR's hashed-ngram features). The soup sources
@@ -3680,6 +3687,30 @@ object SparkEntry {
         |    AS n_alpha,
         |  toks[1] AS first_tok, toks[-1] AS last_tok
         |FROM t""".stripMargin,
+    // CCNet terciles: same unigram-logprob chain, quantile_cont (exact
+    // interpolated percentile ≡ Spark percentile, the agg_percentile
+    // parity) over ROUNDED scores, CASE bucketing.
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freqs),
+        |sc AS (SELECT t.doc_id, avg(ln(CAST(f.cnt AS DOUBLE) / n.n)) AS lp
+        |       FROM toks t JOIN freqs f ON t.tok = f.tok, n GROUP BY 1),
+        |lp AS (
+        |  SELECT d.doc_id, round(coalesce(sc.lp, 0.0), 6) AS logprob
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |q AS (SELECT
+        |  quantile_cont(logprob, CAST(1 AS DOUBLE) / 3) AS q1,
+        |  quantile_cont(logprob, CAST(2 AS DOUBLE) / 3) AS q2 FROM lp)
+        |SELECT doc_id, logprob,
+        |  CASE WHEN logprob <= (SELECT q1 FROM q) THEN 'tail'
+        |       WHEN logprob <= (SELECT q2 FROM q) THEN 'middle'
+        |       ELSE 'head' END AS ppl_bucket
+        |FROM lp""".stripMargin,
     // Quality classifier: behavioral certificate (AUC >= 0.95 on the
     // planted-marker classes, driver-enforced); counts SQL-checked.
     "text_quality_classifier" ->

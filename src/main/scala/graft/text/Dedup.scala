@@ -143,6 +143,43 @@ object Dedup {
           (x, y) => x === y), (b: Column) => b)).cast("double") / numPerms).as("est_jaccard"))
   }
 
+  /** Band/row planner for the MinHash LSH (the datasketch
+    * `_optimal_param` S-curve optimization): among the (bands b, rows r)
+    * factorizations with b·r ≤ `numPerms`, pick the one minimizing
+    * `fpWeight·∫₀ᵗ P(s) ds + fnWeight·∫ₜ¹ (1 − P(s)) ds`, where
+    * `P(s) = 1 − (1 − sʳ)ᵇ` is the probability two documents with
+    * Jaccard similarity s share at least one band bucket. Pure driver
+    * math (trapezoid integration) — run it once before committing a
+    * banding configuration to a corpus, the same pre-flight contract as
+    * `Similarity.planesFor` / `SemDedup.clusterStats`.
+    * Returns (bands, bandSize). */
+  def lshPlan(threshold: Double, numPerms: Int, fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(numPerms >= 2, s"numPerms >= 2: $numPerms")
+    val steps = 1000
+    def pCollide(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = pCollide(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    val candidates = for {
+      r <- 1 to numPerms
+      b = numPerms / r
+      if b >= 1
+    } yield (b, r)
+    candidates.minBy { case (b, r) => (err(b, r), -b * r) }
+  }
+
   /** Edit-distance verification of candidate pairs — the LAST-MILE exact
     * check fuzzy-dedup ladders run after the cheap signal (MinHash/SimHash
     * finds the bucket, Levenshtein confirms the pair). Joins the pair

@@ -292,6 +292,34 @@ object TextStats {
     * a lazy 1-row broadcast scalar (no driver action). At 100 TB the only
     * wide exchange is the token-key join, and the frequency side is
     * |vocab| rows, not |tokens|. */
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §3.2: "we split the corpus in three equal parts by perplexity" —
+    * training pipelines then keep head+middle, or sample tail-down).
+    * Here the LM score is [[unigramLogProb]] (higher = more fluent =
+    * LOWER perplexity), thresholds are the exact interpolated quantiles
+    * of the score distribution at `fracs`, and buckets are labeled
+    * tail (≤ q₁) / middle (≤ q₂) / head. Scores are rounded to 6dp
+    * BEFORE the quantile so a second engine reproduces thresholds and
+    * boundary assignments from identical doubles (ln is libm-dependent;
+    * the threshold compare must not straddle the drift).
+    *
+    * Output: (idCol, logprob, ppl_bucket). The two quantile scalars are
+    * the only driver state. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)): DataFrame = {
+    require(fracs.length == 2 && fracs(0) < fracs(1),
+      s"need two increasing fracs, got $fracs")
+    val lp = unigramLogProb(docs, idCol, textCol)
+      .withColumn("logprob", F.round(F.col("logprob"), 6))
+    val r = lp.agg(F.expr(
+      s"percentile(logprob, array(${fracs(0)}, ${fracs(1)}))")).first()
+    val qs = r.getSeq[Double](0)
+    lp.withColumn("ppl_bucket",
+      F.when(F.col("logprob") <= qs(0), F.lit("tail"))
+        .when(F.col("logprob") <= qs(1), F.lit("middle"))
+        .otherwise(F.lit("head")))
+  }
+
   /** Bigram-LM quality score — the order-2 upgrade of
     * [[unigramLogProb]], one step closer to CCNet's KenLM perplexity
     * filter (Wenzek et al. 2020 §3.2): per doc, the mean over positions

@@ -106,4 +106,66 @@ class PropertiesSpec extends SparkSpec {
       assert(got.intersect(hist).isEmpty, s"seed=$seed")
     }
   }
+
+  private def randomDocs(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("data", "spark", "row", "join", "agg", "scan", "x9", "!?", "a")
+    (0L until n.toLong).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+  }
+
+  test("BPE encode conserves characters: merges regroup, never rewrite") {
+    import graft.text.Bpe
+    for (seed <- 1 to 3) {
+      val docs = randomDocs(seed, 25).toDF("doc_id", "text")
+      val merges = Bpe.train(docs, numMerges = 8, addEow = false)
+      val enc = Bpe.encode(docs, merges, addEow = false)
+        .select("doc_id", "bpe_tokens").as[(Long, Seq[String])]
+        .collect().toMap
+      val pre = docs.select(F.col("doc_id"),
+          graft.text.TextStats.preTokens(F.col("text")).as("p"))
+        .as[(Long, Seq[String])].collect().toMap
+      pre.foreach { case (id, toks) =>
+        val expected = toks.map(_.trim).filter(_.nonEmpty).mkString
+        val got = enc.getOrElse(id, Seq.empty).mkString
+        assert(got == expected, s"seed=$seed doc=$id: '$got' != '$expected'")
+      }
+    }
+  }
+
+  test("histogram conserves total mass for any input, including out-of-range") {
+    import graft.core.Sketch
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vals = Seq.fill(200)(rnd.nextDouble() * 300 - 50) // spills both edges
+      val hist = Sketch.histogramBins(vals.toDF("v"), "v", 0.0, 200.0, 32)
+        .as[(Long, Long)].collect()
+      assert(hist.map(_._2).sum == 200L, s"seed=$seed")
+      assert(hist.forall { case (b, c) => b >= 0 && b < 32 && c > 0 })
+    }
+  }
+
+  test("DSIR: per-doc hashed counts sum to the doc's gram count; weights finite") {
+    import graft.text.Dsir
+    for (seed <- 1 to 2) {
+      val docs = randomDocs(seed, 20).toDF("doc_id", "text")
+      val counts = Dsir.hashedCounts(docs, buckets = 64)
+        .groupBy("doc_id").agg(F.sum("cnt").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val expected = randomDocs(seed, 20).map { case (id, text) =>
+        val wc = text.trim.toLowerCase.split("\\s+").count(_.nonEmpty)
+        (id, (wc + math.max(0, wc - 1)).toLong) // unigrams + bigrams
+      }.toMap
+      expected.foreach { case (id, g) =>
+        assert(counts.getOrElse(id, 0L) == g, s"seed=$seed doc=$id")
+      }
+      val target = randomDocs(seed + 10, 10).toDF("doc_id", "text")
+      val w = Dsir.logWeights(docs, target, buckets = 64)
+        .as[(Long, Double)].collect()
+      assert(w.forall { case (_, v) => !v.isNaN && !v.isInfinite },
+        s"seed=$seed")
+    }
+  }
 }

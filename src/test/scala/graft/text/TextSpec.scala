@@ -553,6 +553,53 @@ class TextSpec extends SparkSpec {
     assert(clean("keep") == true && clean("n_sentences") == 3L)
   }
 
+  test("perplexityBuckets: equal-mass terciles, fluent docs in head, layout-stable") {
+    // 30 docs with graded fluency: doc i repeats common words i times and
+    // rare words (30-i) times, so logprob increases with i
+    val docs = (0L until 30L).map { i =>
+      val common = Seq.fill(i.toInt + 1)("the data row").mkString(" ")
+      val rare = Seq.fill(30 - i.toInt)(s"zq${i}x").mkString(" ")
+      (i, s"$common $rare")
+    }.toDF("doc_id", "text")
+    val b = TextStats.perplexityBuckets(docs, "doc_id", "text")
+      .as[(Long, Double, String)].collect()
+    val byBucket = b.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket("tail") == 10 && byBucket("middle") == 10 &&
+      byBucket("head") == 10, s"terciles: $byBucket")
+    // the head bucket holds the highest scores
+    val headMin = b.filter(_._3 == "head").map(_._2).min
+    val midMax = b.filter(_._3 == "middle").map(_._2).max
+    assert(headMin >= midMax)
+    val b7 = TextStats.perplexityBuckets(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Double, String)].collect().toSet
+    assert(b.toSet == b7)
+  }
+
+  test("lshPlan: steeper curves for higher thresholds, beats every alternative factorization") {
+    // independently integrate the S-curve error for every factorization
+    // and confirm the planner's choice is a global minimum
+    def errOf(threshold: Double, b: Int, r: Int): Double = {
+      val steps = 1000
+      (0 until steps).map { i =>
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) 0.5 * p else 0.5 * (1.0 - p)
+      }.sum / steps
+    }
+    for (t <- Seq(0.3, 0.5, 0.8); perms <- Seq(16, 64, 128)) {
+      val (b, r) = Dedup.lshPlan(t, perms)
+      assert(b * r <= perms && b >= 1 && r >= 1)
+      val chosen = errOf(t, b, r)
+      for (r2 <- 1 to perms; b2 = perms / r2; if b2 >= 1)
+        assert(chosen <= errOf(t, b2, r2) + 1e-12,
+          s"t=$t perms=$perms: ($b,$r) worse than ($b2,$r2)")
+    }
+    // higher threshold -> more rows per band (steeper curve)
+    val r50 = Dedup.lshPlan(0.5, 128)._2
+    val r90 = Dedup.lshPlan(0.9, 128)._2
+    assert(r90 > r50, s"rows at t=0.9 ($r90) must exceed t=0.5 ($r50)")
+  }
+
   test("hardNegatives: nearest non-positives, positives and self excluded, k kept under crowding") {
     // anchor 0 along e1; 1,2 = labeled positives hugging the anchor;
     // 3..5 = hard negatives at decreasing similarity; 6,7 = orthogonal
