@@ -164,6 +164,56 @@ final class LshAnn(
   * Word2Vec's own embeddings this is deterministic for a fixed seed and
   * input layout (the vector frames ModelIO writes reload with a stable
   * layout). */
+/** IVF-PQ candidate generator behind [[AnnIndex]] — the composite index
+  * ([[graft.text.IvfPqIndex]]: residual PQ inside coarse KMeans cells)
+  * for the recommender path: probed-cell ADC crop, then the exact dot
+  * re-score against the raw item vectors (same two-stage contract as
+  * [[PqAnn]], with the inverted-file fraction cutting the ADC scan).
+  * Degrades to the exact full join on tiny catalogs. */
+final class IvfPqAnn(
+    val nCentroids: Int = 16,
+    val nProbe: Int = 4,
+    val numSubspaces: Int = 8,
+    val codebookSize: Int = 16,
+    val candidatesPerQuery: Int = 200,
+    val seed: Long = 42,
+) extends AnnIndex {
+  private var idx: graft.text.IvfPqIndex = _
+  private var itemVecs: DataFrame = _ // (itemId, _iv) for exact re-score
+  private var exactItems: DataFrame = _
+  private var itemCol: String = _
+
+  def fit(itemVectors: DataFrame, idCol: String, vecCol: String): this.type = {
+    itemCol = idCol
+    val floor = math.max(4L * nCentroids, 4L * codebookSize)
+    if (itemVectors.count() < floor) {
+      exactItems = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv"))
+    } else {
+      itemVecs = itemVectors.select(F.col(idCol), F.col(vecCol).as("_iv")).cache()
+      idx = new graft.text.IvfPqIndex(nCentroids, nProbe, numSubspaces,
+        codebookSize, seed, idCol = idCol, vecCol = vecCol).fit(itemVectors)
+    }
+    this
+  }
+
+  def candidates(queryVecs: DataFrame, queryIdCol: String, vecCol: String): DataFrame = {
+    val qv = queryVecs.select(F.col(queryIdCol), F.col(vecCol).as("_qv"))
+    if (idx == null)
+      qv.crossJoin(exactItems)
+        .select(F.col(queryIdCol), F.col(itemCol),
+          AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+    else {
+      val renamed = queryVecs.select(F.col(queryIdCol),
+        F.col(vecCol).as(idx.vecCol))
+      idx.adcTopR(renamed, queryIdCol, candidatesPerQuery, excludeSelf = false)
+        .join(qv, Seq(queryIdCol))
+        .join(itemVecs, Seq(itemCol))
+        .select(F.col(queryIdCol), F.col(itemCol),
+          AnnIndex.dot(F.col("_qv"), F.col("_iv")).as("score"))
+    }
+  }
+}
+
 final class PqAnn(
     val numSubspaces: Int = 8,
     val codebookSize: Int = 16,

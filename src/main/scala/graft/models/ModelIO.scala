@@ -65,6 +65,9 @@ object ModelIO {
     // over the persisted vectors (deterministic for fixed seed + layout)
     case Some(p: PqAnn) =>
       s"pq:${p.numSubspaces}:${p.codebookSize}:${p.candidatesPerQuery}:${p.seed}"
+    case Some(ip: IvfPqAnn) =>
+      s"ivfpq:${ip.nCentroids}:${ip.nProbe}:${ip.numSubspaces}:" +
+        s"${ip.codebookSize}:${ip.candidatesPerQuery}:${ip.seed}"
     case Some(other) =>
       throw new IllegalArgumentException(
         s"cannot persist ann index ${other.getClass.getSimpleName}")
@@ -91,6 +94,11 @@ object ModelIO {
       val p = s.split(":")
       Some(new PqAnn(numSubspaces = p(1).toInt, codebookSize = p(2).toInt,
         candidatesPerQuery = p(3).toInt, seed = p(4).toLong))
+    case s if s.startsWith("ivfpq:") =>
+      val p = s.split(":")
+      Some(new IvfPqAnn(nCentroids = p(1).toInt, nProbe = p(2).toInt,
+        numSubspaces = p(3).toInt, codebookSize = p(4).toInt,
+        candidatesPerQuery = p(5).toInt, seed = p(6).toLong))
     case _ => None
   }
 

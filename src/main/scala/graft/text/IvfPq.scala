@@ -72,15 +72,16 @@ final class IvfPqIndex(
     this
   }
 
-  /** Top-k cosine neighbors, self-match excluded; output matches
-    * `IvfIndex.search` / `PqIndex.search`:
-    * (query_id, neighbor_id, cosine, rank). `rerank·k` is the exact-
-    * re-rank pool — size it with [[PqIndex.rerankFor]] scaled by the
-    * probed fraction (the pool needs to cover the probed cells' share of
-    * the corpus, not the whole corpus). */
-  def search(queries: DataFrame, k: Int, rerank: Int = 4): DataFrame = {
+  /** Probed-cell ADC approximate dot scores, cropped to the top `r` per
+    * query with the bounded heap — the composable stage 1 ([[IvfPqAnn]]
+    * re-scores with the exact dot; [[search]] with the exact cosine).
+    * Output: (queryIdCol, idCol, _approx). */
+  private[graft] def adcTopR(queries: DataFrame, queryIdCol: String,
+      r: Int, excludeSelf: Boolean): DataFrame = {
+    require(queryIdCol != idCol,
+      s"query id column must differ from the item id column ($idCol)")
     val dsub = pq.subDim
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("_qv"))
+    val q = queries.select(F.col(queryIdCol), F.col(vecCol).as("_qv"))
     // probe rule == assignment rule: argmin squared Euclidean over the
     // broadcast centroid table, ties to the lowest centroid id
     val sqDistQ = F.aggregate(
@@ -88,15 +89,15 @@ final class IvfPqIndex(
       F.lit(0.0), (acc, v) => acc + v)
     val probed = q.crossJoin(F.broadcast(ivf.centroidFrame))
       .withColumn("_d", sqDistQ)
-      .withColumn("_rn", F.row_number().over(Window.partitionBy("query_id")
+      .withColumn("_rn", F.row_number().over(Window.partitionBy(queryIdCol)
         .orderBy(F.col("_d").asc, F.col("_centroid").asc)))
       .filter(F.col("_rn") <= nProbe)
-      .select(F.col("query_id"), F.col("_centroid"),
+      .select(F.col(queryIdCol), F.col("_centroid"),
         F.zip_with(dvec(F.col("_qv")), F.col("_cvec"), (x, y) => x - y).as("_qr"),
         Similarity.dot(dvec(F.col("_qv")), F.col("_cvec")).as("_qcdot"))
     // per-(query, probed cell) M×K residual lookup table
     val lut = probed.crossJoin(F.broadcast(pq.codewordFrame))
-      .select(F.col("query_id"), F.col("_centroid"), F.col("_qcdot"),
+      .select(F.col(queryIdCol), F.col("_centroid"), F.col("_qcdot"),
         F.col("_m"), F.col("_code"),
         Similarity.dot(
           F.slice(F.col("_qr"), F.col("_m") * dsub + 1, F.lit(dsub)),
@@ -105,16 +106,28 @@ final class IvfPqIndex(
     // too, so unprobed inverted lists never enter the scan
     val exploded = cells.select(F.col(idCol), F.col("_centroid"),
       F.posexplode(F.col("_codes")).as(Seq("_m", "_code")))
-    val approx = exploded.join(lut, Seq("_centroid", "_m", "_code"))
-      .filter(F.col("query_id") =!= F.col(idCol))
-      .groupBy("query_id", idCol)
+    exploded.join(lut, Seq("_centroid", "_m", "_code"))
+      .filter(if (excludeSelf) F.col(queryIdCol) =!= F.col(idCol) else F.lit(true))
+      .groupBy(queryIdCol, idCol)
       // an item lives in exactly one cell → one _qcdot per (query, item)
       .agg((F.sum("_lut") + F.first("_qcdot")).as("_approx"))
-    val cand = Ops.getTopKRecsBounded(approx, rerank * k, "query_id", idCol, "_approx")
+      .transform(a => Ops.getTopKRecsBounded(a, r, queryIdCol, idCol, "_approx"))
+  }
+
+  /** Top-k cosine neighbors, self-match excluded; output matches
+    * `IvfIndex.search` / `PqIndex.search`:
+    * (query_id, neighbor_id, cosine, rank). `rerank·k` is the exact-
+    * re-rank pool — size it with [[PqIndex.rerankFor]] scaled by the
+    * probed fraction (the pool needs to cover the probed cells' share of
+    * the corpus, not the whole corpus). */
+  def search(queries: DataFrame, k: Int, rerank: Int = 4): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("_qv"))
+    val cand = adcTopR(queries.select(F.col(idCol).as("query_id"), F.col(vecCol)),
+      "query_id", rerank * k, excludeSelf = true)
     val scored = cand
       .join(raw.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("_cv")),
         F.col(idCol) === F.col("neighbor_id"))
-      .join(q.select(F.col("query_id"), F.col("_qv")), Seq("query_id"))
+      .join(q, Seq("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         Similarity.cosine(F.col("_qv"), F.col("_cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
@@ -122,4 +135,7 @@ final class IvfPqIndex(
     scored.withColumn("rank", F.row_number().over(w).cast("long"))
       .filter(F.col("rank") <= k)
   }
+
+  /** Raw item vectors (id, vec) — [[IvfPqAnn]] re-scores against these. */
+  private[graft] def rawVectors: DataFrame = raw
 }

@@ -72,6 +72,33 @@ class IvfPqSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("Word2Vec predicts through IvfPqAnn; ModelIO round-trips the config") {
+    import graft.models.{IvfPqAnn, ModelIO, Word2VecRec}
+    val i = graft.Tables.interactions(spark, "/root/testdata/sf0.001")
+    val exact = new Word2VecRec(vectorSize = 8, ann = None)
+      .fitPredict(i, 5).cache()
+    // full probe on the small catalog (the ADC compression is what's
+    // under test; MIPS-aware probe sizing is the caller's contract, as
+    // with IvfAnn); candidate pool covers k + seen history
+    val model = new Word2VecRec(vectorSize = 8,
+      ann = Some(new IvfPqAnn(nCentroids = 4, nProbe = 4,
+        numSubspaces = 4, codebookSize = 16, candidatesPerQuery = 128)))
+    val approx = model.fitPredict(i, 5).cache()
+    val hits = approx.join(exact, Seq("query_id", "item_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.9, s"IVF-PQ recall vs exact predict = $recall")
+
+    val dir = java.nio.file.Files.createTempDirectory("w2v_ivfpq").toString
+    ModelIO.saveWord2Vec(model, dir)
+    val loaded = ModelIO.loadWord2Vec(spark, dir)
+    val ip = loaded.ann.get.asInstanceOf[IvfPqAnn]
+    assert(ip.nCentroids == 4 && ip.nProbe == 4 && ip.numSubspaces == 4 &&
+      ip.codebookSize == 16 && ip.candidatesPerQuery == 128)
+    val before = approx.collect().map(_.toSeq).toSet
+    val after = loaded.predict(i, 5).collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
   test("ADC scan touches only probed cells' codes") {
     // structural: an item whose cell is never probed cannot appear, even
     // if it is the true nearest neighbor — the inverted-file contract
