@@ -745,6 +745,16 @@ object SparkEntry {
         .select(F.unix_millis(F.col("window_start")).as("window_start_ms"),
           F.col("event_type"), F.col("n"))
     }),
+    "streaming_neardup" -> ((s, d) => {
+      // batch-mode run of the streaming LSH candidate operator (same code
+      // path, one "micro-batch", empty initial state; StreamingSpec runs
+      // the real cross-batch stream): must equal batch minhashCandidates
+      // exactly — the oracle IS the batch candidate SQL
+      graft.streaming.StreamingOps.streamingNearDupCandidates(
+          Tables.documents(s, d), "doc_id", "text",
+          hash = graft.text.Dedup.portableHash)
+        .distinct()
+    }),
     "agg_percentile" -> ((s, d) => {
       // exact interpolated percentile (§2.4; percentile_approx reserved
       // for scale) — parity with DuckDB quantile_cont
@@ -3958,6 +3968,10 @@ object SparkEntry {
         |JOIN sigs a ON a.doc_id = c.id_a
         |JOIN sigs b ON b.doc_id = c.id_b""".stripMargin
     },
+    // Streaming near-dup, batch mode: exactly the batch LSH candidates.
+    "streaming_neardup" ->
+      s"""WITH $minhashCandSql
+        |SELECT id_a, id_b FROM cand""".stripMargin,
     // Edit-distance verification of the LSH candidate slice: DuckDB's
     // levenshtein is the same unit-cost insert/delete/substitute distance
     // as Spark's; identical normalization chain on both sides.

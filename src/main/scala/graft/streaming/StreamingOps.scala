@@ -202,6 +202,75 @@ object StreamingOps {
     else df.dropDuplicates(keyCols)
   }
 
+  /** Streaming NEAR-dup candidate pairs — the MinHash tier of the dedup
+    * ladder running incrementally (production dedup is day-over-day, not
+    * one batch): each arriving doc computes its LSH band keys ROW-WISE
+    * (min over the doc's own shingle array as a pure expression — the
+    * shuffle-free twin of `Dedup.minhashSignatures`, identical values by
+    * construction), and a `flatMapGroupsWithState` keyed on (band,
+    * band-signature) pairs it against every doc its buckets have EVER
+    * seen. State per bucket = its occupant ids — the state store IS the
+    * LSH index, so size it like batch LSH (the `planesFor`/`lshPlan`
+    * occupancy contracts); for bounded retention swap NoTimeout for a
+    * processing-time TTL.
+    *
+    * Output: (id_a, id_b) with id_a < id_b, append mode. Pairs sharing
+    * several bands emit once per band (exactly what batch
+    * `minhashCandidates` collapses with `.distinct()`) — the downstream
+    * verify stage dedups, as it already must. Works unchanged on batch
+    * frames (one "micro-batch", empty initial state) — spec'd equal to
+    * batch candidates either way. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String,
+      textCol: String, numPerms: Int = 16, bandSize: Int = 4,
+      hash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        graft.text.Dedup.fastHash): DataFrame = {
+    import graft.text.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numBands = numPerms / bandSize
+    val p = Dedup.MinhashPrime
+    val hs = F.transform(Dedup.shingles(F.col(textCol)),
+      s => F.pmod(hash(0, s), F.lit(p)))
+    val sig = F.array((0 until numPerms).map { perm =>
+      F.array_min(F.transform(F.col("_hs"),
+        h => (F.lit(Dedup.mixA(perm)) * h + F.lit(Dedup.mixB(perm))) % p))
+    }: _*)
+    val banded = docs
+      .select(F.col(idCol).cast("long").as("_id"), hs.as("_hs"))
+      .filter(F.size(F.col("_hs")) > 0)
+      .withColumn("_sig", sig)
+      .select(F.col("_id"), F.explode(F.array((0 until numBands).map { b =>
+        F.struct(F.lit(b).as("_band"),
+          F.concat_ws(",", F.transform(
+            F.slice(F.col("_sig"), b * bandSize + 1, bandSize),
+            x => x.cast("string"))).as("_bsig"))
+      }: _*)).as("_b"))
+      .select(F.col("_b._band").as("_band"), F.col("_b._bsig").as("_bsig"),
+        F.col("_id"))
+      .as[(Int, String, Long)]
+    banded
+      .groupByKey { case (band, bsig, _) => (band, bsig) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[(Int, String, Long)],
+            state: GroupState[Seq[Long]]) => {
+          val prior = state.getOption.getOrElse(Seq.empty)
+          // deterministic within-batch order; dedupe re-arrivals
+          val fresh = rows.map(_._3).toSeq.distinct.sorted
+            .filterNot(prior.contains)
+          val pairs = Seq.newBuilder[(Long, Long)]
+          var seen = prior
+          fresh.foreach { n =>
+            seen.foreach { e =>
+              if (e != n) pairs += ((math.min(e, n), math.max(e, n)))
+            }
+            seen = seen :+ n
+          }
+          if (fresh.nonEmpty) state.update(seen)
+          pairs.result().iterator
+        })
+      .toDF("id_a", "id_b")
+  }
+
   /** Run a memory-sink streaming query to completion over the given
     * micro-batch source and return the result table (test harness). */
   def runToMemorySink(stream: DataFrame, queryName: String,

@@ -269,4 +269,44 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) == ((2.0, 3.0))) // pos=1+0+1, total=3
     assert(got(2L) == ((1.0, 1.0)))
   }
+
+  test("streaming near-dup candidates accumulate across micro-batches, equal batch LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Dedup
+    // near-dup pairs (i, 100+i) share identical text -> same signature,
+    // same buckets; fillers are all distinct
+    val dups = (0L until 6L).flatMap { i =>
+      val t = s"shared content block number $i repeats across the pair exactly"
+      Seq((i, t), (100L + i, t))
+    }
+    val fillers = (200L until 215L).map(i =>
+      (i, s"unique filler text $i with nothing ${i * 31} in common ${i * 17}"))
+    val all = dups ++ fillers
+    val batchExpected = Dedup.minhashCandidates(
+      all.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(batchExpected.nonEmpty)
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupCandidates(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    // split so pair (5, 105) straddles the micro-batch boundary
+    val (b1, b2) = all.partition { case (id, _) => id != 105L && id < 207L }
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("neardup_stream")
+      .as[(Long, Long)].collect().toSet // per-band duplicates collapse here
+    q.stop()
+    assert(streamed == batchExpected,
+      s"stream=$streamed\nbatch=$batchExpected")
+    assert(streamed.contains((5L, 105L)), "cross-batch pair must be found")
+
+    // batch mode: same operator, one 'micro-batch', empty initial state
+    val batchMode = StreamingOps.streamingNearDupCandidates(
+        all.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(batchMode == batchExpected)
+  }
 }
