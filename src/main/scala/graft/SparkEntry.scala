@@ -745,6 +745,16 @@ object SparkEntry {
         .select(F.unix_millis(F.col("window_start")).as("window_start_ms"),
           F.col("event_type"), F.col("n"))
     }),
+    "streaming_embed_neardup" -> ((s, d) => {
+      // batch-mode run of the stateful sign-LSH bucket operator with
+      // inline exact-cosine verification (StreamingSpec runs the real
+      // cross-batch stream): per-band emissions distinct to the batch
+      // lshNearDup pair set — the in-state cosine is the bit-exact twin
+      // of the Similarity.cosine expression
+      graft.streaming.StreamingOps.streamingEmbedNearDup(
+          Tables.embeddings(s, d), threshold = 0.2, planes = 4, tables = 8)
+        .distinct()
+    }),
     "streaming_neardup" -> ((s, d) => {
       // batch-mode run of the streaming LSH candidate operator (same code
       // path, one "micro-batch", empty initial state; StreamingSpec runs
@@ -4199,6 +4209,41 @@ object SparkEntry {
     // recipe ("0:table:plane:dim" → first 15 hex → /2^60*2-1), buckets as
     // sign bits of sequential-sum projections, exact cosine on candidates.
     "embed_lsh_neardup" ->
+      """WITH planes AS (
+        |  SELECT t.tbl, p.p, i.i,
+        |    ('0x' || substr(md5('0:' || t.tbl || ':' || p.p || ':' || i.i), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 * 2 - 1 AS r
+        |  FROM range(0, 8) t(tbl), range(0, 4) p(p), range(0, 64) i(i)),
+        |rl AS (SELECT tbl, p, list(r ORDER BY i) AS rs FROM planes GROUP BY 1, 2),
+        |proj AS (
+        |  SELECT v.vec_id, r.tbl, r.p,
+        |    list_sum(list_transform(list_zip(v.embedding, r.rs),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS pj
+        |  FROM embeddings v CROSS JOIN rl r),
+        |bkt AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN pj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bkt = b.bkt
+        |    AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(list_zip(va.embedding, va.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(list_zip(vb.embedding, vb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings va ON c.id_a = va.vec_id
+        |  JOIN embeddings vb ON c.id_b = vb.vec_id)
+        |WHERE cosine >= 0.2""".stripMargin,
+    // Streaming embedding near-dup, batch mode: the inline-verified
+    // stateful-bucket operator must equal batch lshNearDup exactly — the
+    // oracle is the SAME planes=4 SQL as embed_lsh_neardup above.
+    "streaming_embed_neardup" ->
       """WITH planes AS (
         |  SELECT t.tbl, p.p, i.i,
         |    ('0x' || substr(md5('0:' || t.tbl || ':' || p.p || ':' || i.i), 1, 15))::BIGINT

@@ -271,6 +271,67 @@ object StreamingOps {
       .toDF("id_a", "id_b")
   }
 
+  /** Streaming EMBEDDING near-dup — the semantic tier running
+    * incrementally, same stateful-bucket shape as
+    * [[streamingNearDupCandidates]] but over sign-LSH hyperplane buckets
+    * (`Similarity.signBuckets` is already a pure row-wise expression, so
+    * the bucket keys stream shuffle-free) and with VERIFICATION inline:
+    * bucket state carries occupant vectors, each arrival emits its
+    * exact-cosine-verified pairs against everything the bucket has seen.
+    * The in-state cosine is the bit-exact twin of the
+    * `Similarity.cosine` expression (three sequential folds), so
+    * batch-mode output after `.distinct()` equals `lshNearDup` on the
+    * same config — gate-checked against the same DuckDB oracle.
+    *
+    * State per bucket = occupants × (8·dims + 8) bytes; planes sizing
+    * (`planesFor`) bounds occupancy exactly as in batch. */
+  def streamingEmbedNearDup(vectors: DataFrame, threshold: Double,
+      planes: Int = 12, tables: Int = 4, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.text.Similarity
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val thr = threshold
+    val b = Similarity.signBuckets(vectors, idCol, vecCol, planes, tables, dims)
+      .select(F.col("tbl"), F.col("bkt"),
+        F.col(idCol).cast("long").as("_id"),
+        F.col(vecCol).cast("array<double>").as("_v"))
+      .as[(Int, Long, Long, Seq[Double])]
+    def cos(a: Array[Double], bv: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dab += a(i) * bv(i); daa += a(i) * a(i); dbb += bv(i) * bv(i)
+        i += 1
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    b.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Double])],
+            state: GroupState[Seq[(Long, Array[Double])]]) => {
+          val prior = state.getOption.getOrElse(Seq.empty)
+          val fresh = rows.map(r => (r._3, r._4.toArray)).toSeq
+            .sortBy(_._1).distinctBy(_._1)
+            .filterNot(f => prior.exists(_._1 == f._1))
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          var seen = prior
+          fresh.foreach { case (nid, nv) =>
+            seen.foreach { case (eid, ev) =>
+              if (eid != nid) {
+                val c = if (eid < nid) cos(ev, nv) else cos(nv, ev)
+                if (c >= thr)
+                  out += ((math.min(eid, nid), math.max(eid, nid), c))
+              }
+            }
+            seen = seen :+ ((nid, nv))
+          }
+          if (fresh.nonEmpty) state.update(seen)
+          out.result().iterator
+        })
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   /** Run a memory-sink streaming query to completion over the given
     * micro-batch source and return the result table (test harness). */
   def runToMemorySink(stream: DataFrame, queryName: String,

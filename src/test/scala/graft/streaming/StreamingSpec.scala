@@ -309,4 +309,49 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(batchMode == batchExpected)
   }
+
+  test("streaming embedding near-dup verifies inline and equals batch lshNearDup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Similarity
+    // 3 planted near-dup pairs (i, 100+i share a direction) + fillers
+    def unit(seed: Long, dims: Int): Seq[Double] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(dims)(rnd.nextGaussian())
+    }
+    val dims = 16
+    val pairs = (0L until 3L).flatMap { i =>
+      val v = unit(i, dims)
+      Seq((i, v), (100L + i, v.map(_ * 1.01)))
+    }
+    val fillers = (200L until 230L).map(i => (i, unit(i, dims)))
+    val all = pairs ++ fillers
+    val batchExpected = Similarity.lshNearDup(all.toDF("vec_id", "embedding"),
+        threshold = 0.8, planes = 4, tables = 6, dims = dims,
+        guardOccupancy = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchExpected.map(p => (p._1, p._2)) ==
+      (0L until 3L).map(i => (i, 100L + i)).toSet)
+
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.streamingEmbedNearDup(
+        in.toDF().toDF("vec_id", "embedding"), threshold = 0.8,
+        planes = 4, tables = 6, dims = dims)
+      .writeStream.format("memory").queryName("embed_neardup_stream")
+      .outputMode("append").start()
+    // pair (2, 102) straddles the micro-batch boundary
+    val (b1, b2) = all.partition { case (id, _) => id != 102L && id < 215L }
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("embed_neardup_stream")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(streamed == batchExpected,
+      s"stream=$streamed\nbatch=$batchExpected")
+
+    val batchMode = StreamingOps.streamingEmbedNearDup(
+        all.toDF("vec_id", "embedding"), threshold = 0.8,
+        planes = 4, tables = 6, dims = dims)
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    assert(batchMode == batchExpected)
+  }
 }
