@@ -1390,6 +1390,12 @@ object SparkEntry {
         F.get(toks, F.lit(0)).as("first_tok"),
         F.get(toks, F.size(toks) - F.lit(1)).as("last_tok"))
     }),
+    "text_chunk" -> ((s, d) => {
+      // RAG-style overlapping token-window chunking (64-token windows,
+      // 16-token overlap) — cell-exact incl. the reassembled chunk text
+      graft.text.TextStats.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text")
+    }),
     "text_ppl_buckets" -> ((s, d) => {
       // CCNet head/middle/tail split by LM score terciles (scores rounded
       // BEFORE the quantile so thresholds and boundary assignments come
@@ -3707,6 +3713,22 @@ object SparkEntry {
         |    AS n_alpha,
         |  toks[1] AS first_tok, toks[-1] AS last_tok
         |FROM t""".stripMargin,
+    // Chunking: identical start arithmetic (ceil((n-overlap)/step), >=1
+    // windows), slice + space re-join mirrored.
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id, ts,
+        |    greatest(CAST(ceil(CAST(len(ts) - 16 AS DOUBLE) / 48) AS BIGINT),
+        |      1) AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, ts, unnest(range(0, nc)) AS c FROM m)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |  array_to_string(ts[c * 48 + 1 : c * 48 + 64], ' ') AS chunk_text,
+        |  CAST(len(ts[c * 48 + 1 : c * 48 + 64]) AS BIGINT) AS n_tokens
+        |FROM e""".stripMargin,
     // CCNet terciles: same unigram-logprob chain, quantile_cont (exact
     // interpolated percentile ≡ Spark percentile, the agg_percentile
     // parity) over ROUNDED scores, CASE bucketing.

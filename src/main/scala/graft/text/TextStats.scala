@@ -292,6 +292,37 @@ object TextStats {
     * a lazy 1-row broadcast scalar (no driver action). At 100 TB the only
     * wide exchange is the token-key join, and the frequency side is
     * |vocab| rows, not |tokens|. */
+  /** Overlapping token-window document chunking — the RAG/embedding-index
+    * preprocessing step (split long documents into `chunkSize`-token
+    * windows advancing by `chunkSize − overlap`, so consecutive chunks
+    * share `overlap` tokens and no retrieval boundary splits a fact).
+    * The final window is the remainder (never empty, never duplicated:
+    * a doc emits ⌈max(n − overlap, 1) / step⌉ chunks). Pure expressions —
+    * one `sequence` + `slice` per doc, the explode is the only
+    * row-multiplying step, and chunk ids are deterministic (doc order).
+    * Output: (idCol, chunk_id, chunk_text, n_tokens). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    val ts = tokens(F.col(textCol))
+    val n = F.size(ts)
+    // starts: 0, step, 2·step, … while start < n − overlap (the last
+    // window still gains ≥ 1 new token); single-window docs emit once
+    val nChunks = F.greatest(
+      F.ceil((n - overlap).cast("double") / step).cast("int"), F.lit(1))
+    docs
+      .filter(F.trim(F.col(textCol)) =!= "")
+      .select(F.col(idCol),
+        F.posexplode(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          c => F.slice(ts, c * step + 1, F.lit(chunkSize))))
+          .as(Seq("chunk_id", "_toks")))
+      .select(F.col(idCol), F.col("chunk_id").cast("long").as("chunk_id"),
+        F.array_join(F.col("_toks"), " ").as("chunk_text"),
+        F.size(F.col("_toks")).cast("long").as("n_tokens"))
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §3.2: "we split the corpus in three equal parts by perplexity" —
     * training pipelines then keep head+middle, or sample tail-down).

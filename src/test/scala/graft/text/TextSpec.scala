@@ -553,6 +553,33 @@ class TextSpec extends SparkSpec {
     assert(clean("keep") == true && clean("n_sentences") == 3L)
   }
 
+  test("chunkDocuments: overlap invariant, remainder chunk, full coverage") {
+    val words = (0 until 100).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "tiny doc"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val chunks = TextStats.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    val d1 = chunks.filter(_._1 == 1L)
+    // step 7: ceil(97/7) = 14 chunks; last = 100 - 7*13 = 9 tokens
+    assert(d1.length == 14 && d1.last._4 == 9L)
+    assert(d1.init.forall(_._4 == 10L))
+    // consecutive chunks share exactly the 3-token overlap
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").takeRight(3).toSeq ==
+        b._3.split(" ").take(3).toSeq)
+    }
+    // stepping by (chunkSize - overlap) covers every token exactly once
+    val covered = d1.init.flatMap(_._3.split(" ").take(7)) ++
+      d1.last._3.split(" ")
+    assert(covered.toSeq == words)
+    // short doc -> one whole-doc chunk; blank doc -> no chunks
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "tiny doc", 2L)))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
   test("perplexityBuckets: equal-mass terciles, fluent docs in head, layout-stable") {
     // 30 docs with graded fluency: doc i repeats common words i times and
     // rare words (30-i) times, so logprob increases with i
