@@ -1484,6 +1484,34 @@ object SparkEntry {
       graft.text.Dsir.resample(w, k = 50, seed = 11)
         .select(F.col("doc_id"), F.col("rank"))
     }),
+    "text_bm25_topk" -> ((s, d) => {
+      // Okapi BM25 sparse retrieval (Lucene +1 idf) over the inverted
+      // postings table: every 50th doc queries the corpus, k=5. Scores
+      // round-6 (ln libm drift); term folds are term-sorted on both
+      // engines; crop via the O(k) bounded heap.
+      val docs = Tables.documents(s, d)
+      graft.text.Retrieval.bm25TopK(docs,
+        docs.filter(F.col("doc_id") % 50 === 0)
+          .select(F.col("doc_id").as("query_id"), F.col("text")),
+        k = 5)
+    }),
+    "text_rrf_fusion" -> ((s, d) => {
+      // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+      // of the lexical BM25 top-10 and the dense cosine top-10 for the
+      // same 10 query ids (documents and embeddings share the id space).
+      // rrf terms are exact integer divisions — no rounding needed.
+      val docs = Tables.documents(s, d)
+      val sparse = graft.text.Retrieval.bm25TopK(docs,
+        docs.filter(F.col("doc_id") < 10)
+          .select(F.col("doc_id").as("query_id"), F.col("text")),
+        k = 10).select("query_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, d)
+      val dense = graft.text.Similarity.bruteForceTopK(
+        emb.filter(F.col("vec_id") < 10), emb, k = 10)
+        .select(F.col("query_id"), F.col("neighbor_id").as("doc_id"),
+          F.col("rank"))
+      graft.text.Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    }),
     "text_bpe_train" -> ((s, d) => {
       // learned BPE merges (Sennrich et al. 2016) over the corpus's
       // pre-token counts — the iterative argmax is not SQL-expressible
@@ -3907,6 +3935,131 @@ object SparkEntry {
         |  SELECT doc_id, CAST(row_number() OVER (
         |    ORDER BY gk DESC, doc_id ASC) AS BIGINT) AS rank
         |  FROM keyed) WHERE rank <= 50""".stripMargin,
+    // BM25: the idf/saturation arithmetic mirrors the engine's op order
+    // token for token (left-assoc 1-b+b·x, (n-df) BIGINT subtract before
+    // the double cast); the per-(query,doc) fold is term-sorted on both
+    // sides; scores round-6 before the rank so crop order is shared.
+    "text_bm25_topk" ->
+      """WITH tks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tks)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM tks),
+        |idf AS (
+        |  SELECT term,
+        |    ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) +
+        |       CAST(1.0 AS DOUBLE)) AS idf,
+        |    avgdl
+        |  FROM dfq, stats),
+        |qt AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id, unnest(ts) AS term FROM tks
+        |    WHERE doc_id % 50 = 0)),
+        |m AS (
+        |  SELECT q.query_id, tf.doc_id, q.term,
+        |    idf.idf * ((CAST(tf.tf AS DOUBLE) *
+        |      (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |      (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |         CAST(0.75 AS DOUBLE) *
+        |           (CAST(tf.dl AS DOUBLE) / idf.avgdl)))) AS c
+        |  FROM qt q JOIN idf ON q.term = idf.term
+        |  JOIN tf ON q.term = tf.term),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(c ORDER BY term)), (a, b) -> a + b), 6) AS score
+        |  FROM m GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 5""".stripMargin,
+    // RRF fusion: lexical BM25 top-10 (same chain as text_bm25_topk,
+    // query set doc_id < 10) fused with the dense cosine top-10 (same
+    // chain as embed_cosine_topk). rrf terms are 1/(60+rank) — exact
+    // integer divisions, so the fused score needs no rounding.
+    "text_rrf_fusion" ->
+      """WITH tks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tks)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM tks),
+        |idf AS (
+        |  SELECT term,
+        |    ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) +
+        |       CAST(1.0 AS DOUBLE)) AS idf,
+        |    avgdl
+        |  FROM dfq, stats),
+        |qt AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id, unnest(ts) AS term FROM tks
+        |    WHERE doc_id < 10)),
+        |m AS (
+        |  SELECT q.query_id, tf.doc_id, q.term,
+        |    idf.idf * ((CAST(tf.tf AS DOUBLE) *
+        |      (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |      (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+        |         CAST(0.75 AS DOUBLE) *
+        |           (CAST(tf.dl AS DOUBLE) / idf.avgdl)))) AS c
+        |  FROM qt q JOIN idf ON q.term = idf.term
+        |  JOIN tf ON q.term = tf.term),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(c ORDER BY term)), (a, b) -> a + b), 6) AS score
+        |  FROM m GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |    FROM sc) WHERE rank <= 10),
+        |dotn AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |dense AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+        |    FROM dotn) WHERE rank <= 10),
+        |fused AS (
+        |  SELECT COALESCE(s.query_id, e.query_id) AS query_id,
+        |    COALESCE(s.doc_id, e.doc_id) AS doc_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE) /
+        |      (CAST(60 AS DOUBLE) + CAST(s.rank AS DOUBLE)),
+        |      CAST(0 AS DOUBLE)) +
+        |    COALESCE(CAST(1.0 AS DOUBLE) /
+        |      (CAST(60 AS DOUBLE) + CAST(e.rank AS DOUBLE)),
+        |      CAST(0 AS DOUBLE)) AS rrf_score
+        |  FROM sparse s FULL OUTER JOIN dense e
+        |    ON s.query_id = e.query_id AND s.doc_id = e.doc_id)
+        |SELECT query_id, doc_id, rrf_score, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM fused) WHERE rank <= 5""".stripMargin,
     // BPE encode: the paren-wrapped symbol string makes every symbol
     // boundary the literal ")(" — chained regexp_replace passes are then
     // EXACTLY the paper's in-order leftmost-non-overlapping merge

@@ -161,4 +161,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "ADC code join must stay an equi-join on (cell, subspace, code)")
   }
+
+  test("BM25 scoring: stats broadcast, term equi-joins, bounded-heap crop") {
+    val plan = optimizedPlan("text_bm25_topk")
+    assert(plan.contains("BroadcastExchange"),
+      "the one-row (n_docs, avgdl) stats frame should broadcast")
+    // the one legitimate cartesian is the one-row stats cross-join; it
+    // must be a broadcast NLJ, never a shuffled CartesianProduct
+    assert(!plan.contains("CartesianProduct"),
+      "term matching must stay an equi-join on term")
+    assert(plan.contains("topk_bounded") || plan.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k crop, got:\n${plan.take(800)}")
+  }
 }
