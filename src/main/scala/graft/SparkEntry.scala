@@ -1487,8 +1487,9 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) => {
       // Okapi BM25 sparse retrieval (Lucene +1 idf) over the inverted
       // postings table: every 50th doc queries the corpus, k=5. Scores
-      // round-6 (ln libm drift); term folds are term-sorted on both
-      // engines; crop via the O(k) bounded heap.
+      // round-6 (ln libm drift); per-(query,doc) sums are ORDER-FREE
+      // fixed-point BIGINT sums (1e-9 units, exact in any order — no
+      // collect_list buffer); crop via the O(k) bounded heap.
       val docs = Tables.documents(s, d)
       graft.text.Retrieval.bm25TopK(docs,
         docs.filter(F.col("doc_id") % 50 === 0)
@@ -3937,8 +3938,9 @@ object SparkEntry {
         |  FROM keyed) WHERE rank <= 50""".stripMargin,
     // BM25: the idf/saturation arithmetic mirrors the engine's op order
     // token for token (left-assoc 1-b+b·x, (n-df) BIGINT subtract before
-    // the double cast); the per-(query,doc) fold is term-sorted on both
-    // sides; scores round-6 before the rank so crop order is shared.
+    // the double cast); per-(query,doc) sums quantize each contribution
+    // to 1e-9 units and SUM as BIGINT — commutative, so neither engine
+    // needs a sorted fold; scores round-6 before the rank.
     "text_bm25_topk" ->
       """WITH tks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
@@ -3975,8 +3977,9 @@ object SparkEntry {
         |  JOIN tf ON q.term = tf.term),
         |sc AS (
         |  SELECT query_id, doc_id,
-        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list(c ORDER BY term)), (a, b) -> a + b), 6) AS score
+        |    round(CAST(sum(CAST(round(c * CAST(1000000000.0 AS DOUBLE))
+        |      AS BIGINT)) AS DOUBLE) /
+        |      CAST(1000000000.0 AS DOUBLE), 6) AS score
         |  FROM m GROUP BY 1, 2)
         |SELECT query_id, doc_id, score, rank FROM (
         |  SELECT *, row_number() OVER (
@@ -4022,8 +4025,9 @@ object SparkEntry {
         |  JOIN tf ON q.term = tf.term),
         |sc AS (
         |  SELECT query_id, doc_id,
-        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list(c ORDER BY term)), (a, b) -> a + b), 6) AS score
+        |    round(CAST(sum(CAST(round(c * CAST(1000000000.0 AS DOUBLE))
+        |      AS BIGINT)) AS DOUBLE) /
+        |      CAST(1000000000.0 AS DOUBLE), 6) AS score
         |  FROM m GROUP BY 1, 2),
         |sparse AS (
         |  SELECT query_id, doc_id, rank FROM (

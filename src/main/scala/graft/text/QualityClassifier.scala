@@ -61,27 +61,51 @@ final class QualityClassifier(
     // collapse in the feature groupBy
     val all = t.withColumn("_sid", F.col(idCol) * 2)
       .unionAll(r.withColumn("_sid", F.col(idCol) * 2 + 1))
+    // the surrogate id's parity IS the label — recover it in-row rather
+    // than re-scanning `all` for a second join input
     val feats = featurize(all.select(F.col("_sid").as(idCol), F.col(textCol)),
         idCol, textCol)
-      .join(all.select(F.col("_sid").as(idCol), F.col("_label")), Seq(idCol))
-    model = new LogisticRegression()
-      .setFeaturesCol("features").setLabelCol("_label")
-      .setRegParam(regParam).setMaxIter(maxIter)
-      .fit(feats)
+      .withColumn("_label",
+        F.when(F.pmod(F.col(idCol), F.lit(2)) === 0, F.lit(1.0))
+          .otherwise(F.lit(0.0)))
+    // the solver makes several passes (summarizer + LBFGS iterations);
+    // uncached, each pass replays the whole hash-explode featurization —
+    // measured 5× the one-pass cost at sf0.1. Persist for the fit only.
+    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      model = new LogisticRegression()
+        .setFeaturesCol("features").setLabelCol("_label")
+        .setRegParam(regParam).setMaxIter(maxIter)
+        .fit(feats)
+    } finally feats.unpersist(false)
     this
   }
 
-  /** (idCol, quality_score) — P(target | doc) in [0, 1]. */
+  /** (idCol, quality_score) — P(target | doc) in [0, 1].
+    *
+    * Relational scorer: the fitted weights are a ≤`buckets`-row table
+    * broadcast against the doc's hashed counts — margin = intercept +
+    * Σ cnt·w[bucket], probability = sigmoid(margin) (the same binomial
+    * formula `model.transform` applies). Stays in codegen end-to-end:
+    * no MLlib Vector assembly, no typed-row round-trip — only the FIT
+    * needs the Vector encoding the solver demands. */
   def score(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(model != null, "fit before score")
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = model.transform(featurize(docs, idCol, textCol))
-      .select(F.col(idCol), F.col("probability"))
-      .as[(Long, org.apache.spark.ml.linalg.Vector)]
-      .map { case (id, p) => (id, p(1)) }
-      .toDF(idCol, "quality_score")
+    val coefs = model.coefficients.toArray
+    val wRows = coefs.indices.filter(coefs(_) != 0.0)
+      .map(i => (i.toLong, coefs(i)))
+    val weights = spark.createDataFrame(wRows).toDF("bucket", "_w")
+    val margin = Dsir.hashedCounts(docs, idCol, textCol, buckets, seed)
+      .join(F.broadcast(weights), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg((F.sum(F.col("cnt").cast("double") *
+        F.coalesce(F.col("_w"), F.lit(0.0))) + F.lit(model.intercept))
+        .as("_m"))
+    val scored = margin.select(F.col(idCol),
+      (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_m")))).as("quality_score"))
     // docs with no tokens have no feature row: score them 0.5 (no signal)
     docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("quality_score",

@@ -103,15 +103,20 @@ object Retrieval {
         (F.col("tf").cast("double") +
           F.lit(k1) * (F.lit(1.0) - F.lit(b) +
             F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl")))))
-    // sorted-term left fold: float sums must share an order across engines
+    // Order-free cross-engine sum: each term contribution quantizes to
+    // 1e-9 units (HALF_UP — contributions are strictly positive, so
+    // DuckDB's away-from-zero agrees) and the per-(query,doc) score is an
+    // exact BIGINT sum — commutative, so no collect_list buffer, no sort,
+    // and the aggregation stays in codegen with O(1) state. Bound: ≤ ~20
+    // per contribution → 2e10 units × |query terms| ≪ Long.MaxValue.
+    // The 6dp rounding of the de-quantized sum carries ≤ 0.5e-9·|terms|
+    // quantization noise — below the ln libm drift the rounding already
+    // absorbs.
     val scored = matched
       .select(F.col(queryIdCol), F.col("doc_id"),
-        F.struct(F.col("term").as("t"), term.as("c")).as("_tc"))
+        F.round(term * F.lit(1e9), 0).cast("long").as("_ci"))
       .groupBy(F.col(queryIdCol), F.col("doc_id"))
-      .agg(F.aggregate(F.array_sort(F.collect_list("_tc")),
-        F.lit(0.0), (acc, x) => acc + x.getField("c")).as("_s"))
-      .select(F.col(queryIdCol), F.col("doc_id"),
-        F.round(F.col("_s"), 6).as("score"))
+      .agg(F.round(F.sum("_ci").cast("double") / F.lit(1e9), 6).as("score"))
     val cropped = Ops.getTopKRecsBounded(scored, k,
       queryCol = queryIdCol, itemCol = "doc_id", ratingCol = "score")
     val w = Window.partitionBy(queryIdCol)
