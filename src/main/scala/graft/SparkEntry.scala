@@ -1061,6 +1061,19 @@ object SparkEntry {
         TextStats.fingerprint(t).as("fingerprint"),
       )
     }),
+    "text_corpus_report" -> ((s, d) => {
+      // per-source audit (volume / dup pressure / PII incidence /
+      // quality pass rate / language mix) over PII-spiked text — the
+      // raw corpus has no PII, so every 4th doc gains an email
+      val docs = Tables.documents(s, d)
+      val spiked = docs.select(F.col("doc_id"), F.col("source"),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 4 === 0,
+          F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com")))
+          .otherwise(F.col("text")).as("text"))
+      graft.text.TextStats.corpusReport(spiked)
+    }),
     "text_langid" -> ((s, d) => {
       // stopword-profile argmax — rows-only (struct-array argmax in SQL
       // is not worth mirroring)
@@ -3291,6 +3304,62 @@ object SparkEntry {
         |    6) AS quality,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    // Corpus report: the per-doc chains are the PROVEN text_stats /
+    // text_redact_pii mirrors verbatim (quality compared on the rounded
+    // score); the report is pure counts + one exact BIGINT/BIGINT
+    // division, so no float-order hazard anywhere.
+    "text_corpus_report" ->
+      """WITH sp AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |pd AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUMBER>', 'g') <> text THEN 1 ELSE 0 END AS pii,
+        |    CASE WHEN round(
+        |      (CASE WHEN len(string_split_regex(trim(text), '\s+'))
+        |              BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END)
+        |      * (CASE WHEN (CAST(list_sum(list_transform(
+        |            string_split_regex(trim(text), '\s+'), t -> length(t)))
+        |            AS DOUBLE)
+        |            / len(string_split_regex(trim(text), '\s+')))
+        |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+        |      * (0.5 + least(
+        |          (CAST(len(list_filter(
+        |             string_split_regex(trim(lower(text)), '\s+'),
+        |             t -> t IN ('the','and','of','to','a','in','is','that',
+        |                        'it','for'))) AS DOUBLE)
+        |           / len(string_split_regex(trim(lower(text)), '\s+')))
+        |          * 4.0, 1.0) * 0.5),
+        |      6) >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS q
+        |  FROM sp),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |    CAST(sum(nc) AS BIGINT) AS total_chars,
+        |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+        |    CAST(sum(pii) AS BIGINT) AS n_pii_docs,
+        |    CAST(sum(q) AS BIGINT) AS n_quality_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM pd GROUP BY 1),
+        |tl AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, count(*) AS lc FROM sp GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY source ORDER BY lc DESC, lang) = 1)
+        |SELECT a.source, n_docs, total_tokens, total_chars, n_dup_docs,
+        |  n_pii_docs, n_quality_docs, n_langs,
+        |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens, top_lang
+        |FROM agg a JOIN tl ON a.source = tl.source""".stripMargin,
     // Threshold/structural certificates (r8): the oracle cannot reproduce
     // MLlib-solver or RNG internals, but it CAN assert the verdicts — the
     // quality floor, the driver-vs-distributed SLIM bit parity, the Beta

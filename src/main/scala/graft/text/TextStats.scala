@@ -414,4 +414,54 @@ object TextStats {
     docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("logprob", F.coalesce(F.col("logprob"), F.lit(0.0)))
   }
+
+  /** Per-source corpus audit report — the one-pass health summary a
+    * pipeline emits before/after a cleaning stage: volume (docs, tokens,
+    * chars, mean doc length), exact-dup pressure (docs sharing a
+    * normalized [[fingerprint]]), PII incidence ([[redactPii]] changed
+    * the text), quality pass rate ([[qualityScore]] ≥ `qualityFloor`,
+    * compared on the 6dp-rounded score so both engines threshold the
+    * same double), and the language mix (distinct langs + the modal
+    * language, ties broken by code).
+    *
+    * Shape at scale: ONE groupBy(source) over per-doc expressions —
+    * every stat is a count/sum with O(1) agg state (the fingerprint
+    * distinct is Spark's partial-aggregated count_distinct) — plus a
+    * (source, lang)-sized argmax for the modal language. No windows over
+    * doc-sized partitions, no collects. */
+  def corpusReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      langCol: String = "lang",
+      stopwords: Seq[String] = LangProfiles("en"),
+      qualityFloor: Double = 0.5): DataFrame = {
+    val t = F.col(textCol)
+    val perDoc = docs.select(
+      F.col(srcCol).as("source"), F.col(langCol).as("_lang"),
+      tokenCount(t).as("_nt"),
+      F.length(t).cast("long").as("_nc"),
+      fingerprint(t).as("_fp"),
+      (redactPii(t) =!= t).cast("long").as("_pii"),
+      (F.round(qualityScore(t, stopwords), 6) >= qualityFloor)
+        .cast("long").as("_q"))
+    val agg = perDoc.groupBy("source").agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.sum("_nt").as("total_tokens"),
+      F.sum("_nc").as("total_chars"),
+      (F.count(F.lit(1)) - F.countDistinct(F.col("_fp"))).as("n_dup_docs"),
+      F.sum("_pii").as("n_pii_docs"),
+      F.sum("_q").as("n_quality_docs"),
+      F.countDistinct(F.col("_lang")).as("n_langs"))
+      .withColumn("mean_tokens",
+        F.col("total_tokens").cast("double") / F.col("n_docs"))
+    val langCounts = docs
+      .groupBy(F.col(srcCol).as("source"), F.col(langCol).as("_lang"))
+      .agg(F.count(F.lit(1)).as("_lc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(F.col("_lc").desc, F.col("_lang").asc)
+    val topLang = langCounts
+      .withColumn("_rn", F.row_number().over(w))
+      .filter(F.col("_rn") === 1)
+      .select(F.col("source"), F.col("_lang").as("top_lang"))
+    agg.join(topLang, Seq("source"))
+  }
 }

@@ -700,4 +700,37 @@ class TextSpec extends SparkSpec {
     assert(r("n_sentences") == 2L && r("sentences_ok") == false &&
       r("keep") == false)
   }
+
+  test("corpusReport: volume, dup, PII, quality, language mix per source") {
+    val corpus = Seq(
+      // source a: a dup pair (whitespace-normalized), one PII doc, en+de
+      (0L, "The quick brown  fox", "a", "en"),
+      (1L, "the quick BROWN fox", "a", "en"), // fingerprint-dup of 0
+      (2L, "write to me at someone@example.com today please", "a", "en"),
+      (3L, "der Hund und die Katze", "a", "de"),
+      // source b: single doc, phone-number PII
+      (4L, "call 12345678 now", "b", "en"),
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = TextStats.corpusReport(corpus)
+      .collect().map(row => row.getString(0) -> row).toMap
+    val a = r("a")
+    assert(a.getLong(1) == 4L)               // n_docs
+    assert(a.getLong(2) == 4 + 4 + 7 + 5)    // total_tokens
+    assert(a.getLong(4) == 1L)               // n_dup_docs (pair counts once)
+    assert(a.getLong(5) == 1L)               // n_pii_docs (email)
+    assert(a.getLong(7) == 2L)               // n_langs
+    assert(a.getString(9) == "en")           // top_lang (3 en vs 1 de)
+    assert(math.abs(a.getDouble(8) - 20.0 / 4) < 1e-15) // mean_tokens
+    val b = r("b")
+    assert(b.getLong(1) == 1L && b.getLong(5) == 1L) // number PII
+    assert(b.getString(9) == "en" && b.getLong(4) == 0L)
+  }
+
+  test("corpusReport top_lang tie breaks by language code") {
+    val corpus = Seq(
+      (0L, "x", "s", "fr"), (1L, "y", "s", "de"),
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = TextStats.corpusReport(corpus).collect()
+    assert(r.length == 1 && r(0).getString(9) == "de")
+  }
 }
