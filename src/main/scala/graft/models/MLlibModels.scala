@@ -297,9 +297,11 @@ final class ClusterRec(
     val assembled = new VectorAssembler()
       .setInputCols(featCols).setOutputCol("_features").setHandleInvalid("skip")
       .transform(queryFeatures)
+      .cache()
+    val nq = assembled.count()
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("_features").setPredictionCol("cluster")
-      .fit(assembled)
+      .fit(graft.core.Ops.compactForIterativeFit(assembled, nq))
     // repartition before caching: query features typically arrive as one
     // small parquet scan (1 partition), and predict fans every query row
     // out to the full per-cluster catalog — cached at 1 partition that
@@ -317,6 +319,7 @@ final class ClusterRec(
         (F.col("_cnt").cast("double") / F.col("_mx")).as(cols.rating))
       .cache()
     clusterItems.count()
+    assembled.unpersist(false)
     this
   }
 

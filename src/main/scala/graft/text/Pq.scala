@@ -96,13 +96,17 @@ final class PqIndex(
     // barriers), so wall-clock ≈ max instead of sum. Determinism is
     // untouched: each fit is independently seeded (seed + m) and KMeans
     // results don't depend on what else is running.
-    trainSet.count() // materialize the shared cache ONCE, not M times racing
+    // materialize the shared cache ONCE (not M times racing), then compact
+    // the usually-small sampled training set so each of the M fits' ~20
+    // iteration-jobs schedules a handful of real tasks, not 32 micro-tasks
+    val nTrain = trainSet.count()
+    val trainCompact = graft.core.Ops.compactForIterativeFit(trainSet, nTrain)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     codebooks = Await.result(
       Future.sequence((0 until numSubspaces).map { m => Future {
-        val withVec = trainSet.withColumn("_features",
+        val withVec = trainCompact.withColumn("_features",
           array_to_vector(F.slice(dvec(F.col(vecCol)), m * dsub + 1, dsub)))
         new KMeans().setK(codebookSize).setSeed(seed + m)
           .setFeaturesCol("_features").setPredictionCol("_c")

@@ -123,11 +123,13 @@ class TextSpec extends SparkSpec {
 
   test("IVF probesFor and PQ rerankFor grow with corpus size (10x audit rule)") {
     // calibrated to the measured >=0.95 recall@5 contract on the
-    // unstructured gate corpus: 6/8 probes at 500, 7/8 at 2000, 8/8 at 50k
-    assert(IvfIndex.probesFor(500, 8) == 6)
-    assert(IvfIndex.probesFor(2000, 8) == 7)
+    // unstructured gate corpus, with a +1-cell margin (the raw
+    // measurements 6/8 at 500, 7/8 at 2000 sat within ~2% of the
+    // threshold and flipped with k-means init layout)
+    assert(IvfIndex.probesFor(500, 8) == 7)
+    assert(IvfIndex.probesFor(2000, 8) == 8)
     assert(IvfIndex.probesFor(50000, 8) == 8)
-    assert(IvfIndex.probesFor(100, 8) == 6)          // small-n floor
+    assert(IvfIndex.probesFor(100, 8) == 7)          // small-n floor
     assert(IvfIndex.probesFor(1L << 40, 8) == 8)     // clamps at nCentroids
     assert(PqIndex.rerankFor(500) == 48)
     assert(PqIndex.rerankFor(2000) == 120)
