@@ -1381,6 +1381,14 @@ object SparkEntry {
       graft.text.Mixing.sampleWithTemperature(skewed, alpha = 0.5, seed = 7)
         .select("doc_id", "source")
     }),
+    "text_token_budget" -> ((s, d) => {
+      // token-budget selection: per source, keep the best-quality doc
+      // prefix whose running token total stays <= 400 (quality rounded 6
+      // so both engines order identically; cum via the keyed distributed
+      // prefix sum, mirrored by the oracle's per-source window sum)
+      graft.text.Mixing.tokenBudgetSelect(
+        Tables.documents(s, d), budgetTokens = 400)
+    }),
     "dedup_substring_remove" -> ((s, d) => {
       // the removal operation on the substring signal: drop tokens under
       // any cross-doc duplicate window, reassemble (whitespace-normalized
@@ -3536,6 +3544,39 @@ object SparkEntry {
         |SELECT d.doc_id, round(coalesce(sc.lp, 0.0), 6) AS logprob
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // Token-budget selection: quality chain = the proven text_stats
+    // mirror rounded 6 (so the per-source order is the same double on
+    // both engines); the running total is an exact BIGINT window sum.
+    "text_token_budget" ->
+      """WITH pd AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    round(
+        |      (CASE WHEN len(string_split_regex(trim(text), '\s+'))
+        |              BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END)
+        |      * (CASE WHEN (CAST(list_sum(list_transform(
+        |            string_split_regex(trim(text), '\s+'), t -> length(t)))
+        |            AS DOUBLE)
+        |            / len(string_split_regex(trim(text), '\s+')))
+        |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+        |      * (0.5 + least(
+        |          (CAST(len(list_filter(
+        |             string_split_regex(trim(lower(text)), '\s+'),
+        |             t -> t IN ('the','and','of','to','a','in','is','that',
+        |                        'it','for'))) AS DOUBLE)
+        |           / len(string_split_regex(trim(lower(text)), '\s+')))
+        |          * 4.0, 1.0) * 0.5),
+        |      6) AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens, quality,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM pd)
+        |SELECT source, doc_id, n_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 400""".stripMargin,
     "mixture_sample" ->
       """WITH tgt(src, p) AS (VALUES
         |    ('src0', CAST(0.5 AS DOUBLE)),

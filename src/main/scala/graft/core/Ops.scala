@@ -127,6 +127,26 @@ object Ops {
       }, schema)
   }
 
+  /** Inclusive PER-KEY prefix sum over a per-key total order, with the
+    * same no-single-partition-window guarantee as [[globalCumsum]]: a
+    * keyed running total is the GLOBAL running total over (keys, order)
+    * minus the global total just before the key's first row — and that
+    * offset is exactly `min(cum − value)` within the key. One
+    * [[globalCumsum]] + one key-shuffled aggregation/join; no window ever
+    * holds more than a range partition, so a single key spanning half the
+    * corpus (one giant source) still sums in parallel. `order` must
+    * totally order rows WITHIN each key. */
+  def keyedCumsum(df: DataFrame, keys: Seq[String], valueCol: String,
+      outCol: String, order: Column*): DataFrame = {
+    val g = globalCumsum(df, valueCol, "_gcum",
+      (keys.map(F.col) ++ order): _*)
+    val offs = g.groupBy(keys.map(F.col): _*)
+      .agg(F.min(F.col("_gcum") - F.col(valueCol)).as("_koff"))
+    g.join(offs, keys)
+      .withColumn(outCol, F.col("_gcum") - F.col("_koff"))
+      .drop("_gcum", "_koff")
+  }
+
   /** Drop (query, item) pairs already present in history.
     * Reference: base_rec.py:152-201 `_filter_seen` — rank-crop to
     * k + max_seen BEFORE the anti-join so the join input stays bounded. */

@@ -64,4 +64,32 @@ object Mixing {
     sampleToMixture(docs, pw.map { case (s, v) => s -> v / z },
       seed, idCol, sourceCol)
   }
+
+  /** Token-budget selection: fill each source's token budget with its
+    * best documents — the "assemble an N-token training mix" step that
+    * follows scoring. Docs are ranked per source by (quality desc, id)
+    * — quality is [[TextStats.qualityScore]] rounded to 6dp so both
+    * engines order by the same double — and the kept set is the longest
+    * per-source PREFIX whose running token total stays ≤ `budgetTokens`
+    * (prefix-fill: selection stops at the first overflowing doc; no
+    * skip-ahead, so the rule is relational, not sequential).
+    *
+    * Scale shape: per-doc scoring is scan-side expressions; the running
+    * total is [[graft.core.Ops.keyedCumsum]] — range-partitioned prefix
+    * sums, NO per-source single-task window, so one giant source cannot
+    * serialize the selection. Output: (source, id, n_tokens, quality,
+    * cum_tokens), the kept docs. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source",
+      stopwords: Seq[String] = TextStats.LangProfiles("en")): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val t = F.col(textCol)
+    val perDoc = docs.select(F.col(sourceCol), F.col(idCol),
+      TextStats.tokenCount(t).as("n_tokens"),
+      F.round(TextStats.qualityScore(t, stopwords), 6).as("quality"))
+    graft.core.Ops.keyedCumsum(perDoc, Seq(sourceCol), "n_tokens",
+        "cum_tokens", F.col("quality").desc, F.col(idCol).asc)
+      .filter(F.col("cum_tokens") <= budgetTokens)
+  }
 }

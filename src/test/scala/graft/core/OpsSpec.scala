@@ -2,6 +2,7 @@ package graft.core
 
 import graft.SparkSpec
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -128,5 +129,37 @@ class OpsSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "c"), (5L, "d")))
     // point 4 (us=1000) is outside every interval: absent from the output
     assert(!out.exists(_._1 == 4L))
+  }
+
+  test("keyedCumsum matches the per-key window sum on any layout") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(i =>
+      (s"k${rnd.nextInt(7)}", i.toLong, rnd.nextInt(100).toLong))
+    for (parts <- Seq(1, 13)) {
+      val df = rows.toDF("k", "id", "v").repartition(parts)
+      val got = Ops.keyedCumsum(df, Seq("k"), "v", "cum", $"id".asc)
+        .select($"k", $"id", $"cum").as[(String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy($"id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = rows.toDF("k", "id", "v")
+        .withColumn("cum", F.sum($"v").over(w))
+        .select($"k", $"id", $"cum").as[(String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == want, s"layout $parts")
+    }
+  }
+
+  test("keyedCumsum: one giant key among many small ones") {
+    val rows = (0 until 300).map(i => ("big", i.toLong, 1L)) ++
+      Seq(("a", 0L, 5L), ("z", 0L, 7L))
+    val got = Ops.keyedCumsum(rows.toDF("k", "id", "v").repartition(5),
+        Seq("k"), "v", "cum", $"id".asc)
+      .as[(String, Long, Long, Long)].collect()
+    val bigMax = got.filter(_._1 == "big").map(_._4).max
+    assert(bigMax == 300L)
+    assert(got.find(_._1 == "a").get._4 == 5L)
+    assert(got.find(_._1 == "z").get._4 == 7L)
   }
 }

@@ -728,6 +728,25 @@ class TextSpec extends SparkSpec {
     assert(b.getString(9) == "en" && b.getLong(4) == 0L)
   }
 
+  test("tokenBudgetSelect: prefix-fill stops at the first overflow") {
+    // source s quality order: doc1 (6/9 stopwords → 1.0) ahead of doc0
+    // (2/9 → 0.944) ahead of doc2 (no stopwords, 4 tokens → lenOk 0.3).
+    // budget 14: doc1 (9 tokens) fits (cum 9), doc0 (9) overflows (cum
+    // 18) and prefix-fill stops — doc2 (4 tokens) would fit under a
+    // skip-ahead rule but is NOT taken.
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s"),
+      (1L, "and a cat naps in it for the day", "s"),
+      (2L, "zz yy xx ww", "s"),
+      (3L, "the tiny doc of it", "t"), // other source: own budget
+    ).toDF("doc_id", "text", "source")
+    val kept = Mixing.tokenBudgetSelect(corpus, budgetTokens = 14)
+      .select($"source", $"doc_id", $"cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(kept.filter(_._1 == "s").map(_._2) == Set(1L))
+    assert(kept.contains(("t", 3L, 5L)))
+  }
+
   test("corpusReport top_lang tie breaks by language code") {
     val corpus = Seq(
       (0L, "x", "s", "fr"), (1L, "y", "s", "de"),
