@@ -1381,6 +1381,23 @@ object SparkEntry {
       graft.text.Mixing.sampleWithTemperature(skewed, alpha = 0.5, seed = 7)
         .select("doc_id", "source")
     }),
+    "dedup_snapshot_diff" -> ((s, d) => {
+      // day-over-day corpus diff: next drops every 7th doc (removed),
+      // whitespace-pads every 5th (unchanged after normalization),
+      // APPENDS to every 3rd (changed), and adds +100000-id copies of
+      // every 11th (added)
+      val docs = Tables.documents(s, d)
+      val next = docs.filter(F.col("doc_id") % 7 =!= 0)
+        .select(F.col("doc_id"),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.concat(F.col("text"), F.lit(" edited")))
+            .when(F.col("doc_id") % 5 === 0,
+              F.concat(F.lit("  "), F.col("text")))
+            .otherwise(F.col("text")).as("text"))
+        .unionAll(docs.filter(F.col("doc_id") % 11 === 0)
+          .select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text")))
+      graft.text.Dedup.snapshotDiff(docs, next)
+    }),
     "text_token_budget" -> ((s, d) => {
       // token-budget selection: per source, keep the best-quality doc
       // prefix whose running token total stays <= 400 (quality rounded 6
@@ -3544,6 +3561,31 @@ object SparkEntry {
         |SELECT d.doc_id, round(coalesce(sc.lp, 0.0), 6) AS logprob
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // Snapshot diff: both sides' fingerprints are the proven text_stats
+    // md5-normalization chain; the %3 edit beats the %5 pad (whitespace
+    // collapse makes the pad an "unchanged") and the %7 drop beats both.
+    "dedup_snapshot_diff" ->
+      """WITH nextv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' edited'
+        |         WHEN doc_id % 5 = 0 THEN '  ' || text
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |fp AS (
+        |  SELECT p.doc_id AS pid,
+        |    md5(lower(regexp_replace(trim(p.text), '\s+', ' ', 'g'))) AS fpp,
+        |    n.doc_id AS nid,
+        |    md5(lower(regexp_replace(trim(n.text), '\s+', ' ', 'g'))) AS fpn
+        |  FROM documents p FULL OUTER JOIN nextv n ON p.doc_id = n.doc_id)
+        |SELECT COALESCE(pid, nid) AS doc_id,
+        |  CASE WHEN fpp IS NULL THEN 'added'
+        |       WHEN fpn IS NULL THEN 'removed'
+        |       WHEN fpp <> fpn THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM fp""".stripMargin,
     // Token-budget selection: quality chain = the proven text_stats
     // mirror rounded 6 (so the per-source order is the same double on
     // both engines); the running total is an exact BIGINT window sum.

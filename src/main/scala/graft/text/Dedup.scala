@@ -497,4 +497,23 @@ object Dedup {
       .join(seen.select(keyCol).distinct(), Seq(keyCol), "left_anti")
     definitelyNew.unionAll(maybeSlice)
   }
+
+  /** Corpus snapshot diff — the day-over-day crawl comparison: per doc
+    * id, `added` (only in `next`), `removed` (only in `prev`), `changed`
+    * (both, different normalized [[TextStats.fingerprint]]), `unchanged`.
+    * ONE full-outer equi-join on id over (id, fingerprint) projections —
+    * the text itself never shuffles; at 100 TB the diff moves two
+    * id+md5 columns. Output: (idCol, status). */
+  def snapshotDiff(prev: DataFrame, next: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fps(df: DataFrame, side: String) =
+      df.select(F.col(idCol),
+        TextStats.fingerprint(F.col(textCol)).as(s"_fp_$side"))
+    fps(prev, "p").join(fps(next, "n"), Seq(idCol), "full_outer")
+      .select(F.col(idCol),
+        F.when(F.col("_fp_p").isNull, "added")
+          .when(F.col("_fp_n").isNull, "removed")
+          .when(F.col("_fp_p") =!= F.col("_fp_n"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

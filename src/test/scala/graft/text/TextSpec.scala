@@ -747,6 +747,21 @@ class TextSpec extends SparkSpec {
     assert(kept.contains(("t", 3L, 5L)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, normalization-aware") {
+    val prev = Seq(
+      (0L, "same text"), (1L, "will change"), (2L, "gone soon"),
+      (3L, "Spaced   Out"),
+    ).toDF("doc_id", "text")
+    val next = Seq(
+      (0L, "same text"), (1L, "has changed"), (4L, "brand new"),
+      (3L, "  spaced out "), // normalizes to prev's fingerprint
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(prev, next)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
   test("corpusReport top_lang tie breaks by language code") {
     val corpus = Seq(
       (0L, "x", "s", "fr"), (1L, "y", "s", "de"),
