@@ -57,7 +57,8 @@ object Bench {
     "sketch_histogram",
     "text_stats", "text_unigram_logprob", "text_bpe_encode",
     "text_dsir_weights", "text_quality_classifier", "text_chunk",
-    "text_bm25_topk", "streaming_embed_neardup",
+    "text_bm25_topk", "text_token_budget", "text_corpus_report",
+    "streaming_embed_neardup",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",
     "embed_pq_search", "embed_ivfpq_search", "embed_hnsw_sharded",
