@@ -1434,6 +1434,13 @@ object SparkEntry {
       graft.text.TextStats.chunkDocuments(
         Tables.documents(s, d), "doc_id", "text")
     }),
+    "text_training_triples" -> ((s, d) => {
+      // contrastive triples: anchor/positive = adjacent 16-token chunks
+      // of one doc, negative = portable-hash-drawn chunk from the global
+      // chunk table (own-doc collisions dropped — the ε contract)
+      graft.text.TextStats.trainingTriples(
+        Tables.documents(s, d), chunkSize = 16, overlap = 0, seed = 7)
+    }),
     "text_ppl_buckets" -> ((s, d) => {
       // CCNet head/middle/tail split by LM score terciles (scores rounded
       // BEFORE the quantile so thresholds and boundary assignments come
@@ -3910,6 +3917,45 @@ object SparkEntry {
         |  array_to_string(ts[c * 48 + 1 : c * 48 + 64], ' ') AS chunk_text,
         |  CAST(len(ts[c * 48 + 1 : c * 48 + 64]) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
+    // Training triples: the chunk chain is the proven text_chunk mirror
+    // at (16, 0); global numbering = row_number over (doc, chunk) ≡ the
+    // engine's range-partitioned zipWithIndex; the negative draw is the
+    // portable md5 hash mod the chunk count.
+    "text_training_triples" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id, ts,
+        |    greatest(CAST(ceil(CAST(len(ts) AS DOUBLE) / 16) AS BIGINT),
+        |      1) AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, ts, unnest(range(0, nc)) AS c FROM m),
+        |ch AS (
+        |  SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |    array_to_string(ts[c * 16 + 1 : c * 16 + 16], ' ') AS chunk_text
+        |  FROM e),
+        |idx AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    CAST(row_number() OVER (ORDER BY doc_id, chunk_id) AS BIGINT)
+        |      AS gidx
+        |  FROM ch),
+        |n AS (SELECT max(gidx) AS n FROM idx),
+        |pairs AS (
+        |  SELECT a.doc_id, a.chunk_id, a.chunk_text AS anchor_text,
+        |    p.chunk_text AS positive_text
+        |  FROM ch a JOIN ch p
+        |    ON a.doc_id = p.doc_id AND p.chunk_id = a.chunk_id + 1),
+        |drawn AS (
+        |  SELECT pr.doc_id, pr.chunk_id, pr.anchor_text, pr.positive_text,
+        |    (('0x' || substr(md5('7:' || CAST(pr.doc_id AS VARCHAR) || ':'
+        |        || CAST(pr.chunk_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % (SELECT n FROM n)) + 1 AS gidx
+        |  FROM pairs pr)
+        |SELECT d.doc_id, d.chunk_id, d.anchor_text, d.positive_text,
+        |  i.chunk_text AS negative_text
+        |FROM drawn d JOIN idx i ON d.gidx = i.gidx
+        |WHERE i.doc_id <> d.doc_id""".stripMargin,
     // CCNet terciles: same unigram-logprob chain, quantile_cont (exact
     // interpolated percentile ≡ Spark percentile, the agg_percentile
     // parity) over ROUNDED scores, CASE bucketing.

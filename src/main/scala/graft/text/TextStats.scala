@@ -323,6 +323,49 @@ object TextStats {
         F.size(F.col("_toks")).cast("long").as("n_tokens"))
   }
 
+  /** Contrastive training triples from a chunked corpus — the standard
+    * embedding-model data generator (in-document positives, cross-
+    * document negatives): anchor = a chunk, positive = the NEXT chunk of
+    * the same document, negative = a seeded-hash-selected chunk from the
+    * global chunk table. Triples whose hash-drawn negative lands in the
+    * anchor's own document are DROPPED (an ε ≈ chunks_per_doc / n_chunks
+    * fraction — a relational contract, no sequential re-draw).
+    *
+    * Shape at scale: the positive join is a (doc, chunk) equi-self-join;
+    * the negative lookup is one equi-join against the globally-numbered
+    * chunk table ([[graft.core.Ops.globalRowNumber]] — range-partitioned,
+    * no single-task window) with the chunk count broadcast from a
+    * one-row frame. Output: (idCol, chunk_id, anchor_text,
+    * positive_text, negative_text). */
+  def trainingTriples(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkSize: Int = 64, overlap: Int = 0,
+      seed: Long = 7): DataFrame = {
+    val chunks = chunkDocuments(docs, idCol, textCol, chunkSize, overlap)
+      .select(F.col(idCol), F.col("chunk_id"), F.col("chunk_text"))
+    val pairs = chunks
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.col("chunk_text").as("anchor_text"))
+      .join(chunks.select(F.col(idCol),
+          (F.col("chunk_id") - 1).as("chunk_id"),
+          F.col("chunk_text").as("positive_text")),
+        Seq(idCol, "chunk_id"))
+    val indexed = graft.core.Ops.globalRowNumber(chunks, "_gidx",
+      F.col(idCol).asc, F.col("chunk_id").asc)
+    val nChunks = indexed.agg(F.max("_gidx").as("_n"))
+    val draw = F.pmod(
+      graft.core.PortableHash.long(seed, F.col(idCol), F.col("chunk_id")),
+      F.col("_n")) + F.lit(1L)
+    pairs.crossJoin(F.broadcast(nChunks))
+      .withColumn("_gidx", draw).drop("_n")
+      .join(indexed.select(F.col("_gidx"),
+          F.col(idCol).as("_neg_doc"),
+          F.col("chunk_text").as("negative_text")),
+        Seq("_gidx"))
+      .filter(F.col("_neg_doc") =!= F.col(idCol))
+      .select(F.col(idCol), F.col("chunk_id"), F.col("anchor_text"),
+        F.col("positive_text"), F.col("negative_text"))
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §3.2: "we split the corpus in three equal parts by perplexity" —
     * training pipelines then keep head+middle, or sample tail-down).

@@ -747,6 +747,31 @@ class TextSpec extends SparkSpec {
     assert(kept.contains(("t", 3L, 5L)))
   }
 
+  test("trainingTriples: adjacent positives, cross-doc negatives, ε-drop") {
+    // 3 docs × 8 tokens at chunkSize=4 → 2 chunks each, 1 pair per doc
+    val corpus = Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8"),
+    ).toDF("doc_id", "text")
+    val t = TextStats.trainingTriples(corpus, chunkSize = 4, overlap = 0)
+      .as[(Long, Long, String, String, String)].collect()
+    assert(t.length <= 3) // ≤ one pair per doc; own-doc draws dropped
+    t.foreach { case (doc, cid, anchor, pos, neg) =>
+      assert(cid == 0L)
+      // positive is the NEXT chunk of the same doc
+      assert(anchor.head == pos.head && anchor == s"${anchor.head}1 " +
+        s"${anchor.head}2 ${anchor.head}3 ${anchor.head}4")
+      assert(pos.endsWith("8"))
+      // negative comes from a DIFFERENT document
+      assert(neg.head != anchor.head)
+    }
+    // determinism: same seed → same triples
+    val t2 = TextStats.trainingTriples(corpus, chunkSize = 4, overlap = 0)
+      .as[(Long, Long, String, String, String)].collect()
+    assert(t.sortBy(_._1).toSeq == t2.sortBy(_._1).toSeq)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, normalization-aware") {
     val prev = Seq(
       (0L, "same text"), (1L, "will change"), (2L, "gone soon"),
