@@ -162,6 +162,20 @@ class PlanSpec extends SparkSpec {
       "ADC code join must stay an equi-join on (cell, subspace, code)")
   }
 
+  test("corpus report & token budget: no cartesian anywhere") {
+    for (q <- Seq("text_corpus_report", "text_token_budget"))
+      assert(!optimizedPlan(q).contains("CartesianProduct"), q)
+  }
+
+  test("training triples broadcast the chunk count; joins stay equi") {
+    val plan = optimizedPlan("text_training_triples")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the one-row chunk-count frame should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "positive/negative lookups must stay equi-joins")
+  }
+
   test("BM25 scoring: stats broadcast, term equi-joins, bounded-heap crop") {
     val plan = optimizedPlan("text_bm25_topk")
     assert(plan.contains("BroadcastExchange"),

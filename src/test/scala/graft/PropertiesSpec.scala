@@ -168,4 +168,29 @@ class PropertiesSpec extends SparkSpec {
         s"seed=$seed")
     }
   }
+
+  test("snapshotDiff partitions ids; set counts match exact set algebra") {
+    import graft.text.Dedup
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val prev = randomDocs(seed, 30).toDF("doc_id", "text")
+      // next: random subset kept, some texts perturbed, some new ids
+      val next = randomDocs(seed, 30).filter(_ => rnd.nextBoolean())
+        .map { case (i, t) =>
+          (i, if (rnd.nextInt(3) == 0) t + " changed!" else t) } ++
+        (100L until (100L + rnd.nextInt(5))).map(i => (i, s"new $i"))
+      val nextDf = next.toDF("doc_id", "text")
+      val got = Dedup.snapshotDiff(prev, nextDf)
+        .as[(Long, String)].collect().toMap
+      val prevIds = (0L until 30L).toSet
+      val nextIds = next.map(_._1).toSet
+      // every id appears exactly once with a status
+      assert(got.keySet == prevIds ++ nextIds, s"seed=$seed")
+      assert(got.count(_._2 == "added") == (nextIds -- prevIds).size)
+      assert(got.count(_._2 == "removed") == (prevIds -- nextIds).size)
+      // changed+unchanged covers exactly the intersection
+      assert(got.count(kv => kv._2 == "changed" || kv._2 == "unchanged") ==
+        (prevIds & nextIds).size, s"seed=$seed")
+    }
+  }
 }
