@@ -58,6 +58,7 @@ object Bench {
     "text_stats", "text_unigram_logprob", "text_bpe_encode",
     "text_dsir_weights", "text_quality_classifier", "text_chunk",
     "text_bm25_topk", "text_token_budget", "text_corpus_report",
+    "text_training_triples", "dedup_snapshot_diff",
     "streaming_embed_neardup",
     "text_contamination", "mixture_sample",
     "embed_cosine_topk", "embed_lsh_neardup", "embed_lsh_neardup_prod",

@@ -1434,6 +1434,21 @@ object SparkEntry {
       graft.text.TextStats.chunkDocuments(
         Tables.documents(s, d), "doc_id", "text")
     }),
+    "text_readability" -> ((s, d) => {
+      // readability & lexical diversity. The soup corpus has no sentence
+      // punctuation, so docs gain sentence breaks by residue (mirrored):
+      // %3 → a terminated second sentence, %5 → an unterminated tail
+      val spiked = Tables.documents(s, d).select(F.col("doc_id"),
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.lit(". A second sentence here.")).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 5 === 0,
+            F.lit(" Tail without terminator")).otherwise(F.lit("")))
+          .as("text"))
+      spiked.select(F.col("doc_id"),
+          graft.text.TextStats.lexicalStats(F.col("text")).as("lx"))
+        .select(F.col("doc_id"), F.col("lx.*"))
+    }),
     "text_training_triples" -> ((s, d) => {
       // contrastive triples: anchor/positive = adjacent 16-token chunks
       // of one doc, negative = portable-hash-drawn chunk from the global
@@ -3917,6 +3932,40 @@ object SparkEntry {
         |  array_to_string(ts[c * 48 + 1 : c * 48 + 64], ' ') AS chunk_text,
         |  CAST(len(ts[c * 48 + 1 : c * 48 + 64]) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
+    // Readability: every count is exact-integer (words / non-empty
+    // sentence splits / vowel-group runs per lowercased word); ttr and
+    // flesch are mirrored double ops over those integers, so raw values
+    // hash identically — no rounding needed.
+    "text_readability" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN '. A second sentence here.'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' Tail without terminator'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s) <> '') AS sents
+        |  FROM sp),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(sents), 1) AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(ws, w ->
+        |      len(list_filter(string_split_regex(lower(w), '[^aeiouy]+'),
+        |        s -> s <> '')))) AS BIGINT) AS n_syllables
+        |  FROM b)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / n_words AS ttr,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) *
+        |        (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - CAST(84.6 AS DOUBLE) *
+        |        (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+        |FROM c""".stripMargin,
     // Training triples: the chunk chain is the proven text_chunk mirror
     // at (16, 0); global numbering = row_number over (doc, chunk) ≡ the
     // engine's range-partitioned zipWithIndex; the negative draw is the

@@ -323,6 +323,36 @@ object TextStats {
         F.size(F.col("_toks")).cast("long").as("n_tokens"))
   }
 
+  /** Readability & lexical-diversity features — the classic quality
+    * column family beside the Gopher/C4 rules: word, sentence (split on
+    * [.!?]+ runs; ≥1 so fragments don't divide by zero), and syllable
+    * counts (vowel-group runs [aeiouy]+ per lowercased word — the
+    * standard approximation), type-token ratio
+    * (distinct words / words — lexical diversity), and Flesch reading
+    * ease 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Every count is an exact integer and every double op is mirrored in
+    * the oracle, so the gate hashes raw values. Pure scan-side
+    * expressions. */
+  def lexicalStats(text: Column): Column = {
+    val ws = tokens(text)
+    val nWords = F.size(ws).cast("long")
+    val nSentences = F.greatest(
+      F.size(F.filter(F.split(text, "[.!?]+"), s => F.trim(s) =!= ""))
+        .cast("long"),
+      F.lit(1L))
+    val nSyllables = F.aggregate(
+      F.transform(ws, w =>
+        F.size(F.filter(F.split(F.lower(w), "[^aeiouy]+"), s => s =!= ""))
+          .cast("long")),
+      F.lit(0L), (acc, x) => acc + x)
+    val ttr = F.size(F.array_distinct(ws)).cast("double") / nWords
+    val flesch = F.lit(206.835) -
+      F.lit(1.015) * (nWords.cast("double") / nSentences) -
+      F.lit(84.6) * (nSyllables.cast("double") / nWords)
+    F.struct(nWords.as("n_words"), nSentences.as("n_sentences"),
+      nSyllables.as("n_syllables"), ttr.as("ttr"), flesch.as("flesch"))
+  }
+
   /** Contrastive training triples from a chunked corpus — the standard
     * embedding-model data generator (in-document positives, cross-
     * document negatives): anchor = a chunk, positive = the NEXT chunk of

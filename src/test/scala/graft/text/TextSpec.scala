@@ -747,6 +747,27 @@ class TextSpec extends SparkSpec {
     assert(kept.contains(("t", 3L, 5L)))
   }
 
+  test("lexicalStats: hand-computed words/sentences/syllables/ttr/flesch") {
+    // "The cat sat. The cat ran!" → 6 words, 2 sentences;
+    // syllables: the(1) cat(1) sat.(1) the(1) cat(1) ran!(1) = 6;
+    // distinct tokens: {The, cat, sat., ran!} = 4 (exact-token distinct)
+    val r = Seq((0L, "The cat sat. The cat ran!")).toDF("doc_id", "text")
+      .select(TextStats.lexicalStats($"text").as("lx"))
+      .select($"lx.*").first()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 6L)
+    assert(math.abs(r.getDouble(3) - 4.0 / 6) < 1e-15)
+    val flesch = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(math.abs(r.getDouble(4) - flesch) < 1e-12)
+    // fragment without terminator: one sentence, never divide-by-zero
+    val f = Seq((1L, "no punctuation here")).toDF("doc_id", "text")
+      .select(TextStats.lexicalStats($"text").as("lx")).select($"lx.*").first()
+    assert(f.getLong(1) == 1L)
+    // "beautiful" = eau+i+u → 3 vowel-group syllables
+    val s3 = Seq((2L, "beautiful")).toDF("doc_id", "text")
+      .select(TextStats.lexicalStats($"text").as("lx")).select($"lx.*").first()
+    assert(s3.getLong(2) == 3L)
+  }
+
   test("trainingTriples: adjacent positives, cross-doc negatives, ε-drop") {
     // 3 docs × 8 tokens at chunkSize=4 → 2 chunks each, 1 pair per doc
     val corpus = Seq(
