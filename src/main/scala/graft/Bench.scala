@@ -181,15 +181,66 @@ object Bench {
     headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
   }
 
-  private def emit(results: Seq[(String, Double)], sfDir: String,
-      calibration: Option[(Double, Double)]): Unit = {
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+  /** The driver records only the LAST ~2000 characters of this process's
+    * stdout and parses the bench JSON line out of that window — and sbt
+    * prints a ~110-char `[success] Total time: …` trailer AFTER our line.
+    * Round 8's 72-row line (~2400 chars, full-precision doubles) overflowed
+    * the window and the official record came back `parsed: null`, i.e. the
+    * sweep ran for 36 minutes and produced no adjudicable numbers. So the
+    * line is now BUDGETED: [[MaxLineBytes]] leaves headroom for the sbt
+    * trailer plus slack.
+    */
+  val MaxLineBytes = 1650
+
+  /** Compact fixed-point seconds: 3 decimals, trailing zeros stripped
+    * ("8.781", "0.68", "-1"). Millisecond resolution is finer than the
+    * run-to-run noise of any row, so nothing adjudicable is lost.
+    */
+  def fmt(v: Double): String = {
+    val s = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  /** Render (stdout line, full-detail JSON). The line's `queries` map keeps
+    * every FAILED row (a -1 the judge must see) and then the most expensive
+    * rows, in descending cost, until [[MaxLineBytes]]; cheap sub-second rows
+    * are the ones trimmed (they are trivially inside the 2× gate and remain
+    * in the detail file). `value` is always the total over ALL rows, and
+    * `omitted` says how many rows were trimmed from the line.
+    */
+  def renderEmit(results: Seq[(String, Double)], sfDir: String,
+      calibration: Option[(Double, Double)]): (String, String) = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val calJson = calibration
-      .map { case (s, e) => s""","calibration":{"start":$s,"end":$e}""" }
+      .map { case (s, e) => s""","calibration":{"start":${fmt(s)},"end":${fmt(e)}}""" }
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$calJson}""")
+    def line(rows: Seq[(String, Double)], omitted: Int): String = {
+      val qJson = rows.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted,"detail":"BENCH_DETAIL.json"""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir"$calJson$om}"""
+    }
+    val detail = line(results, 0)
+    val emitted =
+      if (detail.length <= MaxLineBytes) detail
+      else {
+        // failures first (always visible), then descending cost
+        val prioritized = results.sortBy { case (_, v) => (if (v < 0) 0 else 1, -v) }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        for (r <- prioritized)
+          if (line((kept :+ r).toSeq, results.size).length <= MaxLineBytes) kept += r
+        line(kept.toSeq, results.size - kept.size)
+      }
+    (emitted, detail)
+  }
+
+  private def emit(results: Seq[(String, Double)], sfDir: String,
+      calibration: Option[(Double, Double)]): Unit = {
+    val (lineOut, detail) = renderEmit(results, sfDir, calibration)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(lineOut)
   }
 
   /** Fork one fresh JVM for `name`; parse the child's JSON line. The child

@@ -4175,9 +4175,14 @@ object SparkEntry {
         |      (a, b) -> a + b) AS lw
         |  FROM dc JOIN lam ON dc.bucket = lam.bucket GROUP BY doc_id),
         |keyed AS (
+        |  -- clamp u into [2^-53, 1-2^-53] (mirrors Dsir.resample: both
+        |  -- tails of the raw [0,1) uniform make ln see 0 in IEEE doubles)
         |  SELECT doc_id, lw - ln(-ln(CAST(1 AS DOUBLE) -
-        |    ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |      / CAST(1152921504606846976 AS DOUBLE))) AS gk
+        |    least(greatest(
+        |      ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        / CAST(1152921504606846976 AS DOUBLE),
+        |      CAST(1 AS DOUBLE) / 9007199254740992),
+        |      CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / 9007199254740992))) AS gk
         |  FROM w)
         |SELECT doc_id, rank FROM (
         |  SELECT doc_id, CAST(row_number() OVER (

@@ -108,43 +108,64 @@ object Ops {
     * locally in parallel. Same shape as [[globalRowNumber]]; the offsets
     * pass re-reads the range-shuffle files, not the source. `order` must be
     * a total order. */
-  def globalCumsum(df: DataFrame, valueCol: String, outCol: String, order: Column*): DataFrame = {
+  def globalCumsum(df: DataFrame, valueCol: String, outCol: String, order: Column*): DataFrame =
+    globalCumsumWithPos(df, valueCol, outCol, None, order: _*)
+
+  /** [[globalCumsum]] that can also emit each row's global POSITION in the
+    * total order (1-based) for the same price — the offsets pass already
+    * collects one record per partition, so the row counts ride along with
+    * the sums. [[keyedCumsum]] needs the position to find each key's first
+    * row without assuming anything about the values' signs. */
+  private def globalCumsumWithPos(df: DataFrame, valueCol: String,
+      outCol: String, posCol: Option[String], order: Column*): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
     val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+      var s = 0L; var n = 0L
+      it.foreach { r => s += r.getLong(vIdx); n += 1 }
+      Iterator((i, s, n))
+    }.collect().sortBy(_._1)
+    val sumOffsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val posOffsets = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val extra = StructField(outCol, LongType, nullable = false) +:
+      posCol.map(p => StructField(p, LongType, nullable = false)).toSeq
+    val schema = StructType(sorted.schema.fields ++ extra)
     sorted.sparkSession.createDataFrame(
       rdd.mapPartitionsWithIndex { case (i, it) =>
-        var acc = offsets(i)
-        it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+        var acc = sumOffsets(i)
+        var pos = posOffsets(i)
+        it.map { r =>
+          acc += r.getLong(vIdx); pos += 1
+          Row.fromSeq(r.toSeq ++ (acc +: (if (posCol.isDefined) Seq(pos) else Nil)))
+        }
       }, schema)
   }
 
   /** Inclusive PER-KEY prefix sum over a per-key total order, with the
     * same no-single-partition-window guarantee as [[globalCumsum]]: a
     * keyed running total is the GLOBAL running total over (keys, order)
-    * minus the global total just before the key's first row — and that
-    * offset is exactly `min(cum − value)` within the key. One
+    * minus the global total just before the key's first row — i.e. the
+    * `cum − value` of the key's FIRST row in the total order, picked with
+    * `min_by` on the global position (NOT `min(cum − value)`, which only
+    * equals the first-row offset when every value is non-negative; a
+    * negative delta lets a later within-key prefix dip below it and would
+    * silently shift the whole key). Signed values are therefore fine. One
     * [[globalCumsum]] + one key-shuffled aggregation/join; no window ever
     * holds more than a range partition, so a single key spanning half the
     * corpus (one giant source) still sums in parallel. `order` must
     * totally order rows WITHIN each key. */
   def keyedCumsum(df: DataFrame, keys: Seq[String], valueCol: String,
       outCol: String, order: Column*): DataFrame = {
-    val g = globalCumsum(df, valueCol, "_gcum",
+    val g = globalCumsumWithPos(df, valueCol, "_gcum", Some("_gpos"),
       (keys.map(F.col) ++ order): _*)
     val offs = g.groupBy(keys.map(F.col): _*)
-      .agg(F.min(F.col("_gcum") - F.col(valueCol)).as("_koff"))
+      .agg(F.min_by(F.col("_gcum") - F.col(valueCol), F.col("_gpos")).as("_koff"))
     g.join(offs, keys)
       .withColumn(outCol, F.col("_gcum") - F.col("_koff"))
-      .drop("_gcum", "_koff")
+      .drop("_gcum", "_gpos", "_koff")
   }
 
   /** Drop (query, item) pairs already present in history.

@@ -213,9 +213,12 @@ object Sketch {
     * skew; [[bounds]] supplies (lo, hi) in one exact aggregation. */
   def histogramBins(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       bins: Int = 256): DataFrame = {
-    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(hi >= lo, s"need hi >= lo, got [$lo, $hi]")
     require(bins >= 1, s"need bins >= 1, got $bins")
-    val w = (hi - lo) / bins
+    // degenerate range (constant column / single row): every value lands in
+    // bin 0 — the trivial one-bin histogram, not an error. Math.ulp keeps
+    // the width positive so the floor below stays finite.
+    val w = if (hi > lo) (hi - lo) / bins else Math.ulp(if (hi == 0.0) 1.0 else hi)
     val bin = F.least(
       F.greatest(F.floor((F.col(valueCol).cast("double") - lo) / w), F.lit(0L)),
       F.lit(bins - 1L)).cast("long")
@@ -223,10 +226,14 @@ object Sketch {
       .groupBy("bin").agg(F.count(F.lit(1)).as("counter"))
   }
 
-  /** Exact (lo, hi) bounds for [[histogramBins]] — one aggregation. */
+  /** Exact (lo, hi) bounds for [[histogramBins]] — one aggregation. An
+    * empty (or all-null) column has no bounds: fail with a clear contract
+    * error instead of the NPE `getDouble` would throw on the null cells. */
   def bounds(df: DataFrame, valueCol: String): (Double, Double) = {
     val r = df.agg(F.min(F.col(valueCol).cast("double")),
       F.max(F.col(valueCol).cast("double"))).first()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"bounds($valueCol): input has no non-null rows")
     (r.getDouble(0), r.getDouble(1))
   }
 

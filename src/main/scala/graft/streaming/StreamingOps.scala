@@ -196,6 +196,14 @@ object StreamingOps {
     * everything fits one batch). */
   def streamingDedup(df0: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame = {
+    // a streaming frame NEEDS the event-time column (the watermark bounds
+    // the state store); fail with the contract, not a downstream
+    // missing-column analysis error. Batch frames legitimately dedup
+    // without one (one batch = one watermark horizon), so tsCol is
+    // optional there — the paths diverge on purpose, loudly.
+    require(!df0.isStreaming || df0.columns.contains(tsCol),
+      s"streamingDedup on a streaming frame requires event-time column '$tsCol' " +
+        s"(present: ${df0.columns.mkString(", ")})")
     val df = if (df0.columns.contains(tsCol)) graft.core.Ops.ensureTimestamp(df0, tsCol) else df0
     if (df.isStreaming)
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)

@@ -115,8 +115,18 @@ object Dsir {
   def resample(weights: DataFrame, k: Int, idCol: String = "doc_id",
       seed: Long = 11, temperature: Double = 1.0): DataFrame = {
     require(temperature > 0, s"temperature must be positive: $temperature")
-    val u = PortableHash.uniform(seed, F.col(idCol))
-    // u in [0,1): flip to (0,1] so ln never sees 0
+    val u0 = PortableHash.uniform(seed, F.col(idCol))
+    // Clamp u into [2^-53, 1-2^-53] before the double log: the raw hash
+    // uniform is a multiple of 2^-60 in [0,1), and BOTH tails break the
+    // Gumbel key in IEEE arithmetic — u=0 makes the inner ln(1-u)=ln(1)=0
+    // so the outer ln sees 0 (Spark returns NULL, which the bounded top-k
+    // heap's non-null contract then silently drops), and any u close enough
+    // to 1 that 1-u rounds to 1.0 hits the same ln(0) from the other side.
+    // 2^-53 is the smallest clamp where 1-u is still exactly representable
+    // below 1, so both lns stay finite and nonzero. Constants are built
+    // arithmetically (1/2^53) so the oracle SQL mirrors them bit-exactly.
+    val lo = F.lit(1.0) / F.lit(9007199254740992.0) // 2^-53, exact
+    val u = F.least(F.greatest(u0, lo), F.lit(1.0) - lo)
     val key = (F.col("log_weight") / temperature) -
       F.log(-F.log(F.lit(1.0) - u))
     // global top-k via the O(k)-state bounded heap (map-side partials,

@@ -151,6 +151,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("keyedCumsum: SIGNED deltas match the per-key window sum") {
+    // the round-8 advisor caught that the old min(cum − value) offset was
+    // only correct for non-negative values; the min_by-on-position offset
+    // must match the window oracle when within-key prefixes dip negative
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(i =>
+      (s"k${rnd.nextInt(5)}", i.toLong, (rnd.nextInt(41) - 20).toLong))
+    val df = rows.toDF("k", "id", "v").repartition(7)
+    val got = Ops.keyedCumsum(df, Seq("k"), "v", "cum", $"id".asc)
+      .select($"k", $"id", $"cum").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy($"id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = rows.toDF("k", "id", "v")
+      .withColumn("cum", F.sum($"v").over(w))
+      .select($"k", $"id", $"cum").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want)
+    // deterministic dip below the key's own offset: (+1, −5, +2)
+    val dip = Ops.keyedCumsum(
+        Seq(("a", 1L, 1L), ("a", 2L, -5L), ("a", 3L, 2L), ("b", 1L, 10L))
+          .toDF("k", "id", "v"), Seq("k"), "v", "cum", $"id".asc)
+      .select($"k", $"id", $"cum").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(dip == Map(("a", 1L) -> 1L, ("a", 2L) -> -4L, ("a", 3L) -> -2L,
+      ("b", 1L) -> 10L))
+  }
+
   test("keyedCumsum: one giant key among many small ones") {
     val rows = (0 until 300).map(i => ("big", i.toLong, 1L)) ++
       Seq(("a", 0L, 5L), ("z", 0L, 7L))

@@ -210,6 +210,30 @@ class SketchSpec extends SparkSpec {
     assert(bins.values.sum == 6L)
   }
 
+  test("degenerate histogram inputs: constant column → one bin; empty bounds → clear error") {
+    // constant column: bounds gives hi == lo, which must produce the
+    // trivial one-bin histogram instead of a width-zero require failure
+    val const = Seq.fill(37)(4.2).toDF("v")
+    val (lo, hi) = Sketch.bounds(const, "v")
+    assert(lo == hi)
+    val bins = Sketch.histogramBins(const, "v", lo, hi, 16)
+      .as[(Long, Long)].collect().toMap
+    assert(bins == Map(0L -> 37L))
+    // and the quantile walk on that histogram returns the constant
+    val est = Sketch.histogramQuantiles(bins.toSeq.toDF("bin", "counter"),
+      Seq(0.5), lo, hi, 16).as[(Double, Double)].collect().toMap
+    assert(est(0.5) == 4.2)
+    // single row behaves the same
+    val one = Sketch.histogramBins(Seq(7.0).toDF("v"), "v", 7.0, 7.0, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(0L -> 1L))
+    // empty (or all-null) input: a contract error, not an NPE
+    val err = intercept[IllegalArgumentException] {
+      Sketch.bounds(Seq.empty[Double].toDF("v"), "v")
+    }
+    assert(err.getMessage.contains("no non-null rows"))
+  }
+
   test("histogram shard merge equals the whole-stream build, bit-exact") {
     val all = (1 to 900).map(i => (i % 97).toDouble)
     val whole = Sketch.histogramBins(all.toDF("v"), "v", 0.0, 100.0, 64)

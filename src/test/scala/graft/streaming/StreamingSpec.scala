@@ -249,6 +249,15 @@ class StreamingSpec extends SparkSpec {
     val batch = Seq(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:30:00")))
       .toDF("fp", "ts")
     assert(streamingDedup(batch, Seq("fp")).count() == 1)
+    // batch frame WITHOUT the ts column: allowed (one batch = one horizon)
+    assert(streamingDedup(Seq("a", "a", "b").toDF("fp"), Seq("fp")).count() == 2)
+    // streaming frame WITHOUT the ts column: a clear contract error, not a
+    // confusing withWatermark missing-column analysis failure
+    val noTs = MemoryStream[String].toDF().toDF("fp")
+    val err = intercept[IllegalArgumentException] {
+      streamingDedup(noTs, Seq("fp"))
+    }
+    assert(err.getMessage.contains("requires event-time column 'ts'"))
   }
 
   test("foreachBatchRefit merges micro-batches into the batch UCBState") {
