@@ -41,7 +41,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "agg_stats", "window_top_k", "window_cumsum",
     "filter_min_count", "filter_interaction_entries", "filter_entity_days",
-    "join_fallback_merge", "label_encode_transform", "sessionize",
+    "join_fallback_merge", "join_salted", "cdc_apply_changes",
+    "corpus_shuffle", "label_encode_transform", "sessionize",
     "split_ratio", "split_random_next_n",
     "model_pop_rec_predict", "model_item_knn", "model_item_knn_predict",
     "model_assoc_rules", "model_wilson", "model_ucb",

@@ -1369,6 +1369,48 @@ object SparkEntry {
         .select(F.col("event_id"), F.unix_millis(F.col("ts")).as("ts_ms"),
           F.col("sid"), F.col("n_views"))
     }),
+    "join_salted" -> ((s, d) => {
+      // skew-salted equi-join: clicks pick up their user's event stats.
+      // Salting is semantics-preserving by construction, so the oracle
+      // is the PLAIN join — the gate checks the salt split changes
+      // nothing; OpsSpec pins that the salt actually reaches the join
+      // keys and spreads hot keys.
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).as("n_events"),
+        F.sum(F.when(F.col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"))
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id")
+      graft.core.Ops.saltedJoin(clicks, stats, Seq("user_id"),
+          Seq(F.col("event_id")), nSalts = 8)
+        .select("event_id", "user_id", "n_events", "n_clicks")
+    }),
+    "cdc_apply_changes" -> ((s, d) => {
+      // CDC merge: a synthetic change feed over documents — every 4th doc
+      // upserted (v1), every 6th deleted (v2, so it overrides the %12
+      // overlap), every 9th re-inserted under a +500000 id; latest change
+      // per key wins, untouched keys pass through
+      val docs = Tables.documents(s, d)
+      def feed(rows: org.apache.spark.sql.DataFrame, op: String, v: Long) =
+        rows.withColumn("op", F.lit(op)).withColumn("version", F.lit(v))
+      val ups = feed(docs.filter(F.col("doc_id") % 4 === 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))), "upsert", 1L)
+      val dels = feed(docs.filter(F.col("doc_id") % 6 === 0), "delete", 2L)
+      val ins = feed(docs.filter(F.col("doc_id") % 9 === 0)
+        .withColumn("doc_id", F.col("doc_id") + 500000L), "upsert", 1L)
+      graft.core.Ops.applyChanges(docs,
+          ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
+        .select("doc_id", "source", "text")
+    }),
+    "corpus_shuffle" -> ((s, d) =>
+      // deterministic training-order shuffle: every doc gets a stable
+      // (shard, pos) from the portable md5 chain — same seed, same order,
+      // on any layout or engine; the oracle rebuilds the identical
+      // permutation from the same hash
+      graft.core.Ops.deterministicShuffle(
+        Tables.documents(s, d).select("doc_id"), Seq("doc_id"), 11L, 4)
+        .select("doc_id", "shard", "pos")),
     "mixture_temperature" -> ((s, d) => {
       // alpha-sampling (temperature 0.5): target proportions computed
       // FROM the per-source counts, p_s ∝ n_s^0.5 — every double op
@@ -3848,6 +3890,49 @@ object SparkEntry {
         |  r.view_id AS asof_view_id, r.view_value AS asof_view_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // salting is semantics-preserving: the oracle is the PLAIN join
+    "join_salted" ->
+      """WITH stats AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clicks
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, s.n_events, s.n_clicks
+        |FROM events e JOIN stats s USING (user_id)
+        |WHERE e.event_type = 'click'""".stripMargin,
+    // merge-into semantics: latest change per key wins (version desc,
+    // op asc tie-break — mirrors Ops.applyChanges' topK ordering)
+    "cdc_apply_changes" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text || ' v2' AS text, source,
+        |    'upsert' AS op, CAST(1 AS BIGINT) AS version
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, source, 'delete', CAST(2 AS BIGINT)
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text, source, 'upsert', CAST(1 AS BIGINT)
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |latest AS (
+        |  SELECT doc_id, text, source, op FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY version DESC, op ASC) AS rn
+        |    FROM changes) WHERE rn = 1)
+        |SELECT b.doc_id, b.source, b.text FROM documents b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
+        |UNION ALL
+        |SELECT doc_id, source, text FROM latest WHERE op = 'upsert'""".stripMargin,
+    // the identical md5-chain permutation, rebuilt oracle-side
+    "corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 4 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY hv % 4 ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     // alpha-sampling: target computed from counts, normalization via a
     // sorted-order left fold (float-sum order, the r6 lesson).
     "mixture_temperature" ->

@@ -439,4 +439,123 @@ object Ops {
       .filter(F.unix_micros(F.col(ts)).between(F.col("_rj_s"), F.col("_rj_e")))
       .select((leftCols ++ valueCols).map(F.col): _*)
   }
+
+  /** Skew-salted equi-join: result-identical to `left.join(right, keys,
+    * joinType)` but no single reducer ever holds one hot key's whole left
+    * side. The left (big, skewed) side gets a deterministic per-row salt
+    * in [0, nSalts) hashed from `saltBy` (any column(s) that vary within a
+    * key — an event id, a timestamp); the right side is replicated nSalts×
+    * with every salt value, so each (key, salt) bucket still sees the full
+    * right rows for its key and the join stays exact. Hot keys spread over
+    * nSalts reducers at the price of an nSalts× right-side replication —
+    * the classic salting trade, worth it when |right per key| ≪ |left per
+    * key| (dimension lookups, per-entity aggregates).
+    *
+    * Only left-preserving join types are legal: an unmatched LEFT row
+    * appears once (its single salt bucket), but an unmatched RIGHT row
+    * exists in all nSalts replicas — right/full outer would emit it
+    * nSalts times. AQE's skew-join split solves the same problem
+    * opportunistically at runtime; this is the declarative form for when
+    * the skew is known (and it composes with AQE on the residual salt
+    * buckets). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltBy: Seq[Column], nSalts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin preserves only the LEFT side; '$joinType' would emit " +
+        s"unmatched right rows once per salt replica")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs may not contain a _salt column")
+    val l = left.withColumn("_salt",
+      F.pmod(F.xxhash64(saltBy: _*), F.lit(nSalts.toLong)))
+    val r = right.withColumn("_salt",
+      F.explode(F.sequence(F.lit(0L), F.lit(nSalts - 1L))))
+    l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** CDC merge: apply a change feed (upserts + deletes) to a base
+    * snapshot and return the new snapshot. `changes` carries the base
+    * schema plus `opCol` ("upsert" | "delete") and `orderCol` (a version /
+    * commit sequence; (keys, orderCol) must be unique — pre-aggregate a
+    * feed that can carry two changes of one key at one version). Per key
+    * the LATEST change wins: a final upsert replaces (or inserts) the
+    * row, a final delete removes it; keys without changes pass through.
+    *
+    * Scale: one keyed shuffle to pick each key's last change (the O(k)
+    * per-group window, k=1), one anti-join of base against the changed
+    * key set, one union — the merge-into shape, no driver state. Output
+    * schema = base schema. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      orderCol: String, opCol: String = "op"): DataFrame = {
+    val baseCols = base.columns.toSeq
+    require(keys.forall(baseCols.contains),
+      s"keys ${keys.mkString(",")} must exist in base")
+    require(changes.columns.contains(opCol) && changes.columns.contains(orderCol),
+      s"changes needs '$opCol' and '$orderCol' columns")
+    val latest = topK(changes, keys,
+      Seq(F.col(orderCol).desc, F.col(opCol).asc), 1)
+    base.join(latest.select(keys.map(F.col): _*), keys, "left_anti")
+      .unionByName(latest.filter(F.col(opCol) === "upsert")
+        .select(baseCols.map(F.col): _*))
+  }
+
+  /** Deterministic corpus shuffle for training-order randomization: every
+    * row gets a stable (shard, pos) — `shard` = portable-hash(seed, id) mod
+    * nShards, `pos` = the row's 1-based rank within its shard under the
+    * hash order. Same (seed, ids) → byte-identical epoch order on any
+    * cluster layout, any partitioning, any engine (the md5 chain is the
+    * DuckDB-mirrorable one used by every sampler gate); a new seed is a
+    * fresh epoch permutation. Dataloaders read shard s in pos order.
+    *
+    * Scale: ranks come from ONE range shuffle on (shard, hash, id) via
+    * [[globalRowNumber]] (no single-partition window — a shard can span
+    * the corpus), then each shard's offset is subtracted via an
+    * nShards-row broadcast join. `idCols` must uniquely identify rows
+    * (they tie-break equal hashes). */
+  def deterministicShuffle(df: DataFrame, idCols: Seq[String], seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    require(Seq("_dsh", "_dsrank", "shard", "pos").forall(!df.columns.contains(_)),
+      "input may not contain _dsh/_dsrank/shard/pos columns")
+    val hashed = df
+      .withColumn("_dsh", PortableHash.long(seed, idCols.map(F.col): _*))
+      .withColumn("shard", F.pmod(F.col("_dsh"), F.lit(nShards.toLong)))
+    val ranked = globalRowNumber(hashed, "_dsrank",
+      (Seq(F.col("shard").asc, F.col("_dsh").asc) ++
+        idCols.map(F.col(_).asc)): _*)
+    val offsets = ranked.groupBy("shard")
+      .agg(F.min(F.col("_dsrank")).as("_dsoff"))
+    ranked.join(F.broadcast(offsets), Seq("shard"))
+      .withColumn("pos", F.col("_dsrank") - F.col("_dsoff") + 1L)
+      .drop("_dsh", "_dsrank", "_dsoff")
+  }
+
+  /** Size-targeted compacting parquet writer — the small-files/giant-files
+    * answer at 100 TB (a 1000-executor job writing one file per reduce
+    * task produces millions of KB files; a coalesce(1) produces one
+    * unsplittable monster). Partition count = ceil(estimated on-disk
+    * bytes / targetFileBytes), estimated from the optimized plan's
+    * sizeInBytes × `compressionRatio` (in-memory → parquet-on-disk;
+    * ~0.3 for text-heavy tables, tune per corpus). With `sortCols` the
+    * data is RANGE-partitioned and sorted within files, so each file
+    * covers a disjoint key range and min/max footer stats prune whole
+    * files on that key (zone-map layout); without, a plain round-robin
+    * repartition balances bytes. Returns the file count written. */
+  def writeCompacted(df: DataFrame, path: String, targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[Column] = Nil, compressionRatio: Double = 0.3): Int = {
+    require(targetFileBytes > 0, s"need targetFileBytes > 0: $targetFileBytes")
+    require(compressionRatio > 0, s"need compressionRatio > 0: $compressionRatio")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble *
+      compressionRatio
+    val nFiles = math.max(1, math.ceil(estBytes / targetFileBytes).toInt)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else df.repartition(nFiles)
+    shaped.write.mode("overwrite").parquet(path)
+    nFiles
+  }
 }

@@ -187,4 +187,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("topk_bounded") || plan.contains("ObjectHashAggregate"),
       s"expected the bounded top-k crop, got:\n${plan.take(800)}")
   }
+
+  test("salted join: salt in the join keys, no cartesian, left scan stays pruned") {
+    val plan = optimizedPlan("join_salted")
+    assert(plan.contains("_salt"), "salt column must reach the physical join keys")
+    assert(!plan.contains("CartesianProduct"), "salting must stay an equi-join")
+    // events has 6 columns; the click side needs only event_id/user_id/event_type
+    assert(!plan.contains("props"), "unused events column read from scan")
+  }
+
+  test("CDC apply-changes: latest-pick lowers to WindowGroupLimit; base anti-join stays equi") {
+    val plan = optimizedPlan("cdc_apply_changes")
+    assert(plan.contains("WindowGroupLimit"),
+      "latest-change pick should lower to the rank-limit operator")
+    assert(!plan.contains("CartesianProduct"), "anti-join must stay equi on keys")
+  }
+
+  test("corpus shuffle: zipWithIndex ranks + broadcast shard offsets, no global window") {
+    val plan = optimizedPlan("corpus_shuffle")
+    // the scale hazard would be Window.orderBy with no partitioning; the
+    // rank comes from the range-partition + zipWithIndex pass instead
+    // (its range exchange lives in the RDD lineage under ExistingRDD)
+    assert(!plan.contains("Window"), s"global window leaked into the shuffle plan:\n${plan.take(600)}")
+    assert(plan.contains("ExistingRDD"), "expected the zipWithIndex rank pass")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "the nShards-row offsets frame should broadcast, not shuffle the corpus")
+  }
 }

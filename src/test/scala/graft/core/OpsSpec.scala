@@ -191,4 +191,134 @@ class OpsSpec extends SparkSpec {
     assert(got.find(_._1 == "a").get._4 == 5L)
     assert(got.find(_._1 == "z").get._4 == 7L)
   }
+
+  // ---- saltedJoin -------------------------------------------------------
+
+  // skewed fixture: key 7 holds half the left side
+  private def skewLeft = (0 until 400).map { i =>
+    (if (i % 2 == 0) 7L else (i % 40).toLong, i.toLong)
+  }.toDF("k", "row_id").repartition(6)
+  private def skewRight = (0 until 40).map(k => (k.toLong, s"dim$k"))
+    .toDF("k", "payload")
+
+  test("saltedJoin: inner/left/semi/anti all equal the unsalted join") {
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = skewLeft.join(skewRight, Seq("k"), jt)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val salted = Ops.saltedJoin(skewLeft, skewRight, Seq("k"),
+          Seq($"row_id"), nSalts = 8, joinType = jt)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(salted == plain, s"joinType=$jt diverged")
+    }
+    // unmatched left key under LEFT join appears exactly once
+    val lonely = Seq((999L, 0L)).toDF("k", "row_id")
+    assert(Ops.saltedJoin(lonely, skewRight, Seq("k"), Seq($"row_id"),
+      nSalts = 8, joinType = "left").count() == 1)
+  }
+
+  test("saltedJoin: salt reaches the join keys; hot key spreads across salts") {
+    val salted = skewLeft.withColumn("_salt",
+      F.pmod(F.xxhash64($"row_id"), F.lit(8L)))
+    val spread = salted.filter($"k" === 7L).select("_salt").distinct().count()
+    assert(spread >= 6, s"hot key used only $spread of 8 salt buckets")
+    // and the operator's plan joins on k AND _salt (the skew split is real)
+    val plan = Ops.saltedJoin(skewLeft, skewRight, Seq("k"), Seq($"row_id"),
+      nSalts = 8).queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), s"no _salt in join plan:\n$plan")
+  }
+
+  test("saltedJoin rejects right-preserving join types and salt collisions") {
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(skewLeft, skewRight, Seq("k"), Seq($"row_id"),
+        joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(skewLeft.withColumn("_salt", F.lit(1)), skewRight,
+        Seq("k"), Seq($"row_id"))
+    }
+  }
+
+  // ---- applyChanges -----------------------------------------------------
+
+  test("applyChanges: latest change wins; upsert/delete/insert/passthrough") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val changes = Seq(
+      (1L, "a2", "upsert", 10L),  // update
+      (2L, "x", "upsert", 10L),   // overridden by the later delete
+      (2L, "gone", "delete", 20L),
+      (3L, "zzz", "delete", 10L), // deleted then RE-upserted later
+      (3L, "c3", "upsert", 20L),
+      (5L, "e", "upsert", 10L),   // insert (key not in base)
+      // key 4 untouched → passthrough
+    ).toDF("id", "v", "op", "version")
+    val out = Ops.applyChanges(base, changes, Seq("id"), "version")
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assertSameRows(out, Seq((1L, "a2"), (3L, "c3"), (4L, "d"), (5L, "e")))
+  }
+
+  test("applyChanges on an empty feed is the identity") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val empty = Seq.empty[(Long, String, String, Long)]
+      .toDF("id", "v", "op", "version")
+    assertSameRows(Ops.applyChanges(base, empty, Seq("id"), "version"),
+      Seq((1L, "a")))
+  }
+
+  // ---- deterministicShuffle --------------------------------------------
+
+  test("deterministicShuffle: layout-independent, dense per-shard positions, seed changes the order") {
+    val docs = (0 until 500).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text")
+    val a = Ops.deterministicShuffle(docs.repartition(7), Seq("doc_id"), 11L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = Ops.deterministicShuffle(docs.repartition(2), Seq("doc_id"), 11L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, "shuffle order depends on input partitioning")
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong),
+        s"shard $shard positions not dense")
+    }
+    // shards are reasonably balanced (uniform hash: each ≈125 of 500)
+    val sizes = a.groupBy(_._2).map(_._2.size)
+    assert(sizes.min > 80 && sizes.max < 170, s"shard sizes $sizes")
+    // a different seed is a different permutation
+    val c = Ops.deterministicShuffle(docs, Seq("doc_id"), 12L, 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a != c, "seed does not change the epoch order")
+  }
+
+  // ---- writeCompacted ---------------------------------------------------
+
+  test("writeCompacted: file sizing + disjoint sorted ranges + round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("compacted").toString
+    val df = (0 until 2000).map(i => ((i * 37 % 2000).toLong, "x" * 50))
+      .toDF("id", "pad")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+    val target = (est * 0.3 / 4).toLong // aim for ~4 files
+    val n = Ops.writeCompacted(df, s"$dir/t", targetFileBytes = target,
+      sortCols = Seq($"id".asc))
+    assert(n >= 3 && n <= 5, s"expected ~4 files, planned $n")
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == n)
+    // round trip preserves the data
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 2000 &&
+      back.agg(F.sum("id")).first().getLong(0) ==
+        df.agg(F.sum("id")).first().getLong(0))
+    // range layout: per-file [min,max] id spans are pairwise disjoint, so
+    // footer stats prune whole files on an id predicate
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(F.min("id"), F.max("id")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $spans")
+      case _ =>
+    }
+  }
 }
