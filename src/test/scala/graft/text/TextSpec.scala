@@ -815,4 +815,41 @@ class TextSpec extends SparkSpec {
     val r = TextStats.corpusReport(corpus).collect()
     assert(r.length == 1 && r(0).getString(9) == "de")
   }
+
+  test("large-star/small-star CC equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val viaLabels = Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = Dedup.connectedComponentsLS(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaLabels, s"trial $trial diverged")
+    }
+  }
+
+  test("LS converges in O(log n) rounds on a chain where min-label needs diameter") {
+    // a 200-node chain: min-label propagation moves labels ONE hop per
+    // round (needs ~200 rounds — far past its maxIter); the star
+    // alternation contracts it in ~log2(200) ≈ 8
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsLS(chain, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 200 && cc.forall(_._2 == 0L),
+      s"chain not collapsed to component 0 within 12 star rounds")
+  }
+
+  test("LS CC: empty edges, single edge, two components") {
+    assert(Dedup.connectedComponentsLS(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+    assert(Dedup.connectedComponentsLS(Seq((5L, 2L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap == Map(5L -> 2L, 2L -> 2L))
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsLS(two).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
