@@ -1415,6 +1415,22 @@ object SparkEntry {
           ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
         .select("doc_id", "source", "text")
     }),
+    "cdc_changes_between" -> ((s, d) => {
+      // the inverse: diff two snapshots into the minimal replayable feed
+      // (next = every 7th doc dropped, every 3rd edited, every 11th
+      // re-added under +100000; output ∝ churn). OpsSpec pins the
+      // round-trip law applyChanges(base, changesBetween(base,next)) ≡ next
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val next = docs.filter(F.col("doc_id") % 7 =!= 0)
+        .select(F.col("doc_id"), F.col("source"),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text")).as("text"))
+        .unionAll(docs.filter(F.col("doc_id") % 11 === 0)
+          .select((F.col("doc_id") + 100000L).as("doc_id"),
+            F.col("source"), F.col("text")))
+      graft.core.Ops.changesBetween(docs, next, Seq("doc_id"))
+    }),
     "corpus_shuffle" -> ((s, d) =>
       // deterministic training-order shuffle: every doc gets a stable
       // (shard, pos) from the portable md5 chain — same seed, same order,
@@ -3934,6 +3950,29 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
         |UNION ALL
         |SELECT doc_id, source, text FROM latest WHERE op = 'upsert'""".stripMargin,
+    // snapshot diff → minimal CDC feed via one full outer join
+    "cdc_changes_between" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        |nxt AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+        |    b.source AS bs, b.text AS bt, n.source AS ns, n.text AS nt,
+        |    b.doc_id IS NOT NULL AS in_b, n.doc_id IS NOT NULL AS in_n
+        |  FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT in_n THEN bs ELSE ns END AS source,
+        |  CASE WHEN NOT in_n THEN bt ELSE nt END AS text,
+        |  CASE WHEN NOT in_n THEN 'delete' ELSE 'upsert' END AS op,
+        |  CAST(1 AS BIGINT) AS version
+        |FROM j
+        |WHERE (NOT in_b) OR (NOT in_n)
+        |   OR bs IS DISTINCT FROM ns OR bt IS DISTINCT FROM nt""".stripMargin,
     // the identical md5-chain permutation, rebuilt oracle-side
     "corpus_shuffle" ->
       """WITH h AS (

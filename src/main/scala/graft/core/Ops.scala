@@ -502,6 +502,42 @@ object Ops {
         .select(baseCols.map(F.col): _*))
   }
 
+  /** Inverse of [[applyChanges]]: diff two snapshots of a keyed table into
+    * the minimal CDC feed that replays one into the other —
+    * `applyChanges(base, changesBetween(base, next), keys, "version")`
+    * equals `next` exactly (spec'd as a law). Emits one row per changed
+    * key: op = "upsert" for keys added or whose non-key payload differs
+    * (payload = next's row), "delete" for keys that vanished; unchanged
+    * keys emit nothing. All versions are 1 — a single-snapshot diff is
+    * one atomic commit.
+    *
+    * Scale: ONE full outer join on the keys with a struct-equality
+    * filter; output ∝ churn, not table size. The struct comparison is
+    * null-safe (`<=>`), so NULL payload cells compare as equal to NULL. */
+  def changesBetween(base: DataFrame, next: DataFrame, keys: Seq[String],
+      opCol: String = "op", versionCol: String = "version"): DataFrame = {
+    require(base.columns.toSeq == next.columns.toSeq,
+      s"snapshots must share a schema: ${base.columns.mkString(",")} vs " +
+        next.columns.mkString(","))
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, side: String): DataFrame = df.select(
+      (keys.map(F.col) :+
+        F.struct(payload.map(F.col): _*).as(s"_pay_$side")) ++
+        Seq(F.lit(true).as(s"_in_$side")): _*)
+    val joined = packed(base, "b").join(packed(next, "n"), keys, "full_outer")
+    val added = F.col("_in_b").isNull
+    val removed = F.col("_in_n").isNull
+    val altered = F.col("_in_b").isNotNull && F.col("_in_n").isNotNull &&
+      !(F.col("_pay_b") <=> F.col("_pay_n"))
+    joined.filter(added || removed || altered)
+      .select((keys.map(F.col) ++
+        payload.map(c => F.when(removed, F.col(s"_pay_b.$c"))
+          .otherwise(F.col(s"_pay_n.$c")).as(c)) ++
+        Seq(F.when(removed, F.lit("delete")).otherwise(F.lit("upsert"))
+          .as(opCol),
+          F.lit(1L).as(versionCol))): _*)
+  }
+
   /** Deterministic corpus shuffle for training-order randomization: every
     * row gets a stable (shard, pos) — `shard` = portable-hash(seed, id) mod
     * nShards, `pos` = the row's 1-based rank within its shard under the

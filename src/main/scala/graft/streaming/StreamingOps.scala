@@ -360,4 +360,42 @@ object StreamingOps {
       }
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Incremental snapshot maintenance from a CDC stream: each micro-batch
+    * of changes (base schema + op/version, the [[graft.core.Ops.applyChanges]]
+    * contract) merges into the parquet snapshot at `snapshotPath` and the
+    * result replaces it atomically (write to `.next`, then swap). The
+    * streaming twin of Delta-style MERGE INTO maintained with plain
+    * parquet: after every batch, `snapshotPath` equals a batch
+    * `applyChanges` replay of all changes so far — spec'd against exactly
+    * that twin. Within one micro-batch, cross-batch ordering rides on
+    * `versionCol` (later batches carry later versions; the per-batch merge
+    * already resolves intra-batch races by version desc). */
+  def streamingApplyChanges(changes: DataFrame, snapshotPath: String,
+      keys: Seq[String], versionCol: String = "version",
+      opCol: String = "op"): StreamingQuery = {
+    require(changes.isStreaming, "streamingApplyChanges needs a streaming frame")
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val base = spark.read.parquet(snapshotPath)
+            // materialize the read: the swap below deletes these files
+            // before the merged plan would otherwise re-scan them
+            .localCheckpoint(true)
+          val merged = graft.core.Ops.applyChanges(
+            base, batch, keys, versionCol, opCol)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val next = new org.apache.hadoop.fs.Path(snapshotPath + ".next")
+          val cur = new org.apache.hadoop.fs.Path(snapshotPath)
+          merged.write.mode("overwrite").parquet(next.toString)
+          fs.delete(cur, true)
+          fs.rename(next, cur)
+        }
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+  }
 }

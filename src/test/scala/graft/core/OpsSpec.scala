@@ -265,6 +265,30 @@ class OpsSpec extends SparkSpec {
       Seq((1L, "a")))
   }
 
+  test("changesBetween ∘ applyChanges is the identity (round-trip law)") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0),
+      (4L, "d", 40.0)).toDF("id", "name", "score")
+    // next: 1 altered, 2 removed, 3 unchanged (null payload cell), 5 added
+    val next = Seq((1L, "a2", 10.0), (3L, null.asInstanceOf[String], 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)).toDF("id", "name", "score")
+    val feed = Ops.changesBetween(base, next, Seq("id"))
+    // minimal: only the 3 churned keys appear
+    assert(feed.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    assert(feed.filter($"op" === "delete").select("id").as[Long].collect()
+      .toSeq == Seq(2L))
+    val replayed = Ops.applyChanges(base, feed, Seq("id"), "version")
+    assert(replayed.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+      next.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+  }
+
+  test("changesBetween: identical snapshots diff to empty; schema mismatch rejected") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    assert(Ops.changesBetween(base, base, Seq("id")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Ops.changesBetween(base, Seq((1L, "a")).toDF("id", "other"), Seq("id"))
+    }
+  }
+
   // ---- deterministicShuffle --------------------------------------------
 
   test("deterministicShuffle: layout-independent, dense per-shard positions, seed changes the order") {

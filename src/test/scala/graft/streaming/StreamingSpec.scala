@@ -260,6 +260,35 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("requires event-time column 'ts'"))
   }
 
+  test("streamingApplyChanges: the parquet snapshot equals the batch replay after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdcsnap").toString
+    val snap = s"$dir/snapshot"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    base.write.parquet(snap)
+    val input = MemoryStream[(Long, String, String, Long)]
+    val changes = input.toDF().toDF("id", "v", "op", "version")
+    val q = StreamingOps.streamingApplyChanges(changes, snap, Seq("id"))
+    def snapshot() = spark.read.parquet(snap).as[(Long, String)]
+      .collect().sorted.toSeq
+    // batch 1: update 1, delete 2, insert 4
+    val b1 = Seq((1L, "a2", "upsert", 10L), (2L, "", "delete", 10L),
+      (4L, "d", "upsert", 10L))
+    input.addData(b1: _*); q.processAllAvailable()
+    assert(snapshot() == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    // batch 2: re-insert 2, delete 4 — cumulative replay still matches
+    val b2 = Seq((2L, "b2", "upsert", 20L), (4L, "", "delete", 20L))
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val replay = graft.core.Ops.applyChanges(
+      graft.core.Ops.applyChanges(base, b1.toDF("id", "v", "op", "version"),
+        Seq("id"), "version"),
+      b2.toDF("id", "v", "op", "version"), Seq("id"), "version")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(snapshot() == replay)
+    assert(snapshot() == Seq((1L, "a2"), (2L, "b2"), (3L, "c")))
+  }
+
   test("foreachBatchRefit merges micro-batches into the batch UCBState") {
     import graft.models.UCBState
     implicit val sqlCtx = spark.sqlContext
