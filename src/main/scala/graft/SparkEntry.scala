@@ -1415,6 +1415,33 @@ object SparkEntry {
           ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
         .select("doc_id", "source", "text")
     }),
+    "text_quality_percentile" -> ((s, d) => {
+      // corpus-relative percentile of a quality proxy (token count) over a
+      // total order — percent_rank semantics WITHOUT the single-partition
+      // global window (range shuffle + zipWithIndex ranks)
+      val scored = Tables.documents(s, d).select(F.col("doc_id"),
+        graft.text.TextStats.tokenCount(F.col("text")).as("n_tokens"))
+      graft.core.Ops.percentileRank(scored, "pct",
+        F.col("n_tokens").asc, F.col("doc_id").asc)
+    }),
+    "sample_stratified" -> ((s, d) =>
+      // exact stratified carve-out: ceil(0.2 · n) docs per source, picked
+      // by portable-hash rank — deterministic counts, unlike Bernoulli
+      // sampleBy
+      graft.text.Mixing.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "source"),
+        Seq("source"), frac = 0.2, idCols = Seq("doc_id"))),
+    "sample_negatives" -> ((s, d) => {
+      // uniform negative sampling: 3 never-seen items per query, uniform
+      // without replacement via the equal-weight E–S draw (RandomRec
+      // machinery: threshold pre-crop + bounded heap + seen anti-join)
+      val i = Tables.interactions(s, d)
+      val negs = models.Negatives.sample(i, n = 3, seed = 13)
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("rating").desc, F.col("item_id").asc)
+      negs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "item_id", "neg_rank")
+    }),
     "cdc_changes_between" -> ((s, d) => {
       // the inverse: diff two snapshots into the minimal replayable feed
       // (next = every 7th doc dropped, every 3rd edited, every 11th
@@ -3950,6 +3977,42 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
         |UNION ALL
         |SELECT doc_id, source, text FROM latest WHERE op = 'upsert'""".stripMargin,
+    // percent_rank over a unique total order == (row_number−1)/(n−1)
+    "text_quality_percentile" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  percent_rank() OVER (
+        |    ORDER BY len(string_split_regex(trim(text), '\s+')), doc_id) AS pct
+        |FROM documents""".stripMargin,
+    // exact per-stratum counts: ceil(frac · n) by md5-chain rank
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM r
+        |WHERE rn <= CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)""".stripMargin,
+    // uniform E–S draw: wt = 1, same md5 chain as model_random_rec
+    "sample_negatives" ->
+      s"""$interactionsSql,
+         |items AS (SELECT DISTINCT item_id FROM interactions),
+         |scored AS (
+         |  SELECT q.query_id, i.item_id,
+         |    ln((('0x' || substr(md5('13:' || CAST(q.query_id AS VARCHAR) || ':'
+         |           || CAST(i.item_id AS VARCHAR)), 1, 15))::BIGINT
+         |         / 1152921504606846976.0) + 1e-18) AS rating
+         |  FROM (SELECT DISTINCT query_id FROM interactions) q CROSS JOIN items i),
+         |unseen AS (
+         |  SELECT s.* FROM scored s ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
+         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
+         |SELECT query_id, item_id, neg_rank FROM (
+         |  SELECT query_id, item_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS neg_rank
+         |  FROM unseen) WHERE neg_rank <= 3""".stripMargin,
     // snapshot diff → minimal CDC feed via one full outer join
     "cdc_changes_between" ->
       """WITH base AS (SELECT doc_id, source, text FROM documents),

@@ -502,6 +502,25 @@ object Ops {
         .select(baseCols.map(F.col): _*))
   }
 
+  /** Corpus-relative percentile rank in [0, 1] over a TOTAL order —
+    * SQL `percent_rank()` ((rank−1)/(n−1), 0 when n=1) without the
+    * single-partition global window: ranks via [[globalRowNumber]]
+    * (range shuffle + zipWithIndex), n via one scalar aggregate. `order`
+    * must be total (include a unique tie-break); with a total order
+    * row_number ≡ rank, so the result matches `percent_rank()` over the
+    * same ORDER BY exactly. The standard corpus-relative normalization
+    * for quality scores (select "top 30% by quality" without knowing the
+    * score scale). */
+  def percentileRank(df: DataFrame, outCol: String, order: Column*): DataFrame = {
+    val n = df.count()
+    val ranked = globalRowNumber(df, "_pr", order: _*)
+    val out =
+      if (n <= 1L) ranked.withColumn(outCol, F.lit(0.0))
+      else ranked.withColumn(outCol,
+        (F.col("_pr") - 1L).cast("double") / F.lit((n - 1).toDouble))
+    out.drop("_pr")
+  }
+
   /** Inverse of [[applyChanges]]: diff two snapshots of a keyed table into
     * the minimal CDC feed that replays one into the other —
     * `applyChanges(base, changesBetween(base, next), keys, "version")`

@@ -92,4 +92,30 @@ object Mixing {
         "cum_tokens", F.col("quality").desc, F.col(idCol).asc)
       .filter(F.col("cum_tokens") <= budgetTokens)
   }
+
+  /** EXACT stratified sampling: per stratum keep exactly
+    * ceil(frac · n_stratum) rows, chosen by portable-hash rank — unlike
+    * `df.sampleBy` (Bernoulli per row, count only in expectation), the
+    * per-stratum counts are deterministic and the pick is reproducible
+    * across cluster layouts and engines (the md5 chain). The standard
+    * "hold out exactly 1% of every domain" shape for eval carve-outs.
+    *
+    * Scale: one rank window partitioned by the strata — sorts only within
+    * each stratum partition (the [[sampleToMixture]] shape; a single
+    * stratum spanning half the corpus sorts in one task — split such a
+    * stratum's key upstream if that bites). `idCols` must uniquely
+    * identify rows within a stratum. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], frac: Double,
+      idCols: Seq[String], seed: Long = 13): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val w = Window.partitionBy(strataCols.map(F.col): _*)
+    val ordered = w.orderBy(
+      (graft.core.PortableHash.long(seed, idCols.map(F.col): _*).asc +:
+        idCols.map(F.col(_).asc)): _*)
+    df.withColumn("_ssr", F.row_number().over(ordered).cast("long"))
+      .withColumn("_ssn", F.count(F.lit(1)).over(w))
+      .filter(F.col("_ssr") <=
+        F.ceil(F.lit(frac) * F.col("_ssn").cast("double")))
+      .drop("_ssr", "_ssn")
+  }
 }

@@ -265,6 +265,21 @@ class OpsSpec extends SparkSpec {
       Seq((1L, "a")))
   }
 
+  test("percentileRank equals percent_rank over the same total order") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "score").repartition(5)
+    val got = Ops.percentileRank(df, "pct", $"score".asc, $"id".asc)
+      .select($"id", $"pct").as[(Long, Double)].collect().toMap
+    val want = df.withColumn("pct", F.percent_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"score".asc, $"id".asc)))
+      .select($"id", $"pct").as[(Long, Double)].collect().toMap
+    assert(got == want)
+    // single row → 0.0
+    assert(Ops.percentileRank(Seq((1L, 5L)).toDF("id", "score"), "pct",
+      $"score".asc).select("pct").as[Double].head() == 0.0)
+  }
+
   test("changesBetween ∘ applyChanges is the identity (round-trip law)") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0),
       (4L, "d", 40.0)).toDF("id", "name", "score")

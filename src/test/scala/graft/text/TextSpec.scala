@@ -816,6 +816,23 @@ class TextSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getString(9) == "de")
   }
 
+  test("stratifiedSample: exact ceil(frac·n) per stratum, layout-independent") {
+    val rows = (0 until 100).map(i => (i.toLong, s"src${i % 3}"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Mixing.stratifiedSample(df.repartition(7), Seq("source"), 0.2,
+      Seq("doc_id")).as[(Long, String)].collect().toSet
+    // strata sizes: src0=34, src1=33, src2=33 → ceil(0.2·n) = 7, 7, 7
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc == Map("src0" -> 7, "src1" -> 7, "src2" -> 7), bySrc.toString)
+    // deterministic: same picks on a different layout
+    val again = Mixing.stratifiedSample(df.repartition(2), Seq("source"), 0.2,
+      Seq("doc_id")).as[(Long, String)].collect().toSet
+    assert(got == again)
+    // frac = 1 keeps everything
+    assert(Mixing.stratifiedSample(df, Seq("source"), 1.0, Seq("doc_id"))
+      .count() == 100)
+  }
+
   test("large-star/small-star CC equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
