@@ -1466,6 +1466,47 @@ object SparkEntry {
       graft.core.Ops.deterministicShuffle(
         Tables.documents(s, d).select("doc_id"), Seq("doc_id"), 11L, 4)
         .select("doc_id", "shard", "pos")),
+    "split_walk_forward" -> ((s, d) =>
+      // equal-count time buckets for expanding-window backtests — exact
+      // Long arithmetic (div), tie-safe (rows sharing a ts share a
+      // bucket), distributed prefix-sum ranks
+      graft.splitters.TimeSplitter.walkForwardBuckets(
+          Tables.events(s, d).select("event_id", "ts"), k = 5, tsCol = "ts")
+        .select(F.col("event_id"), F.col("bucket"))),
+    "join_interval" -> ((s, d) => {
+      // interval×interval overlap join: click sessions × view sessions of
+      // the same user (30-min gap both), binned hash-equi with first-
+      // shared-bin dedup (Ops.intervalJoin) vs DuckDB's plain overlap
+      // predicate join as the oracle
+      val ev = Tables.events(s, d)
+      def sessions(typ: String, p: String) = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(F.col("ts").asc, F.col("event_id").asc)
+        ev.filter(F.col("event_type") === typ)
+          .select("user_id", "ts", "event_id")
+          .withColumn("_prev", F.lag("ts", 1).over(w))
+          .withColumn("_new", F.when(F.col("_prev").isNull ||
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_prev"))
+              >= 1800000000L, 1L).otherwise(0L))
+          .withColumn(s"${p}sid", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", s"${p}sid").agg(
+            F.min("ts").as(s"${p}_start"),
+            // session stays open one gap past its last event (the
+            // join_range convention) — otherwise single-event sessions
+            // are points and the overlap gate is vacuous
+            F.timestamp_micros(F.unix_micros(F.max("ts")) + 1800000000L)
+              .as(s"${p}_end"),
+            F.count(F.lit(1)).as(s"${p}_n"))
+      }
+      graft.core.Ops.intervalJoin(
+          sessions("click", "c"), sessions("view", "v"), "user_id",
+          "c_start", "c_end", "v_start", "v_end", Seq("vsid", "v_n"))
+        .select(F.col("user_id"), F.col("csid"),
+          F.unix_millis(F.col("c_start")).as("cs_ms"),
+          F.unix_millis(F.col("c_end")).as("ce_ms"),
+          F.col("vsid"), F.col("v_n"))
+    }),
     "mixture_temperature" -> ((s, d) => {
       // alpha-sampling (temperature 0.5): target proportions computed
       // FROM the per-source counts, p_s ∝ n_s^0.5 — every double op
@@ -3933,6 +3974,41 @@ object SparkEntry {
         |FROM events l JOIN sess s
         |  ON l.user_id = s.user_id AND l.ts BETWEEN s.s_start AND s.s_end
         |WHERE l.event_type = 'click'""".stripMargin,
+    // bucket = ((cum_at_ts − 1) · k) // n, integer floor division both sides
+    "split_walk_forward" ->
+      """WITH c AS (
+        |  SELECT ts, sum(count(*)) OVER (ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM events GROUP BY ts)
+        |SELECT e.event_id, CAST(((c.cum - 1) * 5) // CAST(
+        |    (SELECT count(*) FROM events) AS BIGINT) AS BIGINT) AS bucket
+        |FROM events e JOIN c ON e.ts = c.ts""".stripMargin,
+    // interval overlap: plain predicate join as the oracle
+    "join_interval" ->
+      """WITH sess AS (
+        |  SELECT event_type, user_id, CAST(sid AS BIGINT) AS sid,
+        |    min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type, user_id, ts,
+        |      sum(CASE WHEN _prev IS NULL
+        |               OR epoch_us(ts) - epoch_us(_prev) >= 1800000000
+        |               THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS sid
+        |    FROM (
+        |      SELECT event_type, user_id, ts, event_id,
+        |        lag(ts) OVER (PARTITION BY event_type, user_id
+        |                      ORDER BY ts, event_id) AS _prev
+        |      FROM events WHERE event_type IN ('click', 'view')))
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.user_id, c.sid AS csid,
+        |  epoch_ms(c.s_start) AS cs_ms, epoch_ms(c.s_end) AS ce_ms,
+        |  v.sid AS vsid, v.n AS v_n
+        |FROM (SELECT * FROM sess WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM sess WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND c.s_start <= v.s_end AND v.s_start <= c.s_end""".stripMargin,
     // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle.
     "join_asof" ->
       """WITH l AS (

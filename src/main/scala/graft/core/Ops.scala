@@ -440,6 +440,52 @@ object Ops {
       .select((leftCols ++ valueCols).map(F.col): _*)
   }
 
+  /** Interval OVERLAP join: pairs of same-key intervals [ls, le] × [rs, re]
+    * with ls ≤ re ∧ rs ≤ le (inclusive overlap) — the interval×interval
+    * completion of [[rangeJoin]]'s point×interval. Same binning shape: bin
+    * width = the longest interval on either side, each interval explodes
+    * into its covered bins, the join is hash-equi on (key, bin) with the
+    * exact overlap predicate as a post-filter. A pair of overlapping
+    * intervals shares ≥ 1 bin but may share several; the pair is kept
+    * only in the FIRST shared bin (max of the two start-bins), so output
+    * rows are unique without a distinct — output ∝ true matches + the
+    * ≤ (len/width + 1) per-row bin replication, never |L|·|R| per key.
+    * Right `valueCols` must not collide with left column names. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftStart: String, leftEnd: String, rightStart: String,
+      rightEnd: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "intervalJoin needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      "right value columns must not collide with left columns")
+    def spanOf(df: DataFrame, s: String, e: String): Long = {
+      val r = df.agg(
+        F.max(F.unix_micros(F.col(e)) - F.unix_micros(F.col(s)))).first()
+      if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
+    }
+    val binUs = math.max(spanOf(left, leftStart, leftEnd),
+      spanOf(right, rightStart, rightEnd))
+    val l = left
+      .withColumn("_ij_ls", F.unix_micros(F.col(leftStart)))
+      .withColumn("_ij_le", F.unix_micros(F.col(leftEnd)))
+      .withColumn("_ij_bin", F.explode(F.sequence(
+        F.floor(F.col("_ij_ls") / binUs), F.floor(F.col("_ij_le") / binUs))))
+    val r = right.select(
+      (Seq(F.col(key),
+        F.unix_micros(F.col(rightStart)).as("_ij_rs"),
+        F.unix_micros(F.col(rightEnd)).as("_ij_re")) ++
+        valueCols.map(F.col)): _*)
+      .withColumn("_ij_bin", F.explode(F.sequence(
+        F.floor(F.col("_ij_rs") / binUs), F.floor(F.col("_ij_re") / binUs))))
+    l.join(r, Seq(key, "_ij_bin"))
+      .filter(F.col("_ij_ls") <= F.col("_ij_re") &&
+        F.col("_ij_rs") <= F.col("_ij_le"))
+      // first shared bin = max of the two start bins — dedups multi-bin pairs
+      .filter(F.col("_ij_bin") === F.greatest(
+        F.floor(F.col("_ij_ls") / binUs), F.floor(F.col("_ij_rs") / binUs)))
+      .select((leftCols ++ valueCols).map(F.col): _*)
+  }
+
   /** Skew-salted equi-join: result-identical to `left.join(right, keys,
     * joinType)` but no single reducer ever holds one hot key's whole left
     * side. The left (big, skewed) side gets a deterministic per-row salt

@@ -148,6 +148,41 @@ object TimeSplitter {
       .agg(F.min(tsCol)).first().get(0)
     df.withColumn("is_test", F.col(tsCol) > F.lit(cut))
   }
+
+  /** Equal-count time buckets for walk-forward backtesting: bucket =
+    * ⌊(cum_ts − 1) · k / n⌋ ∈ [0, k), where cum_ts = #rows with ts ≤ the
+    * row's ts (rows sharing a timestamp share a bucket — the cut can't
+    * split a tie, same rank-based portability as [[byQuantile]]). All
+    * arithmetic is exact Long, mirrored verbatim in the SQL oracle; the
+    * running count goes through the distributed prefix sum, no global
+    * window. */
+  def walkForwardBuckets(df: DataFrame, k: Int,
+      tsCol: String = Timestamp): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    val n = df.count()
+    require(n > 0, "walkForwardBuckets on an empty frame")
+    val counts = graft.core.Ops.globalCumsum(
+      df.groupBy(tsCol).agg(F.count(F.lit(1)).as("_c")),
+      "_c", "_cum", F.col(tsCol).asc)
+    // `div` = exact integer division (Spark's `/` would go through double);
+    // non-negative operands make it the floor
+    df.join(counts.select(F.col(tsCol),
+        F.expr(s"((_cum - 1) * $k) div $n").as("bucket")),
+      Seq(tsCol))
+  }
+
+  /** Expanding-window walk-forward folds over [[walkForwardBuckets]]:
+    * fold f (1 ≤ f < k) trains on buckets < f and tests on bucket f —
+    * every fold's test period is strictly after everything it trained on,
+    * the leak-free backtest shape. One bucket pass, k−1 lazy filters. */
+  def walkForward(df: DataFrame, k: Int,
+      tsCol: String = Timestamp): Seq[(DataFrame, DataFrame)] = {
+    val marked = walkForwardBuckets(df, k, tsCol)
+    (1 until k).map { f =>
+      (marked.filter(F.col("bucket") < f).drop("bucket"),
+        marked.filter(F.col("bucket") === f).drop("bucket"))
+    }
+  }
 }
 
 /** Hash-random row split (reference random_splitter.py:47-51 uses

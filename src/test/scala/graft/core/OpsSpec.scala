@@ -192,6 +192,31 @@ class OpsSpec extends SparkSpec {
     assert(got.find(_._1 == "z").get._4 == 7L)
   }
 
+  test("intervalJoin equals the theta overlap join, no duplicate pairs") {
+    def ts(s: Long) = F.timestamp_micros(F.lit(s * 1000000L))
+    val rnd = new scala.util.Random(5)
+    // random intervals incl. long ones that span many bins and degenerate points
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (rnd.nextInt(3).toLong, i.toLong, s, s + (if (i % 5 == 0) 0L else rnd.nextInt(400).toLong))
+    }.toDF(Seq("k", s"${tag}_id", s"${tag}_s", s"${tag}_e"): _*)
+      .withColumn(s"${tag}_start", F.timestamp_micros(F.col(s"${tag}_s") * 1000000L))
+      .withColumn(s"${tag}_end", F.timestamp_micros(F.col(s"${tag}_e") * 1000000L))
+      .drop(s"${tag}_s", s"${tag}_e")
+    val l = mk(80, "l")
+    val r = mk(60, "r")
+    val got = Ops.intervalJoin(l, r, "k", "l_start", "l_end",
+        "r_start", "r_end", Seq("r_id"))
+      .select("k", "l_id", "r_id").as[(Long, Long, Long)].collect().toSeq
+    val want = l.join(r.withColumnRenamed("k", "k2"),
+        F.col("k") === F.col("k2") &&
+          F.col("l_start") <= F.col("r_end") && F.col("r_start") <= F.col("l_end"))
+      .select("k", "l_id", "r_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size, "duplicate pairs emitted")
+    assert(got.sorted == want.sorted)
+    assert(want.nonEmpty, "fixture produced no overlaps — test is vacuous")
+  }
+
   // ---- saltedJoin -------------------------------------------------------
 
   // skewed fixture: key 7 holds half the left side

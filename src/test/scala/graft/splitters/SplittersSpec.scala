@@ -100,4 +100,34 @@ class SplittersSpec extends SparkSpec {
     val repaired = Splitter.repairSessions(df, "query_id", "session_id", "timestamp")
     assert(repaired.select("is_test").as[Boolean].collect().forall(_ == true))
   }
+
+  test("walkForward: time-monotone buckets, leak-free expanding folds, ties share a bucket") {
+    val rows = (0 until 100).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + (i / 2) * 60000L)))
+    val df = rows.toDF("event_id", "timestamp").repartition(5)
+    val marked = TimeSplitter.walkForwardBuckets(df, k = 4, tsCol = "timestamp")
+    val got = marked.select("event_id", "bucket").as[(Long, Long)]
+      .collect().toMap
+    // buckets are 0..3 and roughly balanced
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L), sizes.toString)
+    assert(sizes.values.forall(s => s >= 20 && s <= 30), sizes.toString)
+    // rows sharing a timestamp share a bucket (event ids 2i and 2i+1 tie)
+    (0 until 50).foreach(i =>
+      assert(got(2L * i) == got(2L * i + 1), s"tie split at ts group $i"))
+    // bucket is monotone in time
+    val byTime = rows.sortBy(_._1).map(r => got(r._1))
+    assert(byTime == byTime.sorted, "bucket not monotone in ts")
+    // folds: every test row is strictly after every train row
+    val folds = TimeSplitter.walkForward(df, k = 4, tsCol = "timestamp")
+    assert(folds.size == 3)
+    for ((train, test) <- folds) {
+      val maxTrain = train.agg(F.max("timestamp")).first().getTimestamp(0)
+      val minTest = test.agg(F.min("timestamp")).first().getTimestamp(0)
+      assert(maxTrain.before(minTest), s"leak: $maxTrain !< $minTest")
+    }
+    // expanding: train sizes strictly grow
+    val trainSizes = folds.map(_._1.count())
+    assert(trainSizes == trainSizes.sorted && trainSizes.distinct == trainSizes)
+  }
 }
