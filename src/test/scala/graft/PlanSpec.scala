@@ -203,6 +203,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "anti-join must stay equi on keys")
   }
 
+  test("interval join: binned equi-join, no cartesian, no nested loop") {
+    val plan = optimizedPlan("join_interval")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"interval overlap must stay a (key, bin) equi-join:\n${plan.take(600)}")
+  }
+
+  test("walk-forward buckets: prefix-sum ranks, no single-partition global window") {
+    val plan = optimizedPlan("split_walk_forward")
+    // the cum count goes through globalCumsum (range shuffle + RDD pass);
+    // a Window node here would be the whole-log-in-one-task hazard
+    assert(!plan.contains("Window"), s"global window leaked:\n${plan.take(600)}")
+  }
+
   test("corpus shuffle: zipWithIndex ranks + broadcast shard offsets, no global window") {
     val plan = optimizedPlan("corpus_shuffle")
     // the scale hazard would be Window.orderBy with no partitioning; the
