@@ -322,6 +322,7 @@ object Dedup {
         .union(joined.select(F.col("u"), F.col("m").as("v"))))
         .localCheckpoint(true)
       converged = ss.except(e).isEmpty && e.except(ss).isEmpty
+      e.unpersist() // superseded checkpoint — don't accumulate round blocks
       e = ss
       iter += 1
     }
