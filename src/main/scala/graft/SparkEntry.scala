@@ -1409,8 +1409,12 @@ object SparkEntry {
       val ups = feed(docs.filter(F.col("doc_id") % 4 === 0)
         .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))), "upsert", 1L)
       val dels = feed(docs.filter(F.col("doc_id") % 6 === 0), "delete", 2L)
+      // version 3, NOT 1: at a scale factor where doc_ids reach 500000,
+      // id+500000 can collide with a %4-upsert key, and two distinct
+      // changes at one (key, version) would be a nondeterministic
+      // row_number tie across engines
       val ins = feed(docs.filter(F.col("doc_id") % 9 === 0)
-        .withColumn("doc_id", F.col("doc_id") + 500000L), "upsert", 1L)
+        .withColumn("doc_id", F.col("doc_id") + 500000L), "upsert", 3L)
       graft.core.Ops.applyChanges(docs,
           ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
         .select("doc_id", "source", "text")
@@ -4042,7 +4046,7 @@ object SparkEntry {
         |  SELECT doc_id, text, source, 'delete', CAST(2 AS BIGINT)
         |  FROM documents WHERE doc_id % 6 = 0
         |  UNION ALL
-        |  SELECT doc_id + 500000, text, source, 'upsert', CAST(1 AS BIGINT)
+        |  SELECT doc_id + 500000, text, source, 'upsert', CAST(3 AS BIGINT)
         |  FROM documents WHERE doc_id % 9 = 0),
         |latest AS (
         |  SELECT doc_id, text, source, op FROM (
@@ -4070,7 +4074,7 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents)
         |SELECT doc_id, source FROM r
-        |WHERE rn <= CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)""".stripMargin,
+        |WHERE rn <= CAST(ceil(CAST(0.2 AS DOUBLE) * n - 1e-9) AS BIGINT)""".stripMargin,
     // uniform E–S draw: wt = 1, same md5 chain as model_random_rec
     "sample_negatives" ->
       s"""$interactionsSql,

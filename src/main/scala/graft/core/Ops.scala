@@ -450,21 +450,33 @@ object Ops {
     * only in the FIRST shared bin (max of the two start-bins), so output
     * rows are unique without a distinct — output ∝ true matches + the
     * ≤ (len/width + 1) per-row bin replication, never |L|·|R| per key.
-    * Right `valueCols` must not collide with left column names. */
-  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+    * Right `valueCols` must not collide with left column names.
+    *
+    * Pass `binWidthUs` when the longest interval is known (e.g. sessions
+    * gap-capped at 30 min) to skip the span aggregations entirely;
+    * otherwise both inputs are eagerly localCheckpoint'ed so the span
+    * pass and the join read materialized blocks instead of running each
+    * input's lineage twice. */
+  def intervalJoin(left0: DataFrame, right0: DataFrame, key: String,
       leftStart: String, leftEnd: String, rightStart: String,
-      rightEnd: String, valueCols: Seq[String]): DataFrame = {
+      rightEnd: String, valueCols: Seq[String],
+      binWidthUs: Option[Long] = None): DataFrame = {
     require(valueCols.nonEmpty, "intervalJoin needs at least one right value column")
-    val leftCols = left.columns.toSeq
+    val leftCols = left0.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)),
       "right value columns must not collide with left columns")
+    val (left, right) = binWidthUs match {
+      case Some(_) => (left0, right0)
+      case None    => (left0.localCheckpoint(true), right0.localCheckpoint(true))
+    }
     def spanOf(df: DataFrame, s: String, e: String): Long = {
       val r = df.agg(
         F.max(F.unix_micros(F.col(e)) - F.unix_micros(F.col(s)))).first()
       if (r.isNullAt(0)) 1L else math.max(1L, r.getLong(0))
     }
-    val binUs = math.max(spanOf(left, leftStart, leftEnd),
-      spanOf(right, rightStart, rightEnd))
+    val binUs = binWidthUs.getOrElse(math.max(
+      spanOf(left, leftStart, leftEnd), spanOf(right, rightStart, rightEnd)))
+    require(binUs > 0, s"binWidthUs must be positive, got $binUs")
     val l = left
       .withColumn("_ij_ls", F.unix_micros(F.col(leftStart)))
       .withColumn("_ij_le", F.unix_micros(F.col(leftEnd)))
@@ -543,6 +555,14 @@ object Ops {
       s"changes needs '$opCol' and '$orderCol' columns")
     val latest = topK(changes, keys,
       Seq(F.col(orderCol).desc, F.col(opCol).asc), 1)
+      // a malformed op would otherwise act as a silent delete (the key is
+      // anti-joined out of base but nothing re-adds it): fail loudly
+      // per-row. assert_true returns NULL on pass, so the isNull filter
+      // keeps every row while forcing the check to run (and survive
+      // column pruning).
+      .filter(F.assert_true(F.col(opCol).isin("upsert", "delete"),
+        F.concat(F.lit(s"applyChanges: '$opCol' must be 'upsert' or " +
+          "'delete', got '"), F.col(opCol), F.lit("'"))).isNull)
     base.join(latest.select(keys.map(F.col): _*), keys, "left_anti")
       .unionByName(latest.filter(F.col(opCol) === "upsert")
         .select(baseCols.map(F.col): _*))
@@ -646,12 +666,20 @@ object Ops {
     * files on that key (zone-map layout); without, a plain round-robin
     * repartition balances bytes. Returns the file count written. */
   def writeCompacted(df: DataFrame, path: String, targetFileBytes: Long = 128L << 20,
-      sortCols: Seq[Column] = Nil, compressionRatio: Double = 0.3): Int = {
+      sortCols: Seq[Column] = Nil, compressionRatio: Double = 0.3,
+      fallbackBytesPerRow: Long = 128L, maxFiles: Int = 1 << 18): Int = {
     require(targetFileBytes > 0, s"need targetFileBytes > 0: $targetFileBytes")
     require(compressionRatio > 0, s"need compressionRatio > 0: $compressionRatio")
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble *
-      compressionRatio
-    val nFiles = math.max(1, math.ceil(estBytes / targetFileBytes).toInt)
+    // RDD-backed lineages (globalRowNumber, deterministicShuffle, ...) have
+    // no stats — sizeInBytes falls back to spark.sql.defaultSizeInBytes
+    // (Long.MaxValue), which would plan Int.MaxValue partitions. Detect the
+    // sentinel and estimate from the row count instead; clamp regardless.
+    val rawStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estBytes =
+      if (rawStats < BigInt(Long.MaxValue) / 4) rawStats.toDouble * compressionRatio
+      else df.count().toDouble * fallbackBytesPerRow
+    val nFiles = math.min(maxFiles.toLong,
+      math.max(1L, math.ceil(estBytes / targetFileBytes).toLong)).toInt
     val shaped =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nFiles, sortCols: _*).sortWithinPartitions(sortCols: _*)

@@ -159,6 +159,8 @@ object TimeSplitter {
   def walkForwardBuckets(df: DataFrame, k: Int,
       tsCol: String = Timestamp): DataFrame = {
     require(k >= 2, s"need k >= 2 buckets, got $k")
+    require(Seq("bucket", "_c", "_cum").forall(!df.columns.contains(_)),
+      "input may not contain bucket/_c/_cum columns")
     val n = df.count()
     require(n > 0, "walkForwardBuckets on an empty frame")
     val counts = graft.core.Ops.globalCumsum(

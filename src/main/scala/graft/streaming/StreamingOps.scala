@@ -364,8 +364,12 @@ object StreamingOps {
   /** Incremental snapshot maintenance from a CDC stream: each micro-batch
     * of changes (base schema + op/version, the [[graft.core.Ops.applyChanges]]
     * contract) merges into the parquet snapshot at `snapshotPath` and the
-    * result replaces it atomically (write to `.next`, then swap). The
-    * streaming twin of Delta-style MERGE INTO maintained with plain
+    * result replaces it via a crash-safe two-rename swap (cur → `.prev`,
+    * `.next` → cur, drop `.prev`): at every instant either the old or the
+    * new snapshot exists under SOME name, rename results are CHECKED (the
+    * Hadoop API returns false rather than throwing), and a batch that
+    * starts after a crash inside the swap window first restores `.prev`.
+    * The streaming twin of Delta-style MERGE INTO maintained with plain
     * parquet: after every batch, `snapshotPath` equals a batch
     * `applyChanges` replay of all changes so far — spec'd against exactly
     * that twin. Within one micro-batch, cross-batch ordering rides on
@@ -379,19 +383,30 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val base = spark.read.parquet(snapshotPath)
-            // materialize the read: the swap below deletes these files
-            // before the merged plan would otherwise re-scan them
-            .localCheckpoint(true)
-          val merged = graft.core.Ops.applyChanges(
-            base, batch, keys, versionCol, opCol)
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
-          val next = new org.apache.hadoop.fs.Path(snapshotPath + ".next")
           val cur = new org.apache.hadoop.fs.Path(snapshotPath)
-          merged.write.mode("overwrite").parquet(next.toString)
-          fs.delete(cur, true)
-          fs.rename(next, cur)
+          val next = new org.apache.hadoop.fs.Path(snapshotPath + ".next")
+          val prev = new org.apache.hadoop.fs.Path(snapshotPath + ".prev")
+          // crash recovery: a previous run died between the two renames
+          if (!fs.exists(cur) && fs.exists(prev))
+            require(fs.rename(prev, cur), s"snapshot recovery failed: $prev")
+          val base = spark.read.parquet(snapshotPath)
+            // materialize the read: the swap below unlinks these files
+            // before the merged plan would otherwise re-scan them
+            .localCheckpoint(true)
+          try {
+            graft.core.Ops.applyChanges(base, batch, keys, versionCol, opCol)
+              .write.mode("overwrite").parquet(next.toString)
+            if (fs.exists(prev)) fs.delete(prev, true)
+            require(fs.rename(cur, prev), s"snapshot swap: rename $cur -> $prev failed")
+            if (!fs.rename(next, cur)) {
+              fs.rename(prev, cur) // roll back so the snapshot survives
+              throw new IllegalStateException(
+                s"snapshot swap: rename $next -> $cur failed; old snapshot restored")
+            }
+            fs.delete(prev, true)
+          } finally base.unpersist() // one materialized copy per batch otherwise
         }
         ()
       }

@@ -326,6 +326,13 @@ object Dedup {
       e = ss
       iter += 1
     }
+    // an unconverged edge set is NOT a star forest: the projection below
+    // would emit conflicting component labels per node (worse than
+    // min-label's single-but-stale labels) — refuse instead. log₂-round
+    // convergence means the default budget covers any physical graph.
+    require(converged,
+      s"connectedComponentsLS did not reach the star-forest fixpoint in " +
+        s"$maxIter rounds — raise maxIter")
     e.select(F.col("u").as("node"), F.col("v").as("component"))
       .union(e.select(F.col("v").as("node"), F.col("v").as("component")))
       .distinct()

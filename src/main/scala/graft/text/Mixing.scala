@@ -114,8 +114,12 @@ object Mixing {
         idCols.map(F.col(_).asc)): _*)
     df.withColumn("_ssr", F.row_number().over(ordered).cast("long"))
       .withColumn("_ssn", F.count(F.lit(1)).over(w))
+      // the 1e-9 nudge makes ceil honor the EXACT rational contract when
+      // frac·n overshoots an integer in IEEE doubles (0.07 · 100 =
+      // 7.000000000000001 would otherwise ceil to 8); mirrored in the
+      // oracle SQL
       .filter(F.col("_ssr") <=
-        F.ceil(F.lit(frac) * F.col("_ssn").cast("double")))
+        F.ceil(F.lit(frac) * F.col("_ssn").cast("double") - F.lit(1e-9)))
       .drop("_ssr", "_ssn")
   }
 }

@@ -282,6 +282,17 @@ class OpsSpec extends SparkSpec {
     assertSameRows(out, Seq((1L, "a2"), (3L, "c3"), (4L, "d"), (5L, "e")))
   }
 
+  test("applyChanges rejects unknown ops instead of silently deleting the key") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val bad = Seq((1L, "a2", "update", 10L)).toDF("id", "v", "op", "version")
+    val err = intercept[Exception] {
+      Ops.applyChanges(base, bad, Seq("id"), "version").collect()
+    }
+    assert(err.getMessage.contains("upsert") ||
+      Option(err.getCause).exists(_.getMessage.contains("upsert")),
+      s"unexpected error: ${err.getMessage}")
+  }
+
   test("applyChanges on an empty feed is the identity") {
     val base = Seq((1L, "a")).toDF("id", "v")
     val empty = Seq.empty[(Long, String, String, Long)]
@@ -384,5 +395,18 @@ class OpsSpec extends SparkSpec {
       case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $spans")
       case _ =>
     }
+  }
+
+  test("writeCompacted survives stats-free RDD-backed lineages (no Int.MaxValue partitions)") {
+    // deterministicShuffle's output is RDD-backed: plan stats fall back to
+    // Long.MaxValue, which used to plan ceil(2.8e18/target) = Int.MaxValue
+    // partitions; the row-count fallback must kick in instead
+    val dir = java.nio.file.Files.createTempDirectory("compactrdd").toString
+    val df = Ops.deterministicShuffle(
+      (0 until 500).map(i => (i.toLong, s"d$i")).toDF("doc_id", "t"),
+      Seq("doc_id"), 11L, 2)
+    val n = Ops.writeCompacted(df, s"$dir/t", targetFileBytes = 16L << 10)
+    assert(n >= 1 && n <= 32, s"unreasonable file count $n for 500 rows")
+    assert(spark.read.parquet(s"$dir/t").count() == 500)
   }
 }

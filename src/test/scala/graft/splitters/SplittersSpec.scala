@@ -129,5 +129,10 @@ class SplittersSpec extends SparkSpec {
     // expanding: train sizes strictly grow
     val trainSizes = folds.map(_._1.count())
     assert(trainSizes == trainSizes.sorted && trainSizes.distinct == trainSizes)
+    // generated-column collision is a contract error, not a silent bind
+    intercept[IllegalArgumentException] {
+      TimeSplitter.walkForwardBuckets(
+        df.withColumn("bucket", F.lit(1)), k = 4, tsCol = "timestamp")
+    }
   }
 }

@@ -831,6 +831,11 @@ class TextSpec extends SparkSpec {
     // frac = 1 keeps everything
     assert(Mixing.stratifiedSample(df, Seq("source"), 1.0, Seq("doc_id"))
       .count() == 100)
+    // IEEE overshoot guard: 0.07 · 100 = 7.000000000000001 must still
+    // keep EXACTLY 7 per 100-row stratum, not 8
+    val hundred = (0 until 100).map(i => (i.toLong, "one")).toDF("doc_id", "source")
+    assert(Mixing.stratifiedSample(hundred, Seq("source"), 0.07,
+      Seq("doc_id")).count() == 7)
   }
 
   test("large-star/small-star CC equals min-label propagation on random graphs") {
@@ -858,6 +863,14 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(cc.length == 200 && cc.forall(_._2 == 0L),
       s"chain not collapsed to component 0 within 12 star rounds")
+  }
+
+  test("LS CC refuses to emit a malformed result when maxIter is exhausted") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsLS(chain, maxIter = 2)
+    }
+    assert(err.getMessage.contains("star-forest fixpoint"))
   }
 
   test("LS CC: empty edges, single edge, two components") {
