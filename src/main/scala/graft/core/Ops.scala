@@ -416,16 +416,24 @@ object Ops {
     * ∝ true matches, never the cross product. Each (point, interval)
     * pair meets on the point's single bin, so no dedup is needed.
     * Right `valueCols` must not collide with left column names. */
-  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      startCol: String, endCol: String, valueCols: Seq[String]): DataFrame = {
+  def rangeJoin(left: DataFrame, right0: DataFrame, key: String, ts: String,
+      startCol: String, endCol: String, valueCols: Seq[String],
+      binWidthUs: Option[Long] = None): DataFrame = {
     require(valueCols.nonEmpty, "rangeJoin needs at least one right value column")
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)),
       "right value columns must not collide with left columns")
-    val span = right
-      .agg(F.max(F.unix_micros(F.col(endCol)) - F.unix_micros(F.col(startCol))))
-      .first()
-    val binUs = math.max(1L, if (span.isNullAt(0)) 1L else span.getLong(0))
+    // pass binWidthUs when the longest interval is known; otherwise the
+    // interval side is checkpointed so the span pass and the join don't
+    // run its lineage twice (the left/point side is only read once)
+    val right = if (binWidthUs.isDefined) right0 else right0.localCheckpoint(true)
+    val binUs = binWidthUs.getOrElse {
+      val span = right
+        .agg(F.max(F.unix_micros(F.col(endCol)) - F.unix_micros(F.col(startCol))))
+        .first()
+      math.max(1L, if (span.isNullAt(0)) 1L else span.getLong(0))
+    }
+    require(binUs > 0, s"binWidthUs must be positive, got $binUs")
     val l = left.withColumn("_rj_bin",
       F.floor(F.unix_micros(F.col(ts)) / binUs))
     val r = right.select(
