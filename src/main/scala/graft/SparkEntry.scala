@@ -1419,6 +1419,27 @@ object SparkEntry {
           ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
         .select("doc_id", "source", "text")
     }),
+    "sketch_hll_groups" -> ((s, d) =>
+      // per-group distinct-count sketch, SPARSE registers — the scalable
+      // "distinct users per item" shape; the oracle rebuilds every
+      // (group, bucket, register) cell from the same md5 chain
+      graft.core.Sketch.hllRegistersByGroup(
+        Tables.events(s, d).select("event_type", "user_id"),
+        Seq("event_type"), "user_id", p = 8)),
+    "sketch_hll_groups_estimate" -> ((s, d) => {
+      // per-group estimates vs exact distinct counts, thresholded like the
+      // global sketch_hll_estimate gate (p=12: 10% = 6 sigma per group)
+      val ev = Tables.events(s, d).select("event_type", "user_id")
+      val est = graft.core.Sketch.hllEstimateByGroup(
+        graft.core.Sketch.hllRegistersByGroup(ev, Seq("event_type"),
+          "user_id", p = 12), Seq("event_type"), p = 12)
+      val exact = ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("event_type")).select(F.col("event_type"),
+        F.col("n_exact"),
+        (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
+          <= 0.10).as("within_10pct"))
+    }),
     "text_quality_percentile" -> ((s, d) => {
       // corpus-relative percentile of a quality proxy (token count) over a
       // total order — percent_rank semantics WITHOUT the single-partition
@@ -4057,6 +4078,26 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
         |UNION ALL
         |SELECT doc_id, source, text FROM latest WHERE op = 'upsert'""".stripMargin,
+    // grouped HLL: same register recipe as sketch_hll, keyed by group,
+    // sparse (observed buckets only)
+    "sketch_hll_groups" ->
+      """WITH hh AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('0:' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (
+        |  SELECT event_type, h >> 52 AS bucket,
+        |    CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+        |         ELSE 52 - (length(bin(h & ((1::BIGINT << 52) - 1))) - 1)
+        |    END AS rho
+        |  FROM hh)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(max(rho) AS BIGINT) AS register
+        |FROM rr GROUP BY 1, 2""".stripMargin,
+    "sketch_hll_groups_estimate" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_10pct
+        |FROM events GROUP BY 1""".stripMargin,
     // percent_rank over a unique total order == (row_number−1)/(n−1)
     "text_quality_percentile" ->
       """SELECT doc_id,

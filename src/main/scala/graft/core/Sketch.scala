@@ -77,6 +77,60 @@ object Sketch {
         F.coalesce(F.col("register"), F.lit(0L)).as("register"))
   }
 
+  /** Per-GROUP HyperLogLog registers, SPARSE: one row per (group, bucket)
+    * actually observed (register ≥ 1 by construction — empty buckets are
+    * implicit zeros). Dense-per-group would be |groups|·2^p rows; sparse
+    * is min(|group's distinct keys|, 2^p) per group, the scalable form
+    * for "distinct users per item" on a billion items. Same portable hash
+    * and register recipe as [[hllRegisters]], so shard-built frames merge
+    * with a groupBy-max and the whole build is ONE partial+final
+    * aggregation shuffle keyed on (group, bucket). */
+  def hllRegistersByGroup(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
+    val low = 60 - p
+    val h = PortableHash.long(0L, F.col(keyCol))
+    val bucket = F.shiftrightunsigned(h, low)
+    val w = h.bitwiseAND(F.lit((1L << low) - 1L))
+    val rho = F.when(w === 0L, F.lit(low + 1))
+      .otherwise(F.lit(low) - (F.length(F.bin(w)) - F.lit(1)))
+    df.select((groupCols.map(F.col) :+ bucket.as("bucket") :+ rho.as("_rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(F.col): _*)
+      .agg(F.max("_rho").cast("long").as("register"))
+  }
+
+  /** Per-group cardinality estimates from [[hllRegistersByGroup]] output —
+    * the same raw-estimator + linear-counting math as [[hllEstimate]],
+    * with the empty buckets reconstructed arithmetically (zeros = 2^p −
+    * observed buckets; each contributes 2^(rmax−0) to the exact BIGINT
+    * power sum — zeros·2^rmax < 2^p·2^(61−p) = 2^61, no overflow for any
+    * p). Two keyed aggregations over the SPARSE frame, both tiny. */
+  def hllEstimateByGroup(registers: DataFrame, groupCols: Seq[String],
+      p: Int = 12): DataFrame = {
+    val m = 1L << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val maxes = registers.groupBy(groupCols.map(F.col): _*)
+      .agg(F.max("register").as("_rmax"), F.count(F.lit(1)).as("_nobs"))
+    val raw = F.lit(alpha * m * m) * F.pow(2.0, F.col("_rmax")) / F.col("_s")
+    registers.join(maxes, groupCols)
+      .select((groupCols.map(F.col) ++ Seq(F.col("_rmax"), F.col("_nobs"),
+        F.expr("shiftleft(1L, cast(_rmax - register AS INT))").as("_t"))): _*)
+      .groupBy((groupCols :+ "_rmax").map(F.col) :+ F.col("_nobs"): _*)
+      .agg(F.sum("_t").as("_tobs"))
+      .withColumn("_zeros", F.lit(m) - F.col("_nobs"))
+      .withColumn("_s", F.col("_tobs") +
+        F.col("_zeros") * F.expr("shiftleft(1L, cast(_rmax AS INT))"))
+      .select((groupCols.map(F.col) :+
+        F.when(F.col("_zeros") > 0L && raw <= F.lit(2.5 * m),
+          F.lit(m.toDouble) * F.log(F.lit(m.toDouble) / F.col("_zeros")))
+          .otherwise(raw).as("estimate")): _*)
+  }
+
   /** HLL cardinality estimate from a dense register frame: the raw
     * estimator α·m²/Σ2^−Mⱼ with the standard linear-counting correction
     * for the small range (E ≤ 2.5m with empty buckets). The power sum is

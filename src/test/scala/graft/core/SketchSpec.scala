@@ -59,6 +59,47 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("grouped HLL: sparse registers match per-group dense builds; estimates track per-group truth") {
+    val df = ((1L to 5000L).map(k => ("big", k)) ++
+      (1L to 400L).map(k => ("small", k * 7)))
+      .toDF("grp", "item_id").repartition(6)
+    val sparse = Sketch.hllRegistersByGroup(df, Seq("grp"), "item_id", p = 8)
+      .as[(String, Long, Long)].collect()
+    // sparse rows never carry zero registers
+    assert(sparse.forall(_._3 >= 1L))
+    for (g <- Seq("big", "small")) {
+      val dense = Sketch.hllRegisters(
+          df.filter($"grp" === g).select("item_id"), "item_id", p = 8)
+        .as[(Long, Long)].collect().filter(_._2 > 0).toMap
+      val got = sparse.filter(_._1 == g).map(r => r._2 -> r._3).toMap
+      assert(got == dense, s"group $g sparse != dense non-zeros")
+      // per-group estimate equals the global estimator on the same slice
+      val viaGroup = Sketch.hllEstimateByGroup(
+          Sketch.hllRegistersByGroup(df, Seq("grp"), "item_id", p = 8),
+          Seq("grp"), p = 8)
+        .filter($"grp" === g).select("estimate").as[Double].head()
+      val viaGlobal = Sketch.hllEstimate(
+          Sketch.hllRegisters(df.filter($"grp" === g).select("item_id"),
+            "item_id", p = 8), p = 8)
+        .as[Double].head()
+      assert(viaGroup == viaGlobal, s"group $g: $viaGroup != $viaGlobal")
+    }
+    // accuracy: both groups within 3 sigma (p=8: 19.5%)
+    val est = Sketch.hllEstimateByGroup(
+        Sketch.hllRegistersByGroup(df, Seq("grp"), "item_id", p = 8),
+        Seq("grp"), p = 8)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(est("big") - 5000) / 5000 <= 0.195, est.toString)
+    assert(math.abs(est("small") - 400) / 400 <= 0.195, est.toString)
+    // shard merge: groupBy-max over two shard builds == whole build
+    val (a, b) = (df.filter($"item_id" % 2 === 0), df.filter($"item_id" % 2 =!= 0))
+    val merged = Sketch.hllRegistersByGroup(a, Seq("grp"), "item_id", p = 8)
+      .unionByName(Sketch.hllRegistersByGroup(b, Seq("grp"), "item_id", p = 8))
+      .groupBy("grp", "bucket").agg(F.max("register").as("register"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == sparse.toSet)
+  }
+
   test("HLL estimate lands within 3 sigma of the truth (p=8: 19.5%)") {
     for (n <- Seq(500L, 5000L, 50000L)) {
       val est = Sketch.hllEstimate(
