@@ -927,7 +927,11 @@ object SparkEntry {
         borders = Map("z" -> (1.0, 2.0)),
         build = p => new models.Wilson(z = p("z")),
         train = train, test = test, metric = "ndcg", k = 5,
-        budget = 3, seed = 7)
+        budget = 3, seed = 7,
+        // trials are independent; 3 concurrent fits fill the idle
+        // scheduler slots a single sequential Wilson fit leaves —
+        // wall-clock only, values and order unchanged (spec'd)
+        parallelism = 3)
       import s.implicits._
       trials.zipWithIndex.map { case (t, idx) =>
         (idx.toLong, r6(t.params("z")), r6(t.score))

@@ -65,6 +65,24 @@ final class Experiment(
 object GridSearch {
   final case class Trial(params: Map[String, Double], score: Double)
 
+  /** Run independent trials, optionally `parallelism` at a time on the
+    * shared session (Spark schedules concurrent jobs fine; each trial
+    * builds its own model, so nothing is shared). Results come back in
+    * INPUT order either way — parallelism changes wall-clock only, never
+    * values or order, so the SQL oracles are unaffected. Default 1: the
+    * caller opts into the extra concurrent memory footprint. */
+  private[metrics] def mapTrials[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (parallelism <= 1 || xs.size <= 1) xs.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, xs.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(xs.map(x => Future(f(x)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
   def grid(space: Map[String, Seq[Double]]): Seq[Map[String, Double]] =
     space.foldLeft(Seq(Map.empty[String, Double])) { case (acc, (k, vs)) =>
       for (m <- acc; v <- vs) yield m + (k -> v)
@@ -79,14 +97,14 @@ object GridSearch {
       train: DataFrame, test: DataFrame,
       metric: String = "ndcg", k: Int = 10,
       maxTrials: Int = Int.MaxValue, seed: Long = 42,
-      cols: RecCols = RecCols(),
+      cols: RecCols = RecCols(), parallelism: Int = 1,
   ): Seq[Trial] = {
     val all = grid(space)
     val trials =
       if (all.size <= maxTrials) all
       else new scala.util.Random(seed).shuffle(all).take(maxTrials)
     val gt = test.select(cols.query, cols.item).distinct()
-    trials.map { params =>
+    mapTrials(trials, parallelism) { params =>
       val recs = build(params).fitPredict(train, k)
       val score = Metrics.compute(recs, gt, Seq(metric), Seq(k), Descriptor.Mean, cols)
         .first().getDouble(0)
@@ -151,10 +169,10 @@ object RandomSearch {
       train: DataFrame, test: DataFrame,
       metric: String = "ndcg", k: Int = 10,
       budget: Int = 10, seed: Long = 42,
-      cols: RecCols = RecCols(),
+      cols: RecCols = RecCols(), parallelism: Int = 1,
   ): Seq[Trial] = {
     val gt = test.select(cols.query, cols.item).distinct()
-    draws(borders, budget, seed).map(
+    GridSearch.mapTrials(draws(borders, budget, seed), parallelism)(
       evaluate(_, build, train, gt, metric, k, cols))
   }
 
@@ -200,7 +218,7 @@ object RandomSearch {
       train: DataFrame, test: DataFrame,
       metric: String = "ndcg", k: Int = 10,
       budget: Int = 10, eta: Int = 2, seed: Long = 42,
-      cols: RecCols = RecCols(),
+      cols: RecCols = RecCols(), parallelism: Int = 1,
   ): Seq[Trial] = {
     require(eta >= 2, s"eta must be >= 2, got $eta")
     val rungs = math.max(1,
@@ -218,7 +236,8 @@ object RandomSearch {
         if (frac >= 1.0) train
         else train.filter(
           graft.core.PortableHash.uniformFast(seed, F.col(cols.query)) < frac)
-      scored = live.map(evaluate(_, build, tr, gt, metric, k, cols))
+      scored = GridSearch.mapTrials(live, parallelism)(
+        evaluate(_, build, tr, gt, metric, k, cols))
       if (r < rungs - 1) {
         val keep = math.max(1, math.ceil(live.size.toDouble / eta).toInt)
         live = scored.sortBy(-_.score).take(keep).map(_.params)

@@ -250,4 +250,25 @@ class MetricsSpec extends SparkSpec {
     val drawn = RandomSearch.draws(Map("useRating" -> (0.0, 1.0)), 4, seed = 5).toSet
     assert(sh2.nonEmpty && sh2.forall(t => drawn.contains(t.params)))
   }
+
+  test("parallel trials equal sequential trials, value-for-value and in order") {
+    import graft.models.PopRec
+    val train = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0),
+      (0L, 2L, 1.0), (1L, 2L, 1.0),
+    ).toDF("query_id", "item_id", "rating")
+    val test = Seq((0L, 1L, 1.0), (1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 0L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    def build(p: Map[String, Double]) =
+      if (p("useRating") > 0.5) new PopRec(useRating = true) else new PopRec()
+    val seq = RandomSearch.search(Map("useRating" -> (0.0, 1.0)), build,
+      train, test, metric = "hit_rate", k = 2, budget = 4, seed = 5)
+    val par = RandomSearch.search(Map("useRating" -> (0.0, 1.0)), build,
+      train, test, metric = "hit_rate", k = 2, budget = 4, seed = 5,
+      parallelism = 4)
+    // identical trials in identical DRAW order — concurrency is
+    // wall-clock-only (the grid_search_budget oracle depends on this)
+    assert(par.map(t => (t.params, t.score)) ==
+      seq.map(t => (t.params, t.score)))
+  }
 }
