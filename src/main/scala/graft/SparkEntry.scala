@@ -1423,6 +1423,21 @@ object SparkEntry {
           ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
         .select("doc_id", "source", "text")
     }),
+    "sketch_histogram_groups" -> ((s, d) =>
+      // per-source length distribution: fixed [0, 4096) bounds, 64 bins,
+      // sparse cells — every cell a pure function of the row, rebuilt
+      // verbatim by the oracle
+      graft.core.Sketch.histogramBinsByGroup(
+        Tables.documents(s, d).select("source", "n_chars"),
+        Seq("source"), "n_chars", 0.0, 4096.0, 64)),
+    "sketch_histogram_groups_quantile" -> ((s, d) =>
+      // relational per-group quantile walk (no driver collect), exact
+      // double-arithmetic mirror in SQL
+      graft.core.Sketch.histogramQuantilesByGroup(
+        graft.core.Sketch.histogramBinsByGroup(
+          Tables.documents(s, d).select("source", "n_chars"),
+          Seq("source"), "n_chars", 0.0, 4096.0, 64),
+        Seq("source"), Seq(0.25, 0.5, 0.9), 0.0, 4096.0, 64)),
     "sketch_hll_groups" -> ((s, d) =>
       // per-group distinct-count sketch, SPARSE registers — the scalable
       // "distinct users per item" shape; the oracle rebuilds every
@@ -4082,6 +4097,40 @@ object SparkEntry {
         |WHERE b.doc_id NOT IN (SELECT doc_id FROM latest)
         |UNION ALL
         |SELECT doc_id, source, text FROM latest WHERE op = 'upsert'""".stripMargin,
+    // grouped histogram cells: pure row function, fixed bounds
+    "sketch_histogram_groups" ->
+      """SELECT source,
+        |  CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
+        |    0), 63) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS counter
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the per-group quantile walk, operation-for-operation double mirror
+    "sketch_histogram_groups_quantile" ->
+      """WITH hist AS (
+        |  SELECT source,
+        |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 64.0),
+        |      0), 63) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS counter
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bin, counter,
+        |    sum(counter) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |n AS (SELECT source, CAST(sum(counter) AS DOUBLE) AS n
+        |      FROM hist GROUP BY 1),
+        |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE))),
+        |pick AS (
+        |  SELECT c.source, q.q, c.bin, c.counter, c.cum, n.n
+        |  FROM qs q CROSS JOIN cum c JOIN n ON c.source = n.source
+        |  WHERE CAST(c.cum AS DOUBLE) >= q.q * n.n
+        |  QUALIFY row_number() OVER (PARTITION BY c.source, q.q
+        |    ORDER BY c.bin) = 1)
+        |SELECT source, q,
+        |  0.0 + 64.0 * (bin + (q * n - CAST(cum - counter AS DOUBLE))
+        |    / CAST(counter AS DOUBLE)) AS estimate
+        |FROM pick""".stripMargin,
     // grouped HLL: same register recipe as sketch_hll, keyed by group,
     // sparse (observed buckets only)
     "sketch_hll_groups" ->

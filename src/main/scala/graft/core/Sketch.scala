@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic, mergeable Count-Min sketch expressed as a pure Spark
   * aggregation (Cormode & Muthukrishnan 2005).
@@ -303,6 +304,58 @@ object Sketch {
     * discretizer bin tables); every step is deterministic IEEE
     * arithmetic, so a second engine reproduces each estimate exactly.
     * Output: (q, estimate). */
+  /** Per-GROUP equi-width histogram over CALLER-FIXED [lo, hi) bounds,
+    * SPARSE (only non-empty (group, bin) cells): the per-source
+    * distribution sketch. Fixed global bounds keep every cell a pure
+    * function of the row (cross-engine exact, shard-mergeable by
+    * groupBy-sum); values outside clamp to the edge bins like
+    * [[histogramBins]]. One partial+final aggregation. */
+  def histogramBinsByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bins >= 1, s"need bins >= 1, got $bins")
+    val w = (hi - lo) / bins
+    val bin = F.least(
+      F.greatest(F.floor((F.col(valueCol).cast("double") - lo) / w), F.lit(0L)),
+      F.lit(bins - 1L)).cast("long")
+    df.select((groupCols.map(F.col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols :+ "bin").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("counter"))
+  }
+
+  /** Per-group interpolated quantiles from [[histogramBinsByGroup]]
+    * output — the [[histogramQuantiles]] walk made RELATIONAL (the
+    * driver-side walk would collect |groups|·bins cells): running mass
+    * via a window partitioned by group (≤ `bins` rows per partition —
+    * bounded by construction, not by data), the picked cell via
+    * min_by over the ≥-threshold cells, the estimate in pure column
+    * arithmetic. Output: (group…, q, estimate). */
+  def histogramQuantilesByGroup(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double], lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q"))
+    val w = (hi - lo) / bins
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val win = Window.partitionBy(groupCols.map(F.col): _*).orderBy(F.col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", F.sum("counter").over(win))
+    val totals = hist.groupBy(groupCols.map(F.col): _*)
+      .agg(F.sum("counter").cast("double").as("_n"))
+    val t = F.col("q") * F.col("_n")
+    cum.join(totals, groupCols)
+      .crossJoin(F.broadcast(qs.toDF("q")))
+      .filter(F.col("_cum").cast("double") >= t)
+      .groupBy((groupCols :+ "q").map(F.col): _*)
+      .agg(F.min_by(F.struct(F.col("bin"), F.col("counter"), F.col("_cum")),
+        F.col("bin")).as("_c"), F.first(F.col("_n")).as("_n"))
+      .select((groupCols.map(F.col) :+ F.col("q") :+
+        (F.lit(lo) + F.lit(w) * (F.col("_c.bin") +
+          (F.col("q") * F.col("_n") -
+            (F.col("_c._cum") - F.col("_c.counter")).cast("double")) /
+            F.col("_c.counter").cast("double"))).as("estimate")): _*)
+  }
+
   def histogramQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double,
       hi: Double, bins: Int = 256): DataFrame = {
     val w = (hi - lo) / bins

@@ -100,6 +100,38 @@ class SketchSpec extends SparkSpec {
     assert(merged == sparse.toSet)
   }
 
+  test("grouped histogram: sparse cells match per-group dense; relational quantiles match the driver walk") {
+    val df = ((1 to 900).map(i => ("a", (i % 97).toDouble)) ++
+      (1 to 300).map(i => ("b", (i % 31).toDouble * 3)))
+      .toDF("grp", "v").repartition(5)
+    val sparse = Sketch.histogramBinsByGroup(df, Seq("grp"), "v", 0.0, 100.0, 64)
+      .as[(String, Long, Long)].collect()
+    for (g <- Seq("a", "b")) {
+      val dense = Sketch.histogramBins(df.filter($"grp" === g).select("v"),
+          "v", 0.0, 100.0, 64)
+        .as[(Long, Long)].collect().filter(_._2 > 0).toMap
+      assert(sparse.filter(_._1 == g).map(r => r._2 -> r._3).toMap == dense,
+        s"group $g cells diverge")
+      // relational per-group quantiles == the driver-side walk per group
+      val viaGroup = Sketch.histogramQuantilesByGroup(
+          Sketch.histogramBinsByGroup(df, Seq("grp"), "v", 0.0, 100.0, 64),
+          Seq("grp"), Seq(0.1, 0.5, 0.9), 0.0, 100.0, 64)
+        .filter($"grp" === g).select("q", "estimate")
+        .as[(Double, Double)].collect().toMap
+      val viaDriver = Sketch.histogramQuantiles(
+          dense.toSeq.toDF("bin", "counter"), Seq(0.1, 0.5, 0.9), 0.0, 100.0, 64)
+        .as[(Double, Double)].collect().toMap
+      assert(viaGroup == viaDriver, s"group $g: $viaGroup != $viaDriver")
+    }
+    // shard merge: groupBy-sum over two shard builds == whole build
+    val (x, y) = (df.filter($"v" < 40), df.filter($"v" >= 40))
+    val merged = Sketch.histogramBinsByGroup(x, Seq("grp"), "v", 0.0, 100.0, 64)
+      .unionByName(Sketch.histogramBinsByGroup(y, Seq("grp"), "v", 0.0, 100.0, 64))
+      .groupBy("grp", "bin").agg(F.sum("counter").as("counter"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == sparse.toSet)
+  }
+
   test("HLL estimate lands within 3 sigma of the truth (p=8: 19.5%)") {
     for (n <- Seq(500L, 5000L, 50000L)) {
       val est = Sketch.hllEstimate(
