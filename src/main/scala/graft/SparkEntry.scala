@@ -1459,6 +1459,43 @@ object SparkEntry {
         (F.abs(F.col("estimate") - F.col("n_exact")) / F.col("n_exact")
           <= 0.10).as("within_10pct"))
     }),
+    "sketch_heavy_hitters" -> ((s, d) =>
+      // Misra-Gries heavy hitters in the exact regime: capacity 32768 ≥
+      // distinct items at every gate SF, so per-partition summaries are
+      // exact counts, the merge subtracts 0, and the result is
+      // order/partitioning-independent — full oracle vs groupBy-count
+      graft.core.Sketch.mgHeavyHitters(
+        Tables.interactions(s, d).select("item_id"), "item_id", 32768)
+        .select(F.col("key").as("item_id"), F.col("count"), F.col("err"))),
+    "sketch_heavy_hitters_crop" -> ((s, d) => {
+      // the REAL MG merge crop, made deterministic: exact per-partition
+      // summaries (capacity ≥ distinct) merged at capacity 100 — the
+      // (101)-th-largest order statistic s is subtracted from every count
+      // and only strictly-positive survivors remain (≤ 100 keys,
+      // tie-agnostic). The oracle mirrors s as ORDER BY c DESC LIMIT 101
+      val sums = graft.core.Sketch.mgSummaries(
+        Tables.interactions(s, d).select("item_id"), "item_id", 32768)
+      graft.core.Sketch.mgMerge(sums, 100)
+        .select(F.col("key").as("item_id"), F.col("count"), F.col("err"))
+    }),
+    "graph_pagerank" -> ((s, d) => {
+      // 3-iteration PageRank over the bipartite query→item graph in EXACT
+      // fixed-point BIGINT arithmetic (items offset by 1e6 into the node
+      // space; every item is a dangling node, exercising the uniform
+      // redistribution). The oracle replays all 3 rounds with `//`
+      graft.core.Graph.pageRank(
+        Tables.interactions(s, d).select(F.col("query_id").as("src"),
+          (F.col("item_id") + F.lit(1000000L)).as("dst")),
+        iterations = 3)
+        .select(F.col("node"), F.col("rank").as("pr_units"))
+    }),
+    "zorder_key" -> ((s, d) =>
+      // lakehouse Z-ORDER clustering key over the (query, item) plane:
+      // exact integer min-max scaling to 21 bits + Morton interleave,
+      // every bit mirrored in the oracle's 42-term SQL expression
+      graft.core.Ops.zOrderKey(
+        Tables.interactions(s, d).select("query_id", "item_id").distinct(),
+        Seq("query_id", "item_id"), bits = 21)),
     "text_quality_percentile" -> ((s, d) => {
       // corpus-relative percentile of a quality proxy (token count) over a
       // total order — percent_rank semantics WITHOUT the single-partition
@@ -4151,6 +4188,75 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS within_10pct
         |FROM events GROUP BY 1""".stripMargin,
+    // MG exact regime: capacity above distinct → plain counts, zero error
+    "sketch_heavy_hitters" ->
+      s"""$interactionsSql
+         |SELECT item_id, CAST(count(*) AS BIGINT) AS count,
+         |  CAST(0 AS BIGINT) AS err
+         |FROM interactions GROUP BY 1""".stripMargin,
+    // MG merge crop: subtract the (cap+1)-th largest count (an order
+    // statistic — the multiset of the top-101 VALUES is unique even when
+    // row identity under ties is not), keep strict positives
+    "sketch_heavy_hitters_crop" ->
+      s"""$interactionsSql,
+         |cnt AS (SELECT item_id, CAST(count(*) AS BIGINT) AS c
+         |        FROM interactions GROUP BY 1),
+         |th AS (SELECT CASE WHEN count(*) > 100 THEN min(c) ELSE 0 END AS s
+         |       FROM (SELECT c FROM cnt ORDER BY c DESC LIMIT 101))
+         |SELECT item_id, CAST(c - th.s AS BIGINT) AS count,
+         |  CAST(th.s AS BIGINT) AS err
+         |FROM cnt, th WHERE c - th.s > 0""".stripMargin,
+    // 3 unrolled PageRank rounds in BIGINT fixed point: contrib = rk//deg,
+    // dangling mass // n shared to all, rk' = 150000 + (85·inflow)//100 —
+    // `//` mirrors Spark's `div` exactly on non-negative integers
+    "graph_pagerank" ->
+      s"""$interactionsSql,
+         |e AS (SELECT DISTINCT query_id AS src, item_id + 1000000 AS dst
+         |      FROM interactions),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |nodes AS (
+         |  SELECT n.node, coalesce(d.deg, 0) AS deg
+         |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+         |  LEFT JOIN deg d ON n.node = d.node),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rk FROM nodes),
+         |d1 AS (SELECT coalesce(sum(rk), 0) AS dang FROM r0 WHERE deg = 0),
+         |i1 AS (SELECT e.dst AS node, sum(r.rk // r.deg) AS inc
+         |       FROM r0 r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
+         |r1 AS (SELECT n.node, n.deg,
+         |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
+         |       FROM nodes n LEFT JOIN i1 i ON n.node = i.node, d1 d, nn),
+         |d2 AS (SELECT coalesce(sum(rk), 0) AS dang FROM r1 WHERE deg = 0),
+         |i2 AS (SELECT e.dst AS node, sum(r.rk // r.deg) AS inc
+         |       FROM r1 r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
+         |r2 AS (SELECT n.node, n.deg,
+         |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
+         |       FROM nodes n LEFT JOIN i2 i ON n.node = i.node, d2 d, nn),
+         |d3 AS (SELECT coalesce(sum(rk), 0) AS dang FROM r2 WHERE deg = 0),
+         |i3 AS (SELECT e.dst AS node, sum(r.rk // r.deg) AS inc
+         |       FROM r2 r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
+         |r3 AS (SELECT n.node, n.deg,
+         |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
+         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node, d3 d, nn)
+         |SELECT node, CAST(rk AS BIGINT) AS pr_units FROM r3""".stripMargin,
+    // Morton key: exact integer min-max scale to 21 bits, then the
+    // 42-term bit interleave generated to mirror Ops.zOrderValue
+    "zorder_key" -> {
+      val terms = (0 until 21).flatMap(b => Seq(
+        s"(((sa >> $b) & 1) << ${2 * b})",
+        s"(((sb >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""$interactionsSql,
+         |pairs AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |bounds AS (SELECT min(query_id) AS la, max(query_id) AS ha,
+         |                  min(item_id) AS lb, max(item_id) AS hb FROM pairs),
+         |scaled AS (SELECT query_id, item_id,
+         |    ((query_id - la) * 2097151) // (ha - la) AS sa,
+         |    ((item_id - lb) * 2097151) // (hb - lb) AS sb
+         |  FROM pairs, bounds)
+         |SELECT query_id, item_id, CAST($terms AS BIGINT) AS zvalue
+         |FROM scaled""".stripMargin
+    },
     // percent_rank over a unique total order == (row_number−1)/(n−1)
     "text_quality_percentile" ->
       """SELECT doc_id,

@@ -676,6 +676,19 @@ object Ops {
   def writeCompacted(df: DataFrame, path: String, targetFileBytes: Long = 128L << 20,
       sortCols: Seq[Column] = Nil, compressionRatio: Double = 0.3,
       fallbackBytesPerRow: Long = 128L, maxFiles: Int = 1 << 18): Int = {
+    val nFiles = targetPartitions(df, targetFileBytes, compressionRatio,
+      fallbackBytesPerRow, maxFiles)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else df.repartition(nFiles)
+    shaped.write.mode("overwrite").parquet(path)
+    nFiles
+  }
+
+  /** Byte-targeted partition count for the compacting writers. */
+  private def targetPartitions(df: DataFrame, targetFileBytes: Long,
+      compressionRatio: Double, fallbackBytesPerRow: Long, maxFiles: Int): Int = {
     require(targetFileBytes > 0, s"need targetFileBytes > 0: $targetFileBytes")
     require(compressionRatio > 0, s"need compressionRatio > 0: $compressionRatio")
     // RDD-backed lineages (globalRowNumber, deterministicShuffle, ...) have
@@ -686,13 +699,79 @@ object Ops {
     val estBytes =
       if (rawStats < BigInt(Long.MaxValue) / 4) rawStats.toDouble * compressionRatio
       else df.count().toDouble * fallbackBytesPerRow
-    val nFiles = math.min(maxFiles.toLong,
+    math.min(maxFiles.toLong,
       math.max(1L, math.ceil(estBytes / targetFileBytes).toLong)).toInt
-    val shaped =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(nFiles, sortCols: _*).sortWithinPartitions(sortCols: _*)
-      else df.repartition(nFiles)
-    shaped.write.mode("overwrite").parquet(path)
+  }
+
+  /** Z-order (Morton) interleave of `cols.size` coordinates already scaled
+    * into [0, 2^bits): bit b of coordinate i lands at output bit
+    * b·k + i. Pure shift/and/or — one codegen'd expression, no UDF. The
+    * multi-dimensional clustering key behind lakehouse Z-ORDER layouts:
+    * range-partitioning on it keeps rows close in EVERY interleaved
+    * dimension close on disk, so parquet min/max footer stats prune files
+    * for predicates on ANY of the dimensions (a plain sort only prunes
+    * its leading column). */
+  def zOrderValue(cols: Seq[Column], bits: Int = 21): Column = {
+    require(cols.nonEmpty, "zOrderValue: need at least one column")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"zOrderValue: ${cols.size} cols x $bits bits exceeds the 63-bit budget")
+    val k = cols.size
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield F.shiftleft(
+      F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1L)),
+      b * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Min-max scale integral columns to [0, 2^bits) and attach their
+    * Z-order key: scaled_i = ((v_i − min_i) · (2^bits − 1)) div
+    * (max_i − min_i) — EXACT integer arithmetic (a SQL engine replays it
+    * with `//`), constant columns scale to 0. Bounds come from one
+    * aggregation collected as 2·k driver scalars (bounded contract, like
+    * [[graft.core.Sketch.bounds]]); they also guard the overflow budget
+    * (range · mask must stay below 2^63). Fractional inputs should be
+    * pre-quantized by the caller — the cast truncates. */
+  def zOrderKey(df: DataFrame, zCols: Seq[String], bits: Int = 21,
+      outCol: String = "zvalue"): DataFrame = {
+    require(zCols.nonEmpty, "zOrderKey: need at least one column")
+    require(!df.columns.contains(outCol), s"input already has column $outCol")
+    val mask = (1L << bits) - 1L
+    val boundsExprs = zCols.flatMap(c =>
+      Seq(F.min(F.col(c).cast("long")), F.max(F.col(c).cast("long"))))
+    val boundsRow = df.agg(boundsExprs.head, boundsExprs.tail: _*).first()
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      require(!boundsRow.isNullAt(2 * i) && !boundsRow.isNullAt(2 * i + 1),
+        s"zOrderKey($c): column has no non-null rows")
+      val (lo, hi) = (boundsRow.getLong(2 * i), boundsRow.getLong(2 * i + 1))
+      val range = hi - lo
+      require(range <= Long.MaxValue / (mask max 1L),
+        s"zOrderKey($c): range $range x $bits bits overflows 63 bits")
+      if (range == 0L) F.lit(0L)
+      else F.expr(s"((CAST(`$c` AS BIGINT) - ${lo}L) * ${mask}L) div ${range}L")
+    }
+    df.withColumn(outCol, zOrderValue(scaled, bits))
+  }
+
+  /** Z-ordered compacting parquet writer: [[zOrderKey]] + range
+    * partition + in-file sort on the Morton key, key dropped before
+    * write. Each output file then covers a compact multi-dimensional
+    * cell, so footer min/max stats on the ORIGINAL columns prune files
+    * for predicates on any zCol — the layout move that turns a 100 TB
+    * full scan into a few-file read for point/range lookups on either
+    * dimension. Returns the file count. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 21, targetFileBytes: Long = 128L << 20,
+      compressionRatio: Double = 0.3, fallbackBytesPerRow: Long = 128L,
+      maxFiles: Int = 1 << 18): Int = {
+    val nFiles = targetPartitions(df, targetFileBytes, compressionRatio,
+      fallbackBytesPerRow, maxFiles)
+    zOrderKey(df, zCols, bits, outCol = "_zmorton")
+      .repartitionByRange(nFiles, F.col("_zmorton"))
+      .sortWithinPartitions(F.col("_zmorton"))
+      .drop("_zmorton")
+      .write.mode("overwrite").parquet(path)
     nFiles
   }
 }

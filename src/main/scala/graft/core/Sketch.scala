@@ -356,6 +356,87 @@ object Sketch {
             F.col("_c.counter").cast("double"))).as("estimate")): _*)
   }
 
+  /** Per-partition Misra-Gries heavy-hitter summaries (Misra & Gries
+    * 1982): at most `capacity` counters per partition, decrement-all on
+    * overflow. THE frequency member of the sketch family that reports
+    * actual KEYS (CMS answers point queries but cannot enumerate): one
+    * scan, O(capacity) memory per task regardless of stream size, and
+    * the shuffle that follows ([[mgMerge]]) carries ≤ capacity·partitions
+    * rows — where an exact groupBy-count would shuffle one row per
+    * DISTINCT key (≈ the corpus for URL/shingle-like keys at 100 TB).
+    *
+    * Per-partition guarantee: true_p(k) − count_p(k) ≤ n_p/(capacity+1).
+    * When capacity ≥ the partition's distinct-key count no decrement ever
+    * fires and the summary IS the partition's exact counts — in that
+    * regime the output is deterministic and order-independent (the gate
+    * configuration; the approximate regime is arrival-order-dependent
+    * like every MG implementation, spec'd by its error bound instead).
+    * Null keys are dropped (counted by no summary), mirroring groupBy. */
+  def mgSummaries(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"need capacity >= 1, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(keyCol).cast("long").as("_k")).na.drop("any")
+      .as[Long]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[Long, Long](capacity * 2)
+        while (it.hasNext) {
+          val k = it.next()
+          // counters are never stored at 0 (decrement removes them), so
+          // c == 0 <=> absent — no containsKey double-probe needed
+          val c = m.getOrDefault(k, 0L)
+          if (c != 0L) m.put(k, c + 1L)
+          else if (m.size < capacity) m.put(k, 1L)
+          else { // full + new key: decrement every counter, drop zeros.
+            // Amortized O(1)/arrival: each decrement round is paid for by
+            // the >= capacity increments that filled the counters.
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove()
+              else en.setValue(en.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.asScala.iterator.map { case (k, v) => (k, v) }
+      }
+      .toDF("key", "count")
+  }
+
+  /** Merge Misra-Gries summaries back to one ≤ `capacity`-key summary
+    * (Agarwal et al. 2013, "Mergeable Summaries", Fig. 1): sum counters
+    * per key, subtract the (capacity+1)-th largest combined count s (an
+    * order statistic — tie-agnostic, hence deterministic), keep the
+    * strictly-positive remainder. At most `capacity` keys strictly exceed
+    * their own (capacity+1)-th order statistic, so the bound is
+    * structural. The error guarantee ADDS across the pipeline:
+    * true(k) − count(k) ≤ n_total/(capacity+1) for the full stream.
+    *
+    * Output: (key, count — the LOWER bound on the true count, err = s —
+    * the decrement this merge applied; true(k) ≤ count + n/(capacity+1)).
+    * Shape: one groupBy over ≤ capacity·shards rows, one bounded
+    * top-(capacity+1) (TakeOrderedAndProject — never a full sort), one
+    * broadcast of the 1-row threshold. */
+  def mgMerge(summaries: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"need capacity >= 1, got $capacity")
+    val combined = summaries.groupBy("key").agg(F.sum("count").as("count"))
+    val top = combined.orderBy(F.col("count").desc, F.col("key").asc)
+      .limit(capacity + 1)
+    val thresh = top.agg(
+      F.when(F.count(F.lit(1)) > capacity, F.min("count"))
+        .otherwise(F.lit(0L)).as("_s"))
+    combined.crossJoin(F.broadcast(thresh))
+      .filter(F.col("count") - F.col("_s") > 0L)
+      .select(F.col("key"), (F.col("count") - F.col("_s")).as("count"),
+        F.col("_s").as("err"))
+  }
+
+  /** One-call heavy hitters: per-partition MG + merge at the same
+    * capacity. ε-approximate top keys with ε = 1/(capacity+1). */
+  def mgHeavyHitters(df: DataFrame, keyCol: String, capacity: Int): DataFrame =
+    mgMerge(mgSummaries(df, keyCol, capacity), capacity)
+
   def histogramQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double,
       hi: Double, bins: Int = 256): DataFrame = {
     val w = (hi - lo) / bins

@@ -338,4 +338,70 @@ class SketchSpec extends SparkSpec {
       .as[(Double, Double)].collect().toMap
     assert(math.abs(edges(0.0) - lo) <= w && math.abs(edges(1.0) - hi) <= w)
   }
+
+  // ---- Misra-Gries heavy hitters ----
+
+  // heavy skew: key 999 appears 300 times amid 100 singletons (n = 400),
+  // interleaved by a fixed coprime step so the heavy key isn't a prefix
+  private val skewedSeq: Seq[Long] = {
+    val raw = Seq.fill(300)(999L) ++ (1L to 100L)
+    raw.zipWithIndex.sortBy(p => (p._2 * 137) % 401).map(_._1)
+  }
+  private def skewed = skewedSeq.toDF("item_id")
+
+  test("MG exact regime: capacity >= distinct reproduces groupBy counts, err 0") {
+    val got = Sketch.mgHeavyHitters(stream.repartition(5), "item_id", 64)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._3 == 0L))
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      (1 to 20).map(k => k.toLong -> k.toLong).toMap)
+  }
+
+  test("MG guarantee: est <= true <= est + n/(capacity+1), heavy key survives") {
+    val truth = Map(999L -> 300L) ++ (1L to 100L).map(_ -> 1L)
+    val n = 400L
+    for (parts <- Seq(1, 7); cap <- Seq(4, 16)) {
+      val got = Sketch.mgHeavyHitters(skewed.repartition(parts), "item_id", cap)
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+      val eps = n / (cap + 1)
+      got.foreach { case (k, est) =>
+        assert(est <= truth(k), s"cap=$cap parts=$parts over-counts $k")
+        assert(truth(k) - est <= eps, s"cap=$cap parts=$parts bound broken at $k")
+      }
+      // any key with true count > n/(cap+1) MUST be reported
+      truth.filter(_._2 > eps).keys.foreach(k =>
+        assert(got.contains(k), s"cap=$cap parts=$parts lost heavy key $k"))
+    }
+  }
+
+  test("MG merge theorem: shard summaries combine under the additive bound") {
+    val (ha, hb) = skewedSeq.splitAt(200)
+    val (a, b) = (ha.toDF("item_id"), hb.toDF("item_id"))
+    val cap = 8
+    val merged = Sketch.mgMerge(
+      Sketch.mgSummaries(a, "item_id", cap)
+        .unionAll(Sketch.mgSummaries(b, "item_id", cap)), cap)
+      .as[(Long, Long, Long)].collect()
+    val truth = Map(999L -> 300L) ++ (1L to 100L).map(_ -> 1L)
+    merged.foreach { case (k, est, _) =>
+      assert(est <= truth(k) && truth(k) - est <= 400L / (cap + 1))
+    }
+    assert(merged.map(_._1).contains(999L))
+  }
+
+  test("MG state and output stay bounded by capacity") {
+    val cap = 4
+    val parts = 7
+    val summaries = Sketch.mgSummaries(skewed.repartition(parts), "item_id", cap)
+    assert(summaries.count() <= cap.toLong * parts) // <= capacity per task
+    assert(Sketch.mgHeavyHitters(skewed, "item_id", cap).count() <= cap.toLong)
+  }
+
+  test("MG drops null keys like groupBy") {
+    val withNulls = stream.unionAll(
+      Seq.fill(5)(Option.empty[Long]).toDF("item_id"))
+    assert(Sketch.mgHeavyHitters(withNulls, "item_id", 64)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap ==
+      (1 to 20).map(k => k.toLong -> k.toLong).toMap)
+  }
 }
