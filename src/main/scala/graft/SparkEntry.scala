@@ -2123,6 +2123,105 @@ object SparkEntry {
       Ops.fallbackMerge(main, fallback)
         .select(F.col("query_id"), F.col("item_id"), F.round(F.col("rating"), 6).as("rating"))
     }),
+
+    // ---- round 10: SCD2 / rolling windows / stream-stream / sketch algebra
+    "cdc_scd2" -> ((s, d) => {
+      // Type-2 history from the SAME synthetic change feed as
+      // cdc_apply_changes: each upsert opens [version, next-change) —
+      // deletes close without opening; valid_to NULL = current
+      val docs = Tables.documents(s, d)
+      def feed(rows: org.apache.spark.sql.DataFrame, op: String, v: Long) =
+        rows.withColumn("op", F.lit(op)).withColumn("version", F.lit(v))
+      val ups = feed(docs.filter(F.col("doc_id") % 4 === 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))), "upsert", 1L)
+      val dels = feed(docs.filter(F.col("doc_id") % 6 === 0), "delete", 2L)
+      val ins = feed(docs.filter(F.col("doc_id") % 9 === 0)
+        .withColumn("doc_id", F.col("doc_id") + 500000L), "upsert", 3L)
+      graft.core.Ops.scdType2(
+          ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "version")
+        .select("doc_id", "source", "text", "valid_from", "valid_to",
+          "is_current")
+    }),
+    "window_rolling_time" -> ((s, d) =>
+      // trailing 1-hour activity per user: RANGE frame on event-time
+      // micros — count + exact cents sum, no self-join
+      graft.core.Ops.rollingTimeAgg(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", 3600L)
+        .select("event_id", "user_id", "roll_cnt", "roll_sum_cents")),
+    "sample_group_k" -> ((s, d) =>
+      // exactly 5 docs per source by portable-hash rank — deterministic
+      // counts AND picks, mirrored by the oracle's md5 chain
+      graft.text.Mixing.sampleExactKPerGroup(
+        Tables.documents(s, d).select("doc_id", "source"),
+        Seq("source"), 5, Seq("doc_id"))),
+    "sketch_hll_overlap" -> ((s, d) => {
+      // HLL set algebra: items of even vs odd queries, with a third of
+      // the odd side shifted out of the id space so the overlap is
+      // PARTIAL (the raw sets coincide — every item sells to both
+      // parities). est_intersect/jaccard via inclusion-exclusion,
+      // thresholded against the exact counts (p=12: 5% ≈ 3 sigma on the
+      // direct estimates, 15% on the subtraction-amplified intersection)
+      val i = Tables.interactions(s, d).select("query_id", "item_id")
+      val a = i.filter(F.col("query_id") % 2 === 0).select("item_id")
+      val b = i.filter(F.col("query_id") % 2 === 1)
+        .select(F.when(F.col("item_id") % 3 === 0,
+          F.col("item_id") + 1000000L).otherwise(F.col("item_id"))
+          .as("item_id"))
+      val S = graft.core.Sketch
+      val ov = S.hllOverlap(S.hllRegisters(a, "item_id", 12),
+        S.hllRegisters(b, "item_id", 12), 12)
+      val ea = a.distinct(); val eb = b.distinct()
+      val na = ea.agg(F.count(F.lit(1)).as("n_a_exact"))
+      val nb = eb.agg(F.count(F.lit(1)).as("n_b_exact"))
+      val ni = ea.join(eb, Seq("item_id"), "left_semi")
+        .agg(F.count(F.lit(1)).as("n_inter_exact"))
+      ov.crossJoin(na).crossJoin(nb).crossJoin(ni).select(
+        F.col("n_a_exact"), F.col("n_b_exact"), F.col("n_inter_exact"),
+        (F.abs(F.col("est_a") - F.col("n_a_exact")) / F.col("n_a_exact")
+          <= 0.05).as("ok_a"),
+        (F.abs(F.col("est_b") - F.col("n_b_exact")) / F.col("n_b_exact")
+          <= 0.05).as("ok_b"),
+        (F.abs(F.col("est_intersect") - F.col("n_inter_exact"))
+          / F.greatest(F.col("n_inter_exact"), F.lit(1L)) <= 0.15).as("ok_inter"))
+    }),
+    "graph_ppr" -> ((s, d) => {
+      // personalized PageRank: teleport + dangling mass restricted to the
+      // every-100th-query seed set; same exact-BIGINT replay as
+      // graph_pagerank, seed-conditional
+      val i = Tables.interactions(s, d)
+      graft.core.Graph.personalizedPageRank(
+        i.select(F.col("query_id").as("src"),
+          (F.col("item_id") + F.lit(1000000L)).as("dst")),
+        i.select(F.col("query_id").as("node")).distinct()
+          .filter(F.col("node") % 100 === 0),
+        iterations = 3)
+        .select(F.col("node"), F.col("rank").as("ppr_units"))
+    }),
+    "join_attribution" -> ((s, d) => {
+      // the stream-stream attribution join run on its BATCH twin: every
+      // purchase pairs with the same user's views in the preceding 30
+      // minutes (state-bounded when streaming — spec'd with MemoryStreams)
+      val ev = Tables.events(s, d)
+      val views = ev.filter(F.col("event_type") === "view")
+        .select(F.col("user_id"), F.col("ts").as("imp_ts"),
+          F.col("event_id").as("imp_id"))
+      val convs = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("ts").as("conv_ts"),
+          F.col("event_id").as("conv_id"))
+      graft.streaming.StreamingOps.eventTimeJoin(
+          views, convs, Seq("user_id"), "imp_ts", "conv_ts", 1800L)
+        .select(F.col("imp_id"), F.col("conv_id"), F.col("user_id"),
+          (F.unix_micros(F.col("conv_ts")) - F.unix_micros(F.col("imp_ts")))
+            .as("delay_us"))
+    }),
+    "streaming_windowed_distinct" -> ((s, d) =>
+      // per-hour distinct-user HLL registers (batch twin of the
+      // watermarked streaming build; state <= 2^p per window) — every
+      // register cell rebuilt from the md5 chain by the oracle
+      graft.streaming.StreamingOps.windowedDistinctHll(
+        Tables.events(s, d).select("user_id", "ts"), 3600L, "user_id",
+        "ts", p = 8)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5299,5 +5398,118 @@ object SparkEntry {
          |       round(coalesce(m.rating, f.rating), 6) AS rating
          |FROM main m FULL OUTER JOIN fallback f
          |  ON m.query_id = f.query_id AND m.item_id = f.item_id""".stripMargin,
+
+    // ---- round 10 -----------------------------------------------------
+    // SCD Type 2: each upsert opens [version, next change); lead() closes
+    "cdc_scd2" ->
+      """WITH changes AS (
+        |  SELECT doc_id, text || ' v2' AS text, source,
+        |    'upsert' AS op, CAST(1 AS BIGINT) AS version
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, source, 'delete', CAST(2 AS BIGINT)
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text, source, 'upsert', CAST(3 AS BIGINT)
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |h AS (
+        |  SELECT doc_id, text, source, op, version,
+        |    lead(version) OVER (PARTITION BY doc_id
+        |      ORDER BY version, op) AS valid_to
+        |  FROM changes)
+        |SELECT doc_id, source, text, version AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to, valid_to IS NULL AS is_current
+        |FROM h WHERE op = 'upsert'""".stripMargin,
+    // trailing RANGE frame on event-time micros; exact integer cents sum
+    "window_rolling_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_sum_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // exact k per group by the md5-chain rank
+    "sample_group_k" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+    // HLL set algebra: oracle supplies the exact counts, estimates are
+    // threshold-checked Spark-side (booleans TRUE on pass)
+    "sketch_hll_overlap" ->
+      s"""$interactionsSql,
+         |a AS (SELECT DISTINCT item_id FROM interactions WHERE query_id % 2 = 0),
+         |b AS (SELECT DISTINCT CASE WHEN item_id % 3 = 0
+         |        THEN item_id + 1000000 ELSE item_id END AS item_id
+         |      FROM interactions WHERE query_id % 2 = 1)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM a
+         |     WHERE item_id IN (SELECT item_id FROM b)) AS n_inter_exact,
+         |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_inter""".stripMargin,
+    // personalized PageRank: the graph_pagerank replay, seed-conditional —
+    // teleport + dangling mass land only on the every-100th-query seeds
+    "graph_ppr" -> {
+      def round(k: Int): String = {
+        val p = k - 1
+        s"""d$k AS (SELECT coalesce(sum(rk), 0) AS dang FROM r$p WHERE deg = 0),
+           |i$k AS (SELECT e.dst AS node, sum(r.rk // r.deg) AS inc
+           |       FROM r$p r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
+           |r$k AS (SELECT n.node, n.deg, n.isSeed,
+           |         CASE WHEN n.isSeed
+           |           THEN bs.base + (85 * (d.dang // ss.s)) // 100 ELSE 0 END
+           |         + (85 * coalesce(i.inc, 0)) // 100 AS rk
+           |       FROM nodes n LEFT JOIN i$k i ON n.node = i.node,
+           |            d$k d, bs, ss),""".stripMargin
+      }
+      s"""$interactionsSql,
+         |e AS (SELECT DISTINCT query_id AS src, item_id + 1000000 AS dst
+         |      FROM interactions),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1),
+         |seeds AS (SELECT DISTINCT query_id AS node FROM interactions
+         |          WHERE query_id % 100 = 0),
+         |nodes AS (
+         |  SELECT n.node, coalesce(d.deg, 0) AS deg,
+         |    n.node IN (SELECT node FROM seeds) AS isSeed
+         |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+         |  LEFT JOIN deg d ON n.node = d.node),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |ss AS (SELECT count(*) AS s FROM nodes WHERE isSeed),
+         |bs AS (SELECT (15 * nn.n * 1000000) // (100 * ss.s) AS base
+         |       FROM nn, ss),
+         |r0 AS (SELECT node, deg, isSeed, CAST(1000000 AS BIGINT) AS rk
+         |       FROM nodes),
+         |${round(1)}
+         |${round(2)}
+         |${round(3).stripSuffix(",")}
+         |SELECT node, CAST(rk AS BIGINT) AS ppr_units FROM r3""".stripMargin
+    },
+    // attribution: purchases × preceding views within 30 min, same user
+    "join_attribution" ->
+      """SELECT v.event_id AS imp_id, c.event_id AS conv_id, v.user_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'purchase'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // per-hour HLL registers: the sketch_hll chain keyed by the epoch-
+    // aligned tumbling window (p=8 → 52 low bits)
+    "streaming_windowed_distinct" ->
+      """WITH hh AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |    ('0x' || substr(md5('0:' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (
+        |  SELECT window_start_us, h >> 52 AS bucket,
+        |    CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+        |         ELSE 52 - (length(bin(h & ((1::BIGINT << 52) - 1))) - 1)
+        |    END AS rho
+        |  FROM hh)
+        |SELECT window_start_us, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(max(rho) AS BIGINT) AS register
+        |FROM rr GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -774,4 +774,80 @@ object Ops {
       .write.mode("overwrite").parquet(path)
     nFiles
   }
+
+  /** Slowly-changing-dimension TYPE 2 history from a CDC change feed —
+    * the third leg of the engine's CDC algebra ([[applyChanges]] = Type-1
+    * merge, [[changesBetween]] = snapshot diff). Each `upsert` opens a
+    * validity interval `[version, next-change-version)`; the key's NEXT
+    * change of EITHER op closes it (a delete closes without opening), so
+    * `valid_to IS NULL` marks the current row. Law (spec'd):
+    * `scdSnapshotAt(scdType2(feed), v)` ≡ `applyChanges(∅, feed ≤ v)` for
+    * every version v — the history table and the merge replay agree at
+    * every point in time.
+    *
+    * `(keys, version)` must be unique — two changes at one key+version
+    * have no defined order in a history table; enforced per-row
+    * (assert_true), as is the op vocabulary.
+    *
+    * Scale: ONE window over the feed partitioned by key (the feed is
+    * churn-sized, not table-sized) — no join against the base table at
+    * all; output ∝ #upserts. */
+  def scdType2(changes: DataFrame, keys: Seq[String], versionCol: String,
+      opCol: String = "op"): DataFrame = {
+    require(changes.columns.contains(opCol) && changes.columns.contains(versionCol),
+      s"changes needs '$opCol' and '$versionCol' columns")
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col(versionCol).asc, F.col(opCol).asc)
+    val dup = Window.partitionBy((keys :+ versionCol).map(F.col): _*)
+    changes
+      .withColumn("_vdup", F.count(F.lit(1)).over(dup))
+      .filter(F.assert_true(F.col("_vdup") === 1L,
+        F.lit(s"scdType2: duplicate ($versionCol) within a key — history " +
+          "order undefined")).isNull)
+      .filter(F.assert_true(F.col(opCol).isin("upsert", "delete"),
+        F.concat(F.lit(s"scdType2: '$opCol' must be 'upsert' or 'delete', " +
+          "got '"), F.col(opCol), F.lit("'"))).isNull)
+      .withColumn("valid_to", F.lead(F.col(versionCol), 1).over(w))
+      .filter(F.col(opCol) === "upsert")
+      .withColumn("valid_from", F.col(versionCol))
+      .withColumn("is_current", F.col("valid_to").isNull)
+      .drop("_vdup", opCol, versionCol)
+  }
+
+  /** Point-in-time snapshot of a [[scdType2]] history: the payload rows
+    * whose interval covers `version` (`valid_from <= v < valid_to`, open
+    * intervals count). Pure filter — partition-pruned for free when the
+    * history is stored partitioned/sorted on `valid_from`. */
+  def scdSnapshotAt(history: DataFrame, version: Long): DataFrame =
+    history.filter(F.col("valid_from") <= version &&
+        (F.col("valid_to").isNull || F.col("valid_to") > version))
+      .drop("valid_from", "valid_to", "is_current")
+
+  /** Trailing event-time rolling aggregates per key: for every row, the
+    * COUNT and exact integer SUM of `valueCol` over that key's rows in
+    * `[ts − windowSeconds, ts]` (inclusive both ends; simultaneous rows
+    * are RANGE-frame peers and always aggregate together, so the result
+    * is deterministic under timestamp ties). The "activity in the last
+    * N hours" feature shape.
+    *
+    * The sum is computed in cents (`round(value·100)` BIGINT) — an exact,
+    * order-independent integer both engines agree on, where a sliding
+    * double sum is summation-order-sensitive at the ulp level.
+    *
+    * Scale: ONE hash shuffle on `keys` + per-partition sort; Spark
+    * evaluates the RANGE frame with a sliding two-pointer over each
+    * key's sorted rows — state is bounded by the frame width, never the
+    * partition, and there is no self-join (the naive formulation would be
+    * |rows|·|frame| pairs). */
+  def rollingTimeAgg(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, windowSeconds: Long,
+      cntCol: String = "roll_cnt", sumCol: String = "roll_sum_cents"): DataFrame = {
+    require(windowSeconds > 0, s"need windowSeconds > 0, got $windowSeconds")
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.unix_micros(F.col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    df.withColumn(cntCol, F.count(F.lit(1)).over(w))
+      .withColumn(sumCol,
+        F.sum(F.round(F.col(valueCol) * 100).cast("long")).over(w))
+  }
 }

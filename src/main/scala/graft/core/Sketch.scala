@@ -61,15 +61,26 @@ object Sketch {
     * Scale shape: identical to the CMS — one scan, map-side combined max,
     * a 2^p-cell shuffle regardless of stream size; mergeable by per-bucket
     * max; streaming-safe (max agg, update mode). */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+  /** The (bucket, rho) column pair of the HLL register recipe for one
+    * key column — the single definition every register builder (global,
+    * grouped, streaming-windowed) derives from, so the DuckDB mirrors
+    * stay in lockstep. */
+  def hllBucketRho(keyCol: String, p: Int): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = {
     require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
-    val m = 1L << p
     val low = 60 - p
     val h = PortableHash.long(0L, F.col(keyCol))
     val bucket = F.shiftrightunsigned(h, low)
     val w = h.bitwiseAND(F.lit((1L << low) - 1L))
     val rho = F.when(w === 0L, F.lit(low + 1))
       .otherwise(F.lit(low) - (F.length(F.bin(w)) - F.lit(1)))
+    (bucket, rho)
+  }
+
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
+    val m = 1L << p
+    val (bucket, rho) = hllBucketRho(keyCol, p)
     val sparse = df.select(bucket.as("bucket"), rho.as("_rho"))
       .groupBy("bucket").agg(F.max("_rho").cast("long").as("register"))
     df.sparkSession.range(m).select(F.col("id").as("bucket"))
@@ -88,13 +99,7 @@ object Sketch {
     * aggregation shuffle keyed on (group, bucket). */
   def hllRegistersByGroup(df: DataFrame, groupCols: Seq[String],
       keyCol: String, p: Int = 12): DataFrame = {
-    require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
-    val low = 60 - p
-    val h = PortableHash.long(0L, F.col(keyCol))
-    val bucket = F.shiftrightunsigned(h, low)
-    val w = h.bitwiseAND(F.lit((1L << low) - 1L))
-    val rho = F.when(w === 0L, F.lit(low + 1))
-      .otherwise(F.lit(low) - (F.length(F.bin(w)) - F.lit(1)))
+    val (bucket, rho) = hllBucketRho(keyCol, p)
     df.select((groupCols.map(F.col) :+ bucket.as("bucket") :+ rho.as("_rho")): _*)
       .groupBy((groupCols :+ "bucket").map(F.col): _*)
       .agg(F.max("_rho").cast("long").as("register"))
@@ -191,6 +196,33 @@ object Sketch {
   def hllMerge(shards: DataFrame*): DataFrame =
     shards.reduce(_ unionAll _)
       .groupBy("bucket").agg(F.max("register").as("register"))
+
+  /** HLL set algebra over two register frames (same p): union cardinality
+    * is exact sketch composition (per-bucket max — the HLL union is
+    * lossless), intersection and Jaccard come from inclusion–exclusion
+    * `|A∩B| = |A| + |B| − |A∪B|` (Dasgupta et al. 2016's baseline; the
+    * clamp at 0 absorbs estimator noise on near-disjoint sets). One row:
+    * (est_a, est_b, est_union, est_intersect, est_jaccard).
+    *
+    * Error: each estimate carries the standard ~1.04/√m relative error;
+    * the intersection inherits the DIFFERENCE of three such terms, so its
+    * RELATIVE error scales with |A∪B|/|A∩B| — size p for the union, not
+    * the overlap. The audience-overlap / set-similarity answer when the
+    * sets themselves are too big to materialize.
+    *
+    * Scale: three O(2^p) aggregations over fixed-size register frames —
+    * independent of the original corpus size; register frames for
+    * different days/shards compose via [[hllMerge]] first. */
+  def hllOverlap(regsA: DataFrame, regsB: DataFrame, p: Int = 12): DataFrame = {
+    val ea = hllEstimate(regsA, p).select(F.col("estimate").as("est_a"))
+    val eb = hllEstimate(regsB, p).select(F.col("estimate").as("est_b"))
+    val eu = hllEstimate(hllMerge(regsA, regsB), p)
+      .select(F.col("estimate").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("est_intersect", F.greatest(F.lit(0.0),
+        F.col("est_a") + F.col("est_b") - F.col("est_union")))
+      .withColumn("est_jaccard", F.col("est_intersect") / F.col("est_union"))
+  }
 
   /** Shard merge for [[bloomBits]] tables: per-bit OR (max). */
   def bloomMerge(shards: DataFrame*): DataFrame =

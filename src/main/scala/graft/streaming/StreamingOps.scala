@@ -91,6 +91,84 @@ object StreamingOps {
     }
   }
 
+  /** Event-time bounded join — the STREAM-STREAM join shape (click/
+    * impression attribution): every right row pairs with the left rows of
+    * the same key whose event time precedes it by at most
+    * `maxDelaySeconds` (`leftTs <= rightTs <= leftTs + maxDelay`,
+    * inclusive both ends). Works identically on batch frames and on two
+    * streams: when both sides are streaming, each gets a watermark of
+    * `maxDelaySeconds + watermarkSlackSeconds`, and the time-range
+    * predicate is exactly what lets Spark expire join state — the state
+    * store holds only the last `maxDelay + slack` of EACH side, bounded
+    * at any input volume. This is the one join where a time bound is not
+    * an optimization but the difference between O(horizon) and unbounded
+    * state.
+    *
+    * Column contract: the two frames must share ONLY `keys` (the
+    * timestamps must be distinctly named — rename upstream); emits
+    * left ⋈ right with the keys appearing once. Inner join: unmatched
+    * rows on either side emit nothing.
+    *
+    * Batch scale: one hash-shuffle equi-join on `keys`; the time bound is
+    * a post-join filter on the SAME shuffle (no extra exchange), and
+    * output ∝ true matches, never |L|·|R| (per-key pairs are bounded by
+    * the delay horizon). */
+  def eventTimeJoin(left0: DataFrame, right0: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, maxDelaySeconds: Long,
+      watermarkSlackSeconds: Long = 60L): DataFrame = {
+    require(maxDelaySeconds > 0, s"need maxDelaySeconds > 0, got $maxDelaySeconds")
+    require(leftTs != rightTs,
+      s"timestamps must be distinctly named, both are '$leftTs'")
+    val shared = left0.columns.toSet.intersect(right0.columns.toSet)
+    require(shared == keys.toSet,
+      s"frames must share exactly the join keys; shared = ${shared.mkString(",")}")
+    val horizon = s"${maxDelaySeconds + watermarkSlackSeconds} seconds"
+    def prep(df0: DataFrame, ts: String): DataFrame = {
+      val df = graft.core.Ops.ensureTimestamp(df0, ts)
+      if (df.isStreaming) df.withWatermark(ts, horizon) else df
+    }
+    val left = prep(left0, leftTs)
+    // key columns appear once: rename the right side's, join on equality,
+    // drop the copies (usingColumns can't carry the extra range predicate)
+    val right = keys.foldLeft(prep(right0, rightTs))(
+      (df, k) => df.withColumnRenamed(k, s"_r_$k"))
+    val cond = keys.map(k => F.col(k) === F.col(s"_r_$k"))
+      .reduce(_ && _) &&
+      F.col(rightTs) >= F.col(leftTs) &&
+      F.col(rightTs) <= F.col(leftTs) + F.expr(s"INTERVAL $maxDelaySeconds SECONDS")
+    left.join(right, cond, "inner").drop(keys.map(k => s"_r_$k"): _*)
+  }
+
+  /** Per-tumbling-window approximate distinct keys: the engine's sparse
+    * HyperLogLog registers ([[graft.core.Sketch.hllBucketRho]] — same
+    * portable-md5 recipe, so the batch twin is oracle-checkable
+    * cell-exactly) keyed by the event-time window. The "distinct users
+    * per hour" question at a volume where exact per-window sets don't
+    * fit.
+    *
+    * Streaming: pass `watermark` — the register build is ONE windowed
+    * max-aggregation, append-safe, and the state per window is at most
+    * 2^p registers REGARDLESS of how many events the window saw (state =
+    * windows-in-horizon × min(distinct, 2^p) rows — this is why the
+    * sketch, not `approx_count_distinct`'s opaque binary, is the
+    * streaming shape: the registers are themselves the mergeable,
+    * inspectable output). Batch: identical plan minus the watermark.
+    * Estimates: feed the output to
+    * `Sketch.hllEstimateByGroup(_, Seq("window_start_us"), p)`. */
+  def windowedDistinctHll(df0: DataFrame, windowSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts", p: Int = 8,
+      watermark: Option[String] = None): DataFrame = {
+    val df1 = graft.core.Ops.ensureTimestamp(df0, tsCol)
+    val df = watermark.fold(df1)(w => df1.withWatermark(tsCol, w))
+    val (bucket, rho) = graft.core.Sketch.hllBucketRho(keyCol, p)
+    df.select(F.window(F.col(tsCol), s"$windowSeconds seconds").as("_w"),
+        bucket.as("bucket"), rho.as("_rho"))
+      .groupBy("_w", "bucket")
+      .agg(F.max("_rho").cast("long").as("register"))
+      .select(F.unix_micros(F.col("_w.start")).as("window_start_us"),
+        F.col("bucket"), F.col("register"))
+  }
+
   final case class ItemEvent(item_id: Long, rating: Double)
   final case class ItemStats(item_id: Long, pos: Double, total: Double)
 

@@ -122,4 +122,26 @@ object Mixing {
         F.ceil(F.lit(frac) * F.col("_ssn").cast("double") - F.lit(1e-9)))
       .drop("_ssr", "_ssn")
   }
+
+  /** EXACT count-based companion to [[stratifiedSample]]: keep AT MOST
+    * `k` rows per group, chosen by portable-hash rank (deterministic
+    * across layouts and engines; groups smaller than k pass through
+    * whole). The "k eval docs per domain" / "k examples per class" shape
+    * where a FRACTION would give unbounded absolute counts on skewed
+    * group sizes.
+    *
+    * Scale: lowers to the same rank-filter Spark rewrites to
+    * WindowGroupLimit — each group keeps an O(k) heap per partition, no
+    * full per-group sort. `idCols` must uniquely identify rows within a
+    * group. */
+  def sampleExactKPerGroup(df: DataFrame, groupCols: Seq[String], k: Int,
+      idCols: Seq[String], seed: Long = 13): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val w = Window.partitionBy(groupCols.map(F.col): _*).orderBy(
+      (graft.core.PortableHash.long(seed, idCols.map(F.col): _*).asc +:
+        idCols.map(F.col(_).asc)): _*)
+    df.withColumn("_skr", F.row_number().over(w))
+      .filter(F.col("_skr") <= k)
+      .drop("_skr")
+  }
 }
