@@ -2222,7 +2222,93 @@ object SparkEntry {
       graft.streaming.StreamingOps.windowedDistinctHll(
         Tables.events(s, d).select("user_id", "ts"), 3600L, "user_id",
         "ts", p = 8)),
+    "graph_triangles" -> ((s, d) =>
+      // exact triangles + clustering coefficient over the parts-bought-
+      // together graph (co-occurrence in every-40th order): degree-ordered
+      // wedge join, all-BIGINT incl. the packed (deg,id) order key and the
+      // fixed-point lcc — the oracle replays every step with `//`
+      graft.core.Graph.triangleCounts(
+        coPurchaseEdges(s, d), "src", "dst")),
+    "graph_communities" -> ((s, d) =>
+      // 4 rounds of deterministic synchronous label propagation on the
+      // same co-occurrence graph; the per-round argmax is ONE BIGINT
+      // max_by(label, cnt*2^31 - label) both engines evaluate identically
+      graft.core.Graph.labelPropagation(
+        coPurchaseEdges(s, d), "src", "dst", iterations = 4)),
+    "funnel_users" -> ((s, d) =>
+      // per-user funnel timeline signup -> view -> click -> purchase,
+      // first-touch, strictly ordered, 7-day window anchored at signup;
+      // each level is a filtered-scan x cohort equi-join, no windows
+      graft.core.Funnel.funnelUsers(Tables.events(s, d), "user_id",
+          "event_type", "ts", Seq("signup", "view", "click", "purchase"),
+          Some(F.expr("INTERVAL 7 DAYS")))
+        .select(F.col("user_id"), F.col("step"), F.col("step_name"),
+          F.unix_micros(F.col("ts")).as("ts_us"))),
+    "funnel_steps" -> ((s, d) =>
+      // the funnel summary: survivors per step + ppm conversion rates in
+      // exact integer division
+      graft.core.Funnel.funnelSteps(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase"),
+        Some(F.expr("INTERVAL 7 DAYS")))),
+    "sketch_cms_join" -> ((s, d) => {
+      // pre-flight SELF-join size of lineitem on l_partkey from two CMS
+      // sketches (the skew detector a planner runs before committing to a
+      // shuffle strategy): estimate = min over rows of the counter inner
+      // product — never under the true sum(n_p^2), every cell BIGINT
+      val li = Tables.lineitem(s, d).select("l_partkey")
+      val c = graft.core.Sketch.cmsCounters(li, "l_partkey", 4, 256)
+      val est = graft.core.Sketch.cmsJoinSize(c, c)
+      val exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).as("_n"))
+        .agg(F.sum(F.col("_n") * F.col("_n")).as("exact"))
+      est.crossJoin(F.broadcast(exact))
+        .select(F.col("estimate"), F.col("exact"),
+          (F.col("estimate") >= F.col("exact")).as("never_under"))
+    }),
+    "agg_incremental" -> ((s, d) => {
+      // incremental aggregate maintenance: summarize six sevenths of
+      // orders, summarize the delta separately, MERGE the states — the
+      // oracle recomputes the per-customer summary from the full table,
+      // so the gate checks merge(summary(base), summary(delta)) ≡
+      // summary(base ∪ delta) cell-exactly (cents BIGINT measure)
+      val o = Tables.orders(s, d).select(F.col("o_custkey"),
+        F.col("o_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").as("_cents"))
+      val base = o.filter(F.col("o_orderkey") % 7 =!= 0)
+      val delta = o.filter(F.col("o_orderkey") % 7 === 0)
+      graft.core.Ops.aggMerge(
+        graft.core.Ops.aggSummary(base, Seq("o_custkey"), "_cents"),
+        graft.core.Ops.aggSummary(delta, Seq("o_custkey"), "_cents"))
+    }),
+    "privacy_k_anon" -> ((s, d) =>
+      // k-anonymity audit over (nation, acctbal band): occupancy + the
+      // n >= 5 verdict per quasi-identifier combination
+      graft.core.Ops.kAnonymityAudit(
+        Tables.customer(s, d).select(F.col("c_nationkey").cast("long"),
+          F.floor(F.col("c_acctbal") / 2000.0).cast("long").as("bal_band")),
+        Seq("c_nationkey", "bal_band"), 5L)),
+    "privacy_k_anon_suppress" -> ((s, d) =>
+      // suppression: rows in sub-k combinations get their quasi cells
+      // NULLed, everything else passes through unchanged
+      graft.core.Ops.kAnonymize(
+        Tables.customer(s, d).select(F.col("c_custkey"),
+          F.col("c_nationkey").cast("long").as("c_nationkey"),
+          F.floor(F.col("c_acctbal") / 2000.0).cast("long").as("bal_band")),
+        Seq("c_nationkey", "bal_band"), 5L)),
   )
+
+  /** Parts-bought-together edge list: every-40th order's lineitems,
+    * item pairs co-occurring in one order (the graph gates' shared
+    * input — canonicalization happens inside the graph operators). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(F.col("l_orderkey") % 40 === 0)
+      .select(F.col("l_orderkey"), F.col("l_partkey"))
+    li.select(F.col("l_orderkey"), F.col("l_partkey").as("src"))
+      .join(li.select(F.col("l_orderkey"), F.col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(F.col("src") =!= F.col("dst"))
+      .select("src", "dst")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -5460,8 +5546,9 @@ object SparkEntry {
            |       FROM r$p r JOIN e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1),
            |r$k AS (SELECT n.node, n.deg, n.isSeed,
            |         CASE WHEN n.isSeed
-           |           THEN bs.base + (85 * (d.dang // ss.s)) // 100 ELSE 0 END
-           |         + (85 * coalesce(i.inc, 0)) // 100 AS rk
+           |           THEN bs.base
+           |             + (85 * (coalesce(i.inc, 0) + (d.dang // ss.s))) // 100
+           |           ELSE (85 * coalesce(i.inc, 0)) // 100 END AS rk
            |       FROM nodes n LEFT JOIN i$k i ON n.node = i.node,
            |            d$k d, bs, ss),""".stripMargin
       }
@@ -5511,5 +5598,146 @@ object SparkEntry {
         |SELECT window_start_us, CAST(bucket AS BIGINT) AS bucket,
         |  CAST(max(rho) AS BIGINT) AS register
         |FROM rr GROUP BY 1, 2""".stripMargin,
+    // the shared parts-bought-together edge slice (graph_triangles /
+    // graph_communities): canonical (lo,hi) undirected simple edges
+    "graph_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0) GROUP BY 1),
+        |ork AS (
+        |  SELECT e0.ea, e0.eb, da.deg * 2147483648 + e0.ea AS ka,
+        |    db.deg * 2147483648 + e0.eb AS kb
+        |  FROM e0 JOIN deg da ON e0.ea = da.node
+        |    JOIN deg db ON e0.eb = db.node),
+        |o AS (SELECT CASE WHEN ka < kb THEN ea ELSE eb END AS lo,
+        |        CASE WHEN ka < kb THEN eb ELSE ea END AS hi,
+        |        CASE WHEN ka < kb THEN kb ELSE ka END AS khi FROM ork),
+        |w AS (SELECT l.lo AS p, l.hi AS v, r.hi AS w2
+        |      FROM o l JOIN o r ON l.lo = r.lo AND l.khi < r.khi),
+        |t AS (SELECT p, v, w2 FROM w WHERE EXISTS (
+        |        SELECT 1 FROM o WHERE o.lo = w.v AND o.hi = w.w2)),
+        |pn AS (SELECT node, count(*) AS tri FROM (
+        |  SELECT p AS node FROM t UNION ALL SELECT v FROM t
+        |  UNION ALL SELECT w2 FROM t) GROUP BY 1)
+        |SELECT deg.node, deg.deg AS degree,
+        |  coalesce(pn.tri, 0) AS triangles,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN (2 * coalesce(pn.tri, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+        |    ELSE 0 END AS lcc_ppm
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
+    "graph_communities" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |adj AS (SELECT ea AS node, eb AS nbr FROM e0
+        |        UNION ALL SELECT eb AS node, ea AS nbr FROM e0),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+        |l1 AS (SELECT node, max_by(label, cnt * 2147483648 - label) AS label
+        |  FROM (SELECT a.node, p.label, count(*) AS cnt
+        |        FROM adj a JOIN l0 p ON a.nbr = p.node GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |l2 AS (SELECT node, max_by(label, cnt * 2147483648 - label) AS label
+        |  FROM (SELECT a.node, p.label, count(*) AS cnt
+        |        FROM adj a JOIN l1 p ON a.nbr = p.node GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |l3 AS (SELECT node, max_by(label, cnt * 2147483648 - label) AS label
+        |  FROM (SELECT a.node, p.label, count(*) AS cnt
+        |        FROM adj a JOIN l2 p ON a.nbr = p.node GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |l4 AS (SELECT node, max_by(label, cnt * 2147483648 - label) AS label
+        |  FROM (SELECT a.node, p.label, count(*) AS cnt
+        |        FROM adj a JOIN l3 p ON a.nbr = p.node GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT node, label AS community FROM l4""".stripMargin,
+    "funnel_users" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s.t1
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s3 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |  epoch_us(t1) AS ts_us FROM s1
+        |UNION ALL SELECT user_id, 2, 'view', epoch_us(tp) FROM s2
+        |UNION ALL SELECT user_id, 3, 'click', epoch_us(tp) FROM s3
+        |UNION ALL SELECT user_id, 4, 'purchase', epoch_us(tp) FROM s4""".stripMargin,
+    "funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s.t1
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s3 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |counts AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |    count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |SELECT c.step, c.step_name, c.users,
+        |  (c.users * 1000000) // e.users AS conv_from_entry_ppm,
+        |  (c.users * 1000000) // coalesce(p.users, c.users) AS conv_from_prev_ppm
+        |FROM counts c
+        |CROSS JOIN (SELECT users FROM counts WHERE step = 1) e
+        |LEFT JOIN counts p ON p.step = c.step - 1
+        |WHERE c.users > 0""".stripMargin,
+    "sketch_cms_join" ->
+      """WITH cells AS (
+        |  SELECT r.r AS row,
+        |    ('0x' || substr(md5(r.r || ':' || l_partkey), 1, 15))::BIGINT
+        |      % 256 AS bucket
+        |  FROM lineitem, range(0, 4) r(r)),
+        |cnt AS (SELECT row, bucket, count(*) AS c FROM cells GROUP BY 1, 2),
+        |ip AS (SELECT a.row, sum(a.c * b.c) AS ip FROM cnt a
+        |  JOIN cnt b ON a.row = b.row AND a.bucket = b.bucket GROUP BY 1),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS estimate FROM ip),
+        |ex AS (SELECT sum(n * n) AS exact FROM (
+        |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1))
+        |SELECT estimate, CAST(exact AS BIGINT) AS exact,
+        |  estimate >= exact AS never_under FROM est, ex""".stripMargin,
+    "agg_incremental" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum,
+        |  min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS min,
+        |  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS max
+        |FROM orders GROUP BY 1""".stripMargin,
+    "privacy_k_anon" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS n, count(*) >= 5 AS anonymous
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "privacy_k_anon_suppress" ->
+      """WITH q AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bb
+        |  FROM customer),
+        |n AS (SELECT nk, bb, count(*) AS n FROM q GROUP BY 1, 2)
+        |SELECT q.c_custkey,
+        |  CASE WHEN n.n >= 5 THEN q.nk ELSE NULL END AS c_nationkey,
+        |  CASE WHEN n.n >= 5 THEN q.bb ELSE NULL END AS bal_band
+        |FROM q JOIN n ON q.nk = n.nk AND q.bb = n.bb""".stripMargin,
   )
 }

@@ -107,8 +107,11 @@ object Graph {
     * topic-sensitive ranking.
     *
     *   rank'(v) = [v∈S]·(((100−d)·n·unit) div (100·s))
-    *            + (d·Σ_{u→v} contrib(u)) div 100
-    *            + [v∈S]·((d·(dangMass div s)) div 100)
+    *            + (d·(Σ_{u→v} contrib(u) + [v∈S]·(dangMass div s))) div 100
+    *
+    * (the dangling share sits INSIDE the same div-100 as the incoming
+    * sum, exactly like [[pageRank]]'s update — so seeding EVERY node
+    * reproduces the uniform variant term for term, spec'd as a law)
     *
     * (s = |S∩nodes|; seeds not present in the graph are ignored). All
     * arithmetic stays BIGINT +/·/div — engine-replayable cell-exactly,
@@ -164,11 +167,10 @@ object Graph {
       val next = nodes.join(incoming, Seq("_node"), "left")
         .crossJoin(F.broadcast(dang))
         .select(F.col("_node"), F.col("_deg"), F.col("_isSeed"),
-          (F.when(F.col("_isSeed"),
+          F.when(F.col("_isSeed"),
             F.lit(baseSeed) + F.expr(
-              s"($dampingPct * (_dangling div ${s}L)) div 100"))
-            .otherwise(F.lit(0L)) +
-            F.expr(s"($dampingPct * coalesce(_inc, 0L)) div 100"))
+              s"($dampingPct * (coalesce(_inc, 0L) + (_dangling div ${s}L))) div 100"))
+            .otherwise(F.expr(s"($dampingPct * coalesce(_inc, 0L)) div 100"))
             .as("_rank"))
         .localCheckpoint(true)
       ranks.unpersist()
@@ -176,6 +178,134 @@ object Graph {
     }
     val out = ranks.select(F.col("_node").as("node"), F.col("_rank").as("rank"))
     e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Canonical undirected simple edge list: self-loops dropped, both
+    * orientations collapsed to (lo, hi), duplicates removed. Node ids must
+    * be non-negative and < 2³¹ so a (degree, id) total order packs into
+    * one BIGINT (`deg·2³¹ + id`) that any SQL engine rebuilds exactly. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val a = F.col(srcCol).cast("long")
+    val b = F.col(dstCol).cast("long")
+    edges.filter(a =!= b)
+      .select(F.least(a, b).as("_a"), F.greatest(a, b).as("_b"))
+      .distinct()
+  }
+
+  /** Exact triangle counting + local clustering coefficient via the
+    * degree-ordered edge-iterator (Schank & Wagner 2005; the MapReduce
+    * shape of Suri & Vassilvitskii 2011): orient every canonical edge
+    * from the (degree, id)-smaller endpoint to the larger, enumerate
+    * wedges only at each edge's SMALLER endpoint, and close them with one
+    * hash-equi semi-join against the oriented edge set. Orientation bounds
+    * each node's oriented out-degree by O(√m), so total wedge rows are
+    * O(m^1.5) worst-case — the classic bound — instead of Σ deg² (a
+    * single celebrity node would otherwise generate |followers|² wedges).
+    *
+    * Everything is integer: degrees, the packed order key
+    * `deg·2³¹ + id`, triangle counts, and the fixed-point clustering
+    * coefficient `lcc_ppm = (2·tri·10⁶) div (deg·(deg−1))` — cell-exact
+    * in any engine, no floats anywhere.
+    *
+    * Scale shape: distinct + two degree joins + ONE wedge self-join on
+    * the smaller endpoint + one (a,b) equi semi-join + one explode-free
+    * 3-column union groupBy. No driver state beyond Spark's own plan.
+    * Returns (node, degree, triangles, lcc_ppm) for every node of the
+    * undirected graph. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = e.select(F.col("_a").as("_node"))
+      .union(e.select(F.col("_b").as("_node")))
+      .groupBy("_node").agg(F.count(F.lit(1)).as("_deg"))
+      .localCheckpoint(true)
+    // packed total order: okey(v) = deg(v)·2^31 + v  (ids < 2^31 by contract)
+    val okey = (n: String, d: String) =>
+      F.col(d) * F.lit(2147483648L) + F.col(n)
+    val withK = e
+      .join(deg.select(F.col("_node").as("_a"), F.col("_deg").as("_da")), Seq("_a"))
+      .join(deg.select(F.col("_node").as("_b"), F.col("_deg").as("_db")), Seq("_b"))
+      .select(F.col("_a"), F.col("_b"),
+        okey("_a", "_da").as("_ka"), okey("_b", "_db").as("_kb"))
+    // oriented: lo = order-smaller endpoint, hi = larger
+    val oriented = withK.select(
+      F.when(F.col("_ka") < F.col("_kb"), F.col("_a")).otherwise(F.col("_b")).as("_lo"),
+      F.when(F.col("_ka") < F.col("_kb"), F.col("_b")).otherwise(F.col("_a")).as("_hi"),
+      F.when(F.col("_ka") < F.col("_kb"), F.col("_kb")).otherwise(F.col("_ka")).as("_khi"))
+      .localCheckpoint(true)
+    // wedges at the pivot lo: out-neighbor pairs ordered by okey; the
+    // closing edge, if present, is oriented v -> w (v = order-smaller)
+    val l = oriented.select(F.col("_lo").as("_p"), F.col("_hi").as("_v"),
+      F.col("_khi").as("_kv"))
+    val r = oriented.select(F.col("_lo").as("_p"), F.col("_hi").as("_w"),
+      F.col("_khi").as("_kw"))
+    val wedges = l.join(r, Seq("_p")).filter(F.col("_kv") < F.col("_kw"))
+    val closed = wedges.join(
+      oriented.select(F.col("_lo").as("_v"), F.col("_hi").as("_w")),
+      Seq("_v", "_w"), "left_semi")
+      .localCheckpoint(true)
+    val perNode = closed.select(F.col("_p").as("_node"))
+      .union(closed.select(F.col("_v").as("_node")))
+      .union(closed.select(F.col("_w").as("_node")))
+      .groupBy("_node").agg(F.count(F.lit(1)).as("_tri"))
+    val out = deg.join(perNode, Seq("_node"), "left")
+      .select(F.col("_node").as("node"), F.col("_deg").as("degree"),
+        F.coalesce(F.col("_tri"), F.lit(0L)).as("triangles"),
+        F.when(F.col("_deg") >= 2L,
+          F.expr("(2 * coalesce(_tri, 0L) * 1000000) div (_deg * (_deg - 1))"))
+          .otherwise(F.lit(0L)).as("lcc_ppm"))
+    out
+  }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * made engine-replayable): labels start as node ids; each round every
+    * node adopts the most frequent label among its NEIGHBORS, ties broken
+    * toward the smallest label — the argmax is the single BIGINT
+    * aggregate `max_by(label, cnt·2³¹ − label)` (labels are node ids
+    * < 2³¹ by the same contract as [[triangleCounts]]), so a SQL engine
+    * unrolls the rounds cell-exactly. Classic async LPA is
+    * visit-order-dependent; the synchronous variant with a fixed
+    * `iterations` and integer tie-breaks is a pure function of the edge
+    * set — reproducible across partitionings and engines (the price:
+    * bipartite structures can oscillate rather than converge, which fixed
+    * iterations make deterministic too).
+    *
+    * Scale shape per round: one equi-join of the label frame against the
+    * symmetrized edge list (persisted pre-partitioned on _nbr once) + one
+    * (node, label) count groupBy + one per-node max_by groupBy;
+    * localCheckpoint truncates lineage like [[pageRank]]. Driver state:
+    * none. Returns (node, community). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    val c = canonicalEdges(edges, srcCol, dstCol)
+    // symmetrize: one row per (node, neighbor) direction, keyed on _nbr so
+    // each round's label⋈edges join reuses the layout
+    val adj = c.select(F.col("_a").as("_node"), F.col("_b").as("_nbr"))
+      .union(c.select(F.col("_b").as("_node"), F.col("_a").as("_nbr")))
+      .repartition(F.col("_nbr"))
+      .localCheckpoint(true)
+    var labels = adj.select(F.col("_node")).distinct()
+      .select(F.col("_node"), F.col("_node").as("_label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = adj
+        .join(labels.select(F.col("_node").as("_nbr"), F.col("_label")),
+          Seq("_nbr"))
+        .groupBy(F.col("_node"), F.col("_label"))
+        .agg(F.count(F.lit(1)).as("_cnt"))
+        .groupBy(F.col("_node"))
+        .agg(F.max_by(F.col("_label"),
+          F.col("_cnt") * F.lit(2147483648L) - F.col("_label")).as("_label"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.select(F.col("_node").as("node"),
+      F.col("_label").as("community"))
+    adj.unpersist()
     out
   }
 }

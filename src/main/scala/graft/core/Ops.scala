@@ -850,4 +850,72 @@ object Ops {
       .withColumn(sumCol,
         F.sum(F.round(F.col(valueCol) * 100).cast("long")).over(w))
   }
+
+  /** Mergeable per-key aggregate state: (keys..., cnt, sum, min, max) over
+    * a BIGINT measure column. This is the partial-aggregation algebra made
+    * into a TABLE, so a pre-aggregated summary can be maintained
+    * incrementally: summarize only the new data and [[aggMerge]] it into
+    * yesterday's summary — at 100 TB the history is never re-scanned, the
+    * daily cost is O(delta) + one summary-sized merge join. The measure
+    * must already be an exact integer (cents, micros, counts — the
+    * engine's usual fixed-point convention) so every state cell is
+    * engine-replayable; a float sum would make merged-vs-recomputed
+    * equality itself ill-defined. */
+  def aggSummary(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("cnt"),
+        F.sum(F.col(valueCol).cast("long")).as("sum"),
+        F.min(F.col(valueCol).cast("long")).as("min"),
+        F.max(F.col(valueCol).cast("long")).as("max"))
+
+  /** Merge two [[aggSummary]] states: cnt/sum add, min/max combine —
+    * `aggMerge(aggSummary(A), aggSummary(B)) ≡ aggSummary(A ∪ B)`
+    * key-for-key, cell-for-cell (the law the gate checks). Union +
+    * re-aggregate rather than a full-outer join: same result, one shuffle,
+    * and it generalizes to n-way merges for free. */
+  def aggMerge(summaries: DataFrame*): DataFrame = {
+    require(summaries.nonEmpty, "aggMerge: need at least one summary")
+    val keys = summaries.head.columns.filterNot(
+      Set("cnt", "sum", "min", "max")).toSeq
+    summaries.reduce(_ unionAll _)
+      .groupBy(keys.map(F.col): _*)
+      .agg(F.sum("cnt").as("cnt"), F.sum("sum").as("sum"),
+        F.min("min").as("min"), F.max("max").as("max"))
+  }
+
+  /** k-anonymity audit (Sweeney 2002) over a quasi-identifier column set:
+    * one row per observed quasi-identifier combination with its occupancy
+    * and the `anonymous = n ≥ k` verdict. A combination shared by fewer
+    * than k rows re-identifies its members by linkage — the audit is the
+    * gate a privacy-scrubbing pipeline (cf. TextStats.redactPii) runs
+    * before release. ONE partial+final groupBy; output is bounded by the
+    * number of distinct combinations, never the row count. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: need quasi columns")
+    require(k >= 1, s"kAnonymityAudit: need k >= 1, got $k")
+    df.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+      .withColumn("anonymous", F.col("n") >= k)
+  }
+
+  /** Suppression-based k-anonymization: rows whose quasi-identifier
+    * combination occurs < k times get those columns NULLed (cell
+    * suppression — the simplest generalization lattice step); all other
+    * columns and all rows survive. Implemented as the audit joined back on
+    * the quasi key — the violating-combination side is small (long tail),
+    * the data side shuffles once on the same key. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val bad = kAnonymityAudit(df, quasiCols, k)
+      .filter(!F.col("anonymous"))
+      .select(quasiCols.map(F.col): _*)
+      .withColumn("_suppress", F.lit(true))
+    val joined = df.join(bad, quasiCols, "left")
+    val cols = df.columns.toSeq.map { c =>
+      if (quasiCols.contains(c))
+        F.when(F.coalesce(F.col("_suppress"), F.lit(false)), F.lit(null))
+          .otherwise(F.col(c)).as(c)
+      else F.col(c)
+    }
+    joined.select(cols: _*)
+  }
 }

@@ -197,6 +197,36 @@ object Sketch {
     shards.reduce(_ unionAll _)
       .groupBy("bucket").agg(F.max("register").as("register"))
 
+  /** Equi-join SIZE estimation from two [[cmsCounters]] tables built with
+    * the same depth/width over the two join keys (Cormode & Muthukrishnan
+    * 2005 §4.2): |A ⋈ B| is estimated as min over hash rows of the
+    * counter inner product Σ_w a[r][w]·b[r][w]. NEVER under the true
+    * size (every true pair lands in a shared bucket on every row;
+    * collisions only add), over by ≤ ‖a‖₁‖b‖₁/width per row in
+    * expectation — the pre-flight a planner wants before committing to a
+    * shuffle strategy (broadcast? salt? how many partitions?) on a
+    * 100 TB join, priced at two O(depth×width)-cell sketches instead of
+    * the join itself.
+    *
+    * Pure BIGINT: products and sums of exact counters — cell-exact in any
+    * engine. Missing cells are empty buckets (counter 0, product 0), so
+    * the inner join over populated cells IS the full inner product.
+    * Returns one row (estimate BIGINT). */
+  def cmsJoinSize(countersA: DataFrame, countersB: DataFrame): DataFrame = {
+    val prod = countersA
+      .select(F.col("row"), F.col("bucket"), F.col("counter").as("_ca"))
+      .join(countersB.select(F.col("row"), F.col("bucket"),
+        F.col("counter").as("_cb")), Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(F.sum(F.col("_ca") * F.col("_cb")).as("_ip"))
+    // a hash row with NO shared populated bucket has inner product 0 and
+    // must win the min — reattach it from the row domain of either sketch
+    countersA.select("row").union(countersB.select("row")).distinct()
+      .join(prod, Seq("row"), "left")
+      .agg(F.coalesce(F.min(F.coalesce(F.col("_ip"), F.lit(0L))), F.lit(0L))
+        .as("estimate"))
+  }
+
   /** HLL set algebra over two register frames (same p): union cardinality
     * is exact sketch composition (per-bucket max — the HLL union is
     * lossless), intersection and Jaccard come from inclusion–exclusion

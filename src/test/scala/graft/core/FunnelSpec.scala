@@ -1,0 +1,90 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+import java.sql.Timestamp
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val steps = Seq("signup", "view", "purchase")
+
+  private def run(rows: Seq[(Long, String, Timestamp)],
+      window: Option[String] = Some("INTERVAL 7 DAYS")): Map[(Long, Long), (String, Long)] =
+    Funnel.funnelUsers(rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps,
+        window.map(F.expr))
+      .select(F.col("user_id"), F.col("step"), F.col("step_name"),
+        F.unix_micros(F.col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+      .map { case (u, st, n, us) => (u, st) -> ((n, us)) }.toMap
+
+  test("hand-computed funnel: order, first-touch, window cutoff") {
+    val rows = Seq(
+      // user 1 completes all three in order
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-02 00:00:00")),
+      (1L, "view", ts("2024-01-03 00:00:00")), // later view ignored (first-touch)
+      (1L, "purchase", ts("2024-01-04 00:00:00")),
+      // user 2: purchase BEFORE view — stops at view
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-02 00:00:00")),
+      (2L, "view", ts("2024-01-03 00:00:00")),
+      // user 3: view outside the 7-day window — stops at signup
+      (3L, "signup", ts("2024-01-01 00:00:00")),
+      (3L, "view", ts("2024-01-09 00:00:01")),
+      // user 4: never signed up — absent entirely
+      (4L, "view", ts("2024-01-01 00:00:00")))
+    val r = run(rows)
+    assert(r.keySet == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L)))
+    assert(r((1L, 2L))._2 == ts("2024-01-02 00:00:00").getTime * 1000)
+    assert(r((1L, 3L))._1 == "purchase")
+  }
+
+  test("equal timestamps do not advance (strictly-after semantics)") {
+    val r = run(Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 00:00:00"))))
+    assert(r.keySet == Set((1L, 1L)))
+  }
+
+  test("window boundary is inclusive at exactly t1 + window") {
+    val r = run(Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-08 00:00:00"))))
+    assert(r.keySet == Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("no window: any later event counts") {
+    val r = run(Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2025-06-01 00:00:00"))), window = None)
+    assert(r.keySet == Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("cohorts are nested and funnelSteps ppm math is exact") {
+    val rows =
+      (1L to 10L).map(u => (u, "signup", ts("2024-01-01 00:00:00"))) ++
+      (1L to 6L).map(u => (u, "view", ts("2024-01-02 00:00:00"))) ++
+      (1L to 3L).map(u => (u, "purchase", ts("2024-01-03 00:00:00")))
+    val st = Funnel.funnelSteps(rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, Some(F.expr("INTERVAL 7 DAYS")))
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(st(1L) == ((10L, 1000000L, 1000000L)))
+    assert(st(2L) == ((6L, 600000L, 600000L)))
+    assert(st(3L) == ((3L, 300000L, 500000L)))
+  }
+
+  test("empty step cohorts vanish; duplicate step names rejected") {
+    val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
+    assert(r.isEmpty)
+    intercept[IllegalArgumentException] {
+      Funnel.funnelUsers(Seq((1L, "a", ts("2024-01-01 00:00:00")))
+        .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("a", "a"))
+    }
+  }
+}

@@ -65,4 +65,133 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(e.filter(F.lit(false)), iterations = 1))
   }
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+      parts: Int = 4): Map[Long, Long] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("node"), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("PPR with every node seeded equals uniform pageRank exactly") {
+    // baseSeed = (15·n·unit) div (100·n) = 150000 and dang div s = dang
+    // div n — the two updates coincide term for term
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(ppr(edges, nodes, 3) == ranks(edges, 3))
+  }
+
+  test("PPR a->b with seed {a}: hand-computed 2 rounds, mass conserved") {
+    // n=2, s=1, baseSeed = 15·2·1e6 div 100 = 300000
+    // round 1: dang = rank(b) = 1e6; a: 300000 + 85·1e6 div 100 = 1150000;
+    //          b: 85·(1e6 div 1) div 100 = 850000
+    assert(ppr(Seq((1L, 2L)), Seq(1L), 1)
+      == Map(1L -> 1150000L, 2L -> 850000L))
+    // round 2: dang = 850000; a: 300000 + 85·850000 div 100 = 1022500;
+    //          b: 85·1150000 div 100 = 977500
+    assert(ppr(Seq((1L, 2L)), Seq(1L), 2)
+      == Map(1L -> 1022500L, 2L -> 977500L))
+  }
+
+  test("PPR: a non-seed node with no in-edges drops to rank 0") {
+    // teleport mass lands only on seeds — 3 has neither seed mass nor
+    // incoming contributions after the first round
+    val r = ppr(Seq((1L, 2L), (3L, 2L)), Seq(1L), 3)
+    assert(r(3L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+  }
+
+  test("PPR concentrates mass near the seed component") {
+    // two disjoint 2-cycles, seeds only in the first: its nodes must
+    // outrank every node of the unseeded component
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val r = ppr(edges, Seq(1L), 4)
+    assert(Seq(1L, 2L).map(r).min > Seq(10L, 11L).map(r).max, r.toString)
+  }
+
+  test("PPR is independent of input partitioning; seeds outside the graph rejected") {
+    val edges = (1L to 30L).map(u => (u, (u * 11) % 30 + 1))
+    val seeds = Seq(3L, 7L)
+    assert(ppr(edges, seeds, 3, parts = 1) == ppr(edges, seeds, 3, parts = 13))
+    intercept[IllegalArgumentException](ppr(Seq((1L, 2L)), Seq(99L), 1))
+  }
+
+  private def tri(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, (Long, Long, Long)] =
+    Graph.triangleCounts(edges.toDF("src", "dst").repartition(parts))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, d, t, c) => n -> (d, t, c) }.toMap
+
+  test("triangles: K4 — every node deg 3, 3 triangles, lcc = 1") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(tri(k4) == (1L to 4L).map(_ -> ((3L, 3L, 1000000L))).toMap)
+  }
+
+  test("triangles: one triangle with a pendant, hand-computed lcc") {
+    val r = tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(r(1L) == ((2L, 1L, 1000000L)))
+    assert(r(2L) == ((2L, 1L, 1000000L)))
+    // deg 3: lcc = 2·1·10⁶ div (3·2) = 333333
+    assert(r(3L) == ((3L, 1L, 333333L)))
+    assert(r(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangles: bipartite graph has none") {
+    val e = for (a <- 1L to 4L; b <- 11L to 14L) yield (a, b)
+    assert(tri(e).values.forall { case (_, t, c) => t == 0L && c == 0L })
+  }
+
+  test("triangles: direction, duplicates and self-loops are normalized away") {
+    assert(tri(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)))
+      == tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))))
+  }
+
+  test("triangles: brute-force parity on a pseudo-random graph, any layout") {
+    val edges = (for (u <- 0L until 60L; k <- 1L to 4L)
+      yield (u, (u * 17 + k * k * 13) % 60)).filter(e => e._1 != e._2)
+    val adj = edges.flatMap(e => Seq((math.min(e._1, e._2), math.max(e._1, e._2))))
+      .distinct.toSet
+    val nodes = adj.flatMap(e => Seq(e._1, e._2))
+    val brute = nodes.map { v =>
+      val nbrs = nodes.filter(u => adj((math.min(u, v), math.max(u, v))) && u != v)
+      val t = nbrs.toSeq.combinations(2).count { case Seq(a, b) =>
+        adj((math.min(a, b), math.max(a, b))) }
+      v -> t.toLong
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val r = tri(edges, parts)
+      assert(r.keySet == nodes)
+      nodes.foreach { v => assert(r(v)._2 == brute(v), s"node $v") }
+    }
+  }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int, parts: Int = 4): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst").repartition(parts),
+        iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("LPA: two cliques with one bridge resolve to two communities") {
+    val cliqueA = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val cliqueB = for (a <- 11L to 14L; b <- 11L to 14L if a < b) yield (a, b)
+    val r = lpa(cliqueA ++ cliqueB ++ Seq((4L, 11L)), iters = 4)
+    assert(Seq(1L, 2L, 3L, 4L).map(r).distinct.size == 1)
+    assert(Seq(11L, 12L, 13L, 14L).map(r).distinct.size == 1)
+    assert(r(1L) != r(11L))
+  }
+
+  test("LPA: a clique converges to its minimum label") {
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    assert(lpa(k5, iters = 4).values.toSet == Set(1L))
+  }
+
+  test("LPA: deterministic across partitionings and repeated runs") {
+    val edges = (for (u <- 0L until 40L; k <- 1L to 3L)
+      yield (u, (u * 7 + k * 11) % 40)).filter(e => e._1 != e._2)
+    val a = lpa(edges, 4, parts = 1)
+    assert(a == lpa(edges, 4, parts = 13))
+    assert(a == lpa(edges, 4, parts = 4))
+  }
+
+  test("LPA: disconnected components never share a label") {
+    val r = lpa(Seq((1L, 2L), (2L, 3L), (10L, 11L)), iters = 4)
+    assert(Set(r(1L), r(2L), r(3L)).intersect(Set(r(10L), r(11L))).isEmpty)
+  }
 }

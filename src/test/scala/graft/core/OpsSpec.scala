@@ -409,4 +409,122 @@ class OpsSpec extends SparkSpec {
     assert(n >= 1 && n <= 32, s"unreasonable file count $n for 500 rows")
     assert(spark.read.parquet(s"$dir/t").count() == 500)
   }
+
+  // SCD Type 2 fixture: three keys with interleaved upserts and deletes
+  private def scdFeed = Seq(
+    (1L, "A", "upsert", 1L), (1L, "B", "upsert", 3L), (1L, "B", "delete", 5L),
+    (2L, "C", "upsert", 2L),
+    (3L, "D", "upsert", 1L), (3L, "D", "delete", 2L), (3L, "E", "upsert", 4L),
+  ).toDF("k", "payload", "op", "version")
+
+  test("scdType2: intervals open on upsert, close on the NEXT change of either op") {
+    val h = Ops.scdType2(scdFeed, Seq("k"), "version")
+      .select("k", "payload", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(h == Set(
+      (1L, "A", 1L, Some(3L), false), (1L, "B", 3L, Some(5L), false),
+      (2L, "C", 2L, None, true),
+      (3L, "D", 1L, Some(2L), false), (3L, "E", 4L, None, true)))
+  }
+
+  test("scdType2 law: snapshotAt(v) equals the applyChanges replay of feed <= v") {
+    val h = Ops.scdType2(scdFeed, Seq("k"), "version")
+    val empty = Seq.empty[(Long, String)].toDF("k", "payload")
+    for (v <- 0L to 6L) {
+      val snap = Ops.scdSnapshotAt(h, v)
+        .as[(Long, String)].collect().toSet
+      val replay = Ops.applyChanges(empty,
+        scdFeed.filter(F.col("version") <= v), Seq("k"), "version")
+        .as[(Long, String)].collect().toSet
+      assert(snap == replay, s"diverged at v=$v: $snap vs $replay")
+    }
+  }
+
+  test("scdType2 rejects duplicate (key, version) and unknown ops") {
+    val dup = Seq((1L, "A", "upsert", 1L), (1L, "B", "upsert", 1L))
+      .toDF("k", "payload", "op", "version")
+    val e1 = intercept[Exception](
+      Ops.scdType2(dup, Seq("k"), "version").collect())
+    assert(e1.getMessage.contains("duplicate"))
+    val bad = Seq((1L, "A", "merge", 1L)).toDF("k", "payload", "op", "version")
+    val e2 = intercept[Exception](
+      Ops.scdType2(bad, Seq("k"), "version").collect())
+    assert(e2.getMessage.contains("upsert"))
+  }
+
+  test("rollingTimeAgg equals the naive self-join on random data; bounds inclusive") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, (i % 3).toLong, t(rng.nextInt(5000).toLong),
+        rng.nextInt(1000) / 100.0)
+    }
+    val df = rows.toDF("id", "k", "ts", "v").repartition(5)
+    val got = Ops.rollingTimeAgg(df, Seq("k"), "ts", "v", 600L)
+      .select("id", "roll_cnt", "roll_sum_cents")
+      .as[(Long, Long, Long)].collect().toMap2
+    val naive = rows.map { case (id, k, ts, _) =>
+      val in = rows.filter { case (_, k2, ts2, _) =>
+        k2 == k && ts2.getTime >= ts.getTime - 600000L && ts2.getTime <= ts.getTime }
+      id -> ((in.size.toLong, in.map(r => math.round(r._4 * 100)).sum))
+    }.toMap
+    assert(got == naive)
+    // boundary: a row exactly windowSeconds later still sees the first
+    val edge = Seq((1L, 0L, t(0), 1.0), (2L, 0L, t(3600), 1.0))
+      .toDF("id", "k", "ts", "v")
+    val e = Ops.rollingTimeAgg(edge, Seq("k"), "ts", "v", 3600L)
+      .select("id", "roll_cnt").as[(Long, Long)].collect().toMap
+    assert(e == Map(1L -> 1L, 2L -> 2L))
+    // simultaneous rows are RANGE peers: both see both
+    val tie = Seq((1L, 0L, t(10), 1.0), (2L, 0L, t(10), 2.0))
+      .toDF("id", "k", "ts", "v")
+    val g = Ops.rollingTimeAgg(tie, Seq("k"), "ts", "v", 60L)
+      .select("id", "roll_cnt", "roll_sum_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L, 300L), (2L, 2L, 300L)))
+  }
+
+  test("aggMerge(summary(A), summary(B)) equals summary(A ∪ B) incl. negatives") {
+    val all = (1L to 300L).map(i => (i % 17, (i * 31) % 101 - 50))
+    val (a, b) = all.partition(r => r._2 % 3 == 0)
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("k", "v").repartition(5)
+    val merged = Ops.aggMerge(
+      Ops.aggSummary(df(a), Seq("k"), "v"),
+      Ops.aggSummary(df(b), Seq("k"), "v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val direct = Ops.aggSummary(df(all), Seq("k"), "v")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(merged == direct)
+    // n-way merge: shard into 4, same law
+    val shards = all.grouped(75).toSeq.map(s => Ops.aggSummary(df(s), Seq("k"), "v"))
+    assert(Ops.aggMerge(shards: _*)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet == direct)
+  }
+
+  test("kAnonymityAudit counts combos; kAnonymize suppresses only sub-k rows") {
+    // combo (1,1): 5 rows; (1,2): 2 rows; (2,1): 1 row
+    val rows = (1L to 5L).map(i => (i, 1L, 1L)) ++
+      Seq((6L, 1L, 2L), (7L, 1L, 2L), (8L, 2L, 1L))
+    val df = rows.toDF("id", "qa", "qb").repartition(3)
+    val audit = Ops.kAnonymityAudit(df, Seq("qa", "qb"), 3L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(audit == Map((1L, 1L) -> ((5L, true)), (1L, 2L) -> ((2L, false)),
+      (2L, 1L) -> ((1L, false))))
+    val anon = Ops.kAnonymize(df, Seq("qa", "qb"), 3L)
+      .select(F.col("id"), F.col("qa"), F.col("qb"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val expect = (1L to 5L).map(i => (i, Some(1L), Some(1L))).toSet ++
+      Set((6L, None, None), (7L, None, None), (8L, None, None))
+    assert(anon == expect)
+    // k=1: everything is anonymous, output identical to input
+    assert(Ops.kAnonymize(df, Seq("qa", "qb"), 1L)
+      .as[(Long, Long, Long)].collect().toSet == rows.toSet)
+  }
+
+  private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
+  }
 }

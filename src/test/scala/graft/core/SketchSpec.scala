@@ -404,4 +404,74 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap ==
       (1 to 20).map(k => k.toLong -> k.toLong).toMap)
   }
+
+  private def regsOf(ids: Seq[Long], p: Int) =
+    Sketch.hllRegisters(ids.toDF("item_id"), "item_id", p)
+
+  test("hllOverlap: identical sets give est_intersect == est_a and jaccard 1 EXACTLY") {
+    // identical inputs build identical registers, so union == a == b and
+    // inclusion-exclusion collapses with zero float residue
+    val ids = (1L to 4000L).map(i => i * 7 % 10007)
+    val r = Sketch.hllOverlap(regsOf(ids, 12), regsOf(ids, 12), 12)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(r._1 == r._3 && r._4 == r._1 && r._5 == 1.0, r.toString)
+  }
+
+  test("hllOverlap: disjoint sets estimate a near-empty intersection") {
+    val r = Sketch.hllOverlap(
+      regsOf((1L to 3000L), 12), regsOf((100001L to 103000L), 12), 12)
+      .as[(Double, Double, Double, Double, Double)].head()
+    // est_intersect error scales with the union (~6000): allow 3 sigma
+    assert(r._4 <= 0.05 * r._3, s"intersect ${r._4} not near 0 (union ${r._3})")
+    assert(r._5 <= 0.05, s"jaccard ${r._5} not near 0")
+  }
+
+  test("hllOverlap: partial overlap within tolerance of the exact counts") {
+    val a = (1L to 6000L); val b = (3001L to 9000L) // exact inter 3000, union 9000
+    val r = Sketch.hllOverlap(regsOf(a, 12), regsOf(b, 12), 12)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(math.abs(r._1 - 6000) <= 0.05 * 6000, s"est_a ${r._1}")
+    assert(math.abs(r._2 - 6000) <= 0.05 * 6000, s"est_b ${r._2}")
+    assert(math.abs(r._3 - 9000) <= 0.05 * 9000, s"est_union ${r._3}")
+    assert(math.abs(r._4 - 3000) <= 0.20 * 3000, s"est_intersect ${r._4}")
+    assert(math.abs(r._5 - 3000.0 / 9000.0) <= 0.07, s"jaccard ${r._5}")
+  }
+
+  private def countersOf(keys: Seq[Long], depth: Int, width: Int) =
+    Sketch.cmsCounters(keys.toDF("item_id").repartition(3), "item_id",
+      depth, width)
+
+  test("cmsJoinSize: never under the true join size, exact when collision-free") {
+    // skewed self-join: true size = Σ k² for k = 1..20
+    val skew = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    val exact = (1 to 20).map(k => k.toLong * k).sum
+    val c = countersOf(skew, 4, 64)
+    val est = Sketch.cmsJoinSize(c, c).as[Long].head()
+    assert(est >= exact, s"est $est < exact $exact")
+    // wide sketch: 20 distinct keys in 4×4096 cells — measured collision-free
+    val wide = countersOf(skew, 4, 4096)
+    assert(Sketch.cmsJoinSize(wide, wide).as[Long].head() == exact)
+  }
+
+  test("cmsJoinSize: A ⋈ B across different streams and the disjoint case") {
+    // B holds keys 1..10 once each: true |A ⋈ B| = Σ_{k≤10} k = 55
+    val skew = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    val est = Sketch.cmsJoinSize(
+      countersOf(skew, 4, 4096), countersOf(1L to 10L, 4, 4096)).as[Long].head()
+    assert(est == 55L) // collision-free at this width (deterministic hashes)
+    // disjoint key sets: at least one hash row has no shared bucket
+    val dj = Sketch.cmsJoinSize(
+      countersOf(1L to 10L, 4, 4096), countersOf(101L to 110L, 4, 4096))
+      .as[Long].head()
+    assert(dj == 0L)
+  }
+
+  test("cmsJoinSize: merged shard sketches estimate like the whole") {
+    val skew = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    val (s1, s2) = skew.splitAt(100)
+    val merged = Sketch.cmsMerge(countersOf(s1, 4, 64), countersOf(s2, 4, 64))
+    val whole = countersOf(skew, 4, 64)
+    assert(Sketch.cmsJoinSize(merged, merged).as[Long].head()
+      == Sketch.cmsJoinSize(whole, whole).as[Long].head())
+  }
 }

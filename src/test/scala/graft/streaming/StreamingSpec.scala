@@ -392,4 +392,101 @@ class StreamingSpec extends SparkSpec {
       .distinct().as[(Long, Long, Double)].collect().toSet
     assert(batchMode == batchExpected)
   }
+
+  private def ets(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // impressions (user, imp_ts, imp_id) and conversions (user, conv_ts,
+  // conv_id): conv 100 attributes to imps 1+2 (0s and 30min-exact delays,
+  // both ends inclusive), conv 101 to nothing (31 min), user 2's conv only
+  // to its own imp, conv 103 precedes every imp (no match)
+  private val imps = Seq(
+    (1L, ets("2024-01-01 10:00:00"), 1L), (1L, ets("2024-01-01 10:30:00"), 2L),
+    (2L, ets("2024-01-01 10:05:00"), 3L))
+  private val convs = Seq(
+    (1L, ets("2024-01-01 10:30:00"), 100L), (1L, ets("2024-01-01 11:01:00"), 101L),
+    (2L, ets("2024-01-01 10:10:00"), 102L), (2L, ets("2024-01-01 09:00:00"), 103L))
+
+  test("eventTimeJoin batch: inclusive bounds, per-key isolation") {
+    val out = eventTimeJoin(
+        imps.toDF("user_id", "imp_ts", "imp_id"),
+        convs.toDF("user_id", "conv_ts", "conv_id"),
+        Seq("user_id"), "imp_ts", "conv_ts", maxDelaySeconds = 1800L)
+      .select($"imp_id", $"user_id", $"conv_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 100L), (2L, 1L, 100L), (3L, 2L, 102L)))
+  }
+
+  test("eventTimeJoin stream-stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ri = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = eventTimeJoin(
+        li.toDF().toDF("user_id", "imp_ts", "imp_id"),
+        ri.toDF().toDF("user_id", "conv_ts", "conv_id"),
+        Seq("user_id"), "imp_ts", "conv_ts", maxDelaySeconds = 1800L)
+      .select($"imp_id", $"user_id", $"conv_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // two micro-batches split across both sides: a match must also fire
+    // when the sides arrive in different batches
+    li.addData(imps.take(2): _*); ri.addData(convs.take(1): _*)
+    q.processAllAvailable()
+    li.addData(imps.drop(2): _*); ri.addData(convs.drop(1): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("attrib").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(streamed == Set((1L, 1L, 100L), (2L, 1L, 100L), (3L, 2L, 102L)))
+  }
+
+  test("eventTimeJoin contract: shared non-key columns and same ts name rejected") {
+    val l = imps.toDF("user_id", "imp_ts", "imp_id")
+    intercept[IllegalArgumentException](eventTimeJoin(
+      l, convs.toDF("user_id", "conv_ts", "imp_id"), // imp_id collides
+      Seq("user_id"), "imp_ts", "conv_ts", 1800L))
+    intercept[IllegalArgumentException](eventTimeJoin(
+      l, l, Seq("user_id"), "imp_ts", "imp_ts", 1800L))
+    intercept[IllegalArgumentException](eventTimeJoin(
+      l, convs.toDF("user_id", "conv_ts", "conv_id"),
+      Seq("user_id"), "imp_ts", "conv_ts", 0L))
+  }
+
+  test("windowedDistinctHll batch equals the grouped-register build cell for cell") {
+    val rng = new scala.util.Random(3)
+    val events = (0 until 400).map { _ =>
+      (new java.sql.Timestamp(1704100000000L + rng.nextInt(8000000).toLong),
+        rng.nextInt(80).toLong)
+    }
+    val df = events.toDF("ts", "user_id").repartition(5)
+    val got = windowedDistinctHll(df, 3600L, "user_id", "ts", p = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = graft.core.Sketch.hllRegistersByGroup(
+        df.withColumn("window_start_us",
+          F.expr("(unix_micros(ts) div 3600000000) * 3600000000")),
+        Seq("window_start_us"), "user_id", p = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == direct)
+  }
+
+  test("windowedDistinctHll streaming: closed windows match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ets("2024-01-01 10:05:00"), 1L), (ets("2024-01-01 10:10:00"), 2L),
+      (ets("2024-01-01 10:20:00"), 1L), (ets("2024-01-01 11:05:00"), 3L))
+    val batch = windowedDistinctHll(
+        events.toDF("ts", "user_id"), 3600L, "user_id", "ts", p = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = windowedDistinctHll(input.toDF().toDF("ts", "user_id"),
+        3600L, "user_id", "ts", p = 8, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("wdistinct")
+      .outputMode("append").start()
+    input.addData(events: _*); q.processAllAvailable()
+    input.addData((ets("2024-01-02 10:00:00"), 9L)); q.processAllAvailable()
+    val streamed = spark.table("wdistinct").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    // the day-later sentinel pushes the watermark past every original
+    // window, so the append sink holds EXACTLY the batch registers
+    // (the sentinel's own window stays open and unemitted)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
 }

@@ -838,6 +838,28 @@ class TextSpec extends SparkSpec {
       Seq("doc_id")).count() == 7)
   }
 
+  test("sampleExactKPerGroup: min(k, group size) rows, deterministic, seed-sensitive") {
+    // group sizes 34/33/33 with k=5 → 5 each; a 2-row group keeps both
+    val rows = (0 until 100).map(i => (i.toLong, s"src${i % 3}")) ++
+      Seq((100L, "tiny"), (101L, "tiny"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Mixing.sampleExactKPerGroup(df.repartition(7), Seq("source"), 5,
+      Seq("doc_id")).as[(Long, String)].collect().toSet
+    val byGrp = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGrp == Map("src0" -> 5, "src1" -> 5, "src2" -> 5, "tiny" -> 2))
+    assert(got.subsetOf(rows.toSet))
+    // layout-independent pick
+    val again = Mixing.sampleExactKPerGroup(df.repartition(2), Seq("source"), 5,
+      Seq("doc_id")).as[(Long, String)].collect().toSet
+    assert(got == again)
+    // a different seed draws a different sample (same counts)
+    val other = Mixing.sampleExactKPerGroup(df, Seq("source"), 5,
+      Seq("doc_id"), seed = 99).as[(Long, String)].collect().toSet
+    assert(other != got && other.size == got.size)
+    intercept[IllegalArgumentException](
+      Mixing.sampleExactKPerGroup(df, Seq("source"), 0, Seq("doc_id")))
+  }
+
   test("large-star/small-star CC equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
