@@ -68,6 +68,8 @@ object Bench {
     "pack_sequences",
     "streaming_session_window", "streaming_top_k", "streaming_dedup",
     "multimodal_decode",
+    "graph_pagerank", "graph_triangles", "graph_communities",
+    "funnel_users", "window_rolling_time", "sketch_cms_join",
   )
 
   /** Rows with a published BASELINE.md number — the judge's 2×-gate set;

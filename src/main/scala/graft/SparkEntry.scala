@@ -2294,6 +2294,40 @@ object SparkEntry {
           F.col("c_nationkey").cast("long").as("c_nationkey"),
           F.floor(F.col("c_acctbal") / 2000.0).cast("long").as("bal_band")),
         Seq("c_nationkey", "bal_band"), 5L)),
+    "anomaly_mad" -> ((s, d) =>
+      // robust per-type outliers: |cents − median| > 3·MAD on exact
+      // integer cents — every intermediate an exact multiple of 0.5, so
+      // med/mad double back to BIGINT when doubled (hash-exact columns)
+      graft.core.Ops.madOutliers(
+        Tables.events(s, d).select(F.col("event_id"), F.col("event_type"),
+          F.round(F.col("value") * 100).cast("long").as("cents")),
+        Seq("event_type"), "cents", 3.0)
+        .select(F.col("event_id"), F.col("event_type"), F.col("cents"),
+          (F.col("med") * 2).cast("long").as("med2"),
+          (F.col("mad") * 2).cast("long").as("mad2"),
+          F.col("is_outlier"))),
+    "event_transitions" -> ((s, d) =>
+      // first-order Markov view of user timelines: (from, to) adjacent
+      // pair counts + exact integer row probabilities; lag ordered by
+      // (ts, event_id) so simultaneous events break ties identically
+      graft.core.Ops.transitionCounts(
+        Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", Seq("event_id"))),
+    "metrics_bootstrap_ci" -> ((s, d) =>
+      // Poisson-bootstrap 95% CI for the mean per-user purchase metric —
+      // weights from the portable hash's inverse-CDF table, all-BIGINT
+      // means and nearest-rank bounds, replayed draw-for-draw in SQL
+      graft.metrics.Metrics.bootstrapCI(
+        Tables.events(s, d).filter(F.col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg((F.count(F.lit(1)) / 100.0).as("metric")),
+        "user_id", "metric", resamples = 200, seed = 7L)),
+    "graph_link_prediction" -> ((s, d) =>
+      // common-neighbors / Jaccard candidates over the co-purchase graph:
+      // non-edges sharing >= 2 neighbors, fixed-point Jaccard — the
+      // wedge enumeration and integer division replayed exactly in SQL
+      graft.core.Graph.linkPredictions(
+        coPurchaseEdges(s, d), "src", "dst", minCommon = 2L)),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -5739,5 +5773,86 @@ object SparkEntry {
         |  CASE WHEN n.n >= 5 THEN q.nk ELSE NULL END AS c_nationkey,
         |  CASE WHEN n.n >= 5 THEN q.bb ELSE NULL END AS bal_band
         |FROM q JOIN n ON q.nk = n.nk AND q.bb = n.bb""".stripMargin,
+    "anomaly_mad" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |      FROM c GROUP BY 1),
+        |d AS (SELECT c.event_id, c.event_type, c.cents, m.med,
+        |        abs(c.cents - m.med) AS ad
+        |      FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.cents,
+        |  CAST(2 * d.med AS BIGINT) AS med2,
+        |  CAST(2 * md.mad AS BIGINT) AS mad2,
+        |  d.ad > 3.0 * md.mad AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(cnt) AS tot FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  (c.cnt * 1000000) // CAST(t.tot AS BIGINT) AS prob_ppm
+        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "metrics_bootstrap_ci" ->
+      """WITH pe AS (SELECT user_id AS id,
+        |    CAST(round((count(*) / CAST(100.0 AS DOUBLE)) * 1000000) AS BIGINT) AS v6
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |blown AS (SELECT b.b, pe.id, pe.v6,
+        |    ('0x' || substr(md5('7:' || CAST(b.b AS VARCHAR) || ':'
+        |      || CAST(pe.id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM pe, range(0, 200) b(b)),
+        |wts AS (SELECT b, id, v6,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS w
+        |  FROM blown),
+        |means AS (SELECT b, CAST(sum(w * v6) AS BIGINT) // CAST(sum(w) AS BIGINT) AS m6
+        |  FROM wts GROUP BY 1 HAVING sum(w) > 0),
+        |ranked AS (SELECT m6, row_number() OVER (ORDER BY m6, b) AS r FROM means),
+        |n AS (SELECT count(*) AS n FROM means),
+        |pt AS (SELECT CAST(sum(v6) AS BIGINT) // count(*) AS mean_ppm FROM pe)
+        |SELECT pt.mean_ppm,
+        |  (SELECT m6 FROM ranked, n
+        |    WHERE r = greatest(1, (n.n * 25 + 999) // 1000)) AS lo_ppm,
+        |  (SELECT m6 FROM ranked, n
+        |    WHERE r = (n.n * 975 + 999) // 1000) AS hi_ppm,
+        |  n.n AS resamples
+        |FROM pt, n""".stripMargin,
+    "graph_link_prediction" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0) GROUP BY 1),
+        |adj AS (SELECT ea AS p, eb AS n FROM e0
+        |        UNION ALL SELECT eb AS p, ea AS n FROM e0),
+        |w AS (SELECT l.n AS x, r.n AS y FROM adj l
+        |      JOIN adj r ON l.p = r.p AND l.n < r.n),
+        |cn AS (SELECT x, y, count(*) AS cn FROM w GROUP BY 1, 2
+        |       HAVING count(*) >= 2),
+        |nc AS (SELECT cn.x, cn.y, cn.cn FROM cn WHERE NOT EXISTS (
+        |        SELECT 1 FROM e0 WHERE e0.ea = cn.x AND e0.eb = cn.y))
+        |SELECT nc.x AS a, nc.y AS b, nc.cn,
+        |  (nc.cn * 1000000) // (da.deg + db.deg - nc.cn) AS jaccard_ppm
+        |FROM nc JOIN deg da ON nc.x = da.node
+        |  JOIN deg db ON nc.y = db.node""".stripMargin,
   )
 }

@@ -898,6 +898,64 @@ object Ops {
       .withColumn("anonymous", F.col("n") >= k)
   }
 
+  /** Robust per-group outlier detection via the median/MAD rule (Hampel
+    * identifier): a row is an outlier when |x − median| > threshold · MAD,
+    * with MAD = median(|x − median|). Median/MAD resist up to 50%
+    * contamination where mean/stddev are dragged by the outliers they
+    * are supposed to find. Uses Spark's EXACT interpolated percentile
+    * (the engine's proven quantile_cont twin), so on integer measures
+    * every intermediate is an exact multiple of 0.5 and the verdicts are
+    * bit-identical in any engine — the fixed-point convention the gate
+    * exploits.
+    *
+    * Scale shape: two grouped percentile aggregations (group-sized, tiny)
+    * + two equi-joins of the data against those group frames — no windows
+    * over data-sized partitions, no driver state. Degenerate groups
+    * (MAD = 0: over half the group identical) flag only rows strictly
+    * unequal to the median when threshold > 0, a documented property of
+    * the identifier. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    require(keys.nonEmpty, "madOutliers: need group keys")
+    require(threshold > 0, s"madOutliers: need threshold > 0, got $threshold")
+    val med = df.groupBy(keys.map(F.col): _*)
+      .agg(F.percentile(F.col(valueCol), F.lit(0.5)).as("med"))
+    val withMed = df.join(med, keys)
+      .withColumn("_absdev", F.abs(F.col(valueCol) - F.col("med")))
+    val mad = withMed.groupBy(keys.map(F.col): _*)
+      .agg(F.percentile(F.col("_absdev"), F.lit(0.5)).as("mad"))
+    withMed.join(mad, keys)
+      .withColumn("is_outlier", F.col("_absdev") > F.lit(threshold) * F.col("mad"))
+      .drop("_absdev")
+  }
+
+  /** First-order transition statistics over per-entity ordered event
+    * streams: for every (from, to) adjacent pair in each entity's
+    * timeline, the global count and the row probability in ppm
+    * (`cnt·10⁶ div Σ_to cnt` — exact integer division). The Markov-chain
+    * view of "what do users do next", and the input to next-event
+    * prediction / anomalous-flow detection.
+    *
+    * Ordering is (ts, tieCols...) per entity — supply a unique tie-break
+    * (an event id) to make the lag deterministic under simultaneous
+    * events. ONE window over entity partitions (lag is O(1) state) + one
+    * (from,to)-sized groupBy; output is |alphabet|², independent of the
+    * stream size. */
+  def transitionCounts(df: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (F.col(tsCol) +: tieCols.map(F.col)).map(_.asc)
+    val w = Window.partitionBy(F.col(entityCol)).orderBy(order: _*)
+    val pairs = df
+      .withColumn("_from", F.lag(F.col(typeCol), 1).over(w))
+      .filter(F.col("_from").isNotNull)
+      .groupBy(F.col("_from").as("from_type"), F.col(typeCol).as("to_type"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type").agg(F.sum("cnt").as("_tot"))
+    pairs.join(F.broadcast(totals), Seq("from_type"))
+      .select(F.col("from_type"), F.col("to_type"), F.col("cnt"),
+        F.expr("(cnt * 1000000) div _tot").as("prob_ppm"))
+  }
+
   /** Suppression-based k-anonymization: rows whose quasi-identifier
     * combination occurs < k times get those columns NULLed (cell
     * suppression — the simplest generalization lattice step); all other

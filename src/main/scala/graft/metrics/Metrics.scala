@@ -300,4 +300,74 @@ object Metrics {
       .agg(F.countDistinct("category").cast("double").as("_d"))
       .agg(F.avg("_d").as(s"categorical_diversity_at_$k"))
   }
+
+  /** Cumulative Poisson(1) probabilities P(X ≤ k), k = 0..8 — the inverse-
+    * CDF table for the bootstrap weights. Literal decimal strings parse to
+    * the identical IEEE double in any engine, so the weight draw is
+    * engine-replayable. */
+  val PoissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the MEAN of
+    * a per-entity metric (Efron 1979 resampling; Poisson(1) weights —
+    * the streaming-friendly bootstrap of Chamandy et al. 2012 — instead
+    * of exact multinomial draws, so each (resample, entity) weight is a
+    * pure function of the portable hash and never needs a sequential
+    * RNG). The per-query metric frames the evaluator emits are exactly
+    * the intended input: "NDCG@5 = 0.31 ± what?" becomes answerable.
+    *
+    * Everything after the 6dp metric scaling is BIGINT: weights are
+    * integers from the inverse-CDF table over u = hash/2⁶⁰, resample
+    * means are integer divisions of weighted sums, and the CI bounds are
+    * nearest-rank order statistics (ceil ranks, computed with integer
+    * arithmetic) over the `resamples` means — cell-exact in any engine,
+    * layout-independent by construction.
+    *
+    * Scale shape: the input is a PER-ENTITY frame (already one row per
+    * query — small by the metric pipeline's own contract); the resample
+    * blowup is |entities|·resamples rows through ONE groupBy(_b), and the
+    * final order statistics sort `resamples` rows (bounded, documented
+    * single partition). `alphaPermille` is the PER-TAIL mass in permille
+    * (default 25 → the 2.5%/97.5% nearest-rank bounds of a 95% CI).
+    * Returns one row: (mean_ppm, lo_ppm, hi_ppm, resamples). */
+  def bootstrapCI(perEntity: DataFrame, idCol: String, valueCol: String,
+      resamples: Int = 200, seed: Long = 7L, alphaPermille: Int = 25): DataFrame = {
+    require(resamples >= 20, s"bootstrapCI: need resamples >= 20, got $resamples")
+    require(alphaPermille >= 1 && alphaPermille <= 500,
+      s"bootstrapCI: alphaPermille out of (0, 500], got $alphaPermille")
+    val spark = perEntity.sparkSession
+    val u = graft.core.PortableHash.uniform(seed, F.col("_b"), F.col("_id"))
+    val w = PoissonCum.zipWithIndex.foldRight(F.lit(PoissonCum.size): Column) {
+      case ((p, k), rest) => F.when(u < p, F.lit(k)).otherwise(rest)
+    }.cast("long")
+    val blown = perEntity
+      .select(F.col(idCol).as("_id"),
+        F.round(F.col(valueCol) * 1000000).cast("long").as("_v6"))
+      .crossJoin(spark.range(resamples).select(F.col("id").as("_b")))
+    val means = blown.withColumn("_w", w)
+      .groupBy("_b")
+      .agg(F.sum(F.col("_w") * F.col("_v6")).as("_sv"), F.sum("_w").as("_sw"))
+      .filter(F.col("_sw") > 0L)
+      .select(F.col("_b"), F.expr("_sv div _sw").as("_m6"))
+    val n = means.agg(F.count(F.lit(1)).as("_n"))
+    val ranked = means.withColumn("_r", F.row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("_m6").asc, F.col("_b").asc)))
+    val point = perEntity.agg(
+      F.expr(s"sum(cast(round(${valueCol} * 1000000) as bigint)) div count(1)")
+        .as("mean_ppm"))
+    val lo = F.expr(s"greatest(1L, (_n * $alphaPermille + 999) div 1000)")
+    val hi = F.expr(s"(_n * ${1000 - alphaPermille} + 999) div 1000")
+    ranked.crossJoin(F.broadcast(n))
+      .select(F.col("_m6"), F.col("_r"), lo.as("_lo"), hi.as("_hi"),
+        F.col("_n"))
+      .agg(F.min(F.when(F.col("_r") === F.col("_lo"), F.col("_m6"))).as("lo_ppm"),
+        F.min(F.when(F.col("_r") === F.col("_hi"), F.col("_m6"))).as("hi_ppm"),
+        F.min("_n").as("resamples"))
+      .crossJoin(F.broadcast(point))
+      .select(F.col("mean_ppm"), F.col("lo_ppm"), F.col("hi_ppm"),
+        F.col("resamples"))
+  }
 }

@@ -194,4 +194,46 @@ class GraphSpec extends SparkSpec {
     val r = lpa(Seq((1L, 2L), (2L, 3L), (10L, 11L)), iters = 4)
     assert(Set(r(1L), r(2L), r(3L)).intersect(Set(r(10L), r(11L))).isEmpty)
   }
+
+  private def links(edges: Seq[(Long, Long)], minCommon: Long = 1L,
+      maxNeighbors: Int = Int.MaxValue, parts: Int = 4): Map[(Long, Long), (Long, Long)] =
+    Graph.linkPredictions(edges.toDF("src", "dst").repartition(parts),
+        minCommon = minCommon, maxNeighbors = maxNeighbors)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, cn, j) => (a, b) -> ((cn, j)) }.toMap
+
+  test("linkPredictions: path and square hand-computed, edges excluded") {
+    // path 1-2-3: candidate (1,3), cn 1, jaccard 1/(1+1-1) = 1
+    assert(links(Seq((1L, 2L), (2L, 3L)))
+      == Map((1L, 3L) -> ((1L, 1000000L))))
+    // square: diagonals share both corners, jaccard 2/(2+2-2) = 1
+    assert(links(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+    // triangle: every wedge closes into an existing edge — no candidates
+    assert(links(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+  }
+
+  test("linkPredictions: jaccard denominator uses real degrees") {
+    // 1-2-3 plus pendant 3-9: (1,3) cn 1, deg(1)=1, deg(3)=2 → 1e6 div 2
+    val r = links(Seq((1L, 2L), (2L, 3L), (3L, 9L)))
+    assert(r((1L, 3L)) == ((1L, 500000L)))
+  }
+
+  test("linkPredictions: minCommon filters, maxNeighbors bounds the fan-out") {
+    // star: 6 leaves around hub 0 — all C(6,2)=15 leaf pairs, cn 1
+    val star = (1L to 6L).map(l => (0L, l))
+    assert(links(star).size == 15)
+    assert(links(star, minCommon = 2L).isEmpty)
+    // capped pivot: only C(3,2)=3 wedges survive, deterministically
+    val capped = links(star, maxNeighbors = 3)
+    assert(capped.size == 3)
+    assert(capped == links(star, maxNeighbors = 3, parts = 13))
+  }
+
+  test("linkPredictions: deterministic across partitionings on a random graph") {
+    val edges = (for (u <- 0L until 40L; k <- 1L to 3L)
+      yield (u, (u * 13 + k * 7) % 40)).filter(e => e._1 != e._2)
+    assert(links(edges, minCommon = 2L, parts = 1)
+      == links(edges, minCommon = 2L, parts = 11))
+  }
 }

@@ -524,6 +524,53 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == rows.toSet)
   }
 
+  test("madOutliers: hand-computed medians, MAD, and flags per group") {
+    val rows = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L),
+      (5L, "a", 100L), // med 3, mad 1 → only 100 beyond 3·MAD
+      (6L, "b", 1L), (7L, "b", 2L), (8L, "b", 3L), (9L, "b", 4L),
+      // even group: med 2.5, mad 1.0 — no outliers at 3·MAD
+      (10L, "c", 5L), (11L, "c", 5L), (12L, "c", 5L), (13L, "c", 9L))
+      // degenerate MAD=0: any row off the median flags
+    val r = Ops.madOutliers(rows.toDF("id", "g", "v").repartition(5),
+        Seq("g"), "v")
+      .select("id", "med", "mad", "is_outlier")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((3.0, 1.0, false)) && r(5L) == ((3.0, 1.0, true)))
+    assert(r(6L) == ((2.5, 1.0, false)) && r(9L) == ((2.5, 1.0, false)))
+    assert(r(10L) == ((5.0, 0.0, false)) && r(13L) == ((5.0, 0.0, true)))
+  }
+
+  test("madOutliers: mean/stddev would miss what the median/MAD rule catches") {
+    // two huge values drag a z-score threshold but not the median
+    val vals = (1L to 20L).map(v => (v, "g", (v % 5) + 10L)) ++
+      Seq((21L, "g", 1000L), (22L, "g", 1001L))
+    val flagged = Ops.madOutliers(vals.toDF("id", "g", "v"), Seq("g"), "v")
+      .filter(F.col("is_outlier")).select("id").as[Long].collect().toSet
+    assert(flagged == Set(21L, 22L))
+  }
+
+  test("transitionCounts: counts, ppm shares, and tie-broken ordering") {
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // user 1: A B A C ; user 2: A B  → A→B ×2, B→A ×1, A→C ×1
+    val rows = Seq(
+      (1L, "A", t(0), 1L), (1L, "B", t(1), 2L), (1L, "A", t(2), 3L),
+      (1L, "C", t(3), 4L),
+      (2L, "A", t(0), 5L), (2L, "B", t(1), 6L))
+    val r = Ops.transitionCounts(rows.toDF("u", "e", "ts", "id")
+        .repartition(3), "u", "e", "ts", Seq("id"))
+      .as[(String, String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    assert(r == Map(("A", "B") -> ((2L, 666666L)), ("A", "C") -> ((1L, 333333L)),
+      ("B", "A") -> ((1L, 1000000L))))
+    // simultaneous events: the id tie-break fixes the lag order
+    val tie = Seq((1L, "X", t(0), 1L), (1L, "Y", t(0), 2L), (1L, "Z", t(0), 3L))
+    val rt = Ops.transitionCounts(tie.toDF("u", "e", "ts", "id"), "u", "e",
+        "ts", Seq("id"))
+      .as[(String, String, Long, Long)].collect().map(x => (x._1, x._2)).toSet
+    assert(rt == Set(("X", "Y"), ("Y", "Z")))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }

@@ -271,4 +271,49 @@ class MetricsSpec extends SparkSpec {
     assert(par.map(t => (t.params, t.score)) ==
       seq.map(t => (t.params, t.score)))
   }
+
+  private def ci(rows: Seq[(Long, Double)], resamples: Int = 100,
+      seed: Long = 7L, parts: Int = 4): (Long, Long, Long, Long) =
+    Metrics.bootstrapCI(rows.toDF("id", "metric").repartition(parts),
+        "id", "metric", resamples, seed)
+      .as[(Long, Long, Long, Long)].head()
+
+  test("bootstrapCI: constant metric collapses to a zero-width interval") {
+    val r = ci((1L to 50L).map(i => (i, 0.42)))
+    assert(r == ((420000L, 420000L, 420000L, 100L)))
+  }
+
+  test("bootstrapCI: bounds bracket the point estimate and are ordered") {
+    val rows = (1L to 80L).map(i => (i, (i % 10).toDouble / 10.0))
+    val (mean, lo, hi, n) = ci(rows)
+    assert(n == 100L)
+    assert(lo <= mean && mean <= hi, s"($lo, $mean, $hi)")
+    assert(lo < hi) // heterogeneous metric: resampling must spread
+  }
+
+  test("bootstrapCI: deterministic across layouts, seed moves the draws") {
+    val rows = (1L to 60L).map(i => (i, (i % 7).toDouble / 7.0))
+    val a = ci(rows, parts = 1)
+    assert(a == ci(rows, parts = 13))
+    val b = ci(rows, seed = 8L)
+    assert(a._1 == b._1) // point estimate is draw-free
+    assert((a._2, a._3) != ((b._2, b._3)), "different draws, same bounds")
+  }
+
+  test("bootstrapCI: interval narrows with more entities (consistency)") {
+    def width(n: Int) = {
+      val r = ci((1L to n.toLong).map(i => (i, (i % 10).toDouble / 10.0)),
+        resamples = 200)
+      r._3 - r._2
+    }
+    assert(width(400) < width(25), s"${width(400)} !< ${width(25)}")
+  }
+
+  test("bootstrapCI: parameter contracts") {
+    intercept[IllegalArgumentException](ci(Seq((1L, 0.5)), resamples = 5))
+    intercept[IllegalArgumentException] {
+      Metrics.bootstrapCI(Seq((1L, 0.5)).toDF("id", "metric"), "id",
+        "metric", 100, 7L, alphaPermille = 600)
+    }
+  }
 }
