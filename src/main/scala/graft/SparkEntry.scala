@@ -2328,6 +2328,14 @@ object SparkEntry {
       // wedge enumeration and integer division replayed exactly in SQL
       graft.core.Graph.linkPredictions(
         coPurchaseEdges(s, d), "src", "dst", minCommon = 2L)),
+    "streaming_funnel" -> ((s, d) =>
+      // the stateful streaming funnel run on its BATCH twin — 3-scalar
+      // per-user state, same first-touch semantics, same oracle as
+      // funnel_users (spec'd against a real 2-batch MemoryStream)
+      graft.streaming.StreamingOps.streamingFunnel(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        Seq("signup", "view", "click", "purchase"),
+        windowSeconds = Some(604800L)).toDF()),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -5854,5 +5862,25 @@ object SparkEntry {
         |  (nc.cn * 1000000) // (da.deg + db.deg - nc.cn) AS jaccard_ppm
         |FROM nc JOIN deg da ON nc.x = da.node
         |  JOIN deg db ON nc.y = db.node""".stripMargin,
+    "streaming_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s.t1
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s3 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT user_id, CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |  epoch_us(t1) AS ts_us FROM s1
+        |UNION ALL SELECT user_id, 2, 'view', epoch_us(tp) FROM s2
+        |UNION ALL SELECT user_id, 3, 'click', epoch_us(tp) FROM s3
+        |UNION ALL SELECT user_id, 4, 'purchase', epoch_us(tp) FROM s4""".stripMargin,
   )
 }

@@ -264,6 +264,76 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, step_idx: Int,
+      ts_us: Long, tie: Long)
+  final case class FunnelProgress(reached: Int, t1Us: Long, tprevUs: Long)
+  final case class FunnelHit(user_id: Long, step: Long, step_name: String,
+      ts_us: Long)
+
+  /** Streaming funnel — the incremental twin of
+    * [[graft.core.Funnel.funnelUsers]]: per-user state is THREE scalars
+    * (steps reached, entry time, last-advance time), each step advance
+    * emits one append-mode row as it happens. Semantics are identical to
+    * the batch operator (first-touch, strictly ordered, entry-anchored
+    * window) because the batch funnel IS a forward pass over each user's
+    * (ts, tie)-sorted timeline: every step advances at its first
+    * qualifying event, which is exactly what the state machine does.
+    * In-order delivery (per user, across micro-batches) is the parity
+    * contract, the same one every watermark-less stateful op carries;
+    * within one micro-batch the group's rows sort in memory (bounded by
+    * per-batch volume). Runs unchanged on a batch frame — one
+    * group-sorted pass, byte-equal to the batch operator (spec'd, and
+    * the gate shares funnel_users' oracle).
+    *
+    * Scale: state is O(users)·3 longs regardless of event volume; no
+    * timeline is ever materialized beyond one (user, batch) slice. */
+  def streamingFunnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, steps: Seq[String],
+      windowSeconds: Option[Long] = None): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "streamingFunnel: need at least one step")
+    require(steps.distinct.size == steps.size,
+      "streamingFunnel: duplicate step names")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val names = steps.toArray
+    val wUs = windowSeconds.map(_ * 1000000L)
+    val idx = steps.zipWithIndex.tail.foldLeft(
+      F.when(F.col(typeCol) === steps.head, 0)) {
+      case (acc, (name, i)) => acc.when(F.col(typeCol) === name, i)
+    }
+    val typed = graft.core.Ops.ensureTimestamp(events, tsCol)
+      .filter(F.col(typeCol).isin(steps.map(x => x: Any): _*))
+      .select(F.col(userCol).cast("long").as("user_id"),
+        idx.cast("int").as("step_idx"),
+        F.unix_micros(F.col(tsCol)).as("ts_us"),
+        F.col(tieCol).cast("long").as("tie"))
+      .as[FunnelEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[FunnelProgress]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.tie))
+          var p = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          for (e <- sorted) {
+            if (p == null) {
+              if (e.step_idx == 0) {
+                p = FunnelProgress(1, e.ts_us, e.ts_us)
+                out += FunnelHit(user, 1L, names(0), e.ts_us)
+              }
+            } else if (e.step_idx == p.reached && p.reached < names.length &&
+                e.ts_us > p.tprevUs &&
+                wUs.forall(w => e.ts_us <= p.t1Us + w)) {
+              p = FunnelProgress(p.reached + 1, p.t1Us, e.ts_us)
+              out += FunnelHit(user, p.reached.toLong, names(p.reached - 1),
+                e.ts_us)
+            }
+          }
+          if (p != null) state.update(p)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key (the streaming twin of
     * text.Dedup.exactGroups' fingerprint dedup): keeps the first arrival
     * per key; `dropDuplicatesWithinWatermark` bounds the state store to

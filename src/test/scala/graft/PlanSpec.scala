@@ -227,4 +227,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       "the nShards-row offsets frame should broadcast, not shuffle the corpus")
   }
+
+  test("funnel: every step filter reaches the parquet scan; joins stay equi") {
+    val plan = optimizedPlan("funnel_users")
+    // each level scans only its step's rows — the event_type predicate
+    // must land in PushedFilters, not in a post-scan Filter over all rows
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)")
+      || plan.contains("EqualTo(event_type,signup)"),
+      s"step-1 filter not pushed:\n${plan.take(800)}")
+    assert(plan.contains("EqualTo(event_type,purchase)"), "step-4 filter not pushed")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "funnel levels must stay user-keyed equi-joins")
+    assert(!plan.contains("props"), "unused events columns read from scan")
+  }
+
+  test("graph triangles: oriented wedge join stays equi, no cartesian") {
+    val plan = optimizedPlan("graph_triangles")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"wedge/closing joins must be hash equi-joins:\n${plan.take(600)}")
+  }
+
+  test("event transitions: lag window keyed by entity, alphabet totals broadcast") {
+    val plan = optimizedPlan("event_transitions")
+    // the lag window must be PARTITIONED (per-entity state), never a
+    // single-partition global sort
+    assert("Window \\[lag".r.findFirstIn(plan).isDefined, "expected a lag window")
+    assert("Window \\[lag[^\\n]*\\], \\[user_id".r.findFirstIn(plan).isDefined,
+      s"lag window lost its entity partitioning:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "the |alphabet|-row totals must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bootstrap CI: resample blowup through ONE aggregation, no data-sized window") {
+    val plan = optimizedPlan("metrics_bootstrap_ci")
+    assert(!plan.contains("CartesianProduct"),
+      "the resamples range frame must broadcast-cross, never shuffle-cross")
+  }
 }

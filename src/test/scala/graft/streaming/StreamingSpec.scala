@@ -489,4 +489,43 @@ class StreamingSpec extends SparkSpec {
     // (the sentinel's own window stays open and unemitted)
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
+
+  test("streamingFunnel: 2-batch stream and batch mode equal the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "purchase")
+    val rows = Seq(
+      // user 1 completes across the batch boundary
+      (1L, "signup", ets("2024-01-01 10:00:00"), 1L),
+      (1L, "view", ets("2024-01-01 11:00:00"), 2L),
+      (1L, "purchase", ets("2024-01-02 10:00:00"), 5L),
+      // user 2: out-of-order types — stops at signup
+      (2L, "view", ets("2024-01-01 09:00:00"), 3L),
+      (2L, "signup", ets("2024-01-01 10:00:00"), 4L),
+      // user 3: view past the 1-day window
+      (3L, "signup", ets("2024-01-01 08:00:00"), 6L),
+      (3L, "view", ets("2024-01-02 08:00:01"), 7L))
+    val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+    val batchTwin = graft.core.Funnel.funnelUsers(df, "user_id",
+        "event_type", "ts", steps, Some(F.expr("INTERVAL 1 DAYS")))
+      .select(F.col("user_id"), F.col("step"), F.col("step_name"),
+        F.unix_micros(F.col("ts")).as("ts_us"))
+      .as[FunnelHit].collect().toSet
+    // batch-mode run of the stateful operator
+    val batchMode = streamingFunnel(df, "user_id", "event_type", "ts",
+      "event_id", steps, Some(86400L)).collect().toSet
+    assert(batchMode == batchTwin)
+    // real 2-batch stream split at the day boundary, time-ordered feed
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = streamingFunnel(
+        input.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id", steps, Some(86400L))
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    val (b1, b2) = rows.partition(_._3.getTime < ets("2024-01-02 00:00:00").getTime)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val streamedHits = spark.table("sfunnel").as[FunnelHit].collect().toSet
+    q.stop()
+    assert(streamedHits == batchTwin, s"streamed=$streamedHits batch=$batchTwin")
+  }
 }
