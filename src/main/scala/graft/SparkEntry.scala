@@ -2336,6 +2336,26 @@ object SparkEntry {
         Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
         Seq("signup", "view", "click", "purchase"),
         windowSeconds = Some(604800L)).toDF()),
+    "funnel_retention" -> ((s, d) =>
+      // weekly cohort retention: cohort by first signup week, activity =
+      // any event; exact integer microsecond periods and ppm shares
+      graft.core.Funnel.retentionCohorts(Tables.events(s, d), "user_id",
+        "event_type", "ts", "signup",
+        Seq("signup", "view", "click", "purchase", "error"), 604800L)),
+    "funnel_session_paths" -> ((s, d) =>
+      // frequent session flows at a 30-minute gap: ordered type strings
+      // per session, counts + exact ppm shares; gap rule = Sessionizer's
+      graft.core.Funnel.sessionPaths(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", 1800L, minCount = 2L)),
+    "graph_pagerank_weighted" -> ((s, d) =>
+      // quantity-weighted purchase graph: contributions split
+      // proportionally to summed edge weights, same exact-BIGINT replay
+      graft.core.Graph.pageRankWeighted(
+        Tables.interactions(s, d).select(F.col("query_id").as("src"),
+          (F.col("item_id") + F.lit(1000000L)).as("dst"),
+          F.col("rating").cast("long").as("weight")),
+        iterations = 3)
+        .select(F.col("node"), F.col("rank").as("pr_units"))),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -5882,5 +5902,71 @@ object SparkEntry {
         |UNION ALL SELECT user_id, 2, 'view', epoch_us(tp) FROM s2
         |UNION ALL SELECT user_id, 3, 'click', epoch_us(tp) FROM s3
         |UNION ALL SELECT user_id, 4, 'purchase', epoch_us(tp) FROM s4""".stripMargin,
+    "funnel_retention" ->
+      """WITH a AS (SELECT user_id, min(epoch_us(ts)) AS a_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |an AS (SELECT user_id, a_us, a_us // 604800000000 AS cohort FROM a),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM an GROUP BY 1),
+        |act AS (SELECT DISTINCT an.cohort,
+        |    (epoch_us(e.ts) - an.a_us) // 604800000000 AS period_offset,
+        |    e.user_id
+        |  FROM events e JOIN an ON e.user_id = an.user_id
+        |  WHERE epoch_us(e.ts) >= an.a_us),
+        |au AS (SELECT cohort, period_offset, count(*) AS active_users
+        |  FROM act GROUP BY 1, 2)
+        |SELECT au.cohort, au.period_offset, au.active_users, cs.cohort_size,
+        |  (au.active_users * 1000000) // cs.cohort_size AS retention_ppm
+        |FROM au JOIN cs ON au.cohort = cs.cohort""".stripMargin,
+    "funnel_session_paths" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_type, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) >= 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e),
+        |sess AS (SELECT user_id, event_type, event_id, us,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |paths AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM sess GROUP BY 1, 2),
+        |cnt AS (SELECT path, count(*) AS sessions FROM paths GROUP BY 1),
+        |tot AS (SELECT CAST(sum(sessions) AS BIGINT) AS tot FROM cnt)
+        |SELECT c.path, c.sessions,
+        |  (c.sessions * 1000000) // t.tot AS share_ppm
+        |FROM cnt c, tot t WHERE c.sessions >= 2""".stripMargin,
+    "graph_pagerank_weighted" ->
+      s"""$interactionsSql,
+        |e AS (SELECT query_id AS src, item_id + 1000000 AS dst,
+        |        CAST(sum(CAST(rating AS BIGINT)) AS BIGINT) AS w
+        |      FROM interactions GROUP BY 1, 2),
+        |ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ow
+        |       FROM e GROUP BY 1),
+        |nodes AS (
+        |  SELECT n.node, coalesce(o.ow, 0) AS ow
+        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+        |  LEFT JOIN ow o ON n.node = o.node),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, ow, CAST(1000000 AS BIGINT) AS rk FROM nodes),
+        |d1 AS (SELECT coalesce(sum(rk), 0) AS dang FROM r0 WHERE ow = 0),
+        |i1 AS (SELECT e.dst AS node, sum((r.rk * e.w) // r.ow) AS inc
+        |       FROM r0 r JOIN e ON r.node = e.src WHERE r.ow > 0 GROUP BY 1),
+        |r1 AS (SELECT n.node, n.ow,
+        |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
+        |       FROM nodes n LEFT JOIN i1 i ON n.node = i.node, d1 d, nn),
+        |d2 AS (SELECT coalesce(sum(rk), 0) AS dang FROM r1 WHERE ow = 0),
+        |i2 AS (SELECT e.dst AS node, sum((r.rk * e.w) // r.ow) AS inc
+        |       FROM r1 r JOIN e ON r.node = e.src WHERE r.ow > 0 GROUP BY 1),
+        |r2 AS (SELECT n.node, n.ow,
+        |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
+        |       FROM nodes n LEFT JOIN i2 i ON n.node = i.node, d2 d, nn),
+        |d3 AS (SELECT coalesce(sum(rk), 0) AS dang FROM r2 WHERE ow = 0),
+        |i3 AS (SELECT e.dst AS node, sum((r.rk * e.w) // r.ow) AS inc
+        |       FROM r2 r JOIN e ON r.node = e.src WHERE r.ow > 0 GROUP BY 1),
+        |r3 AS (SELECT n.node, n.ow,
+        |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
+        |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node, d3 d, nn)
+        |SELECT node, CAST(rk AS BIGINT) AS pr_units FROM r3""".stripMargin,
   )
 }

@@ -78,4 +78,90 @@ object Funnel {
         F.expr("(users * 1000000) div coalesce(_prev, users)")
           .as("conv_from_prev_ppm"))
   }
+
+  /** Cohort retention analysis — the other classic product-analytics
+    * primitive beside the funnel: users cohort by the period of their
+    * FIRST `anchorType` event; for each later period offset, the fraction
+    * of the cohort with any `activityTypes` event in that period.
+    *
+    * All time arithmetic is exact integer microseconds: cohort =
+    * `anchor_us div period_us` (epoch-aligned periods), offset =
+    * `(ts_us − anchor_us) div period_us` (anchor-aligned), retention in
+    * ppm by integer division — cell-exact in any engine. The anchor event
+    * itself is activity at offset 0, so every cohort's offset-0 row is
+    * `retention_ppm = 10⁶` by construction (a built-in sanity invariant).
+    *
+    * Scale shape: one filtered min-aggregation for anchors, one equi-join
+    * of activity against the per-user anchor frame, one distinct on
+    * (cohort, offset, user), two group-sized aggregations. No windows, no
+    * driver state. Returns
+    * (cohort, period_offset, active_users, cohort_size, retention_ppm). */
+  def retentionCohorts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, anchorType: String, activityTypes: Seq[String],
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, s"need periodSeconds > 0, got $periodSeconds")
+    require(activityTypes.nonEmpty, "retentionCohorts: need activity types")
+    val pUs = periodSeconds * 1000000L
+    val ev = Ops.ensureTimestamp(events, tsCol)
+    val anchors = ev.filter(F.col(typeCol) === anchorType)
+      .groupBy(F.col(userCol))
+      .agg(F.min(F.unix_micros(F.col(tsCol))).as("_a_us"))
+      .withColumn("_cohort", F.expr(s"_a_us div ${pUs}L"))
+    val cohortSizes = anchors.groupBy("_cohort")
+      .agg(F.count(F.lit(1)).as("cohort_size"))
+    val active = ev.filter(F.col(typeCol).isin(activityTypes: _*))
+      .select(F.col(userCol), F.unix_micros(F.col(tsCol)).as("_ts_us"))
+      .join(anchors, Seq(userCol))
+      .filter(F.col("_ts_us") >= F.col("_a_us"))
+      .select(F.col("_cohort"),
+        F.expr(s"(_ts_us - _a_us) div ${pUs}L").as("period_offset"),
+        F.col(userCol))
+      .distinct()
+      .groupBy("_cohort", "period_offset")
+      .agg(F.count(F.lit(1)).as("active_users"))
+    active.join(F.broadcast(cohortSizes), Seq("_cohort"))
+      .select(F.col("_cohort").as("cohort"), F.col("period_offset"),
+        F.col("active_users"), F.col("cohort_size"),
+        F.expr("(active_users * 1000000) div cohort_size").as("retention_ppm"))
+  }
+
+  /** Frequent session paths: sessionize each user's timeline by
+    * inactivity gap, render every session as its ordered event-type
+    * string (`a>b>c`), and count path frequencies ≥ `minCount` — the
+    * "how do users actually move through the product" view that funnels
+    * (which fix the step order up front) cannot give.
+    *
+    * Session ids come from the classic gap rule as a per-user keyed
+    * window (lag + cumulative new-session flags — O(1) state per row,
+    * partitions bounded by one user's history); the path renders with an
+    * ORDERED in-group sort_array fold, tie-broken by `tieCol`. Output is
+    * |distinct paths| rows. Returns (path, sessions, share_ppm). */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, gapSeconds: Long,
+      minCount: Long = 1L): DataFrame = {
+    require(gapSeconds > 0, s"need gapSeconds > 0, got $gapSeconds")
+    val ev = Ops.ensureTimestamp(events, tsCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(userCol))
+      .orderBy(F.unix_micros(F.col(tsCol)).asc, F.col(tieCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val sessioned = ev
+      .withColumn("_us", F.unix_micros(F.col(tsCol)))
+      .withColumn("_new", F.when(
+        F.col("_us") - F.lag("_us", 1).over(w) >= gapUs, 1L)
+        .otherwise(F.lit(0L)))
+      .withColumn("_sess", F.sum("_new").over(w))
+    val paths = sessioned
+      .groupBy(F.col(userCol), F.col("_sess"))
+      .agg(F.array_join(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_us"),
+          F.col(tieCol).cast("long").as("_tie"), F.col(typeCol).as("_t")))),
+        x => x.getField("_t")), ">").as("path"))
+    val counts = paths.groupBy("path").agg(F.count(F.lit(1)).as("sessions"))
+    val total = counts.agg(F.sum("sessions").as("_tot"))
+    counts.filter(F.col("sessions") >= minCount)
+      .crossJoin(F.broadcast(total))
+      .select(F.col("path"), F.col("sessions"),
+        F.expr("(sessions * 1000000) div _tot").as("share_ppm"))
+  }
 }

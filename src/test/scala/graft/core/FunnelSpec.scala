@@ -78,6 +78,66 @@ class FunnelSpec extends SparkSpec {
     assert(st(3L) == ((3L, 300000L, 500000L)))
   }
 
+  test("retentionCohorts: hand-computed weekly cohorts, offset-0 invariant") {
+    val wk = 604800L
+    def at(week: Long, off: Long = 0L) =
+      new Timestamp((week * wk + off) * 1000L)
+    val rows = Seq(
+      // cohort 0: users 1, 2 sign up in week 0
+      (1L, "signup", at(0)), (2L, "signup", at(0, 3600)),
+      // user 1 active in weeks 1 and 2 (relative to ITS anchor)
+      (1L, "click", at(1, 10)), (1L, "view", at(2, 20)),
+      // user 2 active only in week 1
+      (2L, "click", at(1, 7200)),
+      // cohort 3: user 5, never active again
+      (5L, "signup", at(3)),
+      // activity BEFORE the anchor is ignored; unanchored user absent
+      (5L, "view", at(2, 500)), (9L, "click", at(0)))
+    val r = Funnel.retentionCohorts(rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", "signup", Seq("signup", "click", "view"),
+        wk)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(r == Map(
+      (0L, 0L) -> ((2L, 2L, 1000000L)), // offset 0 = anchors themselves
+      (0L, 1L) -> ((2L, 2L, 1000000L)),
+      (0L, 2L) -> ((1L, 2L, 500000L)),
+      (3L, 0L) -> ((1L, 1L, 1000000L))))
+  }
+
+  test("sessionPaths: gap splits, order within session, shares") {
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      // user 1, session 1: A>B ; session 2 (after 1h gap): A>B
+      (1L, "A", t(0), 1L), (1L, "B", t(60), 2L),
+      (1L, "A", t(4000), 3L), (1L, "B", t(4060), 4L),
+      // user 2: single-event session C; simultaneous pair ordered by id
+      (2L, "C", t(0), 5L),
+      (2L, "X", t(9000), 7L), (2L, "Y", t(9000), 6L))
+    val r = Funnel.sessionPaths(rows.toDF("user_id", "event_type", "ts", "id"),
+        "user_id", "event_type", "ts", "id", gapSeconds = 1800L)
+      .as[(String, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // 4 sessions total: A>B ×2, C, Y>X (tie broken by id 6 < 7)
+    assert(r == Map("A>B" -> ((2L, 500000L)), "C" -> ((1L, 250000L)),
+      "Y>X" -> ((1L, 250000L))))
+    // minCount trims rare paths but keeps the full-denominator share
+    val trimmed = Funnel.sessionPaths(
+        rows.toDF("user_id", "event_type", "ts", "id"),
+        "user_id", "event_type", "ts", "id", 1800L, minCount = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(trimmed == Seq(("A>B", 2L, 500000L)))
+  }
+
+  test("sessionPaths: exact gap boundary starts a new session (Sessionizer rule)") {
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq((1L, "A", t(0), 1L), (1L, "B", t(1800), 2L))
+    val r = Funnel.sessionPaths(rows.toDF("user_id", "event_type", "ts", "id"),
+        "user_id", "event_type", "ts", "id", 1800L)
+      .as[(String, Long, Long)].collect().map(_._1).toSet
+    assert(r == Set("A", "B")) // gap >= 1800s closes the session
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)

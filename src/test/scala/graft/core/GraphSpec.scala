@@ -115,6 +115,39 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](ppr(Seq((1L, 2L)), Seq(99L), 1))
   }
 
+  private def wranks(edges: Seq[(Long, Long, Long)], iters: Int,
+      parts: Int = 4): Map[Long, Long] =
+    Graph.pageRankWeighted(edges.toDF("src", "dst", "weight")
+        .repartition(parts), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("weighted PageRank with uniform weights equals the unweighted variant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L))
+    assert(wranks(edges.map(e => (e._1, e._2, 7L)), 3) == ranks(edges, 3))
+  }
+
+  test("weighted PageRank: proportional split hand-computed, 1 round") {
+    // a→b w=1, a→c w=3: W=4; inc_b = 1e6·1 div 4, inc_c = 1e6·3 div 4;
+    // dang = 2e6, share = 666666
+    assert(wranks(Seq((1L, 2L, 1L), (1L, 3L, 3L)), 1) == Map(
+      1L -> 716666L, 2L -> 929166L, 3L -> 1354166L))
+  }
+
+  test("weighted PageRank: parallel edges add; non-positive weights drop") {
+    val a = wranks(Seq((1L, 2L, 2L), (1L, 2L, 3L), (2L, 1L, 1L)), 4)
+    val b = wranks(Seq((1L, 2L, 5L), (2L, 1L, 1L)), 4)
+    assert(a == b)
+    // w <= 0 edges are absent entirely — the graph is what remains
+    val r = wranks(Seq((1L, 2L, 0L), (2L, 3L, 1L)), 2)
+    assert(!r.contains(1L))
+    assert(r == wranks(Seq((2L, 3L, 1L)), 2))
+  }
+
+  test("weighted PageRank is independent of input partitioning") {
+    val edges = (1L to 30L).map(u => (u, (u * 11) % 30 + 1, u % 5 + 1))
+    assert(wranks(edges, 3, parts = 1) == wranks(edges, 3, parts = 13))
+  }
+
   private def tri(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, (Long, Long, Long)] =
     Graph.triangleCounts(edges.toDF("src", "dst").repartition(parts))
       .as[(Long, Long, Long, Long)].collect()
