@@ -2356,6 +2356,53 @@ object SparkEntry {
           F.col("rating").cast("long").as("weight")),
         iterations = 3)
         .select(F.col("node"), F.col("rank").as("pr_units"))),
+    "join_bloom_semi" -> ((s, d) =>
+      // bloom-prefiltered semi-join: the row-wise bitmask probe prunes
+      // the fact scan in codegen BEFORE any shuffle; result must equal
+      // the plain semi-join (the salting pattern: accelerators change
+      // nothing) — oracle IS the plain semi-join
+      graft.core.Ops.bloomSemiJoin(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity"),
+        Tables.orders(s, d).filter(F.col("o_orderkey") % 97 === 0)
+          .select(F.col("o_orderkey").as("l_orderkey")),
+        "l_orderkey", numBits = 1 << 16, numHashes = 5)),
+    "window_rate_limit" -> ((s, d) =>
+      // per-(user, hour) ingestion cap: first 3 events by (ts, id) order
+      // survive — deterministic throttling, one keyed window
+      graft.core.Ops.rateLimit(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", "event_id", 3600L, 3)
+        .select(F.col("event_id"), F.col("user_id"),
+          F.unix_micros(F.col("ts")).as("ts_us"))),
+    "agg_winsorize" -> ((s, d) =>
+      // per-type 5%/95% winsorization of cents: exact-percentile bounds
+      // and clamped values at the proven 6dp cross-engine rounding (the
+      // agg_percentile parity — interpolation at q != 0.5 yields
+      // arbitrary doubles, not halves)
+      graft.core.Ops.winsorize(
+        Tables.events(s, d).select(F.col("event_id"), F.col("event_type"),
+          F.round(F.col("value") * 100).cast("long").as("cents")),
+        Seq("event_type"), "cents", 0.05, 0.95)
+        .select(F.col("event_id"), F.col("event_type"), F.col("cents"),
+          F.round(F.col("w_lo"), 6).as("lo6"),
+          F.round(F.col("w_hi"), 6).as("hi6"),
+          F.round(F.col("cents_w"), 6).as("w6"))),
+    "agg_linear_fit" -> ((s, d) =>
+      // per-item quantity trend over order date: exact integer OLS
+      // sufficient statistics, rational slope + fixed-point ppm
+      graft.core.Ops.groupLinearFit(
+        Tables.interactions(s, d).select(F.col("item_id"),
+          F.datediff(F.col("timestamp"), F.lit("1995-01-01")).as("x"),
+          F.col("rating").cast("long").as("y")),
+        Seq("item_id"), "x", "y")),
+    "anomaly_cusum" -> ((s, d) =>
+      // per-user CUSUM drift vs a 50.00 target: the clamped recursion as
+      // two running windows (drawup identity), exact BIGINT, first-breach
+      // timestamp surfaced
+      graft.core.Ops.cusumAlarm(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "value")
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long")),
+        Seq("user_id"), "ts", "event_id", "cents", 5000L, 50000L)),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -5968,5 +6015,60 @@ object SparkEntry {
         |         150000 + (85 * (coalesce(i.inc, 0) + (d.dang // nn.n))) // 100 AS rk
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node, d3 d, nn)
         |SELECT node, CAST(rk AS BIGINT) AS pr_units FROM r3""".stripMargin,
+    // the bloom prefilter is semantics-preserving: the oracle is the
+    // PLAIN semi-join
+    "join_bloom_semi" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+        |FROM lineitem l
+        |WHERE l.l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)""".stripMargin,
+    "window_rate_limit" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT event_id, user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |    ORDER BY epoch_us(ts), event_id) AS rk
+        |  FROM events) WHERE rk <= 3""".stripMargin,
+    "agg_winsorize" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, quantile_cont(cents, 0.05) AS lo,
+        |        quantile_cont(cents, 0.95) AS hi
+        |      FROM c GROUP BY 1)
+        |SELECT c.event_id, c.event_type, c.cents,
+        |  round(b.lo, 6) AS lo6, round(b.hi, 6) AS hi6,
+        |  round(least(greatest(CAST(c.cents AS DOUBLE), b.lo), b.hi), 6) AS w6
+        |FROM c JOIN b USING (event_type)""".stripMargin,
+    "agg_linear_fit" ->
+      s"""$interactionsSql,
+        |p AS (SELECT item_id,
+        |    CAST(date_diff('day', TIMESTAMP '1995-01-01', "timestamp")
+        |      AS BIGINT) AS x,
+        |    CAST(rating AS BIGINT) AS y
+        |  FROM interactions),
+        |g AS (SELECT item_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM p GROUP BY 1)
+        |SELECT item_id, n, n * sxy - sx * sy AS num,
+        |  n * sxx - sx * sx AS den,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |  END AS slope_ppm
+        |FROM g""".stripMargin,
+    "anomaly_cusum" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) - 5000 AS d FROM events),
+        |cum AS (SELECT user_id, us, event_id, sum(d) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |cs AS (SELECT user_id, us, cum - least(0, min(cum) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)) AS cusum
+        |  FROM cum)
+        |SELECT user_id, max(cusum) AS max_cusum,
+        |  max(cusum) >= 50000 AS alarm,
+        |  min(CASE WHEN cusum >= 50000 THEN us END) AS alarm_ts_us
+        |FROM cs GROUP BY 1""".stripMargin,
   )
 }

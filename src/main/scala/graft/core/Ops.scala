@@ -898,6 +898,145 @@ object Ops {
       .withColumn("anonymous", F.col("n") >= k)
   }
 
+  /** Bloom-prefiltered semi-join: build an m-bit Bloom filter from the
+    * SMALL side's keys (one O(m)-cell aggregation), broadcast it, and cut
+    * the big side down to the "maybe present" slice BEFORE the exact
+    * semi-join. Result-identical to `big.join(small, keys, "left_semi")`
+    * — no false negatives ever — but at 100 TB the exact join's shuffle
+    * carries only matches + the fpr-sized noise slice instead of the
+    * whole fact table (the Bloom trio's §"pre-filter ahead of an exact
+    * anti-join" story, packaged as the join operator itself; Spark's own
+    * runtime row-group filters don't survive a non-broadcastable small
+    * side, this does — m bits vs the key set). */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    require(numBits >= 64 && numBits % 64 == 0 && numBits <= (1 << 26),
+      s"bloomSemiJoin: numBits must be a multiple of 64 in [64, 2^26], got $numBits")
+    // driver state: numBits BITS (128 KiB at the 2^20 default, 8 MiB at
+    // the 2^26 cap) — an explicit bounded-collect contract like SLIM's
+    // CSC / HnswAnn's maxCollect
+    val words = new Array[Long]((numBits + 63) / 64)
+    Sketch.bloomBits(small.select(key), key, numBits, numHashes)
+      .filter(F.col("is_set") === 1L).select("bit")
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        words((b >> 6).toInt) |= (1L << (b & 63L))
+      }
+    val mask = F.lit(words)
+    // row-wise probe in whole-stage codegen: NO shuffle touches the big
+    // side until the exact semi-join over the surviving slice
+    val pass = F.forall(Sketch.bloomPositions(key, numBits, numHashes),
+      p => (F.call_function("shiftrightunsigned",
+        F.element_at(mask, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+        .bitwiseAND(F.lit(1L))) === 1L)
+    big.filter(pass).join(small.select(key).distinct(), Seq(key), "left_semi")
+  }
+
+  /** Deterministic per-key rate limiting: keep at most `maxPerWindow`
+    * events per (key, tumbling window), picked by (ts, tie) order — the
+    * ingestion-throttling shape (bot damping, per-device caps,
+    * fairness-bounded sampling) as a pure relational op. ONE keyed window
+    * (partitions bounded by a key's events in one window), rank ≤ n kept.
+    * Window start is epoch-aligned: `ts_us div windowUs`. */
+  def rateLimit(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, windowSeconds: Long, maxPerWindow: Int): DataFrame = {
+    require(windowSeconds > 0 && maxPerWindow > 0,
+      s"rateLimit: windowSeconds=$windowSeconds maxPerWindow=$maxPerWindow")
+    val wUs = windowSeconds * 1000000L
+    val withWin = ensureTimestamp(df, tsCol)
+      .withColumn("_win", F.expr(s"unix_micros($tsCol) div ${wUs}L"))
+    val w = Window.partitionBy((keys.map(F.col) :+ F.col("_win")): _*)
+      .orderBy(F.unix_micros(F.col(tsCol)).asc, F.col(tieCol).asc)
+    withWin.withColumn("_rk", F.row_number().over(w))
+      .filter(F.col("_rk") <= maxPerWindow)
+      .drop("_rk", "_win")
+  }
+
+  /** Winsorization: clamp a column into its own [lo, hi] exact quantile
+    * range — the standard heavy-tail taming step before means/regressions
+    * (cap, don't drop, so volumes are preserved). Quantiles are Spark's
+    * exact interpolated percentile per group (or globally with
+    * `keys = Nil`); on integer measures every bound is an exact multiple
+    * of 0.5, so the clamped values are engine-exact. Two group-sized
+    * aggregates + one join — no data-sized windows. Adds `<valueCol>_w`
+    * (clamped, double) plus the bounds. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"winsorize: ($loQ, $hiQ)")
+    val bounds =
+      if (keys.isEmpty)
+        df.agg(F.percentile(F.col(valueCol), F.lit(loQ)).as("_lo"),
+          F.percentile(F.col(valueCol), F.lit(hiQ)).as("_hi"))
+      else
+        df.groupBy(keys.map(F.col): _*)
+          .agg(F.percentile(F.col(valueCol), F.lit(loQ)).as("_lo"),
+            F.percentile(F.col(valueCol), F.lit(hiQ)).as("_hi"))
+    val joined = if (keys.isEmpty) df.crossJoin(F.broadcast(bounds))
+      else df.join(bounds, keys)
+    joined.withColumn(s"${valueCol}_w",
+      F.least(F.greatest(F.col(valueCol).cast("double"), F.col("_lo")),
+        F.col("_hi")))
+      .withColumnRenamed("_lo", "w_lo").withColumnRenamed("_hi", "w_hi")
+  }
+
+  /** Per-group ordinary least squares as EXACT integer sufficient
+    * statistics: for integer (x, y), the slope is the rational
+    * `num/den = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — emitted raw plus as
+    * fixed-point `slope_ppm = (10⁶·num) div den`. One partial+final
+    * groupBy of five O(1) accumulators; no solver, no floats, cell-exact
+    * in any engine. The "per-item price trend over time" shape at
+    * catalog scale.
+    *
+    * Overflow contract: |n·Σxy| < 2⁶³ — offset x to small magnitudes
+    * (days since the window start, not epoch seconds) and keep y in
+    * sane fixed-point units; degenerate groups (constant x → den 0)
+    * return NULL slope. */
+  def groupLinearFit(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val g = df.select((keys.map(F.col) :+ F.col(xCol).cast("long").as("_x")
+      :+ F.col(yCol).cast("long").as("_y")): _*)
+      .groupBy(keys.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.sum("_x").as("_sx"),
+        F.sum("_y").as("_sy"), F.sum(F.expr("_x * _y")).as("_sxy"),
+        F.sum(F.expr("_x * _x")).as("_sxx"))
+    g.select((keys.map(F.col) :+ F.col("n") :+
+      F.expr("n * _sxy - _sx * _sy").as("num") :+
+      F.expr("n * _sxx - _sx * _sx").as("den") :+
+      F.expr("CASE WHEN n * _sxx - _sx * _sx = 0 THEN NULL " +
+        "ELSE (1000000 * (n * _sxy - _sx * _sy)) div (n * _sxx - _sx * _sx) " +
+        "END").as("slope_ppm")): _*)
+  }
+
+  /** CUSUM drift detection per key (Page 1954), fully relational via the
+    * drawup identity: with cum_t = Σ_{j≤t}(x_j − target), the clamped
+    * CUSUM S_t = max(0, S_{t−1} + x_t − target) equals
+    * cum_t − min_{j≤t} cum_j — two running window functions over each
+    * key's (ts, tie)-ordered rows, NO sequential fold, no UDF, exact
+    * BIGINT throughout. Returns one row per key:
+    * (keys..., max_cusum, alarm, alarm_ts_us = first breach time or
+    * NULL) — "this sensor's mean has drifted above target since t". */
+  def cusumAlarm(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String, target: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"cusumAlarm: need threshold > 0, got $threshold")
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.unix_micros(F.col(tsCol)).asc, F.col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = ensureTimestamp(df, tsCol)
+      .withColumn("_cum",
+        F.sum(F.col(valueCol).cast("long") - F.lit(target)).over(w))
+      // min over prefixes INCLUDING the empty one (cum_0 = 0): without
+      // the least(0, ·) an all-positive stream would subtract its own
+      // first step
+      .withColumn("_cusum",
+        F.col("_cum") - F.least(F.lit(0L), F.min("_cum").over(w)))
+    scored.groupBy(keys.map(F.col): _*)
+      .agg(F.max("_cusum").as("max_cusum"),
+        F.max(F.col("_cusum") >= threshold).as("alarm"),
+        F.min(F.when(F.col("_cusum") >= threshold,
+          F.unix_micros(F.col(tsCol)))).as("alarm_ts_us"))
+  }
+
   /** Robust per-group outlier detection via the median/MAD rule (Hampel
     * identifier): a row is an outlier when |x − median| > threshold · MAD,
     * with MAD = median(|x − median|). Median/MAD resist up to 50%

@@ -260,8 +260,10 @@ object Sketch {
       .groupBy("bit").agg(F.max("is_set").as("is_set"))
 
   /** Bit positions a key sets in an m-bit Bloom filter: one portable hash
-    * per hash function index (seed = the index), mod m. */
-  private def bloomPositions(keyCol: String, numBits: Int, numHashes: Int) =
+    * per hash function index (seed = the index), mod m. Public so join
+    * operators (Ops.bloomSemiJoin) can probe row-wise with the identical
+    * recipe. */
+  def bloomPositions(keyCol: String, numBits: Int, numHashes: Int) =
     F.array((0 until numHashes).map { r =>
       F.pmod(PortableHash.long(r.toLong, F.col(keyCol)), F.lit(numBits.toLong))
     }: _*)

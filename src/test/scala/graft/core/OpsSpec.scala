@@ -571,6 +571,90 @@ class OpsSpec extends SparkSpec {
     assert(rt == Set(("X", "Y"), ("Y", "Z")))
   }
 
+  test("bloomSemiJoin equals the plain semi-join (no false negatives, exact verify)") {
+    val big = (1L to 500L).map(k => (k % 97, k)).toDF("k", "payload")
+      .repartition(7)
+    val small = Seq(3L, 11L, 42L, 96L, 1000L).toDF("k")
+    val got = Ops.bloomSemiJoin(big, small, "k", numBits = 256, numHashes = 4)
+      .as[(Long, Long)].collect().toSet
+    val want = big.join(small, Seq("k"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty && got.map(_._1) == Set(3L, 11L, 42L, 96L))
+    // tiny filter (high fpr): STILL exact — the semi-join verifies
+    assert(Ops.bloomSemiJoin(big, small, "k", numBits = 64, numHashes = 2)
+      .as[(Long, Long)].collect().toSet == want)
+  }
+
+  test("rateLimit keeps the first n per (key, window) by (ts, tie)") {
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val rows = Seq(
+      (1L, t(0), 1L), (1L, t(1), 2L), (1L, t(2), 3L), (1L, t(3), 4L),
+      (1L, t(3600), 5L), // next window: counter resets
+      (2L, t(0), 6L),
+      (3L, t(10), 7L), (3L, t(10), 8L), (3L, t(10), 9L)) // ties → id order
+    val kept = Ops.rateLimit(rows.toDF("k", "ts", "id").repartition(4),
+        Seq("k"), "ts", "id", 3600L, 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L, 8L))
+  }
+
+  test("winsorize clamps into exact per-group quantile bounds") {
+    val rows = (1L to 100L).map(v => (v, "g", v)) // values 1..100
+    val r = Ops.winsorize(rows.toDF("id", "g", "v"), Seq("g"), "v", 0.05, 0.95)
+      .select("id", "w_lo", "w_hi", "v_w")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // exact percentiles of 1..100: p5 = 5.95, p95 = 95.05
+    assert(r(1L) == ((5.95, 95.05, 5.95)))
+    assert(r(50L)._3 == 50.0)
+    assert(r(100L)._3 == 95.05)
+    // global mode (keys = Nil) agrees on a single group
+    val g = Ops.winsorize(rows.toDF("id", "g", "v"), Nil, "v", 0.05, 0.95)
+      .select("id", "v_w").as[(Long, Double)].collect().toMap
+    assert(g(100L) == 95.05 && g(1L) == 5.95)
+  }
+
+  test("groupLinearFit: exact rational slope on hand-built lines") {
+    // y = 3x + 7 exactly: num/den = slope 3, ppm 3e6
+    val exact = (0L to 10L).map(x => ("a", x, 3 * x + 7))
+    // constant x → den 0 → NULL slope
+    val degen = Seq(("b", 5L, 1L), ("b", 5L, 9L))
+    val r = Ops.groupLinearFit((exact ++ degen).toDF("k", "x", "y")
+        .repartition(3), Seq("k"), "x", "y")
+      .select("k", "n", "num", "den", "slope_ppm")
+      .collect().map(row => row.getString(0) -> ((row.getLong(1),
+        row.getLong(2), row.getLong(3),
+        if (row.isNullAt(4)) None else Some(row.getLong(4))))).toMap
+    assert(r("a")._4 == Some(3000000L))
+    assert(r("a")._2 == 3L * r("a")._3) // num = 3·den exactly
+    assert(r("b") == ((2L, 0L, 0L, None)))
+    // noisy-but-known: two points (0,0),(2,1) → slope 0.5 → 500000
+    val two = Ops.groupLinearFit(Seq(("c", 0L, 0L), ("c", 2L, 1L))
+        .toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .select("slope_ppm").as[Long].head()
+    assert(two == 500000L)
+  }
+
+  test("cusumAlarm matches the sequential clamped recursion on random streams") {
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val rows = for (k <- 0L until 6L; i <- 0L until 40L) yield
+      (k, t(i), k * 100 + i, ((i * 31 + k * 17) % 21) - 7) // values in [-7, 13]
+    val target = 2L
+    val got = Ops.cusumAlarm(rows.toDF("k", "ts", "id", "v").repartition(5),
+        Seq("k"), "ts", "id", "v", target, threshold = 15L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    for (k <- 0L until 6L) {
+      var s = 0L; var mx = 0L; var alarmTs: Option[Long] = None
+      rows.filter(_._1 == k).sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+        s = math.max(0L, s + r._4 - target); mx = math.max(mx, s)
+        if (s >= 15L && alarmTs.isEmpty) alarmTs = Some(r._2.getTime * 1000)
+      }
+      assert(got(k) == ((mx, mx >= 15L, alarmTs)), s"key $k")
+    }
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
