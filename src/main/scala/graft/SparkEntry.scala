@@ -2403,6 +2403,23 @@ object SparkEntry {
         Tables.events(s, d).select("user_id", "ts", "event_id", "value")
           .withColumn("cents", F.round(F.col("value") * 100).cast("long")),
         Seq("user_id"), "ts", "event_id", "cents", 5000L, 50000L)),
+    "streaming_rate_limit" -> ((s, d) =>
+      // the 2-long-state streaming throttle run on its batch twin —
+      // same oracle as window_rate_limit
+      graft.streaming.StreamingOps.streamingRateLimit(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", 3600L, 3)
+        .select(F.col("tie").as("event_id"), F.col("key").as("user_id"),
+          F.col("ts_us"))),
+    "streaming_cusum" -> ((s, d) =>
+      // the 3-scalar streaming CUSUM run on its batch twin: one alarm
+      // row per drifted key at its exact first breach
+      graft.streaming.StreamingOps.streamingCusum(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "value")
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents", 5000L, 50000L)
+        .select(F.col("key").as("user_id"), F.col("alarm_ts_us"),
+          F.col("cusum"))),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -6070,5 +6087,28 @@ object SparkEntry {
         |  max(cusum) >= 50000 AS alarm,
         |  min(CASE WHEN cusum >= 50000 THEN us END) AS alarm_ts_us
         |FROM cs GROUP BY 1""".stripMargin,
+    // streaming rate limit, batch-mode: same semantics as the window rank
+    "streaming_rate_limit" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT event_id, user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |    ORDER BY epoch_us(ts), event_id) AS rk
+        |  FROM events) WHERE rk <= 3""".stripMargin,
+    // streaming CUSUM, batch-mode: one row per drifted key at its first
+    // breach, with the cusum value AT the breach
+    "streaming_cusum" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) - 5000 AS d FROM events),
+        |cum AS (SELECT user_id, us, event_id, sum(d) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |cs AS (SELECT user_id, us, event_id, cum - least(0, min(cum) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)) AS cusum
+        |  FROM cum)
+        |SELECT user_id, us AS alarm_ts_us, cusum FROM (
+        |  SELECT user_id, us, cusum, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM cs WHERE cusum >= 50000) WHERE rn = 1""".stripMargin,
   )
 }

@@ -334,6 +334,96 @@ object StreamingOps {
       }
   }
 
+  final case class RateEvent(key: Long, ts_us: Long, tie: Long)
+  final case class RateWindowState(window: Long, count: Long)
+
+  /** Streaming per-key rate limiting — the incremental twin of
+    * [[graft.core.Ops.rateLimit]]: state per key is (current tumbling
+    * window id, count in it) — TWO longs; events beyond `maxPerWindow`
+    * in their (key, window) drop, survivors emit append-mode. Exact
+    * batch parity under in-order per-key delivery (the batch operator
+    * ranks by (ts, tie), which is the arrival order of an in-order
+    * stream); within one micro-batch the group sorts in memory. Runs
+    * unchanged on a batch frame (spec'd ≡ the batch operator). */
+  def streamingRateLimit(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, windowSeconds: Long,
+      maxPerWindow: Int): Dataset[RateEvent] = {
+    require(windowSeconds > 0 && maxPerWindow > 0,
+      s"streamingRateLimit: $windowSeconds/$maxPerWindow")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wUs = windowSeconds * 1000000L
+    val typed = graft.core.Ops.ensureTimestamp(events, tsCol)
+      .select(F.col(keyCol).cast("long").as("key"),
+        F.unix_micros(F.col(tsCol)).as("ts_us"),
+        F.col(tieCol).cast("long").as("tie"))
+      .as[RateEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[RateWindowState, RateEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[RateWindowState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.tie))
+          var st = state.getOption.getOrElse(RateWindowState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[RateEvent]
+          for (e <- sorted) {
+            val w = java.lang.Math.floorDiv(e.ts_us, wUs)
+            if (w != st.window) st = RateWindowState(w, 0L)
+            if (st.count < maxPerWindow) {
+              st = RateWindowState(st.window, st.count + 1)
+              out += e
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class CusumEvent(key: Long, ts_us: Long, tie: Long, value: Long)
+  final case class CusumState(cum: Long, minCum: Long, alarmed: Boolean)
+  final case class CusumAlarm(key: Long, alarm_ts_us: Long, cusum: Long)
+
+  /** Streaming CUSUM drift detection — the incremental twin of
+    * [[graft.core.Ops.cusumAlarm]]: state per key is (cum, min prefix
+    * cum incl. the empty prefix, alarmed) — the drawup identity carried
+    * as THREE scalars; the FIRST threshold breach per key emits one
+    * append-mode alarm row (key, breach ts, cusum at breach), matching
+    * the batch operator's `alarm_ts_us` exactly under in-order per-key
+    * delivery. O(keys) state forever, no timeline retained. */
+  def streamingCusum(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, target: Long,
+      threshold: Long): Dataset[CusumAlarm] = {
+    require(threshold > 0, s"streamingCusum: threshold=$threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = graft.core.Ops.ensureTimestamp(events, tsCol)
+      .select(F.col(keyCol).cast("long").as("key"),
+        F.unix_micros(F.col(tsCol)).as("ts_us"),
+        F.col(tieCol).cast("long").as("tie"),
+        F.col(valueCol).cast("long").as("value"))
+      .as[CusumEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.tie))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, false))
+          val out = scala.collection.mutable.ListBuffer.empty[CusumAlarm]
+          for (e <- sorted) {
+            val cum = st.cum + (e.value - target)
+            // st.minCum starts at 0 = the empty prefix, so the clamp is
+            // built into the initial state
+            val minCum = math.min(st.minCum, cum)
+            val s = cum - minCum
+            if (!st.alarmed && s >= threshold) {
+              out += CusumAlarm(key, e.ts_us, s)
+              st = CusumState(cum, minCum, true)
+            } else st = CusumState(cum, minCum, st.alarmed)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key (the streaming twin of
     * text.Dedup.exactGroups' fingerprint dedup): keeps the first arrival
     * per key; `dropDuplicatesWithinWatermark` bounds the state store to

@@ -490,6 +490,67 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingRateLimit: window counts persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // 5 events for key 1 inside ONE hour window, split 3 + 2 across
+    // batches: cap 3 keeps only the first batch's rows
+    val rows = (0L until 5L).map(i =>
+      (1L, new java.sql.Timestamp(1700000000000L + i * 60000), i + 10L))
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val batchTwin = graft.core.Ops.rateLimit(df, Seq("user_id"), "ts",
+        "event_id", 3600L, 3)
+      .select("event_id").as[Long].collect().toSet
+    val batchMode = streamingRateLimit(df, "user_id", "ts", "event_id",
+        3600L, 3).map(_.tie).collect().toSet
+    assert(batchMode == batchTwin && batchTwin == Set(10L, 11L, 12L))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = streamingRateLimit(
+        input.toDF().toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", 3600L, 3)
+      .writeStream.format("memory").queryName("srate")
+      .outputMode("append").start()
+    input.addData(rows.take(3): _*); q.processAllAvailable()
+    input.addData(rows.drop(3): _*); q.processAllAvailable()
+    val streamed = spark.table("srate").as[RateEvent].collect()
+      .map(_.tie).toSet
+    q.stop()
+    assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+  }
+
+  test("streamingCusum: first breach across micro-batches equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    // key 1 drifts (+8 over target each step, breach at the 4th event —
+    // in batch TWO); key 2 stays flat and never alarms
+    val rows =
+      (0L until 6L).map(i =>
+        (1L, new java.sql.Timestamp(1700000000000L + i * 1000), i + 1L, 10L)) ++
+      (0L until 6L).map(i =>
+        (2L, new java.sql.Timestamp(1700000000000L + i * 1000), i + 50L, 2L))
+    val df = rows.toDF("user_id", "ts", "event_id", "v")
+    val batchTwin = graft.core.Ops.cusumAlarm(df, Seq("user_id"), "ts",
+        "event_id", "v", target = 2L, threshold = 30L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(batchTwin(2L).isEmpty && batchTwin(1L).isDefined)
+    val batchMode = streamingCusum(df, "user_id", "ts", "event_id", "v",
+        2L, 30L).collect().map(a => a.key -> a.alarm_ts_us).toMap
+    assert(batchMode == Map(1L -> batchTwin(1L).get))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+    val q = streamingCusum(
+        input.toDF().toDF("user_id", "ts", "event_id", "v"),
+        "user_id", "ts", "event_id", "v", 2L, 30L)
+      .writeStream.format("memory").queryName("scusum")
+      .outputMode("append").start()
+    input.addData(rows.filter(_._2.getTime < 1700000003000L): _*)
+    q.processAllAvailable()
+    input.addData(rows.filter(_._2.getTime >= 1700000003000L): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("scusum").as[CusumAlarm].collect()
+      .map(a => a.key -> a.alarm_ts_us).toMap
+    q.stop()
+    assert(streamed == batchMode, s"streamed=$streamed batch=$batchMode")
+  }
+
   test("streamingFunnel: 2-batch stream and batch mode equal the batch funnel") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("signup", "view", "purchase")
