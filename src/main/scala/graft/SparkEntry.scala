@@ -2420,6 +2420,30 @@ object SparkEntry {
         "user_id", "ts", "event_id", "cents", 5000L, 50000L)
         .select(F.col("key").as("user_id"), F.col("alarm_ts_us"),
           F.col("cusum"))),
+    "quality_report" -> ((s, d) => {
+      // declarative constraint suite over orders + customer: one fused
+      // aggregation per table, anti-join referential check, every cell
+      // integer — the whole report hash-compares (incl. a deliberately
+      // FAILING range rule: only ~20% of orders are under 100k)
+      val Q = graft.core.Quality
+      Q.check(Tables.orders(s, d), Seq(
+          Q.Complete("o_custkey"), Q.Unique("o_orderkey"),
+          Q.InRange("o_totalprice", 0.0, 100000.0),
+          Q.RefersTo("o_custkey", Tables.customer(s, d), "c_custkey"),
+          Q.RowCount(1L, 10000000000L)))
+        .unionAll(Q.check(Tables.customer(s, d), Seq(
+          Q.Complete("c_name"),
+          Q.MatchesPattern("c_name", "^Customer#[0-9]+$"),
+          Q.InSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")),
+          Q.Unique("c_custkey"))))
+    }),
+    "funnel_delays" -> ((s, d) =>
+      // time-to-convert per step: exact integer µs delays, mean = sum
+      // div n, median doubled back to BIGINT
+      graft.core.Funnel.funnelDelays(Tables.events(s, d), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase"),
+        Some(F.expr("INTERVAL 7 DAYS")))),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -6110,5 +6134,75 @@ object SparkEntry {
         |  SELECT user_id, us, cusum, row_number() OVER (
         |    PARTITION BY user_id ORDER BY us, event_id) AS rn
         |  FROM cs WHERE cusum >= 50000) WHERE rn = 1""".stripMargin,
+    "quality_report" ->
+      """SELECT 'complete' AS constraint, 'o_custkey' AS "column",
+        |  (count(o_custkey) * 1000000) // count(*) AS observed,
+        |  CAST(1000000 AS BIGINT) AS expected,
+        |  (count(o_custkey) * 1000000) // count(*) >= 1000000 AS passed
+        |FROM orders
+        |UNION ALL SELECT 'in_range', 'o_totalprice',
+        |  (count(*) FILTER (o_totalprice >= 0.0 AND o_totalprice <= 100000.0)
+        |    * 1000000) // count(*), 1000000,
+        |  (count(*) FILTER (o_totalprice >= 0.0 AND o_totalprice <= 100000.0)
+        |    * 1000000) // count(*) >= 1000000
+        |FROM orders
+        |UNION ALL SELECT 'unique', 'o_orderkey',
+        |  count(DISTINCT o_orderkey), count(*),
+        |  count(DISTINCT o_orderkey) = count(*) FROM orders
+        |UNION ALL SELECT 'refers_to', 'o_custkey',
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)),
+        |  0,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey)) = 0
+        |UNION ALL SELECT 'row_count', '*', count(*), 1,
+        |  count(*) >= 1 AND count(*) <= 10000000000 FROM orders
+        |UNION ALL SELECT 'complete', 'c_name',
+        |  (count(c_name) * 1000000) // count(*), 1000000,
+        |  (count(c_name) * 1000000) // count(*) >= 1000000 FROM customer
+        |UNION ALL SELECT 'pattern', 'c_name',
+        |  (count(*) FILTER (regexp_matches(c_name, '^Customer#[0-9]+$'))
+        |    * 1000000) // count(*), 1000000,
+        |  (count(*) FILTER (regexp_matches(c_name, '^Customer#[0-9]+$'))
+        |    * 1000000) // count(*) >= 1000000 FROM customer
+        |UNION ALL SELECT 'in_set', 'c_mktsegment',
+        |  (count(*) FILTER (c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+        |    'FURNITURE', 'HOUSEHOLD', 'MACHINERY')) * 1000000) // count(*),
+        |  1000000,
+        |  (count(*) FILTER (c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+        |    'FURNITURE', 'HOUSEHOLD', 'MACHINERY')) * 1000000) // count(*)
+        |    >= 1000000 FROM customer
+        |UNION ALL SELECT 'unique', 'c_custkey',
+        |  count(DISTINCT c_custkey), count(*),
+        |  count(DISTINCT c_custkey) = count(*) FROM customer""".stripMargin,
+    "funnel_delays" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s1 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s.t1
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s2 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(s.t1) AS t1, min(e.ts) AS tp
+        |  FROM events e JOIN s3 s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.tp
+        |    AND e.ts <= s.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(2 AS BIGINT) AS step, 'view' AS step_name,
+        |    epoch_us(s2.tp) - epoch_us(s2.t1) AS d_us FROM s2
+        |  UNION ALL SELECT 3, 'click', epoch_us(s3.tp) - epoch_us(s2.tp)
+        |  FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+        |  UNION ALL SELECT 4, 'purchase', epoch_us(s4.tp) - epoch_us(s3.tp)
+        |  FROM s4 JOIN s3 ON s4.user_id = s3.user_id)
+        |SELECT step, step_name, count(*) AS n,
+        |  min(d_us) AS min_us, max(d_us) AS max_us,
+        |  CAST(sum(d_us) AS BIGINT) // count(*) AS mean_us,
+        |  CAST(2 * quantile_cont(d_us, 0.5) AS BIGINT) AS med2_us
+        |FROM d GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -79,6 +79,31 @@ object Funnel {
           .as("conv_from_prev_ppm"))
   }
 
+  /** Time-to-convert statistics per funnel step: for every user who
+    * reached step i ≥ 2, the delay from their step-(i−1) first-touch;
+    * aggregated to (step, step_name, n, min_us, max_us, mean_us,
+    * med2_us). All integers: delays are exact microseconds, the mean is
+    * `sum div n`, and the exact median of integer µs is a multiple of
+    * 0.5 so it doubles back to BIGINT (`med2_us`) — the whole report
+    * hash-compares across engines. One ≤|steps|-row keyed window over
+    * [[funnelUsers]] + one group-sized aggregation. */
+  def funnelDelays(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      window: Option[Column] = None): DataFrame = {
+    val fu = funnelUsers(events, userCol, typeCol, tsCol, steps, window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(userCol)).orderBy(F.col("step").asc)
+    fu.withColumn("_d_us",
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w)))
+      .filter(F.col("step") >= 2L)
+      .groupBy(F.col("step"), F.col("step_name"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.min("_d_us").as("min_us"), F.max("_d_us").as("max_us"),
+        F.expr("sum(_d_us) div count(1)").as("mean_us"),
+        (F.percentile(F.col("_d_us"), F.lit(0.5)) * 2).cast("long")
+          .as("med2_us"))
+  }
+
   /** Cohort retention analysis — the other classic product-analytics
     * primitive beside the funnel: users cohort by the period of their
     * FIRST `anchorType` event; for each later period offset, the fraction

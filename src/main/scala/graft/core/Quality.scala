@@ -1,0 +1,127 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Declarative data-quality constraint suite (the Deequ/Great-Expectations
+  * category, relationally): a pipeline states WHAT must hold —
+  * completeness, uniqueness, ranges, patterns, referential integrity —
+  * and gets back one verdict row per constraint:
+  * (constraint, column, observed, expected, passed).
+  *
+  * `observed`/`expected` are fixed-point ppm BIGINTs (fractions) or raw
+  * counts — every cell engine-replayable, so the whole report can be
+  * hash-compared against an independent engine (and is, in the gate).
+  *
+  * Scale shape: all single-table constraints for one DataFrame fuse into
+  * ONE aggregation pass over the data (each constraint is an O(1)-state
+  * conditional count — the scan is shared, the shuffle is one row);
+  * uniqueness adds one distinct-count aggregate; referential integrity is
+  * one left-anti-join count against the (usually broadcastable) dimension.
+  * At 100 TB the audit costs one scan plus a key-join — not one job per
+  * rule.
+  */
+object Quality {
+
+  sealed trait Constraint {
+    def name: String
+    def column: String
+  }
+  /** Fraction of non-null values ≥ minRatio (1.0 = NOT NULL). */
+  final case class Complete(column: String, minRatioPpm: Long = 1000000L)
+      extends Constraint { val name = "complete" }
+  /** Column values are unique (distinct count == row count). */
+  final case class Unique(column: String) extends Constraint {
+    val name = "unique"
+  }
+  /** Fraction of values inside [lo, hi] ≥ minRatio (nulls fail the
+    * predicate). */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      minRatioPpm: Long = 1000000L) extends Constraint { val name = "in_range" }
+  /** Fraction of values matching an RE2-safe regex ≥ minRatio. */
+  final case class MatchesPattern(column: String, pattern: String,
+      minRatioPpm: Long = 1000000L) extends Constraint { val name = "pattern" }
+  /** Fraction of values in the allowed set ≥ minRatio. */
+  final case class InSet(column: String, allowed: Seq[String],
+      minRatioPpm: Long = 1000000L) extends Constraint { val name = "in_set" }
+  /** Every value of `column` exists in `refFrame.refColumn`
+    * (referential integrity; violations counted by an anti-join). */
+  final case class RefersTo(column: String, refFrame: DataFrame,
+      refColumn: String) extends Constraint { val name = "refers_to" }
+  /** Table row count within [minRows, maxRows]. */
+  final case class RowCount(minRows: Long, maxRows: Long) extends Constraint {
+    val name = "row_count"; val column = "*"
+  }
+
+  /** Run the suite. One fused aggregation covers every per-row
+    * constraint; Unique adds one count_distinct each; RefersTo adds one
+    * anti-join count each. Returns
+    * (constraint, column, observed, expected, passed) with observed =
+    * ppm for ratio rules, counts for unique/refers_to/row_count. */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "Quality.check: empty suite")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val perRow: Seq[(Constraint, Column)] = constraints.collect {
+      case c: Complete =>
+        (c, F.sum(F.when(F.col(c.column).isNotNull, 1L).otherwise(0L)))
+      case c: InRange =>
+        (c, F.sum(F.when(F.col(c.column) >= c.lo && F.col(c.column) <= c.hi,
+          1L).otherwise(0L)))
+      case c: MatchesPattern =>
+        (c, F.sum(F.when(F.col(c.column).rlike(c.pattern), 1L).otherwise(0L)))
+      case c: InSet =>
+        (c, F.sum(F.when(
+          F.col(c.column).cast("string").isin(c.allowed.map(x => x: Any): _*),
+          1L).otherwise(0L)))
+    }
+    val uniques = constraints.collect { case c: Unique => c }
+    val refs = constraints.collect { case c: RefersTo => c }
+    val rowCounts = constraints.collect { case c: RowCount => c }
+
+    val aggCols =
+      (F.count(F.lit(1)).as("_total")) +:
+        perRow.zipWithIndex.map { case ((_, a), i) => a.as(s"_c$i") } ++:
+        uniques.zipWithIndex.map { case (c, i) =>
+          F.countDistinct(F.col(c.column)).as(s"_u$i")
+        }
+    val one = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val total = one.getLong(one.fieldIndex("_total"))
+
+    val rowsPerRow = perRow.zipWithIndex.map { case ((c, _), i) =>
+      // conditional sums are NULL on an empty table
+      val idx = one.fieldIndex(s"_c$i")
+      val ok = if (one.isNullAt(idx)) 0L else one.getLong(idx)
+      val ppm = if (total == 0) 1000000L else ok * 1000000L / total
+      val expected = c match {
+        case x: Complete => x.minRatioPpm
+        case x: InRange => x.minRatioPpm
+        case x: MatchesPattern => x.minRatioPpm
+        case x: InSet => x.minRatioPpm
+        case _ => 1000000L
+      }
+      (c.name, c.column, ppm, expected, ppm >= expected)
+    }
+    val rowsUnique = uniques.zipWithIndex.map { case (c, i) =>
+      // primary-key semantics: |distinct non-null| must equal |rows| —
+      // nulls or duplicates both fail
+      val distinct = one.getLong(one.fieldIndex(s"_u$i"))
+      (c.name, c.column, distinct, total, distinct == total)
+    }
+    val rowsRef = refs.map { c =>
+      val missing = df.select(F.col(c.column))
+        .filter(F.col(c.column).isNotNull)
+        .join(c.refFrame.select(F.col(c.refColumn).as(c.column)).distinct(),
+          Seq(c.column), "left_anti")
+        .count()
+      (c.name, c.column, missing, 0L, missing == 0L)
+    }
+    val rowsCount = rowCounts.map { c =>
+      (c.name, c.column, total, c.minRows,
+        total >= c.minRows && total <= c.maxRows)
+    }
+
+    (rowsPerRow ++ rowsUnique ++ rowsRef ++ rowsCount)
+      .toDF("constraint", "column", "observed", "expected", "passed")
+  }
+}

@@ -138,6 +138,26 @@ class FunnelSpec extends SparkSpec {
     assert(r == Set("A", "B")) // gap >= 1800s closes the session
   }
 
+  test("funnelDelays: per-step delay stats, exact integer report") {
+    val rows = Seq(
+      // user 1: view after 60s, purchase after another 120s
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 00:01:00")),
+      (1L, "purchase", ts("2024-01-01 00:03:00")),
+      // user 2: view after 180s, never purchases
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:03:00")))
+    val r = Funnel.funnelDelays(rows.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps,
+        Some(F.expr("INTERVAL 7 DAYS")))
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._3, x._4, x._5, x._6, x._7))).toMap
+    // step 2: delays 60s, 180s → mean 120s, median 120s (interpolated)
+    assert(r(2L) == ((2L, 60000000L, 180000000L, 120000000L, 240000000L)))
+    // step 3: one delay of 120s; med2 = 2·120s
+    assert(r(3L) == ((1L, 120000000L, 120000000L, 120000000L, 240000000L)))
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)
