@@ -2444,6 +2444,20 @@ object SparkEntry {
       graft.core.Funnel.funnelDelays(Tables.events(s, d), "user_id",
         "event_type", "ts", Seq("signup", "view", "click", "purchase"),
         Some(F.expr("INTERVAL 7 DAYS")))),
+    "graph_kcore" -> ((s, d) =>
+      // 4-core of the co-purchase graph by iterative peeling to the
+      // exact fixpoint (6/5 rounds at sf0.01/sf0.1); the oracle unrolls
+      // 10 idempotent peel rounds
+      graft.core.Graph.kCore(coPurchaseEdges(s, d), "src", "dst", k = 4L)),
+    "anomaly_seasonal" -> ((s, d) =>
+      // per-(type, hour-of-day) expected cents + residual — the
+      // seasonality-aware input the drift detectors should consume
+      graft.core.Ops.seasonalBaseline(
+        Tables.events(s, d).select(F.col("event_id"), F.col("event_type"),
+          F.col("ts"), F.round(F.col("value") * 100).cast("long").as("cents")),
+        Seq("event_type"), "cents", F.hour(F.col("ts")), "hod")
+        .select("event_id", "event_type", "hod", "cents", "baseline",
+          "residual")),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -6204,5 +6218,86 @@ object SparkEntry {
         |  CAST(sum(d_us) AS BIGINT) // count(*) AS mean_us,
         |  CAST(2 * quantile_cont(d_us, 0.5) AS BIGINT) AS med2_us
         |FROM d GROUP BY 1, 2""".stripMargin,
+    "graph_kcore" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0)
+        |  GROUP BY 1),
+        |k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 4),
+        |e1 AS MATERIALIZED (SELECT e.ea, e.eb FROM e0 e
+        |  JOIN k1 x ON e.ea = x.node JOIN k1 y ON e.eb = y.node),
+        |d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e1 UNION ALL SELECT eb FROM e1)
+        |  GROUP BY 1),
+        |k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 4),
+        |e2 AS MATERIALIZED (SELECT e.ea, e.eb FROM e1 e
+        |  JOIN k2 x ON e.ea = x.node JOIN k2 y ON e.eb = y.node),
+        |d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e2 UNION ALL SELECT eb FROM e2)
+        |  GROUP BY 1),
+        |k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 4),
+        |e3 AS MATERIALIZED (SELECT e.ea, e.eb FROM e2 e
+        |  JOIN k3 x ON e.ea = x.node JOIN k3 y ON e.eb = y.node),
+        |d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e3 UNION ALL SELECT eb FROM e3)
+        |  GROUP BY 1),
+        |k4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= 4),
+        |e4 AS MATERIALIZED (SELECT e.ea, e.eb FROM e3 e
+        |  JOIN k4 x ON e.ea = x.node JOIN k4 y ON e.eb = y.node),
+        |d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e4 UNION ALL SELECT eb FROM e4)
+        |  GROUP BY 1),
+        |k5 AS MATERIALIZED (SELECT node FROM d5 WHERE deg >= 4),
+        |e5 AS MATERIALIZED (SELECT e.ea, e.eb FROM e4 e
+        |  JOIN k5 x ON e.ea = x.node JOIN k5 y ON e.eb = y.node),
+        |d6 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e5 UNION ALL SELECT eb FROM e5)
+        |  GROUP BY 1),
+        |k6 AS MATERIALIZED (SELECT node FROM d6 WHERE deg >= 4),
+        |e6 AS MATERIALIZED (SELECT e.ea, e.eb FROM e5 e
+        |  JOIN k6 x ON e.ea = x.node JOIN k6 y ON e.eb = y.node),
+        |d7 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e6 UNION ALL SELECT eb FROM e6)
+        |  GROUP BY 1),
+        |k7 AS MATERIALIZED (SELECT node FROM d7 WHERE deg >= 4),
+        |e7 AS MATERIALIZED (SELECT e.ea, e.eb FROM e6 e
+        |  JOIN k7 x ON e.ea = x.node JOIN k7 y ON e.eb = y.node),
+        |d8 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e7 UNION ALL SELECT eb FROM e7)
+        |  GROUP BY 1),
+        |k8 AS MATERIALIZED (SELECT node FROM d8 WHERE deg >= 4),
+        |e8 AS MATERIALIZED (SELECT e.ea, e.eb FROM e7 e
+        |  JOIN k8 x ON e.ea = x.node JOIN k8 y ON e.eb = y.node),
+        |d9 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e8 UNION ALL SELECT eb FROM e8)
+        |  GROUP BY 1),
+        |k9 AS MATERIALIZED (SELECT node FROM d9 WHERE deg >= 4),
+        |e9 AS MATERIALIZED (SELECT e.ea, e.eb FROM e8 e
+        |  JOIN k9 x ON e.ea = x.node JOIN k9 y ON e.eb = y.node),
+        |d10 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e9 UNION ALL SELECT eb FROM e9)
+        |  GROUP BY 1),
+        |k10 AS MATERIALIZED (SELECT node FROM d10 WHERE deg >= 4),
+        |e10 AS MATERIALIZED (SELECT e.ea, e.eb FROM e9 e
+        |  JOIN k10 x ON e.ea = x.node JOIN k10 y ON e.eb = y.node),
+        |dfin AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e10 UNION ALL SELECT eb FROM e10)
+        |  GROUP BY 1)
+        |SELECT node, deg AS degree FROM dfin WHERE deg >= 4""".stripMargin,
+    "anomaly_seasonal" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, hod,
+        |    CAST(sum(cents) AS BIGINT) // count(*) AS baseline
+        |  FROM c GROUP BY 1, 2)
+        |SELECT c.event_id, c.event_type, c.hod, c.cents, b.baseline,
+        |  c.cents - b.baseline AS residual
+        |FROM c JOIN b USING (event_type, hod)""".stripMargin,
   )
 }

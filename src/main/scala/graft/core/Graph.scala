@@ -374,6 +374,54 @@ object Graph {
     out
   }
 
+  /** k-core decomposition (Seidman 1983) by iterative peeling: drop every
+    * node with degree < k, recompute degrees on the induced subgraph,
+    * repeat to the EXACT fixpoint — the surviving maximal subgraph where
+    * every node keeps ≥ k neighbors. The standard dense-community /
+    * spam-farm / engagement-tier primitive.
+    *
+    * Peel rounds are bounded by the peeling depth of the graph (single
+    * digits on real co-occurrence graphs — NOT diameter-many); each
+    * round is one degree groupBy + two semi-joins of the shrinking edge
+    * set, lineage truncated per round like [[pageRank]]'s loop. Driver
+    * state: one survivor count per round (the fixpoint test).
+    * `maxIter` is a runaway bound — hitting it without convergence
+    * throws rather than returning a non-core (the CC-LS contract).
+    * Returns (node, degree) of the k-core (degree WITHIN the core). */
+  def kCore(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      k: Long = 3L, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    var nAlive = -1L
+    var converged = false
+    var it = 0
+    var deg: DataFrame = null
+    while (!converged && it < maxIter) {
+      it += 1
+      deg = e.select(F.col("_a").as("_node"))
+        .union(e.select(F.col("_b").as("_node")))
+        .groupBy("_node").agg(F.count(F.lit(1)).as("_deg"))
+        .localCheckpoint(true)
+      val keep = deg.filter(F.col("_deg") >= k)
+      val n = keep.count()
+      if (n == nAlive) converged = true
+      else {
+        nAlive = n
+        val next = e
+          .join(keep.select(F.col("_node").as("_a")), Seq("_a"), "left_semi")
+          .join(keep.select(F.col("_node").as("_b")), Seq("_b"), "left_semi")
+          .localCheckpoint(true)
+        e.unpersist()
+        e = next
+      }
+    }
+    require(converged, s"kCore: no fixpoint after $maxIter rounds")
+    val out = deg.filter(F.col("_deg") >= k)
+      .select(F.col("_node").as("node"), F.col("_deg").as("degree"))
+    out
+  }
+
   /** Common-neighbors / Jaccard link prediction (Liben-Nowell & Kleinberg
     * 2003): for every NON-edge pair (a, b) with at least `minCommon`
     * shared neighbors, the shared-neighbor count and the fixed-point

@@ -1037,6 +1037,26 @@ object Ops {
           F.unix_micros(F.col(tsCol)))).as("alarm_ts_us"))
   }
 
+  /** Seasonal baseline + residual: the per-(key, season-slot) mean of an
+    * integer measure (`sum div n` — exact) joined back as each row's
+    * expected value, residual = value − baseline. The slot is any
+    * caller-supplied cyclic extraction (hour-of-day, day-of-week …); the
+    * residual stream is what [[madOutliers]] / [[cusumAlarm]] should see
+    * when the signal has known seasonality — otherwise every morning
+    * peak looks like drift. One group-sized aggregation + one equi-join;
+    * all BIGINT. */
+  def seasonalBaseline(df: DataFrame, keys: Seq[String], valueCol: String,
+      slot: Column, slotName: String = "slot"): DataFrame = {
+    val withSlot = df.withColumn(slotName, slot.cast("long"))
+    val base = withSlot
+      .groupBy((keys :+ slotName).map(F.col): _*)
+      .agg(F.expr(s"sum(cast($valueCol as bigint)) div count(1)")
+        .as("baseline"))
+    withSlot.join(base, keys :+ slotName)
+      .withColumn("residual",
+        F.col(valueCol).cast("long") - F.col("baseline"))
+  }
+
   /** Robust per-group outlier detection via the median/MAD rule (Hampel
     * identifier): a row is an outlier when |x − median| > threshold · MAD,
     * with MAD = median(|x − median|). Median/MAD resist up to 50%

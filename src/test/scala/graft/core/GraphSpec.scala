@@ -228,6 +228,50 @@ class GraphSpec extends SparkSpec {
     assert(Set(r(1L), r(2L), r(3L)).intersect(Set(r(10L), r(11L))).isEmpty)
   }
 
+  private def kcore(edges: Seq[(Long, Long)], k: Long, parts: Int = 4,
+      maxIter: Int = 30): Map[Long, Long] =
+    Graph.kCore(edges.toDF("src", "dst").repartition(parts), k = k,
+        maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: pendant chain peels away, clique survives with core degrees") {
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val withTail = k5 ++ Seq((5L, 10L), (10L, 11L))
+    // k=2: 11 (deg 1) peels, then 10 (deg 1) peels — the K5 remains
+    assert(kcore(withTail, 2L) == (1L to 5L).map(_ -> 4L).toMap)
+    // k=5: even K5 dissolves (max degree 4)
+    assert(kcore(withTail, 5L).isEmpty)
+  }
+
+  test("kCore: brute-force parity on a pseudo-random graph, any layout") {
+    val edges = (for (u <- 0L until 50L; j <- 1L to 4L)
+      yield (u, (u * 13 + j * j * 7) % 50)).filter(e => e._1 != e._2)
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    var adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    canon.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set()) + b; adj(b) = adj.getOrElse(b, Set()) + a
+    }
+    var changed = true
+    while (changed) {
+      val drop = adj.filter(_._2.size < 3).keys.toSeq
+      changed = drop.nonEmpty
+      drop.foreach { n =>
+        adj(n).foreach(m => adj(m) = adj(m) - n); adj.remove(n)
+      }
+    }
+    val want = adj.map { case (n, s) => n -> s.size.toLong }.toMap
+    assert(kcore(edges, 3L, parts = 1) == want)
+    assert(kcore(edges, 3L, parts = 11) == want)
+  }
+
+  test("kCore: runaway bound throws instead of returning a non-core") {
+    // a 6-chain needs 3 peel rounds for k=2 — maxIter=1 must throw
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException](kcore(chain, 2L, maxIter = 1))
+    assert(kcore(chain, 2L).isEmpty) // and the true 2-core is empty
+  }
+
   private def links(edges: Seq[(Long, Long)], minCommon: Long = 1L,
       maxNeighbors: Int = Int.MaxValue, parts: Int = 4): Map[(Long, Long), (Long, Long)] =
     Graph.linkPredictions(edges.toDF("src", "dst").repartition(parts),

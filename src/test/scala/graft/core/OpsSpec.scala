@@ -655,6 +655,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalBaseline: per-(key, slot) exact mean and residual") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val rows = Seq(
+      (1L, "a", t(9), 10L), (2L, "a", t(9), 20L),  // a@9: baseline 15
+      (3L, "a", t(10), 7L),                         // a@10: baseline 7
+      (4L, "b", t(9), 100L), (5L, "b", t(9), 101L)) // b@9: 100 (div floor)
+    val r = Ops.seasonalBaseline(rows.toDF("id", "k", "ts", "v")
+        .repartition(3), Seq("k"), "v", F.hour(F.col("ts")), "hod")
+      .select("id", "baseline", "residual")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(r(1L) == ((15L, -5L)) && r(2L) == ((15L, 5L)))
+    assert(r(3L) == ((7L, 0L)))
+    assert(r(4L) == ((100L, 0L)) && r(5L) == ((100L, 1L)))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
