@@ -70,6 +70,7 @@ object Bench {
     "multimodal_decode",
     "graph_pagerank", "graph_triangles", "graph_communities",
     "funnel_users", "window_rolling_time", "sketch_cms_join",
+    "graph_kcore",
   )
 
   /** Rows with a published BASELINE.md number — the judge's 2×-gate set;

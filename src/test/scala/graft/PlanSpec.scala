@@ -264,4 +264,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "the resamples range frame must broadcast-cross, never shuffle-cross")
   }
+
+  test("bloom semi-join: row-wise bitmask probe filters BEFORE the only join") {
+    val plan = optimizedPlan("join_bloom_semi")
+    assert(plan.contains("forall"),
+      s"bitmask probe must appear as a row-wise filter:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"))
+    // exactly one real join: the exact semi-join over the survivors
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"expected exactly one join, saw $joins")
+  }
+
+  test("seasonal baseline: group-sized aggregate + equi-join, no window") {
+    val plan = optimizedPlan("anomaly_seasonal")
+    assert(!plan.contains("Window"), "no data-sized window expected")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
