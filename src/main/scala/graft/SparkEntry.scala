@@ -2458,6 +2458,13 @@ object SparkEntry {
         Seq("event_type"), "cents", F.hour(F.col("ts")), "hod")
         .select("event_id", "event_type", "hod", "cents", "baseline",
           "residual")),
+    "graph_coreness" -> ((s, d) =>
+      // full coreness tiering (capped at 6): successive peels, each
+      // level peeling the previous level's induced subgraph; the oracle
+      // replays five independent 10-round MATERIALIZED peels and takes
+      // each node's max surviving k
+      graft.core.Graph.coreNumbers(coPurchaseEdges(s, d), "src", "dst",
+        maxK = 6)),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -6299,5 +6306,341 @@ object SparkEntry {
         |SELECT c.event_id, c.event_type, c.hod, c.cents, b.baseline,
         |  c.cents - b.baseline AS residual
         |FROM c JOIN b USING (event_type, hod)""".stripMargin,
+    "graph_coreness" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |K2d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0)
+        |  GROUP BY 1),
+        |K2k1 AS MATERIALIZED (SELECT node FROM K2d1 WHERE deg >= 2),
+        |K2e1 AS MATERIALIZED (SELECT e.ea, e.eb FROM e0 e
+        |  JOIN K2k1 x ON e.ea = x.node JOIN K2k1 y ON e.eb = y.node),
+        |K2d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e1 UNION ALL SELECT eb FROM K2e1)
+        |  GROUP BY 1),
+        |K2k2 AS MATERIALIZED (SELECT node FROM K2d2 WHERE deg >= 2),
+        |K2e2 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e1 e
+        |  JOIN K2k2 x ON e.ea = x.node JOIN K2k2 y ON e.eb = y.node),
+        |K2d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e2 UNION ALL SELECT eb FROM K2e2)
+        |  GROUP BY 1),
+        |K2k3 AS MATERIALIZED (SELECT node FROM K2d3 WHERE deg >= 2),
+        |K2e3 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e2 e
+        |  JOIN K2k3 x ON e.ea = x.node JOIN K2k3 y ON e.eb = y.node),
+        |K2d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e3 UNION ALL SELECT eb FROM K2e3)
+        |  GROUP BY 1),
+        |K2k4 AS MATERIALIZED (SELECT node FROM K2d4 WHERE deg >= 2),
+        |K2e4 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e3 e
+        |  JOIN K2k4 x ON e.ea = x.node JOIN K2k4 y ON e.eb = y.node),
+        |K2d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e4 UNION ALL SELECT eb FROM K2e4)
+        |  GROUP BY 1),
+        |K2k5 AS MATERIALIZED (SELECT node FROM K2d5 WHERE deg >= 2),
+        |K2e5 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e4 e
+        |  JOIN K2k5 x ON e.ea = x.node JOIN K2k5 y ON e.eb = y.node),
+        |K2d6 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e5 UNION ALL SELECT eb FROM K2e5)
+        |  GROUP BY 1),
+        |K2k6 AS MATERIALIZED (SELECT node FROM K2d6 WHERE deg >= 2),
+        |K2e6 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e5 e
+        |  JOIN K2k6 x ON e.ea = x.node JOIN K2k6 y ON e.eb = y.node),
+        |K2d7 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e6 UNION ALL SELECT eb FROM K2e6)
+        |  GROUP BY 1),
+        |K2k7 AS MATERIALIZED (SELECT node FROM K2d7 WHERE deg >= 2),
+        |K2e7 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e6 e
+        |  JOIN K2k7 x ON e.ea = x.node JOIN K2k7 y ON e.eb = y.node),
+        |K2d8 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e7 UNION ALL SELECT eb FROM K2e7)
+        |  GROUP BY 1),
+        |K2k8 AS MATERIALIZED (SELECT node FROM K2d8 WHERE deg >= 2),
+        |K2e8 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e7 e
+        |  JOIN K2k8 x ON e.ea = x.node JOIN K2k8 y ON e.eb = y.node),
+        |K2d9 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e8 UNION ALL SELECT eb FROM K2e8)
+        |  GROUP BY 1),
+        |K2k9 AS MATERIALIZED (SELECT node FROM K2d9 WHERE deg >= 2),
+        |K2e9 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e8 e
+        |  JOIN K2k9 x ON e.ea = x.node JOIN K2k9 y ON e.eb = y.node),
+        |K2d10 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K2e9 UNION ALL SELECT eb FROM K2e9)
+        |  GROUP BY 1),
+        |K2k10 AS MATERIALIZED (SELECT node FROM K2d10 WHERE deg >= 2),
+        |K2e10 AS MATERIALIZED (SELECT e.ea, e.eb FROM K2e9 e
+        |  JOIN K2k10 x ON e.ea = x.node JOIN K2k10 y ON e.eb = y.node),
+        |core2 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT ea AS node FROM K2e10 UNION ALL SELECT eb FROM K2e10)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |K3d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0)
+        |  GROUP BY 1),
+        |K3k1 AS MATERIALIZED (SELECT node FROM K3d1 WHERE deg >= 3),
+        |K3e1 AS MATERIALIZED (SELECT e.ea, e.eb FROM e0 e
+        |  JOIN K3k1 x ON e.ea = x.node JOIN K3k1 y ON e.eb = y.node),
+        |K3d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e1 UNION ALL SELECT eb FROM K3e1)
+        |  GROUP BY 1),
+        |K3k2 AS MATERIALIZED (SELECT node FROM K3d2 WHERE deg >= 3),
+        |K3e2 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e1 e
+        |  JOIN K3k2 x ON e.ea = x.node JOIN K3k2 y ON e.eb = y.node),
+        |K3d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e2 UNION ALL SELECT eb FROM K3e2)
+        |  GROUP BY 1),
+        |K3k3 AS MATERIALIZED (SELECT node FROM K3d3 WHERE deg >= 3),
+        |K3e3 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e2 e
+        |  JOIN K3k3 x ON e.ea = x.node JOIN K3k3 y ON e.eb = y.node),
+        |K3d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e3 UNION ALL SELECT eb FROM K3e3)
+        |  GROUP BY 1),
+        |K3k4 AS MATERIALIZED (SELECT node FROM K3d4 WHERE deg >= 3),
+        |K3e4 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e3 e
+        |  JOIN K3k4 x ON e.ea = x.node JOIN K3k4 y ON e.eb = y.node),
+        |K3d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e4 UNION ALL SELECT eb FROM K3e4)
+        |  GROUP BY 1),
+        |K3k5 AS MATERIALIZED (SELECT node FROM K3d5 WHERE deg >= 3),
+        |K3e5 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e4 e
+        |  JOIN K3k5 x ON e.ea = x.node JOIN K3k5 y ON e.eb = y.node),
+        |K3d6 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e5 UNION ALL SELECT eb FROM K3e5)
+        |  GROUP BY 1),
+        |K3k6 AS MATERIALIZED (SELECT node FROM K3d6 WHERE deg >= 3),
+        |K3e6 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e5 e
+        |  JOIN K3k6 x ON e.ea = x.node JOIN K3k6 y ON e.eb = y.node),
+        |K3d7 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e6 UNION ALL SELECT eb FROM K3e6)
+        |  GROUP BY 1),
+        |K3k7 AS MATERIALIZED (SELECT node FROM K3d7 WHERE deg >= 3),
+        |K3e7 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e6 e
+        |  JOIN K3k7 x ON e.ea = x.node JOIN K3k7 y ON e.eb = y.node),
+        |K3d8 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e7 UNION ALL SELECT eb FROM K3e7)
+        |  GROUP BY 1),
+        |K3k8 AS MATERIALIZED (SELECT node FROM K3d8 WHERE deg >= 3),
+        |K3e8 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e7 e
+        |  JOIN K3k8 x ON e.ea = x.node JOIN K3k8 y ON e.eb = y.node),
+        |K3d9 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e8 UNION ALL SELECT eb FROM K3e8)
+        |  GROUP BY 1),
+        |K3k9 AS MATERIALIZED (SELECT node FROM K3d9 WHERE deg >= 3),
+        |K3e9 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e8 e
+        |  JOIN K3k9 x ON e.ea = x.node JOIN K3k9 y ON e.eb = y.node),
+        |K3d10 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K3e9 UNION ALL SELECT eb FROM K3e9)
+        |  GROUP BY 1),
+        |K3k10 AS MATERIALIZED (SELECT node FROM K3d10 WHERE deg >= 3),
+        |K3e10 AS MATERIALIZED (SELECT e.ea, e.eb FROM K3e9 e
+        |  JOIN K3k10 x ON e.ea = x.node JOIN K3k10 y ON e.eb = y.node),
+        |core3 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT ea AS node FROM K3e10 UNION ALL SELECT eb FROM K3e10)
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |K4d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0)
+        |  GROUP BY 1),
+        |K4k1 AS MATERIALIZED (SELECT node FROM K4d1 WHERE deg >= 4),
+        |K4e1 AS MATERIALIZED (SELECT e.ea, e.eb FROM e0 e
+        |  JOIN K4k1 x ON e.ea = x.node JOIN K4k1 y ON e.eb = y.node),
+        |K4d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e1 UNION ALL SELECT eb FROM K4e1)
+        |  GROUP BY 1),
+        |K4k2 AS MATERIALIZED (SELECT node FROM K4d2 WHERE deg >= 4),
+        |K4e2 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e1 e
+        |  JOIN K4k2 x ON e.ea = x.node JOIN K4k2 y ON e.eb = y.node),
+        |K4d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e2 UNION ALL SELECT eb FROM K4e2)
+        |  GROUP BY 1),
+        |K4k3 AS MATERIALIZED (SELECT node FROM K4d3 WHERE deg >= 4),
+        |K4e3 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e2 e
+        |  JOIN K4k3 x ON e.ea = x.node JOIN K4k3 y ON e.eb = y.node),
+        |K4d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e3 UNION ALL SELECT eb FROM K4e3)
+        |  GROUP BY 1),
+        |K4k4 AS MATERIALIZED (SELECT node FROM K4d4 WHERE deg >= 4),
+        |K4e4 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e3 e
+        |  JOIN K4k4 x ON e.ea = x.node JOIN K4k4 y ON e.eb = y.node),
+        |K4d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e4 UNION ALL SELECT eb FROM K4e4)
+        |  GROUP BY 1),
+        |K4k5 AS MATERIALIZED (SELECT node FROM K4d5 WHERE deg >= 4),
+        |K4e5 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e4 e
+        |  JOIN K4k5 x ON e.ea = x.node JOIN K4k5 y ON e.eb = y.node),
+        |K4d6 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e5 UNION ALL SELECT eb FROM K4e5)
+        |  GROUP BY 1),
+        |K4k6 AS MATERIALIZED (SELECT node FROM K4d6 WHERE deg >= 4),
+        |K4e6 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e5 e
+        |  JOIN K4k6 x ON e.ea = x.node JOIN K4k6 y ON e.eb = y.node),
+        |K4d7 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e6 UNION ALL SELECT eb FROM K4e6)
+        |  GROUP BY 1),
+        |K4k7 AS MATERIALIZED (SELECT node FROM K4d7 WHERE deg >= 4),
+        |K4e7 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e6 e
+        |  JOIN K4k7 x ON e.ea = x.node JOIN K4k7 y ON e.eb = y.node),
+        |K4d8 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e7 UNION ALL SELECT eb FROM K4e7)
+        |  GROUP BY 1),
+        |K4k8 AS MATERIALIZED (SELECT node FROM K4d8 WHERE deg >= 4),
+        |K4e8 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e7 e
+        |  JOIN K4k8 x ON e.ea = x.node JOIN K4k8 y ON e.eb = y.node),
+        |K4d9 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e8 UNION ALL SELECT eb FROM K4e8)
+        |  GROUP BY 1),
+        |K4k9 AS MATERIALIZED (SELECT node FROM K4d9 WHERE deg >= 4),
+        |K4e9 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e8 e
+        |  JOIN K4k9 x ON e.ea = x.node JOIN K4k9 y ON e.eb = y.node),
+        |K4d10 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K4e9 UNION ALL SELECT eb FROM K4e9)
+        |  GROUP BY 1),
+        |K4k10 AS MATERIALIZED (SELECT node FROM K4d10 WHERE deg >= 4),
+        |K4e10 AS MATERIALIZED (SELECT e.ea, e.eb FROM K4e9 e
+        |  JOIN K4k10 x ON e.ea = x.node JOIN K4k10 y ON e.eb = y.node),
+        |core4 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT ea AS node FROM K4e10 UNION ALL SELECT eb FROM K4e10)
+        |  GROUP BY 1 HAVING count(*) >= 4),
+        |K5d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0)
+        |  GROUP BY 1),
+        |K5k1 AS MATERIALIZED (SELECT node FROM K5d1 WHERE deg >= 5),
+        |K5e1 AS MATERIALIZED (SELECT e.ea, e.eb FROM e0 e
+        |  JOIN K5k1 x ON e.ea = x.node JOIN K5k1 y ON e.eb = y.node),
+        |K5d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e1 UNION ALL SELECT eb FROM K5e1)
+        |  GROUP BY 1),
+        |K5k2 AS MATERIALIZED (SELECT node FROM K5d2 WHERE deg >= 5),
+        |K5e2 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e1 e
+        |  JOIN K5k2 x ON e.ea = x.node JOIN K5k2 y ON e.eb = y.node),
+        |K5d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e2 UNION ALL SELECT eb FROM K5e2)
+        |  GROUP BY 1),
+        |K5k3 AS MATERIALIZED (SELECT node FROM K5d3 WHERE deg >= 5),
+        |K5e3 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e2 e
+        |  JOIN K5k3 x ON e.ea = x.node JOIN K5k3 y ON e.eb = y.node),
+        |K5d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e3 UNION ALL SELECT eb FROM K5e3)
+        |  GROUP BY 1),
+        |K5k4 AS MATERIALIZED (SELECT node FROM K5d4 WHERE deg >= 5),
+        |K5e4 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e3 e
+        |  JOIN K5k4 x ON e.ea = x.node JOIN K5k4 y ON e.eb = y.node),
+        |K5d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e4 UNION ALL SELECT eb FROM K5e4)
+        |  GROUP BY 1),
+        |K5k5 AS MATERIALIZED (SELECT node FROM K5d5 WHERE deg >= 5),
+        |K5e5 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e4 e
+        |  JOIN K5k5 x ON e.ea = x.node JOIN K5k5 y ON e.eb = y.node),
+        |K5d6 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e5 UNION ALL SELECT eb FROM K5e5)
+        |  GROUP BY 1),
+        |K5k6 AS MATERIALIZED (SELECT node FROM K5d6 WHERE deg >= 5),
+        |K5e6 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e5 e
+        |  JOIN K5k6 x ON e.ea = x.node JOIN K5k6 y ON e.eb = y.node),
+        |K5d7 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e6 UNION ALL SELECT eb FROM K5e6)
+        |  GROUP BY 1),
+        |K5k7 AS MATERIALIZED (SELECT node FROM K5d7 WHERE deg >= 5),
+        |K5e7 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e6 e
+        |  JOIN K5k7 x ON e.ea = x.node JOIN K5k7 y ON e.eb = y.node),
+        |K5d8 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e7 UNION ALL SELECT eb FROM K5e7)
+        |  GROUP BY 1),
+        |K5k8 AS MATERIALIZED (SELECT node FROM K5d8 WHERE deg >= 5),
+        |K5e8 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e7 e
+        |  JOIN K5k8 x ON e.ea = x.node JOIN K5k8 y ON e.eb = y.node),
+        |K5d9 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e8 UNION ALL SELECT eb FROM K5e8)
+        |  GROUP BY 1),
+        |K5k9 AS MATERIALIZED (SELECT node FROM K5d9 WHERE deg >= 5),
+        |K5e9 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e8 e
+        |  JOIN K5k9 x ON e.ea = x.node JOIN K5k9 y ON e.eb = y.node),
+        |K5d10 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K5e9 UNION ALL SELECT eb FROM K5e9)
+        |  GROUP BY 1),
+        |K5k10 AS MATERIALIZED (SELECT node FROM K5d10 WHERE deg >= 5),
+        |K5e10 AS MATERIALIZED (SELECT e.ea, e.eb FROM K5e9 e
+        |  JOIN K5k10 x ON e.ea = x.node JOIN K5k10 y ON e.eb = y.node),
+        |core5 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT ea AS node FROM K5e10 UNION ALL SELECT eb FROM K5e10)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |K6d1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0)
+        |  GROUP BY 1),
+        |K6k1 AS MATERIALIZED (SELECT node FROM K6d1 WHERE deg >= 6),
+        |K6e1 AS MATERIALIZED (SELECT e.ea, e.eb FROM e0 e
+        |  JOIN K6k1 x ON e.ea = x.node JOIN K6k1 y ON e.eb = y.node),
+        |K6d2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e1 UNION ALL SELECT eb FROM K6e1)
+        |  GROUP BY 1),
+        |K6k2 AS MATERIALIZED (SELECT node FROM K6d2 WHERE deg >= 6),
+        |K6e2 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e1 e
+        |  JOIN K6k2 x ON e.ea = x.node JOIN K6k2 y ON e.eb = y.node),
+        |K6d3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e2 UNION ALL SELECT eb FROM K6e2)
+        |  GROUP BY 1),
+        |K6k3 AS MATERIALIZED (SELECT node FROM K6d3 WHERE deg >= 6),
+        |K6e3 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e2 e
+        |  JOIN K6k3 x ON e.ea = x.node JOIN K6k3 y ON e.eb = y.node),
+        |K6d4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e3 UNION ALL SELECT eb FROM K6e3)
+        |  GROUP BY 1),
+        |K6k4 AS MATERIALIZED (SELECT node FROM K6d4 WHERE deg >= 6),
+        |K6e4 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e3 e
+        |  JOIN K6k4 x ON e.ea = x.node JOIN K6k4 y ON e.eb = y.node),
+        |K6d5 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e4 UNION ALL SELECT eb FROM K6e4)
+        |  GROUP BY 1),
+        |K6k5 AS MATERIALIZED (SELECT node FROM K6d5 WHERE deg >= 6),
+        |K6e5 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e4 e
+        |  JOIN K6k5 x ON e.ea = x.node JOIN K6k5 y ON e.eb = y.node),
+        |K6d6 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e5 UNION ALL SELECT eb FROM K6e5)
+        |  GROUP BY 1),
+        |K6k6 AS MATERIALIZED (SELECT node FROM K6d6 WHERE deg >= 6),
+        |K6e6 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e5 e
+        |  JOIN K6k6 x ON e.ea = x.node JOIN K6k6 y ON e.eb = y.node),
+        |K6d7 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e6 UNION ALL SELECT eb FROM K6e6)
+        |  GROUP BY 1),
+        |K6k7 AS MATERIALIZED (SELECT node FROM K6d7 WHERE deg >= 6),
+        |K6e7 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e6 e
+        |  JOIN K6k7 x ON e.ea = x.node JOIN K6k7 y ON e.eb = y.node),
+        |K6d8 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e7 UNION ALL SELECT eb FROM K6e7)
+        |  GROUP BY 1),
+        |K6k8 AS MATERIALIZED (SELECT node FROM K6d8 WHERE deg >= 6),
+        |K6e8 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e7 e
+        |  JOIN K6k8 x ON e.ea = x.node JOIN K6k8 y ON e.eb = y.node),
+        |K6d9 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e8 UNION ALL SELECT eb FROM K6e8)
+        |  GROUP BY 1),
+        |K6k9 AS MATERIALIZED (SELECT node FROM K6d9 WHERE deg >= 6),
+        |K6e9 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e8 e
+        |  JOIN K6k9 x ON e.ea = x.node JOIN K6k9 y ON e.eb = y.node),
+        |K6d10 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM K6e9 UNION ALL SELECT eb FROM K6e9)
+        |  GROUP BY 1),
+        |K6k10 AS MATERIALIZED (SELECT node FROM K6d10 WHERE deg >= 6),
+        |K6e10 AS MATERIALIZED (SELECT e.ea, e.eb FROM K6e9 e
+        |  JOIN K6k10 x ON e.ea = x.node JOIN K6k10 y ON e.eb = y.node),
+        |core6 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT ea AS node FROM K6e10 UNION ALL SELECT eb FROM K6e10)
+        |  GROUP BY 1 HAVING count(*) >= 6),
+        |nodes AS (SELECT ea AS node FROM e0 UNION SELECT eb FROM e0)
+        |SELECT n.node,
+        |  CAST(CASE WHEN c6.node IS NOT NULL THEN 6
+        |       WHEN c5.node IS NOT NULL THEN 5
+        |       WHEN c4.node IS NOT NULL THEN 4
+        |       WHEN c3.node IS NOT NULL THEN 3
+        |       WHEN c2.node IS NOT NULL THEN 2
+        |       ELSE 1 END AS BIGINT) AS coreness
+        |FROM nodes n
+        |LEFT JOIN core2 c2 ON n.node = c2.node
+        |LEFT JOIN core3 c3 ON n.node = c3.node
+        |LEFT JOIN core4 c4 ON n.node = c4.node
+        |LEFT JOIN core5 c5 ON n.node = c5.node
+        |LEFT JOIN core6 c6 ON n.node = c6.node""".stripMargin,
   )
 }

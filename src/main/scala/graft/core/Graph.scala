@@ -422,6 +422,47 @@ object Graph {
     out
   }
 
+  /** Full coreness decomposition up to `maxK`: coreness(v) = the largest
+    * k ≤ maxK with v in the k-core, computed by successive [[kCore]]
+    * peels — k levels × peeling-depth rounds of tiny joins, the
+    * textbook distributed approach (exact peel-by-minimum-degree is
+    * inherently sequential). Nodes in the (maxK)-core report
+    * `coreness = maxK` (capped — the caller picks the resolution the
+    * downstream tiering needs). Returns (node, coreness ≥ 1) for every
+    * node of the graph. */
+  def coreNumbers(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxK: Int = 8, maxIter: Int = 30): DataFrame = {
+    require(maxK >= 1, s"need maxK >= 1, got $maxK")
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val all = e.select(F.col("_a").as("node"))
+      .union(e.select(F.col("_b").as("node"))).distinct()
+    var out = all.select(F.col("node"), F.lit(1L).as("coreness"))
+    // peel incrementally: the k-core lives inside the (k−1)-core, so each
+    // level peels the PREVIOUS level's induced subgraph, not the input
+    var cur = e
+    var k = 2
+    var exhausted = false
+    while (k <= maxK && !exhausted) {
+      val core = kCore(cur, "_a", "_b", k.toLong, maxIter)
+        .select(F.col("node"), F.lit(k.toLong).as("_k"))
+        .localCheckpoint(true)
+      if (core.isEmpty) exhausted = true
+      else {
+        out = out.join(core, Seq("node"), "left")
+          .select(F.col("node"),
+            F.coalesce(F.col("_k"), F.col("coreness")).as("coreness"))
+          .localCheckpoint(true)
+        cur = cur
+          .join(core.select(F.col("node").as("_a")), Seq("_a"), "left_semi")
+          .join(core.select(F.col("node").as("_b")), Seq("_b"), "left_semi")
+          .localCheckpoint(true)
+      }
+      k += 1
+    }
+    e.unpersist()
+    out
+  }
+
   /** Common-neighbors / Jaccard link prediction (Liben-Nowell & Kleinberg
     * 2003): for every NON-edge pair (a, b) with at least `minCommon`
     * shared neighbors, the shared-neighbor count and the fixed-point

@@ -265,6 +265,41 @@ class GraphSpec extends SparkSpec {
     assert(kcore(edges, 3L, parts = 11) == want)
   }
 
+  test("coreNumbers: brute-force coreness parity, caps at maxK") {
+    val edges = (for (u <- 0L until 40L; j <- 1L to 4L)
+      yield (u, (u * 13 + j * j * 7) % 40)).filter(e => e._1 != e._2)
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    // brute-force coreness: peel by min degree
+    val adj0 = scala.collection.mutable.Map[Long, Set[Long]]()
+    canon.foreach { case (a, b) =>
+      adj0(a) = adj0.getOrElse(a, Set()) + b
+      adj0(b) = adj0.getOrElse(b, Set()) + a
+    }
+    val coreness = scala.collection.mutable.Map[Long, Long]()
+    var k = 1L
+    val adj = adj0.clone()
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val drop = adj.filter(_._2.size < k + 1).keys.toSeq
+        changed = drop.nonEmpty
+        drop.foreach { n =>
+          coreness(n) = k
+          adj(n).foreach(m => adj(m) = adj(m) - n); adj.remove(n)
+        }
+      }
+      k += 1
+    }
+    val got = Graph.coreNumbers(edges.toDF("src", "dst").repartition(7),
+        maxK = 20).as[(Long, Long)].collect().toMap
+    assert(got == coreness.toMap)
+    // capped: everything at or above the cap reports maxK
+    val capped = Graph.coreNumbers(edges.toDF("src", "dst"), maxK = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == coreness.toMap.map { case (n, c) => n -> math.min(c, 2L) })
+  }
+
   test("kCore: runaway bound throws instead of returning a non-core") {
     // a 6-chain needs 3 peel rounds for k=2 — maxIter=1 must throw
     val chain = (1L to 5L).map(i => (i, i + 1))
