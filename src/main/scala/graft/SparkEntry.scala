@@ -2465,6 +2465,19 @@ object SparkEntry {
       // each node's max surviving k
       graft.core.Graph.coreNumbers(coPurchaseEdges(s, d), "src", "dst",
         maxK = 6)),
+    "metrics_ci_hit_rate" -> ((s, d) => {
+      // metric WITH uncertainty in one call: the proven per-user
+      // hit_rate@5 pipeline (PopRec on the time split) piped into the
+      // Poisson bootstrap — mean and nearest-rank 95% bounds, every
+      // draw replayed in SQL
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      graft.metrics.Metrics.computeWithCI(recs,
+        test.select("query_id", "item_id").distinct(), "hit_rate", 5)
+    }),
   )
 
   /** Parts-bought-together edge list: every-40th order's lineitems,
@@ -3498,6 +3511,39 @@ object SparkEntry {
          |  round(1.96 * coalesce(stddev(hr), 0.0) / sqrt(count(hr)), 6) AS hit_rate_at_5,
          |  round(1.96 * coalesce(stddev(ndcg_), 0.0) / sqrt(count(ndcg_)), 6) AS ndcg_at_5
          |FROM pu""".stripMargin,
+    "metrics_ci_hit_rate" ->
+      s"""$metricsPuSql,
+         |pe AS (SELECT query_id AS id,
+         |    CAST(round(hr * 1000000) AS BIGINT) AS v6 FROM pu),
+         |bblown AS (SELECT b.b, pe.id, pe.v6,
+         |    ('0x' || substr(md5('7:' || CAST(b.b AS VARCHAR) || ':'
+         |      || CAST(pe.id AS VARCHAR)), 1, 15))::BIGINT
+         |      / 1152921504606846976.0 AS u
+         |  FROM pe, range(0, 200) b(b)),
+         |bwts AS (SELECT b, id, v6,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238463 THEN 3
+         |         WHEN u < 0.9963401531726563 THEN 4
+         |         WHEN u < 0.9994058151824183 THEN 5
+         |         WHEN u < 0.999916758850712 THEN 6
+         |         WHEN u < 0.9999897508033253 THEN 7
+         |         WHEN u < 0.999998874797402 THEN 8
+         |         ELSE 9 END AS w
+         |  FROM bblown),
+         |bmeans AS (SELECT b, CAST(sum(w * v6) AS BIGINT) // CAST(sum(w) AS BIGINT) AS m6
+         |  FROM bwts GROUP BY 1 HAVING sum(w) > 0),
+         |branked AS (SELECT m6, row_number() OVER (ORDER BY m6, b) AS r FROM bmeans),
+         |nn2 AS (SELECT count(*) AS n FROM bmeans),
+         |pt AS (SELECT CAST(sum(v6) AS BIGINT) // count(*) AS mean_ppm FROM pe)
+         |SELECT pt.mean_ppm,
+         |  (SELECT m6 FROM branked, nn2
+         |    WHERE r = greatest(1, (nn2.n * 25 + 999) // 1000)) AS lo_ppm,
+         |  (SELECT m6 FROM branked, nn2
+         |    WHERE r = (nn2.n * 975 + 999) // 1000) AS hi_ppm,
+         |  nn2.n AS resamples
+         |FROM pt, nn2""".stripMargin,
     "experiment_table" -> experimentTableSql,
     "grid_search" -> gridSearchSql,
     "grid_search_budget" -> gridSearchBudgetSql,

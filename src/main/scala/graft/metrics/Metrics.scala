@@ -332,6 +332,15 @@ object Metrics {
     * single partition). `alphaPermille` is the PER-TAIL mass in permille
     * (default 25 → the 2.5%/97.5% nearest-rank bounds of a 95% CI).
     * Returns one row: (mean_ppm, lo_ppm, hi_ppm, resamples). */
+  /** One-call metric + uncertainty: the per-user metric frame piped into
+    * [[bootstrapCI]] — "hit_rate@5 = 0.31 [0.28, 0.34]" as one row
+    * (mean_ppm, lo_ppm, hi_ppm, resamples). */
+  def computeWithCI(recs: DataFrame, groundTruth: DataFrame, metric: String,
+      k: Int, resamples: Int = 200, seed: Long = 7L,
+      cols: RecCols = RecCols()): DataFrame =
+    bootstrapCI(perUser(recs, groundTruth, Seq(metric), Seq(k), cols),
+      cols.query, s"${metric}_at_$k", resamples, seed)
+
   def bootstrapCI(perEntity: DataFrame, idCol: String, valueCol: String,
       resamples: Int = 200, seed: Long = 7L, alphaPermille: Int = 25): DataFrame = {
     require(resamples >= 20, s"bootstrapCI: need resamples >= 20, got $resamples")

@@ -309,6 +309,21 @@ class MetricsSpec extends SparkSpec {
     assert(width(400) < width(25), s"${width(400)} !< ${width(25)}")
   }
 
+  test("computeWithCI is exactly bootstrapCI over the per-user frame") {
+    val recs = Seq((0L, 1L, 1.0), (0L, 2L, 0.5), (1L, 3L, 1.0), (2L, 4L, 1.0))
+      .toDF("query_id", "item_id", "rating")
+    val gt = Seq((0L, 1L), (1L, 9L), (2L, 4L)).toDF("query_id", "item_id")
+    val direct = Metrics.computeWithCI(recs, gt, "hit_rate", 2, 100, 7L)
+      .as[(Long, Long, Long, Long)].head()
+    val manual = Metrics.bootstrapCI(
+        Metrics.perUser(recs, gt, Seq("hit_rate"), Seq(2)),
+        "query_id", "hit_rate_at_2", 100, 7L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(direct == manual)
+    // 2 of 3 gt users hit → point estimate 2/3 in ppm
+    assert(direct._1 == 666666L)
+  }
+
   test("bootstrapCI: parameter contracts") {
     intercept[IllegalArgumentException](ci(Seq((1L, 0.5)), resamples = 5))
     intercept[IllegalArgumentException] {
