@@ -2465,6 +2465,14 @@ object SparkEntry {
       // each node's max surviving k
       graft.core.Graph.coreNumbers(coPurchaseEdges(s, d), "src", "dst",
         maxK = 6)),
+    "graph_bfs" -> ((s, d) =>
+      // blast radius: exact hop distance (<= 4) from the every-100th-part
+      // seed set over the co-purchase graph; unreached nodes absent
+      graft.core.Graph.bfsDistances(
+        coPurchaseEdges(s, d),
+        Tables.lineitem(s, d).select(F.col("l_partkey").as("node"))
+          .filter(F.col("node") % 100 === 0).distinct(),
+        "src", "dst", "node", maxDepth = 4)),
     "metrics_ci_hit_rate" -> ((s, d) => {
       // metric WITH uncertainty in one call: the proven per-user
       // hit_rate@5 pipeline (PopRec on the time split) piped into the
@@ -6688,5 +6696,42 @@ object SparkEntry {
         |LEFT JOIN core4 c4 ON n.node = c4.node
         |LEFT JOIN core5 c5 ON n.node = c5.node
         |LEFT JOIN core6 c6 ON n.node = c6.node""".stripMargin,
+    "graph_bfs" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |adj AS MATERIALIZED (SELECT ea AS node, eb AS nbr FROM e0
+        |       UNION ALL SELECT eb AS node, ea AS nbr FROM e0),
+        |f0 AS MATERIALIZED (SELECT DISTINCT node FROM adj WHERE node % 100 = 0),
+        |s0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0),
+        |f1 AS MATERIALIZED (
+        |  SELECT DISTINCT a.nbr AS node FROM f0 f JOIN adj a ON f.node = a.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s0 s WHERE s.node = a.nbr)),
+        |s1 AS MATERIALIZED (
+        |  SELECT node, dist FROM s0
+        |  UNION ALL SELECT node, 1 AS dist FROM f1),
+        |f2 AS MATERIALIZED (
+        |  SELECT DISTINCT a.nbr AS node FROM f1 f JOIN adj a ON f.node = a.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1 s WHERE s.node = a.nbr)),
+        |s2 AS MATERIALIZED (
+        |  SELECT node, dist FROM s1
+        |  UNION ALL SELECT node, 2 AS dist FROM f2),
+        |f3 AS MATERIALIZED (
+        |  SELECT DISTINCT a.nbr AS node FROM f2 f JOIN adj a ON f.node = a.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s2 s WHERE s.node = a.nbr)),
+        |s3 AS MATERIALIZED (
+        |  SELECT node, dist FROM s2
+        |  UNION ALL SELECT node, 3 AS dist FROM f3),
+        |f4 AS MATERIALIZED (
+        |  SELECT DISTINCT a.nbr AS node FROM f3 f JOIN adj a ON f.node = a.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s3 s WHERE s.node = a.nbr)),
+        |s4 AS MATERIALIZED (
+        |  SELECT node, dist FROM s3
+        |  UNION ALL SELECT node, 4 AS dist FROM f4),
+        |final AS (SELECT node, CAST(dist AS BIGINT) AS distance FROM s4)
+        |SELECT node, distance FROM final""".stripMargin,
   )
 }

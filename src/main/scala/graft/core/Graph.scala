@@ -422,6 +422,52 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS on the undirected graph: exact hop distance from
+    * the nearest seed, up to `maxDepth` (unreached nodes are absent —
+    * the caller decides whether absence means "far" or "disconnected").
+    * The frontier-expansion shape of every "within k hops of a known-bad
+    * account" / "blast radius" query: per round ONE equi-join of the
+    * CURRENT frontier against the symmetrized edge list + one anti-join
+    * against the settled set + a min-distance groupBy — work ∝ frontier
+    * size, rounds = maxDepth (never diameter-many unless asked).
+    * Deterministic by construction (hop counts, no tie-breaks needed).
+    * Returns (node, distance) with distance ∈ [0, maxDepth]. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node", maxDepth: Int = 6): DataFrame = {
+    require(maxDepth >= 0, s"need maxDepth >= 0, got $maxDepth")
+    val c = canonicalEdges(edges, srcCol, dstCol)
+    val adj = c.select(F.col("_a").as("_node"), F.col("_b").as("_nbr"))
+      .union(c.select(F.col("_b").as("_node"), F.col("_a").as("_nbr")))
+      .repartition(F.col("_node"))
+      .localCheckpoint(true)
+    val nodes = adj.select("_node").distinct()
+    var settled = nodes
+      .join(seeds.select(F.col(seedCol).cast("long").as("_node")).distinct(),
+        Seq("_node"), "left_semi")
+      .select(F.col("_node"), F.lit(0L).as("_dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(adj, Seq("_node"))
+        .select(F.col("_nbr").as("_node"))
+        .distinct()
+        .join(settled, Seq("_node"), "left_anti")
+        .select(F.col("_node"), F.lit(depth.toLong).as("_dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) depth = maxDepth // converged: stop expanding
+      else {
+        settled = settled.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    adj.unpersist()
+    settled.select(F.col("_node").as("node"), F.col("_dist").as("distance"))
+  }
+
   /** Full coreness decomposition up to `maxK`: coreness(v) = the largest
     * k ≤ maxK with v in the k-core, computed by successive [[kCore]]
     * peels — k levels × peeling-depth rounds of tiny joins, the

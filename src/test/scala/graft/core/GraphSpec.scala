@@ -265,6 +265,31 @@ class GraphSpec extends SparkSpec {
     assert(kcore(edges, 3L, parts = 11) == want)
   }
 
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], depth: Int,
+      parts: Int = 4): Map[Long, Long] =
+    Graph.bfsDistances(edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("node"), maxDepth = depth)
+      .as[(Long, Long)].collect().toMap
+
+  test("bfsDistances: hop distances on a path, nearest seed wins") {
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(bfs(path, Seq(1L), 3)
+      == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5, 6 beyond depth
+    // two seeds: min distance
+    assert(bfs(path, Seq(1L, 6L), 2)
+      == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 0L, 5L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsDistances: off-graph seeds ignored, disconnected unreached, early stop") {
+    val edges = Seq((1L, 2L), (10L, 11L))
+    val r = bfs(edges, Seq(1L, 99L), 6)
+    assert(r == Map(1L -> 0L, 2L -> 1L)) // component {10,11} absent
+    // depth 0: seeds only
+    assert(bfs(edges, Seq(1L), 0) == Map(1L -> 0L))
+    // layout independence
+    assert(bfs(edges, Seq(1L), 3, parts = 1) == bfs(edges, Seq(1L), 3, parts = 9))
+  }
+
   test("coreNumbers: brute-force coreness parity, caps at maxK") {
     val edges = (for (u <- 0L until 40L; j <- 1L to 4L)
       yield (u, (u * 13 + j * j * 7) % 40)).filter(e => e._1 != e._2)
