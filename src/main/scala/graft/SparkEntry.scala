@@ -2473,6 +2473,14 @@ object SparkEntry {
         Tables.lineitem(s, d).select(F.col("l_partkey").as("node"))
           .filter(F.col("node") % 100 === 0).distinct(),
         "src", "dst", "node", maxDepth = 4)),
+    "mixture_repeat" -> ((s, d) =>
+      // exact up/down-sampling to 40 docs per source: at sf0.01 each
+      // 25-doc source gets 1 full copy + a 15-row hash-ranked top-up; at
+      // sf0.1 the 250-doc sources degenerate to the exact 40-subsample —
+      // one operator, both regimes, every copy index replayed in SQL
+      graft.text.Mixing.repeatToTarget(
+        Tables.documents(s, d).select("doc_id", "source"),
+        Seq("source"), 40L, Seq("doc_id"))),
     "metrics_ci_hit_rate" -> ((s, d) => {
       // metric WITH uncertainty in one call: the proven per-user
       // hit_rate@5 pipeline (PopRec on the time split) piped into the
@@ -6733,5 +6741,18 @@ object SparkEntry {
         |  UNION ALL SELECT node, 4 AS dist FROM f4),
         |final AS (SELECT node, CAST(dist AS BIGINT) AS distance FROM s4)
         |SELECT node, distance FROM final""".stripMargin,
+    "mixture_repeat" ->
+      """WITH gn AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |rk AS (SELECT d.doc_id, d.source, g.n,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5('13:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      d.doc_id) AS r
+        |  FROM documents d JOIN gn g ON d.source = g.source),
+        |reps AS (SELECT doc_id, source,
+        |    (40 // n) + CASE WHEN r <= 40 % n THEN 1 ELSE 0 END AS reps
+        |  FROM rk)
+        |SELECT t.doc_id, t.source, CAST(x.x AS BIGINT) AS rep
+        |FROM reps t JOIN range(0, 40) x(x) ON x.x < t.reps
+        |WHERE t.reps > 0""".stripMargin,
   )
 }

@@ -144,4 +144,40 @@ object Mixing {
       .filter(F.col("_skr") <= k)
       .drop("_skr")
   }
+
+  /** Deterministic repetition to EXACT per-group target counts — the
+    * UP-sampling half of mixture construction ([[sampleToMixture]] only
+    * goes down): every group emits exactly `target` rows as
+    * `floor(target/n)` full copies of the group plus a portable-hash-
+    * ranked top-up of `target mod n` rows carrying one extra copy. A
+    * group larger than its target degenerates to the exact subsample
+    * (zero full copies, top-up only) — one operator covers both
+    * directions. Each copy carries a 0-based `rep` index so downstream
+    * shuffles/dataloaders treat repetitions as distinct rows
+    * (deterministicShuffle hashes on (ids..., rep)).
+    *
+    * Scale shape: one group-sized count aggregate (broadcast back), one
+    * keyed rank window, one `sequence` explode — output rows ∝
+    * Σ targets, never touched twice. Deterministic: same (seed, ids) →
+    * identical copies on any layout or engine. */
+  def repeatToTarget(df: DataFrame, groupCols: Seq[String], target: Long,
+      idCols: Seq[String], seed: Long = 13, repCol: String = "rep"): DataFrame = {
+    require(target > 0, s"need target > 0, got $target")
+    val counts = df.groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("_gn"))
+    val w = Window.partitionBy(groupCols.map(F.col): _*).orderBy(
+      (graft.core.PortableHash.long(seed, idCols.map(F.col): _*).asc +:
+        idCols.map(F.col(_).asc)): _*)
+    df.join(F.broadcast(counts), groupCols)
+      .withColumn("_rtr", F.row_number().over(w))
+      .withColumn("_reps",
+        F.expr(s"${target}L div _gn") +
+          F.when(F.col("_rtr") <= F.expr(s"${target}L % _gn"), 1L)
+            .otherwise(0L))
+      .filter(F.col("_reps") > 0L)
+      .withColumn(repCol,
+        F.explode(F.sequence(F.lit(0L), F.col("_reps") - 1L)))
+      // the USING join reordered columns — restore the caller's layout
+      .select((df.columns.toSeq :+ repCol).map(F.col): _*)
+  }
 }

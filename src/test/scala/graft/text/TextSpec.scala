@@ -904,4 +904,30 @@ class TextSpec extends SparkSpec {
     val got = Dedup.connectedComponentsLS(two).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("repeatToTarget: exact counts in both regimes, distinct rep indices") {
+    // small source (3 docs, target 8): 2 full copies + 2 top-ups;
+    // big source (10 docs, target 8): exact 8-subsample at rep 0
+    val rows = (1L to 3L).map(i => (i, "small")) ++
+      (11L to 20L).map(i => (i, "big"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Mixing.repeatToTarget(df.repartition(5), Seq("source"), 8L,
+      Seq("doc_id")).as[(Long, String, Long)].collect()
+    assert(got.count(_._2 == "small") == 8)
+    assert(got.count(_._2 == "big") == 8)
+    // every small doc appears 2 or 3 times, reps densely 0..n-1
+    val bySmall = got.filter(_._2 == "small").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(bySmall.values.forall(r => r == (0L until r.size).toSeq))
+    assert(bySmall.values.map(_.size).toSeq.sorted == Seq(2, 3, 3))
+    // big source: 8 distinct docs, all rep 0
+    val byBig = got.filter(_._2 == "big")
+    assert(byBig.map(_._1).distinct.size == 8 && byBig.forall(_._3 == 0L))
+    // deterministic across layouts
+    val again = Mixing.repeatToTarget(df.repartition(1), Seq("source"), 8L,
+      Seq("doc_id")).as[(Long, String, Long)].collect()
+    assert(got.toSet == again.toSet)
+    intercept[IllegalArgumentException](
+      Mixing.repeatToTarget(df, Seq("source"), 0L, Seq("doc_id")))
+  }
 }
