@@ -2473,6 +2473,17 @@ object SparkEntry {
         Tables.lineitem(s, d).select(F.col("l_partkey").as("node"))
           .filter(F.col("node") % 100 === 0).distinct(),
         "src", "dst", "node", maxDepth = 4)),
+    "graph_shortest_paths" -> ((s, d) =>
+      // weighted blast radius: exact min cost from the every-100th-part
+      // seeds under symmetric synthetic weights 1+(src+dst)%7 — the
+      // Bellman-Ford fixpoint (11/15 rounds at sf0.01/sf0.1), oracle
+      // unrolls 18 idempotent MATERIALIZED relax rounds
+      graft.core.Graph.shortestPaths(
+        coPurchaseEdges(s, d)
+          .withColumn("weight", F.lit(1L) + (F.col("src") + F.col("dst")) % 7),
+        Tables.lineitem(s, d).select(F.col("l_partkey").as("node"))
+          .filter(F.col("node") % 100 === 0).distinct()),
+    ),
     "mixture_repeat" -> ((s, d) =>
       // exact up/down-sampling to 40 docs per source: at sf0.01 each
       // 25-doc source gets 1 full copy + a 15-row hash-ranked top-up; at
@@ -6754,5 +6765,110 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, CAST(x.x AS BIGINT) AS rep
         |FROM reps t JOIN range(0, 40) x(x) ON x.x < t.reps
         |WHERE t.reps > 0""".stripMargin,
+    "graph_shortest_paths" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |ew AS MATERIALIZED (SELECT ea, eb, 1 + (ea + eb) % 7 AS w FROM e0),
+        |adj AS MATERIALIZED (SELECT ea AS node, eb AS nbr, w FROM ew
+        |       UNION ALL SELECT eb AS node, ea AS nbr, w FROM ew),
+        |d0 AS MATERIALIZED (
+        |  SELECT DISTINCT node, CAST(0 AS BIGINT) AS d FROM adj
+        |  WHERE node % 100 = 0),
+        |d1 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d0
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d0 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d1
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d1 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d2
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d2 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d4 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d3
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d3 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d5 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d4
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d4 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d6 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d5
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d5 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d7 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d6
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d6 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d8 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d7
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d7 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d9 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d8
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d8 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d10 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d9
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d9 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d11 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d10
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d10 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d12 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d11
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d11 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d13 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d12
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d12 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d14 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d13
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d13 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d15 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d14
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d14 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d16 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d15
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d15 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d17 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d16
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d16 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |d18 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        |  SELECT node, d FROM d17
+        |  UNION ALL
+        |  SELECT a.nbr AS node, p.d + a.w AS d
+        |  FROM d17 p JOIN adj a ON p.node = a.node) GROUP BY 1),
+        |fin AS (SELECT node, CAST(d AS BIGINT) AS distance FROM d18)
+        |SELECT node, distance FROM fin""".stripMargin,
   )
 }

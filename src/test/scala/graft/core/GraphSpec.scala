@@ -290,6 +290,36 @@ class GraphSpec extends SparkSpec {
     assert(bfs(edges, Seq(1L), 3, parts = 1) == bfs(edges, Seq(1L), 3, parts = 9))
   }
 
+  private def sp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      maxIter: Int = 30, parts: Int = 4): Map[Long, Long] =
+    Graph.shortestPaths(edges.toDF("src", "dst", "weight").repartition(parts),
+        seeds.toDF("node"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("shortestPaths: relax-through-cheaper-path beats the direct edge") {
+    val r = sp(Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)), Seq(1L))
+    assert(r == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+    // parallel edges: cheapest wins
+    assert(sp(Seq((1L, 2L, 9L), (1L, 2L, 2L)), Seq(1L))
+      == Map(1L -> 0L, 2L -> 2L))
+  }
+
+  test("shortestPaths: unit weights equal BFS hop distances") {
+    val edges = (for (u <- 0L until 30L; j <- 1L to 2L)
+      yield (u, (u * 7 + j * 5) % 30)).filter(e => e._1 != e._2)
+    val unit = edges.map(e => (e._1, e._2, 1L))
+    assert(sp(unit, Seq(0L, 15L)) == bfs(edges, Seq(0L, 15L), 29))
+  }
+
+  test("shortestPaths: unreached absent, runaway bound throws, layout-stable") {
+    val r = sp(Seq((1L, 2L, 3L), (10L, 11L, 1L)), Seq(1L))
+    assert(r == Map(1L -> 0L, 2L -> 3L))
+    intercept[IllegalArgumentException](
+      sp(Seq((1L, 2L, 1L), (2L, 3L, 1L)), Seq(1L), maxIter = 1))
+    val edges = (1L to 20L).map(u => (u, u % 20 + 1, u % 3 + 1))
+    assert(sp(edges, Seq(5L), parts = 1) == sp(edges, Seq(5L), parts = 9))
+  }
+
   test("coreNumbers: brute-force coreness parity, caps at maxK") {
     val edges = (for (u <- 0L until 40L; j <- 1L to 4L)
       yield (u, (u * 13 + j * j * 7) % 40)).filter(e => e._1 != e._2)
