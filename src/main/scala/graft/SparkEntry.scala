@@ -2484,6 +2484,15 @@ object SparkEntry {
         Tables.lineitem(s, d).select(F.col("l_partkey").as("node"))
           .filter(F.col("node") % 100 === 0).distinct()),
     ),
+    "graph_hits" -> ((s, d) =>
+      // 2-iteration HITS over the directed query→item purchase graph in
+      // exact BIGINT with L1 renorm (users: pure hubs; items: pure
+      // authorities — exercises both zero-sides). The oracle replays all
+      // 4 half-steps with `//` and greatest(1, tot // mass)
+      graft.core.Graph.hits(
+        Tables.interactions(s, d).select(F.col("query_id").as("src"),
+          (F.col("item_id") + F.lit(1000000L)).as("dst")),
+        iterations = 2)),
     "mixture_repeat" -> ((s, d) =>
       // exact up/down-sampling to 40 docs per source: at sf0.01 each
       // 25-doc source gets 1 full copy + a 15-row hash-ranked top-up; at
@@ -6765,6 +6774,45 @@ object SparkEntry {
         |SELECT t.doc_id, t.source, CAST(x.x AS BIGINT) AS rep
         |FROM reps t JOIN range(0, 40) x(x) ON x.x < t.reps
         |WHERE t.reps > 0""".stripMargin,
+    "graph_hits" ->
+      s"""$interactionsSql,
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT query_id AS src, item_id + 1000000 AS dst
+         |  FROM interactions),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |ar1 AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS raw
+         |  FROM h0 h JOIN e ON h.node = e.src GROUP BY 1),
+         |a1 AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.raw, 0)
+         |    // greatest(1, (SELECT coalesce(sum(raw), 0) FROM ar1)
+         |                   // (nn.n * 1000000)) AS a
+         |  FROM nodes n LEFT JOIN ar1 r ON n.node = r.node, nn),
+         |hr1 AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS raw
+         |  FROM a1 a JOIN e ON a.node = e.dst GROUP BY 1),
+         |h1 AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.raw, 0)
+         |    // greatest(1, (SELECT coalesce(sum(raw), 0) FROM hr1)
+         |                   // (nn.n * 1000000)) AS h
+         |  FROM nodes n LEFT JOIN hr1 r ON n.node = r.node, nn),
+         |ar2 AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS raw
+         |  FROM h1 h JOIN e ON h.node = e.src GROUP BY 1),
+         |a2 AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.raw, 0)
+         |    // greatest(1, (SELECT coalesce(sum(raw), 0) FROM ar2)
+         |                   // (nn.n * 1000000)) AS a
+         |  FROM nodes n LEFT JOIN ar2 r ON n.node = r.node, nn),
+         |hr2 AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS raw
+         |  FROM a2 a JOIN e ON a.node = e.dst GROUP BY 1),
+         |h2 AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.raw, 0)
+         |    // greatest(1, (SELECT coalesce(sum(raw), 0) FROM hr2)
+         |                   // (nn.n * 1000000)) AS h
+         |  FROM nodes n LEFT JOIN hr2 r ON n.node = r.node, nn)
+         |SELECT h2.node, h2.h AS hub_units, a2.a AS auth_units
+         |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
     "graph_shortest_paths" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,

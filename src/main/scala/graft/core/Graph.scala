@@ -246,6 +246,85 @@ object Graph {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in the same EXACT BIGINT
+    * fixed-point arithmetic as [[pageRank]] — good hubs point at good
+    * authorities, good authorities are pointed at by good hubs:
+    *
+    *   authRaw(v) = Σ_{u→v} hub(u)     auth(v) = authRaw(v) div sA
+    *   hubRaw(u)  = Σ_{u→v} auth(v)    hub(u)  = hubRaw(u)  div sH
+    *
+    * where the classic L2 renormalization (a square root — not exactly
+    * replayable in integer arithmetic) is replaced by L1: each half-step
+    * rescales its scores back to total mass ≈ n·unit with
+    * `s = max(1, Σraw div (n·unit))` — a pure BIGINT div, so rankings are
+    * identical to the float recursion's (normalization never reorders)
+    * and every cell is engine-replayable with `//`. Floor leakage is
+    * < 1 unit per node per half-step, the [[pageRank]] contract.
+    *
+    * Scale shape per iteration: two equi-joins of the score frame against
+    * the edge list (persisted pre-partitioned on src AND on dst once, so
+    * both half-steps reuse their exchange across rounds), two
+    * groupBy partial+final aggregations, two 1-row scalar aggregates
+    * broadcast back. Driver state: the node count — O(1).
+    *
+    * Overflow contract: a raw sum is < n · (n·unit) so n²·unit must stay
+    * below 2⁶³ — n < 3·10⁶ nodes at the default unit 10⁶ (drop `unit`
+    * for bigger graphs; ranking precision degrades gracefully).
+    *
+    * Returns (node, hub_units, auth_units): nodes with no out-edges have
+    * hub 0, nodes with no in-edges auth 0. */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iterations: Int = 2, unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(unit >= 100L, s"need unit >= 100, got $unit")
+    val e0 = edges
+      .select(F.col(srcCol).cast("long").as("_src"),
+        F.col(dstCol).cast("long").as("_dst"))
+      .distinct()
+    val eBySrc = e0.repartition(F.col("_src")).localCheckpoint(true)
+    val eByDst = e0.repartition(F.col("_dst")).localCheckpoint(true)
+    val nodes = eBySrc.select(F.col("_src").as("_node"))
+      .union(eBySrc.select(F.col("_dst").as("_node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count() // driver scalar: ONE long
+    require(n > 0, "hits: empty graph")
+    val mass = n * unit
+    // rescale raw scores back to total mass ≈ n·unit; max(1,·) keeps the
+    // degenerate all-zero half-step (possible only on an empty edge set,
+    // excluded above) from dividing by 0 and never scales UP
+    def renorm(raw: DataFrame, outCol: String): DataFrame = {
+      val s = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0L)).as("_tot"))
+      nodes.join(raw, Seq("_node"), "left")
+        .crossJoin(F.broadcast(s))
+        .select(F.col("_node"), F.expr(
+          s"coalesce(_raw, 0L) div greatest(1L, _tot div ${mass}L)")
+          .as(outCol))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.withColumn("_hub", F.lit(unit)).localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val authRaw = hubs.join(eBySrc, F.col("_node") === F.col("_src"))
+        .select(F.col("_dst").as("_n2"), F.col("_hub"))
+        .groupBy(F.col("_n2").as("_node")).agg(F.sum("_hub").as("_raw"))
+      val nextAuths = renorm(authRaw, "_auth")
+      if (auths != null) auths.unpersist()
+      auths = nextAuths
+      val hubRaw = auths.join(eByDst, F.col("_node") === F.col("_dst"))
+        .select(F.col("_src").as("_n2"), F.col("_auth"))
+        .groupBy(F.col("_n2").as("_node")).agg(F.sum("_auth").as("_raw"))
+      val nextHubs = renorm(hubRaw, "_hub")
+      hubs.unpersist()
+      hubs = nextHubs
+    }
+    val out = hubs.join(auths, Seq("_node"))
+      .select(F.col("_node").as("node"), F.col("_hub").as("hub_units"),
+        F.col("_auth").as("auth_units"))
+    eBySrc.unpersist(); eByDst.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Canonical undirected simple edge list: self-loops dropped, both
     * orientations collapsed to (lo, hi), duplicates removed. Node ids must
     * be non-negative and < 2³¹ so a (degree, id) total order packs into

@@ -320,6 +320,41 @@ class GraphSpec extends SparkSpec {
     assert(sp(edges, Seq(5L), parts = 1) == sp(edges, Seq(5L), parts = 9))
   }
 
+  private def hitsMap(edges: Seq[(Long, Long)], iters: Int = 2,
+      unit: Long = 1000000L, parts: Int = 4): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst").repartition(parts),
+        iterations = iters, unit = unit)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hits: hand-computed one iteration, L1 renorm, zero hub/auth edges") {
+    // 1→3, 2→3, 3→4; n=4, unit=1000, mass=4000
+    // authRaw: 3←2000, 4←1000; tot=3000; s=max(1, 3000 div 4000)=1
+    // hubRaw:  1←a(3)=2000, 2←2000, 3←a(4)=1000; tot=5000; s=max(1,1)=1
+    assert(hitsMap(Seq((1L, 3L), (2L, 3L), (3L, 4L)), iters = 1, unit = 1000L)
+      == Map(1L -> (2000L, 0L), 2L -> (2000L, 0L),
+             3L -> (1000L, 2000L), 4L -> (0L, 1000L)))
+  }
+
+  test("hits: one iteration auth follows in-degree (uniform initial hubs)") {
+    val edges = for (u <- 1L to 20L; j <- 1L to 3L; v = (u * j * 7) % 20 + 30
+      ) yield (u, v)
+    val indeg = edges.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val h = hitsMap(edges, iters = 1)
+    for (a <- indeg.keys; b <- indeg.keys) {
+      if (indeg(a) == indeg(b)) assert(h(a)._2 == h(b)._2)
+      if (indeg(a) > indeg(b)) assert(h(a)._2 > h(b)._2)
+    }
+  }
+
+  test("hits: deterministic across partitionings; contract errors") {
+    val edges = (1L to 25L).flatMap(u => Seq((u, (u * 13) % 25 + 1),
+      ((u * 7) % 25 + 1, u)))
+    assert(hitsMap(edges, parts = 1) == hitsMap(edges, parts = 9))
+    intercept[IllegalArgumentException](hitsMap(edges, iters = 0))
+    intercept[IllegalArgumentException](
+      hitsMap(Seq.empty[(Long, Long)], iters = 1))
+  }
+
   test("coreNumbers: brute-force coreness parity, caps at maxK") {
     val edges = (for (u <- 0L until 40L; j <- 1L to 4L)
       yield (u, (u * 13 + j * j * 7) % 40)).filter(e => e._1 != e._2)
