@@ -2493,6 +2493,34 @@ object SparkEntry {
         Tables.interactions(s, d).select(F.col("query_id").as("src"),
           (F.col("item_id") + F.lit(1000000L)).as("dst")),
         iterations = 2)),
+    "privacy_l_diversity" -> ((s, d) =>
+      // l-diversity audit over (mktsegment, nationkey) quasi-identifiers
+      // with account balance as the sensitive attribute: occupancy +
+      // distinct-sensitive count + the l≥20 verdict, all one groupBy
+      graft.core.Ops.lDiversityAudit(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), "c_acctbal", 20L)),
+    "encode_target_loo" -> ((s, d) =>
+      // leakage-safe target encoding of the 50-way item family: each
+      // purchase's enc_ppm = exact peer mean rating of its category,
+      // excluding itself; singleton categories NULL
+      graft.core.Ops.targetEncodeLoo(
+        Tables.interactions(s, d)
+          .withColumn("cat", F.col("item_id") % 50),
+        "cat", "rating")
+        .select(F.col("query_id"), F.col("item_id"), F.col("session_id"),
+          F.col("enc_ppm"))),
+    "ab_test" -> ((s, d) => {
+      // two-proportion z² per treatment vs control, exact DECIMAL(38)
+      // integer rational (no erf/sqrt/libm): variants by user_id mod 3,
+      // conversion = the user ever purchased
+      val units = Tables.events(s, d).groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("variant",
+          F.when(F.col("user_id") % 3 === 0, "control")
+            .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
+      graft.core.Ops.proportionTest(units, "variant", "converted", "control")
+    }),
     "mixture_repeat" -> ((s, d) =>
       // exact up/down-sampling to 40 docs per source: at sf0.01 each
       // 25-doc source gets 1 full copy + a 15-row hash-ranked top-up; at
@@ -6813,6 +6841,58 @@ object SparkEntry {
          |  FROM nodes n LEFT JOIN hr2 r ON n.node = r.node, nn)
          |SELECT h2.node, h2.h AS hub_units, a2.a AS auth_units
          |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
+    "privacy_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  count(*) AS n,
+        |  count(DISTINCT c_acctbal) AS l_distinct,
+        |  count(DISTINCT c_acctbal) >= 20 AS diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "encode_target_loo" ->
+      s"""$interactionsSql,
+         |a AS (SELECT item_id % 50 AS cat,
+         |        sum(CAST(rating AS BIGINT)) AS s, count(*) AS cn
+         |      FROM interactions GROUP BY 1)
+         |SELECT i.query_id, i.item_id, i.session_id,
+         |  CASE WHEN a.cn > 1
+         |    THEN ((a.s - CAST(i.rating AS BIGINT)) * 1000000) // (a.cn - 1)
+         |  END AS enc_ppm
+         |FROM interactions i JOIN a ON i.item_id % 50 = a.cat""".stripMargin,
+    "ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE user_id % 3 WHEN 0 THEN 'control' WHEN 1 THEN 'blue'
+        |      ELSE 'green' END AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(conv) AS BIGINT) AS x
+        |      FROM u GROUP BY 1),
+        |ctrl AS (SELECT n AS n_ctrl, x AS x_ctrl FROM c
+        |         WHERE variant = 'control')
+        |SELECT t.variant, t.n, t.x, ctrl.n_ctrl, ctrl.x_ctrl,
+        |  CASE WHEN t.n > 0 AND ctrl.n_ctrl > 0
+        |         AND t.x + ctrl.x_ctrl > 0
+        |         AND t.x + ctrl.x_ctrl < t.n + ctrl.n_ctrl
+        |    THEN CAST((CAST(t.x * ctrl.n_ctrl - ctrl.x_ctrl * t.n AS HUGEINT)
+        |               * (t.x * ctrl.n_ctrl - ctrl.x_ctrl * t.n)
+        |               * (t.n + ctrl.n_ctrl) * 1000000)
+        |              // (CAST(t.n AS HUGEINT) * ctrl.n_ctrl
+        |                  * (t.x + ctrl.x_ctrl)
+        |                  * (t.n + ctrl.n_ctrl - t.x - ctrl.x_ctrl))
+        |         AS BIGINT)
+        |  END AS z2_ppm,
+        |  coalesce(CASE WHEN t.n > 0 AND ctrl.n_ctrl > 0
+        |         AND t.x + ctrl.x_ctrl > 0
+        |         AND t.x + ctrl.x_ctrl < t.n + ctrl.n_ctrl
+        |    THEN CAST((CAST(t.x * ctrl.n_ctrl - ctrl.x_ctrl * t.n AS HUGEINT)
+        |               * (t.x * ctrl.n_ctrl - ctrl.x_ctrl * t.n)
+        |               * (t.n + ctrl.n_ctrl) * 1000000)
+        |              // (CAST(t.n AS HUGEINT) * ctrl.n_ctrl
+        |                  * (t.x + ctrl.x_ctrl)
+        |                  * (t.n + ctrl.n_ctrl - t.x - ctrl.x_ctrl))
+        |         AS BIGINT) > 3841459
+        |  END, false) AS significant
+        |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
     "graph_shortest_paths" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,

@@ -1135,4 +1135,85 @@ object Ops {
     }
     joined.select(cols: _*)
   }
+
+  /** l-diversity audit (Machanavalhala et al. 2007) — the refinement
+    * k-anonymity misses: a quasi-identifier group can be large (k-safe)
+    * yet reveal everyone's sensitive value if that value is CONSTANT
+    * within the group (the homogeneity attack). One row per observed
+    * quasi-identifier combination: occupancy `n`, number of DISTINCT
+    * sensitive values `l_distinct`, and the `diverse = l_distinct ≥ l`
+    * verdict. ONE partial+final groupBy (count + count distinct share the
+    * grouping); output bounded by #combinations, never the row count —
+    * the companion gate to [[kAnonymityAudit]]. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit: need quasi columns")
+    require(l >= 1, s"lDiversityAudit: need l >= 1, got $l")
+    df.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count_distinct(F.col(sensitiveCol)).as("l_distinct"))
+      .withColumn("diverse", F.col("l_distinct") >= l)
+  }
+
+  /** Leave-one-out target encoding (the target-leakage-safe mean encoder
+    * used ahead of tree/linear fits): each row's category is encoded as
+    * the mean target of the OTHER rows sharing it —
+    * `enc_ppm = (Σ_cat target − target_row)·10⁶ div (n_cat − 1)`, exact
+    * BIGINT, NULL for singleton categories (no peers — emitting the row's
+    * own target would be pure leakage). Targets must be integral (cast
+    * up-front); ONE category-sized groupBy + one join back on the
+    * category (the aggregate side is |categories|, broadcast-sized when
+    * the cardinality is modest; Spark/AQE picks broadcast vs shuffle).
+    * Adds `enc_ppm`, preserves all input columns. */
+  def targetEncodeLoo(df: DataFrame, catCol: String,
+      targetCol: String): DataFrame = {
+    val t = F.col(targetCol).cast("long")
+    val agg = df.groupBy(F.col(catCol))
+      .agg(F.sum(t).as("_csum"), F.count(F.lit(1)).as("_cn"))
+    df.join(agg, Seq(catCol))
+      .withColumn("enc_ppm",
+        F.when(F.col("_cn") > 1L,
+          F.expr(s"((_csum - CAST($targetCol AS BIGINT)) * 1000000) div (_cn - 1)")))
+      .drop("_csum", "_cn")
+  }
+
+  /** Two-proportion z-test for an A/B experiment, EXACTLY: per variant
+    * pair, trials/conversions and the squared z statistic under the
+    * pooled-proportion null,
+    *
+    *   z² = (x_a·n_b − x_b·n_a)² · N / (n_a·n_b·x·(N−x))
+    *
+    * with x = x_a+x_b, N = n_a+n_b — an integer rational. The division is
+    * carried out in DECIMAL(38,0) (the numerator can reach ~10³⁰, past
+    * BIGINT but far inside 38 digits), so `z2_ppm` and the
+    * `significant = z² > 3.841459` verdict (the χ²₁ 95% critical value,
+    * compared in ppm — integer vs integer) are bit-exact in any engine —
+    * no erf, no float sqrt, no libm. Input: one row per unit with a
+    * variant label and a 0/1 conversion flag; `control` names the
+    * baseline, every other variant is tested against it. One groupBy to
+    * per-variant counts (|variants| rows), then a broadcast-sized
+    * cross of treatments against the control row. NULL z2_ppm when a
+    * side is empty or the pooled proportion is degenerate (x=0 or x=N:
+    * zero variance — no evidence either way). */
+  def proportionTest(df: DataFrame, variantCol: String, convertedCol: String,
+      control: String): DataFrame = {
+    val counts = df.groupBy(F.col(variantCol).as("variant"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col(convertedCol).cast("long")).as("x"))
+    val ctrl = counts.filter(F.col("variant") === control)
+      .select(F.col("n").as("n_ctrl"), F.col("x").as("x_ctrl"))
+    counts.filter(F.col("variant") =!= control)
+      .crossJoin(F.broadcast(ctrl))
+      .withColumn("z2_ppm", F.expr(
+        """CASE WHEN n > 0 AND n_ctrl > 0
+          |       AND x + x_ctrl > 0 AND x + x_ctrl < n + n_ctrl
+          |  THEN CAST((CAST(x * n_ctrl - x_ctrl * n AS DECIMAL(38, 0))
+          |             * (x * n_ctrl - x_ctrl * n) * (n + n_ctrl) * 1000000)
+          |            div (CAST(n AS DECIMAL(38, 0)) * n_ctrl * (x + x_ctrl)
+          |                 * (n + n_ctrl - x - x_ctrl)) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("significant",
+        F.col("z2_ppm").isNotNull && F.col("z2_ppm") > 3841459L)
+      .select("variant", "n", "x", "n_ctrl", "x_ctrl", "z2_ppm", "significant")
+  }
 }

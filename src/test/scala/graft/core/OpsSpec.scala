@@ -670,6 +670,54 @@ class OpsSpec extends SparkSpec {
     assert(r(4L) == ((100L, 0L)) && r(5L) == ((100L, 1L)))
   }
 
+  test("lDiversityAudit: homogeneous group fails even when k-large") {
+    val df = Seq(("x", "s1"), ("x", "s1"), ("x", "s1"),
+      ("y", "a"), ("y", "b")).toDF("qa", "sens")
+    val r = Ops.lDiversityAudit(df, Seq("qa"), "sens", 2L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("x") == ((3L, 1L, false))) // big but constant → homogeneity attack
+    assert(r("y") == ((2L, 2L, true)))
+    intercept[IllegalArgumentException](
+      Ops.lDiversityAudit(df, Nil, "sens", 2L))
+    intercept[IllegalArgumentException](
+      Ops.lDiversityAudit(df, Seq("qa"), "sens", 0L))
+  }
+
+  test("targetEncodeLoo: peers-only mean in exact ppm, singleton NULL") {
+    val df = Seq((1L, "c1", 10L), (2L, "c1", 20L), (3L, "c1", 30L),
+      (4L, "c2", 99L)).toDF("id", "cat", "y")
+    val r = Ops.targetEncodeLoo(df, "cat", "y")
+      .select("id", "enc_ppm").as[(Long, Option[Long])].collect().toMap
+    assert(r(1L).contains(25000000L)) // (20+30)/2
+    assert(r(2L).contains(20000000L))
+    assert(r(3L).contains(15000000L))
+    assert(r(4L).isEmpty) // no peers: own target would be leakage
+  }
+
+  test("proportionTest: hand-computed z², equal rates, degenerate NULL") {
+    val rows =
+      (1 to 100).map(i => ("control", if (i <= 10) 1L else 0L)) ++
+      (1 to 100).map(i => ("t1", if (i <= 30) 1L else 0L)) ++
+      (1 to 50).map(i => ("t2", if (i <= 5) 1L else 0L))
+    val r = Ops.proportionTest(rows.toDF("variant", "converted").repartition(4),
+        "variant", "converted", "control")
+      .select("variant", "z2_ppm", "significant")
+      .as[(String, Option[Long], Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // t1: diff=2000, z² = 4e6·200/(100·100·40·160) = 12.5 exactly
+    assert(r("t1") == ((Some(12500000L), true)))
+    // t2: same 10% rate as control → z² = 0
+    assert(r("t2") == ((Some(0L), false)))
+    // all-zero conversions: pooled p = 0 → zero variance → NULL verdict
+    val z = Seq(("control", 0L), ("control", 0L), ("tx", 0L))
+      .toDF("variant", "converted")
+    val rz = Ops.proportionTest(z, "variant", "converted", "control")
+      .select("variant", "z2_ppm", "significant")
+      .as[(String, Option[Long], Boolean)].collect()
+    assert(rz.toSeq == Seq(("tx", None, false)))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
