@@ -2521,6 +2521,22 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "analytics_rfm" -> ((s, d) =>
+      // RFM customer tiering over the purchase log: exact µs recency,
+      // lineitem frequency, quantity monetary, quintile scores against
+      // interpolated percentiles (percentile ≡ quantile_cont, the proven
+      // cross-engine pair), segment = r·100+f·10+m
+      graft.core.Funnel.rfmSegments(Tables.interactions(s, d),
+        "query_id", "timestamp", "rating")),
+    "anomaly_acf" -> ((s, d) =>
+      // per-user lag-1/2 autocorrelation of the event-value series in
+      // exact integer sufficient stats + signed r² ppm via DECIMAL(38);
+      // floor() before the cast because Spark casts truncate while DuckDB
+      // CAST rounds (the winsorize lesson)
+      graft.core.Ops.autocorrStats(
+        Tables.events(s, d)
+          .withColumn("v", F.floor(F.col("value")).cast("long")),
+        Seq("user_id"), "ts", "v", maxLag = 2, tieCols = Seq("event_id"))),
     "mixture_repeat" -> ((s, d) =>
       // exact up/down-sampling to 40 docs per source: at sf0.01 each
       // 25-doc source gets 1 full copy + a 15-row hash-ranked top-up; at
@@ -6893,6 +6909,75 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "analytics_rfm" ->
+      s"""$interactionsSql,
+         |pe AS (SELECT query_id, max(epoch_us(timestamp)) AS last_us,
+         |         CAST(count(*) AS BIGINT) AS frequency,
+         |         CAST(sum(CAST(rating AS BIGINT)) AS BIGINT) AS monetary
+         |       FROM interactions GROUP BY 1),
+         |base AS (SELECT query_id,
+         |    ((SELECT max(last_us) FROM pe) - last_us) // 86400000000
+         |      AS recency_days,
+         |    frequency, monetary FROM pe),
+         |b AS (SELECT
+         |    quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+         |  FROM base),
+         |sc AS (SELECT query_id, recency_days, frequency, monetary,
+         |  1 + (CASE WHEN recency_days < b.rq[1] THEN 1 ELSE 0 END
+         |     + CASE WHEN recency_days < b.rq[2] THEN 1 ELSE 0 END
+         |     + CASE WHEN recency_days < b.rq[3] THEN 1 ELSE 0 END
+         |     + CASE WHEN recency_days < b.rq[4] THEN 1 ELSE 0 END)
+         |    AS r_score,
+         |  1 + (CASE WHEN frequency > b.fq[1] THEN 1 ELSE 0 END
+         |     + CASE WHEN frequency > b.fq[2] THEN 1 ELSE 0 END
+         |     + CASE WHEN frequency > b.fq[3] THEN 1 ELSE 0 END
+         |     + CASE WHEN frequency > b.fq[4] THEN 1 ELSE 0 END)
+         |    AS f_score,
+         |  1 + (CASE WHEN monetary > b.mq[1] THEN 1 ELSE 0 END
+         |     + CASE WHEN monetary > b.mq[2] THEN 1 ELSE 0 END
+         |     + CASE WHEN monetary > b.mq[3] THEN 1 ELSE 0 END
+         |     + CASE WHEN monetary > b.mq[4] THEN 1 ELSE 0 END)
+         |    AS m_score
+         |  FROM base, b)
+         |SELECT query_id, recency_days, frequency, monetary,
+         |  CAST(r_score AS BIGINT) AS r_score,
+         |  CAST(f_score AS BIGINT) AS f_score,
+         |  CAST(m_score AS BIGINT) AS m_score,
+         |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+         |FROM sc""".stripMargin,
+    "anomaly_acf" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value) AS BIGINT) AS x
+        |  FROM events),
+        |l AS (SELECT user_id, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT user_id, CAST(1 AS BIGINT) AS "lag", x, l1 AS y
+        |      FROM l WHERE l1 IS NOT NULL
+        |      UNION ALL
+        |      SELECT user_id, CAST(2 AS BIGINT), x, l2
+        |      FROM l WHERE l2 IS NOT NULL),
+        |a AS (SELECT user_id, "lag", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |st AS (SELECT user_id, "lag", n,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny
+        |  FROM a)
+        |SELECT user_id, "lag", n, num, denx, deny,
+        |  CASE WHEN n >= 2 AND denx > 0 AND deny > 0
+        |    THEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |         * CAST((CAST(num AS HUGEINT) * num * 1000000)
+        |                // (CAST(denx AS HUGEINT) * deny) AS BIGINT)
+        |  END AS r2_ppm
+        |FROM st""".stripMargin,
     "graph_shortest_paths" ->
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,

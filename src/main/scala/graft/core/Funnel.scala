@@ -161,6 +161,52 @@ object Funnel {
     * partitions bounded by one user's history); the path renders with an
     * ORDERED in-group sort_array fold, tie-broken by `tieCol`. Output is
     * |distinct paths| rows. Returns (path, sessions, share_ppm). */
+  /** RFM segmentation (Hughes 1994 — the classic CRM customer tiering):
+    * per entity, Recency (days since last activity, relative to the
+    * dataset's own max timestamp — exact µs integer division), Frequency
+    * (row count) and Monetary value (sum of an integral amount), each
+    * scored 1..5 against the EXACT population quintiles
+    * (Spark `percentile` ≡ SQL quantile_cont — the engine's proven
+    * cross-engine pair): score = 1 + #{quintile boundaries strictly below
+    * the value} for F/M, inverted for R (smaller recency = better), and
+    * `segment = r·100 + f·10 + m` as the single sortable code.
+    *
+    * Scale: one groupBy to the per-entity metric frame (|entities| rows),
+    * ONE percentile aggregation over it producing a 1-row boundary frame
+    * (broadcast back — never collected), and a final stateless scoring
+    * projection. Ties score identically in any engine (comparisons are
+    * against interpolated-percentile doubles of integral metrics). */
+  def rfmSegments(events0: DataFrame, entityCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val events = Ops.ensureTimestamp(events0, tsCol)
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val perEntity = events.groupBy(F.col(entityCol))
+      .agg(F.max(F.unix_micros(F.col(tsCol))).as("_last"),
+        F.count(F.lit(1)).as("frequency"),
+        F.sum(F.col(amountCol).cast("long")).as("monetary"))
+    val globalMax = perEntity.agg(F.max("_last").as("_gmax"))
+    val base = perEntity.crossJoin(F.broadcast(globalMax))
+      .withColumn("recency_days",
+        F.expr("(_gmax - _last) div 86400000000"))
+      .drop("_last", "_gmax")
+    val bounds = base.agg(
+      F.percentile(F.col("recency_days"), F.typedLit(qs)).as("_rq"),
+      F.percentile(F.col("frequency"), F.typedLit(qs)).as("_fq"),
+      F.percentile(F.col("monetary"), F.typedLit(qs)).as("_mq"))
+    def score(v: Column, arr: Column, invert: Boolean): Column =
+      F.lit(1L) + F.aggregate(arr, F.lit(0L),
+        (acc, t) => acc + F.when(if (invert) v < t else v > t, 1L)
+          .otherwise(0L))
+    base.crossJoin(F.broadcast(bounds))
+      .select(F.col(entityCol), F.col("recency_days"), F.col("frequency"),
+        F.col("monetary"),
+        score(F.col("recency_days"), F.col("_rq"), invert = true).as("r_score"),
+        score(F.col("frequency"), F.col("_fq"), invert = false).as("f_score"),
+        score(F.col("monetary"), F.col("_mq"), invert = false).as("m_score"))
+      .withColumn("segment",
+        F.col("r_score") * 100L + F.col("f_score") * 10L + F.col("m_score"))
+  }
+
   def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String, gapSeconds: Long,
       minCount: Long = 1L): DataFrame = {

@@ -1216,4 +1216,61 @@ object Ops {
         F.col("z2_ppm").isNotNull && F.col("z2_ppm") > 3841459L)
       .select("variant", "n", "x", "n_ctrl", "x_ctrl", "z2_ppm", "significant")
   }
+
+  /** Per-key lag-k autocorrelation, k = 1..maxLag, as EXACT integer
+    * sufficient statistics: over each key's (ts, tie)-ordered series the
+    * lag-k pairs (x_t, x_{t−k}) yield Pearson components
+    *
+    *   num  = n·Σxy − Σx·Σy
+    *   denx = n·Σx² − (Σx)²      deny = n·Σy² − (Σy)²
+    *
+    * (r = num/√(denx·deny)) — all BIGINT, plus the SIGNED squared
+    * correlation `r2_ppm = sign(num)·num²·10⁶ div (denx·deny)` computed
+    * in DECIMAL(38,0) so no square root or float ever appears: cell-exact
+    * in any engine. NULL r2_ppm when either margin is constant (den = 0)
+    * or fewer than 2 pairs. The seasonality/momentum detector feeding
+    * [[seasonalBaseline]] (is there structure at lag k at all?).
+    *
+    * Values must be integral (cast up-front). ALL lag columns come from
+    * ONE window pass (same partition+order spec); the stack to long
+    * format is stateless. Output: (keys…, lag, n, num, denx, deny,
+    * r2_ppm) — |keys|·maxLag rows. Overflow contract: n²·max|x|² < 2⁶³
+    * per stat and n⁴·max|x|⁴ < 10³⁸ inside the decimal division. */
+  def autocorrStats(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, maxLag: Int, tieCols: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1, s"autocorrStats: need maxLag >= 1, got $maxLag")
+    require(keys.nonEmpty, "autocorrStats: need key columns")
+    val order = (F.col(tsCol) +: tieCols.map(F.col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(order: _*)
+    val x = F.col(valueCol).cast("long")
+    val lagged = df.select(
+      (keys.map(F.col) :+ x.as("_x")) ++
+        (1 to maxLag).map(k => F.lag(x, k).over(w).as(s"_l$k")): _*)
+    val stackExpr = (1 to maxLag)
+      .map(k => s"${k}L, _l$k").mkString(s"stack($maxLag, ", ", ", ")")
+    val pairs = lagged
+      .select((keys.map(F.col) :+ F.col("_x") :+
+        F.expr(stackExpr).as(Seq("lag", "_y")): _*))
+      .filter(F.col("_y").isNotNull)
+    pairs.groupBy((keys.map(F.col) :+ F.col("lag")): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("_x") * F.col("_y")).as("_sxy"),
+        F.sum("_x").as("_sx"), F.sum("_y").as("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).as("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).as("_syy"))
+      .select((keys.map(F.col) :+ F.col("lag") :+ F.col("n") :+
+        F.expr("n * _sxy - _sx * _sy").as("num") :+
+        F.expr("n * _sxx - _sx * _sx").as("denx") :+
+        F.expr("n * _syy - _sy * _sy").as("deny")): _*)
+      // sign applied AFTER the division of non-negatives: Spark `div`
+      // truncates toward zero while SQL `//` floors — they agree only on
+      // non-negative operands (num² is), so `sign·(num² div d)` is
+      // engine-exact where `(sign·num²) div d` is not
+      .withColumn("r2_ppm", F.expr(
+        """CASE WHEN n >= 2 AND denx > 0 AND deny > 0
+          |  THEN (CASE WHEN num < 0 THEN -1L ELSE 1L END)
+          |       * CAST((CAST(num AS DECIMAL(38, 0)) * num * 1000000)
+          |              div (CAST(denx AS DECIMAL(38, 0)) * deny) AS BIGINT)
+          |END""".stripMargin))
+  }
 }

@@ -158,6 +158,28 @@ class FunnelSpec extends SparkSpec {
     assert(r(3L) == ((1L, 120000000L, 120000000L, 120000000L, 240000000L)))
   }
 
+  test("rfmSegments: exact quintile scores on a 10-entity ladder") {
+    // entity i: i rows of amount i on day i → frequency=i, monetary=i²,
+    // recency_days=10−i. All three ladders are monotone, so every score
+    // column is the quintile pattern 1,1,2,2,3,3,4,4,5,5 (boundaries
+    // 2.8/4.6/6.4/8.2 etc. from exact interpolated percentiles).
+    val rows = for (i <- 1 to 10; _ <- 1 to i) yield
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"),
+        i.toLong)
+    val r = Funnel.rfmSegments(rows.toDF("cust", "ts", "amt").repartition(4),
+        "cust", "ts", "amt")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val quint = Array(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L)
+    for (i <- 1 to 10) {
+      val (_, rec, freq, mon, rs, fs, ms, seg) = r(i.toLong)
+      assert(rec == 10L - i && freq == i.toLong && mon == i.toLong * i)
+      assert(fs == quint(i - 1) && ms == quint(i - 1) && rs == quint(i - 1),
+        s"entity $i scores ($rs,$fs,$ms)")
+      assert(seg == rs * 100 + fs * 10 + ms)
+    }
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)

@@ -718,6 +718,30 @@ class OpsSpec extends SparkSpec {
     assert(rz.toSeq == Seq(("tx", None, false)))
   }
 
+  test("autocorrStats: perfect/anti/constant series, hand stats, tie order") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    def run(vals: Seq[Long], maxLag: Int) =
+      Ops.autocorrStats(
+        vals.zipWithIndex.map { case (v, i) => ("k", ts(i), i.toLong, v) }
+          .toDF("key", "ts", "id", "v").repartition(3),
+        Seq("key"), "ts", "v", maxLag, Seq("id"))
+        .select("lag", "n", "num", "denx", "deny", "r2_ppm")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    // x_t = t: perfect positive correlation at every lag
+    val lin = run((1L to 10L), 2)
+    assert(lin(1L)._5.contains(1000000L) && lin(2L)._5.contains(1000000L))
+    // alternating 0,1: lag-1 anti-correlated exactly
+    val alt = run(Seq(0L, 1L, 0L, 1L, 0L, 1L), 1)
+    assert(alt(1L) == ((5L, -6L, 6L, 6L, Some(-1000000L))))
+    // constant: zero variance → NULL
+    assert(run(Seq(7L, 7L, 7L, 7L), 1)(1L)._5.isEmpty)
+    // hand stats on (1,2,4): n=2, num=2, denx=4, deny=1, r²=1
+    assert(run(Seq(1L, 2L, 4L), 1)(1L) == ((2L, 2L, 4L, 1L, Some(1000000L))))
+    // lag past the series produces no group at all
+    assert(!run(Seq(1L, 2L), 2).contains(2L))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
