@@ -2521,6 +2521,21 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "streaming_transitions" -> ((s, d) => {
+      // the streaming Markov twin run in batch mode: O(keys) last-event
+      // state emits adjacency pairs, counted downstream — shares
+      // event_transitions' oracle because the pair stream IS the batch
+      // operator's lag pairs
+      val pairs = graft.streaming.StreamingOps.streamingTransitions(
+        Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id").toDF()
+      val cnt = pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).as("cnt"))
+      val tot = cnt.groupBy("from_type").agg(F.sum("cnt").as("_tot"))
+      cnt.join(F.broadcast(tot), Seq("from_type"))
+        .select(F.col("from_type"), F.col("to_type"), F.col("cnt"),
+          F.expr("(cnt * 1000000) div _tot").as("prob_ppm"))
+    }),
     "analytics_rfm" -> ((s, d) =>
       // RFM customer tiering over the purchase log: exact µs recency,
       // lineitem frequency, quantity monetary, quintile scores against
@@ -6909,6 +6924,18 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "streaming_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(cnt) AS tot FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  (c.cnt * 1000000) // CAST(t.tot AS BIGINT) AS prob_ppm
+        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
     "analytics_rfm" ->
       s"""$interactionsSql,
          |pe AS (SELECT query_id, max(epoch_us(timestamp)) AS last_us,

@@ -424,6 +424,48 @@ object StreamingOps {
       }
   }
 
+  final case class TransEvent(key: Long, ts_us: Long, tie: Long, typ: String)
+  final case class TransLast(ts_us: Long, tie: Long, typ: String)
+  final case class TransPair(key: Long, from_type: String, to_type: String,
+    ts_us: Long, tie: Long)
+
+  /** Streaming first-order transition pairs — the incremental twin of
+    * `Ops.transitionCounts`' pair extraction: per key the state is the
+    * LAST seen event (3 scalars), and each arrival emits its (from, to)
+    * adjacency edge in append mode, including the pair that straddles a
+    * micro-batch boundary. Downstream counting (counts / prob_ppm) is an
+    * ordinary update-mode aggregation over the emitted pairs; in batch
+    * mode the pair stream is EXACTLY the batch operator's lag pairs
+    * (spec-pinned). In-order delivery per key assumed across batches
+    * (within a batch, rows sort by (ts, tie) — the [[streamingRateLimit]]
+    * contract); state is O(keys) forever. */
+  def streamingTransitions(events: DataFrame, keyCol: String,
+      typeCol: String, tsCol: String, tieCol: String): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = graft.core.Ops.ensureTimestamp(events, tsCol)
+      .select(F.col(keyCol).cast("long").as("key"),
+        F.unix_micros(F.col(tsCol)).as("ts_us"),
+        F.col(tieCol).cast("long").as("tie"),
+        F.col(typeCol).cast("string").as("typ"))
+      .as[TransEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[TransLast, TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[TransLast]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.tie))
+          var last = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[TransPair]
+          for (e <- sorted) {
+            last.foreach(l =>
+              out += TransPair(key, l.typ, e.typ, e.ts_us, e.tie))
+            last = Some(TransLast(e.ts_us, e.tie, e.typ))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key (the streaming twin of
     * text.Dedup.exactGroups' fingerprint dedup): keeps the first arrival
     * per key; `dropDuplicatesWithinWatermark` bounds the state store to

@@ -551,6 +551,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchMode, s"streamed=$streamed batch=$batchMode")
   }
 
+  test("streamingTransitions: cross-batch pair equals batch lag pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "view", new java.sql.Timestamp(1700000000000L), 1L),
+      (1L, "click", new java.sql.Timestamp(1700000001000L), 2L),
+      (1L, "purchase", new java.sql.Timestamp(1700000002000L), 3L), // batch 2
+      (2L, "signup", new java.sql.Timestamp(1700000000500L), 4L))   // no pair
+    val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+    // batch lag pairs = the batch operator's input to counting
+    val expected = Set(("view", "click"), ("click", "purchase"))
+    val batchMode = StreamingOps.streamingTransitions(df, "user_id",
+        "event_type", "ts", "event_id")
+      .collect().map(p => (p.from_type, p.to_type)).toSet
+    assert(batchMode == expected)
+    // counts over the pairs ≡ Ops.transitionCounts
+    val fromPairs = StreamingOps.streamingTransitions(df, "user_id",
+        "event_type", "ts", "event_id").toDF()
+      .groupBy("from_type", "to_type").count()
+      .as[(String, String, Long)].collect().toSet
+    val batchCounts = graft.core.Ops.transitionCounts(df, "user_id",
+        "event_type", "ts", Seq("event_id"))
+      .select("from_type", "to_type", "cnt")
+      .as[(String, String, Long)].collect().toSet
+    assert(fromPairs == batchCounts)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val q = StreamingOps.streamingTransitions(
+        input.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+      .writeStream.format("memory").queryName("strans")
+      .outputMode("append").start()
+    input.addData(rows.take(2): _*); q.processAllAvailable()
+    input.addData(rows.drop(2): _*); q.processAllAvailable() // straddles
+    val streamed = spark.table("strans").as[StreamingOps.TransPair]
+      .collect().map(p => (p.from_type, p.to_type)).toSet
+    q.stop()
+    assert(streamed == expected, s"streamed=$streamed")
+  }
+
   test("streamingFunnel: 2-batch stream and batch mode equal the batch funnel") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("signup", "view", "purchase")
