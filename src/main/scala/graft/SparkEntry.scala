@@ -2521,6 +2521,28 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "window_interval_merge" -> ((s, d) =>
+      // coalesce each user's 10-minute activity spans into merged
+      // intervals: running-max-end break flags + per-key cumsum groups,
+      // exact µs integers end to end
+      graft.core.Ops.mergeIntervals(
+        Tables.events(s, d).select(F.col("user_id"),
+          F.unix_micros(F.col("ts")).as("s"),
+          (F.unix_micros(F.col("ts")) + F.lit(600000000L)).as("e")),
+        Seq("user_id"), "s", "e")),
+    "quality_benford" -> ((s, d) =>
+      // Benford first-digit audit of order totals: leading digit from the
+      // BIGINT's decimal string, expected table hardcoded in ppm — every
+      // cell integer, no libm anywhere
+      graft.core.Quality.benfordAudit(Tables.orders(s, d), "o_totalprice")),
+    "analytics_sequences" -> ((s, d) =>
+      // frequent behavioural trigrams over user timelines (every sliding
+      // occurrence, support ≥ 5): the PrefixSpan-lite tier above
+      // event_transitions' pairs
+      graft.core.Ops.sequenceCounts(
+        Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", Seq("event_id"),
+        n = 3, minCount = 5L)),
     "streaming_transitions" -> ((s, d) => {
       // the streaming Markov twin run in batch mode: O(keys) last-event
       // state emits adjacency pairs, counted downstream — shares
@@ -6924,6 +6946,50 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "window_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |  FROM events),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM iv WINDOW pw AS (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, s, e,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f)
+        |SELECT user_id, min(s) AS start, max(e) AS "end",
+        |  count(*) AS n_merged
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+    "quality_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS x FROM orders
+        |  WHERE floor(o_totalprice) >= 1),
+        |c AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit, count(*) AS n
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |o AS (SELECT digit, CAST(c.n AS BIGINT) AS n,
+        |    (c.n * 1000000) // CAST(t.tot AS BIGINT) AS obs_ppm,
+        |    CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |      WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm
+        |  FROM c, t)
+        |SELECT digit, n, obs_ppm, exp_ppm,
+        |  abs(obs_ppm - exp_ppm) AS dev_ppm FROM o""".stripMargin,
+    "analytics_sequences" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type AS g0,
+        |    lag(event_type, 1) OVER w AS g1,
+        |    lag(event_type, 2) OVER w AS g2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT g2 || ' > ' || g1 || ' > ' || g0 AS gram,
+        |    count(*) AS cnt
+        |  FROM l WHERE g1 IS NOT NULL AND g2 IS NOT NULL GROUP BY 1)
+        |SELECT gram, cnt FROM c WHERE cnt >= 5""".stripMargin,
     "streaming_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id

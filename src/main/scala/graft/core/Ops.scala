@@ -1115,6 +1115,32 @@ object Ops {
         F.expr("(cnt * 1000000) div _tot").as("prob_ppm"))
   }
 
+  /** Frequent n-gram sequence mining over per-entity ordered timelines —
+    * [[transitionCounts]] generalized from adjacent pairs to length-`n`
+    * contiguous patterns ("view > click > purchase"), the PrefixSpan-lite
+    * a product team actually queries: every occurrence counted (sliding,
+    * overlapping), support-thresholded. The (n−1) lag columns come from
+    * ONE window pass (same partition+order spec); the groupBy is bounded
+    * by |alphabet|ⁿ, never the stream size. `sep` must not occur in the
+    * type strings (gram identity). Output: (gram, cnt) with
+    * cnt ≥ minCount. */
+  def sequenceCounts(df: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, tieCols: Seq[String] = Nil, n: Int = 3,
+      minCount: Long = 1L, sep: String = " > "): DataFrame = {
+    require(n >= 2, s"sequenceCounts: need n >= 2, got $n")
+    val order = (F.col(tsCol) +: tieCols.map(F.col)).map(_.asc)
+    val w = Window.partitionBy(F.col(entityCol)).orderBy(order: _*)
+    val lags = (n - 1 to 1 by -1).map(k =>
+      F.lag(F.col(typeCol), k).over(w).as(s"_g$k"))
+    val withLags = df.select((lags :+ F.col(typeCol).as("_g0")): _*)
+    val parts = (n - 1 to 0 by -1).map(k => F.col(s"_g$k"))
+    withLags
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(F.concat_ws(sep, parts: _*).as("gram"))
+      .groupBy("gram").agg(F.count(F.lit(1)).as("cnt"))
+      .filter(F.col("cnt") >= minCount)
+  }
+
   /** Suppression-based k-anonymization: rows whose quasi-identifier
     * combination occurs < k times get those columns NULLed (cell
     * suppression — the simplest generalization lattice step); all other
@@ -1215,6 +1241,37 @@ object Ops {
       .withColumn("significant",
         F.col("z2_ppm").isNotNull && F.col("z2_ppm") > 3841459L)
       .select("variant", "n", "x", "n_ctrl", "x_ctrl", "z2_ppm", "significant")
+  }
+
+  /** Merge overlapping (or touching, gap ≤ `maxGap`) intervals per key —
+    * the classic span-coalescing primitive (user activity spans, IP lease
+    * windows, maintenance periods): a new merged group starts exactly
+    * where an interval's start exceeds the running max end of everything
+    * before it (plus the gap tolerance), so group ids are a per-key
+    * cumulative sum of those break flags and the merge is one groupBy.
+    * Inputs are integral start/end (cast up-front), `start ≤ end`
+    * enforced. TWO keyed window passes (running max + cumsum, same
+    * partition spec — one shuffle) + one aggregation; a key's intervals
+    * never leave its partition. Output: (keys…, start, end, n_merged). */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+      endCol: String, maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0L, s"mergeIntervals: maxGap=$maxGap")
+    val byStart = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("_s").asc, F.col("_e").asc)
+    val prevMaxEnd = F.max(F.col("_e")).over(byStart.rowsBetween(
+      Window.unboundedPreceding, -1))
+    val flagged = df
+      .select((keys.map(F.col) :+ F.col(startCol).cast("long").as("_s") :+
+        F.col(endCol).cast("long").as("_e")): _*)
+      .withColumn("_brk",
+        F.when(prevMaxEnd.isNull || F.col("_s") > prevMaxEnd + maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("_grp", F.sum("_brk").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy((keys.map(F.col) :+ F.col("_grp")): _*)
+      .agg(F.min("_s").as("start"), F.max("_e").as("end"),
+        F.count(F.lit(1)).as("n_merged"))
+      .drop("_grp")
   }
 
   /** Per-key lag-k autocorrelation, k = 1..maxLag, as EXACT integer

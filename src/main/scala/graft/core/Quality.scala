@@ -124,4 +124,37 @@ object Quality {
     (rowsPerRow ++ rowsUnique ++ rowsRef ++ rowsCount)
       .toDF("constraint", "column", "observed", "expected", "passed")
   }
+
+  /** Benford's-law first-digit audit (Benford 1938; the classic
+    * fabricated-numbers detector for naturally-scaled positive data —
+    * amounts, populations, file sizes): observed leading-digit shares vs
+    * the law's log₁₀(1+1/d), with the expected table HARDCODED as ppm
+    * INTEGER literals (301030 = log₁₀2 · 10⁶, …) in both engines — no
+    * libm log in the comparison path, so every cell hash-compares. The
+    * leading digit comes from the BIGINT's decimal string (floor first;
+    * integer→string is identical in any engine — float formatting is
+    * not). Rows with value < 1 are excluded (no leading digit).
+    * ONE 9-row aggregation; `dev_ppm` = |observed − expected|.
+    * Output: (digit, n, obs_ppm, exp_ppm, dev_ppm). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d) · 1e6, rounded half-up — fixed table, both engines
+    val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val expCol = expPpm.foldLeft(F.lit(0L)) { case (acc, (d, p)) =>
+      F.when(F.col("digit") === d, p).otherwise(acc)
+    }
+    val counts = df
+      .select(F.floor(F.col(valueCol).cast("double")).cast("long").as("_v"))
+      .filter(F.col("_v") >= 1L)
+      .select(F.substring(F.col("_v").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(F.count(F.lit(1)).as("n"))
+    val total = counts.agg(F.sum("n").as("_tot"))
+    counts.crossJoin(F.broadcast(total))
+      .select(F.col("digit"), F.col("n"),
+        F.expr("(n * 1000000) div _tot").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+  }
 }

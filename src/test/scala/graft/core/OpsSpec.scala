@@ -742,6 +742,67 @@ class OpsSpec extends SparkSpec {
     assert(!run(Seq(1L, 2L), 2).contains(2L))
   }
 
+  test("mergeIntervals: overlap/touch/gap semantics, per-key isolation") {
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 4L, 8L),   // overlap → one span [1,8]
+      ("a", 9L, 10L),                 // gap 1 from 8 → separate at maxGap=0
+      ("a", 20L, 25L), ("a", 21L, 22L), // contained
+      ("b", 1L, 2L))                  // other key untouched
+      .toDF("k", "s", "e")
+    def run(gap: Long) = Ops.mergeIntervals(df.repartition(3), Seq("k"),
+        "s", "e", gap)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(run(0L) == Set(("a", 1L, 8L, 2L), ("a", 9L, 10L, 1L),
+      ("a", 20L, 25L, 2L), ("b", 1L, 2L, 1L)))
+    // gap tolerance 1 fuses [1,8] and [9,10]
+    assert(run(1L) == Set(("a", 1L, 10L, 3L), ("a", 20L, 25L, 2L),
+      ("b", 1L, 2L, 1L)))
+    // an early long interval swallowing later ones (running MAX end, not
+    // lag(end)): [1,100] then [2,3], [50,60], [90,110]
+    val swallow = Seq(("x", 1L, 100L), ("x", 2L, 3L), ("x", 50L, 60L),
+      ("x", 90L, 110L)).toDF("k", "s", "e")
+    assert(Ops.mergeIntervals(swallow, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+      == Set(("x", 1L, 110L, 4L)))
+  }
+
+  test("benfordAudit: exact shares vs the hardcoded ppm table") {
+    // 30 ones, 18 twos, 12 threes: obs 500000/300000/200000 ppm
+    val vals = Seq.fill(30)(1L) ++ Seq.fill(18)(25L) ++ Seq.fill(12)(300L) ++
+      Seq(0L, -5L) // excluded: no leading digit
+    val r = Quality.benfordAudit(vals.toDF("v").repartition(4), "v")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((30L, 500000L, 301030L, 198970L)))
+    assert(r(2L) == ((18L, 300000L, 176091L, 123909L)))
+    assert(r(3L) == ((12L, 200000L, 124939L, 75061L)))
+    assert(r.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("sequenceCounts: sliding trigram counts, support threshold, order") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    val rows = Seq(
+      (1L, "a", ts(1), 1L), (1L, "b", ts(2), 2L), (1L, "c", ts(3), 3L),
+      (1L, "a", ts(4), 4L), (1L, "b", ts(5), 5L), (1L, "c", ts(6), 6L),
+      (2L, "a", ts(1), 7L), (2L, "b", ts(2), 8L)) // too short for n=3
+      .toDF("u", "t", "ts", "id")
+    val r = Ops.sequenceCounts(rows.repartition(3), "u", "t", "ts",
+        Seq("id"), n = 3).as[(String, Long)].collect().toMap
+    // user 1 trigrams: abc, bca, cab, abc → abc:2, others 1
+    assert(r == Map("a > b > c" -> 2L, "b > c > a" -> 1L,
+      "c > a > b" -> 1L))
+    val top = Ops.sequenceCounts(rows, "u", "t", "ts", Seq("id"), n = 3,
+      minCount = 2L).as[(String, Long)].collect().toMap
+    assert(top == Map("a > b > c" -> 2L))
+    // n=2 equals transitionCounts' pair counts
+    val pairs = Ops.sequenceCounts(rows, "u", "t", "ts", Seq("id"), n = 2,
+      sep = ">").as[(String, Long)].collect().toMap
+    val tc = Ops.transitionCounts(rows, "u", "t", "ts", Seq("id"))
+      .select(F.concat_ws(">", F.col("from_type"), F.col("to_type")),
+        F.col("cnt")).as[(String, Long)].collect().toMap
+    assert(pairs == tc)
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
