@@ -2521,6 +2521,14 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "analytics_chi2" -> ((s, d) =>
+      // χ² independence cells between market segment and order priority:
+      // full 5×5 grid incl. structural zeros, per-cell exact DECIMAL(38)
+      // ppm terms — Σ term_ppm vs the χ²₁₆ critical value is the verdict
+      graft.core.Ops.chiSquareCells(
+        Tables.orders(s, d).join(Tables.customer(s, d),
+          F.col("o_custkey") === F.col("c_custkey")),
+        "c_mktsegment", "o_orderpriority")),
     "window_interval_merge" -> ((s, d) =>
       // coalesce each user's 10-minute activity spans into merged
       // intervals: running-max-end break flags + per-key cumsum groups,
@@ -6946,6 +6954,24 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "analytics_chi2" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |  FROM j GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct,
+        |    coalesce(c.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b)
+        |SELECT a, b, o, rt, ct,
+        |  CAST((CAST(o * nn.n - rt * ct AS HUGEINT)
+        |        * (o * nn.n - rt * ct) * 1000000)
+        |       // (CAST(nn.n AS HUGEINT) * rt * ct) AS BIGINT) AS term_ppm
+        |FROM grid, nn""".stripMargin,
     "window_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e

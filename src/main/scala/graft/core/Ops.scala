@@ -1115,6 +1115,41 @@ object Ops {
         F.expr("(cnt * 1000000) div _tot").as("prob_ppm"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns,
+    * EXACTLY: the contingency table plus the statistic
+    *
+    *   χ² = Σ_cells (o·N − rt·ct)² / (N·rt·ct)
+    *
+    * (o = cell count, rt/ct = row/column marginals) — each cell's term an
+    * integer rational computed in DECIMAL(38,0) ppm and floored, so the
+    * sum is order-invariant and engine-exact; no float, no libm. Returns
+    * the per-cell table (a, b, o, rt, ct, term_ppm) — callers sum
+    * `term_ppm` and compare against the χ² critical value for
+    * (|A|−1)(|B|−1) df in the same integer ppm space (the
+    * [[proportionTest]] convention). Zero-marginal cells cannot occur
+    * (every observed cell has rt, ct ≥ o ≥ 1). Shape: one groupBy for
+    * cells (|A·B| rows), two tiny marginal aggregations broadcast back.
+    * Overflow: (o·N)²·10⁶ < 10³⁸ → N < ~10¹⁴ rows. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(F.col(aCol).as("a"), F.col(bCol).as("b"))
+      .agg(F.count(F.lit(1)).as("o"))
+    val rowTot = cells.groupBy("a").agg(F.sum("o").as("rt"))
+    val colTot = cells.groupBy("b").agg(F.sum("o").as("ct"))
+    val n = cells.agg(F.sum("o").as("_n"))
+    // the FULL |A|×|B| grid, not just observed cells: a structural zero
+    // still contributes (0−e)²/e = e to the statistic
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", F.coalesce(F.col("o"), F.lit(0L)))
+      .crossJoin(F.broadcast(n))
+      .select(F.col("a"), F.col("b"), F.col("o"), F.col("rt"), F.col("ct"),
+        F.expr(
+          """CAST((CAST(o * _n - rt * ct AS DECIMAL(38, 0))
+            |       * (o * _n - rt * ct) * 1000000)
+            |      div (CAST(_n AS DECIMAL(38, 0)) * rt * ct) AS BIGINT)"""
+            .stripMargin).as("term_ppm"))
+  }
+
   /** Frequent n-gram sequence mining over per-entity ordered timelines —
     * [[transitionCounts]] generalized from adjacent pairs to length-`n`
     * contiguous patterns ("view > click > purchase"), the PrefixSpan-lite

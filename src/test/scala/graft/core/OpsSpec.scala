@@ -803,6 +803,28 @@ class OpsSpec extends SparkSpec {
     assert(pairs == tc)
   }
 
+  test("chiSquareCells: independence zero, perfect association, hand 2×2") {
+    def run(counts: Seq[((String, String), Int)]) =
+      Ops.chiSquareCells(
+        counts.flatMap { case ((a, b), c) => Seq.fill(c)((a, b)) }
+          .toDF("x", "y").repartition(3), "x", "y")
+        .as[(String, String, Long, Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._6))).toMap
+    // exactly independent: every term 0
+    val ind = run(Seq(("x", "p") -> 2, ("x", "q") -> 2,
+      ("y", "p") -> 1, ("y", "q") -> 1))
+    assert(ind.values.map(_._2).toSet == Set(0L))
+    // perfect 2×2 association: χ² = N, zero cells present and counted
+    val diag = run(Seq(("a", "p") -> 2, ("b", "q") -> 2))
+    assert(diag(("a", "q")) == ((0L, 1000000L))) // structural zero: term=e
+    assert(diag.values.map(_._2).sum == 4000000L)
+    // hand-computed [[10,20],[30,40]]: 4/12, 4/18, 4/28, 4/42
+    val h = run(Seq(("a", "p") -> 10, ("a", "q") -> 20,
+      ("b", "p") -> 30, ("b", "q") -> 40))
+    assert(h(("a", "p"))._2 == 333333L && h(("a", "q"))._2 == 222222L)
+    assert(h(("b", "p"))._2 == 142857L && h(("b", "q"))._2 == 95238L)
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
