@@ -2521,6 +2521,15 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "layout_compaction" -> ((s, d) =>
+      // compaction planning as data: parts binned by cumulative size into
+      // ~100k-unit bins along the key order — the distributed prefix sum,
+      // never a global window
+      graft.core.Ops.compactionBins(
+        Tables.part(s, d).select(F.col("p_partkey"),
+          F.floor(F.col("p_retailprice")).cast("long").as("sz")),
+        "sz", 100000L, F.col("p_partkey"))
+        .select("p_partkey", "bin")),
     "analytics_chi2" -> ((s, d) =>
       // χ² independence cells between market segment and order priority:
       // full 5×5 grid incl. structural zeros, per-cell exact DECIMAL(38)
@@ -6954,6 +6963,15 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "layout_compaction" ->
+      """WITH s AS (
+        |  SELECT p_partkey, CAST(floor(p_retailprice) AS BIGINT) AS sz
+        |  FROM part),
+        |c AS (SELECT p_partkey, sz,
+        |    sum(sz) OVER (ORDER BY p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT p_partkey, (cum - sz) // 100000 AS bin FROM c""".stripMargin,
     "analytics_chi2" ->
       """WITH j AS (
         |  SELECT c.c_mktsegment AS a, o.o_orderpriority AS b

@@ -1115,6 +1115,28 @@ object Ops {
         F.expr("(cnt * 1000000) div _tot").as("prob_ppm"))
   }
 
+  /** Lakehouse compaction planner: assign files (or any sized work items)
+    * to target-sized bins by CUMULATIVE FILL along a caller-fixed total
+    * order — `bin = (cumsum − size) div targetSize`, i.e. a file belongs
+    * to the bin its first byte lands in. Deterministic, one-pass, and
+    * contiguous (each bin is a consecutive run in the order), which is
+    * exactly what a small-file compaction job wants: stable groups that
+    * can be re-planned incrementally. Bins overshoot by at most one file
+    * (the classic next-fit guarantee — within 2× of optimal bin count;
+    * first-fit-decreasing is inherently sequential and NOT worth a
+    * driver loop at 100 TB). Built on the distributed range-partitioned
+    * prefix sum ([[globalCumsum]]) — no global window, no single
+    * partition anywhere. Sizes must be positive. Output: input columns +
+    * `bin` (0-based). */
+  def compactionBins(df: DataFrame, sizeCol: String, targetSize: Long,
+      order: Column*): DataFrame = {
+    require(targetSize > 0, s"compactionBins: targetSize=$targetSize")
+    globalCumsum(df.withColumn("_sz", F.col(sizeCol).cast("long")),
+      "_sz", "_cum", order: _*)
+      .withColumn("bin", F.expr(s"(_cum - _sz) div ${targetSize}L"))
+      .drop("_sz", "_cum")
+  }
+
   /** Pearson χ² test of independence between two categorical columns,
     * EXACTLY: the contingency table plus the statistic
     *

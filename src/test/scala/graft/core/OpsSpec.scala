@@ -825,6 +825,25 @@ class OpsSpec extends SparkSpec {
     assert(h(("b", "p"))._2 == 142857L && h(("b", "q"))._2 == 95238L)
   }
 
+  test("compactionBins: cumulative next-fit bins, deterministic, contiguous") {
+    // sizes 60,60,60 at target 100: cums 60,120,180 → starts 0,60,120 →
+    // bins 0,0,1 (overshoot ≤ one file)
+    val df = Seq((1L, 60L), (2L, 60L), (3L, 60L)).toDF("id", "sz")
+    val r = Ops.compactionBins(df.repartition(3), "sz", 100L, F.col("id"))
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // contiguity + partitioning independence on a bigger ladder
+    val big = (1L to 200L).map(i => (i, (i * 37) % 90 + 10))
+    def bins(parts: Int) = Ops.compactionBins(
+        big.toDF("id", "sz").repartition(parts), "sz", 500L, F.col("id"))
+      .select("id", "bin").as[(Long, Long)].collect().sorted.toSeq
+    val b1 = bins(1)
+    assert(b1 == bins(7))
+    assert(b1.map(_._2) == b1.map(_._2).sorted) // contiguous runs in order
+    intercept[IllegalArgumentException](
+      Ops.compactionBins(df, "sz", 0L, F.col("id")))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
