@@ -2521,6 +2521,26 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "graph_degrees" -> ((s, d) =>
+      // per-node degree triple of the directed query→item purchase graph
+      // (users: in 0; items: out 0) — the skew probe run before any wedge
+      // join is attempted
+      graft.core.Graph.degreeStats(
+        Tables.interactions(s, d).select(F.col("query_id").as("src"),
+          (F.col("item_id") + F.lit(1000000L)).as("dst")))),
+    "graph_reciprocity" -> ((s, d) =>
+      // reciprocity of the directed "bought strictly after" part graph
+      // (src bought before dst within an order pair): share of pairs that
+      // also occur reversed elsewhere
+      graft.core.Graph.reciprocity(
+        coPurchaseEdges(s, d).filter(F.col("src") < F.col("dst"))
+          .unionAll(coPurchaseEdges(s, d)
+            .filter(F.col("src") % 3 === 0)))),
+    "quality_profile" -> ((s, d) =>
+      // one-pass typed column profile of orders: nulls + exact distinct
+      // per column, min/max for integrals, length bounds for strings,
+      // long format — the drift-diff snapshot
+      graft.core.Quality.profile(Tables.orders(s, d))),
     "layout_compaction" -> ((s, d) =>
       // compaction planning as data: parts binned by cumulative size into
       // ~100k-unit bins along the key order — the distributed prefix sum,
@@ -6963,6 +6983,83 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "graph_degrees" ->
+      s"""$interactionsSql,
+         |e AS (SELECT DISTINCT query_id AS src, item_id + 1000000 AS dst
+         |      FROM interactions),
+         |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+         |      FROM e GROUP BY 1),
+         |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+         |      FROM e GROUP BY 1)
+         |SELECT coalesce(o.node, i.node) AS node,
+         |  coalesce(out_deg, 0) AS out_deg,
+         |  coalesce(in_deg, 0) AS in_deg,
+         |  coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+         |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin,
+    "graph_reciprocity" ->
+      """WITH p AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM p WHERE src < dst
+        |  UNION ALL SELECT src, dst FROM p WHERE src % 3 = 0)),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS reciprocated FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2
+        |                    WHERE e2.src = e.dst AND e2.dst = e.src)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e)
+        |SELECT t.edges, r.reciprocated,
+        |  CASE WHEN t.edges > 0
+        |    THEN (r.reciprocated * 1000000) // t.edges ELSE 0 END
+        |    AS reciprocity_ppm
+        |FROM t, r""".stripMargin,
+    "quality_profile" ->
+      """SELECT '*' AS col_name, 'rows' AS metric,
+        |  CAST(count(*) AS BIGINT) AS value FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'nulls',
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'distinct',
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'min', min(o_orderkey) FROM orders
+        |UNION ALL SELECT 'o_orderkey', 'max', max(o_orderkey) FROM orders
+        |UNION ALL SELECT 'o_custkey', 'nulls',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL SELECT 'o_custkey', 'distinct',
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_custkey', 'min', min(o_custkey) FROM orders
+        |UNION ALL SELECT 'o_custkey', 'max', max(o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', 'nulls',
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', 'distinct',
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', 'min_len',
+        |  CAST(min(length(o_orderstatus)) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', 'max_len',
+        |  CAST(max(length(o_orderstatus)) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_totalprice', 'nulls',
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_totalprice', 'distinct',
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderdate', 'nulls',
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderdate', 'distinct',
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', 'nulls',
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', 'distinct',
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', 'min_len',
+        |  CAST(min(length(o_orderpriority)) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', 'max_len',
+        |  CAST(max(length(o_orderpriority)) AS BIGINT) FROM orders"""
+        .stripMargin,
     "layout_compaction" ->
       """WITH s AS (
         |  SELECT p_partkey, CAST(floor(p_retailprice) AS BIGINT) AS sz

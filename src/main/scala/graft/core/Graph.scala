@@ -325,6 +325,46 @@ object Graph {
     out
   }
 
+  /** Per-node degree triple over a directed edge list (parallel edges
+    * collapsed): (node, out_deg, in_deg, degree). Two |E|-sized
+    * aggregations + one outer merge; the first question asked of any new
+    * graph (skew: is there a celebrity node that will break the wedge
+    * joins?). */
+  def degreeStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(F.col(srcCol).cast("long").as("_src"),
+      F.col(dstCol).cast("long").as("_dst")).distinct()
+    val out = e.groupBy(F.col("_src").as("node"))
+      .agg(F.count(F.lit(1)).as("out_deg"))
+    val in = e.groupBy(F.col("_dst").as("node"))
+      .agg(F.count(F.lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(F.col("node"),
+        F.coalesce(F.col("out_deg"), F.lit(0L)).as("out_deg"),
+        F.coalesce(F.col("in_deg"), F.lit(0L)).as("in_deg"))
+      .withColumn("degree", F.col("out_deg") + F.col("in_deg"))
+  }
+
+  /** Directed-graph reciprocity: the ppm share of (collapsed, non-loop)
+    * edges whose reverse edge also exists — near 0 for broadcast-shaped
+    * graphs (follower fan-out), near 10⁶ for conversation-shaped ones.
+    * One self-semi-join on the edge set. Returns one row
+    * (edges, reciprocated, reciprocity_ppm). */
+  def reciprocity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(F.col(srcCol).cast("long").as("_src"),
+      F.col(dstCol).cast("long").as("_dst"))
+      .filter(F.col("_src") =!= F.col("_dst")).distinct()
+    val rev = e.select(F.col("_dst").as("_src"), F.col("_src").as("_dst"))
+    val recip = e.join(rev, Seq("_src", "_dst"), "left_semi")
+      .agg(F.count(F.lit(1)).as("reciprocated"))
+    e.agg(F.count(F.lit(1)).as("edges"))
+      .crossJoin(F.broadcast(recip))
+      .withColumn("reciprocity_ppm",
+        F.when(F.col("edges") > 0L,
+          F.expr("(reciprocated * 1000000) div edges")).otherwise(0L))
+  }
+
   /** Canonical undirected simple edge list: self-loops dropped, both
     * orientations collapsed to (lo, hi), duplicates removed. Node ids must
     * be non-negative and < 2³¹ so a (degree, id) total order packs into

@@ -125,6 +125,45 @@ object Quality {
       .toDF("constraint", "column", "observed", "expected", "passed")
   }
 
+  /** Generic one-pass column profiler — the snapshot a pipeline stores
+    * per run so SCHEMA/DISTRIBUTION drift diffs are a join away: for
+    * every column, null count and exact distinct count; for integral
+    * columns also min/max; for strings min/max LENGTH (values may be
+    * huge; lengths always compare); plus one ('*', 'rows') total. Long
+    * format (col_name, metric, value) — all BIGINT, engine-exact
+    * (float/timestamp min-max are deliberately omitted: their cross-
+    * engine rendering is not). ONE aggregation pass over the data; the
+    * multiple exact distincts expand the scan (Spark's Expand operator,
+    * one duplicate per distinct) — at 100 TB swap exactness for the HLL
+    * register sketch (Sketch.hllRegisters) per column instead. */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val aggs = df.schema.fields.toSeq.flatMap { f =>
+      val c = F.col(f.name)
+      val base = Seq(
+        F.sum(F.when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        F.count_distinct(c).as(s"${f.name}__distinct"))
+      val extra = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => Seq(
+          F.min(c.cast("long")).as(s"${f.name}__min"),
+          F.max(c.cast("long")).as(s"${f.name}__max"))
+        case StringType => Seq(
+          F.min(F.length(c)).cast("long").as(s"${f.name}__min_len"),
+          F.max(F.length(c)).cast("long").as(s"${f.name}__max_len"))
+        case _ => Nil
+      }
+      base ++ extra
+    } :+ F.count(F.lit(1)).as("*__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = row.schema.fieldNames.map { fn =>
+      val Array(col0, metric) = fn.split("__", 2)
+      s"'$col0', '$metric', CAST(`$fn` AS BIGINT)"
+    }.mkString(", ")
+    row.select(F.expr(
+      s"stack(${row.schema.fieldNames.length}, $stackArgs)")
+      .as(Seq("col_name", "metric", "value")))
+  }
+
   /** Benford's-law first-digit audit (Benford 1938; the classic
     * fabricated-numbers detector for naturally-scaled positive data —
     * amounts, populations, file sizes): observed leading-digit shares vs

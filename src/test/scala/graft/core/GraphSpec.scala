@@ -355,6 +355,20 @@ class GraphSpec extends SparkSpec {
       hitsMap(Seq.empty[(Long, Long)], iters = 1))
   }
 
+  test("degreeStats and reciprocity: hand graph, loops/parallels collapsed") {
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 3L))
+      .toDF("src", "dst")
+    val d = Graph.degreeStats(e).as[(Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // parallel 1→2 collapsed; self-loop 3→3 counts in both directions
+    assert(d(1L) == ((2L, 1L, 3L)))
+    assert(d(2L) == ((1L, 1L, 2L)))
+    assert(d(3L) == ((1L, 2L, 3L)))
+    val r = Graph.reciprocity(e).as[(Long, Long, Long)].collect().head
+    // loops dropped: 3 edges, 1→2/2→1 reciprocated
+    assert(r == ((3L, 2L, 666666L)))
+  }
+
   test("coreNumbers: brute-force coreness parity, caps at maxK") {
     val edges = (for (u <- 0L until 40L; j <- 1L to 4L)
       yield (u, (u * 13 + j * j * 7) % 40)).filter(e => e._1 != e._2)

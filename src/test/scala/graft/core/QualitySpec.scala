@@ -53,6 +53,24 @@ class QualitySpec extends SparkSpec {
     assert(r(("in_set", "s")) == ((700000L, 800000L, false)))
   }
 
+  test("profile: typed metrics per column in one pass, long format") {
+    val df = Seq((Some(5L), "alpha", 1.5), (None, "be", 1.5),
+      (Some(2L), "alpha", 2.0)).toDF("id", "name", "score")
+    val p = Quality.profile(df.repartition(2))
+      .as[(String, String, Option[Long])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(p(("*", "rows")).contains(3L))
+    assert(p(("id", "nulls")).contains(1L))
+    assert(p(("id", "distinct")).contains(2L))
+    assert(p(("id", "min")).contains(2L) && p(("id", "max")).contains(5L))
+    assert(p(("name", "distinct")).contains(2L))
+    assert(p(("name", "min_len")).contains(2L))
+    assert(p(("name", "max_len")).contains(5L))
+    assert(p(("score", "distinct")).contains(2L)) // doubles: no min/max
+    assert(!p.contains(("score", "min")))
+    assert(p.size == 4 + 4 + 2 + 1)
+  }
+
   test("empty suite rejected; empty table passes ratio rules vacuously") {
     intercept[IllegalArgumentException](Quality.check(
       Seq((1L, 1L)).toDF("a", "b"), Nil))
