@@ -2521,6 +2521,25 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "analytics_survival" -> ((s, d) =>
+      // churn life table: per-user activity span in HOURS (event = ever
+      // purchased, else censored) → at-risk suffix counts via the
+      // distributed prefix sum + exact hazards
+      graft.core.Funnel.survivalHazard(
+        Tables.events(s, d).groupBy("user_id").agg(
+          F.expr("(max(unix_micros(ts)) - min(unix_micros(ts)))"
+            + " div 3600000000").as("dur"),
+          F.max(F.when(F.col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ev")),
+        "dur", "ev")),
+    "analytics_ltv" -> ((s, d) =>
+      // DAILY cohort LTV curves: value cents (floor in BOTH engines —
+      // casts disagree on rounding), cumulative per cohort age, floored
+      // per-user cumulative
+      graft.core.Funnel.ltvCohorts(
+        Tables.events(s, d).withColumn("cents",
+          F.floor(F.col("value") * 100).cast("long")),
+        "user_id", "ts", "cents", periodSeconds = 86400L)),
     "graph_degrees" -> ((s, d) =>
       // per-node degree triple of the directed query→item purchase graph
       // (users: in 0; items: out 0) — the skew probe run before any wedge
@@ -6983,6 +7002,45 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "analytics_survival" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS t,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS tot,
+        |    CAST(sum(e) AS BIGINT) AS events,
+        |    CAST(count(*) - sum(e) AS BIGINT) AS censored
+        |  FROM per GROUP BY 1),
+        |nn AS (SELECT CAST(sum(tot) AS BIGINT) AS n FROM g),
+        |c AS (SELECT t, tot, events, censored,
+        |    CAST(sum(tot) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM g)
+        |SELECT t, nn.n - (cum - tot) AS n_at_risk, events, censored,
+        |  (events * 1000000) // (nn.n - (cum - tot)) AS hazard_ppm
+        |FROM c, nn""".stripMargin,
+    "analytics_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id AS ent, epoch_us(ts) // 86400000000 AS p,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT ent, min(p) AS cohort_period FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_period, CAST(count(*) AS BIGINT) AS size
+        |       FROM f GROUP BY 1),
+        |cells AS (SELECT f.cohort_period,
+        |    e.p - f.cohort_period AS age_periods,
+        |    CAST(count(DISTINCT e.ent) AS BIGINT) AS users_active,
+        |    CAST(sum(e.cents) AS BIGINT) AS cents
+        |  FROM e JOIN f ON e.ent = f.ent GROUP BY 1, 2),
+        |c AS (SELECT cohort_period, age_periods, users_active, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY cohort_period
+        |      ORDER BY age_periods ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM cells)
+        |SELECT c.cohort_period, c.age_periods, c.users_active, c.cents,
+        |  c.cum_cents, c.cum_cents // sz.size AS cum_cents_per_user
+        |FROM c JOIN sz ON c.cohort_period = sz.cohort_period""".stripMargin,
     "graph_degrees" ->
       s"""$interactionsSql,
          |e AS (SELECT DISTINCT query_id AS src, item_id + 1000000 AS dst

@@ -207,6 +207,76 @@ object Funnel {
         F.col("r_score") * 100L + F.col("f_score") * 10L + F.col("m_score"))
   }
 
+  /** Survival-analysis hazard table (the life-table half of
+    * Kaplan–Meier, kept EXACT): per distinct duration t, the at-risk
+    * count (entities surviving to t), observed events and censorings at
+    * t, and the discrete hazard `d_t·10⁶ div n_t` — all BIGINT (the full
+    * KM curve is a cumulative PRODUCT of rationals, not integer-
+    * representable; the hazard table is what it's built from and what
+    * churn analysis actually reads). Input: ONE row per entity with an
+    * integral duration and a 0/1 event flag (1 = event observed,
+    * 0 = censored at t).
+    *
+    * Scale: one |durations|-sized groupBy, then the at-risk counts via
+    * the DISTRIBUTED prefix sum over the grouped frame
+    * (`n_t = N − (#shorter durations)`) — no global window, no driver
+    * loop; output ∝ distinct durations (bucket first if unbounded).
+    * Output: (t, n_at_risk, events, censored, hazard_ppm). */
+  def survivalHazard(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val per = df.select(F.col(durationCol).cast("long").as("t"),
+      F.col(eventCol).cast("long").as("_e"))
+    val g = per.groupBy("t")
+      .agg(F.count(F.lit(1)).as("_tot"), F.sum("_e").as("events"),
+        (F.count(F.lit(1)) - F.sum("_e")).as("censored"))
+    val total = g.agg(F.sum("_tot").as("_n"))
+    Ops.globalCumsum(g, "_tot", "_cum", F.col("t"))
+      .crossJoin(F.broadcast(total))
+      .select(F.col("t"),
+        (F.col("_n") - (F.col("_cum") - F.col("_tot"))).as("n_at_risk"),
+        F.col("events"), F.col("censored"))
+      .withColumn("hazard_ppm", F.expr("(events * 1000000) div n_at_risk"))
+  }
+
+  /** Cohort LTV curves: entities cohorted by the period of their FIRST
+    * event (weekly by default, exact µs integer division), then each
+    * (cohort, age) cell accumulates value — active entities, period
+    * cents, running cumulative cents, and the per-entity cumulative
+    * `cum_cents div cohort_size` (floor). The revenue twin of
+    * [[retentionCohorts]]: "how much has the March cohort earned by week
+    * 6". Value must be integral (cents — cast up-front).
+    *
+    * Scale: one per-entity first-ts aggregation, one (cohort, age)
+    * groupBy, the cumulative via a window partitioned BY COHORT (frame =
+    * that cohort's ages, never the data), cohort sizes broadcast back.
+    * Output: (cohort_period, age_periods, users_active, cents,
+    * cum_cents, cum_cents_per_user). */
+  def ltvCohorts(events0: DataFrame, entityCol: String, tsCol: String,
+      centsCol: String, periodSeconds: Long = 604800L): DataFrame = {
+    require(periodSeconds > 0, s"ltvCohorts: periodSeconds=$periodSeconds")
+    val events = Ops.ensureTimestamp(events0, tsCol)
+    val pUs = periodSeconds * 1000000L
+    val e = events.select(F.col(entityCol).as("_ent"),
+      F.expr(s"unix_micros(`$tsCol`) div ${pUs}L").as("_p"),
+      F.col(centsCol).cast("long").as("_cents"))
+    val firsts = e.groupBy("_ent").agg(F.min("_p").as("cohort_period"))
+    val sizes = firsts.groupBy("cohort_period")
+      .agg(F.count(F.lit(1)).as("_size"))
+    val cells = e.join(firsts, Seq("_ent"))
+      .withColumn("age_periods", F.col("_p") - F.col("cohort_period"))
+      .groupBy("cohort_period", "age_periods")
+      .agg(F.count_distinct(F.col("_ent")).as("users_active"),
+        F.sum("_cents").as("cents"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("cohort_period").orderBy(F.col("age_periods"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    cells.withColumn("cum_cents", F.sum("cents").over(w))
+      .join(F.broadcast(sizes), Seq("cohort_period"))
+      .withColumn("cum_cents_per_user",
+        F.expr("cum_cents div _size"))
+      .drop("_size")
+  }
+
   def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieCol: String, gapSeconds: Long,
       minCount: Long = 1L): DataFrame = {

@@ -180,6 +180,37 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("survivalHazard: at-risk suffix counts and exact hazards") {
+    val df = Seq((1L, 1L), (1L, 0L), (2L, 1L), (3L, 0L))
+      .toDF("dur", "ev").repartition(3)
+    val r = Funnel.survivalHazard(df, "dur", "ev")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((4L, 1L, 1L, 250000L)))
+    assert(r(2L) == ((2L, 1L, 0L, 500000L)))
+    assert(r(3L) == ((1L, 0L, 1L, 0L)))
+  }
+
+  test("ltvCohorts: first-event cohorts, cumulative cents, per-user floor") {
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, t(0, 1), 100L), (1L, t(1, 2), 50L), // u1: cohort day 0
+      (2L, t(0, 5), 0L), (2L, t(1, 1), 10L),   // u2: cohort day 0
+      (3L, t(1, 3), 7L))                        // u3: cohort day 1
+      .toDF("u", "ts", "cents")
+    val r = Funnel.ltvCohorts(rows.repartition(3), "u", "ts", "cents",
+        periodSeconds = 86400L)
+      .select("cohort_period", "age_periods", "users_active", "cents",
+        "cum_cents", "cum_cents_per_user")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
+    val c0 = r.keys.map(_._1).min // day-0 cohort period id
+    assert(r((c0, 0L)) == ((2L, 100L, 100L, 50L)))
+    assert(r((c0, 1L)) == ((2L, 60L, 160L, 80L)))
+    assert(r((c0 + 1, 0L)) == ((1L, 7L, 7L, 7L)))
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)
