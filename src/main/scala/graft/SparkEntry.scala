@@ -2521,6 +2521,36 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "window_forward_fill" -> ((s, d) =>
+      // LOCF gap repair: every 7th event's cents masked to NULL, then
+      // forward-filled per user in (ts, event_id) order
+      graft.core.Ops.forwardFill(
+        Tables.events(s, d).withColumn("cents",
+          F.when(F.col("event_id") % 7 === 0, F.lit(null))
+            .otherwise(F.floor(F.col("value") * 100).cast("long"))),
+        Seq("user_id"), "ts", "cents", Seq("event_id"))
+        .select("event_id", "user_id", "cents", "cents_filled")),
+    "scalar_json_extract" -> ((s, d) =>
+      // JSON property extraction at scan time (get_json_object — the
+      // engine-native path; the oracle mirrors with a regex): per
+      // extracted k, event count + exact cents sum
+      Tables.events(s, d)
+        .withColumn("k",
+          F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.floor(F.col("value") * 100).cast("long")).as("cents"))),
+    "analytics_pivot" -> ((s, d) =>
+      // wide per-user behaviour matrix: pivot on the FIXED event-type
+      // catalog (never a distinct-collect), counts with missing cells
+      // zeroed
+      Tables.events(s, d).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(F.col("user_id") +: Seq("click", "error", "purchase",
+          "signup", "view").map(c =>
+          F.coalesce(F.col(c), F.lit(0L)).as(c)): _*)),
     "analytics_survival" -> ((s, d) =>
       // churn life table: per-user activity span in HOURS (event = ever
       // purchased, else censored) → at-risk suffix counts via the
@@ -7002,6 +7032,36 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "window_forward_fill" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |      ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS cents_filled
+        |FROM m""".stripMargin,
+    "scalar_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+        |    AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "analytics_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "analytics_survival" ->
       """WITH per AS (
         |  SELECT user_id,

@@ -1115,6 +1115,22 @@ object Ops {
         F.expr("(cnt * 1000000) div _tot").as("prob_ppm"))
   }
 
+  /** Per-key forward fill (LOCF — last observation carried forward): null
+    * cells take the key's most recent non-null value in (ts, tie) order;
+    * leading nulls stay null (nothing to carry). The gap-repair step
+    * ahead of any equal-spacing assumption (seasonal baselines, lag
+    * features, resampling). ONE keyed window (`last(x, ignoreNulls)` is
+    * O(1) running state — no buffer), a key's rows never leave its
+    * partition. Adds `<valueCol>_filled`. */
+  def forwardFill(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (F.col(tsCol) +: tieCols.map(F.col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_filled",
+      F.last(F.col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Lakehouse compaction planner: assign files (or any sized work items)
     * to target-sized bins by CUMULATIVE FILL along a caller-fixed total
     * order — `bin = (cumsum − size) div targetSize`, i.e. a file belongs

@@ -844,6 +844,22 @@ class OpsSpec extends SparkSpec {
       Ops.compactionBins(df, "sz", 0L, F.col("id")))
   }
 
+  test("forwardFill: LOCF per key, leading nulls stay, keys isolated") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    val df = Seq(
+      ("a", ts(1), 1L, None), ("a", ts(2), 2L, Some(10L)),
+      ("a", ts(3), 3L, None), ("a", ts(4), 4L, None),
+      ("a", ts(5), 5L, Some(7L)), ("a", ts(6), 6L, None),
+      ("b", ts(1), 7L, None)) // other key: no bleed from a
+      .toDF("k", "ts", "id", "v")
+    val r = Ops.forwardFill(df.repartition(3), Seq("k"), "ts", "v", Seq("id"))
+      .select("id", "v_filled").as[(Long, Option[Long])].collect().toMap
+    assert(r(1L).isEmpty) // leading null: nothing to carry
+    assert(r(2L).contains(10L) && r(3L).contains(10L) && r(4L).contains(10L))
+    assert(r(5L).contains(7L) && r(6L).contains(7L))
+    assert(r(7L).isEmpty)
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
