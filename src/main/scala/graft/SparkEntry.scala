@@ -2521,6 +2521,12 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "analytics_attribution" -> ((s, d) =>
+      // multi-touch attribution with a 2-hour lookback: first/last/linear
+      // credits per channel, exact ppm — the marketing-mix answer the
+      // single-touch join_attribution gate can't give
+      graft.core.Funnel.attributionCredits(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", "purchase", 7200L)),
     "window_forward_fill" -> ((s, d) =>
       // LOCF gap repair: every 7th event's cents masked to NULL, then
       // forward-filled per user in (ts, event_id) order
@@ -7032,6 +7038,32 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "analytics_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS ts,
+        |    event_id AS tie
+        |  FROM events),
+        |conv AS (SELECT u, ts AS cts, tie AS ctie FROM e
+        |         WHERE et = 'purchase'),
+        |tch AS (SELECT u, et AS channel, ts AS tts, tie AS ttie FROM e
+        |        WHERE et <> 'purchase'),
+        |p AS (SELECT c.u, c.cts, c.ctie, t.channel, t.tts, t.ttie
+        |  FROM conv c JOIN tch t ON c.u = t.u
+        |    AND t.tts < c.cts AND t.tts >= c.cts - 7200000000),
+        |o AS (SELECT channel,
+        |    count(*) OVER (PARTITION BY u, cts, ctie) AS k,
+        |    row_number() OVER (PARTITION BY u, cts, ctie
+        |      ORDER BY tts, ttie) AS rf,
+        |    row_number() OVER (PARTITION BY u, cts, ctie
+        |      ORDER BY tts DESC, ttie DESC) AS rl
+        |  FROM p)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch,
+        |  CAST(sum(1000000 // k) AS BIGINT) AS linear_ppm
+        |FROM o GROUP BY 1""".stripMargin,
     "window_forward_fill" ->
       """WITH m AS (
         |  SELECT event_id, user_id, ts,

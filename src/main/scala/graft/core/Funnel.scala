@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Ordered-step funnel analysis over an event log — the product-analytics
   * primitive ("of the users who signed up, how many then viewed, clicked,
@@ -205,6 +206,54 @@ object Funnel {
         score(F.col("monetary"), F.col("_mq"), invert = false).as("m_score"))
       .withColumn("segment",
         F.col("r_score") * 100L + F.col("f_score") * 10L + F.col("m_score"))
+  }
+
+  /** Multi-touch attribution over event streams: every conversion looks
+    * back `windowSeconds` at the user's touchpoints (all non-conversion
+    * events, channel = event type) and credits them under the THREE
+    * standard models at once — first-touch, last-touch, and linear
+    * (each of a conversion's k touches gets `10⁶ div k` ppm, exact
+    * integer division). Output per channel:
+    * (channel, touches, first_touch, last_touch, linear_ppm) where the
+    * ppm column sums to ≈ conversions·10⁶ (minus div-floor leakage).
+    * Touchless conversions are unattributed (absent by construction).
+    *
+    * Scale: one user-keyed range join (pairs bounded by the lookback
+    * window — never #conversions × #touches), one window partitioned BY
+    * CONVERSION (frame = that conversion's touches) for the rank/count,
+    * one |channels|-sized aggregation. (ts, tie) ordering makes first/
+    * last deterministic under simultaneous events. */
+  def attributionCredits(events0: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      conversionType: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"attributionCredits: $windowSeconds")
+    val events = Ops.ensureTimestamp(events0, tsCol)
+      .select(F.col(userCol).as("_u"), F.col(typeCol).as("_type"),
+        F.unix_micros(F.col(tsCol)).as("_ts"),
+        F.col(tieCol).cast("long").as("_tie"))
+    val wUs = windowSeconds * 1000000L
+    val conv = events.filter(F.col("_type") === conversionType)
+      .select(F.col("_u"), F.col("_ts").as("_cts"), F.col("_tie").as("_ctie"))
+    val touch = events.filter(F.col("_type") =!= conversionType)
+      .select(F.col("_u"), F.col("_type").as("channel"),
+        F.col("_ts").as("_tts"), F.col("_tie").as("_ttie"))
+    val pairs = conv.join(touch, Seq("_u"))
+      .filter(F.col("_tts") < F.col("_cts") &&
+        F.col("_tts") >= F.col("_cts") - wUs)
+    val byConv = Window.partitionBy("_u", "_cts", "_ctie")
+    val ordered = pairs
+      .withColumn("_k", F.count(F.lit(1)).over(byConv))
+      .withColumn("_rn_first", F.row_number().over(
+        byConv.orderBy(F.col("_tts").asc, F.col("_ttie").asc)))
+      .withColumn("_rn_last", F.row_number().over(
+        byConv.orderBy(F.col("_tts").desc, F.col("_ttie").desc)))
+    ordered.groupBy("channel")
+      .agg(F.count(F.lit(1)).as("touches"),
+        F.sum(F.when(F.col("_rn_first") === 1, 1L).otherwise(0L))
+          .as("first_touch"),
+        F.sum(F.when(F.col("_rn_last") === 1, 1L).otherwise(0L))
+          .as("last_touch"),
+        F.sum(F.expr("1000000 div _k")).as("linear_ppm"))
   }
 
   /** Survival-analysis hazard table (the life-table half of

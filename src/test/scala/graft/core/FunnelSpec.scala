@@ -211,6 +211,28 @@ class FunnelSpec extends SparkSpec {
     assert(r((c0 + 1, 0L)) == ((1L, 7L, 7L, 7L)))
   }
 
+  test("attributionCredits: first/last/linear hand-computed, window cutoff") {
+    val base = 1700000000000L
+    def t(deltaS: Long) = new java.sql.Timestamp(base + deltaS * 1000)
+    val rows = Seq(
+      (1L, "view", t(-7000), 1L),     // outside every lookback window
+      (1L, "view", t(-120), 2L),
+      (1L, "click", t(-60), 3L),
+      (1L, "purchase", t(0), 4L),     // conv 1: k=2 (view, click)
+      (1L, "click", t(540), 5L),
+      (1L, "purchase", t(600), 6L))   // conv 2: k=3 (view, click, click)
+      .toDF("u", "et", "ts", "id")
+    val r = Funnel.attributionCredits(rows.repartition(3), "u", "et", "ts",
+        "id", "purchase", windowSeconds = 3600L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(r("view") == ((2L, 2L, 0L, 833333L)))   // 500000 + 333333
+    assert(r("click") == ((3L, 0L, 2L, 1166666L))) // 500000 + 2·333333
+    assert(r.size == 2)
+    intercept[IllegalArgumentException](
+      Funnel.attributionCredits(rows, "u", "et", "ts", "id", "purchase", 0L))
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)
