@@ -2521,6 +2521,40 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "join_scd2_lookup" -> ((s, d) => {
+      // point-in-time dimension enrichment: each purchase looks up the
+      // customer's priority state valid AT ITS OWN timestamp against the
+      // scdType2 history — the as-of-the-event leakage guard
+      val feed = graft.core.Ops.ensureTimestamp(Tables.orders(s, d),
+          "o_orderdate")
+        .groupBy(F.col("o_custkey").as("query_id"),
+          F.unix_micros(F.col("o_orderdate")).as("version"))
+        .agg(F.max("o_orderpriority").as("priority"))
+        .withColumn("op", F.lit("upsert"))
+      val h = graft.core.Ops.scdType2(feed, Seq("query_id"), "version")
+      val facts = graft.core.Ops.ensureTimestamp(
+          Tables.interactions(s, d), "timestamp")
+        .withColumn("at", F.unix_micros(F.col("timestamp")))
+      graft.core.Ops.scd2Lookup(facts, h, Seq("query_id"), "at")
+        .select("query_id", "item_id", "session_id", "priority")
+    }),
+    "encode_minmax" -> ((s, d) =>
+      // per-item exact min-max scaling of quantities to ppm (constant
+      // items NULL by contract)
+      graft.core.Ops.minMaxScale(Tables.interactions(s, d),
+        Seq("item_id"), "rating")
+        .select("query_id", "item_id", "session_id", "scaled_ppm")),
+    "streaming_ewma" -> ((s, d) =>
+      // the exact-integer EWMA recurrence run in batch mode; final
+      // smoothed value per user — the oracle replays the whole fold with
+      // list_reduce and //
+      graft.streaming.StreamingOps.streamingEwma(
+        Tables.events(s, d).withColumn("cents",
+          F.floor(F.col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents", 3L, 10L).toDF()
+        .groupBy(F.col("key").as("user_id"))
+        .agg(F.max_by(F.col("ewma"),
+          F.struct(F.col("ts_us"), F.col("tie"))).as("ewma_final"))),
     "analytics_attribution" -> ((s, d) =>
       // multi-touch attribution with a 2-hour lookback: first/last/linear
       // credits per channel, exact ppm — the marketing-mix answer the
@@ -7038,6 +7072,41 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "join_scd2_lookup" ->
+      s"""$interactionsSql,
+         |feed AS (SELECT o_custkey AS cust, epoch_us(o_orderdate) AS v,
+         |    max(o_orderpriority) AS priority
+         |  FROM orders GROUP BY 1, 2),
+         |h AS (SELECT cust, priority, v AS valid_from,
+         |    lead(v) OVER (PARTITION BY cust ORDER BY v) AS valid_to
+         |  FROM feed)
+         |SELECT i.query_id, i.item_id, i.session_id, h.priority
+         |FROM interactions i LEFT JOIN h ON i.query_id = h.cust
+         |  AND epoch_us(i.timestamp) >= h.valid_from
+         |  AND (h.valid_to IS NULL OR epoch_us(i.timestamp) < h.valid_to)"""
+        .stripMargin,
+    "encode_minmax" ->
+      s"""$interactionsSql,
+         |b AS (SELECT item_id, min(CAST(rating AS BIGINT)) AS mn,
+         |    max(CAST(rating AS BIGINT)) AS mx
+         |  FROM interactions GROUP BY 1)
+         |SELECT i.query_id, i.item_id, i.session_id,
+         |  CASE WHEN b.mx > b.mn
+         |    THEN ((CAST(i.rating AS BIGINT) - b.mn) * 1000000)
+         |         // (b.mx - b.mn)
+         |  END AS scaled_ppm
+         |FROM interactions i JOIN b ON i.item_id = b.item_id""".stripMargin,
+    "streaming_ewma" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS c,
+        |    ts, event_id
+        |  FROM events),
+        |l AS (SELECT user_id, list(c ORDER BY ts, event_id) AS xs
+        |      FROM o GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(list_reduce(xs, (acc, x) -> (3 * x + 7 * acc) // 10)
+        |       AS BIGINT) AS ewma_final
+        |FROM l""".stripMargin,
     "analytics_attribution" ->
       """WITH e AS (
         |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS ts,

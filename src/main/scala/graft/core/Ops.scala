@@ -823,6 +823,45 @@ object Ops {
         (F.col("valid_to").isNull || F.col("valid_to") > version))
       .drop("valid_from", "valid_to", "is_current")
 
+  /** Point-in-time enrichment against a [[scdType2]] history: every fact
+    * row picks the dimension attributes valid AT ITS OWN version
+    * (`valid_from ≤ at < valid_to`, NULL-open current rows) — the
+    * per-row generalization of [[scdSnapshotAt]] and the standard
+    * "training features must be as-of the event, not as-of today"
+    * leakage guard. LEFT join: facts before the key's first change (or
+    * with no history at all) keep NULL attributes. The join condition is
+    * equi on the keys with the interval as a residual filter, so the
+    * plan is an ordinary key join (broadcast/sort-merge), never a
+    * cartesian — at most ONE history row matches per fact by the SCD2
+    * interval disjointness invariant. `atCol` must be a facts column in
+    * the history's version units. */
+  def scd2Lookup(facts: DataFrame, history0: DataFrame, keys: Seq[String],
+      atCol: String): DataFrame = {
+    val h = history0.drop("is_current")
+    val cond = keys.map(k => facts(k) === h(k)).reduce(_ && _) &&
+      facts(atCol) >= h("valid_from") &&
+      (h("valid_to").isNull || facts(atCol) < h("valid_to"))
+    keys.foldLeft(facts.join(h, cond, "left"))((df, k) => df.drop(h(k)))
+      .drop("valid_from", "valid_to")
+  }
+
+  /** Per-group exact min-max scaling to ppm: `(x − min)·10⁶ div
+    * (max − min)`, NULL for constant groups (zero range carries no
+    * information — emitting 0 or 10⁶ would be an arbitrary choice
+    * downstream models silently learn). Integral values; one group-sized
+    * aggregation joined back on the group key. Adds `scaled_ppm`. */
+  def minMaxScale(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = F.col(valueCol).cast("long")
+    val b = df.groupBy(keys.map(F.col): _*)
+      .agg(F.min(v).as("_mn"), F.max(v).as("_mx"))
+    df.join(b, keys)
+      .withColumn("scaled_ppm",
+        F.when(F.col("_mx") > F.col("_mn"), F.expr(
+          s"((CAST($valueCol AS BIGINT) - _mn) * 1000000) div (_mx - _mn)")))
+      .drop("_mn", "_mx")
+  }
+
   /** Trailing event-time rolling aggregates per key: for every row, the
     * COUNT and exact integer SUM of `valueCol` over that key's rows in
     * `[ts − windowSeconds, ts]` (inclusive both ends; simultaneous rows

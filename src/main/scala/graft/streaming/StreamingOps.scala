@@ -424,6 +424,56 @@ object StreamingOps {
       }
   }
 
+  final case class EwmaEvent(key: Long, ts_us: Long, tie: Long, value: Long)
+  final case class EwmaState(init: Boolean, s: Long)
+  final case class EwmaPoint(key: Long, ts_us: Long, tie: Long, value: Long,
+    ewma: Long)
+
+  /** Streaming exponentially-weighted moving average per key with a
+    * RATIONAL smoothing factor α = num/den, kept exact:
+    *
+    *   s_1 = x_1          s_t = (num·x_t + (den−num)·s_{t−1}) div den
+    *
+    * — the inherently sequential recurrence as a 2-scalar
+    * flatMapGroupsWithState (the [[streamingCusum]] shape), emitting the
+    * smoothed value per arrival in append mode. The integer recurrence
+    * makes a FOLD the oracle can replay (SQL `list_reduce` with `//`);
+    * float EWMA would drift per engine. In-order delivery per key
+    * assumed across batches; within a batch rows sort by (ts, tie).
+    * State O(keys) forever. Overflow: den·max|x| < 2⁶³. */
+  def streamingEwma(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, alphaNum: Long,
+      alphaDen: Long): Dataset[EwmaPoint] = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"streamingEwma: alpha=$alphaNum/$alphaDen must be in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = graft.core.Ops.ensureTimestamp(events, tsCol)
+      .select(F.col(keyCol).cast("long").as("key"),
+        F.unix_micros(F.col(tsCol)).as("ts_us"),
+        F.col(tieCol).cast("long").as("tie"),
+        F.col(valueCol).cast("long").as("value"))
+      .as[EwmaEvent]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.tie))
+          var st = state.getOption.getOrElse(EwmaState(false, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[EwmaPoint]
+          for (e <- sorted) {
+            val s =
+              if (!st.init) e.value
+              else Math.floorDiv(
+                alphaNum * e.value + (alphaDen - alphaNum) * st.s, alphaDen)
+            st = EwmaState(true, s)
+            out += EwmaPoint(key, e.ts_us, e.tie, e.value, s)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class TransEvent(key: Long, ts_us: Long, tie: Long, typ: String)
   final case class TransLast(ts_us: Long, tie: Long, typ: String)
   final case class TransPair(key: Long, from_type: String, to_type: String,

@@ -860,6 +860,39 @@ class OpsSpec extends SparkSpec {
     assert(r(7L).isEmpty)
   }
 
+  test("scd2Lookup: per-row point-in-time attributes, delete closes, left") {
+    val feed = Seq(
+      (1L, 10L, "a", "upsert"), (1L, 20L, "b", "upsert"),
+      (1L, 30L, "x", "delete"), (2L, 5L, "z", "upsert"))
+      .toDF("k", "version", "attr", "op")
+    val h = Ops.scdType2(feed, Seq("k"), "version")
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 15L), (1L, 20L), (1L, 25L),
+      (1L, 35L), (2L, 99L), (3L, 1L)).toDF("k", "at")
+    val r = Ops.scd2Lookup(facts.repartition(3), h, Seq("k"), "at")
+      .select("k", "at", "attr").as[(Long, Long, Option[String])]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 5L)).isEmpty)          // before first change
+    assert(r((1L, 10L)).contains("a") && r((1L, 15L)).contains("a"))
+    assert(r((1L, 20L)).contains("b") && r((1L, 25L)).contains("b"))
+    assert(r((1L, 35L)).isEmpty)         // closed by the delete at 30
+    assert(r((2L, 99L)).contains("z"))   // open current row
+    assert(r((3L, 1L)).isEmpty)          // key with no history at all
+    assert(r.size == 8)                  // exactly one row per fact
+  }
+
+  test("minMaxScale: exact ppm per group, constant group NULL") {
+    val df = Seq(("g", 10L), ("g", 15L), ("g", 20L),
+      ("c", 7L), ("c", 7L)).toDF("k", "v")
+    val r = Ops.minMaxScale(df.repartition(3), Seq("k"), "v")
+      .select("k", "v", "scaled_ppm")
+      .as[(String, Long, Option[Long])].collect()
+      .map(t => (t._1, t._2) -> t._3).toSet
+    assert(r.contains(("g", 10L) -> Some(0L)))
+    assert(r.contains(("g", 15L) -> Some(500000L)))
+    assert(r.contains(("g", 20L) -> Some(1000000L)))
+    assert(r.contains(("c", 7L) -> None))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }

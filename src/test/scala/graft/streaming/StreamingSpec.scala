@@ -551,6 +551,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchMode, s"streamed=$streamed batch=$batchMode")
   }
 
+  test("streamingEwma: exact integer recurrence across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // x = 3,1,2 at α=7/10: s = 3, (7+9)//10=1, (14+3)//10=1
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(1700000000000L), 1L, 3L),
+      (1L, new java.sql.Timestamp(1700000001000L), 2L, 1L),
+      (1L, new java.sql.Timestamp(1700000002000L), 3L, 2L),
+      (2L, new java.sql.Timestamp(1700000000500L), 4L, -9L)) // s1 = x1
+    val df = rows.toDF("user_id", "ts", "event_id", "v")
+    val batchMode = StreamingOps.streamingEwma(df, "user_id", "ts",
+        "event_id", "v", 7L, 10L)
+      .collect().map(p => (p.key, p.tie) -> p.ewma).toMap
+    assert(batchMode == Map((1L, 1L) -> 3L, (1L, 2L) -> 1L,
+      (1L, 3L) -> 1L, (2L, 4L) -> -9L))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+    val q = StreamingOps.streamingEwma(
+        input.toDF().toDF("user_id", "ts", "event_id", "v"),
+        "user_id", "ts", "event_id", "v", 7L, 10L)
+      .writeStream.format("memory").queryName("sewma")
+      .outputMode("append").start()
+    input.addData(rows.take(1): _*); q.processAllAvailable()
+    input.addData(rows.drop(1): _*); q.processAllAvailable() // state carries s1
+    val streamed = spark.table("sewma").as[StreamingOps.EwmaPoint]
+      .collect().map(p => (p.key, p.tie) -> p.ewma).toMap
+    q.stop()
+    assert(streamed == batchMode, s"streamed=$streamed")
+    intercept[IllegalArgumentException](
+      StreamingOps.streamingEwma(df, "user_id", "ts", "event_id", "v", 11L, 10L))
+  }
+
   test("streamingTransitions: cross-batch pair equals batch lag pairs") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
