@@ -281,4 +281,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no data-sized window expected")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("attribution: user-keyed equi join with range residual, no cartesian") {
+    val plan = optimizedPlan("analytics_attribution")
+    assert(!plan.contains("CartesianProduct"),
+      "conversion×touch pairing must join on the user key")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must ride the equi join as a residual")
+  }
+
+  test("scd2 lookup: equi key join, interval as residual, no cartesian") {
+    val plan = optimizedPlan("join_scd2_lookup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "point-in-time lookup must stay a key join")
+  }
+
+  test("rfm: ONE percentile pass, boundary row broadcast, no global window") {
+    val plan = optimizedPlan("analytics_rfm")
+    assert(!plan.contains("Window"), "no rank windows expected in RFM")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row quintile frame should broadcast")
+  }
+
+  test("chi2 / ab_test: fact joins stay equi; only the marginal grid crosses") {
+    // chi2's rowTot×colTot cross is the DESIGNED |A|×|B| grid (aggregate-
+    // sized, 25 rows here) — the fact-sized orders⋈customer join must
+    // still be an equi hash/merge join
+    val chi = optimizedPlan("analytics_chi2")
+    assert(chi.contains("HashJoin") || chi.contains("SortMergeJoin"),
+      "orders⋈customer should be an equi join")
+    assert(!optimizedPlan("ab_test").contains("CartesianProduct"),
+      "ab_test has no designed cross beyond the 1-row control broadcast")
+  }
+
+  test("target encoding joins the category aggregate back, no window") {
+    val plan = optimizedPlan("encode_target_loo")
+    assert(!plan.contains("Window"),
+      "LOO encode is aggregate+join, never a per-row window over the data")
+  }
 }
