@@ -2521,6 +2521,36 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "privacy_rand_response" -> ((s, d) =>
+      // local-DP randomized response (p=1/4 from the portable hash) over
+      // "did this event purchase", debiased back to an exact ppm share
+      graft.core.Ops.rrDebias(
+        graft.core.Ops.randomizedResponse(
+          Tables.events(s, d)
+            .withColumn("truth", F.col("event_type") === "purchase"),
+          "event_id", "truth", 1L, 4L),
+        "reported", 1L, 4L)),
+    "metrics_cohens_kappa" -> ((s, d) =>
+      // agreement between two document-quality raters (char-length vs
+      // word-count thresholds): exact rational κ, sign after division
+      graft.core.Ops.cohensKappa(
+        Tables.documents(s, d)
+          .withColumn("ra", F.col("n_chars") > 300)
+          .withColumn("rb", F.length(F.col("text")) -
+            F.length(F.translate(F.col("text"), " ", "")) + 1 > 45),
+        "ra", "rb")),
+    "dedup_golden_record" -> ((s, d) =>
+      // survivorship after clustering: doc_id%700 clusters, lang/source
+      // masked on residue patterns — each attribute takes its latest
+      // non-null version
+      graft.core.Ops.goldenRecord(
+        Tables.documents(s, d)
+          .withColumn("lang2", F.when(F.col("doc_id") % 3 === 0, F.lit(null)
+            .cast("string")).otherwise(F.col("lang")))
+          .withColumn("source2", F.when(F.col("doc_id") % 5 === 0,
+            F.lit(null).cast("string")).otherwise(F.col("source")))
+          .withColumn("cluster", F.col("doc_id") % 700),
+        Seq("cluster"), "doc_id", Seq("lang2", "source2"))),
     "join_scd2_lookup" -> ((s, d) => {
       // point-in-time dimension enrichment: each purchase looks up the
       // customer's priority state valid AT ITS OWN timestamp against the
@@ -7072,6 +7102,59 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "privacy_rand_response" ->
+      """WITH rr AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('7:' ||
+        |        CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 4 < 1
+        |    THEN NOT (event_type = 'purchase')
+        |    ELSE event_type = 'purchase' END AS reported
+        |  FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS reported_true
+        |  FROM rr)
+        |SELECT n, reported_true,
+        |  greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+        |    ((reported_true * 4 - 1 * n) * 1000000) // ((4 - 2) * n)))
+        |    AS est_true_ppm
+        |FROM a""".stripMargin,
+    "metrics_cohens_kappa" ->
+      """WITH r AS (
+        |  SELECT CAST(n_chars > 300 AS VARCHAR) AS a,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 > 45
+        |         AS VARCHAR) AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |          FROM r GROUP BY 1, 2),
+        |rt AS (SELECT a AS c, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT b AS c, sum(o) AS ct FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(rt.rt * ct.ct), 0) AS BIGINT)
+        |         AS pe_scaled
+        |       FROM rt JOIN ct ON rt.c = ct.c),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells)
+        |SELECT t.n, t.agree, pe.pe_scaled,
+        |  CASE WHEN t.n * t.n - pe.pe_scaled > 0
+        |    THEN (CASE WHEN t.n * t.agree - pe.pe_scaled < 0
+        |            THEN -1 ELSE 1 END)
+        |         * ((abs(t.n * t.agree - pe.pe_scaled) * 1000000)
+        |            // (t.n * t.n - pe.pe_scaled))
+        |  END AS kappa_ppm
+        |FROM t, pe""".stripMargin,
+    "dedup_golden_record" ->
+      """WITH m AS (
+        |  SELECT doc_id % 700 AS cluster, doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang2,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS source2
+        |  FROM documents)
+        |SELECT cluster,
+        |  arg_max(lang2, CASE WHEN lang2 IS NOT NULL THEN doc_id END)
+        |    AS lang2,
+        |  arg_max(source2, CASE WHEN source2 IS NOT NULL THEN doc_id END)
+        |    AS source2,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM m GROUP BY 1""".stripMargin,
     "join_scd2_lookup" ->
       s"""$interactionsSql,
          |feed AS (SELECT o_custkey AS cust, epoch_us(o_orderdate) AS v,

@@ -1192,6 +1192,86 @@ object Ops {
       .drop("_sz", "_cum")
   }
 
+  /** Randomized response (Warner 1965 — the local-DP mechanism): each
+    * row's boolean is reported truthfully with probability 1−p and
+    * FLIPPED with p = flipNum/flipDen, the coin being the portable hash
+    * of the row id (deterministic, engine-replayable, no RNG state).
+    * ε = ln((1−p)/p). Adds `reported`. Pair with [[rrDebias]]. */
+  def randomizedResponse(df: DataFrame, idCol: String, boolCol: String,
+      flipNum: Long, flipDen: Long, seed: Long = 7L): DataFrame = {
+    require(flipNum > 0 && flipNum * 2 < flipDen,
+      s"randomizedResponse: p=$flipNum/$flipDen must be in (0, 1/2)")
+    val flip = PortableHash.long(seed, F.col(idCol)) % flipDen < flipNum
+    df.withColumn("reported",
+      F.when(flip, !F.col(boolCol)).otherwise(F.col(boolCol)))
+  }
+
+  /** Unbiased estimate of the TRUE positive share from randomized
+    * responses: E[obs] = t(1−p) + (n−t)p ⟹ t̂ = (obs − p·n)/(1−2p),
+    * emitted as exact ppm `(obs·den − num·n)·10⁶ div ((den − 2·num)·n)`
+    * (clamped to [0, 10⁶] — sampling noise can push the raw estimate
+    * outside the simplex). One scalar aggregation. */
+  def rrDebias(df: DataFrame, reportedCol: String, flipNum: Long,
+      flipDen: Long): DataFrame =
+    df.agg(F.count(F.lit(1)).as("n"),
+      F.sum(F.col(reportedCol).cast("long")).as("reported_true"))
+      .withColumn("est_true_ppm",
+        F.greatest(F.lit(0L), F.least(F.lit(1000000L), F.expr(
+          s"((reported_true * $flipDen - $flipNum * n) * 1000000)" +
+            s" div (($flipDen - 2 * $flipNum) * n)"))))
+
+  /** Cohen's κ inter-rater agreement between two categorical columns,
+    * EXACTLY: with the contingency cells o, marginals rt/ct and
+    * N = Σo,
+    *
+    *   κ = (N·agree − Σ_c rt_c·ct_c) / (N² − Σ_c rt_c·ct_c)
+    *
+    * — an integer rational; sign applied AFTER dividing non-negatives
+    * (the [[autocorrStats]] div-vs-floor rule), so `kappa_ppm` is
+    * engine-exact. κ=10⁶ ⟺ perfect agreement, 0 ⟺ chance, negative ⟺
+    * systematic disagreement. One cells groupBy + marginal joins on the
+    * CATEGORY (both raters must label from the same set). Returns one
+    * row (n, agree, pe_scaled, kappa_ppm); NULL κ when the denominator
+    * is 0 (both raters constant). Overflow: N² < 2⁶³. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(F.col(aCol).cast("string").as("a"),
+        F.col(bCol).cast("string").as("b"))
+      .agg(F.count(F.lit(1)).as("o"))
+    val rt = cells.groupBy(F.col("a").as("c")).agg(F.sum("o").as("rt"))
+    val ct = cells.groupBy(F.col("b").as("c")).agg(F.sum("o").as("ct"))
+    val pe = rt.join(ct, Seq("c"), "inner")
+      .agg(F.coalesce(F.sum(F.col("rt") * F.col("ct")), F.lit(0L))
+        .as("pe_scaled"))
+    cells.agg(F.sum("o").as("n"),
+      F.sum(F.when(F.col("a") === F.col("b"), F.col("o")).otherwise(0L))
+        .as("agree"))
+      .crossJoin(F.broadcast(pe))
+      .withColumn("kappa_ppm", F.expr(
+        """CASE WHEN n * n - pe_scaled > 0
+          |  THEN (CASE WHEN n * agree - pe_scaled < 0 THEN -1L ELSE 1L END)
+          |       * ((abs(n * agree - pe_scaled) * 1000000)
+          |          div (n * n - pe_scaled))
+          |END""".stripMargin))
+  }
+
+  /** Golden-record survivorship (the MDM step after duplicate
+    * clustering): per key, each attribute takes its LATEST NON-NULL
+    * value by version — `max_by(col, version-if-non-null)` skips null
+    * cells entirely, so an attribute missing in the newest duplicate
+    * falls back to the freshest row that HAS it; all-null stays null.
+    * Versions must be unique per key (ties have no defined winner —
+    * same contract as scdType2). ONE partial+final groupBy; output =
+    * one row per key. Adds `n_merged`. */
+  def goldenRecord(df: DataFrame, keys: Seq[String], versionCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "goldenRecord: need attribute columns")
+    val aggs = cols.map(c =>
+      F.max_by(F.col(c),
+        F.when(F.col(c).isNotNull, F.col(versionCol))).as(c)) :+
+      F.count(F.lit(1)).as("n_merged")
+    df.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Pearson χ² test of independence between two categorical columns,
     * EXACTLY: the contingency table plus the statistic
     *

@@ -893,6 +893,62 @@ class OpsSpec extends SparkSpec {
     assert(r.contains(("c", 7L) -> None))
   }
 
+  test("randomizedResponse: hash-coin flips exactly, debias formula, clamp") {
+    val df = (1L to 40L).map(i => (i, i % 2 == 0)).toDF("id", "truth")
+    val rr = Ops.randomizedResponse(df.repartition(3), "id", "truth", 1L, 4L)
+    // reported ≡ truth XOR (hash % 4 < 1), checked row-wise via the
+    // same column expression
+    val bad = rr.withColumn("_flip",
+        PortableHash.long(7L, F.col("id")) % 4L < 1L)
+      .filter(F.col("reported") =!= (F.col("truth") =!= F.col("_flip")))
+      .count()
+    assert(bad == 0L)
+    assert(rr.filter(F.col("reported") =!= F.col("truth")).count() > 0L)
+    // hand debias: n=10 reports, 4 true, p=1/4 → (16−10)e6/20 = 300000
+    val hand = ((1 to 4).map(_ => true) ++ (1 to 6).map(_ => false))
+      .toDF("reported")
+    val est = Ops.rrDebias(hand, "reported", 1L, 4L)
+      .select("est_true_ppm").as[Long].collect().head
+    assert(est == 300000L)
+    val clamped = Ops.rrDebias(Seq(false, false).toDF("reported"),
+      "reported", 1L, 4L).select("est_true_ppm").as[Long].collect().head
+    assert(clamped == 0L)
+    intercept[IllegalArgumentException](
+      Ops.randomizedResponse(df, "id", "truth", 2L, 4L))
+  }
+
+  test("cohensKappa: perfect, hand 2×2, systematic disagreement, degenerate") {
+    def run(rows: Seq[(String, String)]) =
+      Ops.cohensKappa(rows.toDF("a", "b").repartition(3), "a", "b")
+        .select("n", "agree", "pe_scaled", "kappa_ppm")
+        .as[(Long, Long, Long, Option[Long])].collect().head
+    val perfect = run(Seq.fill(5)(("x", "x")) ++ Seq.fill(3)(("y", "y")))
+    assert(perfect._4.contains(1000000L))
+    // 2×2: agree 35/50, pe = (25·30 + 25·20)/50² → κ = 500/1250 = 0.4
+    val hand = run(Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")))
+    assert(hand == ((50L, 35L, 1250L, Some(400000L))))
+    assert(run(Seq(("y", "n"), ("n", "y")))._4.contains(-1000000L))
+    assert(run(Seq.fill(3)(("x", "x")))._4.isEmpty) // both constant
+  }
+
+  test("goldenRecord: latest non-null per attribute, all-null stays null") {
+    val df = Seq(
+      (1L, 1L, Some(1L), None: Option[String], None: Option[Long]),
+      (1L, 2L, None, Some("x"), None),
+      (1L, 3L, Some(7L), None, None),
+      (2L, 9L, Some(5L), Some("z"), Some(4L)))
+      .toDF("k", "version", "a", "b", "c")
+    val r = Ops.goldenRecord(df.repartition(3), Seq("k"), "version",
+        Seq("a", "b", "c"))
+      .as[(Long, Option[Long], Option[String], Option[Long], Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((Some(7L), Some("x"), None, 3L)))
+    assert(r(2L) == ((Some(5L), Some("z"), Some(4L), 1L)))
+    intercept[IllegalArgumentException](
+      Ops.goldenRecord(df, Seq("k"), "version", Nil))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
