@@ -2521,6 +2521,14 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "text_keywords" -> ((s, d) =>
+      // per-doc keyword extraction on the exact tf/df rational (TF-IDF
+      // without the libm log), top-3 by (score, term)
+      graft.text.Retrieval.keywords(Tables.documents(s, d), k = 3)),
+    "quality_date_gaps" -> ((s, d) =>
+      // calendar holes in the orders feed: 6 real gaps at sf0.01 —
+      // the backfill planner's worklist
+      graft.core.Quality.dateGaps(Tables.orders(s, d), "o_orderdate")),
     "privacy_rand_response" -> ((s, d) =>
       // local-DP randomized response (p=1/4 from the portable hash) over
       // "did this event purchase", debiased back to an exact ppm share
@@ -7102,6 +7110,30 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS u(t)
+        |  WHERE length(t) >= 4),
+        |p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM tok GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |      FROM p GROUP BY 1),
+        |s AS (SELECT p.doc_id, p.term, p.tf, d.df,
+        |    (p.tf * 1000000) // d.df AS score_ppm
+        |  FROM p JOIN d ON p.term = d.term),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_ppm DESC, term ASC) AS rk FROM s)
+        |SELECT doc_id, term, tf, df, score_ppm, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 3""".stripMargin,
+    "quality_date_gaps" ->
+      """WITH d AS (SELECT DISTINCT
+        |    epoch_us(o_orderdate) // 86400000000 AS p FROM orders),
+        |g AS (SELECT p, lag(p) OVER (ORDER BY p) AS prev FROM d)
+        |SELECT prev AS gap_start, p AS gap_end,
+        |  p - prev - 1 AS missing_periods
+        |FROM g WHERE p - prev > 1""".stripMargin,
     "privacy_rand_response" ->
       """WITH rr AS (
         |  SELECT CASE WHEN ('0x' || substr(md5('7:' ||

@@ -164,6 +164,28 @@ object Quality {
       .as(Seq("col_name", "metric", "value")))
   }
 
+  /** Calendar-gap detection — the backfill planner's input: collapse the
+    * data to its DISTINCT periods (`unix µs div unit`), lag over the
+    * period order, and report every hole as
+    * (gap_start, gap_end, missing_periods) where gap_start/gap_end are
+    * the last present / next present period ids. The lag window runs on
+    * the PERIOD frame (calendar-sized — thousands of rows for years of
+    * days), never the data; the distinct is the only data-sized pass.
+    * Output empty ⟺ the calendar is contiguous. */
+  def dateGaps(df: DataFrame, tsCol: String,
+      unitSeconds: Long = 86400L): DataFrame = {
+    require(unitSeconds > 0, s"dateGaps: unitSeconds=$unitSeconds")
+    val uUs = unitSeconds * 1000000L
+    val periods = Ops.ensureTimestamp(df, tsCol)
+      .select(F.expr(s"unix_micros(`$tsCol`) div ${uUs}L").as("_p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(F.col("_p"))
+    periods.withColumn("_prev", F.lag(F.col("_p"), 1).over(w))
+      .filter(F.col("_p") - F.col("_prev") > 1L)
+      .select(F.col("_prev").as("gap_start"), F.col("_p").as("gap_end"),
+        (F.col("_p") - F.col("_prev") - 1L).as("missing_periods"))
+  }
+
   /** Benford's-law first-digit audit (Benford 1938; the classic
     * fabricated-numbers detector for naturally-scaled positive data —
     * amounts, populations, file sizes): observed leading-digit shares vs

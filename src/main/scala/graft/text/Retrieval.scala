@@ -134,6 +134,32 @@ object Retrieval {
     * (rrf desc, doc_id asc), cropped via the bounded heap. Scale: one
     * full-outer equi-join per extra list on (query, doc) — list-sized
     * (≤ queries×k_list rows), never corpus-sized. */
+  /** Per-document keyword extraction on the EXACT tf/df rational: each
+    * document's terms scored `tf·10⁶ div df` (high term frequency, low
+    * corpus frequency — the TF-IDF idea without the libm log, so every
+    * score is engine-exact) and cropped to the top `k` by
+    * (score desc, term asc). Terms shorter than `minLen` are dropped
+    * (articles/punctuation fragments). Built on [[postings]] (ONE
+    * explode+groupBy shuffle) + a |vocab|-sized df aggregation joined
+    * back on the term; the rank window partitions BY DOCUMENT (frame =
+    * one doc's vocabulary, never the corpus). Output:
+    * (idCol, term, tf, df, score_ppm, rank). */
+  def keywords(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 4): DataFrame = {
+    require(k >= 1, s"keywords: need k >= 1, got $k")
+    val post = postings(docs, idCol, textCol)
+      .filter(F.length(F.col("term")) >= minLen)
+    val df = post.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val w = Window.partitionBy(F.col(idCol))
+      .orderBy(F.col("score_ppm").desc, F.col("term").asc)
+    post.join(df, Seq("term"))
+      .withColumn("score_ppm", F.expr("(tf * 1000000) div df"))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("df"),
+        F.col("score_ppm"), F.col("rank"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60,
       queryIdCol: String = "query_id", docIdCol: String = "doc_id"): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one list")

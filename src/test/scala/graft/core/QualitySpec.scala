@@ -71,6 +71,18 @@ class QualitySpec extends SparkSpec {
     assert(p.size == 4 + 4 + 2 + 1)
   }
 
+  test("dateGaps: holes between present periods, contiguous empty") {
+    def t(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 13:00:00")
+    val df = Seq(1, 2, 3, 7, 8, 12, 12).map(d => Tuple1(t(d))).toDF("ts")
+    val gaps = Quality.dateGaps(df.repartition(3), "ts")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // period ids are absolute day numbers; deltas are what matters
+    assert(gaps.map(g => (g._2 - g._1, g._3)) == Seq((4L, 3L), (4L, 3L)))
+    assert(Quality.dateGaps(Seq(1, 2, 3).map(d => Tuple1(t(d))).toDF("ts"),
+      "ts").count() == 0L)
+  }
+
   test("empty suite rejected; empty table passes ratio rules vacuously") {
     intercept[IllegalArgumentException](Quality.check(
       Seq((1L, 1L)).toDF("a", "b"), Nil))

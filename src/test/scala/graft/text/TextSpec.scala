@@ -930,4 +930,22 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixing.repeatToTarget(df, Seq("source"), 0L, Seq("doc_id")))
   }
+
+  test("keywords: exact tf/df scores, tie order, per-doc crop") {
+    import graft.text.Retrieval
+    val docs = Seq(
+      (1L, "apple apple banana nice"),
+      (2L, "banana cherry nice nice"),
+      (3L, "ab delta echo")) // "ab" dropped by minLen
+      .toDF("doc_id", "text")
+    val r = Retrieval.keywords(docs.repartition(3), k = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._6) -> ((t._2, t._5))).toMap
+    assert(r((1L, 1L)) == (("apple", 2000000L))) // tf2 df1
+    assert(r((1L, 2L)) == (("banana", 500000L))) // tie with nice: term asc
+    assert(r((2L, 1L)) == (("cherry", 1000000L))) // tie at 1e6: cherry<nice
+    assert(r((2L, 2L)) == (("nice", 1000000L)))
+    assert(r((3L, 1L))._1 == "delta" && r((3L, 2L))._1 == "echo")
+    assert(r.size == 6)
+  }
 }
