@@ -2327,7 +2327,15 @@ object SparkEntry {
       // non-edges sharing >= 2 neighbors, fixed-point Jaccard — the
       // wedge enumeration and integer division replayed exactly in SQL
       graft.core.Graph.linkPredictions(
-        coPurchaseEdges(s, d), "src", "dst", minCommon = 2L)),
+        coPurchaseEdges(s, d), "src", "dst", minCommon = 2L)
+        .select("a", "b", "cn", "jaccard_ppm")),
+    "graph_link_prediction_ra" -> ((s, d) =>
+      // resource-allocation index over the same non-edges: Σ 1/deg(z) in
+      // exact ppm floors — Adamic–Adar's log-free cousin, accumulated on
+      // the wedge pivot's REAL degree
+      graft.core.Graph.linkPredictions(
+        coPurchaseEdges(s, d), "src", "dst", minCommon = 2L)
+        .select("a", "b", "cn", "ra_ppm")),
     "streaming_funnel" -> ((s, d) =>
       // the stateful streaming funnel run on its BATCH twin — 3-scalar
       // per-user state, same first-touch semantics, same oracle as
@@ -6318,6 +6326,27 @@ object SparkEntry {
         |  (nc.cn * 1000000) // (da.deg + db.deg - nc.cn) AS jaccard_ppm
         |FROM nc JOIN deg da ON nc.x = da.node
         |  JOIN deg db ON nc.y = db.node""".stripMargin,
+    "graph_link_prediction_ra" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+        |    greatest(a.l_partkey, b.l_partkey) AS eb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_orderkey % 40 = 0),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0) GROUP BY 1),
+        |adj AS (SELECT ea AS p, eb AS n FROM e0
+        |        UNION ALL SELECT eb AS p, ea AS n FROM e0),
+        |w AS (SELECT l.p, d.deg AS pdeg, l.n AS x, r.n AS y FROM adj l
+        |      JOIN adj r ON l.p = r.p AND l.n < r.n
+        |      JOIN deg d ON l.p = d.node),
+        |cn AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+        |         CAST(sum(1000000 // pdeg) AS BIGINT) AS ra_ppm
+        |       FROM w GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cn.x AS a, cn.y AS b, cn.cn, cn.ra_ppm
+        |FROM cn WHERE NOT EXISTS (
+        |  SELECT 1 FROM e0 WHERE e0.ea = cn.x AND e0.eb = cn.y)"""
+        .stripMargin,
     "streaming_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

@@ -718,17 +718,26 @@ object Graph {
           org.apache.spark.sql.expressions.Window.partitionBy("_p")
             .orderBy(PortableHash.long(17L, F.col("_n")), F.col("_n"))))
         .filter(F.col("_rk") <= maxNeighbors).drop("_rk")
-    val wedges = adj.select(F.col("_p"), F.col("_n").as("_x"))
-      .join(adj.select(F.col("_p"), F.col("_n").as("_y")), Seq("_p"))
+    // pivot degree rides the wedge so the resource-allocation index
+    // (Zhou et al. 2009 — Σ_z 1/deg(z) over shared neighbors z, the
+    // log-free cousin of Adamic–Adar) accumulates as exact ppm floors
+    val adjDeg = adj.join(
+      deg.select(F.col("_node").as("_p"), F.col("_deg").as("_pdeg")),
+      Seq("_p"))
+    val wedges = adjDeg.select(F.col("_p"), F.col("_pdeg"),
+        F.col("_n").as("_x"))
+      .join(adjDeg.select(F.col("_p"), F.col("_n").as("_y")), Seq("_p"))
       .filter(F.col("_x") < F.col("_y"))
     val cn = wedges.groupBy(F.col("_x"), F.col("_y"))
-      .agg(F.count(F.lit(1)).as("cn"))
+      .agg(F.count(F.lit(1)).as("cn"),
+        F.sum(F.expr("1000000 div _pdeg")).as("ra_ppm"))
       .filter(F.col("cn") >= minCommon)
       .join(e, F.col("_x") === F.col("_a") && F.col("_y") === F.col("_b"),
         "left_anti")
     cn.join(deg.select(F.col("_node").as("_x"), F.col("_deg").as("_dx")), Seq("_x"))
       .join(deg.select(F.col("_node").as("_y"), F.col("_deg").as("_dy")), Seq("_y"))
       .select(F.col("_x").as("a"), F.col("_y").as("b"), F.col("cn"),
-        F.expr("(cn * 1000000) div (_dx + _dy - cn)").as("jaccard_ppm"))
+        F.expr("(cn * 1000000) div (_dx + _dy - cn)").as("jaccard_ppm"),
+        F.col("ra_ppm"))
   }
 }

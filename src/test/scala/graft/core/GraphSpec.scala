@@ -415,8 +415,28 @@ class GraphSpec extends SparkSpec {
       maxNeighbors: Int = Int.MaxValue, parts: Int = 4): Map[(Long, Long), (Long, Long)] =
     Graph.linkPredictions(edges.toDF("src", "dst").repartition(parts),
         minCommon = minCommon, maxNeighbors = maxNeighbors)
+      .select("a", "b", "cn", "jaccard_ppm")
       .as[(Long, Long, Long, Long)].collect()
       .map { case (a, b, cn, j) => (a, b) -> ((cn, j)) }.toMap
+
+  test("linkPredictions: resource-allocation sums exact pivot-degree ppm") {
+    def ra(edges: Seq[(Long, Long)]) =
+      Graph.linkPredictions(edges.toDF("src", "dst").repartition(3))
+        .select("a", "b", "ra_ppm").as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    // path 1-2-3: pivot 2 has deg 2 → ra(1,3) = 500000
+    assert(ra(Seq((1L, 2L), (2L, 3L))) == Map((1L, 3L) -> 500000L))
+    // square diagonals: two pivots of deg 2 each → 1000000
+    assert(ra(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      == Map((1L, 3L) -> 1000000L, (2L, 4L) -> 1000000L))
+    // RA punishes hub pivots where CN can't: hub 0 (deg 8) + private
+    // pivot 9 (deg 2) — (7,8) via the hub only: 125000; (1,2) via hub
+    // AND pivot 9: 125000 + 500000
+    val hub = (1L to 7L).map(l => (0L, l)) ++ Seq((8L, 0L), (1L, 9L), (9L, 2L))
+    val r = ra(hub)
+    assert(r((7L, 8L)) == 125000L)
+    assert(r((1L, 2L)) == 625000L)
+  }
 
   test("linkPredictions: path and square hand-computed, edges excluded") {
     // path 1-2-3: candidate (1,3), cn 1, jaccard 1/(1+1-1) = 1
