@@ -2529,6 +2529,15 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "basket_triples" -> ((s, d) =>
+      // frequent 3-itemsets over order baskets (support ≥ 2) in a FIXED
+      // 2000-way category space (so the statistic stays dense as the
+      // catalog scales) — the Apriori level above the pairwise rules
+      graft.core.Ops.frequentTriples(
+        Tables.lineitem(s, d)
+          .select(F.col("l_orderkey").as("bk"),
+            (F.col("l_partkey") % 2000).as("it")),
+        "bk", "it", minSupport = 2L)),
     "text_keywords" -> ((s, d) =>
       // per-doc keyword extraction on the exact tf/df rational (TF-IDF
       // without the libm log), top-3 by (score, term)
@@ -7139,6 +7148,15 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "basket_triples" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey % 2000 AS item
+        |  FROM lineitem)
+        |SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |  JOIN it c ON b.bk = c.bk AND b.item < c.item
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
     "text_keywords" ->
       """WITH tok AS (
         |  SELECT doc_id, t AS term

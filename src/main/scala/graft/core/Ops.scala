@@ -1192,6 +1192,34 @@ object Ops {
       .drop("_sz", "_cum")
   }
 
+  /** Frequent 3-itemsets over baskets (the Apriori level the pairwise
+    * AssociationRules model stops short of): per basket the C(n,3)
+    * ordered triples a<b<c via a double self-join on the basket key,
+    * counted and support-thresholded. The blowup is per-BASKET cubic, so
+    * `maxBasket` drops jumbo baskets before the join (the ItemKNN
+    * maxUserHistory contract — at 100 TB one 10⁶-item basket would
+    * otherwise emit 10¹⁸ rows); duplicates inside a basket collapse
+    * first. Output: (item_a, item_b, item_c, support). */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1 && maxBasket >= 3,
+      s"frequentTriples: minSupport=$minSupport maxBasket=$maxBasket")
+    val items = df.select(F.col(basketCol).as("_bk"),
+      F.col(itemCol).cast("long").as("_it")).distinct()
+    val sized = items.join(
+      items.groupBy("_bk").agg(F.count(F.lit(1)).as("_n"))
+        .filter(F.col("_n") <= maxBasket).select("_bk"),
+      Seq("_bk"), "left_semi")
+    val a = sized.select(F.col("_bk"), F.col("_it").as("item_a"))
+    val b = sized.select(F.col("_bk"), F.col("_it").as("item_b"))
+    val c = sized.select(F.col("_bk"), F.col("_it").as("item_c"))
+    a.join(b, Seq("_bk")).filter(F.col("item_a") < F.col("item_b"))
+      .join(c, Seq("_bk")).filter(F.col("item_b") < F.col("item_c"))
+      .groupBy("item_a", "item_b", "item_c")
+      .agg(F.count(F.lit(1)).as("support"))
+      .filter(F.col("support") >= minSupport)
+  }
+
   /** Randomized response (Warner 1965 — the local-DP mechanism): each
     * row's boolean is reported truthfully with probability 1−p and
     * FLIPPED with p = flipNum/flipDen, the coin being the portable hash

@@ -949,6 +949,28 @@ class OpsSpec extends SparkSpec {
       Ops.goldenRecord(df, Seq("k"), "version", Nil))
   }
 
+  test("frequentTriples: C(n,3) per basket, support filter, jumbo cap") {
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 3L),     // dup collapses
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),     // C(4,3)=4 triples
+      (3L, 1L), (3L, 2L))                          // too small
+      .toDF("bk", "it")
+    val all = Ops.frequentTriples(baskets.repartition(3), "bk", "it",
+        minSupport = 1L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    assert(all((1L, 2L, 3L)) == 2L) // in baskets 1 and 2
+    assert(all((1L, 2L, 4L)) == 1L && all((2L, 3L, 4L)) == 1L)
+    assert(all.size == 4)
+    val sup = Ops.frequentTriples(baskets, "bk", "it", minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sup.toSeq == Seq((1L, 2L, 3L, 2L)))
+    // cap: basket 2 dropped at maxBasket=3 → (1,2,3) support falls to 1
+    val capped = Ops.frequentTriples(baskets, "bk", "it", 1L, maxBasket = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(capped == Seq((1L, 2L, 3L, 1L)))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
