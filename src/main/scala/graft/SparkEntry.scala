@@ -2529,6 +2529,26 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "analytics_bounce" -> ((s, d) =>
+      // session engagement summary at the 30-minute gap rule: bounce
+      // share, events/session, mean duration — all exact integers
+      graft.core.Funnel.sessionStats(Tables.events(s, d),
+        "user_id", "ts", "event_id", 1800L)),
+    "analytics_interarrival" -> ((s, d) =>
+      // per-user inter-arrival µs deltas folded to one row: exact mean,
+      // winsorize-proven 6dp percentiles
+      graft.core.Ops.interArrivalStats(Tables.events(s, d),
+        Seq("user_id"), "ts", Seq("event_id"))),
+    "quality_skew" -> ((s, d) =>
+      // pre-shuffle key-skew audit of the lineitem part key: top-1/top-10
+      // shares via the bounded heap, exact ppm
+      graft.core.Ops.skewReport(Tables.lineitem(s, d), "l_partkey")),
+    "window_rolling_distinct" -> ((s, d) =>
+      // exact distinct event types per user over a trailing 6-hour RANGE
+      // frame (simultaneous rows are peers)
+      graft.core.Ops.rollingDistinct(Tables.events(s, d),
+        Seq("user_id"), "ts", "event_type", 21600L)
+        .select("event_id", "user_id", "rolling_distinct")),
     "basket_triples" -> ((s, d) =>
       // frequent 3-itemsets over order baskets (support ≥ 2) in a FIXED
       // 2000-way category space (so the statistic stays dense as the
@@ -7148,6 +7168,67 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "analytics_bounce" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev < 1800000000
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM o),
+        |g AS (SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m),
+        |sx AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n,
+        |    max(us) - min(us) AS dur
+        |  FROM g GROUP BY 1, 2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS sessions,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bounces,
+        |    CAST(sum(n) AS BIGINT) AS ev,
+        |    CAST(sum(dur) AS BIGINT) AS durtot
+        |  FROM sx)
+        |SELECT sessions, bounces,
+        |  (bounces * 1000000) // sessions AS bounce_ppm,
+        |  (ev * 1000000) // sessions AS events_per_session_ppm,
+        |  durtot // sessions AS mean_duration_us
+        |FROM a""".stripMargin,
+    "analytics_interarrival" ->
+      """WITH o AS (
+        |  SELECT epoch_us(ts)
+        |    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS d
+        |  FROM events),
+        |f AS (SELECT d FROM o WHERE d IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d) AS BIGINT) // count(*) AS mean_us,
+        |  round(quantile_cont(d, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(d, 0.9), 6) AS p90_us
+        |FROM f""".stripMargin,
+    "quality_skew" ->
+      """WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(max(c) AS BIGINT) AS top1_rows,
+        |    CAST(sum(c) AS BIGINT) AS top10_rows
+        |  FROM (SELECT c FROM c ORDER BY c DESC LIMIT 10)),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS rows,
+        |    CAST(count(*) AS BIGINT) AS keys FROM c)
+        |SELECT a.rows, a.keys, t.top1_rows, t.top10_rows,
+        |  (t.top1_rows * 1000000) // a.rows AS top1_share_ppm,
+        |  (t.top10_rows * 1000000) // a.rows AS top10_share_ppm
+        |FROM a, t""".stripMargin,
+    "window_rolling_distinct" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT CAST(count(DISTINCT e2.event_type) AS BIGINT)
+        |   FROM events e2
+        |   WHERE e2.user_id = e.user_id
+        |     AND epoch_us(e2.ts)
+        |         BETWEEN epoch_us(e.ts) - 21600000000 AND epoch_us(e.ts))
+        |    AS rolling_distinct
+        |FROM events e""".stripMargin,
     "basket_triples" ->
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey % 2000 AS item

@@ -208,6 +208,37 @@ object Funnel {
         F.col("r_score") * 100L + F.col("f_score") * 10L + F.col("m_score"))
   }
 
+  /** Session-level engagement summary under the gap rule ([[sessionPaths]]'
+    * sessionization, Sessionizer-identical): one row —
+    * (sessions, bounces, bounce_ppm, events_per_session_ppm,
+    * mean_duration_us) — bounce = single-event session, every cell an
+    * exact integer (means as `Σ·10⁶ div n` / `Σ div n`). One keyed
+    * window + a session-sized aggregation + a 1-row fold. */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"need gapSeconds > 0, got $gapSeconds")
+    val ev = Ops.ensureTimestamp(events, tsCol)
+    val w = Window.partitionBy(F.col(userCol))
+      .orderBy(F.unix_micros(F.col(tsCol)).asc, F.col(tieCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val sess = ev
+      .withColumn("_us", F.unix_micros(F.col(tsCol)))
+      .withColumn("_new", F.when(
+        F.col("_us") - F.lag("_us", 1).over(w) >= gapUs, 1L)
+        .otherwise(F.lit(0L)))
+      .withColumn("_sess", F.sum("_new").over(w))
+      .groupBy(F.col(userCol), F.col("_sess"))
+      .agg(F.count(F.lit(1)).as("_n"),
+        (F.max("_us") - F.min("_us")).as("_dur"))
+    sess.agg(F.count(F.lit(1)).as("sessions"),
+      F.sum(F.when(F.col("_n") === 1L, 1L).otherwise(0L)).as("bounces"),
+      F.sum("_n").as("_ev"), F.sum("_dur").as("_durTot"))
+      .select(F.col("sessions"), F.col("bounces"),
+        F.expr("(bounces * 1000000) div sessions").as("bounce_ppm"),
+        F.expr("(_ev * 1000000) div sessions").as("events_per_session_ppm"),
+        F.expr("_durTot div sessions").as("mean_duration_us"))
+  }
+
   /** Multi-touch attribution over event streams: every conversion looks
     * back `windowSeconds` at the user's touchpoints (all non-conversion
     * events, channel = event type) and credits them under the THREE

@@ -1192,6 +1192,69 @@ object Ops {
       .drop("_sz", "_cum")
   }
 
+  /** Inter-arrival-time summary: per-key consecutive (ts, tie)-ordered
+    * deltas in µs, folded to ONE row — (n, mean_us exact `Σ div n`,
+    * p50_us / p90_us as the 6-decimal-rounded exact percentiles — the
+    * winsorize-proven cross-engine form). The load-model input (arrival
+    * burstiness, watermark sizing). One keyed lag window + one
+    * aggregation. */
+  def interArrivalStats(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val order = (F.unix_micros(F.col(tsCol)) +: tieCols.map(F.col))
+      .map(_.asc)
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(order: _*)
+    val deltas = ensureTimestamp(df, tsCol)
+      .withColumn("_us", F.unix_micros(F.col(tsCol)))
+      .withColumn("_d", F.col("_us") - F.lag("_us", 1).over(w))
+      .filter(F.col("_d").isNotNull)
+    deltas.agg(F.count(F.lit(1)).as("n"), F.sum("_d").as("_sum"),
+      F.round(F.percentile(F.col("_d"), F.lit(0.5)), 6).as("p50_us"),
+      F.round(F.percentile(F.col("_d"), F.lit(0.9)), 6).as("p90_us"))
+      .select(F.col("n"), F.expr("_sum div n").as("mean_us"),
+        F.col("p50_us"), F.col("p90_us"))
+  }
+
+  /** Key-skew report ahead of a shuffle: ONE row per audited key column —
+    * (rows, keys, top1_rows, top10_rows, top1_share_ppm, top10_share_ppm)
+    * — the numbers that decide broadcast vs salt vs AQE skew-join before
+    * a 100 TB shuffle is committed. Counts via one groupBy; the top-10
+    * crop via the O(k)-state bounded heap (never a |keys|-wide sort);
+    * ties broken by key for determinism. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(F.col(keyCol).cast("long").as("_k"))
+      .agg(F.count(F.lit(1)).as("_c"))
+    // heap ties at the 10th place pick an arbitrary equal-count key —
+    // irrelevant to the aggregate (tied keys contribute the same count)
+    val top = getTopKRecsBounded(
+      counts.select(F.lit(0L).as("_g"), F.col("_k"),
+        F.col("_c").cast("double").as("_r")), 10, "_g", "_k", "_r")
+      .join(counts, Seq("_k"))
+    val topAgg = top.agg(F.max("_c").as("top1_rows"),
+      F.sum("_c").as("top10_rows"))
+    counts.agg(F.sum("_c").as("rows"), F.count(F.lit(1)).as("keys"))
+      .crossJoin(F.broadcast(topAgg))
+      .select(F.col("rows"), F.col("keys"), F.col("top1_rows"),
+        F.col("top10_rows"),
+        F.expr("(top1_rows * 1000000) div rows").as("top1_share_ppm"),
+        F.expr("(top10_rows * 1000000) div rows").as("top10_share_ppm"))
+  }
+
+  /** Exact rolling distinct count per key over a trailing event-time
+    * window: for every row, |distinct values| among the key's rows in
+    * `[ts − windowSeconds, ts]` (RANGE frame — simultaneous rows are
+    * peers, so ties are deterministic). State per window = the distinct
+    * set, bounded by the window span; for unbounded cardinality swap in
+    * the HLL register sketch. Adds `rolling_distinct`. */
+  def rollingDistinct(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"rollingDistinct: $windowSeconds")
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.unix_micros(F.col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    ensureTimestamp(df, tsCol).withColumn("rolling_distinct",
+      F.size(F.collect_set(F.col(valueCol)).over(w)).cast("long"))
+  }
+
   /** Frequent 3-itemsets over baskets (the Apriori level the pairwise
     * AssociationRules model stops short of): per basket the C(n,3)
     * ordered triples a<b<c via a double self-join on the basket key,

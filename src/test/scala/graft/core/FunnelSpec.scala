@@ -233,6 +233,18 @@ class FunnelSpec extends SparkSpec {
       Funnel.attributionCredits(rows, "u", "et", "ts", "id", "purchase", 0L))
   }
 
+  test("sessionStats: gap rule, bounce share, exact means") {
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val rows = Seq(
+      (1L, t(0), 1L), (1L, t(10), 2L),  // session A: 2 events, 10 s
+      (1L, t(2000), 3L),                // gap ≥ 1800 s → bounce
+      (2L, t(50), 4L))                  // bounce
+      .toDF("u", "ts", "id")
+    val r = Funnel.sessionStats(rows.repartition(3), "u", "ts", "id", 1800L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((3L, 2L, 666666L, 1333333L, 3333333L)))
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)

@@ -971,6 +971,42 @@ class OpsSpec extends SparkSpec {
     assert(capped == Seq((1L, 2L, 3L, 1L)))
   }
 
+  test("interArrivalStats: hand deltas, exact mean, rounded percentiles") {
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // key a deltas: 10s, 20s; key b: 40s → all = [1e7, 2e7, 4e7] µs
+    val df = Seq(("a", t(0), 1L), ("a", t(10), 2L), ("a", t(30), 3L),
+      ("b", t(100), 4L), ("b", t(140), 5L)).toDF("k", "ts", "id")
+    val r = Ops.interArrivalStats(df.repartition(3), Seq("k"), "ts",
+        Seq("id"))
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 == 3L && r._2 == (70000000L / 3L))
+    assert(r._3 == 2.0e7) // median
+    assert(r._4 == 3.6e7) // p90: 2e7 + 0.8·2e7
+  }
+
+  test("skewReport: exact shares, top-10 via the bounded heap") {
+    // key 0: 50 rows, keys 1..20: 1 row each → top1 50/70, top10 59/70
+    val rows = Seq.fill(50)(0L) ++ (1L to 20L)
+    val r = Ops.skewReport(rows.toDF("k").repartition(4), "k")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((70L, 21L, 50L, 59L, 714285L, 842857L)))
+  }
+
+  test("rollingDistinct: trailing range window, ties are peers") {
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val df = Seq(("u", t(0), "a"), ("u", t(5), "b"), ("u", t(5), "a"),
+      ("u", t(30), "c"), ("v", t(0), "z")).toDF("k", "ts", "v")
+    val r = Ops.rollingDistinct(df.repartition(3), Seq("k"), "ts", "v", 10L)
+      .select("k", "ts", "rolling_distinct")
+      .as[(String, java.sql.Timestamp, Long)].collect()
+      .groupBy(x => (x._1, x._2.getTime)).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(r(("u", t(0).getTime)) == Set(1L))  // trailing: t=5 not visible
+    assert(r(("u", t(5).getTime)) == Set(2L))  // peers: both see {a,b}
+    assert(r(("u", t(30).getTime)) == Set(1L)) // window slid past
+    assert(r(("v", t(0).getTime)) == Set(1L))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
