@@ -2529,6 +2529,17 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "analytics_trending" -> ((s, d) =>
+      // weekly item-category trends over purchases: exact
+      // period-over-period growth ppm (fixed 200-way category space)
+      graft.core.Funnel.trending(
+        Tables.interactions(s, d)
+          .withColumn("cat", F.col("item_id") % 200),
+        Seq("cat"), "timestamp")),
+    "analytics_dau" -> ((s, d) =>
+      // DAU/WAU/stickiness over the event stream — trailing-7-day
+      // distinct via the calendar×activity range join
+      graft.core.Funnel.activeUsers(Tables.events(s, d), "user_id", "ts")),
     "analytics_bounce" -> ((s, d) =>
       // session engagement summary at the 30-minute gap rule: bounce
       // share, events/session, mean duration — all exact integers
@@ -7168,6 +7179,34 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "analytics_trending" ->
+      s"""$interactionsSql,
+         |c AS (SELECT item_id % 200 AS cat,
+         |    epoch_us(timestamp) // 604800000000 AS period,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM interactions GROUP BY 1, 2),
+         |l AS (SELECT cat, period, cnt,
+         |    lag(cnt) OVER (PARTITION BY cat ORDER BY period) AS prev_cnt
+         |  FROM c)
+         |SELECT cat, period, cnt, prev_cnt,
+         |  CASE WHEN prev_cnt IS NOT NULL
+         |    THEN (cnt * 1000000) // prev_cnt END AS trend_ppm
+         |FROM l""".stripMargin,
+    "analytics_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS ent,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |wau AS (SELECT days.day,
+        |    CAST(count(DISTINCT ud.ent) AS BIGINT) AS wau
+        |  FROM days JOIN ud ON ud.d <= days.day AND ud.d > days.day - 7
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "analytics_bounce" ->
       """WITH o AS (
         |  SELECT user_id, epoch_us(ts) AS us,

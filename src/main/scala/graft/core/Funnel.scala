@@ -239,6 +239,55 @@ object Funnel {
         F.expr("_durTot div sessions").as("mean_duration_us"))
   }
 
+  /** Period-over-period trending: per (key, period) counts with the
+    * previous period's count and the exact growth ratio
+    * `cnt·10⁶ div prev` (NULL on a key's first period — no baseline).
+    * The "what moved this week" feed. One groupBy + one keyed lag
+    * window over the (key, period) frame — period-sized, never the
+    * data. Output: (keys…, period, cnt, prev_cnt, trend_ppm). */
+  def trending(events0: DataFrame, keys: Seq[String], tsCol: String,
+      periodSeconds: Long = 604800L): DataFrame = {
+    require(periodSeconds > 0, s"trending: periodSeconds=$periodSeconds")
+    val events = Ops.ensureTimestamp(events0, tsCol)
+    val pUs = periodSeconds * 1000000L
+    val cnt = events
+      .withColumn("period", F.expr(s"unix_micros(`$tsCol`) div ${pUs}L"))
+      .groupBy((keys.map(F.col) :+ F.col("period")): _*)
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("period"))
+    cnt.withColumn("prev_cnt", F.lag(F.col("cnt"), 1).over(w))
+      // a GAP period means the key went to zero and back: the ratio is
+      // against the last OBSERVED period by design (documented)
+      .withColumn("trend_ppm",
+        F.when(F.col("prev_cnt").isNotNull,
+          F.expr("(cnt * 1000000) div prev_cnt")))
+  }
+
+  /** Daily/weekly active users and stickiness: per day, DAU = distinct
+    * entities that day, WAU = distinct over the trailing 7 days, and
+    * `stickiness_ppm = DAU·10⁶ div WAU` (the DAU/MAU-style engagement
+    * ratio, exactly). The trailing distinct is a calendar×activity range
+    * join (days frame is calendar-sized) + count_distinct — never a
+    * data-sized window. Output: (day, dau, wau, stickiness_ppm). */
+  def activeUsers(events0: DataFrame, entityCol: String, tsCol: String,
+      trailingDays: Int = 7): DataFrame = {
+    require(trailingDays >= 1, s"activeUsers: trailingDays=$trailingDays")
+    val events = Ops.ensureTimestamp(events0, tsCol)
+    val ud = events.select(F.col(entityCol).as("_ent"),
+      F.expr(s"unix_micros(`$tsCol`) div 86400000000L").as("_day"))
+      .distinct()
+    val dau = ud.groupBy(F.col("_day").as("day"))
+      .agg(F.count(F.lit(1)).as("dau"))
+    val days = ud.select(F.col("_day").as("day")).distinct()
+    val wau = days.join(ud,
+        F.col("_day") <= F.col("day") &&
+        F.col("_day") > F.col("day") - trailingDays)
+      .groupBy("day").agg(F.count_distinct(F.col("_ent")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_ppm", F.expr("(dau * 1000000) div wau"))
+  }
+
   /** Multi-touch attribution over event streams: every conversion looks
     * back `windowSeconds` at the user's touchpoints (all non-conversion
     * events, channel = event type) and credits them under the THREE

@@ -245,6 +245,39 @@ class FunnelSpec extends SparkSpec {
     assert(r == ((3L, 2L, 666666L, 1333333L, 3333333L)))
   }
 
+  test("trending: period-over-period ratio, gap documented, first NULL") {
+    def t(day: Int) = new java.sql.Timestamp(1700000000000L
+      + day.toLong * 86400000L)
+    // key a: day-period counts 2, 4, (gap), 1
+    val rows = Seq(("a", t(0)), ("a", t(0)), ("a", t(1)), ("a", t(1)),
+      ("a", t(1)), ("a", t(1)), ("a", t(3)), ("b", t(0)))
+      .toDF("k", "ts")
+    val r = Funnel.trending(rows.repartition(3), Seq("k"), "ts",
+        periodSeconds = 86400L)
+      .select("k", "cnt", "prev_cnt", "trend_ppm")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    assert(r(("a", 2L)) == ((None, None)))
+    assert(r(("a", 4L)) == ((Some(2L), Some(2000000L))))
+    assert(r(("a", 1L)) == ((Some(4L), Some(250000L)))) // vs last observed
+    assert(r(("b", 1L)) == ((None, None)))
+  }
+
+  test("activeUsers: trailing-window distinct, stickiness exact") {
+    def t(day: Int, u: Long) = (u, new java.sql.Timestamp(1700006400000L
+      + day.toLong * 86400000L))
+    // day0: {1,2}; day1: {2}; day8: {3} (outside day1's window)
+    val rows = Seq(t(0, 1L), t(0, 1L), t(0, 2L), t(1, 2L), t(8, 3L))
+      .toDF("u", "ts")
+    val r = Funnel.activeUsers(rows.repartition(3), "u", "ts")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    val d0 = r.keys.min
+    assert(r(d0) == ((2L, 2L, 1000000L)))
+    assert(r(d0 + 1) == ((1L, 2L, 500000L))) // WAU covers day0 users
+    assert(r(d0 + 8) == ((1L, 1L, 1000000L))) // window slid past day1
+  }
+
   test("empty step cohorts vanish; duplicate step names rejected") {
     val r = run(Seq((1L, "view", ts("2024-01-01 00:00:00"))))
     assert(r.isEmpty)
