@@ -2529,6 +2529,23 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "anomaly_peaks" -> ((s, d) =>
+      // local spikes in each user's cents series: v beats both neighbors
+      // by ≥ 2000 cents; endpoints never peak
+      graft.core.Ops.detectPeaks(
+        Tables.events(s, d).withColumn("cents",
+          F.floor(F.col("value") * 100).cast("long")),
+        Seq("user_id"), "ts", "cents", 2000L, Seq("event_id"))
+        .select("event_id", "user_id", "cents", "is_peak")),
+    "quality_tv_drift" -> ((s, d) => {
+      // distribution drift between the two order-parity halves of the
+      // quantity column: exact half-L1 over the shared 50-bin histogram
+      val li = Tables.lineitem(s, d)
+      def half(m: Int) = graft.core.Sketch.histogramBins(
+        li.filter(F.col("l_orderkey") % 2 === m), "l_quantity",
+        lo = 1.0, hi = 51.0, bins = 50)
+      graft.core.Sketch.tvDistance(half(0), half(1))
+    }),
     "analytics_trending" -> ((s, d) =>
       // weekly item-category trends over purchases: exact
       // period-over-period growth ppm (fixed 200-way category space)
@@ -7179,6 +7196,33 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "anomaly_peaks" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents, ts
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, cents,
+        |    lag(cents) OVER w AS p, lead(cents) OVER w AS nx
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, cents,
+        |  coalesce(p IS NOT NULL AND nx IS NOT NULL
+        |    AND cents >= p + 2000 AND cents >= nx + 2000, false) AS is_peak
+        |FROM l""".stripMargin,
+    "quality_tv_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(l_quantity AS BIGINT) - 1 AS bin,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) - 1 AS bin,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |na AS (SELECT sum(ca) AS n FROM a), nb AS (SELECT sum(cb) AS n FROM b),
+        |j AS (SELECT abs(coalesce(a.ca, 0) * 1000000 // CAST(na.n AS BIGINT)
+        |        - coalesce(b.cb, 0) * 1000000 // CAST(nb.n AS BIGINT)) AS d
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin, na, nb)
+        |SELECT CAST(count(*) AS BIGINT) AS bins,
+        |  CAST(sum(d) AS BIGINT) // 2 AS tv_ppm
+        |FROM j""".stripMargin,
     "analytics_trending" ->
       s"""$interactionsSql,
          |c AS (SELECT item_id % 200 AS cat,

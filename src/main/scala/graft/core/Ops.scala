@@ -1192,6 +1192,28 @@ object Ops {
       .drop("_sz", "_cum")
   }
 
+  /** Local-peak detection per key: a row is a peak when its value
+    * exceeds BOTH ordered neighbors by at least `minMargin`
+    * (`v ≥ prev + m ∧ v ≥ next + m`; series endpoints are never peaks —
+    * one-sided evidence). The spike-finding companion to [[cusumAlarm]]
+    * (level shifts) and [[madOutliers]] (distributional outliers): this
+    * one is about SHAPE. One keyed window (lag+lead share the pass).
+    * Integral values; (ts, tie) ordering. Adds `is_peak`. */
+  def detectPeaks(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, minMargin: Long = 1L,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(minMargin >= 0, s"detectPeaks: minMargin=$minMargin")
+    val order = (F.col(tsCol) +: tieCols.map(F.col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(F.col): _*).orderBy(order: _*)
+    val v = F.col(valueCol).cast("long")
+    df.withColumn("_prev", F.lag(v, 1).over(w))
+      .withColumn("_next", F.lead(v, 1).over(w))
+      .withColumn("is_peak",
+        F.col("_prev").isNotNull && F.col("_next").isNotNull &&
+          v >= F.col("_prev") + minMargin && v >= F.col("_next") + minMargin)
+      .drop("_prev", "_next")
+  }
+
   /** Inter-arrival-time summary: per-key consecutive (ts, tie)-ordered
     * deltas in µs, folded to ONE row — (n, mean_us exact `Σ div n`,
     * p50_us / p90_us as the 6-decimal-rounded exact percentiles — the

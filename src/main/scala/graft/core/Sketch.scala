@@ -356,6 +356,27 @@ object Sketch {
     (r.getDouble(0), r.getDouble(1))
   }
 
+  /** Total-variation distance between two [[histogramBins]] tables —
+    * the libm-free drift metric (PSI's Σ(p−q)ln(p/q) needs a log; TVD
+    * `½·Σ|p_bin − q_bin|` is the exact half-L1 and bounds any
+    * misclassification-rate shift): per-bin ppm shares floored, absolute
+    * differences summed, halved. FULL-outer on the bin id (a bin present
+    * on one side only contributes its whole share). Floor leakage
+    * < #bins ppm — size `unit` accordingly. One |bins|-sized join +
+    * 1-row fold. Returns (bins, tv_ppm). */
+  def tvDistance(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val na = histA.agg(F.sum("counter")).first().getLong(0)
+    val nb = histB.agg(F.sum("counter")).first().getLong(0)
+    require(na > 0 && nb > 0, s"tvDistance: empty histogram (a=$na b=$nb)")
+    histA.select(F.col("bin"), F.col("counter").as("_ca"))
+      .join(histB.select(F.col("bin"), F.col("counter").as("_cb")),
+        Seq("bin"), "full_outer")
+      .select(F.expr(s"abs(coalesce(_ca, 0L) * 1000000 div ${na}L" +
+        s" - coalesce(_cb, 0L) * 1000000 div ${nb}L)").as("_d"))
+      .agg(F.count(F.lit(1)).as("bins"),
+        F.expr("sum(_d) div 2").as("tv_ppm"))
+  }
+
   /** Shard merge for [[histogramBins]] tables: per-bin counter addition. */
   def histogramMerge(shards: DataFrame*): DataFrame =
     shards.reduce(_ unionAll _)

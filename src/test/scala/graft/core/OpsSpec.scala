@@ -1007,6 +1007,20 @@ class OpsSpec extends SparkSpec {
     assert(r(("v", t(0).getTime)) == Set(1L))
   }
 
+  test("detectPeaks: margin rule, endpoints never peak, keys isolated") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")
+    val df = Seq(("a", t(1), 1L, 5L), ("a", t(2), 2L, 9L),
+      ("a", t(3), 3L, 4L), ("a", t(4), 4L, 6L), ("a", t(5), 5L, 6L),
+      ("b", t(1), 6L, 100L)).toDF("k", "ts", "id", "v")
+    def peaks(m: Long) = Ops.detectPeaks(df.repartition(3), Seq("k"), "ts",
+        "v", m, Seq("id"))
+      .filter(F.col("is_peak")).select("id").as[Long].collect().toSet
+    assert(peaks(1L) == Set(2L))        // 9 over (5, 4)
+    assert(peaks(4L) == Set(2L))        // margin 4: 9−5 ✓
+    assert(peaks(5L) == Set.empty[Long]) // 9−5 < 5
+    // plateau 6,6 at the end: id4 fails (next=6 needs +m); endpoint id5 never
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }

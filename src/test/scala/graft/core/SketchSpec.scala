@@ -474,4 +474,18 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.cmsJoinSize(merged, merged).as[Long].head()
       == Sketch.cmsJoinSize(whole, whole).as[Long].head())
   }
+
+  test("tvDistance: identical zero, disjoint full, hand halves, empty throws") {
+    def h(cells: (Long, Long)*) = cells.toSeq.toDF("bin", "counter")
+    def tv(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Sketch.tvDistance(a, b).as[(Long, Long)].collect().head
+    val x = h(0L -> 5L, 1L -> 5L)
+    assert(tv(x, x) == ((2L, 0L)))
+    // disjoint supports → TVD exactly 1
+    assert(tv(h(0L -> 3L), h(1L -> 7L)) == ((2L, 1000000L)))
+    // hand: p = (.5, .5) vs q = (.8, .2) → ½(0.3 + 0.3) = 0.3
+    assert(tv(x, h(0L -> 8L, 1L -> 2L)) == ((2L, 300000L)))
+    intercept[IllegalArgumentException](tv(x, h(0L -> 0L)))
+  }
 }
