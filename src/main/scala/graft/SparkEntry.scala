@@ -2529,6 +2529,12 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "embed_label_centroids" -> ((s, d) =>
+      // exact per-label centroid stats over the int8 codes (float means
+      // are summation-order-sensitive; code sums are BIGINT-exact) —
+      // the embedding-space separation/drift audit
+      graft.text.Quantize.labelCentroids(
+        Tables.embeddings(s, d), "label", "embedding")),
     "anomaly_peaks" -> ((s, d) =>
       // local spikes in each user's cents series: v beats both neighbors
       // by ≥ 2000 cents; endpoints never peak
@@ -7196,6 +7202,24 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "embed_label_centroids" ->
+      """WITH t AS (
+        |  SELECT label, embedding,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+        |  FROM embeddings),
+        |c AS (SELECT label, CAST(p.pos AS BIGINT) AS dim,
+        |    CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE)
+        |                      * 127 / m + 0.5) AS BIGINT) END AS code
+        |  FROM t CROSS JOIN range(0, 64) p(pos))
+        |SELECT CAST(label AS BIGINT) AS label, dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(code) AS BIGINT) AS sum_code,
+        |  (CASE WHEN sum(code) < 0 THEN -1 ELSE 1 END)
+        |    * ((abs(CAST(sum(code) AS BIGINT)) * 1000000)
+        |       // CAST(count(*) AS BIGINT)) AS mean_code_ppm
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "anomaly_peaks" ->
       """WITH s AS (
         |  SELECT event_id, user_id,

@@ -57,6 +57,26 @@ object Quantize {
     df.select(F.col(idCol), int8Codes(F.col(vecCol)).as("codes"),
       int8Scale(F.col(vecCol)).as("scale"))
 
+  /** Exact per-label centroid statistics over the int8 CODES — the
+    * embedding-space drift/separation audit that float averaging can't
+    * give cross-engine (float sums are order-sensitive; int8 code sums
+    * are BIGINT-exact): per (label, dim) the count, code sum and the
+    * signed mean in ppm (`sign·(|Σ|·10⁶ div n)` — sign after dividing
+    * non-negatives, the div-vs-floor rule). Two snapshots' outputs
+    * joined on (label, dim) give centroid drift by subtraction; labels
+    * with diverging centroids separate, collapsing ones don't. ONE
+    * posexplode (d× rows) + a (labels·d)-sized groupBy. */
+  def labelCentroids(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    df.select(F.col(labelCol).cast("long").as("label"),
+        F.posexplode(int8Codes(F.col(vecCol))).as(Seq("dim", "code")))
+      .groupBy(F.col("label"), F.col("dim").cast("long").as("dim"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("code").cast("long")).as("sum_code"))
+      .withColumn("mean_code_ppm", F.expr(
+        """(CASE WHEN sum_code < 0 THEN -1L ELSE 1L END)
+          |  * ((abs(sum_code) * 1000000) div n)""".stripMargin))
+
   /** Round-trip to doubles: quantize, then dequantize — the vector a
     * downstream consumer actually sees. */
   def requantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =

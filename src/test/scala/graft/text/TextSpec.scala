@@ -931,6 +931,23 @@ class TextSpec extends SparkSpec {
       Mixing.repeatToTarget(df, Seq("source"), 0L, Seq("doc_id")))
   }
 
+  test("labelCentroids: exact code sums, signed ppm mean, zero vector") {
+    import graft.text.Quantize
+    val vecs = Seq(
+      (1L, Array(1.0f, -1.0f)),   // codes 127, -127
+      (1L, Array(0.5f, 1.0f)),    // codes 64 (half-up), 127
+      (2L, Array(-1.0f, 0.0f)),   // codes -127, 0
+      (3L, Array(0.0f, 0.0f)))    // zero vector: all-zero codes
+      .toDF("label", "vec")
+    val r = Quantize.labelCentroids(vecs.repartition(3), "label", "vec")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(r((1L, 0L)) == ((2L, 191L, 95500000L)))
+    assert(r((1L, 1L)) == ((2L, 0L, 0L)))
+    assert(r((2L, 0L)) == ((1L, -127L, -127000000L)))
+    assert(r((3L, 0L)) == ((1L, 0L, 0L)) && r((3L, 1L)) == ((1L, 0L, 0L)))
+  }
+
   test("keywords: exact tf/df scores, tie order, per-doc crop") {
     import graft.text.Retrieval
     val docs = Seq(
