@@ -2529,6 +2529,25 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "encode_impute_mode" -> ((s, d) =>
+      // modal imputation: segments masked on a residue pattern get their
+      // nation's most frequent segment back (ties → smallest value)
+      graft.core.Ops.imputeMode(
+        Tables.customer(s, d).withColumn("seg",
+          F.when(F.col("c_custkey") % 7 === 0, F.lit(null).cast("string"))
+            .otherwise(F.col("c_mktsegment"))),
+        Seq("c_nationkey"), "seg")
+        .select("c_custkey", "c_nationkey", "seg", "seg_imputed")),
+    "analytics_weekly_quantiles" -> ((s, d) =>
+      // per-week exact interpolated quantity percentiles (6dp-rounded,
+      // the winsorize-proven cross-engine form) + exact mean
+      Tables.interactions(s, d)
+        .groupBy(F.expr("unix_micros(CAST(timestamp AS TIMESTAMP))"
+          + " div 604800000000").as("week"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.expr("sum(CAST(rating AS BIGINT)) div count(1)").as("mean_qty"),
+          F.round(F.percentile(F.col("rating"), F.lit(0.5)), 6).as("p50"),
+          F.round(F.percentile(F.col("rating"), F.lit(0.9)), 6).as("p90"))),
     "embed_label_centroids" -> ((s, d) =>
       // exact per-label centroid stats over the int8 codes (float means
       // are summation-order-sensitive; code sums are BIGINT-exact) —
@@ -7202,6 +7221,32 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "encode_impute_mode" ->
+      """WITH m AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |cnt AS (SELECT c_nationkey, seg, count(*) AS c FROM m
+        |        WHERE seg IS NOT NULL GROUP BY 1, 2),
+        |md AS (SELECT c_nationkey, seg AS mode FROM (
+        |  SELECT c_nationkey, seg,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c DESC, seg ASC) AS rn
+        |  FROM cnt) WHERE rn = 1)
+        |SELECT m.c_custkey, m.c_nationkey, m.seg,
+        |  coalesce(m.seg, md.mode) AS seg_imputed
+        |FROM m LEFT JOIN md ON m.c_nationkey = md.c_nationkey"""
+        .stripMargin,
+    "analytics_weekly_quantiles" ->
+      s"""$interactionsSql
+         |SELECT epoch_us(timestamp) // 604800000000 AS week,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(rating AS BIGINT)) AS BIGINT) // count(*)
+         |    AS mean_qty,
+         |  round(quantile_cont(rating, 0.5), 6) AS p50,
+         |  round(quantile_cont(rating, 0.9), 6) AS p90
+         |FROM interactions GROUP BY 1""".stripMargin,
     "embed_label_centroids" ->
       """WITH t AS (
         |  SELECT label, embedding,

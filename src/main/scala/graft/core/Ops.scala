@@ -1192,6 +1192,27 @@ object Ops {
       .drop("_sz", "_cum")
   }
 
+  /** Modal imputation: nulls in `valueCol` take their group's MOST
+    * FREQUENT non-null value, ties broken by the smallest value (a total
+    * order both engines share — "the mode" is otherwise undefined).
+    * Groups that are entirely null stay null (no evidence). The
+    * categorical companion to [[forwardFill]] (which needs an order).
+    * One (group, value)-sized count + one argmax per group + one join
+    * back. Adds `<valueCol>_imputed`. */
+  def imputeMode(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val counts = df.filter(F.col(valueCol).isNotNull)
+      .groupBy((keys.map(F.col) :+ F.col(valueCol).as("_v")): _*)
+      .agg(F.count(F.lit(1)).as("_c"))
+    val modes = counts.groupBy(keys.map(F.col): _*)
+      .agg(F.min_by(F.col("_v"),
+        F.struct(F.negate(F.col("_c")).as("_nc"), F.col("_v"))).as("_mode"))
+    df.join(modes, keys, "left")
+      .withColumn(s"${valueCol}_imputed",
+        F.coalesce(F.col(valueCol), F.col("_mode")))
+      .drop("_mode")
+  }
+
   /** Local-peak detection per key: a row is a peak when its value
     * exceeds BOTH ordered neighbors by at least `minMargin`
     * (`v ≥ prev + m ∧ v ≥ next + m`; series endpoints are never peaks —

@@ -1021,6 +1021,24 @@ class OpsSpec extends SparkSpec {
     // plateau 6,6 at the end: id4 fails (next=6 needs +m); endpoint id5 never
   }
 
+  test("imputeMode: group mode fills nulls, ties → smallest, all-null stays") {
+    val df = Seq(
+      ("g", Some("b")), ("g", Some("b")), ("g", Some("a")), ("g", None),
+      ("t", Some("x")), ("t", Some("y")), ("t", None), // tie → 'x'
+      ("z", None))                                      // no evidence
+      .toDF("k", "v")
+    val r = Ops.imputeMode(df.repartition(3), Seq("k"), "v")
+      .select("k", "v", "v_imputed")
+      .as[(String, Option[String], Option[String])].collect()
+    assert(r.filter(x => x._1 == "g" && x._2.isEmpty)
+      .forall(_._3.contains("b")))
+    assert(r.filter(x => x._1 == "t" && x._2.isEmpty)
+      .forall(_._3.contains("x")))
+    assert(r.filter(_._1 == "z").forall(_._3.isEmpty))
+    // non-null cells untouched
+    assert(r.filter(_._2.isDefined).forall(x => x._2 == x._3))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
