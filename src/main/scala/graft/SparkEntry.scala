@@ -2529,6 +2529,19 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "streaming_golden_record" -> ((s, d) =>
+      // the incremental MDM twin run in batch mode on the same masked
+      // feed as dedup_golden_record — per-attribute latest-non-null state
+      graft.streaming.StreamingOps.streamingGoldenRecord(
+        Tables.documents(s, d)
+          .withColumn("lang2", F.when(F.col("doc_id") % 3 === 0,
+            F.lit(null).cast("string")).otherwise(F.col("lang")))
+          .withColumn("source2", F.when(F.col("doc_id") % 5 === 0,
+            F.lit(null).cast("string")).otherwise(F.col("source")))
+          .withColumn("cluster", F.col("doc_id") % 700),
+        "cluster", "doc_id", "lang2", "source2").toDF()
+        .select(F.col("key").as("cluster"), F.col("a"), F.col("b"),
+          F.col("n_merged"))),
     "encode_impute_mode" -> ((s, d) =>
       // modal imputation: segments masked on a residue pattern get their
       // nation's most frequent segment back (ties → smallest value)
@@ -7221,6 +7234,18 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "streaming_golden_record" ->
+      """WITH m AS (
+        |  SELECT doc_id % 700 AS cluster, doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang2,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS source2
+        |  FROM documents)
+        |SELECT cluster,
+        |  arg_max(lang2, CASE WHEN lang2 IS NOT NULL THEN doc_id END) AS a,
+        |  arg_max(source2, CASE WHEN source2 IS NOT NULL THEN doc_id END)
+        |    AS b,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM m GROUP BY 1""".stripMargin,
     "encode_impute_mode" ->
       """WITH m AS (
         |  SELECT c_custkey, c_nationkey,

@@ -424,6 +424,50 @@ object StreamingOps {
       }
   }
 
+  final case class GoldenIn(key: Long, version: Long, a: Option[String],
+    b: Option[String])
+  final case class GoldenState(va: Long, a: Option[String], vb: Long,
+    b: Option[String], n: Long)
+  final case class GoldenOut(key: Long, a: Option[String],
+    b: Option[String], n_merged: Long)
+
+  /** Streaming golden-record maintenance (the incremental twin of
+    * `Ops.goldenRecord`, two-attribute shape): per key the state holds,
+    * PER ATTRIBUTE, the latest non-null value and its version — a late
+    * or null cell never clobbers fresher evidence — plus the merge
+    * count; each micro-batch emits the key's updated golden row (append
+    * mode; downstream dedups on the latest emission). Batch mode emits
+    * exactly `goldenRecord`'s rows. Versions must be unique per key
+    * (the scdType2 contract). State O(keys·attrs) forever. */
+  def streamingGoldenRecord(changes: DataFrame, keyCol: String,
+      versionCol: String, aCol: String, bCol: String): Dataset[GoldenOut] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes.select(F.col(keyCol).cast("long").as("key"),
+        F.col(versionCol).cast("long").as("version"),
+        F.col(aCol).cast("string").as("a"),
+        F.col(bCol).cast("string").as("b"))
+      .as[GoldenIn]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[GoldenState, GoldenOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[GoldenState]) =>
+          var st = state.getOption.getOrElse(
+            GoldenState(Long.MinValue, None, Long.MinValue, None, 0L))
+          for (r <- rows.toSeq.sortBy(_.version)) {
+            val (va, a) =
+              if (r.a.isDefined && r.version > st.va) (r.version, r.a)
+              else (st.va, st.a)
+            val (vb, b) =
+              if (r.b.isDefined && r.version > st.vb) (r.version, r.b)
+              else (st.vb, st.b)
+            st = GoldenState(va, a, vb, b, st.n + 1)
+          }
+          state.update(st)
+          Iterator.single(GoldenOut(key, st.a, st.b, st.n))
+      }
+  }
+
   final case class EwmaEvent(key: Long, ts_us: Long, tie: Long, value: Long)
   final case class EwmaState(init: Boolean, s: Long)
   final case class EwmaPoint(key: Long, ts_us: Long, tie: Long, value: Long,

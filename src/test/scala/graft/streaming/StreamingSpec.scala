@@ -551,6 +551,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchMode, s"streamed=$streamed batch=$batchMode")
   }
 
+  test("streamingGoldenRecord: per-attribute latest non-null across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 1L, Some("a1"), None: Option[String]),
+      (1L, 2L, None, Some("x")),
+      (1L, 3L, Some("a3"), None),          // batch 2
+      (2L, 9L, Some("p"), Some("q")))
+    val df = rows.toDF("k", "version", "va", "vb")
+    val batchMode = StreamingOps.streamingGoldenRecord(df, "k", "version",
+        "va", "vb")
+      .collect().map(g => g.key -> ((g.a, g.b, g.n_merged))).toMap
+    val batchTwin = graft.core.Ops.goldenRecord(df, Seq("k"), "version",
+        Seq("va", "vb"))
+      .as[(Long, Option[String], Option[String], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(batchMode == batchTwin)
+    assert(batchMode(1L) == ((Some("a3"), Some("x"), 3L)))
+    val input = MemoryStream[(Long, Long, Option[String], Option[String])]
+    val q = StreamingOps.streamingGoldenRecord(
+        input.toDF().toDF("k", "version", "va", "vb"),
+        "k", "version", "va", "vb")
+      .writeStream.format("memory").queryName("sgolden")
+      .outputMode("append").start()
+    input.addData(rows.take(2): _*); q.processAllAvailable()
+    input.addData(rows.drop(2): _*); q.processAllAvailable()
+    // LAST emission per key = the final golden (dedup by max n_merged)
+    val streamed = spark.table("sgolden").as[StreamingOps.GoldenOut]
+      .collect().groupBy(_.key).view
+      .mapValues(gs => { val g = gs.maxBy(_.n_merged)
+        (g.a, g.b, g.n_merged) }).toMap
+    q.stop()
+    assert(streamed == batchTwin, s"streamed=$streamed")
+  }
+
   test("streamingEwma: exact integer recurrence across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // x = 3,1,2 at α=7/10: s = 3, (7+9)//10=1, (14+3)//10=1
