@@ -2529,6 +2529,15 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "layout_overlap_audit" -> ((s, d) =>
+      // clustering-factor audit of pseudo-files (orderkey-div-100 groups,
+      // partkey min/max ranges): overlaps per file = the data-skipping
+      // divisor; quadratic only on catalog-sized metadata
+      graft.core.Ops.rangeOverlapAudit(
+        Tables.lineitem(s, d)
+          .groupBy(F.expr("l_orderkey div 100").as("file"))
+          .agg(F.min("l_partkey").as("lo"), F.max("l_partkey").as("hi")),
+        "lo", "hi")),
     "streaming_golden_record" -> ((s, d) =>
       // the incremental MDM twin run in batch mode on the same masked
       // feed as dedup_golden_record — per-attribute latest-non-null state
@@ -7234,6 +7243,15 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "layout_overlap_audit" ->
+      """WITH f AS (
+        |  SELECT l_orderkey // 100 AS file,
+        |    CAST(min(l_partkey) AS BIGINT) AS lo,
+        |    CAST(max(l_partkey) AS BIGINT) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.file, a.lo, a.hi, CAST(count(*) AS BIGINT) AS overlaps
+        |FROM f a JOIN f b ON a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
     "streaming_golden_record" ->
       """WITH m AS (
         |  SELECT doc_id % 700 AS cluster, doc_id,

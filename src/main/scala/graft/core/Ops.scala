@@ -1170,6 +1170,27 @@ object Ops {
       F.last(F.col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Layout-quality audit over file (or partition) key ranges: for every
+    * file, how many files' [lo, hi] ranges overlap its own (self
+    * included — a perfectly clustered, range-disjoint layout scores 1
+    * everywhere; an unsorted layout scores ≈ |files|, meaning every
+    * point lookup touches every file). This is the number data-skipping
+    * actually divides by, measured before and after a Z-ORDER/compaction
+    * rewrite ([[zOrderKey]] / [[compactionBins]]). The quadratic join
+    * runs on FILE METADATA (catalog-sized, thousands of rows — broadcast
+    * nested loop is the honest plan and is hinted; the data itself is
+    * never touched). Adds `overlaps`. */
+  def rangeOverlapAudit(files: DataFrame, loCol: String,
+      hiCol: String): DataFrame = {
+    val other = F.broadcast(files.select(F.col(loCol).cast("long").as("_lo2"),
+      F.col(hiCol).cast("long").as("_hi2")))
+    files.join(other,
+        F.col(loCol).cast("long") <= F.col("_hi2") &&
+        F.col("_lo2") <= F.col(hiCol).cast("long"))
+      .groupBy(files.columns.map(F.col).toSeq: _*)
+      .agg(F.count(F.lit(1)).as("overlaps"))
+  }
+
   /** Lakehouse compaction planner: assign files (or any sized work items)
     * to target-sized bins by CUMULATIVE FILL along a caller-fixed total
     * order — `bin = (cumsum − size) div targetSize`, i.e. a file belongs

@@ -1039,6 +1039,14 @@ class OpsSpec extends SparkSpec {
     assert(r.filter(_._2.isDefined).forall(x => x._2 == x._3))
   }
 
+  test("rangeOverlapAudit: disjoint 1s, nested counts, duplicates") {
+    val files = Seq((1L, 0L, 9L), (2L, 10L, 19L), (3L, 5L, 14L),
+      (4L, 100L, 100L)).toDF("f", "lo", "hi")
+    val r = Ops.rangeOverlapAudit(files.repartition(3), "lo", "hi")
+      .select("f", "overlaps").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
