@@ -2529,6 +2529,12 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "sample_group_weighted" -> ((s, d) =>
+      // Efraimidis–Spirakis weighted 5-per-source sample (weight =
+      // n_chars): ln(u)/w keys from the md5 uniform, replayed in SQL
+      graft.text.Mixing.sampleWeightedKPerGroup(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        Seq("source"), 5, "n_chars", Seq("doc_id"))),
     "layout_overlap_audit" -> ((s, d) =>
       // clustering-factor audit of pseudo-files (orderkey-div-100 groups,
       // partkey min/max ranges): overlaps per file = the data-skipping
@@ -7243,6 +7249,18 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "sample_group_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ln(least(greatest(
+        |        ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)),
+        |          1, 15))::BIGINT / 1152921504606846976.0,
+        |        1.0 / 9007199254740992.0),
+        |        1.0 - 1.0 / 9007199254740992.0))
+        |      / CAST(n_chars AS DOUBLE) DESC,
+        |      doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "layout_overlap_audit" ->
       """WITH f AS (
         |  SELECT l_orderkey // 100 AS file,

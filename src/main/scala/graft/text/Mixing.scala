@@ -145,6 +145,33 @@ object Mixing {
       .drop("_skr")
   }
 
+  /** WEIGHTED exact-k-per-group sampling without replacement —
+    * Efraimidis–Spirakis (2006) exponential sort, per group: each row
+    * draws the portable-hash uniform u and keeps the k largest
+    * `ln(u)/w` keys (≡ u^(1/w): inclusion probability ∝ weight, no
+    * replacement, fully deterministic and oracle-replayable — the
+    * [[graft.text.Dsir]] log-parity precedent). u is clamped to
+    * [2⁻⁵³, 1−2⁻⁵³] (the Dsir tail rule) so ln never sees 0. Weights
+    * must be positive (enforced row-wise). One keyed rank window; ties
+    * broken by ids. The weighted half [[sampleExactKPerGroup]] lacks. */
+  def sampleWeightedKPerGroup(df: DataFrame, groupCols: Seq[String], k: Int,
+      weightCol: String, idCols: Seq[String], seed: Long = 13): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val lo = F.lit(1.0) / F.lit(9007199254740992.0) // 2^-53, exact
+    val u = F.least(F.greatest(
+      graft.core.PortableHash.uniform(seed, idCols.map(F.col): _*), lo),
+      F.lit(1.0) - lo)
+    val w = F.col(weightCol).cast("double")
+    val key = F.when(F.assert_true(w > 0d,
+        F.lit(s"sampleWeightedKPerGroup: non-positive weight")).isNull,
+      F.log(u) / w)
+    val win = Window.partitionBy(groupCols.map(F.col): _*)
+      .orderBy((key.desc +: idCols.map(F.col(_).asc)): _*)
+    df.withColumn("_wkr", F.row_number().over(win))
+      .filter(F.col("_wkr") <= k)
+      .drop("_wkr")
+  }
+
   /** Deterministic repetition to EXACT per-group target counts — the
     * UP-sampling half of mixture construction ([[sampleToMixture]] only
     * goes down): every group emits exactly `target` rows as

@@ -948,6 +948,24 @@ class TextSpec extends SparkSpec {
     assert(r((3L, 0L)) == ((1L, 0L, 0L)) && r((3L, 1L)) == ((1L, 0L, 0L)))
   }
 
+  test("sampleWeightedKPerGroup: exact counts, weight dominance, determinism") {
+    import graft.text.Mixing
+    val rows = for (g <- Seq("a", "b"); i <- 1L to 20L)
+      yield (g, i, if (i == 7L) 1e9 else 1.0)
+    val df = rows.toDF("g", "id", "w")
+    def pick(parts: Int) = Mixing.sampleWeightedKPerGroup(
+        df.repartition(parts), Seq("g"), 5, "w", Seq("id"))
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val r = pick(3)
+    assert(r == pick(1)) // layout-independent
+    assert(r.count(_._1 == "a") == 5 && r.count(_._1 == "b") == 5)
+    // the 1e9-weight row dominates: ln(u)/1e9 ≈ 0 beats every unit weight
+    assert(r.contains(("a", 7L)) && r.contains(("b", 7L)))
+    intercept[Exception](Mixing.sampleWeightedKPerGroup(
+      Seq(("a", 1L, 0.0)).toDF("g", "id", "w"), Seq("g"), 1, "w",
+      Seq("id")).collect())
+  }
+
   test("keywords: exact tf/df scores, tie order, per-doc crop") {
     import graft.text.Retrieval
     val docs = Seq(
