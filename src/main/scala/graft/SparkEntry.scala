@@ -2529,6 +2529,15 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "quality_ks_drift" -> ((s, d) => {
+      // two-sample KS statistic between the order-parity halves of the
+      // quantity column — the cumulative complement of quality_tv_drift,
+      // prefix sums distributed
+      val li = Tables.lineitem(s, d)
+      graft.core.Sketch.ksStatistic(
+        li.filter(F.col("l_orderkey") % 2 === 0),
+        li.filter(F.col("l_orderkey") % 2 === 1), "l_quantity")
+    }),
     "sample_group_weighted" -> ((s, d) =>
       // Efraimidis–Spirakis weighted 5-per-source sample (weight =
       // n_chars): ln(u)/w keys from the md5 uniform, replayed in SQL
@@ -7249,6 +7258,28 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "quality_ks_drift" ->
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |na AS (SELECT CAST(sum(ca) AS BIGINT) AS n FROM m),
+        |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM m),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS "values",
+        |  CAST(max(abs(CAST(cuma AS BIGINT) * 1000000 // na.n
+        |    - CAST(cumb AS BIGINT) * 1000000 // nb.n)) AS BIGINT) AS ks_ppm
+        |FROM c, na, nb GROUP BY na.n, nb.n""".stripMargin,
     "sample_group_weighted" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars, row_number() OVER (

@@ -377,6 +377,33 @@ object Sketch {
         F.expr("sum(_d) div 2").as("tv_ppm"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over integral samples,
+    * EXACTLY: `D = max_v |F_a(v) − F_b(v)|` with the empirical CDFs as
+    * ppm floors — the cumulative complement of [[tvDistance]] (TVD sees
+    * mass moved anywhere; KS sees it moved ACROSS a threshold, the
+    * detector for median/shift drift). Per-value counts full-outer
+    * merged, cumulated via the DISTRIBUTED range-partitioned prefix sum
+    * (never a global window), one max fold. Returns
+    * (values, ks_ppm). */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(F.col(valueCol).cast("long").as("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).as(out))
+    val merged = counts(a, "_ca").join(counts(b, "_cb"), Seq("v"),
+        "full_outer")
+      .select(F.col("v"), F.coalesce(F.col("_ca"), F.lit(0L)).as("_ca"),
+        F.coalesce(F.col("_cb"), F.lit(0L)).as("_cb"))
+    val na = merged.agg(F.sum("_ca")).first().getLong(0)
+    val nb = merged.agg(F.sum("_cb")).first().getLong(0)
+    require(na > 0 && nb > 0, s"ksStatistic: empty sample (a=$na b=$nb)")
+    val cum = graft.core.Ops.globalCumsum(
+      graft.core.Ops.globalCumsum(merged, "_ca", "_cuma", F.col("v")),
+      "_cb", "_cumb", F.col("v"))
+    cum.agg(F.count(F.lit(1)).as("values"),
+      F.max(F.expr(s"abs(_cuma * 1000000 div ${na}L" +
+        s" - _cumb * 1000000 div ${nb}L)")).as("ks_ppm"))
+  }
+
   /** Shard merge for [[histogramBins]] tables: per-bin counter addition. */
   def histogramMerge(shards: DataFrame*): DataFrame =
     shards.reduce(_ unionAll _)

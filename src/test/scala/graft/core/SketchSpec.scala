@@ -475,6 +475,24 @@ class SketchSpec extends SparkSpec {
       == Sketch.cmsJoinSize(whole, whole).as[Long].head())
   }
 
+  test("ksStatistic: identical zero, shifted full, hand max, layout-stable") {
+    def df(xs: Long*) = xs.toSeq.toDF("x")
+    def ks(a: Seq[Long], b: Seq[Long], parts: Int = 3) =
+      Sketch.ksStatistic(a.toDF("x").repartition(parts),
+        b.toDF("x").repartition(parts), "x")
+        .as[(Long, Long)].collect().head
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == ((3L, 0L)))
+    // fully shifted supports: D = 1
+    assert(ks(Seq(1L, 2L), Seq(10L, 11L)) == ((4L, 1000000L)))
+    // hand: a={1,1,2,3}, b={2,3,3,4}: F_a=(.5,.75,1,1) F_b=(0,.25,.75,1)
+    // → D at v=1: .5
+    assert(ks(Seq(1L, 1L, 2L, 3L), Seq(2L, 3L, 3L, 4L))._2 == 500000L)
+    assert(ks(Seq(1L, 1L, 2L, 3L), Seq(2L, 3L, 3L, 4L), parts = 1)
+      == ks(Seq(1L, 1L, 2L, 3L), Seq(2L, 3L, 3L, 4L), parts = 7))
+    intercept[IllegalArgumentException](
+      Sketch.ksStatistic(df(1L), df().filter(F.col("x") > 0), "x"))
+  }
+
   test("tvDistance: identical zero, disjoint full, hand halves, empty throws") {
     def h(cells: (Long, Long)*) = cells.toSeq.toDF("bin", "counter")
     def tv(a: org.apache.spark.sql.DataFrame,
