@@ -73,6 +73,8 @@ object Bench {
     "graph_kcore",
     "graph_hits", "graph_shortest_paths", "analytics_rfm",
     "window_interval_merge", "analytics_sequences",
+    "analytics_attribution", "join_scd2_lookup", "window_rolling_distinct",
+    "encode_target_loo", "basket_triples",
   )
 
   /** Rows with a published BASELINE.md number — the judge's 2×-gate set;
