@@ -2529,6 +2529,10 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "metrics_gini_exposure" -> ((s, d) =>
+      // exact Gini of part exposure: is demand concentrated on a few
+      // items? Ranks from the range-partitioned prefix-sum pass
+      graft.core.Ops.giniConcentration(Tables.lineitem(s, d), "l_partkey")),
     "quality_ks_drift" -> ((s, d) => {
       // two-sample KS statistic between the order-parity halves of the
       // quantity column — the cumulative complement of quality_tv_drift,
@@ -7258,6 +7262,16 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "metrics_gini_exposure" ->
+      """WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS x
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS keys,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  ((2 * CAST(sum(i * x) AS BIGINT)
+        |    - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000)
+        |  // (count(*) * CAST(sum(x) AS BIGINT)) AS gini_ppm
+        |FROM r""".stripMargin,
     "quality_ks_drift" ->
       """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS v,
         |    CAST(count(*) AS BIGINT) AS ca

@@ -1213,6 +1213,31 @@ object Ops {
       .drop("_sz", "_cum")
   }
 
+  /** Exact Gini concentration coefficient over per-key masses (item
+    * exposure, revenue by account, tokens by source):
+    *
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·S) / (n·S),  xᵢ ascending, i = 1..n
+    *
+    * emitted as `gini_ppm` — 0 ⟺ perfectly even, → 10⁶ ⟺ one key holds
+    * everything. The ranks come from the range-partitioned prefix-sum
+    * machinery (position rides the same pass), NEVER a single-partition
+    * window; ties order by key for determinism (G is tie-order-invariant
+    * — equal masses swap freely in Σi·xᵢ... their contribution changes
+    * only by equal amounts in opposite directions). One groupBy + the
+    * prefix pass + a 1-row fold. Returns (keys = n, total = S,
+    * gini_ppm). Overflow: n·S < 2⁶³/2. */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(F.col(keyCol).as("_k"))
+      .agg(F.count(F.lit(1)).as("_x"))
+    val ranked = globalCumsumWithPos(counts, "_x", "_cum", Some("_i"),
+      F.col("_x").asc, F.col("_k").asc)
+    ranked.agg(F.count(F.lit(1)).as("keys"),
+      F.sum("_x").as("total"), F.sum(F.expr("_i * _x")).as("_ix"))
+      .select(F.col("keys"), F.col("total"),
+        F.expr("((2 * _ix - (keys + 1) * total) * 1000000)" +
+          " div (keys * total)").as("gini_ppm"))
+  }
+
   /** Modal imputation: nulls in `valueCol` take their group's MOST
     * FREQUENT non-null value, ties broken by the smallest value (a total
     * order both engines share — "the mode" is otherwise undefined).

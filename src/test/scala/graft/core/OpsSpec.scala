@@ -1047,6 +1047,19 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("giniConcentration: even zero, hand 2-key, layout/tie stable") {
+    def gini(rows: Seq[Long], parts: Int = 3) =
+      Ops.giniConcentration(rows.toDF("k").repartition(parts), "k")
+        .as[(Long, Long, Long)].collect().head
+    // 4 keys × 5 rows: perfectly even
+    assert(gini((1L to 4L).flatMap(k => Seq.fill(5)(k))) == ((4L, 20L, 0L)))
+    // (1, 99): G = 98/200 = 0.49
+    assert(gini(Seq(1L) ++ Seq.fill(99)(2L)) == ((2L, 100L, 490000L)))
+    // many equal-count ties: partitioning-independent
+    val ties = (1L to 30L).flatMap(k => Seq.fill(3)(k)) ++ Seq.fill(60)(99L)
+    assert(gini(ties, parts = 1) == gini(ties, parts = 11))
+  }
+
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = xs.map(x => x._1 -> ((x._2, x._3))).toMap
   }
