@@ -74,7 +74,7 @@ object Bench {
     "graph_hits", "graph_shortest_paths", "analytics_rfm",
     "window_interval_merge", "analytics_sequences",
     "analytics_attribution", "join_scd2_lookup", "window_rolling_distinct",
-    "encode_target_loo", "basket_triples",
+    "encode_target_loo", "basket_triples", "graph_ktruss",
   )
 
   /** Rows with a published BASELINE.md number — the judge's 2×-gate set;

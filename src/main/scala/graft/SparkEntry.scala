@@ -2529,6 +2529,12 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "graph_ktruss" -> ((s, d) =>
+      // 4-truss of the co-purchase graph: every surviving edge closes
+      // ≥ 2 triangles among survivors — the triangle-grade community
+      // core; the oracle unrolls 8 idempotent peel rounds (orientation,
+      // wedge join, per-edge support, filter) as MATERIALIZED CTEs
+      graft.core.Graph.kTruss(coPurchaseEdges(s, d), k = 4)),
     "metrics_gini_exposure" -> ((s, d) =>
       // exact Gini of part exposure: is demand concentrated on a few
       // items? Ranks from the range-partitioned prefix-sum pass
@@ -7262,6 +7268,47 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "graph_ktruss" -> {
+      // one peel round, parameterized on the surviving-edge CTE name —
+      // idempotent once converged, so unrolling extra rounds is safe
+      def round(i: Int, in: String): String =
+        s"""deg$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d
+           |  FROM (SELECT a AS node FROM $in UNION ALL SELECT b FROM $in)
+           |  GROUP BY 1),
+           |o$i AS MATERIALIZED (
+           |  SELECT CASE WHEN da.d * 2147483648 + e.a
+           |                   < db.d * 2147483648 + e.b
+           |    THEN e.a ELSE e.b END AS u,
+           |    CASE WHEN da.d * 2147483648 + e.a < db.d * 2147483648 + e.b
+           |    THEN e.b ELSE e.a END AS v,
+           |    greatest(da.d * 2147483648 + e.a,
+           |             db.d * 2147483648 + e.b) AS kv
+           |  FROM $in e JOIN deg$i da ON e.a = da.node
+           |    JOIN deg$i db ON e.b = db.node),
+           |t$i AS MATERIALIZED (
+           |  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+           |  FROM o$i w1 JOIN o$i w2 ON w1.u = w2.u AND w1.kv < w2.kv
+           |  WHERE EXISTS (SELECT 1 FROM o$i o3
+           |                WHERE o3.u = w1.v AND o3.v = w2.v)),
+           |s$i AS MATERIALIZED (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+           |    SELECT least(u, x) AS a, greatest(u, x) AS b FROM t$i
+           |    UNION ALL SELECT least(u, y), greatest(u, y) FROM t$i
+           |    UNION ALL SELECT least(x, y), greatest(x, y) FROM t$i)
+           |  GROUP BY 1, 2),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM $in e
+           |  LEFT JOIN s$i s ON e.a = s.a AND e.b = s.b
+           |  WHERE coalesce(s.sup, 0) >= 2)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+         |    greatest(a.l_partkey, b.l_partkey) AS b
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey <> b.l_partkey
+         |  WHERE a.l_orderkey % 40 = 0),
+         |${(0 until 8).map(i => round(i, s"e$i")).mkString(",\n")}
+         |SELECT a, b FROM e8""".stripMargin
+    },
     "metrics_gini_exposure" ->
       """WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS x
         |           FROM lineitem GROUP BY 1),

@@ -642,6 +642,74 @@ object Graph {
     dist.select(F.col("_node").as("node"), F.col("_d").as("distance"))
   }
 
+  /** k-truss decomposition (Cohen 2008) — the triangle-grade community
+    * core one tier denser than [[kCore]]: the maximal subgraph in which
+    * EVERY surviving edge closes ≥ k−2 triangles with other surviving
+    * edges. Per round: per-edge support via the degree-ordered oriented
+    * wedge join (the [[triangleCounts]] O(m^1.5) enumeration, so a
+    * celebrity node cannot explode it), each closed triangle crediting
+    * its three canonical edges, then one filter; the fixpoint test is
+    * the monotone surviving-edge count (equal ⟺ nothing dropped).
+    * Rounds = peeling depth (single digits on real graphs); exhausting
+    * `maxIter` throws rather than returning a non-truss (the kCore
+    * contract). Every step is BIGINT joins/counts — a SQL engine replays
+    * rounds idempotently. Returns the surviving canonical edges
+    * (a < b). */
+  def kTruss(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", k: Int = 4, maxIter: Int = 20): DataFrame = {
+    require(k >= 3, s"need k >= 3, got $k")
+    require(maxIter >= 1, s"need maxIter >= 1, got $maxIter")
+    val minSup = k - 2L
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    var n = e.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val deg = e.select(F.col("_a").as("_n"))
+        .union(e.select(F.col("_b").as("_n")))
+        .groupBy("_n").agg(F.count(F.lit(1)).as("_d"))
+      val oriented = e
+        .join(deg.select(F.col("_n").as("_a"), F.col("_d").as("_da")),
+          Seq("_a"))
+        .join(deg.select(F.col("_n").as("_b"), F.col("_d").as("_db")),
+          Seq("_b"))
+        .select(F.col("_a"), F.col("_b"),
+          F.expr("_da * 2147483648L + _a").as("_ka"),
+          F.expr("_db * 2147483648L + _b").as("_kb"))
+        .select(
+          F.when(F.col("_ka") < F.col("_kb"), F.col("_a"))
+            .otherwise(F.col("_b")).as("_u"),
+          F.when(F.col("_ka") < F.col("_kb"), F.col("_b"))
+            .otherwise(F.col("_a")).as("_v"),
+          F.greatest(F.col("_ka"), F.col("_kb")).as("_kv"))
+        .localCheckpoint(true)
+      val tri = oriented
+        .select(F.col("_u"), F.col("_v").as("_x"), F.col("_kv").as("_kx"))
+        .join(oriented.select(F.col("_u"), F.col("_v").as("_y"),
+          F.col("_kv").as("_ky")), Seq("_u"))
+        .filter(F.col("_kx") < F.col("_ky"))
+        .join(oriented.select(F.col("_u").as("_x"), F.col("_v").as("_y")),
+          Seq("_x", "_y"), "left_semi")
+      val sup = tri.select(F.least(F.col("_u"), F.col("_x")).as("_a"),
+          F.greatest(F.col("_u"), F.col("_x")).as("_b"))
+        .unionAll(tri.select(F.least(F.col("_u"), F.col("_y")).as("_a"),
+          F.greatest(F.col("_u"), F.col("_y")).as("_b")))
+        .unionAll(tri.select(F.least(F.col("_x"), F.col("_y")).as("_a"),
+          F.greatest(F.col("_x"), F.col("_y")).as("_b")))
+        .groupBy("_a", "_b").agg(F.count(F.lit(1)).as("_sup"))
+      val next = e.join(sup, Seq("_a", "_b"), "left")
+        .filter(F.coalesce(F.col("_sup"), F.lit(0L)) >= minSup)
+        .select("_a", "_b").localCheckpoint(true)
+      val n2 = next.count()
+      if (n2 == n) converged = true
+      e.unpersist(); oriented.unpersist()
+      e = next; n = n2
+    }
+    require(converged, s"kTruss: no fixpoint after $maxIter rounds")
+    e.select(F.col("_a").as("a"), F.col("_b").as("b"))
+  }
+
   /** Full coreness decomposition up to `maxK`: coreness(v) = the largest
     * k ≤ maxK with v in the k-core, computed by successive [[kCore]]
     * peels — k levels × peeling-depth rounds of tiny joins, the

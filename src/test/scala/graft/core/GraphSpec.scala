@@ -369,6 +369,54 @@ class GraphSpec extends SparkSpec {
     assert(r == ((3L, 2L, 666666L)))
   }
 
+  private def truss(edges: Seq[(Long, Long)], k: Int, maxIter: Int = 20,
+      parts: Int = 4): Set[(Long, Long)] =
+    Graph.kTruss(edges.toDF("src", "dst").repartition(parts),
+        k = k, maxIter = maxIter)
+      .as[(Long, Long)].collect().toSet
+
+  test("kTruss: K4 survives 4, dies at 5; pendant/bowtie pruned") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(truss(k4, 4) == k4.toSet) // every edge closes 2 triangles
+    assert(truss(k4, 5).isEmpty)
+    // triangle + pendant: 3-truss keeps the triangle only
+    assert(truss(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)), 3)
+      == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // bowtie (two triangles sharing node 3): supports all 1 → 4-truss empty
+    val bow = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    assert(truss(bow, 4).isEmpty)
+    assert(truss(bow, 3) == bow.toSet)
+  }
+
+  test("kTruss: cascading peel, brute-force parity, runaway throws") {
+    // K4 plus a triangle hanging off edge (3,4): the hang edge supports
+    // drop after the first peel round → cascade
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (3L, 9L))
+    val r = truss(g, 4)
+    assert(r == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    // brute force on a random graph
+    val edges = (for (u <- 0L until 18L; j <- 1L to 4L)
+      yield (u, (u * 7 + j * j * 3) % 18)).filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    def bruteTruss(es: Set[(Long, Long)], minSup: Int): Set[(Long, Long)] = {
+      val adj = (es.toSeq ++ es.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val keep = es.filter { case (a, b) =>
+        (adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty))
+          .size >= minSup }
+      if (keep == es) es else bruteTruss(keep, minSup)
+    }
+    for (k <- Seq(3, 4)) {
+      assert(truss(edges, k) == bruteTruss(edges.toSet, k - 2),
+        s"parity at k=$k")
+      assert(truss(edges, k, parts = 1) == truss(edges, k, parts = 9))
+    }
+    intercept[IllegalArgumentException](
+      truss(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)), 3, maxIter = 1))
+  }
+
   test("coreNumbers: brute-force coreness parity, caps at maxK") {
     val edges = (for (u <- 0L until 40L; j <- 1L to 4L)
       yield (u, (u * 13 + j * j * 7) % 40)).filter(e => e._1 != e._2)
