@@ -2529,6 +2529,11 @@ object SparkEntry {
             .when(F.col("user_id") % 3 === 1, "blue").otherwise("green"))
       graft.core.Ops.proportionTest(units, "variant", "converted", "control")
     }),
+    "metrics_gini_revenue" -> ((s, d) =>
+      // Gini over per-part QUANTITY mass (the value-weighted variant):
+      // does volume concentrate harder than order counts?
+      graft.core.Ops.giniConcentration(Tables.lineitem(s, d), "l_partkey",
+        Some("l_quantity"))),
     "graph_ktruss" -> ((s, d) =>
       // 4-truss of the co-purchase graph: every surviving edge closes
       // ≥ 2 triangles among survivors — the triangle-grade community
@@ -7268,6 +7273,17 @@ object SparkEntry {
         |         AS BIGINT) > 3841459
         |  END, false) AS significant
         |FROM c t, ctrl WHERE t.variant <> 'control'""".stripMargin,
+    "metrics_gini_revenue" ->
+      """WITH c AS (SELECT l_partkey AS k,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS keys,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  ((2 * CAST(sum(i * x) AS BIGINT)
+        |    - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000)
+        |  // (count(*) * CAST(sum(x) AS BIGINT)) AS gini_ppm
+        |FROM r""".stripMargin,
     "graph_ktruss" -> {
       // one peel round, parameterized on the surviving-edge CTE name —
       // idempotent once converged, so unrolling extra rounds is safe

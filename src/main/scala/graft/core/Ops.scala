@@ -1226,9 +1226,13 @@ object Ops {
     * only by equal amounts in opposite directions). One groupBy + the
     * prefix pass + a 1-row fold. Returns (keys = n, total = S,
     * gini_ppm). Overflow: n·S < 2⁶³/2. */
-  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+  def giniConcentration(df: DataFrame, keyCol: String,
+      valueCol: Option[String] = None): DataFrame = {
+    // mass per key: row count, or the exact integral sum of valueCol
+    // (revenue in cents, tokens, bytes) — same formula either way
     val counts = df.groupBy(F.col(keyCol).as("_k"))
-      .agg(F.count(F.lit(1)).as("_x"))
+      .agg(valueCol.fold(F.count(F.lit(1)))(v =>
+        F.sum(F.col(v).cast("long"))).as("_x"))
     val ranked = globalCumsumWithPos(counts, "_x", "_cum", Some("_i"),
       F.col("_x").asc, F.col("_k").asc)
     ranked.agg(F.count(F.lit(1)).as("keys"),

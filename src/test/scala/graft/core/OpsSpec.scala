@@ -1058,6 +1058,11 @@ class OpsSpec extends SparkSpec {
     // many equal-count ties: partitioning-independent
     val ties = (1L to 30L).flatMap(k => Seq.fill(3)(k)) ++ Seq.fill(60)(99L)
     assert(gini(ties, parts = 1) == gini(ties, parts = 11))
+    // value-weighted mass ≡ count mass when each row carries weight 1,
+    // and reproduces the (1,99) hand case as one row per key
+    val w = Seq((1L, 1L), (2L, 99L)).toDF("k", "v")
+    assert(Ops.giniConcentration(w, "k", Some("v"))
+      .as[(Long, Long, Long)].collect().head == ((2L, 100L, 490000L)))
   }
 
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {
