@@ -60,4 +60,27 @@ class BenchEmitSpec extends AnyFunSuite with Matchers {
     val (line, _) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((9999.999, 9999.999)))
     line.length should be <= Bench.MaxLineBytes
   }
+
+  test("the driver-budget set emits UNTRIMMED worst-case — every row visible") {
+    val rows = Bench.driverSet.map(n => (n, 9999.999))
+    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((9999.999, 9999.999)))
+    line shouldBe detail // nothing trimmed: the driver sees every row
+    line.length should be <= Bench.MaxLineBytes
+    Bench.BaselineRows.foreach(b => Bench.driverSet should contain(b))
+  }
+
+  test("mergePrior folds prior same-sf detail rows under the current run") {
+    val dir = java.nio.file.Files.createTempDirectory("benchmerge")
+    val p = dir.resolve("BENCH_DETAIL.json")
+    val prior = Seq(("old_only_row", 3.5), ("shared_row", 9.0))
+    val (_, detail) = Bench.renderEmit(prior, "/root/testdata/sf0.1", None)
+    java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+    val cur = Seq(("shared_row", 4.2), ("new_row", 1.1))
+    val merged = Bench.mergePrior(p, "/root/testdata/sf0.1", cur)
+    merged.toMap shouldBe Map("old_only_row" -> 3.5, "shared_row" -> 4.2, "new_row" -> 1.1)
+    // different sf: prior rows must NOT leak in
+    Bench.mergePrior(p, "/root/testdata/sf0.01", cur) shouldBe cur
+    // missing file: identity
+    Bench.mergePrior(dir.resolve("absent.json"), "/root/testdata/sf0.1", cur) shouldBe cur
+  }
 }
