@@ -1225,7 +1225,11 @@ object Ops {
     * — equal masses swap freely in Σi·xᵢ... their contribution changes
     * only by equal amounts in opposite directions). One groupBy + the
     * prefix pass + a 1-row fold. Returns (keys = n, total = S,
-    * gini_ppm). Overflow: n·S < 2⁶³/2. */
+    * gini_ppm). The ppm rational is computed in DECIMAL(38,0) — the
+    * numerator carries a 10⁶ multiplier on top of 2·Σi·xᵢ (≈ n·S), so
+    * BIGINT would overflow once n·S·10⁶ > 2⁶³ ≈ n·S > 9·10¹², well
+    * inside real corpus sizes; DECIMAL(38,0) holds n·S·10⁶ to ~10³⁸
+    * (same pattern as chiSquareCells / proportionTest). */
   def giniConcentration(df: DataFrame, keyCol: String,
       valueCol: Option[String] = None): DataFrame = {
     // mass per key: row count, or the exact integral sum of valueCol
@@ -1235,11 +1239,14 @@ object Ops {
         F.sum(F.col(v).cast("long"))).as("_x"))
     val ranked = globalCumsumWithPos(counts, "_x", "_cum", Some("_i"),
       F.col("_x").asc, F.col("_k").asc)
-    ranked.agg(F.count(F.lit(1)).as("keys"),
-      F.sum("_x").as("total"), F.sum(F.expr("_i * _x")).as("_ix"))
+    ranked.agg(F.count(F.lit(1)).as("keys"), F.sum("_x").as("total"),
+      // Σi·xᵢ reaches ~n·S, past BIGINT for large corpora — accumulate
+      // in DECIMAL(38,0) like the ppm rational below
+      F.sum(F.expr("CAST(_i AS DECIMAL(38, 0)) * _x")).as("_ix"))
       .select(F.col("keys"), F.col("total"),
-        F.expr("((2 * _ix - (keys + 1) * total) * 1000000)" +
-          " div (keys * total)").as("gini_ppm"))
+        F.expr("CAST((2 * _ix - CAST(keys + 1 AS DECIMAL(38, 0)) * total)" +
+          " * 1000000 div (CAST(keys AS DECIMAL(38, 0)) * total)" +
+          " AS BIGINT)").as("gini_ppm"))
   }
 
   /** Modal imputation: nulls in `valueCol` take their group's MOST
@@ -1312,9 +1319,13 @@ object Ops {
     * — the numbers that decide broadcast vs salt vs AQE skew-join before
     * a 100 TB shuffle is committed. Counts via one groupBy; the top-10
     * crop via the O(k)-state bounded heap (never a |keys|-wide sort);
-    * ties broken by key for determinism. */
+    * ties broken by key for determinism. Keys of ANY type are audited:
+    * grouping is on xxhash64 of the raw column (a BIGINT cast would
+    * collapse every non-numeric key to NULL = one group), so `rows` and
+    * `keys` are exact up to 64-bit hash collisions — negligible for a
+    * skew diagnostic. */
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
-    val counts = df.groupBy(F.col(keyCol).cast("long").as("_k"))
+    val counts = df.groupBy(F.xxhash64(F.col(keyCol)).as("_k"))
       .agg(F.count(F.lit(1)).as("_c"))
     // heap ties at the 10th place pick an arbitrary equal-count key —
     // irrelevant to the aggregate (tied keys contribute the same count)

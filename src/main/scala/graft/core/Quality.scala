@@ -155,9 +155,12 @@ object Quality {
       base ++ extra
     } :+ F.count(F.lit(1)).as("*__rows")
     val row = df.agg(aggs.head, aggs.tail: _*)
+    // split on the LAST "__": the metric suffix never contains "__", but a
+    // source column name may (`a__b__nulls` → col `a__b`, metric `nulls`)
     val stackArgs = row.schema.fieldNames.map { fn =>
-      val Array(col0, metric) = fn.split("__", 2)
-      s"'$col0', '$metric', CAST(`$fn` AS BIGINT)"
+      val cut = fn.lastIndexOf("__")
+      val (col0, metric) = (fn.substring(0, cut), fn.substring(cut + 2))
+      s"'${col0.replace("'", "''")}', '$metric', CAST(`$fn` AS BIGINT)"
     }.mkString(", ")
     row.select(F.expr(
       s"stack(${row.schema.fieldNames.length}, $stackArgs)")

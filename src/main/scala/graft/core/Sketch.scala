@@ -251,7 +251,10 @@ object Sketch {
     ea.crossJoin(eb).crossJoin(eu)
       .withColumn("est_intersect", F.greatest(F.lit(0.0),
         F.col("est_a") + F.col("est_b") - F.col("est_union")))
-      .withColumn("est_jaccard", F.col("est_intersect") / F.col("est_union"))
+      // empty-set convention: J(∅, ∅) = 0.0 (two empty register frames
+      // estimate est_union = 0; an unguarded divide returned NULL/NaN)
+      .withColumn("est_jaccard", F.when(F.col("est_union") > 0.0,
+        F.col("est_intersect") / F.col("est_union")).otherwise(F.lit(0.0)))
   }
 
   /** Shard merge for [[bloomBits]] tables: per-bit OR (max). */

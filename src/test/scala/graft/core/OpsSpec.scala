@@ -992,6 +992,16 @@ class OpsSpec extends SparkSpec {
     assert(r == ((70L, 21L, 50L, 59L, 714285L, 842857L)))
   }
 
+  test("skewReport: non-numeric keys group correctly (no BIGINT-cast collapse)") {
+    // string keys: a BIGINT cast turns every key into NULL = 1 group and a
+    // false top1_share_ppm of 10⁶ (ADVICE r10); xxhash64 grouping keeps the
+    // identical share algebra as the long-key case
+    val rows = Seq.fill(50)("hot") ++ (1 to 20).map(i => s"key_$i")
+    val r = Ops.skewReport(rows.toDF("k").repartition(4), "k")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((70L, 21L, 50L, 59L, 714285L, 842857L)))
+  }
+
   test("rollingDistinct: trailing range window, ties are peers") {
     def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
     val df = Seq(("u", t(0), "a"), ("u", t(5), "b"), ("u", t(5), "a"),
@@ -1063,6 +1073,17 @@ class OpsSpec extends SparkSpec {
     val w = Seq((1L, 1L), (2L, 99L)).toDF("k", "v")
     assert(Ops.giniConcentration(w, "k", Some("v"))
       .as[(Long, Long, Long)].collect().head == ((2L, 100L, 490000L)))
+  }
+
+  test("giniConcentration: DECIMAL ppm path survives n·S·10⁶ > 2⁶³") {
+    // masses 1e15/2e15/3e15: S = 6e15, n·S·10⁶ = 1.8e22 ≫ 2⁶³ ≈ 9.2e18 —
+    // the pre-r11 BIGINT ppm multiply silently overflowed here.
+    // G = (2·14e15 − 4·6e15) / (3·6e15) = 4/18 → 222222 ppm
+    val w = Seq((1L, 1000000000000000L), (2L, 2000000000000000L),
+      (3L, 3000000000000000L)).toDF("k", "v")
+    assert(Ops.giniConcentration(w, "k", Some("v"))
+      .as[(Long, Long, Long)].collect().head
+      == ((3L, 6000000000000000L, 222222L)))
   }
 
   private implicit class Map2[A, B, C](xs: Array[(A, B, C)]) {

@@ -71,6 +71,19 @@ class QualitySpec extends SparkSpec {
     assert(p.size == 4 + 4 + 2 + 1)
   }
 
+  test("profile: a source column whose NAME contains '__' parses intact") {
+    // pre-r11 the (column, metric) recovery split on the FIRST "__", so
+    // `a__b` mis-parsed to col 'a' / metric 'b__nulls' (ADVICE r10)
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a__b", "plain")
+    val p = Quality.profile(df)
+      .as[(String, String, Option[Long])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(p(("a__b", "nulls")).contains(0L))
+    assert(p(("a__b", "distinct")).contains(2L))
+    assert(p(("a__b", "min")).contains(1L) && p(("a__b", "max")).contains(2L))
+    assert(!p.keys.exists(_._1 == "a"))
+  }
+
   test("dateGaps: holes between present periods, contiguous empty") {
     def t(day: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 13:00:00")

@@ -437,6 +437,15 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r._5 - 3000.0 / 9000.0) <= 0.07, s"jaccard ${r._5}")
   }
 
+  test("hllOverlap: two empty sets give est_union 0 and jaccard 0 (not NULL/NaN)") {
+    val r = Sketch.hllOverlap(
+      regsOf(Seq.empty[Long], 12), regsOf(Seq.empty[Long], 12), 12)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(r._3 == 0.0, s"est_union ${r._3}")
+    assert(r._5 == 0.0, s"J(∅,∅) convention is 0.0, got ${r._5}")
+    assert(!r._5.isNaN)
+  }
+
   private def countersOf(keys: Seq[Long], depth: Int, width: Int) =
     Sketch.cmsCounters(keys.toDF("item_id").repartition(3), "item_id",
       depth, width)
