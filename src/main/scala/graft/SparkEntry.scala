@@ -2053,16 +2053,22 @@ object SparkEntry {
         k = 5, maxPositives = 16)
     }),
     "multimodal_decode" -> ((s, d) => {
+      // REAL decode (round 11): deterministic real PNGs are manufactured
+      // per document id (javax.imageio encoder, executor-side), then
+      // decoded back with ImageIO.read inside the per-partition codec
+      // loop — the oracle pins the known dimension formula, so a decoder
+      // that fabricated metadata could not pass
       import graft.multimodal.Multimodal
-      Multimodal.decodePartitioned(
-        Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
+      Multimodal.decodeImage(
+        Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"))
+        .select("asset_id", "width", "height", "decode_ok")
     }),
     "multimodal_resize" -> ((s, d) => {
-      // aspect-preserving resize planning over decoded metadata —
-      // expression-only, the pixel work binds inside decodePartitioned
+      // aspect-preserving resize planning over REAL decoded metadata
+      // (round 11: was decodeStub) — the pixel work binds in decodeImage
       import graft.multimodal.Multimodal
-      val meta = Multimodal.decodeStub(
-        Multimodal.fakeAssets(Tables.documents(s, d), "doc_id", "text"))
+      val meta = Multimodal.decodeImage(
+        Multimodal.syntheticPngs(Tables.documents(s, d), "doc_id"))
       Multimodal.resizeDims(meta, maxW = 128, maxH = 96)
     }),
     "multimodal_features" -> ((s, d) => {
@@ -6046,12 +6052,13 @@ object SparkEntry {
         |FROM documents,
         |  unnest(generate_series(0,
         |    greatest((octet_length(encode(text)) - 32) // 128, 0))) AS t(i)""".stripMargin,
+    // real PNG round-trip: dimensions are the syntheticPngs id formula —
+    // a decode that fabricated metadata from byte length cannot match
     "multimodal_decode" ->
       """SELECT doc_id AS asset_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  md5(text) AS checksum,
-        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
-        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
+        |  1 + doc_id % 48 AS width,
+        |  1 + (doc_id * 7) % 48 AS height,
+        |  true AS decode_ok
         |FROM documents""".stripMargin,
     // byte histogram: bytes recovered byte-true in SQL by slicing the hex
     // encoding of the blob two chars at a time
@@ -6071,8 +6078,8 @@ object SparkEntry {
         |FROM dense""".stripMargin,
     "multimodal_resize" ->
       """WITH meta AS (SELECT doc_id AS asset_id,
-        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
-        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height
+        |  1 + doc_id % 48 AS width,
+        |  1 + (doc_id * 7) % 48 AS height
         |  FROM documents)
         |SELECT asset_id, width, height,
         |  CAST(CASE WHEN height * 128 <= width * 96 THEN 128

@@ -173,6 +173,34 @@ class TextSpec extends SparkSpec {
     assert(run(true) == run(false))
   }
 
+  test("multimodal REAL decode: PNG round-trip recovers the exact dimensions") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 1L, 7L, 48L, 95L, 200L).toDF("id")
+    val pngs = Multimodal.syntheticPngs(ids, "id", maxDim = 48).repartition(3)
+    // the payload is a genuine PNG (magic bytes), not fabricated metadata
+    val first = pngs.orderBy("asset_id").select("content").head.getAs[Array[Byte]](0)
+    assert((first(0) & 0xff) == 0x89 && first(1) == 'P' && first(2) == 'N' && first(3) == 'G')
+    val meta = Multimodal.decodeImage(pngs)
+      .select("asset_id", "width", "height", "decode_ok")
+      .as[(Long, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    Seq(0L, 1L, 7L, 48L, 95L, 200L).foreach { id =>
+      val (_, w, h, ok) = meta(id)
+      assert(ok, s"id=$id failed decode")
+      assert(w == 1 + id % 48 && h == 1 + (id * 7) % 48, s"id=$id got ${w}x$h")
+    }
+  }
+
+  test("multimodal REAL decode: corrupt bytes report decode_ok=false, no task failure") {
+    import graft.multimodal.Multimodal
+    val junk = Multimodal.fakeAssets(
+      (1L to 5L).map(i => (i, s"not an image $i")).toDF("doc_id", "text"),
+      "doc_id", "text") // UTF-8 bytes, not an image
+    val out = Multimodal.decodeImage(junk)
+      .select("decode_ok", "width").as[(Boolean, Option[Long])].collect()
+    assert(out.length == 5)
+    assert(out.forall { case (ok, w) => !ok && w.isEmpty })
+  }
+
   test("multimodal decode stub: expression and mapPartitions paths agree") {
     import graft.multimodal.Multimodal
     val assets = Multimodal.fakeAssets(docs, "doc_id", "text")
