@@ -1904,11 +1904,26 @@ object SparkEntry {
       // instead of the toy setting's n²/32. threshold=-1 keeps every
       // verified candidate pair, so the row measures the full pipeline
       // (96 projections/vector → bucket join → id-distinct → vector
-      // rejoin → exact cosine) without depending on corpus near-dup
-      // recall for a non-empty result. Rows-only gate; the planes=4 twin
-      // above carries the full DuckDB oracle for the same code path.
-      graft.text.Similarity.lshNearDup(Tables.embeddings(s, d),
+      // rejoin → exact cosine). Round 11: certificate oracle (was the
+      // last deliberate no_oracle row) — 20 exact copies are PLANTED;
+      // identical vectors share every table's bucket, so all 20 planted
+      // pairs MUST surface with cosine ≈ 1, and the pair algebra is
+      // shape-pinned (a<b ordering, cosine bounds, non-empty). The
+      // planes=4 twin above still carries the value-exact DuckDB oracle
+      // for the same code path.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val pairs = graft.text.Similarity.lshNearDup(emb.unionAll(planted),
         threshold = -1.0, planes = 12, tables = 8)
+      val isPlanted = F.col("id_a") < 20 && F.col("id_b") === F.col("id_a") + 100000L
+      pairs.agg(
+        (F.count(F.lit(1)) > 0L).as("nonempty"),
+        F.count_if(isPlanted).as("n_planted_found"),
+        F.coalesce(F.bool_and(F.when(isPlanted, F.col("cosine") >= 0.999999)),
+          F.lit(false)).as("planted_cos_ok"),
+        F.bool_and(F.col("id_a") < F.col("id_b")).as("ids_ordered"),
+        F.bool_and(F.col("cosine").between(-1.000001, 1.000001)).as("cos_bounded"))
     }),
     "embed_ivf_search" -> ((s, d) => {
       // KMeans-backed IVF, gated as a THRESHOLD check (r8): recall@5 vs
@@ -5991,6 +6006,14 @@ object SparkEntry {
         |  JOIN embeddings va ON c.id_a = va.vec_id
         |  JOIN embeddings vb ON c.id_b = vb.vec_id)
         |WHERE cosine >= 0.2""".stripMargin,
+    // production-settings LSH certificate: 20 planted exact copies must
+    // all surface (identical vectors collide in every table) with unit
+    // cosine, pairs ordered and bounded — constant summary, the planes=4
+    // twin above carries the value-exact oracle for the same code path
+    "embed_lsh_neardup_prod" ->
+      """SELECT true AS nonempty, CAST(20 AS BIGINT) AS n_planted_found,
+        |  true AS planted_cos_ok, true AS ids_ordered, true AS cos_bounded
+        |""".stripMargin,
     // Streaming embedding near-dup, batch mode: the inline-verified
     // stateful-bucket operator must equal batch lshNearDup exactly — the
     // oracle is the SAME planes=4 SQL as embed_lsh_neardup above.
