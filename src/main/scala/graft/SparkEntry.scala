@@ -937,6 +937,29 @@ object SparkEntry {
         (idx.toLong, r6(t.params("z")), r6(t.score))
       }.toDF("trial", "z", "ndcg_at_5")
     }),
+    "tpe_search_budget" -> ((s, d) => {
+      // ADAPTIVE sampler (round 11; the reference's Optuna TPE,
+      // optuna_mixin.py:17-244): deterministic TPE-lite — seeded md5
+      // startup + candidate draws, Cauchy-kernel good/bad density ratio,
+      // shrinking exploit radius. The objective has a DATA-DERIVED planted
+      // optimum (zstar from the interactions rating mean — integral
+      // doubles, so the mean is bit-exact cross-engine) and is rational
+      // (no transcendentals), so the oracle replays every trial of the
+      // sequential search bit-for-bit: draws, density argmax, AND scores.
+      val i = Tables.interactions(s, d)
+      val agg = i.agg(F.sum("rating"), F.count(F.lit(1))).head
+      val zstar = 1.0 + agg.getDouble(0) / agg.getLong(1) / 100.0
+      val trials = graft.metrics.RandomSearch.Tpe.searchObjective(
+        borders = Map("z" -> (1.0, 2.0)),
+        objective = p => {
+          val dz = p("z") - zstar; 1.0 / (1.0 + 8.0 * dz * dz)
+        },
+        budget = 5, seed = 7)
+      import s.implicits._
+      trials.zipWithIndex.map { case (t, idx) =>
+        (idx.toLong, r6(t.params("z")), r6(t.score))
+      }.toDF("trial", "z", "score")
+    }),
     "experiment_table" -> ((s, d) => {
       // models × metrics table (experiment.py:7-200); metric means rounded
       // to 6dp for cross-engine float parity
@@ -3991,6 +4014,7 @@ object SparkEntry {
     "experiment_table" -> experimentTableSql,
     "grid_search" -> gridSearchSql,
     "grid_search_budget" -> gridSearchBudgetSql,
+    "tpe_search_budget" -> tpeSearchBudgetSql,
     "metrics_multi_k" -> metricsMultiKSql,
   ) ++ oracleSqlRest
 
@@ -4101,6 +4125,53 @@ object SparkEntry {
          |  round(avg(ndcg_), 6) AS ndcg_at_5 FROM b${t}pu""".stripMargin)
       .mkString("\nUNION ALL\n")
     s"$timeSplitEvalSql,\n$blocks\n$selects"
+  }
+
+  /** tpe_search_budget: bit-exact replay of the SEQUENTIAL adaptive
+    * search (RandomSearch.Tpe) — startup trials are the md5 draw
+    * sequence, each adaptive trial t unrolls to CTEs that rank the past
+    * trials (score desc, trial asc), draw 8 candidates (even = uniform,
+    * odd = clamped perturbation of the best with radius bw/(t−1)), pick
+    * the Cauchy-kernel density-ratio argmax, and score it. Every number
+    * is +,·,/ on md5 draws — no transcendental, no float-sum-order
+    * dependence (the bad-side density is a MAX), so the oracle matches
+    * the engine to the last ulp. */
+  private lazy val tpeSearchBudgetSql: String = {
+    val bw = "CAST(0.2 AS DOUBLE)"
+    def u(t: Int, cExpr: String) =
+      s"(('0x' || substr(md5('7:$t:z:' || $cExpr), 1, 15))::BIGINT" +
+        " / 1152921504606846976.0)"
+    def score(z: String) = s"1/(1 + 8*($z - zstar)*($z - zstar))"
+    def adaptive(t: Int): String = {
+      val k = t - 1 // radius divisor: t − nStartup + 1 with nStartup = 2
+      val prev = (0 until t).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      s"""g$t AS (SELECT z AS zg FROM ($prev) p ORDER BY s DESC, trial LIMIT 1),
+         |b$t AS (SELECT z AS zb FROM ($prev) p ORDER BY s DESC, trial OFFSET 1),
+         |c$t AS (SELECT cc.c, g.zg, CASE WHEN cc.c % 2 = 0
+         |    THEN 1.0 + ${u(t, "cc.c")} * (2.0 - 1.0)
+         |    ELSE least(CAST(2.0 AS DOUBLE), greatest(CAST(1.0 AS DOUBLE),
+         |      g.zg + (2 * ${u(t, "cc.c")} - 1) * ($bw / $k))) END AS x
+         |  FROM range(0, 8) cc(c), g$t g),
+         |k$t AS (SELECT c.c, c.x,
+         |    (1/(1 + ((c.x - c.zg)/$bw)*((c.x - c.zg)/$bw))) /
+         |    (max(1/(1 + ((c.x - b.zb)/$bw)*((c.x - b.zb)/$bw))) + 1e-9) AS ratio
+         |  FROM c$t c CROSS JOIN b$t b GROUP BY c.c, c.x, c.zg),
+         |z$t AS (SELECT x AS z FROM k$t ORDER BY ratio DESC, c LIMIT 1),
+         |r$t AS (SELECT $t AS trial, z, ${score("z")} AS s FROM z$t, zs)""".stripMargin
+    }
+    val startup = (0 until 2).map(t =>
+      s"""t$t AS (SELECT $t AS trial, ${zDrawSql(t)} AS z),
+         |r$t AS (SELECT trial, z, ${score("z")} AS s FROM t$t, zs)""".stripMargin)
+      .mkString(",\n")
+    val adaptives = (2 until 5).map(adaptive).mkString(",\n")
+    val all = (0 until 5).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""$interactionsSql,
+       |zs AS (SELECT CAST(1.0 AS DOUBLE) + sum(rating)/count(*)/100 AS zstar
+       |  FROM interactions),
+       |$startup,
+       |$adaptives
+       |SELECT CAST(trial AS BIGINT) AS trial, round(z, 6) AS z,
+       |  round(s, 6) AS score FROM ($all) q""".stripMargin
   }
 
   /** experiment_table: the metrics_ranking split + gt, then per model

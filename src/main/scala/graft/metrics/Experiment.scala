@@ -203,6 +203,119 @@ object RandomSearch {
     (main, fb)
   }
 
+  /** ADAPTIVE sampler — deterministic TPE-lite (round 11; reference:
+    * models/optimization/optuna_mixin.py:17-244, Optuna's TPESampler).
+    * Like TPE, past trials are split into a good set (top ⌈γ·n⌉ by score)
+    * and a bad set, candidate values are drawn, and the candidate with the
+    * best good-density/bad-density ratio wins. Two deliberate deviations
+    * keep every arithmetic step bit-replayable in a SQL oracle (the
+    * property TPE's KDE machinery cannot give):
+    *
+    *  1. all randomness is the seeded md5 draw (startup trials reuse the
+    *     exact [[RandomSearch]] sequence `seed:t:p`; candidates draw from
+    *     `seed:t:p:c`), so the trial sequence is a pure function of the
+    *     seed and the past scores;
+    *  2. densities use the MAX of CAUCHY kernels (nearest-neighbour
+    *     density, l(x) = max_g 1/(1+((x−g)/bw)²)) instead of a Gaussian
+    *     KDE sum — max is float-order-independent and the rational
+    *     kernel needs no transcendental (exp is not correctly-rounded-
+    *     mandated, so Java and a SQL engine may differ in the last ulp;
+    *     +,·,/ are IEEE-exact everywhere), so a SQL engine reproduces
+    *     every proposal bit-for-bit; at the tens-of-trials budgets the
+    *     reference defaults to, nearest-good vs nearest-bad is within
+    *     noise of the sum (spec: beats random search on planted optima).
+    *
+    * Params are proposed independently per dimension (TPE is factorized
+    * the same way); degenerate borders pin the param. */
+  object Tpe {
+    /** gamma: good-set fraction; bwFraction: kernel bandwidth as a
+      * fraction of the border width; nCandidates: draws per adaptive
+      * proposal (even index = uniform exploration, odd index = a
+      * perturbation of a good point — TPE samples candidates from l(x),
+      * and the perturbation is its deterministic stand-in); nStartup:
+      * pure-random warmup trials. */
+    final case class Config(nStartup: Int = 2, nCandidates: Int = 8,
+        gamma: Double = 0.25, bwFraction: Double = 0.2)
+
+    /** Propose params for trial `t` given past scored trials — a pure
+      * deterministic function of (seed, t, past). */
+    def propose(borders: Map[String, (Double, Double)], seed: Long, t: Int,
+        past: Seq[Trial], cfg: Config = Config()): Map[String, Double] = {
+      borders.foreach { case (p, (lo, hi)) =>
+        require(hi >= lo, s"invalid borders for $p: [$lo, $hi]") }
+      if (t < cfg.nStartup || past.size < 2)
+        borders.map { case (p, (lo, hi)) =>
+          p -> (lo + uniformDraw(s"$seed:$t:$p") * (hi - lo)) }
+      else {
+        // rank past by (score desc, trial index asc) — deterministic ties
+        val ranked = past.zipWithIndex
+          .sortBy { case (tr, i) => (-tr.score, i) }.map(_._1)
+        val nGood = math.max(1, math.ceil(cfg.gamma * past.size).toInt)
+        val (good, bad) = (ranked.take(nGood), ranked.drop(nGood))
+        borders.map { case (p, (lo, hi)) =>
+          if (hi == lo) p -> lo
+          else {
+            val bw = (hi - lo) * cfg.bwFraction
+            // perturbation radius SHRINKS as evidence accumulates
+            // (bw / trial-age): early adaptive trials explore a good
+            // point's whole neighbourhood, late ones refine it finely —
+            // a pure function of t, so the SQL oracle replays it
+            val radius = bw / (t - cfg.nStartup + 1)
+            def kernel(x: Double, at: Double): Double = {
+              val r = (x - at) / bw; 1.0 / (1.0 + r * r)
+            }
+            val best = (0 until cfg.nCandidates).map { c =>
+              val u = uniformDraw(s"$seed:$t:$p:$c")
+              val x =
+                if (c % 2 == 0) lo + u * (hi - lo) // explore: uniform
+                else { // exploit: perturb a good point within ±radius
+                  val center = good((c / 2) % good.size).params(p)
+                  math.min(hi, math.max(lo, center + (2.0 * u - 1.0) * radius))
+                }
+              val l = good.iterator.map(g => kernel(x, g.params(p))).max
+              val b = bad.iterator.map(g => kernel(x, g.params(p)))
+                .foldLeft(0.0)(math.max) + 1e-9
+              (x, l / b, c)
+            }.maxBy { case (_, ratio, c) => (ratio, -c) } // ties → lowest c
+            p -> best._1
+          }
+        }
+      }
+    }
+
+    /** Budgeted adaptive search of an arbitrary objective (maximized).
+      * Trials return in DRAW order so consumers — and the SQL oracle —
+      * address them by index; [[best]] picks the winner. Sequential by
+      * construction: trial t's proposal depends on trials < t (the
+      * adaptive trade-off vs [[RandomSearch]]'s embarrassing
+      * parallelism). */
+    def searchObjective(borders: Map[String, (Double, Double)],
+        objective: Map[String, Double] => Double,
+        budget: Int = 10, seed: Long = 42,
+        cfg: Config = Config()): Seq[Trial] = {
+      var past = Vector.empty[Trial]
+      for (t <- 0 until budget) {
+        val params = propose(borders, seed, t, past, cfg)
+        past :+= Trial(params, objective(params))
+      }
+      past
+    }
+
+    /** model.optimize parity (optuna_mixin.py:167-244): fit-predict each
+      * proposal and score `metric@k` on the holdout, adaptively. */
+    def search(borders: Map[String, (Double, Double)],
+        build: Map[String, Double] => graft.models.BaseRecommender,
+        train: DataFrame, test: DataFrame,
+        metric: String = "ndcg", k: Int = 10,
+        budget: Int = 10, seed: Long = 42,
+        cols: RecCols = RecCols(), cfg: Config = Config()): Seq[Trial] = {
+      val gt = test.select(cols.query, cols.item).distinct()
+      searchObjective(borders,
+        params => evaluate(params, build, train, gt, metric, k, cols).score,
+        budget, seed, cfg)
+    }
+  }
+
   /** Successive halving (Jamieson & Talwalkar, AISTATS 2016) over the same
     * draw sequence: rung r scores the surviving trials on a hash-sampled
     * fraction 1/eta^(R−1−r) of training QUERIES (sampling whole users keeps
