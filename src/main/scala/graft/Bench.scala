@@ -67,7 +67,7 @@ object Bench {
     "model_pop_rec_predict", "model_item_knn", "model_item_knn_predict",
     "model_assoc_rules", "model_wilson", "model_ucb",
     "model_als", "model_als_explicit", "model_word2vec", "model_slim",
-    "model_slim_distributed",
+    "model_slim_distributed", "model_admm_slim",
     "model_cluster", "model_linucb",
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",

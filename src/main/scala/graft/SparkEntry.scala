@@ -665,6 +665,38 @@ object SparkEntry {
       new models.SLIM(maxIter = 15, maxNeighbours = 30,
         maxCollectEntries = 0L).fit(binary).similarity
     }),
+    "model_admm_slim" -> ((s, d) => {
+      // ADMM-SLIM (round 11; experimental/models/admm_slim.py:18-210):
+      // distributed Gram → driver LAPACK inversion + ADMM iterations,
+      // bounded by the maxItems dense-catalog contract — the gate
+      // restricts to item_id < 500 (the model's envelope; SLIM's
+      // distributed solver is the sparse mega-catalog path). DuckDB
+      // cannot invert matrices, so the oracle pins a certificate:
+      // data-derived item count, non-empty sparse similarity, zero
+      // diagonal, l1-monotone sparsity across two fits, finite values,
+      // convergence before maxIteration.
+      val i = Tables.interactions(s, d).filter(F.col("item_id") < 500)
+        .select("query_id", "item_id").distinct()
+        .withColumn("rating", F.lit(1.0))
+      def fit(l1: Double) = {
+        val m = new models.AdmmSlim(lambda1 = l1, lambda2 = 10.0,
+          maxItems = 600)
+        m.fit(i); m
+      }
+      val loose = fit(0.5)
+      val nnzLoose = loose.similarity.count()
+      val nnzTight = fit(2.0).similarity.count()
+      val nItems = i.select(F.countDistinct("item_id")).head.getLong(0)
+      loose.similarity.agg(
+        F.lit(nItems).as("n_items"),
+        (F.count(F.lit(1)) > 0L).as("nonempty"),
+        F.coalesce(F.bool_and(F.when(F.col("item_one") === F.col("item_two"),
+          F.abs(F.col("similarity")) <= 1e-6)), F.lit(true)).as("diag_ok"),
+        F.lit(nnzTight <= nnzLoose).as("l1_monotone"),
+        F.bool_and(!F.isnan(F.col("similarity")) &&
+          F.abs(F.col("similarity")) < 1e6).as("values_finite"),
+        F.lit(loose.lastIterations < loose.maxIteration).as("converged"))
+    }),
 
     // ---- §2.8 history features + time smoothing ---------------------------
     "history_features" -> ((s, d) => {
@@ -4015,6 +4047,15 @@ object SparkEntry {
     "grid_search" -> gridSearchSql,
     "grid_search_budget" -> gridSearchBudgetSql,
     "tpe_search_budget" -> tpeSearchBudgetSql,
+    // ADMM-SLIM certificate: n_items is data-derived, the algebraic
+    // properties (zero diagonal, l1-monotone sparsity, convergence) are
+    // engine-verified booleans — DuckDB cannot invert matrices
+    "model_admm_slim" ->
+      s"""$interactionsSql
+         |SELECT count(DISTINCT item_id) AS n_items, true AS nonempty,
+         |  true AS diag_ok, true AS l1_monotone, true AS values_finite,
+         |  true AS converged
+         |FROM interactions WHERE item_id < 500""".stripMargin,
     "metrics_multi_k" -> metricsMultiKSql,
   ) ++ oracleSqlRest
 

@@ -175,6 +175,7 @@ object ModelIO {
     case _: ItemKNN          => "item_knn"
     case _: AssociationRules => "assoc_rules"
     case _: SLIM             => "slim"
+    case _: AdmmSlim         => "admm_slim"
     case other =>
       throw new IllegalArgumentException(
         s"unknown neighbour model ${other.getClass.getSimpleName}")
@@ -207,6 +208,7 @@ object ModelIO {
           a.rules = spark.read.parquet(s"$path/rules").cache()
         a
       case "slim"        => new SLIM()
+      case "admm_slim"   => new AdmmSlim()
       case other => throw new IllegalArgumentException(s"unknown neighbour kind $other")
     }
     m.similarity = spark.read.parquet(s"$path/similarity").cache()
@@ -495,7 +497,8 @@ object ModelIO {
     readJson(path)("kind") match {
       case "pop_rec" | "wilson" | "ucb" | "klucb" | "thompson" =>
         loadNonPersonalized(spark, path)
-      case "item_knn" | "assoc_rules" | "slim" => loadNeighbour(spark, path)
+      case "item_knn" | "assoc_rules" | "slim" | "admm_slim" =>
+        loadNeighbour(spark, path)
       case "als"           => loadALS(spark, path)
       case "word2vec"      => loadWord2Vec(spark, path)
       case "query_pop"     => loadQueryPop(spark, path)
