@@ -1045,6 +1045,30 @@ object SparkEntry {
           F.col("pred"), F.col("w"), F.col("gt"), 5).as("v"))
         .agg(F.round(F.avg("v"), 6).as("ncis_precision_at_5"))
     }),
+    "ope_ncis_replay" -> ((s, d) => {
+      // end-to-end OPE (round 11; obp_wrapper/replay_offline.py +
+      // examples/obp_connector): the test window becomes the logged
+      // bandit replay, behavior policy = train popularity (exact integral
+      // ratios), target policy = sampling-mode UCB's predictProba at
+      // position 0 — the full predict_proba → importance-weights → NCIS
+      // composition, one row of IPS/NCIS values against the oracle's
+      // replay of the same estimators.
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val logged = test.select(F.col("query_id"), F.col("item_id"),
+        (F.col("rating") > 25).cast("double").as("reward"))
+      val m = new models.UCB().fit(train)
+      m.sample = true
+      val proba = m.predictProba(train, k = 1,
+        queries = Some(logged.select("query_id").distinct()))
+      val nTrain = train.count()
+      val behavior = train.groupBy("item_id")
+        .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
+      graft.metrics.Ope.estimate(logged, proba, behavior, clip = 10.0)
+    }),
     "metrics_multi_k" -> ((s, d) => {
       // one enrichment, every metric × every k in one pass
       // (offline_metrics.py:12-482): hit_rate and ndcg at k ∈ {1, 5}
@@ -4047,6 +4071,35 @@ object SparkEntry {
     "grid_search" -> gridSearchSql,
     "grid_search_budget" -> gridSearchBudgetSql,
     "tpe_search_budget" -> tpeSearchBudgetSql,
+    // end-to-end OPE replay: train-window UCB scores → sampling
+    // distribution (the ucb_sample_proba recipe over the TRAIN split),
+    // train-popularity behavior propensities, then the IPS / clipped
+    // self-normalized estimators over the test-window logged rounds
+    "ope_ncis_replay" ->
+      s"""$timeSplitEvalSql,
+         |pt AS (SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM train GROUP BY item_id),
+         |sc AS (SELECT item_id,
+         |    pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM train)) / total) AS w
+         |  FROM pt),
+         |g AS (SELECT item_id, CASE WHEN w = 0.0 THEN 1e-6 ELSE w END AS w FROM sc),
+         |dist AS (SELECT item_id, w / (SELECT sum(w) FROM g) AS prob FROM g),
+         |beh AS (SELECT item_id,
+         |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM train) AS propensity
+         |  FROM train GROUP BY item_id),
+         |logged AS (SELECT query_id, item_id,
+         |    CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END AS reward FROM test),
+         |sj AS (SELECT l.reward, d.prob / b.propensity AS w
+         |  FROM logged l JOIN dist d ON l.item_id = d.item_id
+         |  JOIN beh b ON l.item_id = b.item_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(reward)/count(*), 6) AS behavior_value,
+         |  round(sum(w*reward)/count(*), 6) AS ips_value,
+         |  round(sum(least(w, CAST(10.0 AS DOUBLE))*reward)
+         |    / sum(least(w, CAST(10.0 AS DOUBLE))), 6) AS ncis_value
+         |FROM sj""".stripMargin,
     // ADMM-SLIM certificate: n_items is data-derived, the algebraic
     // properties (zero diagonal, l1-monotone sparsity, convergence) are
     // engine-verified booleans — DuckDB cannot invert matrices

@@ -1,0 +1,65 @@
+package graft.metrics
+
+import graft.SparkSpec
+
+class OpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 logged rounds: queries 0..3, actions {0,0,1,1}, rewards {1,0,1,0}
+  private def logged = Seq(
+    (0L, 0L, 1.0), (1L, 0L, 0.0), (2L, 1L, 1.0), (3L, 1L, 0.0),
+  ).toDF("query_id", "item_id", "reward")
+
+  private def proba(p0: Double, p1: Double) = Seq(
+    (0L, 0L, p0), (1L, 0L, p0), (2L, 1L, p1), (3L, 1L, p1),
+  ).toDF("query_id", "item_id", "prob")
+
+  private def behavior(b0: Double, b1: Double) =
+    Seq((0L, b0), (1L, b1)).toDF("item_id", "propensity")
+
+  private def row(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Double, Double, Double)].head()
+
+  test("target == behavior recovers the behavior value exactly") {
+    val r = row(Ope.estimate(logged, proba(0.5, 0.5), behavior(0.5, 0.5)))
+    assert(r == ((4L, 0.5, 0.5, 0.5))) // w ≡ 1: every estimator = avg reward
+  }
+
+  test("one-hot target isolates that action's rounds (hand IPS/NCIS)") {
+    // target plays item 0 always: w = 1/0.5 = 2 on item-0 rounds, 0 on
+    // item-1 rounds → IPS = (2·1 + 2·0 + 0 + 0)/4 = 0.5,
+    // NCIS = (2·1 + 2·0)/(2+2+0+0) = 0.25... wait the zero-weight rounds
+    // keep w = 0 (prob 0), so Σŵ = 4 → NCIS = 2/4 = 0.5
+    val r = row(Ope.estimate(logged, proba(1.0, 0.0), behavior(0.5, 0.5)))
+    assert(r._1 == 4L && r._2 == 0.5)
+    assert(r._3 == 0.5, s"ips ${r._3}")
+    assert(r._4 == 0.5, s"ncis ${r._4}")
+  }
+
+  test("a target preferring the rewarding arm scores above behavior") {
+    // item 0 pays 0.5, item 1 pays 0.5 here — build an asymmetric log
+    val log2 = Seq(
+      (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 1L, 0.0), (3L, 1L, 0.0),
+    ).toDF("query_id", "item_id", "reward")
+    val r = row(Ope.estimate(log2, proba(0.9, 0.1), behavior(0.5, 0.5)))
+    // w(item0)=1.8, w(item1)=0.2: IPS = (1.8+1.8)/4 = 0.9 > 0.5
+    assert(r._2 == 0.5 && r._3 == 0.9)
+    assert(r._4 == 0.9) // NCIS: 3.6/(3.6+0.4) = 0.9
+  }
+
+  test("clipping caps pathological importance weights") {
+    // propensity 0.01 on item 0 → raw w = 100, clipped to 10
+    val r = row(Ope.estimate(logged, proba(1.0, 0.0), behavior(0.01, 0.99),
+      clip = 10.0))
+    // IPS (unclipped): (100·1 + 100·0)/4 = 25 — wild overestimate
+    assert(r._3 == 25.0)
+    // NCIS: ŵ = 10 on item-0 rounds, 0 elsewhere → 10/(10+10) = 0.5
+    assert(r._4 == 0.5)
+  }
+
+  test("rounds without common support drop (inner-join restriction)") {
+    val partial = Seq((0L, 0L, 1.0)).toDF("query_id", "item_id", "prob")
+    val r = row(Ope.estimate(logged, partial, behavior(0.5, 0.5)))
+    assert(r._1 == 1L)
+  }
+}
