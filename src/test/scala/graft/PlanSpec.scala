@@ -321,4 +321,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "LOO encode is aggregate+join, never a per-row window over the data")
   }
+
+  test("OPE replay: sampled-proba distribution broadcasts, joins stay non-cartesian") {
+    // the target distribution is |items|-sized (broadcast into the
+    // query cross join per the sampled-proba contract); the logged-round
+    // joins and the behavior-propensity join must be hash equi-joins —
+    // an unbroadcast cartesian here would be rounds × items at 100 TB
+    val plan = optimizedPlan("ope_ncis_replay")
+    assert(plan.contains("BroadcastExchange"), "item distribution not broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "OPE joins must never fall back to a cartesian")
+  }
+
 }
