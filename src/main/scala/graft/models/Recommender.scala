@@ -128,15 +128,28 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
     * tuning surface (optuna_mixin.py:167-244 with `param_borders=None`
     * falling back to the model's own `_search_space`), driven by the
     * engine's budgeted seeded RandomSearch. Returns the best trial. */
+  /** Zero-config budgeted hyper-parameter search (reference
+    * `model.optimize`, optuna_mixin.py:167-244). `sampler`: "tpe"
+    * (default — adaptive, the reference's TPESampler analogue,
+    * [[graft.metrics.RandomSearch.Tpe]]) or "random" (embarrassingly
+    * parallel md5 draws — pass parallelism via RandomSearch.search
+    * directly when wall-clock matters more than sample efficiency). */
   def optimize(train: DataFrame, test: DataFrame,
       paramBorders: Option[Map[String, (Double, Double)]] = None,
       metric: String = "ndcg", k: Int = 10, budget: Int = 10,
-      seed: Long = 42): graft.metrics.GridSearch.Trial = {
+      seed: Long = 42, sampler: String = "tpe"): graft.metrics.GridSearch.Trial = {
     val borders = paramBorders.getOrElse(searchBorders)
     require(borders.nonEmpty,
       s"${getClass.getSimpleName} has no default search space; pass paramBorders")
-    graft.metrics.RandomSearch.best(graft.metrics.RandomSearch.search(
-      borders, withParams, train, test, metric, k, budget, seed, cols))
+    val trials = sampler match {
+      case "tpe" => graft.metrics.RandomSearch.Tpe.search(
+        borders, withParams, train, test, metric, k, budget, seed, cols)
+      case "random" => graft.metrics.RandomSearch.search(
+        borders, withParams, train, test, metric, k, budget, seed, cols)
+      case other => throw new IllegalArgumentException(
+        s"unknown sampler '$other' (expected tpe | random)")
+    }
+    graft.metrics.RandomSearch.best(trials)
   }
 }
 

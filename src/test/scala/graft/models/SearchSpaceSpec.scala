@@ -90,4 +90,19 @@ class SearchSpaceSpec extends SparkSpec {
       new PopRec().optimize(trainDf, testDf, budget = 2)
     }
   }
+
+  test("optimize samplers: tpe default == Tpe.search best, random == RandomSearch best") {
+    val m = new ItemKNN(numNeighbours = 5)
+    val tpe = m.optimize(trainDf, testDf, budget = 4, seed = 7)
+    val tpeTrials = graft.metrics.RandomSearch.Tpe.search(
+      m.searchBorders, m.withParams, trainDf, testDf, budget = 4, seed = 7)
+    assert(tpe == graft.metrics.RandomSearch.best(tpeTrials))
+    val rnd = m.optimize(trainDf, testDf, budget = 4, seed = 7, sampler = "random")
+    val rndTrials = graft.metrics.RandomSearch.search(
+      m.searchBorders, m.withParams, trainDf, testDf, budget = 4, seed = 7)
+    assert(rnd == graft.metrics.RandomSearch.best(rndTrials))
+    intercept[IllegalArgumentException] {
+      m.optimize(trainDf, testDf, budget = 2, sampler = "genetic")
+    }
+  }
 }
