@@ -1062,8 +1062,10 @@ object SparkEntry {
         (F.col("rating") > 25).cast("double").as("reward"))
       val m = new models.UCB().fit(train)
       m.sample = true
-      val proba = m.predictProba(train, k = 1,
-        queries = Some(logged.select("query_id").distinct()))
+      // π_e evaluated AT the logged actions (predictProbaPairs): one
+      // broadcast item-key join — the dense query×catalog proba tensor
+      // (correct for OBP export, quadratic here) never materializes
+      val proba = m.predictProbaPairs(logged.select("query_id", "item_id"))
       val nTrain = train.count()
       val behavior = train.groupBy("item_id")
         .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))

@@ -380,12 +380,43 @@ abstract class NonPersonalizedRec(cols: RecCols = RecCols()) extends BaseRecomme
       F.when(F.col(cols.rating) === 0.0, F.lit(1e-6))
         .otherwise(F.col(cols.rating)).as("_w"))
     qs.select(cols.query)
-      .crossJoin(F.broadcast(guarded
-        .crossJoin(F.broadcast(guarded.agg(F.sum("_w").as("_tot"))))
-        .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("prob"))))
+      .crossJoin(F.broadcast(samplingDistribution))
       .select(F.col(cols.query), F.col(cols.item),
         F.explode(F.sequence(F.lit(0L), F.lit((k - 1).toLong))).as("position"),
         F.col("prob"))
+  }
+
+  /** The zero-floored, weight-normalized item selection distribution the
+    * sampling mode draws from — (item, prob), |items| rows. */
+  private def samplingDistribution: DataFrame = {
+    val guarded = itemPopularity.select(F.col(cols.item),
+      F.when(F.col(cols.rating) === 0.0, F.lit(1e-6))
+        .otherwise(F.col(cols.rating)).as("_w"))
+    guarded
+      .crossJoin(F.broadcast(guarded.agg(F.sum("_w").as("_tot"))))
+      .select(F.col(cols.item), (F.col("_w") / F.col("_tot")).as("prob"))
+  }
+
+  /** π(a|x) for EXPLICIT (query, item) pairs at position 0 — the OPE
+    * access pattern (evaluate the target policy AT the logged actions,
+    * obp_wrapper/replay_offline.py:290-330 indexes action_dist at the
+    * logged action ids). One broadcast equi-join on the item key over
+    * exactly the logged rounds: the query×catalog cross join
+    * [[predictProba]] materializes (correct for the dense OBP tensor,
+    * quadratic for round-indexed access — measured 85 s vs 3 s at sf0.1)
+    * never forms. Values are identical to predictProba's position 0
+    * (same expression tree; spec-pinned). Sampling mode only — a
+    * deterministic ranker's distribution is the one-hot predictProba. */
+  def predictProbaPairs(pairs: DataFrame): DataFrame = {
+    require(sample,
+      "predictProbaPairs needs sampling mode (model.sample = true); " +
+      "deterministic rankers' action distribution is the one-hot predictProba")
+    // distinct: π(a|x) is a fact per pair — duplicate logged rounds must
+    // not duplicate distribution rows (a downstream join would multiply)
+    pairs.select(cols.query, cols.item).distinct()
+      .join(F.broadcast(samplingDistribution), Seq(cols.item))
+      .select(F.col(cols.query), F.col(cols.item),
+        F.lit(0L).as("position"), F.col("prob"))
   }
 
   /** Pair scoring: left join + cold fill when `addColdItems`, inner join

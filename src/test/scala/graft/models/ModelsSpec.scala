@@ -73,6 +73,23 @@ class ModelsSpec extends SparkSpec {
     assert(p1.forall(v => math.abs(v - 0.5) < 1e-12))
   }
 
+  test("predictProbaPairs == predictProba position 0 at the queried pairs") {
+    val m = new PopRec().fit(log)
+    m.sample = true
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("query_id", "item_id")
+    val viaPairs = m.predictProbaPairs(pairs)
+      .select("query_id", "item_id", "position", "prob")
+      .collect().map(_.toSeq).toSet
+    val viaDense = m.predictProba(log, k = 2).filter($"position" === 0L)
+      .join(pairs, Seq("query_id", "item_id"), "left_semi")
+      .select("query_id", "item_id", "position", "prob")
+      .collect().map(_.toSeq).toSet
+    assert(viaPairs == viaDense && viaPairs.size == 3)
+    // deterministic rankers must refuse: their distribution is one-hot
+    m.sample = false
+    intercept[IllegalArgumentException] { m.predictProbaPairs(pairs) }
+  }
+
   test("items-restricted predict stays within the candidate set, pre-crop") {
     val allowed = Seq(Tuple1(0L)).toDF("item_id")
     // user 0 has seen 0,1; restricted to {0} with filterSeen → no recs;
