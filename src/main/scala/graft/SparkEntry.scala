@@ -1483,6 +1483,23 @@ object SparkEntry {
           Seq(F.col("event_id")), nSalts = 8)
         .select("event_id", "user_id", "n_events", "n_clicks")
     }),
+    "join_delta_maintain" -> ((s, d) => {
+      // incremental join maintenance (round 11; the IVM identity
+      // Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB): orders/customer split into
+      // old/delta by key residue; the oracle computes the ground truth
+      // the hard way — full new join EXCEPT ALL old join — so the
+      // identity itself is what's checked, multiset-exact
+      val o = Tables.orders(s, d)
+        .select(F.col("o_custkey").as("custkey"), F.col("o_orderkey"))
+      val c = Tables.customer(s, d)
+        .select(F.col("c_custkey").as("custkey"), F.col("c_nationkey"))
+      val oldO = o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 8)
+      val deltaO = o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) >= 8)
+      val oldC = c.filter(F.pmod(F.col("custkey"), F.lit(10)) < 9)
+      val deltaC = c.filter(F.pmod(F.col("custkey"), F.lit(10)) >= 9)
+      graft.core.Ops.deltaJoinMaintain(oldO, deltaO, oldC, deltaC,
+        Seq("custkey"))
+    }),
     "cdc_apply_changes" -> ((s, d) => {
       // CDC merge: a synthetic change feed over documents — every 4th doc
       // upserted (v1), every 6th deleted (v2, so it overrides the %12
@@ -5125,6 +5142,16 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, s.n_events, s.n_clicks
         |FROM events e JOIN stats s USING (user_id)
         |WHERE e.event_type = 'click'""".stripMargin,
+    // ground truth for the IVM identity: new join EXCEPT ALL old join
+    "join_delta_maintain" ->
+      """WITH o AS (SELECT o_custkey AS custkey, o_orderkey FROM orders),
+        |c AS (SELECT c_custkey AS custkey, c_nationkey FROM customer),
+        |full_j AS (SELECT custkey, o_orderkey, c_nationkey
+        |  FROM o JOIN c USING (custkey)),
+        |old_j AS (SELECT custkey, o_orderkey, c_nationkey
+        |  FROM o JOIN c USING (custkey)
+        |  WHERE o_orderkey % 10 < 8 AND custkey % 10 < 9)
+        |SELECT * FROM full_j EXCEPT ALL SELECT * FROM old_j""".stripMargin,
     // merge-into semantics: latest change per key wins (version desc,
     // op asc tie-break — mirrors Ops.applyChanges' topK ordering)
     "cdc_apply_changes" ->

@@ -922,6 +922,30 @@ object Ops {
         F.min("min").as("min"), F.max("max").as("max"))
   }
 
+  /** Incremental JOIN maintenance (the join-side twin of
+    * [[aggSummary]]/[[aggMerge]]): the DELTA of an inner equi-join under
+    * insert-only updates,
+    *
+    *   Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * — the classic incremental-view-maintenance identity. Appending the
+    * result to yesterday's materialized join reproduces
+    * `(A_old ∪ ΔA) ⋈ (B_old ∪ ΔB)` exactly (multiset semantics; the law
+    * the gate checks), but the two big snapshots never join each other:
+    * at 100 TB the daily cost is two delta-sized shuffles against the
+    * snapshots plus one delta×delta join, instead of re-joining the
+    * whole history. Insert-only by contract — deletes/updates route
+    * through [[applyChanges]]' CDC path first, then a rebuild of the
+    * affected keys. Column layout: key columns, then A's payload, then
+    * B's payload (the same layout `oldA.join(oldB, keys)` produces). */
+  def deltaJoinMaintain(oldA: DataFrame, deltaA: DataFrame,
+      oldB: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "deltaJoinMaintain: need join keys")
+    deltaA.join(oldB, keys)
+      .unionByName(oldA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+  }
+
   /** k-anonymity audit (Sweeney 2002) over a quasi-identifier column set:
     * one row per observed quasi-identifier combination with its occupancy
     * and the `anonymous = n ≥ k` verdict. A combination shared by fewer

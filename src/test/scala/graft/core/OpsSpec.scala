@@ -501,6 +501,28 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSet == direct)
   }
 
+  test("deltaJoinMaintain: old join + delta == new join, multiset-exact") {
+    // duplicate keys on BOTH sides pin the multiset algebra: key 1 has
+    // 2 old + 1 delta rows in A and 1 old + 1 delta in B
+    val oldA = Seq((1L, "a1"), (1L, "a2"), (2L, "a3")).toDF("k", "pa")
+    val deltaA = Seq((1L, "a4"), (3L, "a5")).toDF("k", "pa")
+    val oldB = Seq((1L, "b1"), (3L, "b2")).toDF("k", "pb")
+    val deltaB = Seq((1L, "b3"), (2L, "b4")).toDF("k", "pb")
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "pa", "pb").collect().map(_.toSeq).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val maintained = bag(
+      oldA.join(oldB, Seq("k"))
+        .unionByName(Ops.deltaJoinMaintain(oldA, deltaA, oldB, deltaB, Seq("k"))))
+    val recomputed = bag(
+      oldA.unionByName(deltaA).join(oldB.unionByName(deltaB), Seq("k")))
+    assert(maintained == recomputed)
+    // empty deltas produce an empty delta join
+    val empty = deltaA.limit(0)
+    assert(Ops.deltaJoinMaintain(oldA, empty, oldB, deltaB.limit(0), Seq("k"))
+      .count() == 0)
+  }
+
   test("kAnonymityAudit counts combos; kAnonymize suppresses only sub-k rows") {
     // combo (1,1): 5 rows; (1,2): 2 rows; (2,1): 1 row
     val rows = (1L to 5L).map(i => (i, 1L, 1L)) ++
