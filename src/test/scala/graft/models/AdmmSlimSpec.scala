@@ -80,6 +80,47 @@ class AdmmSlimSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("l1=0 fixpoint equals the closed-form zero-diagonal ridge (Steck)") {
+    // independent math: with no l1 term and ρ PINNED (multiplicator = 1 —
+    // adaptive ρ against the stale inverse shifts the effective ridge to
+    // λ₂+ρ₀−ρ, a documented reference quirk) the ADMM fixpoint solves
+    // (G + λ₂I)B = G with a diagonal Lagrangian, i.e. the closed-form
+    // zero-diag ridge  B = P·G − P·diag(γ), γ_j = (P·G)_jj / P_jj,
+    // P = (G + λ₂I)⁻¹ — computed here directly from the same Gram, no
+    // ADMM code involved.
+    import breeze.linalg.{inv, DenseMatrix}
+    val lambda2 = 5.0
+    val m = new AdmmSlim(lambda1 = 0.0, lambda2 = lambda2,
+      epsAbs = 1e-9, epsRel = 1e-9, maxIteration = 3000,
+      multiplicator = 1.0)
+    m.fit(blockLog)
+    val sim = m.similarity.as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    // rebuild G from the log directly (items 0,1,2,10,11,12)
+    val ids = Seq(0L, 1L, 2L, 10L, 11L, 12L)
+    val idx = ids.zipWithIndex.toMap
+    val rows = blockLog.select("query_id", "item_id")
+      .as[(Long, Long)].collect()
+    val byUser = rows.groupBy(_._1).values.toSeq
+    val g = DenseMatrix.zeros[Double](6, 6)
+    byUser.foreach { us =>
+      val is = us.map(u => idx(u._2))
+      for (a <- is; b <- is) g(a, b) += 1.0
+    }
+    val p = inv(g + DenseMatrix.eye[Double](6) * lambda2)
+    val pg: DenseMatrix[Double] = p * g
+    val closed = DenseMatrix.zeros[Double](6, 6)
+    for (j <- 0 until 6) {
+      val gamma = pg(j, j) / p(j, j)
+      for (i <- 0 until 6) closed(i, j) = pg(i, j) - p(i, j) * gamma
+    }
+    for (i <- 0 until 6; j <- 0 until 6 if i != j) {
+      val admm = sim.getOrElse((ids(i), ids(j)), 0.0)
+      assert(math.abs(admm - closed(i, j)) < 1e-5,
+        s"cell (${ids(i)},${ids(j)}): admm=$admm closed=${closed(i, j)}")
+    }
+  }
+
   test("converges before maxIteration on a well-conditioned log") {
     val m = new AdmmSlim(lambda1 = 0.05, lambda2 = 1.0, maxIteration = 100)
     m.fit(blockLog)
