@@ -1071,6 +1071,32 @@ object SparkEntry {
         .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
       graft.metrics.Ope.estimate(logged, proba, behavior, clip = 10.0)
     }),
+    "ope_incremental" -> ((s, d) => {
+      // mergeable OPE state (round 11): the logged replay splits into two
+      // "days" by query residue, each summarized independently, merged,
+      // finalized — the oracle is the DIRECT estimate over the union, so
+      // the law value(merge(summary(A), summary(B))) ≡ estimate(A ∪ B) is
+      // what the gate checks (the aggSummary/aggMerge incremental-
+      // maintenance pattern applied to policy-value monitoring).
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val logged = test.select(F.col("query_id"), F.col("item_id"),
+        (F.col("rating") > 25).cast("double").as("reward"))
+      val m = new models.UCB().fit(train)
+      m.sample = true
+      val proba = m.predictProbaPairs(logged.select("query_id", "item_id"))
+      val nTrain = train.count()
+      val behavior = train.groupBy("item_id")
+        .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
+      val day1 = logged.filter(F.pmod(F.col("query_id"), F.lit(2)) === 0)
+      val day2 = logged.filter(F.pmod(F.col("query_id"), F.lit(2)) === 1)
+      graft.metrics.Ope.value(graft.metrics.Ope.merge(
+        graft.metrics.Ope.summary(day1, proba, behavior, clip = 10.0),
+        graft.metrics.Ope.summary(day2, proba, behavior, clip = 10.0)))
+    }),
     "metrics_multi_k" -> ((s, d) => {
       // one enrichment, every metric × every k in one pass
       // (offline_metrics.py:12-482): hit_rate and ndcg at k ∈ {1, 5}
@@ -4094,31 +4120,11 @@ object SparkEntry {
     // distribution (the ucb_sample_proba recipe over the TRAIN split),
     // train-popularity behavior propensities, then the IPS / clipped
     // self-normalized estimators over the test-window logged rounds
-    "ope_ncis_replay" ->
-      s"""$timeSplitEvalSql,
-         |pt AS (SELECT item_id,
-         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
-         |    CAST(count(*) AS DOUBLE) AS total
-         |  FROM train GROUP BY item_id),
-         |sc AS (SELECT item_id,
-         |    pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM train)) / total) AS w
-         |  FROM pt),
-         |g AS (SELECT item_id, CASE WHEN w = 0.0 THEN 1e-6 ELSE w END AS w FROM sc),
-         |dist AS (SELECT item_id, w / (SELECT sum(w) FROM g) AS prob FROM g),
-         |beh AS (SELECT item_id,
-         |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM train) AS propensity
-         |  FROM train GROUP BY item_id),
-         |logged AS (SELECT query_id, item_id,
-         |    CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END AS reward FROM test),
-         |sj AS (SELECT l.reward, d.prob / b.propensity AS w
-         |  FROM logged l JOIN dist d ON l.item_id = d.item_id
-         |  JOIN beh b ON l.item_id = b.item_id)
-         |SELECT CAST(count(*) AS BIGINT) AS n,
-         |  round(sum(reward)/count(*), 6) AS behavior_value,
-         |  round(sum(w*reward)/count(*), 6) AS ips_value,
-         |  round(sum(least(w, CAST(10.0 AS DOUBLE))*reward)
-         |    / sum(least(w, CAST(10.0 AS DOUBLE))), 6) AS ncis_value
-         |FROM sj""".stripMargin,
+    "ope_ncis_replay" -> opeReplaySql,
+    // same DIRECT-estimate ground truth: the gate computes it the
+    // incremental way (two per-day summaries merged), checking the
+    // value(merge(summary,summary)) law cross-engine
+    "ope_incremental" -> opeReplaySql,
     // ADMM-SLIM certificate: n_items is data-derived, the algebraic
     // properties (zero diagonal, l1-monotone sparsity, convergence) are
     // engine-verified booleans — DuckDB cannot invert matrices
@@ -4249,6 +4255,37 @@ object SparkEntry {
     * is +,·,/ on md5 draws — no transcendental, no float-sum-order
     * dependence (the bad-side density is a MAX), so the oracle matches
     * the engine to the last ulp. */
+
+  /** Shared OPE ground truth: the direct estimate over the full replay
+    * (ucb-over-train sampling distribution, train-popularity propensities,
+    * IPS + clipped self-normalized values). Consumed by ope_ncis_replay
+    * (direct path) and ope_incremental (summary/merge law). */
+  private lazy val opeReplaySql: String =
+    s"""$timeSplitEvalSql,
+         |pt AS (SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM train GROUP BY item_id),
+         |sc AS (SELECT item_id,
+         |    pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM train)) / total) AS w
+         |  FROM pt),
+         |g AS (SELECT item_id, CASE WHEN w = 0.0 THEN 1e-6 ELSE w END AS w FROM sc),
+         |dist AS (SELECT item_id, w / (SELECT sum(w) FROM g) AS prob FROM g),
+         |beh AS (SELECT item_id,
+         |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM train) AS propensity
+         |  FROM train GROUP BY item_id),
+         |logged AS (SELECT query_id, item_id,
+         |    CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END AS reward FROM test),
+         |sj AS (SELECT l.reward, d.prob / b.propensity AS w
+         |  FROM logged l JOIN dist d ON l.item_id = d.item_id
+         |  JOIN beh b ON l.item_id = b.item_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(reward)/count(*), 6) AS behavior_value,
+         |  round(sum(w*reward)/count(*), 6) AS ips_value,
+         |  round(sum(least(w, CAST(10.0 AS DOUBLE))*reward)
+         |    / sum(least(w, CAST(10.0 AS DOUBLE))), 6) AS ncis_value
+         |FROM sj""".stripMargin
+
   private lazy val tpeSearchBudgetSql: String = {
     val bw = "CAST(0.2 AS DOUBLE)"
     def u(t: Int, cExpr: String) =

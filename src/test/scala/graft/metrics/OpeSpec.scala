@@ -57,6 +57,16 @@ class OpeSpec extends SparkSpec {
     assert(r._4 == 0.5)
   }
 
+  test("value(merge(summary(A), summary(B))) == estimate(A ∪ B)") {
+    val a = logged.filter($"query_id" < 2L)
+    val b = logged.filter($"query_id" >= 2L)
+    val p = proba(0.7, 0.3); val beh = behavior(0.4, 0.6)
+    val merged = row(Ope.value(Ope.merge(
+      Ope.summary(a, p, beh), Ope.summary(b, p, beh))))
+    val direct = row(Ope.estimate(logged, p, beh))
+    assert(merged == direct)
+  }
+
   test("rounds without common support drop (inner-join restriction)") {
     val partial = Seq((0L, 0L, 1.0)).toDF("query_id", "item_id", "prob")
     val r = row(Ope.estimate(logged, partial, behavior(0.5, 0.5)))
