@@ -72,7 +72,7 @@ object Bench {
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
     "sequence_pad", "grid_search_budget", "tpe_search_budget",
-    "ope_ncis_replay",
+    "ope_ncis_replay", "ope_incremental", "join_delta_maintain",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "sketch_histogram",
