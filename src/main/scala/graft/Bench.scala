@@ -121,6 +121,7 @@ object Bench {
     "model_word2vec", "model_slim",
     // round-11 additions
     "model_admm_slim", "tpe_search_budget", "ope_ncis_replay",
+    "ope_incremental", "join_delta_maintain",
     "multimodal_decode", "embed_lsh_neardup_prod",
   )
 
