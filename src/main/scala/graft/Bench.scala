@@ -72,7 +72,8 @@ object Bench {
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
     "sequence_pad", "grid_search_budget", "tpe_search_budget",
-    "ope_ncis_replay", "ope_incremental", "join_delta_maintain",
+    "tpe_search_2d", "ope_ncis_replay", "ope_incremental",
+    "join_delta_maintain",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "sketch_histogram",
@@ -120,8 +121,8 @@ object Bench {
     "model_pop_rec_predict", "model_als", "model_als_explicit",
     "model_word2vec", "model_slim",
     // round-11 additions
-    "model_admm_slim", "tpe_search_budget", "ope_ncis_replay",
-    "ope_incremental", "join_delta_maintain",
+    "model_admm_slim", "tpe_search_budget", "tpe_search_2d",
+    "ope_ncis_replay", "ope_incremental", "join_delta_maintain",
     "multimodal_decode", "embed_lsh_neardup_prod",
   )
 

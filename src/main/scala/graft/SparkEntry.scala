@@ -992,6 +992,29 @@ object SparkEntry {
         (idx.toLong, r6(t.params("z")), r6(t.score))
       }.toDF("trial", "z", "score")
     }),
+    "tpe_search_2d" -> ((s, d) => {
+      // factorized adaptive proposals (round 11): TWO params with
+      // different borders, the same sequential TPE-lite — per-dimension
+      // candidate draws and density argmax, shared good/bad ranking.
+      // Both planted optima are data-derived exact rationals; the oracle
+      // unrolls both dimensions of every adaptive trial.
+      val i = Tables.interactions(s, d)
+      val agg = i.agg(F.sum("rating"), F.count(F.lit(1)),
+        F.count_if(F.col("rating") > 25)).head
+      val zstar = 1.0 + agg.getDouble(0) / agg.getLong(1) / 100.0
+      val ystar = (4L * agg.getLong(2)).toDouble / agg.getLong(1)
+      val trials = graft.metrics.RandomSearch.Tpe.searchObjective(
+        borders = Map("z" -> (1.0, 2.0), "y" -> (0.0, 4.0)),
+        objective = p => {
+          val dz = p("z") - zstar; val dy = p("y") - ystar
+          1.0 / (1.0 + 8.0 * dz * dz + 2.0 * dy * dy)
+        },
+        budget = 5, seed = 7)
+      import s.implicits._
+      trials.zipWithIndex.map { case (t, idx) =>
+        (idx.toLong, r6(t.params("z")), r6(t.params("y")), r6(t.score))
+      }.toDF("trial", "z", "y", "score")
+    }),
     "experiment_table" -> ((s, d) => {
       // models × metrics table (experiment.py:7-200); metric means rounded
       // to 6dp for cross-engine float parity
@@ -4116,6 +4139,7 @@ object SparkEntry {
     "grid_search" -> gridSearchSql,
     "grid_search_budget" -> gridSearchBudgetSql,
     "tpe_search_budget" -> tpeSearchBudgetSql,
+    "tpe_search_2d" -> tpeSearch2dSql,
     // end-to-end OPE replay: train-window UCB scores → sampling
     // distribution (the ucb_sample_proba recipe over the TRAIN split),
     // train-popularity behavior propensities, then the IPS / clipped
@@ -4322,6 +4346,67 @@ object SparkEntry {
        |$adaptives
        |SELECT CAST(trial AS BIGINT) AS trial, round(z, 6) AS z,
        |  round(s, 6) AS score FROM ($all) q""".stripMargin
+  }
+
+  /** tpe_search_2d: the two-dimensional unroll — per adaptive trial the
+    * good/bad ranking is SHARED (one ORDER BY s over the past trials,
+    * both params' values carried along) and each param gets its own
+    * candidate/kernel/argmax CTE chain with its own borders, bandwidth,
+    * shrink radius, and md5 key family — exactly the factorized proposal
+    * RandomSearch.Tpe.propose computes per dimension. */
+  private lazy val tpeSearch2dSql: String = {
+    // (name, lo, hi, bwExpr): bw = (hi − lo) * 0.2 written with the same
+    // operand order the Scala computes
+    val params = Seq(
+      ("z", "1.0", "2.0", "((2.0 - 1.0) * CAST(0.2 AS DOUBLE))"),
+      ("y", "0.0", "4.0", "((4.0 - 0.0) * CAST(0.2 AS DOUBLE))"))
+    def u(t: Int, p: String, cExpr: String) =
+      s"(('0x' || substr(md5('7:$t:$p:' || $cExpr), 1, 15))::BIGINT" +
+        " / 1152921504606846976.0)"
+    def uStartup(t: Int, p: String) =
+      s"(('0x' || substr(md5('7:$t:$p'), 1, 15))::BIGINT" +
+        " / 1152921504606846976.0)"
+    def score(z: String, y: String) =
+      s"1/(1 + 8*($z - zstar)*($z - zstar) + 2*($y - ystar)*($y - ystar))"
+    def adaptive(t: Int): String = {
+      val k = t - 1
+      val prev = (0 until t).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+      val perParam = params.map { case (p, lo, hi, bw) =>
+        s"""c$p$t AS (SELECT cc.c, g.${p}g, CASE WHEN cc.c % 2 = 0
+           |    THEN $lo + ${u(t, p, "cc.c")} * ($hi - $lo)
+           |    ELSE least(CAST($hi AS DOUBLE), greatest(CAST($lo AS DOUBLE),
+           |      g.${p}g + (2 * ${u(t, p, "cc.c")} - 1) * ($bw / $k))) END AS x
+           |  FROM range(0, 8) cc(c), g$t g),
+           |k$p$t AS (SELECT c.c, c.x,
+           |    (1/(1 + ((c.x - c.${p}g)/$bw)*((c.x - c.${p}g)/$bw))) /
+           |    (max(1/(1 + ((c.x - b.${p}b)/$bw)*((c.x - b.${p}b)/$bw))) + 1e-9) AS ratio
+           |  FROM c$p$t c CROSS JOIN b$t b GROUP BY c.c, c.x, c.${p}g),
+           |x$p$t AS (SELECT x AS $p FROM k$p$t ORDER BY ratio DESC, c LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""g$t AS (SELECT z AS zg, y AS yg FROM ($prev) p
+         |  ORDER BY s DESC, trial LIMIT 1),
+         |b$t AS (SELECT z AS zb, y AS yb FROM ($prev) p
+         |  ORDER BY s DESC, trial OFFSET 1),
+         |$perParam,
+         |r$t AS (SELECT $t AS trial, z, y, ${score("z", "y")} AS s
+         |  FROM xz$t, xy$t, zs)""".stripMargin
+    }
+    val startup = (0 until 2).map(t =>
+      s"""t$t AS (SELECT $t AS trial,
+         |    (1.0 + ${uStartup(t, "z")} * (2.0 - 1.0)) AS z,
+         |    (0.0 + ${uStartup(t, "y")} * (4.0 - 0.0)) AS y),
+         |r$t AS (SELECT trial, z, y, ${score("z", "y")} AS s FROM t$t, zs)""".stripMargin)
+      .mkString(",\n")
+    val adaptives = (2 until 5).map(adaptive).mkString(",\n")
+    val all = (0 until 5).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""$interactionsSql,
+       |zs AS (SELECT CAST(1.0 AS DOUBLE) + sum(rating)/count(*)/100 AS zstar,
+       |  (4 * sum(CASE WHEN rating > 25 THEN 1 ELSE 0 END)) / count(*) AS ystar
+       |  FROM interactions),
+       |$startup,
+       |$adaptives
+       |SELECT CAST(trial AS BIGINT) AS trial, round(z, 6) AS z,
+       |  round(y, 6) AS y, round(s, 6) AS score FROM ($all) q""".stripMargin
   }
 
   /** experiment_table: the metrics_ranking split + gt, then per model
