@@ -52,6 +52,15 @@ for name in sorted(spark_results):
         fails.append((name, f"row count differs: spark={len(sp)} duck={len(du)}")); continue
     ok = True
     for c in sp.columns:
+        # dtype parity: the driver's hash is dtype/repr-sensitive (r10/r11:
+        # DuckDB HUGEINT -> pandas float64 vs Spark int64 hash-failed 6 gates
+        # whose VALUES were exactly equal). Treat any dtype divergence
+        # between the Spark parquet read-back and the DuckDB .df() as a
+        # fail so the local mimic catches the whole class.
+        if sp[c].dtype != du[c].dtype:
+            ok = False
+            fails.append((name, f"col {c}: dtype differs: spark={sp[c].dtype} duck={du[c].dtype} (driver hash would likely fail)"))
+            continue
         a, b = sp[c].values, du[c].values
         if np.issubdtype(sp[c].dtype, np.floating) or np.issubdtype(du[c].dtype, np.floating):
             a = a.astype(float); b = b.astype(float)
