@@ -1097,6 +1097,36 @@ object SparkEntry {
         .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
       graft.metrics.Ope.estimate(logged, proba, behavior, clip = 10.0)
     }),
+    "ope_dr" -> ((s, d) => {
+      // Direct Method + Doubly Robust (round 12) — completes the standard
+      // OBP estimator trio (replay_offline.py:62-210). Same replay recipe
+      // as ope_ncis_replay plus: reward model r̂(a) = train mean reward per
+      // item, and the DM expectation over the policy's FULL action
+      // distribution (predictProba position 0 on the logged queries —
+      // bounded |test queries| × |catalog|, the dense tensor the DM term
+      // genuinely needs; the per-round π_e stays on the cheap pairs path).
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+        .withColumn("rating", (F.col("rating") > 25).cast("double"))
+      val test = marked.filter(F.col("is_test")).drop("is_test")
+      val logged = test.select(F.col("query_id"), F.col("item_id"),
+        (F.col("rating") > 25).cast("double").as("reward"))
+      val m = new models.UCB().fit(train)
+      m.sample = true
+      val proba = m.predictProbaPairs(logged.select("query_id", "item_id"))
+      val actionDist = m.predictProba(train, k = 1,
+        queries = Some(logged.select("query_id").distinct()),
+        filterSeen = false)
+        .filter(F.col("position") === 0L)
+        .select("query_id", "item_id", "prob")
+      val nTrain = train.count()
+      val behavior = train.groupBy("item_id")
+        .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
+      val rhat = train.groupBy("item_id").agg(F.avg("rating").as("r_hat"))
+      graft.metrics.Ope.estimateDr(logged, proba, behavior, actionDist,
+        rhat, clip = 10.0)
+    }),
     "ope_incremental" -> ((s, d) => {
       // mergeable OPE state (round 11): the logged replay splits into two
       // "days" by query residue, each summarized independently, merged,
@@ -2062,6 +2092,13 @@ object SparkEntry {
       // planes=4 twin above still carries the value-exact DuckDB oracle
       // for the same code path.
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // ADVICE r11: the planted-id offset must clear the real id range —
+      // at a larger sf a real vec_id >= 100000 would collide with a
+      // planted id and silently break the constant n_planted_found=20
+      // oracle. Fail fast instead of producing a wrong certificate.
+      val maxId = emb.agg(F.max("vec_id")).first().getLong(0)
+      require(maxId < 100000L,
+        s"embed_lsh_neardup_prod: planted-id offset 100000 <= max(vec_id)=$maxId; raise the offset")
       val planted = emb.filter(F.col("vec_id") < 20)
         .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
       val pairs = graft.text.Similarity.lshNearDup(emb.unionAll(planted),
@@ -4148,6 +4185,7 @@ object SparkEntry {
     // train-popularity behavior propensities, then the IPS / clipped
     // self-normalized estimators over the test-window logged rounds
     "ope_ncis_replay" -> opeReplaySql,
+    "ope_dr" -> opeDrSql,
     // same DIRECT-estimate ground truth: the gate computes it the
     // incremental way (two per-day summaries merged), checking the
     // value(merge(summary,summary)) law cross-engine
@@ -4313,6 +4351,57 @@ object SparkEntry {
          |    / sum(least(w, CAST(10.0 AS DOUBLE))), 6) AS ncis_value
          |FROM sj""".stripMargin
 
+  /** DM/DR replay: opeReplaySql plus the reward model r̂(a) = train mean
+    * reward per item and the policy-expectation dm = Σ_a π_e(a)·r̂(a)
+    * (the UCB sampling policy is item-only, so q̂(x, π_e) is the same
+    * constant for every logged query — attached per round, then averaged,
+    * mirroring the engine's per-round sum_dm/n). */
+  private lazy val opeDrSql: String =
+    s"""$timeSplitEvalSql,
+         |pt AS (SELECT item_id,
+         |    sum(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS pos,
+         |    CAST(count(*) AS DOUBLE) AS total
+         |  FROM train GROUP BY item_id),
+         |sc AS (SELECT item_id,
+         |    pos/total + sqrt(2.0 * ln((SELECT CAST(count(*) AS DOUBLE) FROM train)) / total) AS w
+         |  FROM pt),
+         |g AS (SELECT item_id, CASE WHEN w = 0.0 THEN 1e-6 ELSE w END AS w FROM sc),
+         |dist AS (SELECT item_id, w / (SELECT sum(w) FROM g) AS prob FROM g),
+         |beh AS (SELECT item_id,
+         |    CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM train) AS propensity
+         |  FROM train GROUP BY item_id),
+         |rhat AS (SELECT item_id,
+         |    avg(CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END) AS rh
+         |  FROM train GROUP BY item_id),
+         |dm AS (SELECT sum(d.prob * r.rh) AS dmv
+         |  FROM dist d JOIN rhat r ON d.item_id = r.item_id),
+         |logged AS (SELECT query_id, item_id,
+         |    CASE WHEN rating > 25 THEN 1.0 ELSE 0.0 END AS reward FROM test),
+         |sj AS (SELECT l.reward, d.prob / b.propensity AS w,
+         |    coalesce(r.rh, CAST(0.0 AS DOUBLE)) AS rh, dm.dmv AS dmv
+         |  FROM logged l JOIN dist d ON l.item_id = d.item_id
+         |  JOIN beh b ON l.item_id = b.item_id
+         |  LEFT JOIN rhat r ON l.item_id = r.item_id, dm)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(reward)/count(*), 6) AS behavior_value,
+         |  round(sum(w*reward)/count(*), 6) AS ips_value,
+         |  round(sum(least(w, CAST(10.0 AS DOUBLE))*reward)
+         |    / sum(least(w, CAST(10.0 AS DOUBLE))), 6) AS ncis_value,
+         |  round(sum(dmv)/count(*), 6) AS dm_value,
+         |  round((sum(dmv) + sum(w*reward) - sum(w*rh))/count(*), 6)
+         |    AS dr_value,
+         |  round((sum(dmv) + sum(least(w, CAST(10.0 AS DOUBLE))*reward)
+         |         - sum(least(w, CAST(10.0 AS DOUBLE))*rh))/count(*), 6)
+         |    AS dr_clipped_value
+         |FROM sj""".stripMargin
+
+  // COUPLING NOTE (ADVICE r11): both TPE SQL builders hardcode a good-set
+  // of size 1 (top row by score; `OFFSET 1` leaves the rest as the bad
+  // set). That mirrors Tpe.propose's nGood = ceil(gamma·n) with gamma=0.25
+  // ONLY while past.size <= 4 trials — i.e. while the gate's budget stays
+  // <= 5. Raising the budget past 5 or changing gamma requires computing
+  // nGood in the CTEs (LIMIT ceil(0.25*t)) or the SQL silently diverges
+  // from the Scala sampler.
   private lazy val tpeSearchBudgetSql: String = {
     val bw = "CAST(0.2 AS DOUBLE)"
     def u(t: Int, cExpr: String) =

@@ -75,4 +75,92 @@ object Ope {
       F.round(F.col("sum_r") / F.col("n"), 6).as("behavior_value"),
       F.round(F.col("sum_wr") / F.col("n"), 6).as("ips_value"),
       F.round(F.col("sum_wcr") / F.col("sum_wc"), 6).as("ncis_value"))
+
+  // ------------------------------------------------------------------
+  // Direct Method + Doubly Robust (round 12) — the rest of the standard
+  // OBP estimator trio (reference obp wrapper replay_offline.py:62-210;
+  // formulas: Dudík, Langford & Li 2011):
+  //
+  //   DM  V̂ = (1/n) Σᵢ q̂(xᵢ, π_e),  q̂(x, π_e) = Σ_a π_e(a|x)·r̂(a, x)
+  //   DR  V̂ = V̂_DM + (1/n) Σᵢ wᵢ·(rᵢ − r̂(aᵢ, xᵢ))
+  //
+  // emitted with both the plain-w correction (OBP's default, lambda=∞)
+  // and the clipped-ŵ correction (ŵ = min(w, clip), the NCIS clip).
+  // ------------------------------------------------------------------
+
+  /** Mergeable DM/DR sufficient statistics — ONE row extending [[summary]]
+    * with (sum_dm, sum_wrhat, sum_wcrhat): still pure sums, so the same
+    * incremental/streaming maintenance applies.
+    *
+    * `actionDist`: (query_id, item_id, prob) — π_e over the FULL action
+    * support per logged query (a `predictProba` position-0 slice), used
+    * only for the DM expectation. `rewardModel`: (item_id[, query_id],
+    * r_hat) — the reward regression q̂; actions it can't score contribute
+    * r̂ = 0 (the estimator stays consistent for any baseline).
+    *
+    * Scale: rewardModel is broadcast (catalog-bounded); the DM expectation
+    * is one shuffle of actionDist on the query key; everything else is the
+    * [[summary]] join chain. */
+  def drSummary(logged: DataFrame, targetProba: DataFrame, behavior: DataFrame,
+      actionDist: DataFrame, rewardModel: DataFrame,
+      clip: Double = 10.0): DataFrame = {
+    require(clip > 0, s"Ope.drSummary: clip=$clip")
+    val behKeys = Seq("query_id", "item_id").filter(behavior.columns.contains)
+    val rKeys = Seq("query_id", "item_id").filter(rewardModel.columns.contains)
+    val rm = rewardModel.select((rKeys.map(F.col) :+ F.col("r_hat")): _*)
+    // q̂(x, π_e): per-query expectation of r̂ under the target policy
+    val dmq = actionDist.select("query_id", "item_id", "prob")
+      .join(F.broadcast(rm), rKeys)
+      .groupBy("query_id")
+      .agg(F.sum(F.col("prob") * F.col("r_hat")).as("_dmq"))
+    logged
+      .join(targetProba.select("query_id", "item_id", "prob"),
+        Seq("query_id", "item_id"))
+      .join(behavior, behKeys)
+      .join(F.broadcast(rm), rKeys, "left")
+      .join(dmq, Seq("query_id"), "left")
+      .withColumn("_rh", F.coalesce(F.col("r_hat"), F.lit(0.0)))
+      .withColumn("_w", F.col("prob") / F.col("propensity"))
+      .withColumn("_wc", F.least(F.col("_w"), F.lit(clip)))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("reward").as("sum_r"),
+        F.sum(F.col("_w") * F.col("reward")).as("sum_wr"),
+        F.sum("_wc").as("sum_wc"),
+        F.sum(F.col("_wc") * F.col("reward")).as("sum_wcr"),
+        F.sum(F.coalesce(F.col("_dmq"), F.lit(0.0))).as("sum_dm"),
+        F.sum(F.col("_w") * F.col("_rh")).as("sum_wrhat"),
+        F.sum(F.col("_wc") * F.col("_rh")).as("sum_wcrhat"))
+  }
+
+  /** Merge [[drSummary]] states: cell-wise addition, like [[merge]]. */
+  def drMerge(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "Ope.drMerge: need at least one state")
+    states.reduce(_ unionAll _).agg(
+      F.sum("n").as("n"), F.sum("sum_r").as("sum_r"),
+      F.sum("sum_wr").as("sum_wr"), F.sum("sum_wc").as("sum_wc"),
+      F.sum("sum_wcr").as("sum_wcr"), F.sum("sum_dm").as("sum_dm"),
+      F.sum("sum_wrhat").as("sum_wrhat"), F.sum("sum_wcrhat").as("sum_wcrhat"))
+  }
+
+  /** Finalize a [[drSummary]]/[[drMerge]] state: the full estimator row —
+    * behavior/IPS/NCIS plus dm_value, dr_value (plain-w correction) and
+    * dr_clipped_value (clipped-ŵ correction). */
+  def drValue(state: DataFrame): DataFrame =
+    state.select(
+      F.col("n"),
+      F.round(F.col("sum_r") / F.col("n"), 6).as("behavior_value"),
+      F.round(F.col("sum_wr") / F.col("n"), 6).as("ips_value"),
+      F.round(F.col("sum_wcr") / F.col("sum_wc"), 6).as("ncis_value"),
+      F.round(F.col("sum_dm") / F.col("n"), 6).as("dm_value"),
+      F.round((F.col("sum_dm") + F.col("sum_wr") - F.col("sum_wrhat"))
+        / F.col("n"), 6).as("dr_value"),
+      F.round((F.col("sum_dm") + F.col("sum_wcr") - F.col("sum_wcrhat"))
+        / F.col("n"), 6).as("dr_clipped_value"))
+
+  /** One-row DM/DR estimate — see [[drSummary]] for the frame contracts. */
+  def estimateDr(logged: DataFrame, targetProba: DataFrame, behavior: DataFrame,
+      actionDist: DataFrame, rewardModel: DataFrame,
+      clip: Double = 10.0): DataFrame =
+    drValue(drSummary(logged, targetProba, behavior, actionDist, rewardModel, clip))
 }

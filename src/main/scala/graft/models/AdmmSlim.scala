@@ -82,10 +82,13 @@ final class AdmmSlim(
     val rhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i2"),
       F.col(cols.rating).as("_v2"))
     val gram = DenseMatrix.zeros[Double](n, n)
+    // toLocalIterator streams one partition of cells at a time instead of
+    // materializing up to n(n+1)/2 (~8.4M at maxItems=4096) Row objects on
+    // top of the documented 5-dense-matrix budget (ADVICE r11)
     lhs.join(rhs, Seq(cols.query))
       .filter(F.col("_i1") <= F.col("_i2"))
       .groupBy("_i1", "_i2").agg(F.sum(F.col("_v1") * F.col("_v2")).as("_d"))
-      .collect().foreach { r =>
+      .toLocalIterator().forEachRemaining { r =>
         val a = idx(r.getLong(0)); val b = idx(r.getLong(1))
         val d = r.getDouble(2)
         gram(a, b) = d; gram(b, a) = d

@@ -161,7 +161,24 @@ final class RandomRec(
         // (rating desc, item asc) all survive and the heap returns
         // exactly what it would have unfiltered. Queries whose heap
         // comes back short are recomputed unfiltered below.
-        val agged = keyed(qs)
+        //
+        // r12: the crop is two-stage. rating > −t ⟺ u > e^(−t·w), and
+        // e^(−t·w) is a PER-ITEM constant, so `_cut` is precomputed on the
+        // |catalog|-row build side before the cross join and the per-pair
+        // hot loop is hash + one compare — the log() + divide (StrictMath,
+        // ~as costly as the single-block md5 itself) runs only for the
+        // ~safety·m survivors per query. `_cut` is strictly BELOW the
+        // float boundary of the exact predicate (relative 1e−9 margin ≫
+        // the ≤3·10⁻¹³ accumulated log/exp/divide rounding at any t·w
+        // that doesn't underflow; −1e−18 absorbs the ln(0) epsilon), so
+        // stage 1 keeps a superset of stage 2 and the survivor set —
+        // hence every draw, rec, and oracle hash — is bit-identical to
+        // the single-filter form.
+        val selCut = sel.withColumn("_cut",
+          F.exp(F.col("_w") * -t) * (1.0 - 1e-9) - 1e-18)
+        val agged = qs.select(cols.query).crossJoin(selCut)
+          .filter(u > F.col("_cut") || F.col("_w") <= 0)
+          .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
           .filter(F.col(cols.rating) > F.lit(-t) || F.col("_w") <= 0)
           .groupBy(cols.query)
           .agg(graft.core.BoundedTopKAgg.topKPairs(

@@ -124,10 +124,6 @@ abstract class BaseRecommender(val cols: RecCols = RecCols()) extends Serializab
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} has no default search space")
 
-  /** `model.optimize(train, test, budget)` — the reference's zero-config
-    * tuning surface (optuna_mixin.py:167-244 with `param_borders=None`
-    * falling back to the model's own `_search_space`), driven by the
-    * engine's budgeted seeded RandomSearch. Returns the best trial. */
   /** Zero-config budgeted hyper-parameter search (reference
     * `model.optimize`, optuna_mixin.py:167-244). `sampler`: "tpe"
     * (default — adaptive, the reference's TPESampler analogue,

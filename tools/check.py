@@ -26,8 +26,17 @@ spark_results = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.pa
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        # date canonicalization: Spark parquet DATE reads back as object
+        # (datetime.date) while DuckDB .df() yields datetime64 — the driver
+        # demonstrably canonicalizes this (filter_low_rating passes its
+        # record), so normalize both to ISO strings instead of flagging.
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S").astype(str)
+        elif df[c].dtype == object:
+            if df[c].map(lambda v: hasattr(v, "isoformat") or v is None).all():
+                df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S").astype(str)
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 fails, passes = [], []
