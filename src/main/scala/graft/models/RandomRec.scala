@@ -95,10 +95,13 @@ final class RandomRec(
   /** Safety factor for the threshold pre-crop: the filter threshold is
     * solved so ~preCropSafety·(k+maxSeen) candidates per query survive in
     * expectation. Per-query underflow probability is then bounded by
-    * exp(−m(c−1)²/2c) (Chernoff on the survivor count) — at c=4, m≈100
-    * that is ~e⁻¹¹⁰, so the exact repair pass below never runs in
-    * practice; it exists so the crop is EXACT, not probabilistic. */
-  private[graft] var preCropSafety: Double = 4.0
+    * exp(−m(c−1)²/2c) (Chernoff on the survivor count) — at c=2, m≈100
+    * that is ~e⁻²⁵ (×15k queries still ~0), so the exact repair pass below
+    * never runs in practice; it exists so the crop is EXACT, not
+    * probabilistic. r12: 4.0 → 2.0 — the survivor stream feeds the
+    * non-codegen bounded heap (~1 µs/row), so halving it buys ~1 s at
+    * sf0.1 with no change to the output (repair guarantees exactness). */
+  private[graft] var preCropSafety: Double = 2.0
   private[graft] var preCropEnabled: Boolean = true
   /** Test hook: force a (bad) threshold to exercise the repair path. */
   private[graft] var forcedThreshold: Option[Double] = None
