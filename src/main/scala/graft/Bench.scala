@@ -72,8 +72,8 @@ object Bench {
     "metrics_ranking", "metrics_catalog", "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
     "sequence_pad", "grid_search_budget", "tpe_search_budget",
-    "tpe_search_2d", "ope_ncis_replay", "ope_incremental",
-    "join_delta_maintain",
+    "tpe_search_2d", "ope_ncis_replay", "ope_incremental", "ope_dr",
+    "join_delta_maintain", "two_stages", "two_stages_skeleton",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "sketch_histogram",
@@ -128,6 +128,8 @@ object Bench {
     "model_admm_slim", "tpe_search_budget", "tpe_search_2d",
     "ope_ncis_replay", "ope_incremental", "join_delta_maintain",
     "multimodal_decode", "embed_lsh_neardup_prod",
+    // round-12 additions
+    "two_stages", "ope_dr",
   )
 
   /** Name of the box-speed calibration row (not a graft operator). */

@@ -1097,6 +1097,51 @@ object SparkEntry {
         .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
       graft.metrics.Ope.estimate(logged, proba, behavior, clip = 10.0)
     }),
+    "two_stages_skeleton" -> ((s, d) => {
+      // TwoStagesScenario relational skeleton (round 12;
+      // two_stages_scenario.py:112-760), full-oracle: deterministic 50/50
+      // per-user ratio split (total order via the session+item tie, the
+      // split_ratio_repaired discipline) → PopRec candidates k=10 with the
+      // seen-filter replay (predict k+maxPositives, anti-join, top-k) →
+      // target labeling against the held-out half → first-level relevance
+      // + history-count enrichment. GBT internals are gated separately
+      // (two_stages certificate).
+      val log = Tables.interactions(s, d)
+        .select("query_id", "item_id", "timestamp", "session_id").distinct()
+        .withColumn("_tie", F.struct(F.col("session_id"), F.col("item_id")))
+        .withColumn("rating", F.lit(1.0))
+      val sc = new scenarios.TwoStagesScenario(
+        Seq(new models.PopRec()), fallbackModel = None, numNegatives = 10,
+        trainSplitter = RatioSplitter(0.5, queryCol = "query_id",
+          tsCol = "timestamp", tieCol = Some("_tie")))
+      val (labeled, flTrain) = sc.secondLevelTrain(log)
+      sc.enrich(labeled, flTrain, None, None)
+        .select(F.col("query_id"), F.col("item_id"), F.col("target"),
+          F.round(F.col("rel_0"), 6).as("rel6"),
+          F.col("u_cnt").cast("long").as("u_cnt"),
+          F.col("i_cnt").cast("long").as("i_cnt"))
+    }),
+    "two_stages" -> ((s, d) => {
+      // full two-stage path (candidates+fallback → enrichment → GBT
+      // rerank): certificate gate — MLlib GBT internals are rows-only, the
+      // contract columns assert the rerank output shape (≤k per user,
+      // probability-bounded ratings, nonempty coverage) plus a train-AUC
+      // floor a broken feature pipeline cannot clear.
+      val log = Tables.interactions(s, d)
+      val sc = new scenarios.TwoStagesScenario(
+        Seq(new models.ItemKNN(numNeighbours = 10)),
+        fallbackModel = Some(new models.PopRec()),
+        numNegatives = 20, gbtMaxIter = 10)
+      val recs = sc.fitPredict(log, k = 5).cache()
+      val perUser = recs.groupBy("query_id").agg(F.count(F.lit(1)).as("_n"))
+      val nUsers = log.select("query_id").distinct().count()
+      recs.agg(
+        (F.count(F.lit(1)) > 0L).as("nonempty"),
+        F.bool_and(F.col("rating").between(0.0, 1.0)).as("prob_bounded"))
+        .crossJoin(perUser.agg(F.bool_and(F.col("_n") <= 5L).as("per_user_le_k"),
+          (F.count(F.lit(1)) <= F.lit(nUsers)).as("user_coverage_ok")))
+        .crossJoin(F.broadcast(sc.trainAucFrame))
+    }),
     "ope_dr" -> ((s, d) => {
       // Direct Method + Doubly Robust (round 12) — completes the standard
       // OBP estimator trio (replay_offline.py:62-210). Same replay recipe
@@ -4186,6 +4231,58 @@ object SparkEntry {
     // self-normalized estimators over the test-window logged rounds
     "ope_ncis_replay" -> opeReplaySql,
     "ope_dr" -> opeDrSql,
+    // TwoStagesScenario skeleton: split → PopRec candidates (k+maxPos,
+    // anti-join, top-k) → labeling → rel/count enrichment
+    "two_stages_skeleton" ->
+      s"""$interactionsSql,
+         |i0 AS (SELECT DISTINCT query_id, item_id, timestamp, session_id
+         |       FROM interactions),
+         |marked AS (SELECT query_id, item_id,
+         |    (row_number() OVER (PARTITION BY query_id
+         |       ORDER BY timestamp, session_id, item_id)
+         |     > count(*) OVER (PARTITION BY query_id)
+         |       * (1.0 - CAST(0.5 AS DOUBLE))) AS is_test
+         |  FROM i0),
+         |fl AS (SELECT query_id, item_id FROM marked WHERE NOT is_test),
+         |sl AS (SELECT DISTINCT query_id, item_id FROM marked WHERE is_test),
+         |pop AS (SELECT item_id,
+         |    count(DISTINCT query_id) /
+         |      CAST((SELECT count(DISTINCT query_id) FROM fl) AS DOUBLE)
+         |    AS rating
+         |  FROM fl GROUP BY item_id),
+         |mp AS (SELECT max(c) AS mx FROM (
+         |  SELECT count(*) AS c FROM fl GROUP BY query_id)),
+         |ranked AS (SELECT item_id, rating, row_number() OVER (
+         |    ORDER BY rating DESC, item_id ASC) AS rnk FROM pop),
+         |qs AS (SELECT DISTINCT query_id FROM fl),
+         |cand0 AS (SELECT q.query_id, r.item_id, r.rating
+         |  FROM qs q CROSS JOIN ranked r, mp WHERE r.rnk <= 10 + mp.mx),
+         |unseen AS (SELECT c.query_id, c.item_id, c.rating FROM cand0 c
+         |  WHERE NOT EXISTS (SELECT 1 FROM fl f
+         |    WHERE f.query_id = c.query_id AND f.item_id = c.item_id)),
+         |cand AS (SELECT query_id, item_id, rating FROM (
+         |  SELECT query_id, item_id, rating, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id ASC) AS rk
+         |  FROM unseen) WHERE rk <= 10),
+         |ucnt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS u_cnt
+         |  FROM fl GROUP BY query_id),
+         |icnt AS (SELECT item_id, CAST(count(*) AS BIGINT) AS i_cnt
+         |  FROM fl GROUP BY item_id)
+         |SELECT c.query_id, c.item_id,
+         |  CAST(CASE WHEN sl.query_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+         |    AS DOUBLE) AS target,
+         |  round(c.rating, 6) AS rel6,
+         |  coalesce(u.u_cnt, 0) AS u_cnt, coalesce(ic.i_cnt, 0) AS i_cnt
+         |FROM cand c
+         |LEFT JOIN sl ON c.query_id = sl.query_id AND c.item_id = sl.item_id
+         |LEFT JOIN ucnt u ON c.query_id = u.query_id
+         |LEFT JOIN icnt ic ON c.item_id = ic.item_id""".stripMargin,
+    // certificate: GBT rerank internals are MLlib; the contract booleans
+    // must all be TRUE
+    "two_stages" ->
+      """SELECT true AS nonempty, true AS prob_bounded,
+        |  true AS per_user_le_k, true AS user_coverage_ok,
+        |  true AS train_auc_ok""".stripMargin,
     // same DIRECT-estimate ground truth: the gate computes it the
     // incremental way (two per-day summaries merged), checking the
     // value(merge(summary,summary)) law cross-engine
