@@ -1097,6 +1097,46 @@ object SparkEntry {
         .agg((F.count(F.lit(1)).cast("double") / nTrain).as("propensity"))
       graft.metrics.Ope.estimate(logged, proba, behavior, clip = 10.0)
     }),
+    "model_ulinucb" -> ((s, d) => {
+      // ULinUCB full oracle (u_lin_ucb.py:11-117): d=2 INTEGER-valued
+      // features and integer rewards make every Gram/response/prefix sum
+      // float-exact, so the adjugate ridge + UCB arithmetic (mirrored term
+      // by term in SQL) reproduces bit-identically; round-9 + item-asc
+      // ties pin the top-3.
+      val i = Tables.interactions(s, d)
+        .filter(F.col("item_id") < 300 && F.col("query_id") < 500)
+      val feats = i.select("item_id").distinct().select(F.col("item_id"),
+        (F.col("item_id") % 7).cast("double").as("f1"),
+        (F.col("item_id") % 5 + 1).cast("double").as("f2"))
+      val m = new models.ULinUCB(alpha = -2.0).fit(i, feats)
+      m.predict(i, k = 3)
+    }),
+    "model_hierarchical" -> ((s, d) => {
+      // HierarchicalRecommender (HCB) certificate
+      // (hierarchical_recommender.py:13-280): KMeans tree internals are
+      // MLlib, so the gate pins the CONTRACT — nonempty, ≤k per user,
+      // seen-filtered, and the defining routing property: every user's
+      // recs live inside ONE root cluster.
+      val i = Tables.interactions(s, d)
+        .filter(F.col("item_id") < 400 && F.col("query_id") < 600)
+      val feats = i.select("item_id").distinct().select(F.col("item_id"),
+        (F.col("item_id") % 11).cast("double").as("f1"),
+        (F.col("item_id") % 4).cast("double").as("f2"))
+      val m = new models.HierarchicalRecommender(depth = 2, nClusters = 3)
+        .fit(i, feats)
+      val recs = m.predict(i, k = 3).cache()
+      val rootAssign = m.rootAssignment
+      val perUserClusters = recs.join(rootAssign, Seq("item_id"))
+        .groupBy("query_id").agg(F.countDistinct("_cl").as("_nc"))
+      val seenHit = recs.join(i.select("query_id", "item_id").distinct(),
+        Seq("query_id", "item_id"), "left_semi").count()
+      recs.agg((F.count(F.lit(1)) > 0L).as("nonempty"))
+        .crossJoin(recs.groupBy("query_id").agg(F.count(F.lit(1)).as("_n"))
+          .agg(F.bool_and(F.col("_n") <= 3L).as("per_user_le_k")))
+        .crossJoin(perUserClusters
+          .agg(F.bool_and(F.col("_nc") === 1L).as("single_root_cluster")))
+        .withColumn("seen_filtered", F.lit(seenHit == 0L))
+    }),
     "two_stages_skeleton" -> ((s, d) => {
       // TwoStagesScenario relational skeleton (round 12;
       // two_stages_scenario.py:112-760), full-oracle: deterministic 50/50
@@ -4231,6 +4271,50 @@ object SparkEntry {
     // self-normalized estimators over the test-window logged rounds
     "ope_ncis_replay" -> opeReplaySql,
     "ope_dr" -> opeDrSql,
+    // ULinUCB prefix-ridge replay: integer features/rewards → exact sums;
+    // adjugate inverse + UCB mirrored term by term (see the gate comment)
+    "model_ulinucb" ->
+      s"""$interactionsSql,
+         |i0 AS (SELECT query_id, item_id, CAST(rating AS DOUBLE) AS r
+         |  FROM interactions WHERE item_id < 300 AND query_id < 500),
+         |feats AS (SELECT DISTINCT item_id,
+         |    CAST(item_id % 7 AS DOUBLE) AS f1,
+         |    CAST(item_id % 5 + 1 AS DOUBLE) AS f2
+         |  FROM i0),
+         |cells AS (SELECT i.query_id,
+         |    sum(f.f1 * f.f1) AS g11, sum(f.f1 * f.f2) AS g12,
+         |    sum(f.f2 * f.f2) AS g22,
+         |    sum(f.f1 * i.r) AS b1, sum(f.f2 * i.r) AS b2
+         |  FROM i0 i JOIN feats f ON i.item_id = f.item_id
+         |  GROUP BY i.query_id),
+         |pre AS (SELECT query_id,
+         |    sum(g11) OVER w AS g11, sum(g12) OVER w AS g12,
+         |    sum(g22) OVER w AS g22,
+         |    sum(b1) OVER w AS b1, sum(b2) OVER w AS b2
+         |  FROM cells
+         |  WINDOW w AS (ORDER BY query_id ROWS UNBOUNDED PRECEDING)),
+         |st AS (SELECT query_id,
+         |    (g22 + 1.0) / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai0,
+         |    -g12 / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai1,
+         |    -g12 / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai2,
+         |    (g11 + 1.0) / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai3,
+         |    b1, b2 FROM pre),
+         |th AS (SELECT query_id, ai0, ai1, ai2, ai3,
+         |    ai0 * b1 + ai1 * b2 AS t1, ai2 * b1 + ai3 * b2 AS t2 FROM st),
+         |scored AS (SELECT t.query_id, f.item_id,
+         |    round(t.t1 * f.f1 + t.t2 * f.f2
+         |      + CAST(-2.0 AS DOUBLE) * sqrt(greatest(
+         |          f.f1 * (t.ai0 * f.f1 + t.ai1 * f.f2)
+         |          + f.f2 * (t.ai2 * f.f1 + t.ai3 * f.f2),
+         |          CAST(0.0 AS DOUBLE))), 9) AS rating
+         |  FROM th t CROSS JOIN feats f)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT query_id, item_id, rating, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id ASC) AS rk
+         |  FROM scored) WHERE rk <= 3""".stripMargin,
+    "model_hierarchical" ->
+      """SELECT true AS nonempty, true AS per_user_le_k,
+        |  true AS single_root_cluster, true AS seen_filtered""".stripMargin,
     // TwoStagesScenario skeleton: split → PopRec candidates (k+maxPos,
     // anti-join, top-k) → labeling → rel/count enrichment
     "two_stages_skeleton" ->
