@@ -74,6 +74,7 @@ object Bench {
     "sequence_pad", "grid_search_budget", "tpe_search_budget",
     "tpe_search_2d", "ope_ncis_replay", "ope_incremental", "ope_dr",
     "join_delta_maintain", "two_stages", "two_stages_skeleton",
+    "model_ulinucb", "model_hierarchical",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "sketch_histogram",
@@ -129,7 +130,7 @@ object Bench {
     "ope_ncis_replay", "ope_incremental", "join_delta_maintain",
     "multimodal_decode", "embed_lsh_neardup_prod",
     // round-12 additions
-    "two_stages", "ope_dr",
+    "two_stages", "ope_dr", "model_ulinucb", "model_hierarchical",
   )
 
   /** Name of the box-speed calibration row (not a graft operator). */

@@ -834,6 +834,19 @@ object SparkEntry {
       m.predictPairs(pairs, i).select(F.col("query_id"), F.col("item_id"),
         F.round(F.col("rating"), 6).as("rating"))
     }),
+    "encode_csr" -> ((s, d) => {
+      // public CsrConverter (converter.py:10-108), distributed form: the
+      // per-row CSR arrays posexploded back to scalars so the duplicate-sum
+      // and within-row column sort are fully hash-checkable
+      val i = Tables.interactions(s, d).filter(F.col("query_id") < 2000)
+      new preprocessing.CsrConverter("query_id", "item_id", Some("rating"))
+        .transformDistributed(i)
+        .select(F.col("row"),
+          F.posexplode(F.arrays_zip(F.col("col_idx"), F.col("values"))))
+        .select(F.col("row"), F.col("pos").cast("int").as("pos"),
+          F.col("col.col_idx").as("col_idx"),
+          F.col("col.values").as("value"))
+    }),
     "sequence_encode" -> ((s, d) => {
       // array-column encoding, order-preserving (label_encoder.py:568-792)
       val i = Tables.interactions(s, d)
@@ -4051,6 +4064,18 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id, item_id FROM interactions
          |      WHERE item_id < 100) p
          |LEFT JOIN pop ON p.item_id = pop.item_id""".stripMargin,
+    // CsrConverter distributed form: duplicates summed, columns sorted per
+    // row (ratings are integral quantities, so the double sums are exact)
+    "encode_csr" ->
+      s"""$interactionsSql,
+         |d AS (SELECT query_id AS row, item_id,
+         |        sum(CAST(rating AS DOUBLE)) AS v
+         |      FROM interactions WHERE query_id < 2000 GROUP BY 1, 2)
+         |SELECT row,
+         |  CAST(row_number() OVER (PARTITION BY row ORDER BY item_id) - 1
+         |    AS INT) AS pos,
+         |  CAST(item_id AS INT) AS col_idx, v AS value
+         |FROM d""".stripMargin,
     "sequence_encode" ->
       s"""$interactionsSql,
          |enc AS (SELECT item_id AS label, row_number() OVER (ORDER BY item_id) - 1 AS code
