@@ -141,6 +141,11 @@ final class HierarchicalRecommender(
     walk("", qs.select(cols.query).distinct())
   }
 
+  /** Restore one fitted node (ModelIO load path). */
+  private[graft] def restoreNode(path: String, isLeaf: Boolean,
+      rec: ULinUCB, assign: DataFrame): Unit =
+    nodes += path -> Node(path, isLeaf, rec, assign)
+
   /** Root-level (item → cluster) assignment — the routing certificate's
     * ground truth. */
   def rootAssignment: DataFrame = {

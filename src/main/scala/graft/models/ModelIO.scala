@@ -435,6 +435,57 @@ object ModelIO {
     m
   }
 
+  def saveULinUCB(m: ULinUCB, path: String): Unit = {
+    writeJson(path, Map("kind" -> "ulinucb", "alpha" -> m.alpha.toString,
+      "dim" -> m.dimension.toString) ++ colsFields(m.cols))
+    m.userState.write.mode("overwrite").parquet(s"$path/user_state")
+    m.itemFeats.write.mode("overwrite").parquet(s"$path/item_feats")
+  }
+
+  def loadULinUCB(spark: SparkSession, path: String): ULinUCB = {
+    val p = readJson(path)
+    require(p("kind") == "ulinucb", s"not a ULinUCB at $path")
+    new ULinUCB(alpha = p("alpha").toDouble, cols = colsOf(p))
+      .restore(spark.read.parquet(s"$path/user_state").cache(),
+        spark.read.parquet(s"$path/item_feats").cache(), p("dim").toInt)
+  }
+
+  /** Tree persistence: one `node_<i>` directory per fitted node, each
+    * holding its own params.json (path within the tree + leaf flag), the
+    * node's ULinUCB, and its item→cluster assignment. The node count is
+    * bounded by nClusters^(depth−1) — the CatPopRec tree discipline. */
+  def saveHierarchical(m: HierarchicalRecommender, path: String): Unit = {
+    val paths = m.nodes.keys.toSeq.sorted
+    writeJson(path, Map("kind" -> "hierarchical",
+      "depth" -> m.depth.toString, "nClusters" -> m.nClusters.toString,
+      "alpha" -> m.alpha.toString, "seed" -> m.seed.toString,
+      "nNodes" -> paths.size.toString) ++ colsFields(m.cols))
+    paths.zipWithIndex.foreach { case (np, i) =>
+      val node = m.nodes(np)
+      val dir = s"$path/node_$i"
+      writeJson(dir, Map("kind" -> "hcb_node", "path" -> np,
+        "isLeaf" -> node.isLeaf.toString))
+      saveULinUCB(node.rec, s"$dir/rec")
+      node.assign.write.mode("overwrite").parquet(s"$dir/assign")
+    }
+  }
+
+  def loadHierarchical(spark: SparkSession, path: String): HierarchicalRecommender = {
+    val p = readJson(path)
+    require(p("kind") == "hierarchical", s"not a HierarchicalRecommender at $path")
+    val m = new HierarchicalRecommender(depth = p("depth").toInt,
+      nClusters = p("nClusters").toInt, alpha = p("alpha").toDouble,
+      seed = p("seed").toLong, cols = colsOf(p))
+    (0 until p("nNodes").toInt).foreach { i =>
+      val dir = s"$path/node_$i"
+      val np = readJson(dir)
+      m.restoreNode(np("path"), np("isLeaf").toBoolean,
+        loadULinUCB(spark, s"$dir/rec"),
+        spark.read.parquet(s"$dir/assign").cache())
+    }
+    m
+  }
+
   /** Encoder mapping persistence (reference persists the fitted mapping
     * AND the unknown-label strategy; label_encoder save path +
     * handle_unknown round-trip). */
@@ -481,6 +532,8 @@ object ModelIO {
     case m: CatPopRec          => saveCatPopRec(m, path)
     case m: ClusterRec         => saveClusterRec(m, path)
     case m: LinUCB             => saveLinUCB(m, path)
+    case m: ULinUCB            => saveULinUCB(m, path)
+    case m: HierarchicalRecommender => saveHierarchical(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
     case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
     case k: graft.splitters.KFolds   => graft.splitters.SplitterIO.save(k, path)
@@ -506,6 +559,8 @@ object ModelIO {
       case "cat_pop_rec"   => loadCatPopRec(spark, path)
       case "cluster"       => loadClusterRec(spark, path)
       case "linucb"        => loadLinUCB(spark, path)
+      case "ulinucb"       => loadULinUCB(spark, path)
+      case "hierarchical"  => loadHierarchical(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
       case "ratio" | "last_n" | "time" | "hash_random" | "new_users"

@@ -38,6 +38,12 @@ final class ULinUCB(
 
   private[models] def dimension: Int = dim
 
+  /** Restore fitted state (ModelIO load path). */
+  private[graft] def restore(state: DataFrame, feats: DataFrame,
+      d: Int): this.type = {
+    userState = state; itemFeats = feats; dim = d; this
+  }
+
   def fit(log: DataFrame, itemFeatures: DataFrame): this.type = {
     val spark = log.sparkSession
     import spark.implicits._

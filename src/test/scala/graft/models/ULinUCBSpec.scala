@@ -114,6 +114,31 @@ class ULinUCBSpec extends SparkSpec {
     recs.foreach(r => assert(!seen((r.getLong(0), r.getLong(1)))))
   }
 
+  test("ULinUCB and HierarchicalRecommender ModelIO round-trip: predict-after-load ≡ before") {
+    val (log, feats) = fixture
+    val m = new ULinUCB(alpha = -2.0).fit(log, feats)
+    val dir = java.nio.file.Files.createTempDirectory("ulinucb_io").toString
+    ModelIO.save(m, dir)
+    val loaded = ModelIO.load(spark, dir).asInstanceOf[ULinUCB]
+    val before = m.predict(log, k = 2).collect().map(_.toSeq).sortBy(_.mkString)
+    val after = loaded.predict(log, k = 2).collect().map(_.toSeq).sortBy(_.mkString)
+    assert(before.toSeq == after.toSeq)
+
+    val hlog = (1L to 20L).flatMap { q =>
+      (0 until 3).map(j => (q, (q * 3 + j * 5) % 12, (j % 2).toDouble))
+    }.toDF("query_id", "item_id", "rating")
+    val hfeats = (0L until 12L).map(i =>
+      (i, (i % 4).toDouble, (i % 3).toDouble)).toDF("item_id", "f1", "f2")
+    val h = new HierarchicalRecommender(depth = 2, nClusters = 2)
+      .fit(hlog, hfeats)
+    val hdir = java.nio.file.Files.createTempDirectory("hcb_io").toString
+    ModelIO.save(h, hdir)
+    val hl = ModelIO.load(spark, hdir).asInstanceOf[HierarchicalRecommender]
+    val hb = h.predict(hlog, k = 2).collect().map(_.toSeq).sortBy(_.mkString)
+    val ha = hl.predict(hlog, k = 2).collect().map(_.toSeq).sortBy(_.mkString)
+    assert(hb.toSeq == ha.toSeq)
+  }
+
   test("HierarchicalRecommender routes each user inside one root cluster, ≤k, seen-filtered") {
     val log = (1L to 40L).flatMap { q =>
       (0 until 3).map(j => (q, (q * 7 + j * 13) % 20, ((q + j) % 2).toDouble))
