@@ -75,6 +75,7 @@ object Bench {
     "tpe_search_2d", "ope_ncis_replay", "ope_incremental", "ope_dr",
     "join_delta_maintain", "two_stages", "two_stages_skeleton",
     "model_ulinucb", "model_hierarchical",
+    "sequence_generate", "encode_onehot", "encode_csr", "prepare_log",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "sketch_histogram",

@@ -847,6 +847,75 @@ object SparkEntry {
           F.col("col.col_idx").as("col_idx"),
           F.col("col.values").as("value"))
     }),
+    "prepare_log" -> ((s, d) => {
+      // DataPreparator (data_preparator.py:406-696): rename to canonical
+      // roles, string-date parse, relevance cast; timestamp emitted as
+      // epoch seconds for a type-stable hash
+      val o = Tables.orders(s, d)
+        .withColumn("ds", F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"))
+      new preprocessing.DataPreparator().transform(
+          Map("user_id" -> "o_custkey", "item_id" -> "o_orderkey",
+            "relevance" -> "o_totalprice", "timestamp" -> "ds"), o,
+          dateFormat = Some("yyyy-MM-dd"))
+        .select(F.col("user_id"), F.col("item_id"),
+          F.round(F.col("relevance"), 2).as("relevance"),
+          F.unix_timestamp(F.col("timestamp")).as("ts_epoch"))
+    }),
+    "prepare_log_defaults" -> ((s, d) => {
+      // absent relevance/timestamp get the reference defaults
+      // (data_preparator.py:570-593): 1.0 DOUBLE and 2099-01-01
+      val o = Tables.orders(s, d)
+      new preprocessing.DataPreparator().transform(
+          Map("user_id" -> "o_custkey", "item_id" -> "o_orderkey"), o)
+        .select(F.col("user_id"), F.col("item_id"), F.col("relevance"),
+          F.unix_timestamp(F.col("timestamp")).as("ts_epoch"))
+    }),
+    "encode_onehot" -> ((s, d) => {
+      // CatFeaturesTransformer (data_preparator.py:684-725), unpivoted to
+      // long form so the data-derived column names are hash-checkable
+      val c = Tables.customer(s, d)
+      val t = new preprocessing.CatFeaturesTransformer(Seq("c_mktsegment"))
+        .fit(c)
+      val out = t.transform(c.select("c_custkey", "c_mktsegment"))
+      val oheCols = out.columns.filter(_.startsWith("ohe_")).sorted
+      out.select(F.col("c_custkey"), F.explode(F.array(
+          oheCols.toIndexedSeq.map(cn => F.struct(F.lit(cn).as("feature"),
+            F.col(cn).as("value"))): _*)).as("kv"))
+        .select(F.col("c_custkey"), F.col("kv.feature").as("feature"),
+          F.col("kv.value").as("value"))
+    }),
+    "sequence_generate" -> ((s, d) => {
+      // next-item training cases (sequence_generator.py:13-206): one row
+      // per (user, day) so the order-by is total; window of <=5 preceding
+      // items + the row's item as the label; posexploded for hashing
+      val i = Tables.interactions(s, d).filter(F.col("query_id") < 3000)
+      val daily = i.groupBy(F.col("query_id"), F.col("timestamp"))
+        .agg(F.min("item_id").as("item_id"))
+      preprocessing.SequenceGenerator.transform(daily,
+          groupBy = Seq("query_id"), orderBy = Seq("timestamp"),
+          transformColumns = Seq("item_id"), lenWindow = 5,
+          getListLen = true)
+        .select(F.col("query_id"), F.col("label_item_id"),
+          F.col("list_len"), F.posexplode(F.col("item_id_list")))
+        .toDF("query_id", "label_item_id", "list_len", "pos", "token")
+        .withColumn("pos", F.col("pos").cast("long"))
+    }),
+    "sequence_pad_generic" -> ((s, d) => {
+      // ArrayPadder (padder.py:14-236): right-cut keeps the LAST k items
+      // of each user's time-sorted history, left-pad with 0 to k=6
+      val i = Tables.interactions(s, d).filter(F.col("query_id") < 3000)
+      val daily = i.groupBy(F.col("query_id"), F.col("timestamp"))
+        .agg(F.min("item_id").as("item_id"))
+      val hist = daily.groupBy("query_id").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct(
+          F.col("timestamp").as("t"), F.col("item_id").as("i")))),
+          s0 => s0.getField("i")).as("items"))
+      preprocessing.ArrayPadder.transform(hist, Seq("items"),
+          paddingSide = "left", paddingValue = 0L, arraySize = Some(6))
+        .select(F.col("query_id"), F.posexplode(F.col("items")))
+        .toDF("query_id", "pos", "token")
+        .withColumn("pos", F.col("pos").cast("long"))
+    }),
     "sequence_encode" -> ((s, d) => {
       // array-column encoding, order-preserving (label_encoder.py:568-792)
       val i = Tables.interactions(s, d)
@@ -4064,6 +4133,54 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id, item_id FROM interactions
          |      WHERE item_id < 100) p
          |LEFT JOIN pop ON p.item_id = pop.item_id""".stripMargin,
+    // DataPreparator: rename + string-date parse + relevance cast (epoch
+    // seconds keep the timestamp hash type-stable across engines)
+    "prepare_log" ->
+      """SELECT o_custkey AS user_id, o_orderkey AS item_id,
+        |  round(CAST(o_totalprice AS DOUBLE), 2) AS relevance,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ts_epoch
+        |FROM orders""".stripMargin,
+    "prepare_log_defaults" ->
+      """SELECT o_custkey AS user_id, o_orderkey AS item_id,
+        |  CAST(1.0 AS DOUBLE) AS relevance,
+        |  CAST(epoch(TIMESTAMP '2099-01-01') AS BIGINT) AS ts_epoch
+        |FROM orders""".stripMargin,
+    // CatFeaturesTransformer in long form: one (row, feature, 0/1) per
+    // (row, fitted category); names data-derived on both sides
+    "encode_onehot" ->
+      """SELECT c.c_custkey,
+        |  'ohe_c_mktsegment_' || v.c_mktsegment AS feature,
+        |  CAST(c.c_mktsegment = v.c_mktsegment AS INT) AS value
+        |FROM customer c
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) v""".stripMargin,
+    // SequenceGenerator: DuckDB's list() window over the same 5-preceding
+    // frame; parallel unnests zip (token, pos)
+    "sequence_generate" ->
+      s"""$interactionsSql,
+         |daily AS (SELECT query_id, timestamp, min(item_id) AS item_id
+         |  FROM interactions WHERE query_id < 3000 GROUP BY 1, 2),
+         |gen AS (SELECT query_id, item_id AS label_item_id,
+         |    list(item_id) OVER (PARTITION BY query_id ORDER BY timestamp
+         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS lst
+         |  FROM daily)
+         |SELECT query_id, label_item_id, CAST(len(lst) AS INT) AS list_len,
+         |  unnest(range(len(lst))) AS pos, unnest(lst) AS token
+         |FROM gen WHERE len(lst) > 0""".stripMargin,
+    // ArrayPadder: keep the last 6 of the time-sorted history, left-pad 0
+    "sequence_pad_generic" ->
+      s"""$interactionsSql,
+         |daily AS (SELECT query_id, timestamp, min(item_id) AS item_id
+         |  FROM interactions WHERE query_id < 3000 GROUP BY 1, 2),
+         |hist AS (SELECT query_id,
+         |    list(item_id ORDER BY timestamp) AS items FROM daily GROUP BY 1),
+         |cut AS (SELECT query_id,
+         |    items[greatest(len(items) - 5, 1):len(items)] AS kept FROM hist),
+         |pad AS (SELECT query_id, list_concat(
+         |    list_transform(range(greatest(6 - len(kept), 0)),
+         |      x -> CAST(0 AS BIGINT)),
+         |    kept) AS items FROM cut)
+         |SELECT query_id, unnest(range(len(items))) AS pos,
+         |  unnest(items) AS token FROM pad""".stripMargin,
     // CsrConverter distributed form: duplicates summed, columns sorted per
     // row (ratings are integral quantities, so the double sums are exact)
     "encode_csr" ->
