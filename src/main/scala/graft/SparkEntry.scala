@@ -1249,7 +1249,10 @@ object SparkEntry {
       // contract columns assert the rerank output shape (≤k per user,
       // probability-bounded ratings, nonempty coverage) plus a train-AUC
       // floor a broken feature pipeline cannot clear.
-      val log = Tables.interactions(s, d)
+      // one-third user scope: the k+maxPositives candidate predict is the
+      // cost driver and scales with |users| x max-history — the certificate
+      // is scope-invariant, and the bench row must fit the driver budget
+      val log = Tables.interactions(s, d).filter(F.col("query_id") % 6 === 0)
       val sc = new scenarios.TwoStagesScenario(
         Seq(new models.ItemKNN(numNeighbours = 10)),
         fallbackModel = Some(new models.PopRec()),

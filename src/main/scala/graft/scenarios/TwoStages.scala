@@ -170,17 +170,23 @@ final class TwoStagesScenario(
     val train = enrich(labeled, firstLevelTrain, userFeatures, itemFeatures)
     featureCols = train.columns.toIndexedSeq
       .filterNot(Set(cols.query, cols.item, "target").contains)
+    // GBT schedules many jobs per boosting iteration — compact the
+    // (candidates-sized, usually small) train frame so per-iteration cost
+    // is compute, not task scheduling; a genuinely large candidate table
+    // keeps its parallelism (coalesce never widens)
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("_features")
-      .transform(train)
+      .transform(train).cache()
+    val nTrain = assembled.count()
+    val compacted = Ops.compactForIterativeFit(assembled, nTrain)
     secondModel = new GBTClassifier()
       .setLabelCol("target").setFeaturesCol("_features")
       .setMaxIter(gbtMaxIter).setMaxDepth(gbtMaxDepth).setSeed(seed)
-      .fit(assembled)
+      .fit(compacted)
     trainAuc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
       .setLabelCol("target").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC")
-      .evaluate(secondModel.transform(assembled))
+      .evaluate(secondModel.transform(compacted))
     trainAucFrame = train.sparkSession.range(1)
       .select(F.lit(trainAuc > 0.55).as("train_auc_ok"))
     this
