@@ -49,10 +49,13 @@ final class HierarchicalRecommender(
   private def clusterItems(items: DataFrame): (DataFrame, DataFrame) = {
     val assembled = new VectorAssembler()
       .setInputCols(itemFeatCols.toArray).setOutputCol("_fv")
-      .transform(items)
+      .transform(items).cache()
+    val nItems = assembled.count()
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("_fv").setPredictionCol("_cl")
-    val model = km.fit(assembled)
+    // item slices are catalog-sized (small) but arrive scan-fanned-out —
+    // compact so the per-iteration KMeans cost is compute, not scheduling
+    val model = km.fit(graft.core.Ops.compactForIterativeFit(assembled, nItems))
     val assigned = model.transform(assembled)
       .select(F.col(cols.item), F.col("_cl").cast("long").as("_cl"))
     // cluster centers as the child-level "item" features (reference
