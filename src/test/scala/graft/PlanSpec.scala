@@ -333,4 +333,43 @@ class PlanSpec extends SparkSpec {
       "OPE joins must never fall back to a cartesian")
   }
 
+  test("ULinUCB: per-cell prefix windows keyed by cell id, item features broadcast, no cartesian") {
+    // the shared-(A,b) accumulation must be |users|-rows-per-cell windows
+    // (partitioned by _i), never a single global partition; scoring fans
+    // each query out to the broadcast item-feature table only
+    val plan = optimizedPlan("model_ulinucb")
+    assert(plan.contains("BroadcastExchange"),
+      "item features should broadcast into the scoring cross join")
+    assert(!plan.contains("CartesianProduct"),
+      "ULinUCB must never fall back to an unbroadcast cartesian")
+  }
+
+  test("two_stages skeleton: candidate/label/enrichment joins stay equi, no cartesian") {
+    // candidates are |queries| x k rows; every enrichment (rel_i,
+    // history stats, labels) must join back on (query, item) hash keys —
+    // a cartesian here would be candidates x log at 100 TB
+    val plan = optimizedPlan("two_stages_skeleton")
+    assert(!plan.contains("CartesianProduct"),
+      "two-stage enrichment must never fall back to a cartesian")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), "expected hash equi-joins")
+  }
+
+  test("sequence_generate: ONE window over the group key, no extra shuffle per column") {
+    // both the prefix list and the label ride the same (group, order)
+    // window spec — a second Exchange would double the shuffle at scale
+    val plan = optimizedPlan("sequence_generate")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"sequence generation should not re-shuffle per transform column:\n${plan.take(800)}")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "expected a window operator")
+  }
+
+  test("encode_csr: duplicate-sum and row assembly are partial+final aggregates") {
+    val plan = optimizedPlan("encode_csr")
+    assert(!plan.contains("CartesianProduct"))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(plan).nonEmpty, "expected aggregate-based CSR assembly")
+  }
+
 }
