@@ -916,6 +916,26 @@ object SparkEntry {
         .toDF("query_id", "pos", "token")
         .withColumn("pos", F.col("pos").cast("long"))
     }),
+    "streaming_sequence_generate" -> ((s, d) => {
+      // stateful streaming twin of sequence_generate (bounded
+      // O(users x lenWindow) state), run batch-mode on the same daily
+      // frame — shares the batch gate's oracle recipe
+      import s.implicits._
+      val i = Tables.interactions(s, d).filter(F.col("query_id") < 3000)
+      val daily = i.groupBy(F.col("query_id"), F.col("timestamp"))
+        .agg(F.min("item_id").as("item_id"))
+      val events = daily.select(F.col("query_id").as("user_id"),
+          F.unix_timestamp(F.col("timestamp")).as("ts_us"),
+          F.col("item_id"))
+        .as[graft.streaming.StreamingOps.SeqEvent]
+      graft.streaming.StreamingOps.streamingSequenceGenerate(events, 5)
+        .toDF()
+        .select(F.col("user_id").as("query_id"), F.col("label_item_id"),
+          F.size(F.col("prefix")).as("list_len"),
+          F.posexplode(F.col("prefix")))
+        .toDF("query_id", "label_item_id", "list_len", "pos", "token")
+        .withColumn("pos", F.col("pos").cast("long"))
+    }),
     "sequence_encode" -> ((s, d) => {
       // array-column encoding, order-preserving (label_encoder.py:568-792)
       val i = Tables.interactions(s, d)
@@ -4159,6 +4179,18 @@ object SparkEntry {
     // SequenceGenerator: DuckDB's list() window over the same 5-preceding
     // frame; parallel unnests zip (token, pos)
     "sequence_generate" ->
+      s"""$interactionsSql,
+         |daily AS (SELECT query_id, timestamp, min(item_id) AS item_id
+         |  FROM interactions WHERE query_id < 3000 GROUP BY 1, 2),
+         |gen AS (SELECT query_id, item_id AS label_item_id,
+         |    list(item_id) OVER (PARTITION BY query_id ORDER BY timestamp
+         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS lst
+         |  FROM daily)
+         |SELECT query_id, label_item_id, CAST(len(lst) AS INT) AS list_len,
+         |  unnest(range(len(lst))) AS pos, unnest(lst) AS token
+         |FROM gen WHERE len(lst) > 0""".stripMargin,
+    // streaming twin: same forward-pass semantics, same oracle recipe
+    "streaming_sequence_generate" ->
       s"""$interactionsSql,
          |daily AS (SELECT query_id, timestamp, min(item_id) AS item_id
          |  FROM interactions WHERE query_id < 3000 GROUP BY 1, 2),

@@ -264,6 +264,44 @@ object StreamingOps {
       }
   }
 
+  final case class SeqEvent(user_id: Long, ts_us: Long, item_id: Long)
+  final case class SeqWindow(items: List[Long])
+  final case class SeqCase(user_id: Long, label_item_id: Long,
+      prefix: Seq[Long])
+
+  /** Streaming next-item case generation — the incremental twin of
+    * [[graft.preprocessing.SequenceGenerator]]: per-user state is the
+    * last `lenWindow` item ids (bounded — O(users × lenWindow) regardless
+    * of event volume); each arriving event with a non-empty window emits
+    * one (user, prefix, label) training case in append mode. Semantics
+    * are identical to the batch operator because the batch generator IS
+    * a forward pass over each user's (ts, item)-sorted timeline: row i
+    * pairs the previous ≤lenWindow items with item i as the label.
+    * In-order delivery per user across micro-batches is the parity
+    * contract (the same one every watermark-less stateful op here
+    * carries); within a micro-batch the group's rows sort in memory.
+    * Runs unchanged on a batch frame — spec'd byte-equal to
+    * SequenceGenerator, and the gate shares its oracle recipe. */
+  def streamingSequenceGenerate(events: Dataset[SeqEvent],
+      lenWindow: Int): Dataset[SeqCase] = {
+    import events.sparkSession.implicits._
+    require(lenWindow > 0, s"lenWindow must be positive, got $lenWindow")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqWindow, SeqCase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[SeqWindow]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.item_id))
+          var hist = state.getOption.map(_.items).getOrElse(List.empty)
+          val out = scala.collection.mutable.ListBuffer.empty[SeqCase]
+          for (e <- sorted) {
+            if (hist.nonEmpty) out += SeqCase(user, e.item_id, hist)
+            hist = (hist :+ e.item_id).takeRight(lenWindow)
+          }
+          state.update(SeqWindow(hist))
+          out.iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, step_idx: Int,
       ts_us: Long, tie: Long)
   final case class FunnelProgress(reached: Int, t1Us: Long, tprevUs: Long)

@@ -8,6 +8,40 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
   import StreamingOps._
 
+  test("streamingSequenceGenerate: 2-batch stream and batch mode equal SequenceGenerator") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 10L, 3L), (1L, 20L, 7L), (1L, 30L, 10L), (1L, 40L, 2L),
+      (2L, 10L, 5L), (2L, 25L, 8L),
+      (3L, 5L, 4L)) // single event — no case emitted
+    val df = rows.toDF("user_id", "ts_us", "item_id")
+    val batchTwin = graft.preprocessing.SequenceGenerator.transform(df,
+        groupBy = Seq("user_id"), orderBy = Seq("ts_us", "item_id"),
+        transformColumns = Seq("item_id"), lenWindow = 2)
+      .select(F.col("user_id"), F.col("label_item_id"),
+        F.col("item_id_list"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList)).toSet
+    val batchMode = streamingSequenceGenerate(df.as[SeqEvent], lenWindow = 2)
+      .collect().map(c => (c.user_id, c.label_item_id, c.prefix.toList)).toSet
+    assert(batchMode == batchTwin)
+    assert(batchTwin.contains((1L, 2L, List(7L, 10L)))) // window bound kicks in
+    // real 2-batch stream split mid-history, in-order feed per user
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = streamingSequenceGenerate(
+        input.toDF().toDF("user_id", "ts_us", "item_id").as[SeqEvent],
+        lenWindow = 2)
+      .writeStream.format("memory").queryName("sseqgen")
+      .outputMode("append").start()
+    val (b1, b2) = rows.partition(_._2 <= 20L)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("sseqgen").as[SeqCase]
+      .collect().map(c => (c.user_id, c.label_item_id, c.prefix.toList)).toSet
+    q.stop()
+    assert(streamed == batchTwin, s"streamed=$streamed batch=$batchTwin")
+  }
+
   test("sessionWindows on batch matches gap semantics") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-01 10:10:00", 2.0),
