@@ -1239,6 +1239,22 @@ object SparkEntry {
           .agg(F.bool_and(F.col("_nc") === 1L).as("single_root_cluster")))
         .withColumn("seen_filtered", F.lit(seenHit == 0L))
     }),
+    "model_hierarchical_leaf" -> ((s, d) => {
+      // degenerate HCB tree (nClusters=1): KMeans at k=1 is the mean —
+      // deterministic — so routing is trivial and the reached leaf is
+      // exactly a seen-filtered ULinUCB over the full slice. This makes
+      // the whole tree walk + leaf plumbing VALUE-EXACT against the
+      // ULinUCB prefix-ridge oracle (the non-degenerate routing keeps the
+      // model_hierarchical certificate).
+      val i = Tables.interactions(s, d)
+        .filter(F.col("item_id") < 300 && F.col("query_id") < 500)
+      val feats = i.select("item_id").distinct().select(F.col("item_id"),
+        (F.col("item_id") % 7).cast("double").as("f1"),
+        (F.col("item_id") % 5 + 1).cast("double").as("f2"))
+      new models.HierarchicalRecommender(depth = 2, nClusters = 1,
+          alpha = -2.0)
+        .fit(i, feats).predict(i, k = 3)
+    }),
     "two_stages_skeleton" -> ((s, d) => {
       // TwoStagesScenario relational skeleton (round 12;
       // two_stages_scenario.py:112-760), full-oracle: deterministic 50/50
@@ -4492,6 +4508,51 @@ object SparkEntry {
     "model_hierarchical" ->
       """SELECT true AS nonempty, true AS per_user_le_k,
         |  true AS single_root_cluster, true AS seen_filtered""".stripMargin,
+    // degenerate tree ≡ seen-filtered ULinUCB: the ulinucb prefix-ridge
+    // algebra plus an anti-join on the seen pairs before the top-3 crop
+    "model_hierarchical_leaf" ->
+      s"""$interactionsSql,
+         |i0 AS (SELECT query_id, item_id, CAST(rating AS DOUBLE) AS r
+         |  FROM interactions WHERE item_id < 300 AND query_id < 500),
+         |feats AS (SELECT DISTINCT item_id,
+         |    CAST(item_id % 7 AS DOUBLE) AS f1,
+         |    CAST(item_id % 5 + 1 AS DOUBLE) AS f2
+         |  FROM i0),
+         |cells AS (SELECT i.query_id,
+         |    sum(f.f1 * f.f1) AS g11, sum(f.f1 * f.f2) AS g12,
+         |    sum(f.f2 * f.f2) AS g22,
+         |    sum(f.f1 * i.r) AS b1, sum(f.f2 * i.r) AS b2
+         |  FROM i0 i JOIN feats f ON i.item_id = f.item_id
+         |  GROUP BY i.query_id),
+         |pre AS (SELECT query_id,
+         |    sum(g11) OVER w AS g11, sum(g12) OVER w AS g12,
+         |    sum(g22) OVER w AS g22,
+         |    sum(b1) OVER w AS b1, sum(b2) OVER w AS b2
+         |  FROM cells
+         |  WINDOW w AS (ORDER BY query_id ROWS UNBOUNDED PRECEDING)),
+         |st AS (SELECT query_id,
+         |    (g22 + 1.0) / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai0,
+         |    -g12 / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai1,
+         |    -g12 / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai2,
+         |    (g11 + 1.0) / ((g11 + 1.0) * (g22 + 1.0) - g12 * g12) AS ai3,
+         |    b1, b2 FROM pre),
+         |th AS (SELECT query_id, ai0, ai1, ai2, ai3,
+         |    ai0 * b1 + ai1 * b2 AS t1, ai2 * b1 + ai3 * b2 AS t2 FROM st),
+         |scored AS (SELECT t.query_id, f.item_id,
+         |    round(t.t1 * f.f1 + t.t2 * f.f2
+         |      + CAST(-2.0 AS DOUBLE) * sqrt(greatest(
+         |          f.f1 * (t.ai0 * f.f1 + t.ai1 * f.f2)
+         |          + f.f2 * (t.ai2 * f.f1 + t.ai3 * f.f2),
+         |          CAST(0.0 AS DOUBLE))), 9) AS rating
+         |  FROM th t CROSS JOIN feats f),
+         |unseen AS (SELECT s.query_id, s.item_id, s.rating FROM scored s
+         |  LEFT JOIN (SELECT DISTINCT query_id, item_id FROM i0) z
+         |    ON s.query_id = z.query_id AND s.item_id = z.item_id
+         |  WHERE z.query_id IS NULL)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT query_id, item_id, rating, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id ASC) AS rk
+         |  FROM unseen) WHERE rk <= 3""".stripMargin,
     // TwoStagesScenario skeleton: split → PopRec candidates (k+maxPos,
     // anti-join, top-k) → labeling → rel/count enrichment
     "two_stages_skeleton" ->

@@ -47,6 +47,16 @@ final class HierarchicalRecommender(
   /** Cluster a node's item slice into nClusters via seeded KMeans;
     * returns (item, _cl, center feature columns per cluster). */
   private def clusterItems(items: DataFrame): (DataFrame, DataFrame) = {
+    if (nClusters == 1) {
+      // KMeans' k=1 fixed point is the mean — computed directly
+      // (MLlib rejects k=1), keeping the degenerate tree deterministic
+      val assigned = items.select(F.col(cols.item), F.lit(0L).as("_cl"))
+      val centers = items.agg(
+        F.avg(itemFeatCols.head).as(itemFeatCols.head),
+        itemFeatCols.tail.map(c => F.avg(c).as(c)): _*)
+        .select(F.lit(0L).as(cols.item) +: itemFeatCols.map(F.col): _*)
+      return (assigned, centers)
+    }
     val assembled = new VectorAssembler()
       .setInputCols(itemFeatCols.toArray).setOutputCol("_fv")
       .transform(items).cache()
