@@ -72,4 +72,61 @@ class OpeSpec extends SparkSpec {
     val r = row(Ope.estimate(logged, partial, behavior(0.5, 0.5)))
     assert(r._1 == 1L)
   }
+
+  // ---- DM / DR (Dudík, Langford & Li 2011) -------------------------------
+
+  private def actionDist(p0: Double, p1: Double) = (0L to 3L).flatMap(q =>
+    Seq((q, 0L, p0), (q, 1L, p1))).toDF("query_id", "item_id", "prob")
+
+  private def drRow(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Double, Double, Double, Double, Double, Double)].head()
+
+  test("DR corrects a biased reward model back to the IPS value (hand-computed)") {
+    // r̂ = (0.8, 0.2) is WRONG (true per-item means are 0.5, 0.5); target
+    // plays item 0 w.p. 0.8 against a uniform behavior → w = {1.6,1.6,.4,.4}.
+    // DM = 0.8·0.8 + 0.2·0.2 = 0.68 (biased); the IS correction
+    // (Σwr − Σw·r̂(a))/n = (2.0 − 2.72)/4 pulls DR back to exactly 0.5.
+    val rm = Seq((0L, 0.8), (1L, 0.2)).toDF("item_id", "r_hat")
+    val r = drRow(Ope.estimateDr(logged, proba(0.8, 0.2), behavior(0.5, 0.5),
+      actionDist(0.8, 0.2), rm))
+    assert(r == ((4L, 0.5, 0.5, 0.5, 0.68, 0.5, 0.5)))
+  }
+
+  test("perfect reward model + target ≡ behavior: every estimator is the behavior value") {
+    val rm = Seq((0L, 0.5), (1L, 0.5)).toDF("item_id", "r_hat")
+    val r = drRow(Ope.estimateDr(logged, proba(0.5, 0.5), behavior(0.5, 0.5),
+      actionDist(0.5, 0.5), rm))
+    assert(r == ((4L, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5)))
+  }
+
+  test("clipped DR caps the correction's weights (hand-computed)") {
+    // one-hot target on a 0.05-propensity action: w = 20, clipped ŵ = 10.
+    // dm = 0.3; dr = (1.2 + 20 − 12)/4 = 2.3; dr_clipped = (1.2 + 10 − 6)/4 = 1.3
+    val rm = Seq((0L, 0.3), (1L, 0.9)).toDF("item_id", "r_hat")
+    val r = drRow(Ope.estimateDr(logged, proba(1.0, 0.0),
+      behavior(0.05, 0.95), actionDist(1.0, 0.0), rm))
+    assert(r._5 == 0.3 && r._6 == 2.3 && r._7 == 1.3, r.toString)
+  }
+
+  test("actions the reward model can't score contribute r̂ = 0 (left-join contract)") {
+    val rmPartial = Seq((0L, 0.8)).toDF("item_id", "r_hat")
+    val r = drRow(Ope.estimateDr(logged, proba(0.8, 0.2), behavior(0.5, 0.5),
+      actionDist(0.8, 0.2), rmPartial))
+    // dm: only item 0 scored → q̂ = 0.64; correction: Σw·r̂(a) = 2.56 →
+    // dr = (2.56 + 2.0 − 2.56)/4 = 0.5
+    assert(r._5 == 0.64 && r._6 == 0.5, r.toString)
+  }
+
+  test("drValue(drMerge(drSummary(A), drSummary(B))) == estimateDr(A ∪ B)") {
+    val a = logged.filter($"query_id" < 2L)
+    val b = logged.filter($"query_id" >= 2L)
+    val p = proba(0.7, 0.3); val beh = behavior(0.4, 0.6)
+    val ad = actionDist(0.7, 0.3)
+    val rm = Seq((0L, 0.6), (1L, 0.1)).toDF("item_id", "r_hat")
+    val merged = drRow(Ope.drValue(Ope.drMerge(
+      Ope.drSummary(a, p, beh, ad.filter($"query_id" < 2L), rm),
+      Ope.drSummary(b, p, beh, ad.filter($"query_id" >= 2L), rm))))
+    val direct = drRow(Ope.estimateDr(logged, p, beh, ad, rm))
+    assert(merged == direct)
+  }
 }
