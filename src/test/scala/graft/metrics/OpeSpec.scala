@@ -117,6 +117,27 @@ class OpeSpec extends SparkSpec {
     assert(r._5 == 0.64 && r._6 == 0.5, r.toString)
   }
 
+  test("Ope.summary runs unchanged as a streaming policy-value monitor") {
+    // the scaladoc's claim, proven: logged rounds as a 2-batch stream,
+    // stream-static joins against the policy frames, complete-mode
+    // running aggregate — the monitor's final row == the batch estimate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = proba(0.7, 0.3); val beh = behavior(0.4, 0.6)
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("query_id", "item_id", "reward")
+    val q = Ope.value(Ope.summary(stream, p, beh))
+      .writeStream.format("memory").queryName("opemon")
+      .outputMode("complete").start()
+    val rows = logged.as[(Long, Long, Double)].collect().toSeq
+    input.addData(rows.take(2): _*); q.processAllAvailable()
+    input.addData(rows.drop(2): _*); q.processAllAvailable()
+    val monitored = spark.table("opemon")
+      .as[(Long, Double, Double, Double)].head()
+    q.stop()
+    assert(monitored == row(Ope.estimate(logged, p, beh)))
+  }
+
   test("drValue(drMerge(drSummary(A), drSummary(B))) == estimateDr(A ∪ B)") {
     val a = logged.filter($"query_id" < 2L)
     val b = logged.filter($"query_id" >= 2L)
