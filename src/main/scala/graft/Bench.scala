@@ -76,6 +76,7 @@ object Bench {
     "join_delta_maintain", "two_stages", "two_stages_skeleton",
     "model_ulinucb", "model_hierarchical",
     "sequence_generate", "encode_onehot", "encode_csr", "prepare_log",
+    "streaming_sequence_generate", "model_hierarchical_leaf",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
     "dedup_substring", "sketch_cms", "sketch_hll", "sketch_bloom",
     "sketch_histogram",
