@@ -58,6 +58,26 @@ class DataPreparatorSpec extends SparkSpec {
     }
   }
 
+  test("DataPreparator.read: csv with header + json round the file path contract") {
+    val dir = java.nio.file.Files.createTempDirectory("dp_read")
+    val csv = dir.resolve("log.csv")
+    java.nio.file.Files.writeString(csv, "user,item,rel\n1,2,5\n3,4,1\n")
+    val dp = new DataPreparator()
+    val raw = dp.read(spark, csv.toString, "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(raw.count() == 2 && raw.columns.toSeq == Seq("user", "item", "rel"))
+    val out = dp.transform(
+      Map("user_id" -> "user", "item_id" -> "item", "relevance" -> "rel"), raw)
+    assert(out.columns.toSet == Set("user_id", "item_id", "relevance", "timestamp"))
+    val json = dir.resolve("log.json")
+    java.nio.file.Files.writeString(json,
+      """{"user": 1, "item": 2}""" + "\n" + """{"user": 3, "item": 4}""" + "\n")
+    assert(dp.read(spark, json.toString, "json").count() == 2)
+    intercept[IllegalArgumentException] {
+      dp.read(spark, csv.toString, "avro")
+    }
+  }
+
   test("CatFeaturesTransformer: one column per (col, value), unseen maps to zeros") {
     val train = Seq(("a", "x"), ("b", "y"), ("a", "y")).toDF("c1", "keep")
     val t = new CatFeaturesTransformer(Seq("c1")).fit(train)
