@@ -74,7 +74,7 @@ object Bench {
     "sequence_pad", "grid_search_budget", "tpe_search_budget",
     "tpe_search_2d", "ope_ncis_replay", "ope_incremental", "ope_dr",
     "join_delta_maintain", "two_stages", "two_stages_skeleton",
-    "model_ulinucb", "model_hierarchical",
+    "model_ulinucb", "model_hierarchical", "model_markov",
     "sequence_generate", "encode_onehot", "encode_csr", "prepare_log",
     "streaming_sequence_generate", "model_hierarchical_leaf",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
@@ -133,6 +133,7 @@ object Bench {
     "multimodal_decode", "embed_lsh_neardup_prod",
     // round-12 additions
     "two_stages", "ope_dr", "model_ulinucb", "model_hierarchical",
+    "model_markov",
   )
 
   /** Name of the box-speed calibration row (not a graft operator). */

@@ -582,6 +582,19 @@ object SparkEntry {
         .fit(Tables.interactions(s, d))
       m.rules
     }),
+    "model_markov" -> ((s, d) => {
+      // first-order next-item model (the relational stand-in for the
+      // sequential NN family): predict from each query's LAST item by
+      // transition count, seen-filtered top-5
+      val i = Tables.interactions(s, d)
+      new models.MarkovRec(tieBreak = Seq("session_id")).fit(i)
+        .predict(i, k = 5)
+    }),
+    "model_markov_trans" -> ((s, d) =>
+      // the fit state itself: consecutive-pair counts under the
+      // deterministic (ts, session, item) order, minCount=2 floor
+      new models.MarkovRec(minCount = 2, tieBreak = Seq("session_id"))
+        .fit(Tables.interactions(s, d)).transitions),
     "model_cat_pop" -> ((s, d) => {
       val part = Tables.part(s, d)
       val itemCats = part.select(F.col("p_partkey").as("item_id"), F.col("p_brand").as("category"))
@@ -4083,6 +4096,39 @@ object SparkEntry {
          |       THEN (pair/ant_cnt) / ((con_cnt - pair) / ((SELECT ns FROM n) - ant_cnt))
          |       ELSE NULL END AS confidence_gain
          |FROM wc""".stripMargin,
+    "model_markov" ->
+      s"""$interactionsSql,
+         |seq AS (SELECT query_id, item_id,
+         |    lag(item_id) OVER (PARTITION BY query_id
+         |      ORDER BY timestamp, session_id, item_id) AS prev
+         |  FROM interactions),
+         |t AS (SELECT prev AS item_one, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |lst AS (SELECT query_id, item_id AS last_item FROM (
+         |    SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
+         |    FROM interactions) WHERE rn = 1),
+         |scored AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t ON t.item_one = l.last_item),
+         |unseen AS (SELECT s.* FROM scored s ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
+         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_markov_trans" ->
+      s"""$interactionsSql,
+         |seq AS (SELECT query_id, item_id,
+         |    lag(item_id) OVER (PARTITION BY query_id
+         |      ORDER BY timestamp, session_id, item_id) AS prev
+         |  FROM interactions)
+         |SELECT prev AS item_one, item_id AS item_two,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM seq WHERE prev IS NOT NULL
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "model_cat_pop" ->
       s"""$interactionsSql,
          |wc AS (

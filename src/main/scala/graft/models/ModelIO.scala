@@ -517,6 +517,30 @@ object ModelIO {
       spark.read.parquet(s"$path/mapping").cache(), p("column"), policy)
   }
 
+  // ---- Markov ------------------------------------------------------------
+
+  /** The transition table IS the inference state (predict joins the last
+    * item onto it), so a loaded model predicts identically without refit. */
+  def saveMarkov(m: MarkovRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "markov",
+      "minCount" -> m.minCount.toString,
+      "tieBreak" -> m.tieBreak.mkString(",")))
+    m.transitions.write.mode("overwrite").parquet(s"$path/transitions")
+  }
+
+  def loadMarkov(spark: SparkSession, path: String): MarkovRec = {
+    val p = readJson(path)
+    require(p("kind") == "markov", s"not a MarkovRec at $path")
+    val tb = p.getOrElse("tieBreak", "")
+    val m = new MarkovRec(
+      minCount = p.getOrElse("minCount", "1").toLong,
+      tieBreak = if (tb.isEmpty) Nil else tb.split(",").toSeq)
+    m.transitions = spark.read.parquet(s"$path/transitions").cache()
+    m.fitItemsDf = m.transitions
+      .select(F.col("item_one").as(m.cols.item)).distinct()
+    m
+  }
+
   // ---- generic dispatch --------------------------------------------------
 
   /** Type-dispatched save — one entry point for every persistable object
@@ -534,6 +558,7 @@ object ModelIO {
     case m: LinUCB             => saveLinUCB(m, path)
     case m: ULinUCB            => saveULinUCB(m, path)
     case m: HierarchicalRecommender => saveHierarchical(m, path)
+    case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
     case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
     case k: graft.splitters.KFolds   => graft.splitters.SplitterIO.save(k, path)
@@ -561,6 +586,7 @@ object ModelIO {
       case "linucb"        => loadLinUCB(spark, path)
       case "ulinucb"       => loadULinUCB(spark, path)
       case "hierarchical"  => loadHierarchical(spark, path)
+      case "markov"        => loadMarkov(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
       case "ratio" | "last_n" | "time" | "hash_random" | "new_users"

@@ -355,6 +355,18 @@ class PlanSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), "expected hash equi-joins")
   }
 
+  test("markov predict: equi-joins only, crop window keyed on the source item") {
+    // last-item × transitions is an equi hash join on the source item; the
+    // per-source k+maxSeen crop must rank-limit (WindowGroupLimit) instead
+    // of sorting whole transition partitions, and nothing may fall back to
+    // a cartesian — at 100 TB the transition table is catalog²-bounded
+    val plan = optimizedPlan("model_markov")
+    assert(!plan.contains("CartesianProduct"),
+      "markov predict must never cross join")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-source transition crop should rank-limit, not full-sort")
+  }
+
   test("sequence_generate: ONE window over the group key, no extra shuffle per column") {
     // both the prefix list and the label ride the same (group, order)
     // window spec — a second Exchange would double the shuffle at scale
