@@ -2749,6 +2749,22 @@ object SparkEntry {
           .groupBy("user_id")
           .agg((F.count(F.lit(1)) / 100.0).as("metric")),
         "user_id", "metric", resamples = 200, seed = 7L)),
+    "metrics_calibration" -> ((s, d) =>
+      // reliability table for a deterministic document scorer: prob =
+      // min(1, len/800), label = len > 400 — ppm-quantized, equal-width
+      // bins, exact integer conf/acc/gap so the table hash-compares
+      graft.metrics.Metrics.calibrationBins(
+        Tables.documents(s, d).select(
+          F.least(F.lit(1.0), F.length(F.col("text")) / 800.0).as("prob"),
+          (F.length(F.col("text")) > 400).as("label")),
+        "prob", "label", nBins = 10)),
+    "metrics_calibration_ece" -> ((s, d) =>
+      // the scalar: bin-weighted mean gap (Expected Calibration Error)
+      graft.metrics.Metrics.calibrationEce(
+        Tables.documents(s, d).select(
+          F.least(F.lit(1.0), F.length(F.col("text")) / 800.0).as("prob"),
+          (F.length(F.col("text")) > 400).as("label")),
+        "prob", "label", nBins = 10)),
     "graph_link_prediction" -> ((s, d) =>
       // common-neighbors / Jaccard candidates over the co-purchase graph:
       // non-edges sharing >= 2 neighbors, fixed-point Jaccard — the
@@ -7310,6 +7326,39 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.cnt,
         |  (c.cnt * 1000000) // CAST(t.tot AS BIGINT) AS prob_ppm
         |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "metrics_calibration" ->
+      """WITH s AS (SELECT
+        |    least(1000000, greatest(0, CAST(floor(
+        |      least(CAST(1.0 AS DOUBLE),
+        |            CAST(length(text) AS DOUBLE) / CAST(800.0 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT))) AS ppm,
+        |    CASE WHEN length(text) > 400 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT least(9, (ppm * 10) // 1000000) AS bin, ppm, y FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ppm) // count(*) AS BIGINT) AS conf_ppm,
+        |  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS acc_ppm,
+        |  CAST(abs((sum(y) * 1000000) // count(*)
+        |           - sum(ppm) // count(*)) AS BIGINT) AS gap_ppm
+        |FROM b GROUP BY 1""".stripMargin,
+    "metrics_calibration_ece" ->
+      """WITH s AS (SELECT
+        |    least(1000000, greatest(0, CAST(floor(
+        |      least(CAST(1.0 AS DOUBLE),
+        |            CAST(length(text) AS DOUBLE) / CAST(800.0 AS DOUBLE))
+        |      * 1000000.0) AS BIGINT))) AS ppm,
+        |    CASE WHEN length(text) > 400 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS (SELECT least(9, (ppm * 10) // 1000000) AS bin, ppm, y FROM s),
+        |bins AS (SELECT bin, count(*) AS n,
+        |    sum(ppm) // count(*) AS conf_ppm,
+        |    (sum(y) * 1000000) // count(*) AS acc_ppm
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(sum(n * abs(acc_ppm - conf_ppm)) // sum(n) AS BIGINT)
+        |    AS ece_ppm,
+        |  CAST(max(abs(acc_ppm - conf_ppm)) AS BIGINT) AS max_gap_ppm,
+        |  CAST(sum(n) AS BIGINT) AS n
+        |FROM bins""".stripMargin,
     "metrics_bootstrap_ci" ->
       """WITH pe AS (SELECT user_id AS id,
         |    CAST(round((count(*) / CAST(100.0 AS DOUBLE)) * 1000000) AS BIGINT) AS v6

@@ -379,4 +379,39 @@ object Metrics {
       .select(F.col("mean_ppm"), F.col("lo_ppm"), F.col("hi_ppm"),
         F.col("resamples"))
   }
+
+  /** Calibration reliability table for a probabilistic scorer (the
+    * second-stage reranker / quality classifier check the reference leaves
+    * to the caller): scores ppm-quantized (floor, clamped to [0, 10⁶]) and
+    * equal-width-binned; per bin the exact count, mean predicted
+    * probability and empirical positive rate in ppm, and their gap — all
+    * integer arithmetic (`div`), so the whole table hash-compares across
+    * engines. One partial+final aggregation over ≤ nBins rows of state. */
+  def calibrationBins(scored: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 1000000, s"nBins out of range: $nBins")
+    val ppm = F.least(F.lit(1000000L), F.greatest(F.lit(0L),
+      F.floor(F.col(probCol).cast("double") * 1e6).cast("long")))
+    scored
+      .select(ppm.as("_ppm"),
+        F.col(labelCol).cast("boolean").cast("long").as("_y"))
+      .withColumn("bin", F.least(F.lit(nBins - 1L),
+        F.expr(s"(_ppm * $nBins) div 1000000")))
+      .groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.expr("sum(_ppm) div count(1)").as("conf_ppm"),
+        F.expr("(sum(_y) * 1000000) div count(1)").as("acc_ppm"))
+      .withColumn("gap_ppm", F.abs(F.col("acc_ppm") - F.col("conf_ppm")))
+  }
+
+  /** Expected Calibration Error in ppm: the bin-count-weighted mean of the
+    * reliability gaps, ece = Σ_b n_b·|acc_b − conf_b| / N — one row
+    * (ece_ppm, max_gap_ppm, n). Exact integer division, same contract as
+    * [[calibrationBins]]. */
+  def calibrationEce(scored: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame =
+    calibrationBins(scored, probCol, labelCol, nBins)
+      .agg(F.expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"),
+        F.max("gap_ppm").as("max_gap_ppm"),
+        F.sum("n").as("n"))
 }

@@ -398,4 +398,43 @@ class MetricsSpec extends SparkSpec {
         "metric", 100, 7L, alphaPermille = 600)
     }
   }
+
+  test("calibrationBins: hand golden — exact ppm conf/acc/gap per bin") {
+    // bin 0: probs .0/.05 (ppm 0, 50000), labels 0,1 → conf 25000, acc 500000
+    // bin 9: probs .95/1.0 (950000, 1000000), labels 1,1 → conf 975000, acc 1000000
+    val scored = Seq(
+      (0.0, false), (0.05, true), (0.95, true), (1.0, true),
+    ).toDF("prob", "label")
+    assertSameRows(Metrics.calibrationBins(scored, "prob", "label", 10),
+      Seq((0L, 2L, 25000L, 500000L, 475000L),
+          (9L, 2L, 975000L, 1000000L, 25000L)))
+  }
+
+  test("calibrationBins: probs clamp into [0,1] and 1.0 lands in the top bin") {
+    val scored = Seq((-0.3, false), (1.7, true), (1.0, true))
+      .toDF("prob", "label")
+    val bins = Metrics.calibrationBins(scored, "prob", "label", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bins == Map(0L -> 1L, 9L -> 2L))
+  }
+
+  test("calibrationEce: bin-weighted mean gap, perfect scorer → 0") {
+    val scored = Seq(
+      (0.0, false), (0.05, true), (0.95, true), (1.0, true),
+    ).toDF("prob", "label")
+    val ece = Metrics.calibrationEce(scored, "prob", "label", 10)
+      .as[(Long, Long, Long)].head()
+    // (2·475000 + 2·25000) div 4 = 250000
+    assert(ece == ((250000L, 475000L, 4L)))
+    // a scorer whose per-bin confidence equals the positive rate has ECE 0
+    val perfect = Seq((0.05, false), (0.05, false), (0.05, false),
+      (0.05, false), (0.05, false), (0.05, false), (0.05, false),
+      (0.05, false), (0.05, false), (0.05, false), (0.05, false),
+      (0.05, false), (0.05, false), (0.05, false), (0.05, false),
+      (0.05, false), (0.05, false), (0.05, false), (0.05, false),
+      (0.05, true)).toDF("prob", "label")
+    val e2 = Metrics.calibrationEce(perfect, "prob", "label", 10)
+      .as[(Long, Long, Long)].head()
+    assert(e2._1 == 0L && e2._3 == 20L)
+  }
 }
