@@ -2749,6 +2749,14 @@ object SparkEntry {
           .groupBy("user_id")
           .agg((F.count(F.lit(1)) / 100.0).as("metric")),
         "user_id", "metric", resamples = 200, seed = 7L)),
+    "metrics_spearman" -> ((s, d) => {
+      // ranker drift: popularity order of even- vs odd-session purchases,
+      // Spearman over the common items in exact DECIMAL(38) ppm
+      val i = Tables.interactions(s, d)
+      def pop(parity: Int) = i.filter(F.col("session_id") % 2 === parity)
+        .groupBy("item_id").agg(F.count(F.lit(1)).as("score"))
+      graft.metrics.Metrics.spearmanPpm(pop(0), pop(1), "item_id", "score")
+    }),
     "metrics_calibration" -> ((s, d) =>
       // reliability table for a deterministic document scorer: prob =
       // min(1, len/800), label = len > 400 — ppm-quantized, equal-width
@@ -7326,6 +7334,23 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.cnt,
         |  (c.cnt * 1000000) // CAST(t.tot AS BIGINT) AS prob_ppm
         |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "metrics_spearman" ->
+      s"""$interactionsSql,
+         |pa AS (SELECT item_id, CAST(count(*) AS BIGINT) AS sa
+         |       FROM interactions WHERE session_id % 2 = 0 GROUP BY 1),
+         |pb AS (SELECT item_id, CAST(count(*) AS BIGINT) AS sb
+         |       FROM interactions WHERE session_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT pa.item_id, sa, sb FROM pa JOIN pb USING (item_id)),
+         |r AS (SELECT item_id,
+         |    row_number() OVER (ORDER BY sa DESC, item_id) AS ra,
+         |    row_number() OVER (ORDER BY sb DESC, item_id) AS rb FROM j),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(ra - rb AS HUGEINT) * (ra - rb)) AS sd2 FROM r)
+         |SELECT n, CAST(CASE WHEN n < 2 THEN NULL
+         |  ELSE 1000000 - (6 * sd2 * 1000000)
+         |       // (CAST(n AS HUGEINT) * n * n - n)
+         |  END AS BIGINT) AS rho_ppm
+         |FROM agg""".stripMargin,
     "metrics_calibration" ->
       """WITH s AS (SELECT
         |    least(1000000, greatest(0, CAST(floor(

@@ -380,6 +380,34 @@ object Metrics {
         F.col("resamples"))
   }
 
+  /** Spearman rank correlation between two scorings of the same keys, in
+    * ppm — the ranker-drift monitor ("how much did this week's popularity
+    * order move?"). Keys are restricted to the intersection FIRST, then
+    * ranked inside it (so the ranks are a permutation and rho stays in
+    * [−1, 1]); ties break by key ascending (a deterministic total order
+    * both engines share — documented deviation from textbook average
+    * ranks). rho_ppm = 10⁶ − (6·Σd²·10⁶) div (n³ − n), exact DECIMAL(38)
+    * arithmetic (Σd² ~ n³ passes BIGINT near ~2M keys). Ranks come from
+    * the distributed [[graft.core.Ops.globalRowNumber]] — no
+    * single-partition global window. Returns one row (n, rho_ppm);
+    * rho_ppm NULL when n < 2. */
+  def spearmanPpm(a: DataFrame, b: DataFrame, keyCol: String,
+      scoreCol: String): DataFrame = {
+    val joined = a.select(F.col(keyCol), F.col(scoreCol).as("_sa"))
+      .join(b.select(F.col(keyCol), F.col(scoreCol).as("_sb")), Seq(keyCol))
+    val ra = graft.core.Ops.globalRowNumber(joined, "_ra",
+      F.col("_sa").desc, F.col(keyCol).asc)
+    val rb = graft.core.Ops.globalRowNumber(ra, "_rb",
+      F.col("_sb").desc, F.col(keyCol).asc)
+    rb.agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.expr("CAST(_ra - _rb AS DECIMAL(38, 0)) * (_ra - _rb)"))
+          .as("_sd2"))
+      .select(F.col("n"),
+        F.expr("CASE WHEN n < 2 THEN NULL ELSE CAST(1000000 - " +
+          "(6 * _sd2 * 1000000) div (CAST(n AS DECIMAL(38, 0)) * n * n - n)" +
+          " AS BIGINT) END").as("rho_ppm"))
+  }
+
   /** Calibration reliability table for a probabilistic scorer (the
     * second-stage reranker / quality classifier check the reference leaves
     * to the caller): scores ppm-quantized (floor, clamped to [0, 10⁶]) and

@@ -399,6 +399,31 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("spearmanPpm: identity 1e6, reversal -1e6, non-common keys ignored") {
+    val a = Seq((1L, 10L), (2L, 8L), (3L, 5L), (4L, 1L), (9L, 99L))
+      .toDF("item_id", "score")
+    val same = Seq((1L, 10L), (2L, 8L), (3L, 5L), (4L, 1L), (8L, 7L))
+      .toDF("item_id", "score")
+    val rev = Seq((1L, 1L), (2L, 5L), (3L, 8L), (4L, 10L))
+      .toDF("item_id", "score")
+    assert(Metrics.spearmanPpm(a, same, "item_id", "score")
+      .as[(Long, Long)].head() == ((4L, 1000000L)))
+    assert(Metrics.spearmanPpm(a, rev, "item_id", "score")
+      .as[(Long, Long)].head() == ((4L, -1000000L)))
+  }
+
+  test("spearmanPpm: ties break by key; n < 2 yields NULL rho") {
+    // both frames tie all scores → both rankings fall to key order → rho 1
+    val t1 = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("item_id", "score")
+    val t2 = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("item_id", "score")
+    assert(Metrics.spearmanPpm(t1, t2, "item_id", "score")
+      .as[(Long, Long)].head() == ((3L, 1000000L)))
+    val single = Seq((1L, 5L)).toDF("item_id", "score")
+    val row = Metrics.spearmanPpm(single, single, "item_id", "score")
+      .collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(1))
+  }
+
   test("calibrationBins: hand golden — exact ppm conf/acc/gap per bin") {
     // bin 0: probs .0/.05 (ppm 0, 50000), labels 0,1 → conf 25000, acc 500000
     // bin 9: probs .95/1.0 (950000, 1000000), labels 1,1 → conf 975000, acc 1000000
