@@ -459,6 +459,20 @@ object SparkEntry {
       graft.text.Similarity.recallSummary(recs(), exact, k = 5)
         .select("n_queries", "k", "recall_ok")
     }),
+    "model_als_foldin" -> ((s, d) => {
+      // cold-user fold-in certificate: fold-in is exactly one more ALS
+      // half-step, so re-deriving TRAINING users' factors from their
+      // history must reproduce the trained top-5 (recall ≥ 0.95 gate,
+      // same threshold-oracle shape as the ANN recall rows)
+      val i = Tables.interactions(s, d)
+      val m = new models.ALSRec(rank = 8, maxIter = 5).fit(i)
+      val exact = m.predict(i, k = 5)
+        .select(F.col("query_id"), F.col("item_id").as("neighbor_id"))
+      val folded = m.predictFoldIn(i, k = 5)
+        .select(F.col("query_id"), F.col("item_id").as("neighbor_id"))
+      graft.text.Similarity.recallSummary(folded, exact, k = 5)
+        .select("n_queries", "k", "recall_ok")
+    }),
     "model_recs_certificate" -> ((s, d) => {
       // structural predict-contract certificates (r8) for the solver/RNG
       // models the oracle can't score-check: ALS implicit + explicit,
@@ -529,6 +543,17 @@ object SparkEntry {
     }),
     "model_item_knn" -> ((s, d) => {
       new models.ItemKNN(numNeighbours = 5).fit(Tables.interactions(s, d)).similarity
+    }),
+    "model_knn_incremental" -> ((s, d) => {
+      // the neighbour-model incremental-refit law as a driver gate:
+      // user-disjoint slice co-stats, merged, must rebuild EXACTLY the
+      // full plain-cosine fit — same oracle as model_item_knn
+      val i = Tables.interactions(s, d)
+      val probe = new models.ItemKNN(numNeighbours = 5)
+      val (p, df) = models.ItemKNN.mergeStats(
+        probe.coStats(i.filter(F.col("query_id") % 2 === 0)),
+        probe.coStats(i.filter(F.col("query_id") % 2 === 1)))
+      new models.ItemKNN(numNeighbours = 5).fitFromStats(p, df).similarity
     }),
     "model_item_knn_predict" -> ((s, d) => {
       val i = Tables.interactions(s, d)
@@ -3995,6 +4020,29 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
          |  FROM sims) WHERE rn <= 5""".stripMargin,
+    // identical SQL to model_item_knn: the incremental-stats rebuild must
+    // equal the full fit
+    "model_knn_incremental" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id)
+         |SELECT item_one, item_two, similarity FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |  FROM sims) WHERE rn <= 5""".stripMargin,
     "model_item_knn_predict" ->
       s"""$interactionsSql,
          |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
@@ -5380,6 +5428,11 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM interactions""".stripMargin,
     "model_als_ann_recall" ->
+      s"""$interactionsSql
+        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |  CAST(5 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM interactions""".stripMargin,
+    "model_als_foldin" ->
       s"""$interactionsSql
         |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
         |  CAST(5 AS BIGINT) AS k, TRUE AS recall_ok

@@ -127,6 +127,62 @@ final class ItemKNN(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
   }
 
+  /** Sufficient statistics of the PLAIN-COSINE fit for incremental refit:
+    * pair co-counts `(item_one < item_two, codot)` and per-item
+    * document frequencies `(item, df)`. Both are pure sums over users, so
+    * the stats of user-disjoint log slices MERGE by addition
+    * ([[ItemKNN.mergeStats]]) and [[fitFromStats]] of the merged stats is
+    * EXACTLY a full refit (spec-pinned law) — the neighbour-model
+    * incremental-refit path (new day's users land as one stats build +
+    * one merge, never a rescan of history). tf-idf/bm25 weights depend on
+    * global corpus stats and are deliberately excluded (refit those). The
+    * per-user `maxUserHistory` cap commutes with user-disjoint slicing
+    * (the crop key is (user, item)), so the law holds with the cap too. */
+  def coStats(log: DataFrame): (DataFrame, DataFrame) = {
+    require(weighting.isEmpty,
+      "sufficient-stats refit is the plain-cosine path; weighted fits need global stats")
+    val base0 = log.select(F.col(cols.query), F.col(cols.item)).distinct()
+    val base = if (maxUserHistory > 0) {
+      val w = Window.partitionBy(cols.query).orderBy(
+        F.xxhash64(F.col(cols.query), F.col(cols.item)),
+        F.col(cols.item).asc)
+      base0.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
+    } else base0
+    val l = base.select(F.col(cols.query), F.col(cols.item).as("item_one"))
+    val r = base.select(F.col(cols.query), F.col(cols.item).as("item_two"))
+    val pairs = l.join(r, Seq(cols.query))
+      .filter(F.col("item_one") < F.col("item_two"))
+      .groupBy("item_one", "item_two")
+      .agg(F.count(F.lit(1)).as("codot"))
+    val dfs = base.groupBy(cols.item).agg(F.count(F.lit(1)).as("df"))
+    (pairs, dfs)
+  }
+
+  /** Materialize the similarity table from (possibly merged) co-stats —
+    * identical rows to a plain-cosine [[doFit]] over the same users. */
+  def fitFromStats(pairs: DataFrame, dfs: DataFrame): this.type = {
+    require(weighting.isEmpty,
+      "sufficient-stats refit is the plain-cosine path")
+    val norms = dfs.select(F.col(cols.item),
+      F.sqrt(F.col("df").cast("double")).as("_norm"))
+    val half = pairs
+      .join(norms.withColumnRenamed(cols.item, "item_one")
+        .withColumnRenamed("_norm", "_n1"), Seq("item_one"))
+      .join(norms.withColumnRenamed(cols.item, "item_two")
+        .withColumnRenamed("_norm", "_n2"), Seq("item_two"))
+      .select(F.col("item_one"), F.col("item_two"),
+        (F.col("codot").cast("double") /
+          (F.col("_n1") * F.col("_n2") + F.lit(shrink))).as("similarity"))
+    val sym = half.unionByName(half.select(
+      F.col("item_two").as("item_one"), F.col("item_one").as("item_two"),
+      F.col("similarity")))
+    materialize(graft.core.Ops.getTopKRecsBounded(
+      sym, numNeighbours, "item_one", "item_two", "similarity"))
+    fitItemsDf = dfs.select(F.col(cols.item)).distinct().cache()
+    this
+  }
+
   /** Reference knn.py:32-37: num_neighbours int [1,100], shrink int
     * [0,100], weighting categorical [None, tf_idf, bm25] (index-encoded). */
   override def searchBorders: Map[String, (Double, Double)] = Map(
@@ -141,4 +197,19 @@ final class ItemKNN(
       Seq(None, Some("tf_idf"), Some("bm25"))(math.min(2, v.floor.toInt)))
       .getOrElse(weighting),
     maxUserHistory, bm25K1, bm25B, cols)
+}
+
+object ItemKNN {
+  /** Merge co-stats of user-disjoint log slices: pure additive union —
+    * one groupBy-sum per frame, the shard/refit merge step. */
+  def mergeStats(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val pairs = a._1.unionByName(b._1)
+      .groupBy("item_one", "item_two")
+      .agg(F.sum("codot").as("codot"))
+    val dfCol = a._2.columns.filterNot(_ == "df").head
+    val dfs = a._2.unionByName(b._2)
+      .groupBy(dfCol).agg(F.sum("df").as("df"))
+    (pairs, dfs)
+  }
 }

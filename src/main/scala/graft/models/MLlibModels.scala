@@ -105,6 +105,125 @@ final class ALSRec(
     NearestItems.fromVectors(itemVectorsDF, cols.item, "vec", items, k,
       metric, candidates)
 
+  /** Fold-in: factors for users ABSENT from the fit, solved from their
+    * history against the trained item factors — the cold-user production
+    * path the reference lacks (als.py predicts only fitted users;
+    * `coldStartStrategy="drop"` silently drops the rest). One closed-form
+    * least-squares per user, i.e. exactly one more ALS half-step, so a
+    * training user's fold-in reproduces their trained factor to float
+    * precision (spec-pinned):
+    *  - explicit (ALS-WR, as MLlib): u = (YᵤᵀYᵤ + λ·nᵤ·I)⁻¹ Yᵤᵀrᵤ
+    *  - implicit (Hu-Koren-Volinsky, as MLlib): c = α·|r|,
+    *    u = (YᵀY + Σᵣ₌₀ c·yyᵀ + λ·nᵤ⁺·I)⁻¹ Σᵣ₌₀ (1+c)·y
+    * Distributed: per-user groups stream through one rank×rank Breeze
+    * solve (state O(rank²) per group, never the history); the implicit
+    * YᵀY gram is ONE treeAggregate over the item factors (rank² doubles,
+    * broadcast). Items unseen at fit drop from the history (no factor
+    * to project on). Returns (query, vec: array<double>). */
+  def foldInFactors(log: DataFrame, alpha: Double = 1.0): DataFrame = {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val spark = log.sparkSession
+    import spark.implicits._
+    val r = rank
+    val lambda = regParam
+    val impl = implicitPrefs
+    val itemVec = model.itemFactors.select(
+      F.col("id").cast("long").as(cols.item),
+      F.col("features").cast("array<double>").as("_y"))
+    val gram: Array[Double] =
+      if (impl)
+        itemVec.select("_y").rdd.treeAggregate(new Array[Double](r * r))(
+          (acc, row) => {
+            val y = row.getSeq[Double](0)
+            var i = 0
+            while (i < r) {
+              val yi = y(i); var j = 0
+              while (j < r) { acc(i * r + j) += yi * y(j); j += 1 }
+              i += 1
+            }
+            acc
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      else null
+    val joined = log.select(
+        F.col(cols.query).cast("long").as("_q"),
+        F.col(cols.item).cast("long").as(cols.item),
+        F.col(cols.rating).cast("double").as("_r"))
+      .join(itemVec, Seq(cols.item))
+      .select(F.col("_q"), F.col("_r"), F.col("_y"))
+      .as[(Long, Double, Seq[Double])]
+    joined.groupByKey(_._1).mapGroups { (q, rows) =>
+      val A = DenseMatrix.zeros[Double](r, r)
+      val b = DenseVector.zeros[Double](r)
+      var n = 0
+      for ((_, rat, y) <- rows) {
+        if (impl) {
+          val c = alpha * math.abs(rat)
+          var i = 0
+          while (i < r) {
+            val yi = y(i)
+            if (rat > 0) b(i) += (1.0 + c) * yi
+            var j = 0
+            while (j < r) { A(i, j) += c * yi * y(j); j += 1 }
+            i += 1
+          }
+          if (rat > 0) n += 1
+        } else {
+          n += 1
+          var i = 0
+          while (i < r) {
+            val yi = y(i)
+            b(i) += rat * yi
+            var j = 0
+            while (j < r) { A(i, j) += yi * y(j); j += 1 }
+            i += 1
+          }
+        }
+      }
+      if (impl) {
+        var i = 0
+        while (i < r) {
+          var j = 0
+          while (j < r) { A(i, j) += gram(i * r + j); j += 1 }
+          i += 1
+        }
+      }
+      var i = 0
+      while (i < r) { A(i, i) += lambda * n; i += 1 }
+      val u = A \ b
+      (q, u.toArray.toSeq)
+    }.toDF(cols.query, "vec")
+  }
+
+  /** Top-k for fold-in users: fold-in factors × exact catalog scoring on
+    * the bounded no-sort crop (the Word2Vec exact-scoring path), seen
+    * anti-join, deterministic final window. */
+  def predictFoldIn(log: DataFrame, k: Int,
+      queries: Option[DataFrame] = None, filterSeen: Boolean = true,
+      alpha: Double = 1.0): DataFrame = {
+    val qs = queries.getOrElse(log.select(cols.query).distinct())
+    val history = log.join(qs, Seq(cols.query), "left_semi")
+    val uf = foldInFactors(history, alpha)
+    val (seen, maxSeen) =
+      if (filterSeen) {
+        val sp = history.select(cols.query, cols.item).distinct().cache()
+        val m = sp.groupBy(cols.query).agg(F.count(F.lit(1)).as("_n"))
+          .agg(F.max("_n")).first() match {
+          case row if row.isNullAt(0) => 0
+          case row                    => row.getLong(0).toInt
+        }
+        (Some(sp), m)
+      } else (None, 0)
+    val scored = uf.crossJoin(itemVectorsDF.withColumnRenamed("vec", "_iv"))
+      .select(F.col(cols.query), F.col(cols.item),
+        AnnIndex.dot(F.col("vec"), F.col("_iv")).as(cols.rating))
+    var recs = Ops.getTopKRecsBounded(scored, k + maxSeen,
+      cols.query, cols.item, cols.rating)
+    seen.foreach(sp => recs = recs.join(sp,
+      Seq(cols.query, cols.item), "left_anti"))
+    Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
+  }
+
   /** Reference als.py:22-24: rank ~ loguniform_int [8, 256] (ln-space). */
   override def searchBorders: Map[String, (Double, Double)] = Map(
     "rank" -> (math.log(8.0), math.log(256.0)))
