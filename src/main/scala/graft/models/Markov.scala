@@ -111,6 +111,15 @@ final class MarkovRec(
     Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
   }
 
+  /** minCount int [1, 10] — the only fit hyperparameter (engine extra;
+    * same uniform-draw convention as the reference-backed spaces). */
+  override def searchBorders: Map[String, (Double, Double)] =
+    Map("min_count" -> (1.0, 10.0))
+
+  override def withParams(p: Map[String, Double]): MarkovRec = new MarkovRec(
+    minCount = p.get("min_count").map(math.round).getOrElse(minCount),
+    tieBreak, cols)
+
   /** Score explicit pairs: cnt(last(query) → item), 0.0 when the
     * transition was never observed. */
   def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {

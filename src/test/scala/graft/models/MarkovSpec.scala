@@ -75,6 +75,25 @@ class MarkovSpec extends SparkSpec {
     assert(loaded.minCount == 1L)
   }
 
+  test("fit transitions equal counts over the streaming pair extraction (incremental twin)") {
+    // the same log pushed through StreamingOps.streamingTransitions with
+    // the ITEM id as the transition 'type' and the item as the in-batch
+    // tie — counting the emitted pairs must rebuild the batch fit table,
+    // which is what makes MarkovRec incrementally maintainable
+    val withTs = log.withColumn("ts",
+      F.timestamp_micros(F.col("timestamp") * 1000000L))
+      .withColumn("item_str", F.col("item_id").cast("string"))
+    val streamedCounts = graft.streaming.StreamingOps
+      .streamingTransitions(withTs, "query_id", "item_str", "ts", "item_id")
+      .toDF()
+      .groupBy(F.col("from_type").cast("long").as("item_one"),
+        F.col("to_type").cast("long").as("item_two"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val batch = new MarkovRec().fit(log).transitions
+    assertSameRows(streamedCounts, batch.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("tieBreak column participates in the sequence order") {
     // same ts everywhere: order falls to (session, item)
     val l = Seq(
