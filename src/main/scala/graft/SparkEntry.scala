@@ -615,6 +615,13 @@ object SparkEntry {
       new models.MarkovRec(tieBreak = Seq("session_id")).fit(i)
         .predict(i, k = 5)
     }),
+    "model_markov2" -> ((s, d) => {
+      // order-2 with stupid backoff: queries whose exact (last2, last1)
+      // context was observed score from it; the rest back off to order-1
+      val i = Tables.interactions(s, d)
+      new models.Markov2Rec(tieBreak = Seq("session_id")).fit(i)
+        .predict(i, k = 5)
+    }),
     "model_markov_trans" -> ((s, d) =>
       // the fit state itself: consecutive-pair counts under the
       // deterministic (ts, session, item) order, minCount=2 floor
@@ -4187,6 +4194,44 @@ object SparkEntry {
          |unseen AS (SELECT s.* FROM scored s ANTI JOIN
          |    (SELECT DISTINCT query_id, item_id FROM interactions) h
          |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_markov2" ->
+      s"""$interactionsSql,
+         |seq AS (SELECT query_id, item_id,
+         |    lag(item_id, 1) OVER w AS p1,
+         |    lag(item_id, 2) OVER w AS p2
+         |  FROM interactions
+         |  WINDOW w AS (PARTITION BY query_id
+         |    ORDER BY timestamp, session_id, item_id)),
+         |t2 AS (SELECT p2 AS ctx2, p1 AS ctx1, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+         |t1 AS (SELECT p1 AS item_one, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE p1 IS NOT NULL GROUP BY 1, 2),
+         |lst AS (SELECT query_id,
+         |    max(CASE WHEN rn = 1 THEN item_id END) AS l1,
+         |    max(CASE WHEN rn = 2 THEN item_id END) AS l2
+         |  FROM (SELECT query_id, item_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
+         |    FROM interactions) WHERE rn <= 2 GROUP BY 1),
+         |c2 AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t2 t ON l.l2 = t.ctx2 AND l.l1 = t.ctx1
+         |  WHERE l.l2 IS NOT NULL),
+         |q2 AS (SELECT DISTINCT query_id FROM c2),
+         |c1 AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t1 t ON l.l1 = t.item_one
+         |  WHERE l.query_id NOT IN (SELECT query_id FROM q2)),
+         |seen AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |u AS (SELECT * FROM c2 UNION ALL SELECT * FROM c1),
+         |unseen AS (SELECT u.* FROM u ANTI JOIN seen s
+         |    ON u.query_id = s.query_id AND u.item_id = s.item_id)
          |SELECT query_id, item_id, rating FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn

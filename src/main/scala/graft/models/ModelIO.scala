@@ -541,6 +541,29 @@ object ModelIO {
     m
   }
 
+  def saveMarkov2(m: Markov2Rec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "markov2",
+      "minCount" -> m.minCount.toString,
+      "tieBreak" -> m.tieBreak.mkString(",")))
+    m.transitions2.write.mode("overwrite").parquet(s"$path/transitions2")
+    m.backoff.transitions.write.mode("overwrite").parquet(s"$path/transitions")
+  }
+
+  def loadMarkov2(spark: SparkSession, path: String): Markov2Rec = {
+    val p = readJson(path)
+    require(p("kind") == "markov2", s"not a Markov2Rec at $path")
+    val tb = p.getOrElse("tieBreak", "")
+    val tie = if (tb.isEmpty) Nil else tb.split(",").toSeq
+    val mc = p.getOrElse("minCount", "1").toLong
+    val m = new Markov2Rec(minCount = mc, tieBreak = tie)
+    m.transitions2 = spark.read.parquet(s"$path/transitions2").cache()
+    m.backoff = new MarkovRec(minCount = mc, tieBreak = tie)
+    m.backoff.transitions = spark.read.parquet(s"$path/transitions").cache()
+    m.fitItemsDf = m.backoff.transitions
+      .select(F.col("item_one").as(m.cols.item)).distinct()
+    m
+  }
+
   // ---- generic dispatch --------------------------------------------------
 
   /** Type-dispatched save — one entry point for every persistable object
@@ -558,6 +581,7 @@ object ModelIO {
     case m: LinUCB             => saveLinUCB(m, path)
     case m: ULinUCB            => saveULinUCB(m, path)
     case m: HierarchicalRecommender => saveHierarchical(m, path)
+    case m: Markov2Rec         => saveMarkov2(m, path)
     case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
     case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
@@ -587,6 +611,7 @@ object ModelIO {
       case "ulinucb"       => loadULinUCB(spark, path)
       case "hierarchical"  => loadHierarchical(spark, path)
       case "markov"        => loadMarkov(spark, path)
+      case "markov2"       => loadMarkov2(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
       case "ratio" | "last_n" | "time" | "hash_random" | "new_users"
