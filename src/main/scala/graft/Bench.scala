@@ -76,7 +76,7 @@ object Bench {
     "join_delta_maintain", "two_stages", "two_stages_skeleton",
     "model_ulinucb", "model_hierarchical", "model_markov",
     "model_als_foldin", "model_knn_incremental", "metrics_spearman",
-    "metrics_calibration", "model_markov2",
+    "metrics_calibration", "model_markov2", "model_bias",
     "sequence_generate", "encode_onehot", "encode_csr", "prepare_log",
     "streaming_sequence_generate", "model_hierarchical_leaf",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",

@@ -607,6 +607,19 @@ object SparkEntry {
         .fit(Tables.interactions(s, d))
       m.rules
     }),
+    "model_bias" -> ((s, d) => {
+      // damped-mean bias baseline μ + b_u + b_i — exact ppm rating
+      // prediction per distinct pair
+      val i = Tables.interactions(s, d)
+      new models.BiasModel().fit(i)
+        .predictPairs(i.select("query_id", "item_id").distinct(), i)
+    }),
+    "model_bias_topk" -> ((s, d) => {
+      // top-5 by the same predictor (per-user order is b_i alone),
+      // seen-filtered through the base predict path
+      val i = Tables.interactions(s, d)
+      new models.BiasModel().fit(i).predict(i, k = 5)
+    }),
     "model_markov" -> ((s, d) => {
       // first-order next-item model (the relational stand-in for the
       // sequential NN family): predict from each query's LAST item by
@@ -4175,6 +4188,52 @@ object SparkEntry {
          |       THEN (pair/ant_cnt) / ((con_cnt - pair) / ((SELECT ns FROM n) - ant_cnt))
          |       ELSE NULL END AS confidence_gain
          |FROM wc""".stripMargin,
+    "model_bias" ->
+      s"""$interactionsSql,
+         |b AS (SELECT query_id, item_id,
+         |    CAST(floor(rating * 1000000.0) AS BIGINT) AS r FROM interactions),
+         |mu AS (SELECT sum(r) // count(*) AS mu FROM b),
+         |bi AS (SELECT item_id,
+         |    (sum(r) - count(*) * (SELECT mu FROM mu)) // (10 + count(*)) AS b_i
+         |  FROM b GROUP BY 1),
+         |bu AS (SELECT query_id,
+         |    (sum(r) - count(*) * (SELECT mu FROM mu) - sum(b_i))
+         |      // (10 + count(*)) AS b_u
+         |  FROM b JOIN bi USING (item_id) GROUP BY 1)
+         |SELECT p.query_id, p.item_id,
+         |  CAST((SELECT mu FROM mu) + coalesce(bu.b_u, 0)
+         |       + coalesce(bi.b_i, 0) AS BIGINT) AS pred_ppm
+         |FROM (SELECT DISTINCT query_id, item_id FROM interactions) p
+         |LEFT JOIN bu USING (query_id) LEFT JOIN bi USING (item_id)"""
+        .stripMargin,
+    "model_bias_topk" ->
+      s"""$interactionsSql,
+         |b AS (SELECT query_id, item_id,
+         |    CAST(floor(rating * 1000000.0) AS BIGINT) AS r FROM interactions),
+         |mu AS (SELECT sum(r) // count(*) AS mu FROM b),
+         |bi AS (SELECT item_id,
+         |    (sum(r) - count(*) * (SELECT mu FROM mu)) // (10 + count(*)) AS b_i
+         |  FROM b GROUP BY 1),
+         |bu AS (SELECT query_id,
+         |    (sum(r) - count(*) * (SELECT mu FROM mu) - sum(b_i))
+         |      // (10 + count(*)) AS b_u
+         |  FROM b JOIN bi USING (item_id) GROUP BY 1),
+         |ms AS (SELECT max(cnt) AS m FROM (
+         |    SELECT query_id, count(DISTINCT item_id) AS cnt
+         |    FROM interactions GROUP BY 1)),
+         |topitems AS (SELECT item_id, b_i FROM (
+         |    SELECT *, row_number() OVER (ORDER BY b_i DESC, item_id) AS rn
+         |    FROM bi) WHERE rn <= 5 + (SELECT m FROM ms)),
+         |cand AS (SELECT u.query_id, i.item_id,
+         |    CAST((SELECT mu FROM mu) + u.b_u + i.b_i AS DOUBLE) AS rating
+         |  FROM bu u CROSS JOIN topitems i),
+         |seen AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |unseen AS (SELECT c.* FROM cand c ANTI JOIN seen s
+         |    ON c.query_id = s.query_id AND c.item_id = s.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
     "model_markov" ->
       s"""$interactionsSql,
          |seq AS (SELECT query_id, item_id,

@@ -1,0 +1,85 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.core.Ops
+
+/** Damped-mean bias baseline — the classic rating predictor
+  * r̂(u,i) = μ + b_u + b_i (the standard CF baseline from the Netflix-era
+  * literature; engine extra — the reference has no rating-prediction
+  * baseline). Biases are damped means of residuals:
+  *   b_i = Σ_i (r − μ) / (λ_i + n_i),  b_u = Σ_u (r − μ − b_i) / (λ_u + n_u).
+  *
+  * All arithmetic is EXACT integer ppm (ratings floor-quantized to ppm,
+  * every division an integral `div`), the engine's house style for
+  * cross-engine hash-exact statistics — float sums would be
+  * partition-order dependent in b_u's residual sum. Three partial+final
+  * aggregations, state O(1) per entity; unknown users/items predict with
+  * bias 0 (cold fallback to the damped tier above them). */
+final class BiasModel(
+    val lambdaItem: Long = 10L,
+    val lambdaUser: Long = 10L,
+    cols: RecCols = RecCols(),
+) extends BaseRecommender(cols) {
+
+  /** Global mean in ppm. */
+  var muPpm: Long = _
+  /** (item, b_i_ppm). */
+  var itemBias: DataFrame = _
+  /** (query, b_u_ppm). */
+  var userBias: DataFrame = _
+
+  private def rPpm = F.floor(F.col(cols.rating) * 1e6).cast("long")
+
+  protected def doFit(log: DataFrame): Unit = {
+    require(lambdaItem >= 0 && lambdaUser >= 0, "damping must be >= 0")
+    val base = log.select(F.col(cols.query), F.col(cols.item),
+      rPpm.as("_r"))
+    val g = base.agg(F.sum("_r").as("_s"), F.count(F.lit(1)).as("_n")).first()
+    require(g.getLong(1) > 0, "empty log")
+    muPpm = Math.floorDiv(g.getLong(0), g.getLong(1))
+    itemBias = base.groupBy(cols.item)
+      .agg(F.sum("_r").as("_s"), F.count(F.lit(1)).as("_n"))
+      .select(F.col(cols.item),
+        F.expr(s"(_s - _n * ${muPpm}L) div (${lambdaItem}L + _n)")
+          .as("b_i_ppm"))
+      .cache()
+    userBias = base
+      .join(itemBias, Seq(cols.item))
+      .groupBy(cols.query)
+      .agg(F.sum("_r").as("_s"), F.sum("b_i_ppm").as("_sb"),
+        F.count(F.lit(1)).as("_n"))
+      .select(F.col(cols.query),
+        F.expr(s"(_s - _n * ${muPpm}L - _sb) div (${lambdaUser}L + _n)")
+          .as("b_u_ppm"))
+      .cache()
+    itemBias.count(); userBias.count()
+  }
+
+  /** Candidate scores: per-user order is b_i alone (μ + b_u is constant
+    * per user), so the catalog crops to the top k+maxSeen items ONCE and
+    * broadcasts — the PopRec shape. Ratings keep the full μ+b_u+b_i ppm
+    * value so downstream consumers see calibrated predictions. */
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame = {
+    val cropped = Ops.getTopKRecsBounded(
+      restrictItems(itemBias, items)
+        .select(F.lit(0L).as("_g"), F.col(cols.item),
+          F.col("b_i_ppm").cast("double").as("_b")),
+      k + maxSeen, "_g", cols.item, "_b").drop("_g")
+    queries.select(cols.query)
+      .join(userBias, Seq(cols.query), "left")
+      .crossJoin(F.broadcast(cropped))
+      .select(F.col(cols.query), F.col(cols.item),
+        (F.lit(muPpm) + F.coalesce(F.col("b_u_ppm"), F.lit(0L))
+          + F.col("_b").cast("long")).cast("double").as(cols.rating))
+  }
+
+  /** Exact ppm prediction per explicit pair; unknown entities use bias 0. */
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame =
+    pairs
+      .join(userBias, Seq(cols.query), "left")
+      .join(itemBias, Seq(cols.item), "left")
+      .select(F.col(cols.query), F.col(cols.item),
+        (F.lit(muPpm) + F.coalesce(F.col("b_u_ppm"), F.lit(0L))
+          + F.coalesce(F.col("b_i_ppm"), F.lit(0L))).as("pred_ppm"))
+}

@@ -541,6 +541,28 @@ object ModelIO {
     m
   }
 
+  def saveBias(m: BiasModel, path: String): Unit = {
+    writeJson(path, Map("kind" -> "bias", "muPpm" -> m.muPpm.toString,
+      "lambdaItem" -> m.lambdaItem.toString,
+      "lambdaUser" -> m.lambdaUser.toString))
+    m.itemBias.write.mode("overwrite").parquet(s"$path/item_bias")
+    m.userBias.write.mode("overwrite").parquet(s"$path/user_bias")
+  }
+
+  def loadBias(spark: SparkSession, path: String): BiasModel = {
+    val p = readJson(path)
+    require(p("kind") == "bias", s"not a BiasModel at $path")
+    val m = new BiasModel(
+      lambdaItem = p.getOrElse("lambdaItem", "10").toLong,
+      lambdaUser = p.getOrElse("lambdaUser", "10").toLong)
+    m.muPpm = p("muPpm").toLong
+    m.itemBias = spark.read.parquet(s"$path/item_bias").cache()
+    m.userBias = spark.read.parquet(s"$path/user_bias").cache()
+    m.fitItemsDf = m.itemBias.select(F.col(m.cols.item)).distinct()
+    m.fitQueriesDf = m.userBias.select(F.col(m.cols.query)).distinct()
+    m
+  }
+
   def saveMarkov2(m: Markov2Rec, path: String): Unit = {
     writeJson(path, Map("kind" -> "markov2",
       "minCount" -> m.minCount.toString,
@@ -582,6 +604,7 @@ object ModelIO {
     case m: ULinUCB            => saveULinUCB(m, path)
     case m: HierarchicalRecommender => saveHierarchical(m, path)
     case m: Markov2Rec         => saveMarkov2(m, path)
+    case m: BiasModel          => saveBias(m, path)
     case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
     case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
@@ -612,6 +635,7 @@ object ModelIO {
       case "hierarchical"  => loadHierarchical(spark, path)
       case "markov"        => loadMarkov(spark, path)
       case "markov2"       => loadMarkov2(spark, path)
+      case "bias"          => loadBias(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
       case "ratio" | "last_n" | "time" | "hash_random" | "new_users"
