@@ -2794,6 +2794,19 @@ object SparkEntry {
           .groupBy("user_id")
           .agg((F.count(F.lit(1)) / 100.0).as("metric")),
         "user_id", "metric", resamples = 200, seed = 7L)),
+    "metrics_rating_errors" -> ((s, d) => {
+      // MAE/RMSE of the bias baseline on its training pairs — the
+      // rating-error evaluation counterpart of model_bias, exact ppm
+      val i = Tables.interactions(s, d)
+      val m = new models.BiasModel().fit(i)
+      val scored = i.select("query_id", "item_id", "rating")
+        .join(m.userBias, Seq("query_id"), "left")
+        .join(m.itemBias, Seq("item_id"), "left")
+        .select(((F.lit(m.muPpm) + F.coalesce(F.col("b_u_ppm"), F.lit(0L))
+          + F.coalesce(F.col("b_i_ppm"), F.lit(0L))) / 1e6).as("pred"),
+          F.col("rating"))
+      graft.metrics.Metrics.ratingErrors(scored, "pred", "rating")
+    }),
     "metrics_spearman" -> ((s, d) => {
       // ranker drift: popularity order of even- vs odd-session purchases,
       // Spearman over the common items in exact DECIMAL(38) ppm
@@ -7491,6 +7504,28 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.cnt,
         |  (c.cnt * 1000000) // CAST(t.tot AS BIGINT) AS prob_ppm
         |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "metrics_rating_errors" ->
+      s"""$interactionsSql,
+         |b AS (SELECT query_id, item_id,
+         |    CAST(floor(rating * 1000000.0) AS BIGINT) AS r FROM interactions),
+         |mu AS (SELECT sum(r) // count(*) AS mu FROM b),
+         |bi AS (SELECT item_id,
+         |    (sum(r) - count(*) * (SELECT mu FROM mu)) // (10 + count(*)) AS b_i
+         |  FROM b GROUP BY 1),
+         |bu AS (SELECT query_id,
+         |    (sum(r) - count(*) * (SELECT mu FROM mu) - sum(b_i))
+         |      // (10 + count(*)) AS b_u
+         |  FROM b JOIN bi USING (item_id) GROUP BY 1),
+         |s AS (SELECT CAST(floor(
+         |      CAST((SELECT mu FROM mu) + coalesce(bu.b_u, 0)
+         |           + coalesce(bi.b_i, 0) AS DOUBLE)
+         |      / 1000000.0 * 1000000.0) AS BIGINT) - b.r AS e
+         |  FROM b LEFT JOIN bu USING (query_id) LEFT JOIN bi USING (item_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(abs(e)) // count(*) AS BIGINT) AS mae_ppm,
+         |  CAST(floor(sqrt(CAST(sum(CAST(e AS HUGEINT) * e) // count(*)
+         |    AS DOUBLE))) AS BIGINT) AS rmse_ppm
+         |FROM s""".stripMargin,
     "metrics_spearman" ->
       s"""$interactionsSql,
          |pa AS (SELECT item_id, CAST(count(*) AS BIGINT) AS sa

@@ -380,6 +380,24 @@ object Metrics {
         F.col("resamples"))
   }
 
+  /** Rating-error metrics for a predictor's scored pairs — MAE and RMSE
+    * in ppm, the evaluation counterpart of [[graft.models.BiasModel]]'s
+    * exact-ppm predictions. Inputs are ppm-quantized (floor), the error
+    * sums are exact integers (squares through DECIMAL(38) — Σe² reaches
+    * n·(Δppm)² ≈ 10²⁰ past BIGINT on real logs), and only the final
+    * RMSE sqrt touches floating point (floor-quantized back to ppm —
+    * deterministic: both engines take the correctly-rounded IEEE sqrt of
+    * the same exact integer). One aggregation, one row out. */
+  def ratingErrors(scored: DataFrame, predCol: String,
+      actualCol: String): DataFrame =
+    scored
+      .select((F.floor(F.col(predCol).cast("double") * 1e6).cast("long") -
+        F.floor(F.col(actualCol).cast("double") * 1e6).cast("long")).as("_e"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.expr("sum(abs(_e)) div count(1)").as("mae_ppm"),
+        F.expr("CAST(floor(sqrt(CAST(sum(CAST(_e AS DECIMAL(38, 0)) * _e)" +
+          " div count(1) AS DOUBLE))) AS BIGINT)").as("rmse_ppm"))
+
   /** Spearman rank correlation between two scorings of the same keys, in
     * ppm — the ranker-drift monitor ("how much did this week's popularity
     * order move?"). Keys are restricted to the intersection FIRST, then

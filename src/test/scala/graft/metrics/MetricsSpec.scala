@@ -399,6 +399,17 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("ratingErrors: hand golden MAE/RMSE in exact ppm") {
+    // errors: +1e6 and −2e6 → mae 1.5e6, rmse floor(sqrt(2.5e12)) = 1581138
+    val scored = Seq((4.0, 3.0), (1.0, 3.0)).toDF("pred", "actual")
+    assert(Metrics.ratingErrors(scored, "pred", "actual")
+      .as[(Long, Long, Long)].head() == ((2L, 1500000L, 1581138L)))
+    // perfect predictor → zero error
+    val perfect = Seq((2.5, 2.5), (4.0, 4.0)).toDF("pred", "actual")
+    assert(Metrics.ratingErrors(perfect, "pred", "actual")
+      .as[(Long, Long, Long)].head() == ((2L, 0L, 0L)))
+  }
+
   test("spearmanPpm: identity 1e6, reversal -1e6, non-common keys ignored") {
     val a = Seq((1L, 10L), (2L, 8L), (3L, 5L), (4L, 1L), (9L, 99L))
       .toDF("item_id", "score")
