@@ -67,9 +67,10 @@ object Bench {
     "model_pop_rec_predict", "model_item_knn", "model_item_knn_predict",
     "model_assoc_rules", "model_wilson", "model_ucb",
     "model_als", "model_als_explicit", "model_word2vec", "model_slim",
-    "model_slim_distributed", "model_admm_slim",
+    "model_slim_distributed", "model_admm_slim", "model_ease",
     "model_cluster", "model_linucb",
-    "metrics_ranking", "metrics_catalog", "history_features",
+    "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",
+    "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
     "sequence_pad", "grid_search_budget", "tpe_search_budget",
     "tpe_search_2d", "ope_ncis_replay", "ope_incremental", "ope_dr",
@@ -135,7 +136,7 @@ object Bench {
     "multimodal_decode", "embed_lsh_neardup_prod",
     // round-12 additions
     "two_stages", "ope_dr", "model_ulinucb", "model_hierarchical",
-    "model_markov",
+    "model_markov", "model_ease",
   )
 
   /** Name of the box-speed calibration row (not a graft operator). */

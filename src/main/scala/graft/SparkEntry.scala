@@ -758,6 +758,36 @@ object SparkEntry {
           F.abs(F.col("similarity")) < 1e6).as("values_finite"),
         F.lit(loose.lastIterations < loose.maxIteration).as("converged"))
     }),
+    "model_ease" -> ((s, d) => {
+      // EASE (engine extra; Steck WWW 2019): distributed Gram → driver
+      // LAPACK inverse, B = I − P·diagMat(1/diag P). DuckDB cannot invert
+      // matrices, so the oracle pins a certificate; the load-bearing row
+      // is kkt_ok — (G+λI)B − G diagonal at the optimum — which certifies
+      // B against the data itself (a wrong inverse, wrong rescale, or
+      // wrong Gram all fail it). neg_present pins EASE's signature
+      // negative weights; shrink_monotone pins λ-shrinkage across two
+      // fits. Same dense-catalog envelope as model_admm_slim.
+      val i = Tables.interactions(s, d).filter(F.col("item_id") < 500)
+        .select("query_id", "item_id").distinct()
+        .withColumn("rating", F.lit(1.0))
+      def fit(l: Double) = { val m = new models.Ease(lambda = l,
+        maxItems = 600); m.fit(i); m }
+      val loose = fit(10.0)
+      val tight = fit(500.0)
+      val nItems = i.select(F.countDistinct("item_id")).head.getLong(0)
+      loose.similarity.agg(
+        F.lit(nItems).as("n_items"),
+        (F.count(F.lit(1)) > 0L).as("nonempty"),
+        F.coalesce(F.bool_and(F.when(F.col("item_one") === F.col("item_two"),
+          F.abs(F.col("similarity")) <= 1e-9)), F.lit(true)).as("diag_ok"),
+        F.lit(loose.lastKktResidual <= 1e-6).as("kkt_ok"),
+        F.max((F.col("similarity") < 0).cast("long")).cast("boolean")
+          .as("neg_present"),
+        F.lit(tight.lastFrobenius <= loose.lastFrobenius)
+          .as("shrink_monotone"),
+        F.bool_and(!F.isnan(F.col("similarity")) &&
+          F.abs(F.col("similarity")) < 1e6).as("values_finite"))
+    }),
 
     // ---- §2.8 history features + time smoothing ---------------------------
     "history_features" -> ((s, d) => {
@@ -1429,6 +1459,20 @@ object SparkEntry {
       val gt = test.select("query_id", "item_id").distinct()
       val out = Metrics.compute(recs, gt, Seq("hit_rate", "ndcg"), Seq(1, 5))
       out.select(out.columns.toIndexedSeq.map(c => F.round(F.col(c), 6).as(c)): _*)
+    }),
+    "metrics_sampled_ranking" -> ((s, d) => {
+      // sampled-negatives eval protocol (engine extra; Koren & Rendle
+      // KDD 2020): per held-out positive, rank among 99 md5-drawn unseen
+      // negatives by train popularity — HR@10 / MRR / mean rank in exact
+      // integer ppm, one row, full oracle
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val gt = marked.filter(F.col("is_test"))
+        .select("query_id", "item_id").distinct()
+      val scores = graft.metrics.SampledEval.itemPopularity(train)
+      graft.metrics.SampledEval.sampledRanking(gt, train, scores,
+        nNeg = 99, k = 10, seed = 99L)
     }),
     "metrics_descriptors" -> ((s, d) => {
       // Mean / Median / CI descriptors over per-user metric values
@@ -4853,8 +4897,49 @@ object SparkEntry {
          |  true AS diag_ok, true AS l1_monotone, true AS values_finite,
          |  true AS converged
          |FROM interactions WHERE item_id < 500""".stripMargin,
+    "model_ease" ->
+      s"""$interactionsSql
+         |SELECT count(DISTINCT item_id) AS n_items, true AS nonempty,
+         |  true AS diag_ok, true AS kkt_ok, true AS neg_present,
+         |  true AS shrink_monotone, true AS values_finite
+         |FROM interactions WHERE item_id < 500""".stripMargin,
     "metrics_multi_k" -> metricsMultiKSql,
+    "metrics_sampled_ranking" -> metricsSampledSql,
   ) ++ oracleSqlRest ++ canaryOracle
+
+  /** metrics_sampled_ranking: the 99-negatives protocol replayed exactly —
+    * same md5 chain, same (score DESC, item ASC) tie order, same floor-ppm
+    * quantization; every output column exact BIGINT. */
+  private lazy val metricsSampledSql: String =
+    s"""$timeSplitEvalSql,
+       |sc2 AS (SELECT item_id, CAST(count(DISTINCT query_id) AS BIGINT) AS score
+       |        FROM train GROUP BY 1),
+       |gu AS (SELECT DISTINCT query_id FROM gt),
+       |excl AS (SELECT query_id, item_id FROM seen
+       |         UNION SELECT query_id, item_id FROM gt),
+       |cand AS (SELECT u.query_id, s.item_id, s.score
+       |         FROM gu u CROSS JOIN sc2 s
+       |         ANTI JOIN excl e
+       |           ON u.query_id = e.query_id AND s.item_id = e.item_id),
+       |negs AS (SELECT query_id, item_id, score FROM (
+       |  SELECT c.*, row_number() OVER (PARTITION BY query_id ORDER BY
+       |    ('0x' || substr(md5('99:' || CAST(query_id AS VARCHAR) || ':'
+       |       || CAST(item_id AS VARCHAR)), 1, 15))::BIGINT,
+       |    query_id, item_id) AS rn FROM cand c) WHERE rn <= 99),
+       |pos AS (SELECT g.query_id, g.item_id AS pi, coalesce(s.score, 0) AS ps
+       |        FROM gt g LEFT JOIN sc2 s ON g.item_id = s.item_id),
+       |rk AS (SELECT p.query_id, p.pi,
+       |    1 + coalesce(sum(CASE WHEN n.score > p.ps
+       |        OR (n.score = p.ps AND n.item_id < p.pi)
+       |      THEN 1 ELSE 0 END), 0) AS rnk
+       |  FROM pos p LEFT JOIN negs n ON p.query_id = n.query_id
+       |  GROUP BY p.query_id, p.pi, p.ps)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST((sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) * 1000000)
+       |       // count(*) AS BIGINT) AS hr_at_10_ppm,
+       |  CAST(sum(1000000 // rnk) // count(*) AS BIGINT) AS mrr_ppm,
+       |  CAST((sum(rnk) * 1000000) // count(*) AS BIGINT) AS mean_rank_ppm
+       |FROM rk""".stripMargin
 
   /** metrics_multi_k: one PopRec top-5 rec set, hit_rate/ndcg evaluated
     * at every k — the per-k block is parametrized, the split shared. */

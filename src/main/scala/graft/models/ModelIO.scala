@@ -176,6 +176,7 @@ object ModelIO {
     case _: AssociationRules => "assoc_rules"
     case _: SLIM             => "slim"
     case _: AdmmSlim         => "admm_slim"
+    case _: Ease             => "ease"
     case other =>
       throw new IllegalArgumentException(
         s"unknown neighbour model ${other.getClass.getSimpleName}")
@@ -209,6 +210,7 @@ object ModelIO {
         a
       case "slim"        => new SLIM()
       case "admm_slim"   => new AdmmSlim()
+      case "ease"        => new Ease()
       case other => throw new IllegalArgumentException(s"unknown neighbour kind $other")
     }
     m.similarity = spark.read.parquet(s"$path/similarity").cache()
@@ -622,7 +624,7 @@ object ModelIO {
     readJson(path)("kind") match {
       case "pop_rec" | "wilson" | "ucb" | "klucb" | "thompson" =>
         loadNonPersonalized(spark, path)
-      case "item_knn" | "assoc_rules" | "slim" | "admm_slim" =>
+      case "item_knn" | "assoc_rules" | "slim" | "admm_slim" | "ease" =>
         loadNeighbour(spark, path)
       case "als"           => loadALS(spark, path)
       case "word2vec"      => loadWord2Vec(spark, path)
