@@ -68,7 +68,7 @@ object Bench {
     "model_assoc_rules", "model_wilson", "model_ucb",
     "model_als", "model_als_explicit", "model_word2vec", "model_slim",
     "model_slim_distributed", "model_admm_slim", "model_ease",
-    "model_cluster", "model_linucb",
+    "model_cluster", "model_linucb", "model_repeat", "model_knn_explain",
     "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",
     "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",

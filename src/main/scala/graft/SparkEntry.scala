@@ -573,6 +573,25 @@ object SparkEntry {
       val cands = i.select("item_id").filter(F.col("item_id") % 2 === 0)
       m.getNearestItems(anchors, k = 3, candidates = Some(cands))
     }),
+    "model_knn_explain" -> ((s, d) => {
+      // per-recommendation contribution breakdown (engine extra): top-3
+      // history items per (user, rec) with contribution = multiplicity ×
+      // similarity — the exact decomposition of the predicted rating
+      val i = Tables.interactions(s, d)
+      val m = new models.ItemKNN(numNeighbours = 5).fit(i)
+      m.explain(i, m.predict(i, k = 5), topN = 3)
+        .select(F.col("query_id"), F.col("item_id"), F.col("source_item"),
+          F.round(F.col("contribution"), 6).as("contribution"),
+          F.col("contrib_rank"))
+    }),
+    "model_repeat" -> ((s, d) => {
+      // repeat-consumption baseline (engine extra): the user's own items,
+      // most-recent first — rating IS the last-seen epoch-µs, exact
+      val i = Tables.interactions(s, d)
+      new models.RepeatRec().fit(i).predict(i, k = 5, filterSeen = false)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.col("rating").cast("long").as("last_ts_us"))
+    }),
     "model_pop_rec_items" -> ((s, d) => {
       // candidate-restricted predict (reference _predict_wrap `items` arg,
       // base_rec.py:316-342): catalog filtered BEFORE the rank crop
@@ -4156,6 +4175,71 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    // the predict chain above, extended by the contribution decomposition:
+    // same sims/top_sims/recs/unseen CTEs, then contribution = mult × sim
+    // ranked per (query, rec item) with the engine's round-9 discipline
+    "model_knn_explain" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |recs AS (
+         |  SELECT h.query_id, t.item_two AS item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM (SELECT query_id, item_id FROM interactions) h
+         |  JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT r.* FROM recs r ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) s
+         |    ON r.query_id = s.query_id AND r.item_id = s.item_id),
+         |frecs AS (
+         |  SELECT query_id, item_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |    FROM unseen) WHERE rn <= 5),
+         |hist AS (SELECT query_id, item_id AS source_item,
+         |    CAST(count(*) AS BIGINT) AS mult
+         |  FROM interactions GROUP BY 1, 2),
+         |contrib AS (SELECT r.query_id, r.item_id, h.source_item,
+         |    round(h.mult * t.similarity, 9) AS contribution
+         |  FROM frecs r
+         |  JOIN hist h ON r.query_id = h.query_id
+         |  JOIN top_sims t ON t.item_one = h.source_item
+         |    AND t.item_two = r.item_id)
+         |SELECT query_id, item_id, source_item,
+         |  round(contribution, 6) AS contribution,
+         |  CAST(rn AS BIGINT) AS contrib_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, item_id
+         |    ORDER BY contribution DESC, source_item) AS rn
+         |  FROM contrib) WHERE rn <= 3""".stripMargin,
+    "model_repeat" ->
+      s"""$interactionsSql,
+         |st AS (SELECT query_id, item_id,
+         |    epoch_us(CAST(max(timestamp) AS TIMESTAMP)) AS last_ts_us
+         |  FROM interactions GROUP BY 1, 2)
+         |SELECT query_id, item_id, CAST(last_ts_us AS BIGINT) AS last_ts_us
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY last_ts_us DESC, item_id) AS rn
+         |  FROM st) WHERE rn <= 5""".stripMargin,
     "model_nearest_items" ->
       s"""$interactionsSql,
          |base AS (SELECT DISTINCT query_id, item_id FROM interactions),

@@ -543,6 +543,21 @@ object ModelIO {
     m
   }
 
+  def saveRepeat(m: RepeatRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "repeat"))
+    m.state.write.mode("overwrite").parquet(s"$path/state")
+  }
+
+  def loadRepeat(spark: SparkSession, path: String): RepeatRec = {
+    val p = readJson(path)
+    require(p("kind") == "repeat", s"not a RepeatRec at $path")
+    val m = new RepeatRec()
+    m.state = spark.read.parquet(s"$path/state").cache()
+    m.fitItemsDf = m.state.select(F.col(m.cols.item)).distinct()
+    m.fitQueriesDf = m.state.select(F.col(m.cols.query)).distinct()
+    m
+  }
+
   def saveBias(m: BiasModel, path: String): Unit = {
     writeJson(path, Map("kind" -> "bias", "muPpm" -> m.muPpm.toString,
       "lambdaItem" -> m.lambdaItem.toString,
@@ -607,6 +622,7 @@ object ModelIO {
     case m: HierarchicalRecommender => saveHierarchical(m, path)
     case m: Markov2Rec         => saveMarkov2(m, path)
     case m: BiasModel          => saveBias(m, path)
+    case m: RepeatRec          => saveRepeat(m, path)
     case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
     case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
@@ -638,6 +654,7 @@ object ModelIO {
       case "markov"        => loadMarkov(spark, path)
       case "markov2"       => loadMarkov2(spark, path)
       case "bias"          => loadBias(spark, path)
+      case "repeat"        => loadRepeat(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
       case "ratio" | "last_n" | "time" | "hash_random" | "new_users"

@@ -495,4 +495,33 @@ abstract class NeighbourRec(cols: RecCols = RecCols()) extends BaseRecommender(c
   def getNearestItems(items: DataFrame, k: Int,
       candidates: Option[DataFrame] = None): DataFrame =
     NearestItems.fromSimilarity(similarity, cols.item, items, k, candidates)
+
+  /** Per-recommendation contribution breakdown (engine extra — the
+    * reference has no explainer, but neighbour scores decompose exactly):
+    * for each (query, recommended item) pair in `recs`, the `topN` history
+    * items by contribution, where contribution = multiplicity(query,
+    * source in log) × similarity(source → recommended). Contributions over
+    * ALL sources sum to the predicted rating by construction (predict sums
+    * per history ROW), so the breakdown is an exact decomposition, not a
+    * heuristic. Ranking uses the same round-9 discipline as predict
+    * (float sums are layout-sensitive at the last ulp), ties by source
+    * item ascending. One equi-join on the cropped similarity table + one
+    * per-pair topN window — nothing wider than predict itself. */
+  def explain(log: DataFrame, recs: DataFrame, topN: Int = 3): DataFrame = {
+    require(topN > 0, s"need topN > 0, got $topN")
+    val hist = log.groupBy(F.col(cols.query), F.col(cols.item).as("source_item"))
+      .agg(F.count(F.lit(1)).as("_mult"))
+    val w = Window.partitionBy(cols.query, cols.item)
+      .orderBy(F.col("contribution").desc, F.col("source_item").asc)
+    recs.select(cols.query, cols.item)
+      .join(hist, Seq(cols.query))
+      .join(similarity, F.col("source_item") === F.col("item_one") &&
+        F.col(cols.item) === F.col("item_two"))
+      .withColumn("contribution",
+        F.round(F.col("_mult") * F.col("similarity"), 9))
+      .withColumn("contrib_rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("contrib_rank") <= topN)
+      .select(F.col(cols.query), F.col(cols.item), F.col("source_item"),
+        F.col("contribution"), F.col("contrib_rank"))
+  }
 }
