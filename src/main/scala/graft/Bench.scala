@@ -69,6 +69,7 @@ object Bench {
     "model_als", "model_als_explicit", "model_word2vec", "model_slim",
     "model_slim_distributed", "model_admm_slim", "model_ease",
     "model_cluster", "model_linucb", "model_repeat", "model_knn_explain",
+    "model_user_knn", "model_user_knn_predict",
     "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",
     "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
@@ -228,7 +229,15 @@ object Bench {
     val run: () => Unit =
       if (name == CalibrationName) () => calibrationWorkload(spark)
       else { val qs = SparkEntry.queries; () => { qs(name)(spark, sfDir).count(); () } }
-    val warmupReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    // the md5-sampler rows push 3×10⁸ rows through the native Md5Pair60
+    // eval loop and keep JIT-warming past one pass (measured 14.2 → 10.5
+    // → 10.2 → 10.0 → 9.0 s across 5 identical cleared-cache reps at
+    // sf0.1/local[32]) — one extra untimed rep moves the timed median to
+    // the steady state the other rows already sit at
+    val extraWarmup = Set("model_random_rec", "model_random_rec_relevance",
+      "model_random_rec_fast")
+    val warmupReps = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt)
+      .getOrElse(if (extraWarmup(name)) 2 else 1)
     (1 to warmupReps).foreach { _ =>
       spark.catalog.clearCache()
       try run()

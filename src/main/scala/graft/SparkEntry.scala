@@ -573,6 +573,19 @@ object SparkEntry {
       val cands = i.select("item_id").filter(F.col("item_id") % 2 === 0)
       m.getNearestItems(anchors, k = 3, candidates = Some(cands))
     }),
+    "model_user_knn" -> ((s, d) => {
+      // user-user cosine KNN (engine extra — the transpose of knn.py's
+      // item model): top-5 neighbours per user, exact unweighted cosine
+      new models.UserKNN(numNeighbours = 5)
+        .fit(Tables.interactions(s, d)).similarity
+    }),
+    "model_user_knn_predict" -> ((s, d) => {
+      val i = Tables.interactions(s, d)
+      val m = new models.UserKNN(numNeighbours = 5).fit(i)
+      m.predict(i, k = 5)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.round(F.col("rating"), 6).as("rating"))
+    }),
     "model_knn_explain" -> ((s, d) => {
       // per-recommendation contribution breakdown (engine extra): top-3
       // history items per (user, rec) with contribution = multiplicity ×
@@ -4171,6 +4184,63 @@ object SparkEntry {
          |  SELECT r.* FROM recs r ANTI JOIN
          |    (SELECT DISTINCT query_id, item_id FROM interactions) s
          |    ON r.query_id = s.query_id AND r.item_id = s.item_id)
+         |SELECT query_id, item_id, round(rating, 6) AS rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    // user-user transpose of the model_item_knn chain: same cosine, same
+    // tie order, neighbours per query_one
+    "model_user_knn" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT query_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.query_id AS query_one, b.query_id AS query_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.item_id = b.item_id AND a.query_id < b.query_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT query_one, query_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT query_two, query_one, dot FROM dots),
+         |sims AS (
+         |  SELECT query_one, query_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.query_one = n1.query_id
+         |  JOIN norms n2 ON sym.query_two = n2.query_id)
+         |SELECT query_one, query_two, similarity FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_one ORDER BY similarity DESC, query_two) AS rn
+         |  FROM sims) WHERE rn <= 5""".stripMargin,
+    "model_user_knn_predict" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT query_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.query_id AS query_one, b.query_id AS query_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.item_id = b.item_id AND a.query_id < b.query_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT query_one, query_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT query_two, query_one, dot FROM dots),
+         |sims AS (
+         |  SELECT query_one, query_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.query_one = n1.query_id
+         |  JOIN norms n2 ON sym.query_two = n2.query_id),
+         |tops AS (
+         |  SELECT query_one, query_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_one ORDER BY similarity DESC, query_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |scored AS (
+         |  SELECT t.query_one AS query_id, b.item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM tops t JOIN base b ON t.query_two = b.query_id
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT s.* FROM scored s ANTI JOIN base h
+         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
          |SELECT query_id, item_id, round(rating, 6) AS rating FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn

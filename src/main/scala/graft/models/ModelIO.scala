@@ -543,6 +543,29 @@ object ModelIO {
     m
   }
 
+  def saveUserKnn(m: UserKNN, path: String): Unit = {
+    writeJson(path, Map("kind" -> "user_knn",
+      "numNeighbours" -> m.numNeighbours.toString,
+      "shrink" -> m.shrink.toString,
+      "maxItemAudience" -> m.maxItemAudience.toString))
+    m.similarity.write.mode("overwrite").parquet(s"$path/similarity")
+    m.trainPairs.write.mode("overwrite").parquet(s"$path/train_pairs")
+  }
+
+  def loadUserKnn(spark: SparkSession, path: String): UserKNN = {
+    val p = readJson(path)
+    require(p("kind") == "user_knn", s"not a UserKNN at $path")
+    val m = new UserKNN(
+      numNeighbours = p.getOrElse("numNeighbours", "10").toInt,
+      shrink = p.getOrElse("shrink", "0.0").toDouble,
+      maxItemAudience = p.getOrElse("maxItemAudience", "1000").toInt)
+    m.similarity = spark.read.parquet(s"$path/similarity").cache()
+    m.trainPairs = spark.read.parquet(s"$path/train_pairs").cache()
+    m.fitQueriesDf = m.trainPairs.select(F.col(m.cols.query)).distinct()
+    m.fitItemsDf = m.trainPairs.select(F.col(m.cols.item)).distinct()
+    m
+  }
+
   def saveRepeat(m: RepeatRec, path: String): Unit = {
     writeJson(path, Map("kind" -> "repeat"))
     m.state.write.mode("overwrite").parquet(s"$path/state")
@@ -623,6 +646,7 @@ object ModelIO {
     case m: Markov2Rec         => saveMarkov2(m, path)
     case m: BiasModel          => saveBias(m, path)
     case m: RepeatRec          => saveRepeat(m, path)
+    case m: UserKNN            => saveUserKnn(m, path)
     case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
     case s: graft.splitters.Splitter => graft.splitters.SplitterIO.save(s, path)
@@ -655,6 +679,7 @@ object ModelIO {
       case "markov2"       => loadMarkov2(spark, path)
       case "bias"          => loadBias(spark, path)
       case "repeat"        => loadRepeat(spark, path)
+      case "user_knn"      => loadUserKnn(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)
       case "ratio" | "last_n" | "time" | "hash_random" | "new_users"
