@@ -586,6 +586,17 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.round(F.col("rating"), 6).as("rating"))
     }),
+    "model_session_knn" -> ((s, d) => {
+      // session-based KNN (engine extra — the SKNN sequential baseline):
+      // UserKNN is column-parametric, so SKNN is the same model keyed on
+      // session_id; next-item candidates come from cosine-similar sessions
+      val i = Tables.interactions(s, d).select("session_id", "item_id")
+        .withColumn("rating", F.lit(1.0))
+      val m = new models.UserKNN(numNeighbours = 5,
+        cols = models.RecCols(query = "session_id")).fit(i)
+      m.predict(i, k = 3).select(F.col("session_id"), F.col("item_id"),
+        F.round(F.col("rating"), 6).as("rating"))
+    }),
     "model_knn_explain" -> ((s, d) => {
       // per-recommendation contribution breakdown (engine extra): top-3
       // history items per (user, rec) with contribution = multiplicity ×
@@ -4245,6 +4256,41 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    // the user-knn predict chain keyed on session_id (SKNN)
+    "model_session_knn" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT session_id, item_id FROM interactions),
+         |norms AS (SELECT session_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.session_id AS s_one, b.session_id AS s_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.item_id = b.item_id AND a.session_id < b.session_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT s_one, s_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT s_two, s_one, dot FROM dots),
+         |sims AS (
+         |  SELECT s_one, s_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.s_one = n1.session_id
+         |  JOIN norms n2 ON sym.s_two = n2.session_id),
+         |tops AS (
+         |  SELECT s_one, s_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY s_one ORDER BY similarity DESC, s_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |scored AS (
+         |  SELECT t.s_one AS session_id, b.item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM tops t JOIN base b ON t.s_two = b.session_id
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT s.* FROM scored s ANTI JOIN base h
+         |    ON s.session_id = h.session_id AND s.item_id = h.item_id)
+         |SELECT session_id, item_id, round(rating, 6) AS rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY session_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 3""".stripMargin,
     // the predict chain above, extended by the contribution decomposition:
     // same sims/top_sims/recs/unseen CTEs, then contribution = mult × sim
     // ranked per (query, rec item) with the engine's round-9 discipline

@@ -384,4 +384,44 @@ class PlanSpec extends SparkSpec {
       .findAllIn(plan).nonEmpty, "expected aggregate-based CSR assembly")
   }
 
+  test("user_knn fit: item-keyed equi self-join, bounded neighbour crop, no cartesian") {
+    val plan = optimizedPlan("model_user_knn")
+    assert(!plan.contains("CartesianProduct"), "user self-join must stay equi")
+    // the top-neighbour crop is the O(k)-state bounded aggregate, not a
+    // full sort window over the symmetrized pair table
+    assert(plan.contains("ObjectHashAggregate"),
+      "neighbour crop should be the bounded top-k aggregate")
+  }
+
+  test("user_knn predict: equi joins only, seen filter as anti join") {
+    val plan = optimizedPlan("model_user_knn_predict")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("LeftAnti"), "seen filter should be a left-anti join")
+  }
+
+  test("knn explain: equi joins on the cropped similarity, windowed topN per rec") {
+    val plan = optimizedPlan("model_knn_explain")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("WindowGroupLimit"),
+      "contribution topN should lower to WindowGroupLimit")
+  }
+
+  test("repeat rec: one aggregate over the log, rank-limit lowered, no join fan-out") {
+    val plan = optimizedPlan("model_repeat")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k recent should lower to WindowGroupLimit")
+  }
+
+  test("sampled ranking: negative draw crop lowers to WindowGroupLimit, exclusion is anti join") {
+    // the |users| × |catalog| candidate stream is the protocol (same as the
+    // weighted samplers); what must hold is that the per-user crop is a
+    // rank-limit, the seen/positive exclusion an anti join, and the final
+    // metrics one partial+final aggregate
+    val plan = optimizedPlan("metrics_sampled_ranking")
+    assert(plan.contains("WindowGroupLimit"),
+      "negative sampling crop should lower to WindowGroupLimit")
+    assert(plan.contains("LeftAnti"), "exclusion should be a left-anti join")
+  }
+
 }
