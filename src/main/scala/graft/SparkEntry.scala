@@ -586,6 +586,18 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.round(F.col("rating"), 6).as("rating"))
     }),
+    "rerank_mmr" -> ((s, d) => {
+      // MMR diversity re-ranking (engine extra; Carbonell & Goldstein
+      // SIGIR 1998): 3-step greedy over each user's ItemKNN top-10,
+      // penalized by the same model's similarity — score = λ·rel −
+      // (1−λ)·max_sel sim, unrolled exactly in the oracle
+      val i = Tables.interactions(s, d)
+      val m = new models.ItemKNN(numNeighbours = 5).fit(i)
+      models.Rerank.mmr(m.predict(i, k = 10), m.similarity,
+        k = 3, lambda = 0.5)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.round(F.col("mmr"), 6).as("mmr"), F.col("position"))
+    }),
     "model_session_knn" -> ((s, d) => {
       // session-based KNN (engine extra — the SKNN sequential baseline):
       // UserKNN is column-parametric, so SKNN is the same model keyed on
@@ -4180,7 +4192,7 @@ object SparkEntry {
          |  FROM sym
          |  JOIN norms n1 ON sym.item_one = n1.item_id
          |  JOIN norms n2 ON sym.item_two = n2.item_id),
-         |top_sims AS (
+         |top_sims AS MATERIALIZED (
          |  SELECT item_one, item_two, similarity FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
@@ -4256,6 +4268,86 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    // the knn predict chain (pool of 10) + the 3 MMR greedy steps unrolled:
+    // step t picks argmax round(λ·rel − (1−λ)·max_sel sim, 9), ties item asc
+    "rerank_mmr" ->
+      s"""$interactionsSql,
+         |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |recs AS (
+         |  SELECT h.query_id, t.item_two AS item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM (SELECT query_id, item_id FROM interactions) h
+         |  JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT r.* FROM recs r ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) s
+         |    ON r.query_id = s.query_id AND r.item_id = s.item_id),
+         |pool AS MATERIALIZED (
+         |  SELECT query_id, item_id, rating FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |    FROM unseen) WHERE rn <= 10),
+         |s1 AS MATERIALIZED (
+         |  SELECT query_id, item_id, round(0.5*rating - 0.5*0.0, 9) AS mmr,
+         |    CAST(1 AS BIGINT) AS position FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(0.5*rating - 0.5*0.0, 9) DESC, item_id) AS rn2
+         |    FROM pool) WHERE rn2 = 1),
+         |c2 AS (SELECT p.* FROM pool p ANTI JOIN s1 q
+         |  ON p.query_id = q.query_id AND p.item_id = q.item_id),
+         |p2 AS (SELECT c.query_id, c.item_id, c.rating,
+         |    max(coalesce(t.similarity, 0.0)) AS pen
+         |  FROM c2 c JOIN s1 s ON c.query_id = s.query_id
+         |  LEFT JOIN top_sims t ON t.item_one = c.item_id
+         |    AND t.item_two = s.item_id
+         |  GROUP BY 1, 2, 3),
+         |s2 AS MATERIALIZED (
+         |  SELECT query_id, item_id, mmr, CAST(2 AS BIGINT) AS position FROM (
+         |    SELECT query_id, item_id, round(0.5*rating - 0.5*pen, 9) AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(0.5*rating - 0.5*pen, 9) DESC, item_id) AS rn2
+         |    FROM p2) WHERE rn2 = 1),
+         |sel12 AS MATERIALIZED (SELECT query_id, item_id FROM s1
+         |          UNION ALL SELECT query_id, item_id FROM s2),
+         |c3 AS (SELECT p.* FROM pool p ANTI JOIN sel12 q
+         |  ON p.query_id = q.query_id AND p.item_id = q.item_id),
+         |p3 AS (SELECT c.query_id, c.item_id, c.rating,
+         |    max(coalesce(t.similarity, 0.0)) AS pen
+         |  FROM c3 c JOIN sel12 s ON c.query_id = s.query_id
+         |  LEFT JOIN top_sims t ON t.item_one = c.item_id
+         |    AND t.item_two = s.item_id
+         |  GROUP BY 1, 2, 3),
+         |s3 AS (
+         |  SELECT query_id, item_id, mmr, CAST(3 AS BIGINT) AS position FROM (
+         |    SELECT query_id, item_id, round(0.5*rating - 0.5*pen, 9) AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round(0.5*rating - 0.5*pen, 9) DESC, item_id) AS rn2
+         |    FROM p3) WHERE rn2 = 1)
+         |SELECT query_id, item_id, round(mmr, 6) AS mmr, position FROM s1
+         |UNION ALL
+         |SELECT query_id, item_id, round(mmr, 6) AS mmr, position FROM s2
+         |UNION ALL
+         |SELECT query_id, item_id, round(mmr, 6) AS mmr, position FROM s3""".stripMargin,
     // the user-knn predict chain keyed on session_id (SKNN)
     "model_session_knn" ->
       s"""$interactionsSql,
