@@ -586,6 +586,29 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.round(F.col("rating"), 6).as("rating"))
     }),
+    "model_ease_incremental" -> ((s, d) => {
+      // the EASE incremental-refit law as a driver gate: Gram cells are
+      // additive over user-disjoint slices (G = Σ_u x_u·x_uᵀ; integral
+      // ratings make the sums exact in any order), so the merged-slice
+      // fit must equal the full fit BIT-exactly — parity_exact pins it
+      val i = Tables.interactions(s, d).filter(F.col("item_id") < 500)
+        .select("query_id", "item_id").distinct()
+        .withColumn("rating", F.lit(1.0))
+      val full = new models.Ease(lambda = 10.0, maxItems = 600).fit(i)
+      val m = new models.Ease(lambda = 10.0, maxItems = 600)
+      m.fitFromCells(m.mergeCells(
+        m.gramCells(i.filter(F.col("query_id") % 2 === 0)),
+        m.gramCells(i.filter(F.col("query_id") % 2 === 1))))
+      val mismatches = m.similarity.unionByName(full.similarity)
+        .groupBy("item_one", "item_two", "similarity")
+        .agg(F.count(F.lit(1)).as("c")).filter(F.col("c") =!= 2).count()
+      val nItems = i.select(F.countDistinct("item_id")).head.getLong(0)
+      m.similarity.agg(
+        F.lit(nItems).as("n_items"),
+        F.lit(mismatches == 0L).as("parity_exact"),
+        F.lit(m.lastKktResidual <= 1e-6).as("kkt_ok"),
+        (F.count(F.lit(1)) > 0L).as("nonempty"))
+    }),
     "rerank_mmr" -> ((s, d) => {
       // MMR diversity re-ranking (engine extra; Carbonell & Goldstein
       // SIGIR 1998): 3-step greedy over each user's ItemKNN top-10,
@@ -5194,6 +5217,11 @@ object SparkEntry {
          |SELECT count(DISTINCT item_id) AS n_items, true AS nonempty,
          |  true AS diag_ok, true AS kkt_ok, true AS neg_present,
          |  true AS shrink_monotone, true AS values_finite
+         |FROM interactions WHERE item_id < 500""".stripMargin,
+    "model_ease_incremental" ->
+      s"""$interactionsSql
+         |SELECT count(DISTINCT item_id) AS n_items, true AS parity_exact,
+         |  true AS kkt_ok, true AS nonempty
          |FROM interactions WHERE item_id < 500""".stripMargin,
     "metrics_multi_k" -> metricsMultiKSql,
     "metrics_sampled_ranking" -> metricsSampledSql,

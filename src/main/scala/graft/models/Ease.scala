@@ -44,15 +44,39 @@ final class Ease(
   /** Frobenius norm of the last fitted B (λ-shrinkage diagnostics). */
   var lastFrobenius: Double = Double.NaN
 
-  protected def doFit(log: DataFrame): Unit = {
-    val spark = log.sparkSession
-
+  /** Distributed upper-triangle Gram cells (_i1 ≤ _i2, _d) of the summed
+    * (query, item) matrix — the ADDITIVE sufficient statistic for EASE:
+    * G = Σ_u x_u·x_uᵀ, so cells from USER-DISJOINT log slices merge by
+    * plain addition ([[mergeCells]]) and [[fitFromCells]] on the merged
+    * frame reproduces the full fit bit-exactly (same cells → same driver
+    * algebra in one fixed order). The incremental-refit path for a model
+    * whose fit is otherwise a from-scratch inversion. */
+  def gramCells(log: DataFrame): DataFrame = {
     // duplicate (query, item) entries sum, csr_matrix-style (same as SLIM)
     val mat = log.groupBy(cols.query, cols.item)
-      .agg(F.sum(cols.rating).as(cols.rating)).cache()
+      .agg(F.sum(cols.rating).as(cols.rating))
+    val lhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i1"),
+      F.col(cols.rating).as("_v1"))
+    val rhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i2"),
+      F.col(cols.rating).as("_v2"))
+    lhs.join(rhs, Seq(cols.query))
+      .filter(F.col("_i1") <= F.col("_i2"))
+      .groupBy("_i1", "_i2").agg(F.sum(F.col("_v1") * F.col("_v2")).as("_d"))
+  }
 
-    val itemIds = mat.select(cols.item).distinct().orderBy(cols.item)
-      .collect().map(_.getLong(0))
+  /** Merge Gram-cell frames from user-disjoint slices by addition. */
+  def mergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("_i1", "_i2").agg(F.sum("_d").as("_d"))
+
+  protected def doFit(log: DataFrame): Unit = fitFromCells(gramCells(log))
+
+  /** Driver algebra over a Gram-cell frame (see [[gramCells]]). */
+  def fitFromCells(cells: DataFrame): this.type = {
+    val spark = cells.sparkSession
+
+    val itemIds = cells.select(F.col("_i1").as("_i"))
+      .unionByName(cells.select(F.col("_i2").as("_i")))
+      .distinct().orderBy("_i").collect().map(_.getLong(0))
     val n = itemIds.length
     if (n > maxItems)
       throw new IllegalStateException(
@@ -64,20 +88,12 @@ final class Ease(
 
     // G = XᵀX distributed: upper-triangle co-occurrence dots incl. diagonal,
     // one shuffle on the user key; only O(n²) cells cross to the driver
-    val lhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i1"),
-      F.col(cols.rating).as("_v1"))
-    val rhs = mat.select(F.col(cols.query), F.col(cols.item).as("_i2"),
-      F.col(cols.rating).as("_v2"))
     val gram = DenseMatrix.zeros[Double](n, n)
-    lhs.join(rhs, Seq(cols.query))
-      .filter(F.col("_i1") <= F.col("_i2"))
-      .groupBy("_i1", "_i2").agg(F.sum(F.col("_v1") * F.col("_v2")).as("_d"))
-      .toLocalIterator().forEachRemaining { r =>
+    cells.toLocalIterator().forEachRemaining { r =>
         val a = idx(r.getLong(0)); val b = idx(r.getLong(1))
         val d = r.getDouble(2)
         gram(a, b) = d; gram(b, a) = d
       }
-    mat.unpersist()
 
     val ridge = gram.copy
     var i = 0
@@ -117,19 +133,20 @@ final class Ease(
 
     // dense B → distributed similarity table
     // (row item_one = history item, col item_two = scored item)
-    val cells = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var oj = 0
     while (oj < n) {
       var oi = 0
       while (oi < n) {
         val v = matB(oi, oj)
-        if (v != 0.0) cells += ((itemIds(oi), itemIds(oj), v))
+        if (v != 0.0) out += ((itemIds(oi), itemIds(oj), v))
         oi += 1
       }
       oj += 1
     }
     import spark.implicits._
-    materialize(cells.toSeq.toDF("item_one", "item_two", "similarity"))
+    materialize(out.toSeq.toDF("item_one", "item_two", "similarity"))
+    this
   }
 
   /** λ ~ loguniform [1, 10⁴] (ln-space borders), the range Steck §5

@@ -92,6 +92,22 @@ class EaseSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental merge law: user-disjoint Gram cells rebuild the full fit exactly") {
+    val m0 = new Ease(lambda = 5.0).fit(blockLog)
+    def merged(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val m = new Ease(lambda = 5.0)
+      m.fitFromCells(m.mergeCells(
+        m.gramCells(blockLog.filter(pred(F.col("query_id")))),
+        m.gramCells(blockLog.filter(!pred(F.col("query_id"))))))
+      m.similarity.orderBy("item_one", "item_two")
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    val full = m0.similarity.orderBy("item_one", "item_two")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(merged(_ % 2 === 0) == full, "even/odd slicing must rebuild exactly")
+    assert(merged(_ < 11) == full, "range slicing must rebuild exactly")
+  }
+
   test("optimize() searches the ln-λ border and returns a fitted model") {
     val m = new Ease()
     val borders = m.searchBorders
