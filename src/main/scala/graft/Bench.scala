@@ -70,7 +70,7 @@ object Bench {
     "model_slim_distributed", "model_admm_slim", "model_ease",
     "model_cluster", "model_linucb", "model_repeat", "model_knn_explain",
     "model_user_knn", "model_user_knn_predict", "model_session_knn",
-    "rerank_mmr", "model_ease_incremental",
+    "rerank_mmr", "model_ease_incremental", "model_slope_one",
     "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",
     "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",

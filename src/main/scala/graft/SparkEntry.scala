@@ -586,6 +586,17 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.round(F.col("rating"), 6).as("rating"))
     }),
+    "model_slope_one" -> ((s, d) => {
+      // weighted Slope One (engine extra; Lemire & Maclachlan 2005): the
+      // classic rating predictor in exact integer ppm — every training
+      // pair scored, unsupported pairs (singleton histories) sentinel -1
+      val i = Tables.interactions(s, d)
+      val m = new models.SlopeOne().fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+      m.predictPairs(pairs, i)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.coalesce(F.col("pred_ppm"), F.lit(-1L)).as("pred_ppm"))
+    }),
     "model_ease_incremental" -> ((s, d) => {
       // the EASE incremental-refit law as a driver gate: Gram cells are
       // additive over user-disjoint slices (G = Σ_u x_u·x_uᵀ; integral
@@ -5223,6 +5234,32 @@ object SparkEntry {
          |SELECT count(DISTINCT item_id) AS n_items, true AS parity_exact,
          |  true AS kkt_ok, true AS nonempty
          |FROM interactions WHERE item_id < 500""".stripMargin,
+    // Slope One replayed exactly: floor-ppm pre-average, antisymmetrized
+    // deviation pairs, one integral division at the end
+    "model_slope_one" ->
+      s"""$interactionsSql,
+         |sbase AS MATERIALIZED (SELECT query_id, item_id,
+         |    CAST(sum(CAST(floor(rating * 1e6) AS BIGINT)) // count(*)
+         |      AS BIGINT) AS r
+         |  FROM interactions GROUP BY 1, 2),
+         |half AS (SELECT a.item_id AS item_from, b.item_id AS item_to,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(b.r - a.r) AS BIGINT) AS dev_ppm
+         |  FROM sbase a JOIN sbase b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |devs AS (SELECT item_from, item_to, n, dev_ppm FROM half
+         |  UNION ALL
+         |  SELECT item_to, item_from, n, -dev_ppm FROM half),
+         |scored AS (SELECT p.query_id, p.item_id,
+         |    CAST(sum(d.dev_ppm + d.n * h.r) // sum(d.n) AS BIGINT) AS pred_ppm
+         |  FROM sbase p JOIN sbase h ON p.query_id = h.query_id
+         |  JOIN devs d ON d.item_from = h.item_id AND d.item_to = p.item_id
+         |  GROUP BY 1, 2)
+         |SELECT p.query_id, p.item_id,
+         |  coalesce(s.pred_ppm, -1) AS pred_ppm
+         |FROM sbase p LEFT JOIN scored s
+         |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin,
     "metrics_multi_k" -> metricsMultiKSql,
     "metrics_sampled_ranking" -> metricsSampledSql,
   ) ++ oracleSqlRest ++ canaryOracle

@@ -566,6 +566,25 @@ object ModelIO {
     m
   }
 
+  def saveSlopeOne(m: SlopeOne, path: String): Unit = {
+    writeJson(path, Map("kind" -> "slope_one",
+      "maxUserHistory" -> m.maxUserHistory.toString))
+    m.deviations.write.mode("overwrite").parquet(s"$path/deviations")
+    m.ratings.write.mode("overwrite").parquet(s"$path/ratings")
+  }
+
+  def loadSlopeOne(spark: SparkSession, path: String): SlopeOne = {
+    val p = readJson(path)
+    require(p("kind") == "slope_one", s"not a SlopeOne at $path")
+    val m = new SlopeOne(
+      maxUserHistory = p.getOrElse("maxUserHistory", "1000").toInt)
+    m.deviations = spark.read.parquet(s"$path/deviations").cache()
+    m.ratings = spark.read.parquet(s"$path/ratings").cache()
+    m.fitQueriesDf = m.ratings.select(F.col(m.cols.query)).distinct()
+    m.fitItemsDf = m.ratings.select(F.col(m.cols.item)).distinct()
+    m
+  }
+
   def saveRepeat(m: RepeatRec, path: String): Unit = {
     writeJson(path, Map("kind" -> "repeat"))
     m.state.write.mode("overwrite").parquet(s"$path/state")
@@ -646,6 +665,7 @@ object ModelIO {
     case m: Markov2Rec         => saveMarkov2(m, path)
     case m: BiasModel          => saveBias(m, path)
     case m: RepeatRec          => saveRepeat(m, path)
+    case m: SlopeOne           => saveSlopeOne(m, path)
     case m: UserKNN            => saveUserKnn(m, path)
     case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
@@ -679,6 +699,7 @@ object ModelIO {
       case "markov2"       => loadMarkov2(spark, path)
       case "bias"          => loadBias(spark, path)
       case "repeat"        => loadRepeat(spark, path)
+      case "slope_one"     => loadSlopeOne(spark, path)
       case "user_knn"      => loadUserKnn(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)

@@ -1,0 +1,114 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.core.Ops
+
+/** Weighted Slope One rating predictor (Lemire & Maclachlan, SDM 2005 —
+  * engine extra: with [[BiasModel]] it completes the classic
+  * rating-prediction pair the reference lacks).
+  *
+  *   dev(j→i) = Σ_{u rated both} (r_ui − r_uj),  n(j→i) = |co-raters|
+  *   r̂(u,i)  = Σ_{j ∈ hist(u), n>0} (dev(j→i) + n(j→i)·r_uj)
+  *             ───────────────────────────────────────────── (weighted)
+  *                        Σ_{j ∈ hist(u)} n(j→i)
+  *
+  * All arithmetic is EXACT integer ppm (the [[BiasModel]] house style):
+  * per-(user,item) ratings pre-average to floor-ppm (duplicates merge),
+  * deviation sums are exact integers, the single final division is an
+  * integral `div` — so every score hash-compares across engines.
+  *
+  * Scale: the deviation table is the item×item co-occurrence hazard —
+  * the SAME self-join as ItemKNN's Gram, bounded the same way
+  * (`maxUserHistory` caps each user's pair fan-out; upper-triangle then
+  * antisymmetrized, halving the shuffle: dev(i→j) = −dev(j→i)).
+  * Prediction is one equi-join of the user's history onto the deviation
+  * table plus one aggregation; candidates are automatically restricted
+  * to items co-rated with the history. */
+final class SlopeOne(
+    val maxUserHistory: Int = 1000,
+    cols: RecCols = RecCols(),
+) extends BaseRecommender(cols) {
+  /** (item_from, item_to, n, dev_ppm): co-rater count and Σ(r_to − r_from). */
+  var deviations: DataFrame = _
+  /** (query, item, r_ppm): the pre-averaged training ratings. */
+  var ratings: DataFrame = _
+
+  protected def doFit(log: DataFrame): Unit = {
+    // duplicates merge to the exact floor-ppm mean — one rating per pair
+    val base = log.groupBy(cols.query, cols.item)
+      .agg(F.expr(s"sum(floor(${cols.rating} * 1e6)) div count(*)")
+        .cast("long").as("_r"))
+    val capped = if (maxUserHistory > 0) {
+      val w = Window.partitionBy(cols.query).orderBy(
+        F.xxhash64(F.col(cols.query), F.col(cols.item)),
+        F.col(cols.item).asc)
+      base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
+    } else base
+    val l = capped.select(F.col(cols.query),
+      F.col(cols.item).as("item_from"), F.col("_r").as("_rf"))
+    val r = capped.select(F.col(cols.query),
+      F.col(cols.item).as("item_to"), F.col("_r").as("_rt"))
+    val half = l.join(r, Seq(cols.query))
+      .filter(F.col("item_from") < F.col("item_to"))
+      .groupBy("item_from", "item_to")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("_rt") - F.col("_rf")).as("dev_ppm"))
+    deviations = half.unionByName(half.select(
+      F.col("item_to").as("item_from"), F.col("item_from").as("item_to"),
+      F.col("n"), (-F.col("dev_ppm")).as("dev_ppm"))).cache()
+    deviations.count()
+    ratings = capped.withColumnRenamed("_r", "r_ppm").cache()
+    ratings.count()
+  }
+
+  /** Exact-ppm scores for every (query, candidate) with support; the
+    * candidate j = i self-pair is excluded by construction (the deviation
+    * table has no diagonal). NOTE: this is the dense path — the candidate
+    * set is every item co-rated with the history, so top-k predict groups
+    * up to |users| × |co-rated catalog| cells. Pair scoring
+    * ([[predictPairs]]) never goes through here; restrict `items` (or
+    * predict over query subsets) when the catalog is large. */
+  protected def score(queries: DataFrame, k: Int, maxSeen: Int,
+      items: Option[DataFrame] = None): DataFrame = {
+    val hist = ratings.join(queries.select(cols.query).distinct(),
+      Seq(cols.query), "left_semi")
+    val devs = restrictItems(
+      deviations.withColumnRenamed("item_to", cols.item), items)
+    hist.select(F.col(cols.query), F.col(cols.item).as("item_from"),
+        F.col("r_ppm"))
+      .join(devs, Seq("item_from"))
+      .groupBy(cols.query, cols.item)
+      .agg(F.expr("sum(dev_ppm + n * r_ppm) div sum(n)").as("pred_ppm"))
+      .withColumn(cols.rating, F.col("pred_ppm").cast("double") / 1e6)
+  }
+
+  override def predict(log: DataFrame, k: Int,
+      queries: Option[DataFrame] = None, filterSeen: Boolean = true,
+      items: Option[DataFrame] = None): DataFrame =
+    super.predict(log, k, queries, filterSeen, items)
+      .select(F.col(cols.query), F.col(cols.item), F.col(cols.rating))
+
+  /** Exact-ppm pair scoring: only supported pairs get a prediction;
+    * unsupported pairs surface as NULL pred_ppm (callers choose their
+    * fallback — [[BiasModel]] is the natural one).
+    *
+    * SHAPE: scores ONLY the requested pairs — pairs ⋈ history on the user
+    * (fan-out = history length) ⋈ deviations on BOTH item keys, one
+    * aggregation. The score-everything path ([[score]]) would group
+    * |users| × |co-rated catalog| candidates (measured 17 min at sf0.1
+    * against ~40 s for this shape). */
+  def predictPairs(pairs: DataFrame, log: DataFrame): DataFrame = {
+    val hist = ratings.join(
+      pairs.select(cols.query).distinct(), Seq(cols.query), "left_semi")
+      .select(F.col(cols.query), F.col(cols.item).as("item_from"),
+        F.col("r_ppm"))
+    val contrib = pairs.select(F.col(cols.query), F.col(cols.item).as("item_to"))
+      .join(hist, Seq(cols.query))
+      .join(deviations, Seq("item_from", "item_to"))
+      .groupBy(F.col(cols.query), F.col("item_to").as(cols.item))
+      .agg(F.expr("sum(dev_ppm + n * r_ppm) div sum(n)").as("pred_ppm"))
+    pairs.join(contrib, Seq(cols.query, cols.item), "left")
+  }
+}
