@@ -136,9 +136,12 @@ object Bench {
     "model_admm_slim", "tpe_search_budget", "tpe_search_2d",
     "ope_ncis_replay", "ope_incremental", "join_delta_maintain",
     "multimodal_decode", "embed_lsh_neardup_prod",
-    // round-12 additions
-    "two_stages", "ope_dr", "model_ulinucb", "model_hierarchical",
-    "model_markov", "model_ease",
+    // round-12 additions — two_stages LAST: at ~4 min/child (GBT fit ×
+    // warmup+3 reps) it is the row a driver wall-clock truncation should
+    // sacrifice, not the cheap rows behind it (the cumulative JSON line
+    // keeps every completed row either way)
+    "ope_dr", "model_ulinucb", "model_hierarchical",
+    "model_markov", "model_ease", "two_stages",
   )
 
   /** Name of the box-speed calibration row (not a graft operator). */
