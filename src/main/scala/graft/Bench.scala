@@ -71,6 +71,7 @@ object Bench {
     "model_cluster", "model_linucb", "model_repeat", "model_knn_explain",
     "model_user_knn", "model_user_knn_predict", "model_session_knn",
     "rerank_mmr", "model_ease_incremental", "model_slope_one",
+    "model_p3alpha", "model_rp3beta",
     "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",
     "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
@@ -80,6 +81,7 @@ object Bench {
     "model_ulinucb", "model_hierarchical", "model_markov",
     "model_als_foldin", "model_knn_incremental", "metrics_spearman",
     "metrics_calibration", "model_markov2", "model_bias",
+    "model_bias_incremental",
     "sequence_generate", "encode_onehot", "encode_csr", "prepare_log",
     "streaming_sequence_generate", "model_hierarchical_leaf",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",

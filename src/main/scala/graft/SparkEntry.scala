@@ -597,6 +597,25 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.coalesce(F.col("pred_ppm"), F.lit(-1L)).as("pred_ppm"))
     }),
+    "model_p3alpha" -> ((s, d) => {
+      // P³ random-walk recommender (engine extra; Cooper et al. WWW 2014)
+      // in exact integer ppt — every training pair scored through the
+      // uncropped walk matrix, unreachable pairs (singleton histories)
+      // sentinel -1
+      val i = Tables.interactions(s, d)
+      val m = new models.P3AlphaRec(topKNeighbours = 0).fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+      m.predictPairs(pairs, i)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.coalesce(F.col("score_ppt"), F.lit(-1L)).as("score_ppt"))
+    }),
+    "model_rp3beta" -> ((s, d) => {
+      // RP³β (Paudel et al. TiiS 2017): the same walk matrix with the β=1
+      // popularity penalty and the per-source top-10 neighbour crop — the
+      // production config; the crop and the penalty are both in the oracle
+      val i = Tables.interactions(s, d)
+      new models.P3AlphaRec(beta = 1, topKNeighbours = 10).fit(i).similarity
+    }),
     "model_ease_incremental" -> ((s, d) => {
       // the EASE incremental-refit law as a driver gate: Gram cells are
       // additive over user-disjoint slices (G = Σ_u x_u·x_uᵀ; integral
@@ -708,6 +727,18 @@ object SparkEntry {
       // seen-filtered through the base predict path
       val i = Tables.interactions(s, d)
       new models.BiasModel().fit(i).predict(i, k = 5)
+    }),
+    "model_bias_incremental" -> ((s, d) => {
+      // the bias-model incremental-refit law: per-pair (Σr, n) stats are
+      // additive under ANY event slicing (session parity here — the SAME
+      // user lands in both slices), and the merged rebuild is bit-exact
+      // vs the full fit — same oracle as model_bias
+      val i = Tables.interactions(s, d)
+      val m = new models.BiasModel()
+      m.fitFromStats(m.mergeStats(
+        m.pairStats(i.filter(F.col("session_id") % 2 === 0)),
+        m.pairStats(i.filter(F.col("session_id") % 2 === 1))))
+      m.predictPairs(i.select("query_id", "item_id").distinct(), i)
     }),
     "model_markov" -> ((s, d) => {
       // first-order next-item model (the relational stand-in for the
@@ -4571,24 +4602,10 @@ object SparkEntry {
          |       THEN (pair/ant_cnt) / ((con_cnt - pair) / ((SELECT ns FROM n) - ant_cnt))
          |       ELSE NULL END AS confidence_gain
          |FROM wc""".stripMargin,
-    "model_bias" ->
-      s"""$interactionsSql,
-         |b AS (SELECT query_id, item_id,
-         |    CAST(floor(rating * 1000000.0) AS BIGINT) AS r FROM interactions),
-         |mu AS (SELECT sum(r) // count(*) AS mu FROM b),
-         |bi AS (SELECT item_id,
-         |    (sum(r) - count(*) * (SELECT mu FROM mu)) // (10 + count(*)) AS b_i
-         |  FROM b GROUP BY 1),
-         |bu AS (SELECT query_id,
-         |    (sum(r) - count(*) * (SELECT mu FROM mu) - sum(b_i))
-         |      // (10 + count(*)) AS b_u
-         |  FROM b JOIN bi USING (item_id) GROUP BY 1)
-         |SELECT p.query_id, p.item_id,
-         |  CAST((SELECT mu FROM mu) + coalesce(bu.b_u, 0)
-         |       + coalesce(bi.b_i, 0) AS BIGINT) AS pred_ppm
-         |FROM (SELECT DISTINCT query_id, item_id FROM interactions) p
-         |LEFT JOIN bu USING (query_id) LEFT JOIN bi USING (item_id)"""
-        .stripMargin,
+    "model_bias" -> biasPairsSql,
+    // identical SQL to model_bias: the merged-stats rebuild must equal
+    // the full fit
+    "model_bias_incremental" -> biasPairsSql,
     "model_bias_topk" ->
       s"""$interactionsSql,
          |b AS (SELECT query_id, item_id,
@@ -5260,9 +5277,80 @@ object SparkEntry {
          |  coalesce(s.pred_ppm, -1) AS pred_ppm
          |FROM sbase p LEFT JOIN scored s
          |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin,
+    // the P³ walk replayed exactly: binary adjacency, per-term ppt floor
+    // quantization, both directed sums from one upper-triangle pass
+    "model_p3alpha" ->
+      s"""$interactionsSql,
+         |$p3WalkSql,
+         |pagg AS (SELECT h.query_id, s.item_to AS item_id,
+         |    CAST(sum(s.sim_ppt) AS BIGINT) AS ssum
+         |  FROM pbase h JOIN psims s ON s.item_from = h.item_id
+         |  GROUP BY 1, 2),
+         |pscored AS (SELECT a.query_id, a.item_id,
+         |    CAST(a.ssum // u.du AS BIGINT) AS score_ppt
+         |  FROM pagg a JOIN pdu u USING (query_id))
+         |SELECT p.query_id, p.item_id,
+         |  coalesce(s.score_ppt, -1) AS score_ppt
+         |FROM pbase p LEFT JOIN pscored s
+         |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin,
+    "model_rp3beta" ->
+      s"""$interactionsSql,
+         |$p3WalkSql,
+         |ppen AS (SELECT s.item_from, s.item_to,
+         |    CAST(s.sim_ppt // i.di AS BIGINT) AS sim_ppt
+         |  FROM psims s JOIN pdi i ON s.item_to = i.item_id)
+         |SELECT item_from, item_to, sim_ppt FROM (
+         |  SELECT p.*, row_number() OVER (PARTITION BY item_from
+         |    ORDER BY sim_ppt DESC, item_to ASC) AS rn FROM ppen p)
+         |WHERE rn <= 10""".stripMargin,
     "metrics_multi_k" -> metricsMultiKSql,
     "metrics_sampled_ranking" -> metricsSampledSql,
   ) ++ oracleSqlRest ++ canaryOracle
+
+  /** Shared CTE chain for the P³/RP³β oracles: the binary adjacency with
+    * degrees, and the directed 2-step walk sums in exact ppt (every term
+    * `10^12 // (deg(from)·deg(u))`, mirroring the engine's integral
+    * quantization term-for-term). */
+  private lazy val p3WalkSql: String =
+    """pbase AS MATERIALIZED (
+      |  SELECT DISTINCT query_id, item_id FROM interactions),
+      |pdu AS (SELECT query_id, CAST(count(*) AS BIGINT) AS du
+      |  FROM pbase GROUP BY 1),
+      |pdi AS (SELECT item_id, CAST(count(*) AS BIGINT) AS di
+      |  FROM pbase GROUP BY 1),
+      |padj AS MATERIALIZED (SELECT b.query_id, b.item_id, u.du, i.di
+      |  FROM pbase b JOIN pdu u USING (query_id) JOIN pdi i USING (item_id)),
+      |phalf AS (SELECT a.item_id AS item_from, b.item_id AS item_to,
+      |    CAST(sum(1000000000000 // (a.di * a.du)) AS BIGINT) AS s_fwd,
+      |    CAST(sum(1000000000000 // (b.di * a.du)) AS BIGINT) AS s_bwd
+      |  FROM padj a JOIN padj b
+      |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+      |  GROUP BY 1, 2),
+      |psims AS MATERIALIZED (
+      |  SELECT item_from, item_to, s_fwd AS sim_ppt FROM phalf
+      |  UNION ALL
+      |  SELECT item_to, item_from, s_bwd FROM phalf)""".stripMargin
+
+  /** model_bias / model_bias_incremental: the damped-mean baseline
+    * replayed exactly in integer ppm over every distinct training pair. */
+  private lazy val biasPairsSql: String =
+    s"""$interactionsSql,
+       |b AS (SELECT query_id, item_id,
+       |    CAST(floor(rating * 1000000.0) AS BIGINT) AS r FROM interactions),
+       |mu AS (SELECT sum(r) // count(*) AS mu FROM b),
+       |bi AS (SELECT item_id,
+       |    (sum(r) - count(*) * (SELECT mu FROM mu)) // (10 + count(*)) AS b_i
+       |  FROM b GROUP BY 1),
+       |bu AS (SELECT query_id,
+       |    (sum(r) - count(*) * (SELECT mu FROM mu) - sum(b_i))
+       |      // (10 + count(*)) AS b_u
+       |  FROM b JOIN bi USING (item_id) GROUP BY 1)
+       |SELECT p.query_id, p.item_id,
+       |  CAST((SELECT mu FROM mu) + coalesce(bu.b_u, 0)
+       |       + coalesce(bi.b_i, 0) AS BIGINT) AS pred_ppm
+       |FROM (SELECT DISTINCT query_id, item_id FROM interactions) p
+       |LEFT JOIN bu USING (query_id) LEFT JOIN bi USING (item_id)"""
+      .stripMargin
 
   /** metrics_sampled_ranking: the 99-negatives protocol replayed exactly —
     * same md5 chain, same (score DESC, item ASC) tie order, same floor-ppm

@@ -55,6 +55,55 @@ final class BiasModel(
     itemBias.count(); userBias.count()
   }
 
+  // ---- incremental refit (engine extra, the ItemKNN/EASE discipline) ----
+  // The model's sufficient statistic is the per-pair (Σr, n) table: exact
+  // integer sums, so slices merge by plain addition under ANY partitioning
+  // of the events (not just user-disjoint) and the merged fit is BIT-exact
+  // vs the full fit — μ, b_i and b_u are all integral functions of sums the
+  // stats reconstruct exactly (the per-event Σb_i in b_u becomes n·b_i).
+
+  /** (query, item, s_ppm, n): additive sufficient statistics of a log slice. */
+  def pairStats(log: DataFrame): DataFrame =
+    log.select(F.col(cols.query), F.col(cols.item), rPpm.as("_r"))
+      .groupBy(cols.query, cols.item)
+      .agg(F.sum("_r").cast("long").as("s_ppm"),
+        F.count(F.lit(1)).as("n"))
+
+  /** Merge two stats frames by addition. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(cols.query, cols.item)
+      .agg(F.sum("s_ppm").cast("long").as("s_ppm"),
+        F.sum("n").cast("long").as("n"))
+
+  /** Rebuild the full fit from merged stats — bit-exact vs [[fit]] on the
+    * concatenated events. */
+  def fitFromStats(stats: DataFrame): this.type = {
+    require(lambdaItem >= 0 && lambdaUser >= 0, "damping must be >= 0")
+    val g = stats.agg(F.sum("s_ppm").as("_s"), F.sum("n").as("_n")).first()
+    require(!g.isNullAt(1) && g.getLong(1) > 0, "empty stats")
+    muPpm = Math.floorDiv(g.getLong(0), g.getLong(1))
+    itemBias = stats.groupBy(cols.item)
+      .agg(F.sum("s_ppm").as("_s"), F.sum("n").as("_n"))
+      .select(F.col(cols.item),
+        F.expr(s"(_s - _n * ${muPpm}L) div (${lambdaItem}L + _n)")
+          .as("b_i_ppm"))
+      .cache()
+    userBias = stats
+      .join(itemBias, Seq(cols.item))
+      .groupBy(cols.query)
+      .agg(F.sum("s_ppm").as("_s"),
+        F.sum(F.col("n") * F.col("b_i_ppm")).as("_sb"),
+        F.sum("n").as("_n"))
+      .select(F.col(cols.query),
+        F.expr(s"(_s - _n * ${muPpm}L - _sb) div (${lambdaUser}L + _n)")
+          .as("b_u_ppm"))
+      .cache()
+    itemBias.count(); userBias.count()
+    fitQueriesDf = stats.select(cols.query).distinct().cache()
+    fitItemsDf = stats.select(cols.item).distinct().cache()
+    this
+  }
+
   /** Candidate scores: per-user order is b_i alone (μ + b_u is constant
     * per user), so the catalog crops to the top k+maxSeen items ONCE and
     * broadcasts — the PopRec shape. Ratings keep the full μ+b_u+b_i ppm

@@ -585,6 +585,31 @@ object ModelIO {
     m
   }
 
+  def saveP3Alpha(m: P3AlphaRec, path: String): Unit = {
+    writeJson(path, Map("kind" -> "p3alpha",
+      "beta" -> m.beta.toString,
+      "topKNeighbours" -> m.topKNeighbours.toString,
+      "maxUserHistory" -> m.maxUserHistory.toString))
+    m.similarity.write.mode("overwrite").parquet(s"$path/similarity")
+    m.userDegrees.write.mode("overwrite").parquet(s"$path/user_degrees")
+    m.trainPairs.write.mode("overwrite").parquet(s"$path/train_pairs")
+  }
+
+  def loadP3Alpha(spark: SparkSession, path: String): P3AlphaRec = {
+    val p = readJson(path)
+    require(p("kind") == "p3alpha", s"not a P3AlphaRec at $path")
+    val m = new P3AlphaRec(
+      beta = p.getOrElse("beta", "0").toInt,
+      topKNeighbours = p.getOrElse("topKNeighbours", "100").toInt,
+      maxUserHistory = p.getOrElse("maxUserHistory", "1000").toInt)
+    m.similarity = spark.read.parquet(s"$path/similarity").cache()
+    m.userDegrees = spark.read.parquet(s"$path/user_degrees").cache()
+    m.trainPairs = spark.read.parquet(s"$path/train_pairs").cache()
+    m.fitQueriesDf = m.trainPairs.select(F.col(m.cols.query)).distinct()
+    m.fitItemsDf = m.trainPairs.select(F.col(m.cols.item)).distinct()
+    m
+  }
+
   def saveRepeat(m: RepeatRec, path: String): Unit = {
     writeJson(path, Map("kind" -> "repeat"))
     m.state.write.mode("overwrite").parquet(s"$path/state")
@@ -666,6 +691,7 @@ object ModelIO {
     case m: BiasModel          => saveBias(m, path)
     case m: RepeatRec          => saveRepeat(m, path)
     case m: SlopeOne           => saveSlopeOne(m, path)
+    case m: P3AlphaRec         => saveP3Alpha(m, path)
     case m: UserKNN            => saveUserKnn(m, path)
     case m: MarkovRec          => saveMarkov(m, path)
     case e: graft.preprocessing.LabelEncoder => saveEncoder(e, path)
@@ -700,6 +726,7 @@ object ModelIO {
       case "bias"          => loadBias(spark, path)
       case "repeat"        => loadRepeat(spark, path)
       case "slope_one"     => loadSlopeOne(spark, path)
+      case "p3alpha"       => loadP3Alpha(spark, path)
       case "user_knn"      => loadUserKnn(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
       case "k_folds"       => graft.splitters.SplitterIO.loadKFolds(path)

@@ -422,6 +422,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).nonEmpty)
   }
 
+  test("p3alpha: walk build and pair scoring stay equi-joined, crop is a rank limit") {
+    // fit self-joins the capped adjacency on the USER key only; rp3beta's
+    // per-source neighbour crop must lower to a bounded rank limit
+    val fit = optimizedPlan("model_rp3beta")
+    assert(!fit.contains("CartesianProduct"))
+    assert(fit.contains("WindowGroupLimit"),
+      "neighbour crop should lower to WindowGroupLimit")
+    val pairs = optimizedPlan("model_p3alpha")
+    assert(!pairs.contains("CartesianProduct"))
+  }
+
   test("sampled ranking: negative draw crop lowers to WindowGroupLimit, exclusion is anti join") {
     // the |users| × |catalog| candidate stream is the protocol (same as the
     // weighted samplers); what must hold is that the per-user crop is a

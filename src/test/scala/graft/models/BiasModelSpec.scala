@@ -29,6 +29,25 @@ class BiasModelSpec extends SparkSpec {
       (99L, 1L, 3000000L + 166666L)))
   }
 
+  test("incremental stats merge-law: ANY slicing rebuilds the full fit exactly") {
+    val wide = log.unionAll(Seq(
+      (1L, 1L, 4.0, 40L), (3L, 2L, 2.0, 50L), (3L, 3L, 5.0, 60L),
+    ).toDF("query_id", "item_id", "rating", "timestamp"))
+    val full = new BiasModel().fit(wide)
+    // slice by TIMESTAMP: the same (user, item) pair straddles both slices
+    // under %20 (u1,i1 at ts 10 and 40), the hardest case for additivity
+    for (slicer <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => c % 20 === 0, c => c % 3 === 0)) {
+      val m = new BiasModel()
+      m.fitFromStats(m.mergeStats(
+        m.pairStats(wide.filter(slicer($"timestamp"))),
+        m.pairStats(wide.filter(!slicer($"timestamp")))))
+      assert(m.muPpm == full.muPpm)
+      assertSameRows(m.itemBias, full.itemBias.as[(Long, Long)].collect().toSeq)
+      assertSameRows(m.userBias, full.userBias.as[(Long, Long)].collect().toSeq)
+    }
+  }
+
   test("predict: seen-filtered top-k ordered by item bias") {
     val m = new BiasModel().fit(log)
     // u1 saw both items → nothing left; u2 saw i1 → recs = i2 only
