@@ -616,6 +616,14 @@ object SparkEntry {
       val i = Tables.interactions(s, d)
       new models.P3AlphaRec(beta = 1, topKNeighbours = 10).fit(i).similarity
     }),
+    "model_p3alpha_predict" -> ((s, d) => {
+      // the full predict path over the CROPPED walk matrix (top-10
+      // neighbours per source): history ⋈ sims ⋈ agg, seen anti-join,
+      // deterministic top-5 — exact ppt scores make the floats hash
+      val i = Tables.interactions(s, d)
+      val m = new models.P3AlphaRec(topKNeighbours = 10).fit(i)
+      m.predict(i, k = 5)
+    }),
     "model_ease_incremental" -> ((s, d) => {
       // the EASE incremental-refit law as a driver gate: Gram cells are
       // additive over user-disjoint slices (G = Σ_u x_u·x_uᵀ; integral
@@ -1593,6 +1601,30 @@ object SparkEntry {
       val scores = graft.metrics.SampledEval.itemPopularity(train)
       graft.metrics.SampledEval.sampledRanking(gt, train, scores,
         nNeg = 99, k = 10, seed = 99L)
+    }),
+    "metrics_sampled_ranking_pop" -> ((s, d) => {
+      // the popularity-sampled variant of the protocol (negatives drawn
+      // ∝ train popularity via the portable E–S keys) — the draw Koren &
+      // Rendle recommend when production exposure is popularity-skewed
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val gt = marked.filter(F.col("is_test"))
+        .select("query_id", "item_id").distinct()
+      val scores = graft.metrics.SampledEval.itemPopularity(train)
+      graft.metrics.SampledEval.sampledRanking(gt, train, scores,
+        nNeg = 99, k = 10, seed = 99L, negSampling = "popularity")
+    }),
+    "metrics_popularity_bias" -> ((s, d) => {
+      // long-tail exposure audit (engine extra; Abdollahpouri et al.
+      // RecSys 2017): ARP / APLT of the PopRec top-5 against train
+      // popularity — the maximally popularity-biased recommender, so the
+      // numbers pin the metric's worst case; exact integer ppm
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      graft.metrics.Metrics.popularityBias(recs, train)
     }),
     "metrics_descriptors" -> ((s, d) => {
       // Mean / Median / CI descriptors over per-user metric values
@@ -5293,6 +5325,26 @@ object SparkEntry {
          |  coalesce(s.score_ppt, -1) AS score_ppt
          |FROM pbase p LEFT JOIN pscored s
          |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin,
+    "model_p3alpha_predict" ->
+      s"""$interactionsSql,
+         |$p3WalkSql,
+         |pcrop AS (SELECT item_from, item_to, sim_ppt FROM (
+         |  SELECT p.*, row_number() OVER (PARTITION BY item_from
+         |    ORDER BY sim_ppt DESC, item_to ASC) AS rn FROM psims p)
+         |  WHERE rn <= 10),
+         |pagg AS (SELECT h.query_id, s.item_to AS item_id,
+         |    CAST(sum(s.sim_ppt) AS BIGINT) AS ssum
+         |  FROM pbase h JOIN pcrop s ON s.item_from = h.item_id
+         |  GROUP BY 1, 2),
+         |pscored AS (SELECT a.query_id, a.item_id,
+         |    CAST(a.ssum // u.du AS BIGINT) / 1000000000000.0 AS rating
+         |  FROM pagg a JOIN pdu u USING (query_id)),
+         |punseen AS (SELECT c.* FROM pscored c ANTI JOIN pbase s
+         |  ON c.query_id = s.query_id AND c.item_id = s.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM punseen) WHERE rn <= 5""".stripMargin,
     "model_rp3beta" ->
       s"""$interactionsSql,
          |$p3WalkSql,
@@ -5305,6 +5357,8 @@ object SparkEntry {
          |WHERE rn <= 10""".stripMargin,
     "metrics_multi_k" -> metricsMultiKSql,
     "metrics_sampled_ranking" -> metricsSampledSql,
+    "metrics_sampled_ranking_pop" -> metricsSampledPopSql,
+    "metrics_popularity_bias" -> metricsPopBiasSql,
   ) ++ oracleSqlRest ++ canaryOracle
 
   /** Shared CTE chain for the P³/RP³β oracles: the binary adjacency with
@@ -5354,8 +5408,10 @@ object SparkEntry {
 
   /** metrics_sampled_ranking: the 99-negatives protocol replayed exactly —
     * same md5 chain, same (score DESC, item ASC) tie order, same floor-ppm
-    * quantization; every output column exact BIGINT. */
-  private lazy val metricsSampledSql: String =
+    * quantization; every output column exact BIGINT. `negOrder` is the
+    * per-user draw ORDER BY: the uniform md5 rank, or the weighted
+    * Efraimidis–Spirakis ln(u)/w key for the popularity-sampled variant. */
+  private def metricsSampledSqlWith(negOrder: String): String =
     s"""$timeSplitEvalSql,
        |sc2 AS (SELECT item_id, CAST(count(DISTINCT query_id) AS BIGINT) AS score
        |        FROM train GROUP BY 1),
@@ -5368,8 +5424,7 @@ object SparkEntry {
        |           ON u.query_id = e.query_id AND s.item_id = e.item_id),
        |negs AS (SELECT query_id, item_id, score FROM (
        |  SELECT c.*, row_number() OVER (PARTITION BY query_id ORDER BY
-       |    ('0x' || substr(md5('99:' || CAST(query_id AS VARCHAR) || ':'
-       |       || CAST(item_id AS VARCHAR)), 1, 15))::BIGINT,
+       |    $negOrder,
        |    query_id, item_id) AS rn FROM cand c) WHERE rn <= 99),
        |pos AS (SELECT g.query_id, g.item_id AS pi, coalesce(s.score, 0) AS ps
        |        FROM gt g LEFT JOIN sc2 s ON g.item_id = s.item_id),
@@ -5385,6 +5440,68 @@ object SparkEntry {
        |  CAST(sum(1000000 // rnk) // count(*) AS BIGINT) AS mrr_ppm,
        |  CAST((sum(rnk) * 1000000) // count(*) AS BIGINT) AS mean_rank_ppm
        |FROM rk""".stripMargin
+
+  // NOTE: these fragments pass through the OUTER template's stripMargin a
+  // second time — no line may start with `|` (e.g. a leading `||` concat)
+  private lazy val metricsSampledSql: String = metricsSampledSqlWith(
+    """('0x' || substr(md5('99:' || CAST(query_id AS VARCHAR) || ':' ||
+      |       CAST(item_id AS VARCHAR)), 1, 15))::BIGINT""".stripMargin)
+
+  /** The popularity-sampled draw: the sample_group_weighted key replayed
+    * on the candidate stream (u from the same md5 chain, weight = train
+    * popularity). */
+  private lazy val metricsSampledPopSql: String = metricsSampledSqlWith(
+    """ln(least(greatest(
+      |      ('0x' || substr(md5('99:' || CAST(query_id AS VARCHAR) || ':' ||
+      |        CAST(item_id AS VARCHAR)), 1, 15))::BIGINT
+      |        / 1152921504606846976.0,
+      |      1.0 / 9007199254740992.0),
+      |      1.0 - 1.0 / 9007199254740992.0)) / CAST(score AS DOUBLE) DESC"""
+      .stripMargin)
+
+  /** PopRec seen-filtered top-5 as CTE `top5(query_id, item_id, rn)` —
+    * shared by the multi-k and popularity-bias oracles (assumes the
+    * [[timeSplitEvalSql]] CTEs are in scope). */
+  private lazy val popRecTop5Sql: String =
+    """pscore AS (SELECT item_id, count(DISTINCT query_id) /
+      |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
+      |  FROM train GROUP BY 1),
+      |ranked AS (SELECT item_id, rating,
+      |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pscore),
+      |cand AS (SELECT q.query_id, r.item_id, r.rating
+      |  FROM users q CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
+      |unseen AS (SELECT c.* FROM cand c ANTI JOIN seen s
+      |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
+      |top5 AS (SELECT query_id, item_id, rn FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+      |  FROM unseen) WHERE rn <= 5)""".stripMargin
+
+  /** metrics_popularity_bias: ARP / APLT of the PopRec top-5 replayed —
+    * head = top 20% of catalog items by (pop DESC, item ASC), exact
+    * integer permille boundary and ppm means. */
+  private lazy val metricsPopBiasSql: String =
+    s"""$timeSplitEvalSql,
+       |$popRecTop5Sql,
+       |pop AS (SELECT item_id, CAST(count(DISTINCT query_id) AS BIGINT) AS pop
+       |  FROM train GROUP BY 1),
+       |hc AS (SELECT (SELECT count(*) FROM pop) * 200 // 1000 AS h),
+       |headt AS (SELECT item_id FROM (
+       |  SELECT item_id, row_number() OVER (ORDER BY pop DESC, item_id) AS rnk
+       |  FROM pop) WHERE rnk <= (SELECT h FROM hc)),
+       |pu AS (SELECT t.query_id,
+       |    CAST((sum(coalesce(p.pop, 0)) * 1000000) // count(*) AS BIGINT)
+       |      AS arp,
+       |    CAST((sum(CASE WHEN h.item_id IS NULL THEN 1 ELSE 0 END) * 1000000)
+       |      // count(*) AS BIGINT) AS aplt
+       |  FROM top5 t LEFT JOIN pop p ON t.item_id = p.item_id
+       |  LEFT JOIN headt h ON t.item_id = h.item_id
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST((SELECT h FROM hc) AS BIGINT) AS head_count,
+       |  CAST(sum(arp) // count(*) AS BIGINT) AS arp_ppm,
+       |  CAST(sum(aplt) // count(*) AS BIGINT) AS aplt_ppm
+       |FROM pu""".stripMargin
 
   /** metrics_multi_k: one PopRec top-5 rec set, hit_rate/ndcg evaluated
     * at every k — the per-k block is parametrized, the split shared. */
@@ -5409,19 +5526,7 @@ object SparkEntry {
          |  LEFT JOIN ${p}hs h ON g.query_id = h.query_id
          |  LEFT JOIN ${p}idcg i ON g.query_id = i.query_id)""".stripMargin
     s"""$timeSplitEvalSql,
-       |pscore AS (SELECT item_id, count(DISTINCT query_id) /
-       |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
-       |  FROM train GROUP BY 1),
-       |ranked AS (SELECT item_id, rating,
-       |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pscore),
-       |cand AS (SELECT q.query_id, r.item_id, r.rating
-       |  FROM users q CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
-       |unseen AS (SELECT c.* FROM cand c ANTI JOIN seen s
-       |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
-       |top5 AS (SELECT query_id, item_id, rn FROM (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
-       |  FROM unseen) WHERE rn <= 5),
+       |$popRecTop5Sql,
        |${kBlock("k1", 1)},
        |${kBlock("k5", 5)}
        |SELECT

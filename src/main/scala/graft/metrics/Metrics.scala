@@ -460,4 +460,50 @@ object Metrics {
       .agg(F.expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"),
         F.max("gap_ppm").as("max_gap_ppm"),
         F.sum("n").as("n"))
+  /** Popularity-bias diagnostics over a recommendation set (engine extra —
+    * Abdollahpouri et al., RecSys 2017 / FLAIRS 2019; the standard
+    * long-tail exposure check a production reranker is audited with):
+    *
+    *   ARP  = mean over users of (Σ_{i∈recs_u} pop(i)) / |recs_u|
+    *   APLT = mean over users of |recs_u ∩ tail| / |recs_u|
+    *
+    * pop(i) = distinct-user train count; the HEAD set is the top
+    * `headPermille`/1000 of catalog items by (pop DESC, item ASC) — an
+    * integer permille so the head boundary is exact on both engines; the
+    * tail is everything else, including items absent from train (pop 0).
+    * Both means are exact integer ppm (per-user integral division, then
+    * an integral mean over users — the house metric quantization).
+    * One row: (n_users, head_count, arp_ppm, aplt_ppm).
+    *
+    * Scale: pop and the head rank are catalog-sized aggregates; recs join
+    * pop by item equi-key — no per-user state beyond the one aggregation. */
+  def popularityBias(recs: DataFrame, train: DataFrame,
+      headPermille: Int = 200, cols: RecCols = RecCols()): DataFrame = {
+    require(headPermille > 0 && headPermille < 1000,
+      s"headPermille must be in (0, 1000), got $headPermille")
+    val pop = train.groupBy(cols.item)
+      .agg(F.countDistinct(cols.query).as("_pop"))
+    val nItems = pop.count()
+    val headCount = nItems * headPermille / 1000
+    // distributed global rank over the catalog-sized aggregate (no
+    // single-partition Window.orderBy)
+    val head = graft.core.Ops.globalRowNumber(
+      pop, "_rnk", F.col("_pop").desc, F.col(cols.item).asc)
+      .filter(F.col("_rnk") <= headCount)
+      .select(F.col(cols.item), F.lit(1L).as("_head"))
+    val perUser = recs.select(cols.query, cols.item)
+      .join(pop, Seq(cols.item), "left")
+      .join(head, Seq(cols.item), "left")
+      .groupBy(cols.query)
+      .agg(
+        F.expr("(sum(coalesce(_pop, 0L)) * 1000000) div count(1)")
+          .as("_arp"),
+        F.expr("(sum(CASE WHEN _head IS NULL THEN 1L ELSE 0L END) * 1000000) div count(1)")
+          .as("_aplt"))
+    perUser.agg(
+      F.count(F.lit(1)).as("n_users"),
+      F.lit(headCount).as("head_count"),
+      F.expr("sum(_arp) div count(1)").as("arp_ppm"),
+      F.expr("sum(_aplt) div count(1)").as("aplt_ppm"))
+  }
 }

