@@ -70,10 +70,11 @@ object Bench {
     "model_slim_distributed", "model_admm_slim", "model_ease",
     "model_cluster", "model_linucb", "model_repeat", "model_knn_explain",
     "model_user_knn", "model_user_knn_predict", "model_session_knn",
-    "rerank_mmr", "model_ease_incremental", "model_slope_one",
+    "rerank_mmr", "rerank_calibrated", "model_ease_incremental", "model_slope_one",
     "model_p3alpha", "model_rp3beta", "model_p3alpha_predict",
     "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",
     "metrics_sampled_ranking_pop", "metrics_popularity_bias",
+    "metrics_calibration_kl", "model_slope_one_incremental",
     "history_features",
     "sample_top_k", "time_smoothing", "time_smoothing_decay", "item_recency",
     "sequence_pad", "grid_search_budget", "tpe_search_budget",

@@ -597,6 +597,22 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.coalesce(F.col("pred_ppm"), F.lit(-1L)).as("pred_ppm"))
     }),
+    "model_slope_one_incremental" -> ((s, d) => {
+      // the Slope One incremental-refit law: user-disjoint slice deviation
+      // pairs merged by addition rebuild EXACTLY the full fit — same
+      // oracle as model_slope_one
+      val i = Tables.interactions(s, d)
+      val probe = new models.SlopeOne()
+      val m = new models.SlopeOne()
+      val (h, r) = probe.mergeStats(
+        probe.coStats(i.filter(F.col("query_id") % 2 === 0)),
+        probe.coStats(i.filter(F.col("query_id") % 2 === 1)))
+      m.fitFromStats(h, r)
+      val pairs = i.select("query_id", "item_id").distinct()
+      m.predictPairs(pairs, i)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.coalesce(F.col("pred_ppm"), F.lit(-1L)).as("pred_ppm"))
+    }),
     "model_p3alpha" -> ((s, d) => {
       // P³ random-walk recommender (engine extra; Cooper et al. WWW 2014)
       // in exact integer ppt — every training pair scored through the
@@ -658,6 +674,19 @@ object SparkEntry {
         k = 3, lambda = 0.5)
         .select(F.col("query_id"), F.col("item_id"),
           F.round(F.col("mmr"), 6).as("mmr"), F.col("position"))
+    }),
+    "rerank_calibrated" -> ((s, d) => {
+      // calibrated re-ranking (engine extra; Steck RecSys 2018): 3-step
+      // greedy over each user's PopRec top-10, relevance traded against
+      // the KL between history and list brand distributions — KL terms
+      // ppt-quantized so the greedy replays exactly in SQL
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 10)
+      val cats = Tables.part(s, d).select(
+        F.col("p_partkey").as("item_id"), F.col("p_brand").as("category"))
+      models.Rerank.calibrated(recs, train, cats, k = 3, lambda = 0.5)
     }),
     "model_session_knn" -> ((s, d) => {
       // session-based KNN (engine extra — the SKNN sequential baseline):
@@ -1614,6 +1643,20 @@ object SparkEntry {
       val scores = graft.metrics.SampledEval.itemPopularity(train)
       graft.metrics.SampledEval.sampledRanking(gt, train, scores,
         nNeg = 99, k = 10, seed = 99L, negSampling = "popularity")
+    }),
+    "metrics_calibration_kl" -> ((s, d) => {
+      // calibration divergence (engine extra; Steck RecSys 2018): mean and
+      // max per-user KL(history-brand dist ‖ smoothed rec-brand dist) of
+      // the PopRec top-5 — the "does the list mirror the user's taste
+      // profile" audit; per-category terms floor-ppm quantized before the
+      // per-user sum so the whole row hash-compares
+      val i = Tables.interactions(s, d)
+      val marked = graft.splitters.TimeSplitter.byQuantile(i, 0.8)
+      val train = marked.filter(!F.col("is_test")).drop("is_test")
+      val recs = new models.PopRec().fitPredict(train, 5)
+      val cats = Tables.part(s, d).select(
+        F.col("p_partkey").as("item_id"), F.col("p_brand").as("category"))
+      graft.metrics.Metrics.calibrationDivergence(recs, train, cats)
     }),
     "metrics_popularity_bias" -> ((s, d) => {
       // long-tail exposure audit (engine extra; Abdollahpouri et al.
@@ -5285,30 +5328,9 @@ object SparkEntry {
          |FROM interactions WHERE item_id < 500""".stripMargin,
     // Slope One replayed exactly: floor-ppm pre-average, antisymmetrized
     // deviation pairs, one integral division at the end
-    "model_slope_one" ->
-      s"""$interactionsSql,
-         |sbase AS MATERIALIZED (SELECT query_id, item_id,
-         |    CAST(sum(CAST(floor(rating * 1e6) AS BIGINT)) // count(*)
-         |      AS BIGINT) AS r
-         |  FROM interactions GROUP BY 1, 2),
-         |half AS (SELECT a.item_id AS item_from, b.item_id AS item_to,
-         |    CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(b.r - a.r) AS BIGINT) AS dev_ppm
-         |  FROM sbase a JOIN sbase b
-         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2),
-         |devs AS (SELECT item_from, item_to, n, dev_ppm FROM half
-         |  UNION ALL
-         |  SELECT item_to, item_from, n, -dev_ppm FROM half),
-         |scored AS (SELECT p.query_id, p.item_id,
-         |    CAST(sum(d.dev_ppm + d.n * h.r) // sum(d.n) AS BIGINT) AS pred_ppm
-         |  FROM sbase p JOIN sbase h ON p.query_id = h.query_id
-         |  JOIN devs d ON d.item_from = h.item_id AND d.item_to = p.item_id
-         |  GROUP BY 1, 2)
-         |SELECT p.query_id, p.item_id,
-         |  coalesce(s.pred_ppm, -1) AS pred_ppm
-         |FROM sbase p LEFT JOIN scored s
-         |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin,
+    "model_slope_one" -> slopeOnePairsSql,
+    // identical SQL: the merged user-disjoint stats rebuild the full fit
+    "model_slope_one_incremental" -> slopeOnePairsSql,
     // the P³ walk replayed exactly: binary adjacency, per-term ppt floor
     // quantization, both directed sums from one upper-triangle pass
     "model_p3alpha" ->
@@ -5359,7 +5381,36 @@ object SparkEntry {
     "metrics_sampled_ranking" -> metricsSampledSql,
     "metrics_sampled_ranking_pop" -> metricsSampledPopSql,
     "metrics_popularity_bias" -> metricsPopBiasSql,
+    "metrics_calibration_kl" -> metricsCalibrationKlSql,
+    "rerank_calibrated" -> rerankCalibratedSql,
   ) ++ oracleSqlRest ++ canaryOracle
+
+  /** model_slope_one / model_slope_one_incremental: the weighted Slope One
+    * replayed exactly over every distinct training pair. */
+  private lazy val slopeOnePairsSql: String =
+    s"""$interactionsSql,
+         |sbase AS MATERIALIZED (SELECT query_id, item_id,
+         |    CAST(sum(CAST(floor(rating * 1e6) AS BIGINT)) // count(*)
+         |      AS BIGINT) AS r
+         |  FROM interactions GROUP BY 1, 2),
+         |half AS (SELECT a.item_id AS item_from, b.item_id AS item_to,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(b.r - a.r) AS BIGINT) AS dev_ppm
+         |  FROM sbase a JOIN sbase b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |devs AS (SELECT item_from, item_to, n, dev_ppm FROM half
+         |  UNION ALL
+         |  SELECT item_to, item_from, n, -dev_ppm FROM half),
+         |scored AS (SELECT p.query_id, p.item_id,
+         |    CAST(sum(d.dev_ppm + d.n * h.r) // sum(d.n) AS BIGINT) AS pred_ppm
+         |  FROM sbase p JOIN sbase h ON p.query_id = h.query_id
+         |  JOIN devs d ON d.item_from = h.item_id AND d.item_to = p.item_id
+         |  GROUP BY 1, 2)
+         |SELECT p.query_id, p.item_id,
+         |  coalesce(s.pred_ppm, -1) AS pred_ppm
+         |FROM sbase p LEFT JOIN scored s
+         |  ON p.query_id = s.query_id AND p.item_id = s.item_id""".stripMargin
 
   /** Shared CTE chain for the P³/RP³β oracles: the binary adjacency with
     * degrees, and the directed 2-step walk sums in exact ppt (every term
@@ -5459,23 +5510,25 @@ object SparkEntry {
       |      1.0 - 1.0 / 9007199254740992.0)) / CAST(score AS DOUBLE) DESC"""
       .stripMargin)
 
-  /** PopRec seen-filtered top-5 as CTE `top5(query_id, item_id, rn)` —
-    * shared by the multi-k and popularity-bias oracles (assumes the
-    * [[timeSplitEvalSql]] CTEs are in scope). */
-  private lazy val popRecTop5Sql: String =
-    """pscore AS (SELECT item_id, count(DISTINCT query_id) /
-      |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
-      |  FROM train GROUP BY 1),
-      |ranked AS (SELECT item_id, rating,
-      |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pscore),
-      |cand AS (SELECT q.query_id, r.item_id, r.rating
-      |  FROM users q CROSS JOIN ranked r WHERE r.rnk <= 5 + (SELECT mx FROM ms)),
-      |unseen AS (SELECT c.* FROM cand c ANTI JOIN seen s
-      |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
-      |top5 AS (SELECT query_id, item_id, rn FROM (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
-      |  FROM unseen) WHERE rn <= 5)""".stripMargin
+  /** PopRec seen-filtered top-k as CTE `top<k>(query_id, item_id, rating,
+    * rn)` — shared by the multi-k / popularity-bias / calibrated-rerank
+    * oracles (assumes the [[timeSplitEvalSql]] CTEs are in scope). */
+  private def popRecTopSql(k: Int): String =
+    s"""pscore AS (SELECT item_id, count(DISTINCT query_id) /
+       |    CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE) AS rating
+       |  FROM train GROUP BY 1),
+       |ranked AS (SELECT item_id, rating,
+       |  row_number() OVER (ORDER BY rating DESC, item_id) AS rnk FROM pscore),
+       |cand AS (SELECT q.query_id, r.item_id, r.rating
+       |  FROM users q CROSS JOIN ranked r WHERE r.rnk <= $k + (SELECT mx FROM ms)),
+       |unseen AS (SELECT c.* FROM cand c ANTI JOIN seen s
+       |  ON c.query_id = s.query_id AND c.item_id = s.item_id),
+       |top$k AS (SELECT query_id, item_id, rating, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+       |  FROM unseen) WHERE rn <= $k)""".stripMargin
+
+  private lazy val popRecTop5Sql: String = popRecTopSql(5)
 
   /** metrics_popularity_bias: ARP / APLT of the PopRec top-5 replayed —
     * head = top 20% of catalog items by (pop DESC, item ASC), exact
@@ -5501,6 +5554,103 @@ object SparkEntry {
        |  CAST((SELECT h FROM hc) AS BIGINT) AS head_count,
        |  CAST(sum(arp) // count(*) AS BIGINT) AS arp_ppm,
        |  CAST(sum(aplt) // count(*) AS BIGINT) AS aplt_ppm
+       |FROM pu""".stripMargin
+
+  /** rerank_calibrated: Steck's greedy calibrated re-rank unrolled — the
+    * 3 steps share one term formula (identical operation order as the
+    * engine's expr; per-term ppt floors make each step's KL an exact
+    * integer), each step = candidates × history categories, left join on
+    * the previous picks' category counts, top-1 by (rounded score DESC,
+    * item ASC). */
+  private lazy val rerankCalibratedSql: String = {
+    def term(t: Int, cnt: String): String =
+      s"""CAST(floor((CAST(h.hc AS DOUBLE) / CAST(h.ht AS DOUBLE)) * ln(
+         |      (CAST(h.hc AS DOUBLE) / CAST(h.ht AS DOUBLE)) /
+         |      ((1.0 - CAST(0.01 AS DOUBLE)) *
+         |         (CAST($cnt +
+         |            CASE WHEN h.category = c.cat THEN 1 ELSE 0 END AS DOUBLE)
+         |          / CAST($t AS DOUBLE))
+         |       + CAST(0.01 AS DOUBLE) *
+         |         (CAST(h.hc AS DOUBLE) / CAST(h.ht AS DOUBLE)))
+         |    ) * 1000000000000.0) AS BIGINT)""".stripMargin
+    def step(t: Int, candCte: String, cntJoin: String, cnt: String): String =
+      s"""kl$t AS (SELECT c.query_id, c.item_id, c.rating, c.cat,
+         |    CAST(sum(${term(t, cnt)}) AS BIGINT) AS kl
+         |  FROM $candCte c JOIN hd h ON c.query_id = h.query_id
+         |  $cntJoin
+         |  GROUP BY 1, 2, 3, 4),
+         |pick$t AS (SELECT query_id, item_id, cat, score,
+         |    CAST($t AS BIGINT) AS position FROM (
+         |  SELECT query_id, item_id, cat, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, item_id) AS rn
+         |  FROM (SELECT k.query_id, k.item_id, k.cat,
+         |      round(CAST(0.5 AS DOUBLE) * k.rating - CAST(0.5 AS DOUBLE) *
+         |        (CAST(k.kl AS DOUBLE) / 1000000000000.0), 9) AS score
+         |    FROM kl$t k)) WHERE rn = 1)""".stripMargin
+    s"""$timeSplitEvalSql,
+       |${popRecTopSql(10)},
+       |cats AS (SELECT p_partkey AS item_id, p_brand AS category FROM part),
+       |pool AS (SELECT t.query_id, t.item_id, t.rating, c.category AS cat
+       |  FROM top10 t JOIN cats c ON t.item_id = c.item_id),
+       |hc0 AS (SELECT s.query_id, c.category, CAST(count(*) AS BIGINT) AS hc
+       |  FROM seen s JOIN cats c ON s.item_id = c.item_id GROUP BY 1, 2),
+       |hd AS (SELECT h.query_id, h.category, h.hc, t.ht FROM hc0 h
+       |  JOIN (SELECT query_id, CAST(sum(hc) AS BIGINT) AS ht
+       |        FROM hc0 GROUP BY 1) t ON h.query_id = t.query_id),
+       |${step(1, "pool", "", "0")},
+       |cnt1 AS (SELECT query_id, cat AS category,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM pick1 GROUP BY 1, 2),
+       |cand2 AS (SELECT p.* FROM pool p ANTI JOIN pick1 s
+       |  ON p.query_id = s.query_id AND p.item_id = s.item_id),
+       |${step(2, "cand2",
+        "LEFT JOIN cnt1 sc ON c.query_id = sc.query_id AND h.category = sc.category",
+        "coalesce(sc.cnt, 0)")},
+       |sel2 AS (SELECT query_id, item_id, cat FROM pick1
+       |  UNION ALL SELECT query_id, item_id, cat FROM pick2),
+       |cnt2 AS (SELECT query_id, cat AS category,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM sel2 GROUP BY 1, 2),
+       |cand3 AS (SELECT p.* FROM pool p ANTI JOIN sel2 s
+       |  ON p.query_id = s.query_id AND p.item_id = s.item_id),
+       |${step(3, "cand3",
+        "LEFT JOIN cnt2 sc ON c.query_id = sc.query_id AND h.category = sc.category",
+        "coalesce(sc.cnt, 0)")}
+       |SELECT query_id, item_id, score AS cal_score, position FROM pick1
+       |UNION ALL SELECT query_id, item_id, score, position FROM pick2
+       |UNION ALL SELECT query_id, item_id, score, position FROM pick3"""
+      .stripMargin
+  }
+
+  /** metrics_calibration_kl: Steck's C_KL replayed — identical operation
+    * order in the ln argument, per-term ppm floors, integer per-user sums. */
+  private lazy val metricsCalibrationKlSql: String =
+    s"""$timeSplitEvalSql,
+       |$popRecTop5Sql,
+       |cats AS (SELECT p_partkey AS item_id, p_brand AS category FROM part),
+       |hcat AS (SELECT s.query_id, c.category, CAST(count(*) AS BIGINT) AS hc
+       |  FROM seen s JOIN cats c ON s.item_id = c.item_id GROUP BY 1, 2),
+       |htot AS (SELECT query_id, CAST(sum(hc) AS BIGINT) AS ht
+       |  FROM hcat GROUP BY 1),
+       |rcat AS (SELECT t.query_id, c.category, CAST(count(*) AS BIGINT) AS rc
+       |  FROM top5 t JOIN cats c ON t.item_id = c.item_id GROUP BY 1, 2),
+       |rtot AS (SELECT query_id, CAST(sum(rc) AS BIGINT) AS rt
+       |  FROM rcat GROUP BY 1),
+       |terms AS (SELECT h.query_id,
+       |    CAST(floor((CAST(h.hc AS DOUBLE) / CAST(ht.ht AS DOUBLE)) * ln(
+       |      (CAST(h.hc AS DOUBLE) / CAST(ht.ht AS DOUBLE)) /
+       |      ((1.0 - CAST(0.01 AS DOUBLE)) *
+       |         (CAST(coalesce(r.rc, 0) AS DOUBLE) / CAST(rt.rt AS DOUBLE))
+       |       + CAST(0.01 AS DOUBLE) *
+       |         (CAST(h.hc AS DOUBLE) / CAST(ht.ht AS DOUBLE)))
+       |    ) * 1000000.0) AS BIGINT) AS term_ppm
+       |  FROM hcat h JOIN htot ht USING (query_id)
+       |  LEFT JOIN rcat r ON h.query_id = r.query_id
+       |    AND h.category = r.category
+       |  JOIN rtot rt ON h.query_id = rt.query_id),
+       |pu AS (SELECT query_id, CAST(sum(term_ppm) AS BIGINT) AS ckl
+       |  FROM terms GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(ckl) // count(*) AS BIGINT) AS mean_ckl_ppm,
+       |  CAST(max(ckl) AS BIGINT) AS max_ckl_ppm
        |FROM pu""".stripMargin
 
   /** metrics_multi_k: one PopRec top-5 rec set, hit_rate/ndcg evaluated

@@ -506,4 +506,62 @@ object Metrics {
       F.expr("sum(_arp) div count(1)").as("arp_ppm"),
       F.expr("sum(_aplt) div count(1)").as("aplt_ppm"))
   }
+  /** Calibration divergence of a recommendation set (engine extra — Steck,
+    * RecSys 2018 "Calibrated Recommendations" §3): per user,
+    *
+    *   C_KL(u) = KL(p ‖ q̃) = Σ_c p(c|u) · ln( p(c|u) / q̃(c|u) ),
+    *   q̃ = (1−α)·q + α·p   (the paper's smoothing, so q̃ > 0 where p > 0)
+    *
+    * with p = the user's HISTORY category distribution and q = the
+    * category distribution of their recommendations. A perfectly
+    * calibrated rec list scores 0; a list concentrated on categories the
+    * user never touches scores ≈ ln(1/α).
+    *
+    * Portability: each per-category term is floor-quantized to ppm BEFORE
+    * the per-user sum, so the sums are exact integers (order-free — float
+    * sums would be partition-order dependent); p, q and the ln argument
+    * are built from exact integer counts with the identical operation
+    * order mirrored in SQL. Items without a category row are dropped from
+    * both distributions (document the category table's coverage).
+    * One row: (n_users, mean_ckl_ppm, max_ckl_ppm); users need ≥1
+    * categorized history AND rec item to score.
+    *
+    * Scale: two category-count aggregations plus one per-(user, category)
+    * join — nothing beyond the recs/history size, state O(categories) per
+    * user. */
+  def calibrationDivergence(recs: DataFrame, history: DataFrame,
+      itemCats: DataFrame, alpha: Double = 0.01,
+      cols: RecCols = RecCols()): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val cats = itemCats.select(F.col(cols.item), F.col("category"))
+    def dist(df: DataFrame, cnt: String, tot: String): DataFrame = {
+      val c = df.select(cols.query, cols.item).distinct()
+        .join(cats, Seq(cols.item))
+        .groupBy(cols.query, "category")
+        .agg(F.count(F.lit(1)).as(cnt))
+      val t = c.groupBy(cols.query).agg(F.sum(cnt).as(tot))
+      c.join(t, Seq(cols.query))
+    }
+    val pSide = dist(history, "hc", "ht")
+    val qSide = dist(recs, "rc", "rt")
+    val qTot = qSide.select(cols.query, "rt").distinct()
+    val terms = pSide
+      .join(qSide.select(cols.query, "category", "rc"),
+        Seq(cols.query, "category"), "left")
+      .join(qTot, Seq(cols.query))
+      .withColumn("term_ppm", F.expr(
+        s"""CAST(floor((CAST(hc AS DOUBLE) / CAST(ht AS DOUBLE)) * ln(
+           |  (CAST(hc AS DOUBLE) / CAST(ht AS DOUBLE)) /
+           |  ((1.0 - CAST($alpha AS DOUBLE)) *
+           |     (CAST(coalesce(rc, 0) AS DOUBLE) / CAST(rt AS DOUBLE))
+           |   + CAST($alpha AS DOUBLE) *
+           |     (CAST(hc AS DOUBLE) / CAST(ht AS DOUBLE)))
+           |) * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " ")))
+    val perUser = terms.groupBy(cols.query)
+      .agg(F.sum("term_ppm").as("ckl_ppm"))
+    perUser.agg(
+      F.count(F.lit(1)).as("n_users"),
+      F.expr("sum(ckl_ppm) div count(1)").as("mean_ckl_ppm"),
+      F.max("ckl_ppm").as("max_ckl_ppm"))
+  }
 }

@@ -67,4 +67,94 @@ object Rerank {
     }
     selected
   }
+
+  /** Calibrated re-ranking (Steck, RecSys 2018 "Calibrated
+    * Recommendations" §5): greedy list construction — step t picks
+    *
+    *   argmax_i  (1−λ)·rel_i − λ·C_KL( p_u ‖ q̃(selected ∪ {i}) )
+    *
+    * where p_u is the user's HISTORY category distribution, q the
+    * category distribution of the list so far plus the candidate, and
+    * q̃ = (1−α)·q + α·p the paper's smoothing. The marginal Σrel over
+    * already-selected items is constant within a step, so rel_i alone
+    * carries the relevance half.
+    *
+    * Portability: each per-category KL term is floor-quantized to ppt
+    * BEFORE the per-candidate sum (float sums are partition-order
+    * dependent; the quantized sums are exact integers — the documented
+    * deviation from the paper's pure-float greedy), the final score
+    * rounds to 9 decimals, ties break by item ascending. Candidates and
+    * history items without a category row are dropped (the category
+    * table's coverage is the caller's contract).
+    *
+    * SHAPE (the [[mmr]] discipline): a driver loop of exactly k steps;
+    * each step one anti-join, one bounded fan-out join (candidates ×
+    * the user's history categories), one left join on the running
+    * selected-category counts, one aggregation, one per-query top-1 crop.
+    *
+    * Returns (query, item, cal_score, position 1..k). */
+  def calibrated(recs: DataFrame, history: DataFrame, itemCats: DataFrame,
+      k: Int, lambda: Double = 0.5, alpha: Double = 0.01,
+      queryCol: String = "query_id", itemCol: String = "item_id",
+      ratingCol: String = "rating"): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val cats = itemCats.select(F.col(itemCol), F.col("category"))
+    val p = history.select(queryCol, itemCol).distinct()
+      .join(cats, Seq(itemCol))
+      .groupBy(queryCol, "category")
+      .agg(F.count(F.lit(1)).as("hc"))
+    val pTot = p.groupBy(queryCol).agg(F.sum("hc").as("ht"))
+    val pDist = p.join(pTot, Seq(queryCol)).cache()
+    val pool = recs.select(queryCol, itemCol, ratingCol)
+      .join(cats, Seq(itemCol)).cache()
+    val w = Window.partitionBy(queryCol)
+      .orderBy(F.col("_cal").desc, F.col(itemCol).asc)
+    var selected: DataFrame = null
+    var selCnt: DataFrame = null
+    var t = 1
+    while (t <= k) {
+      val cand =
+        if (selected == null) pool
+        else pool.join(selected.select(queryCol, itemCol),
+          Seq(queryCol, itemCol), "left_anti")
+      val joined = cand.join(pDist.select(F.col(queryCol),
+        F.col("category").as("_pc"), F.col("hc"), F.col("ht")), Seq(queryCol))
+      val withCnt =
+        if (selCnt == null) joined.withColumn("_cnt", F.lit(null).cast("long"))
+        else joined.join(selCnt.select(F.col(queryCol),
+          F.col("category").as("_pc"), F.col("_cnt")),
+          Seq(queryCol, "_pc"), "left")
+      val kl = withCnt
+        .withColumn("_term_ppt", F.expr(
+          s"""CAST(floor((CAST(hc AS DOUBLE) / CAST(ht AS DOUBLE)) * ln(
+             |  (CAST(hc AS DOUBLE) / CAST(ht AS DOUBLE)) /
+             |  ((1.0 - CAST($alpha AS DOUBLE)) *
+             |     (CAST(coalesce(_cnt, 0) +
+             |        CASE WHEN _pc = category THEN 1 ELSE 0 END AS DOUBLE)
+             |      / CAST($t AS DOUBLE))
+             |   + CAST($alpha AS DOUBLE) *
+             |     (CAST(hc AS DOUBLE) / CAST(ht AS DOUBLE)))
+             |) * 1000000000000.0) AS BIGINT)""".stripMargin))
+        .groupBy(queryCol, itemCol, ratingCol, "category")
+        .agg(F.sum("_term_ppt").as("_kl_ppt"))
+      val pick = kl
+        .withColumn("_cal", F.round(
+          F.lit(1.0 - lambda) * F.col(ratingCol) -
+            F.lit(lambda) *
+              (F.col("_kl_ppt").cast("double") / F.lit(1.0e12)), 9))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") === 1)
+        .select(F.col(queryCol), F.col(itemCol), F.col("category"),
+          F.col("_cal").as("cal_score"), F.lit(t.toLong).as("position"))
+        .cache()
+      pick.count() // materialize: step t+1's lineage must not recompute t
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      selCnt = selected.groupBy(queryCol, "category")
+        .agg(F.count(F.lit(1)).as("_cnt"))
+      t += 1
+    }
+    selected.select(queryCol, itemCol, "cal_score", "position")
+  }
 }

@@ -34,33 +34,77 @@ final class SlopeOne(
   /** (query, item, r_ppm): the pre-averaged training ratings. */
   var ratings: DataFrame = _
 
-  protected def doFit(log: DataFrame): Unit = {
+  /** Per-user pre-averaged (floor-ppm) capped ratings of a log slice. */
+  private def cappedBase(log: DataFrame): DataFrame = {
     // duplicates merge to the exact floor-ppm mean — one rating per pair
     val base = log.groupBy(cols.query, cols.item)
       .agg(F.expr(s"sum(floor(${cols.rating} * 1e6)) div count(*)")
         .cast("long").as("_r"))
-    val capped = if (maxUserHistory > 0) {
+    if (maxUserHistory > 0) {
       val w = Window.partitionBy(cols.query).orderBy(
         F.xxhash64(F.col(cols.query), F.col(cols.item)),
         F.col(cols.item).asc)
       base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
     } else base
+  }
+
+  /** Upper-triangle (item_from, item_to, n, dev_ppm) from a capped base. */
+  private def halfPairs(capped: DataFrame): DataFrame = {
     val l = capped.select(F.col(cols.query),
       F.col(cols.item).as("item_from"), F.col("_r").as("_rf"))
     val r = capped.select(F.col(cols.query),
       F.col(cols.item).as("item_to"), F.col("_r").as("_rt"))
-    val half = l.join(r, Seq(cols.query))
+    l.join(r, Seq(cols.query))
       .filter(F.col("item_from") < F.col("item_to"))
       .groupBy("item_from", "item_to")
       .agg(F.count(F.lit(1)).as("n"),
         F.sum(F.col("_rt") - F.col("_rf")).as("dev_ppm"))
+  }
+
+  private def materializeFrom(half: DataFrame, capped: DataFrame): Unit = {
     deviations = half.unionByName(half.select(
       F.col("item_to").as("item_from"), F.col("item_from").as("item_to"),
       F.col("n"), (-F.col("dev_ppm")).as("dev_ppm"))).cache()
     deviations.count()
     ratings = capped.withColumnRenamed("_r", "r_ppm").cache()
     ratings.count()
+  }
+
+  protected def doFit(log: DataFrame): Unit = {
+    val capped = cappedBase(log)
+    materializeFrom(halfPairs(capped), capped)
+  }
+
+  // ---- incremental refit (the ItemKNN/EASE discipline) ------------------
+  // Sufficient statistics of a USER-DISJOINT log slice: the upper-triangle
+  // deviation pairs are per-user sums, so user-disjoint slices merge by
+  // plain addition and the merged fit is BIT-exact vs the full fit. The
+  // slices must be user-disjoint (unlike BiasModel's per-pair stats):
+  // each user's pre-average and fan-out cap are computed inside its slice.
+
+  /** (halfDeviations, cappedRatings) of one user-disjoint slice. */
+  def coStats(log: DataFrame): (DataFrame, DataFrame) = {
+    val capped = cappedBase(log)
+    (halfPairs(capped), capped.withColumnRenamed("_r", "r_ppm"))
+  }
+
+  /** Merge two user-disjoint slices: deviations add, ratings concatenate. */
+  def mergeStats(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val half = a._1.unionByName(b._1)
+      .groupBy("item_from", "item_to")
+      .agg(F.sum("n").as("n"), F.sum("dev_ppm").as("dev_ppm"))
+    (half, a._2.unionByName(b._2))
+  }
+
+  /** Rebuild the full fit from merged stats — bit-exact vs [[fit]] on the
+    * concatenated user-disjoint slices. */
+  def fitFromStats(half: DataFrame, cappedRatings: DataFrame): this.type = {
+    materializeFrom(half, cappedRatings.withColumnRenamed("r_ppm", "_r"))
+    fitQueriesDf = ratings.select(F.col(cols.query)).distinct().cache()
+    fitItemsDf = ratings.select(F.col(cols.item)).distinct().cache()
+    this
   }
 
   /** Exact-ppm scores for every (query, candidate) with support; the

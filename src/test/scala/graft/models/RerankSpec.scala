@@ -42,4 +42,36 @@ class RerankSpec extends SparkSpec {
     // nobody invents a 3rd row
     assert(out == Seq((1L, 4L, 1L), (1L, 5L, 2L), (2L, 9L, 1L)))
   }
+  test("calibrated: hand golden — relevance wins step 1, calibration step 2") {
+    // history {i1:A, i3:B} → p = {A:.5, B:.5}; pool {i2:A rel .9, i4:B rel .5}
+    val cats = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("item_id", "category")
+    val hist = Seq((1L, 1L), (1L, 3L)).toDF("query_id", "item_id")
+    val pool = Seq((1L, 2L, 0.9), (1L, 4L, 0.5))
+      .toDF("query_id", "item_id", "rating")
+    val out = Rerank.calibrated(pool, hist, cats, k = 2, lambda = 0.5)
+      .orderBy("position").as[(Long, Long, Double, Long)].collect().toSeq
+    // step1 i2: KL({.5,.5} ‖ {~1,~0}) = 1958517773625 ppt →
+    //   score = .5·.9 − .5·1.958517773625 = −0.529258887 (beats i4's rel)
+    // step2 i4: list {A,B} matches p exactly → KL 0 → score .25
+    assert(out == Seq((1L, 2L, -0.529258887, 1L), (1L, 4L, 0.25, 2L)))
+  }
+
+  test("calibrated: a calibration-matching candidate beats higher relevance at λ=.9") {
+    // u history 3:1 towards A; pool: high-rel B item vs lower-rel A item —
+    // heavy λ weights calibration, so the A item wins step 1
+    val cats = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (10L, "A"), (11L, "B")).toDF("item_id", "category")
+    val hist = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("query_id", "item_id")
+    val pool = Seq((1L, 10L, 0.1), (1L, 11L, 0.9))
+      .toDF("query_id", "item_id", "rating")
+    val first = Rerank.calibrated(pool, hist, cats, k = 1, lambda = 0.9)
+      .select("item_id").as[Long].head()
+    assert(first == 10L)
+    // ...and λ=0 is pure relevance
+    val rel = Rerank.calibrated(pool, hist, cats, k = 1, lambda = 0.0)
+      .select("item_id").as[Long].head()
+    assert(rel == 11L)
+  }
 }

@@ -57,6 +57,26 @@ class SlopeOneSpec extends SparkSpec {
     assert(recs.filter($"query_id" === 1L).select("item_id").as[Long].head() == K)
   }
 
+  test("incremental stats: user-disjoint slices rebuild the full fit exactly") {
+    val full = new SlopeOne().fit(log)
+    for (parity <- Seq(2L, 3L)) {
+      val probe = new SlopeOne()
+      val (h, r) = probe.mergeStats(
+        probe.coStats(log.filter($"query_id" % parity === 0)),
+        probe.coStats(log.filter($"query_id" % parity =!= 0)))
+      val m = new SlopeOne().fitFromStats(h, r)
+      val a = full.deviations.orderBy("item_from", "item_to").collect().toSeq
+      val b = m.deviations.orderBy("item_from", "item_to").collect().toSeq
+      assert(a == b)
+      val pairs = log.select("query_id", "item_id")
+      val x = full.predictPairs(pairs, log)
+        .orderBy("query_id", "item_id").collect().toSeq
+      val y = m.predictPairs(pairs, log)
+        .orderBy("query_id", "item_id").collect().toSeq
+      assert(x == y)
+    }
+  }
+
   test("save/load round-trips") {
     val m = new SlopeOne().fit(log)
     val dir = java.nio.file.Files.createTempDirectory("slopeone").toString
