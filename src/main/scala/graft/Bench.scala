@@ -70,6 +70,7 @@ object Bench {
     "model_slim_distributed", "model_admm_slim", "model_ease",
     "model_cluster", "model_linucb", "model_repeat", "model_knn_explain",
     "model_user_knn", "model_user_knn_predict", "model_session_knn",
+    "model_content_knn", "model_content_knn_predict",
     "rerank_mmr", "rerank_calibrated", "model_ease_incremental", "model_slope_one",
     "model_p3alpha", "model_rp3beta", "model_p3alpha_predict",
     "metrics_ranking", "metrics_catalog", "metrics_sampled_ranking",

@@ -573,6 +573,25 @@ object SparkEntry {
       val cands = i.select("item_id").filter(F.col("item_id") % 2 === 0)
       m.getNearestItems(anchors, k = 3, candidates = Some(cands))
     }),
+    "model_content_knn" -> ((s, d) => {
+      // content-based item KNN (engine extra — the cold-item complement):
+      // one-hot cosine over part brand/type attributes; the gate runs
+      // uncapped (the maxFeatureAudience cap is the scale contract, and
+      // the SQL oracle assumes it does not bind)
+      new models.ContentKNN(numNeighbours = 5, maxFeatureAudience = 0)
+        .fitFeatures(partFeatures(s, d)).similarity
+    }),
+    "model_content_knn_predict" -> ((s, d) => {
+      // scoring a user = summing CONTENT similarities over their history
+      // (the NeighbourRec surface unchanged) — items the user never
+      // co-consumed with anything still rank via shared attributes
+      val i = Tables.interactions(s, d)
+      val m = new models.ContentKNN(numNeighbours = 5, maxFeatureAudience = 0)
+        .fitFeatures(partFeatures(s, d))
+      m.predict(i, k = 5)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.round(F.col("rating"), 6).as("rating"))
+    }),
     "model_user_knn" -> ((s, d) => {
       // user-user cosine KNN (engine extra — the transpose of knn.py's
       // item model): top-5 neighbours per user, exact unweighted cosine
@@ -5382,6 +5401,70 @@ object SparkEntry {
     "metrics_sampled_ranking_pop" -> metricsSampledPopSql,
     "metrics_popularity_bias" -> metricsPopBiasSql,
     "metrics_calibration_kl" -> metricsCalibrationKlSql,
+    // the model_item_knn chain with FEATURES in the user role: same
+    // cosine, same tie order
+    "model_content_knn" ->
+      s"""WITH $partFeaturesSql,
+         |base AS (SELECT DISTINCT item_id, feature FROM feats),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm
+         |  FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two,
+         |    sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.feature = b.feature AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id)
+         |SELECT item_one, item_two, similarity FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |  FROM sims) WHERE rn <= 5""".stripMargin,
+    "model_content_knn_predict" ->
+      s"""$interactionsSql,
+         |$partFeaturesSql,
+         |base AS (SELECT DISTINCT item_id, feature FROM feats),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm
+         |  FROM base GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two,
+         |    sum(1.0*1.0) AS dot
+         |  FROM base a JOIN base b
+         |    ON a.feature = b.feature AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS MATERIALIZED (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |recs AS (
+         |  SELECT h.query_id, t.item_two AS item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM (SELECT query_id, item_id FROM interactions) h
+         |  JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT r.* FROM recs r ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) s
+         |    ON r.query_id = s.query_id AND r.item_id = s.item_id)
+         |SELECT query_id, item_id, round(rating, 6) AS rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin,
     "rerank_calibrated" -> rerankCalibratedSql,
   ) ++ oracleSqlRest ++ canaryOracle
 
@@ -5555,6 +5638,20 @@ object SparkEntry {
        |  CAST(sum(arp) // count(*) AS BIGINT) AS arp_ppm,
        |  CAST(sum(aplt) // count(*) AS BIGINT) AS aplt_ppm
        |FROM pu""".stripMargin
+
+  /** Long-format item features from the part table (brand + type) — the
+    * content-KNN gate's feature source, mirrored by [[partFeaturesSql]]. */
+  private def partFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(F.col("p_partkey").as("item_id"),
+        F.concat(F.lit("brand:"), F.col("p_brand")).as("feature"))
+      .unionByName(Tables.part(s, d).select(F.col("p_partkey").as("item_id"),
+        F.concat(F.lit("type:"), F.col("p_type")).as("feature")))
+
+  private val partFeaturesSql: String =
+    """feats AS (SELECT p_partkey AS item_id, 'brand:' || p_brand AS feature
+      |  FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'type:' || p_type FROM part)""".stripMargin
 
   /** rerank_calibrated: Steck's greedy calibrated re-rank unrolled — the
     * 3 steps share one term formula (identical operation order as the

@@ -610,6 +610,28 @@ object ModelIO {
     m
   }
 
+  def saveContentKnn(m: ContentKNN, path: String): Unit = {
+    writeJson(path, Map("kind" -> "content_knn",
+      "numNeighbours" -> m.numNeighbours.toString,
+      "shrink" -> m.shrink.toString,
+      "maxFeatureAudience" -> m.maxFeatureAudience.toString))
+    m.similarity.write.mode("overwrite").parquet(s"$path/similarity")
+    m.features.write.mode("overwrite").parquet(s"$path/features")
+  }
+
+  def loadContentKnn(spark: SparkSession, path: String): ContentKNN = {
+    val p = readJson(path)
+    require(p("kind") == "content_knn", s"not a ContentKNN at $path")
+    val m = new ContentKNN(
+      numNeighbours = p.getOrElse("numNeighbours", "10").toInt,
+      shrink = p.getOrElse("shrink", "0.0").toDouble,
+      maxFeatureAudience = p.getOrElse("maxFeatureAudience", "1000").toInt)
+    m.similarity = spark.read.parquet(s"$path/similarity").cache()
+    m.features = spark.read.parquet(s"$path/features").cache()
+    m.fitItemsDf = m.features.select(F.col(m.cols.item)).distinct()
+    m
+  }
+
   def saveRepeat(m: RepeatRec, path: String): Unit = {
     writeJson(path, Map("kind" -> "repeat"))
     m.state.write.mode("overwrite").parquet(s"$path/state")
@@ -677,6 +699,9 @@ object ModelIO {
     * dispatches on the object's own `.save`). */
   def save(obj: AnyRef, path: String): Unit = obj match {
     case m: NonPersonalizedRec => saveNonPersonalized(m, path)
+    // ContentKNN IS a NeighbourRec — its typed case must precede the
+    // generic neighbour saver or the feature table would be dropped
+    case m: ContentKNN         => saveContentKnn(m, path)
     case m: NeighbourRec       => saveNeighbour(m, path)
     case m: ALSRec             => saveALS(m, path)
     case m: Word2VecRec        => saveWord2Vec(m, path)
@@ -726,6 +751,7 @@ object ModelIO {
       case "bias"          => loadBias(spark, path)
       case "repeat"        => loadRepeat(spark, path)
       case "slope_one"     => loadSlopeOne(spark, path)
+      case "content_knn"   => loadContentKnn(spark, path)
       case "p3alpha"       => loadP3Alpha(spark, path)
       case "user_knn"      => loadUserKnn(spark, path)
       case "label_encoder" => loadEncoder(spark, path)
