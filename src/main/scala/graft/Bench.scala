@@ -146,7 +146,11 @@ object Bench {
     // sacrifice, not the cheap rows behind it (the cumulative JSON line
     // keeps every completed row either way)
     "ope_dr", "model_ulinucb", "model_hierarchical",
-    "model_markov", "model_ease", "two_stages",
+    "model_markov", "model_ease",
+    // round-12 continuation rows (cheap representatives of the new
+    // families: walk model, content cold-start, calibrated rerank)
+    "model_rp3beta", "model_content_knn", "rerank_calibrated",
+    "two_stages",
   )
 
   /** Name of the box-speed calibration row (not a graft operator). */

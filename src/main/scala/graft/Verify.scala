@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each gate caches its own fit state and never shares it with the
+      // next; dropping it keeps the 340+-gate single-JVM sweep flat in
+      // memory (the r12 sf0.1 audit OOMed at gate ~200 without this)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
