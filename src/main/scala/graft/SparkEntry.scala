@@ -1549,9 +1549,10 @@ object SparkEntry {
       // contract columns assert the rerank output shape (≤k per user,
       // probability-bounded ratings, nonempty coverage) plus a train-AUC
       // floor a broken feature pipeline cannot clear.
-      // one-third user scope: the k+maxPositives candidate predict is the
-      // cost driver and scales with |users| x max-history — the certificate
-      // is scope-invariant, and the bench row must fit the driver budget
+      // one-SIXTH user scope (query_id % 6 == 0): the k+maxPositives
+      // candidate predict is the cost driver and scales with |users| x
+      // max-history — the certificate is scope-invariant, and the bench
+      // row must fit the driver budget
       val log = Tables.interactions(s, d).filter(F.col("query_id") % 6 === 0)
       val sc = new scenarios.TwoStagesScenario(
         Seq(new models.ItemKNN(numNeighbours = 10)),
@@ -1825,13 +1826,17 @@ object SparkEntry {
         .select(F.col("doc_id"), F.round(F.col("logprob"), 6).as("logprob"))
     }),
     "model_item_knn_bm25" -> ((s, d) => {
-      // bm25-weighted variant (knn.py:92-156); sims are rounded to 9dp
-      // before the neighbour window (order parity), output rounded to 6dp
-      // (value parity) — the round-9-then-6 pattern
+      // bm25-weighted variant (knn.py:92-156). Weights are ppm-quantized
+      // to exact BIGINTs inside the fit (ItemKNN.doFit), so dots/norms are
+      // exact integer sums and the cosine is one deterministic IEEE
+      // expression — the ranking needs no round-before-rank, and the
+      // output is floor-ppm (exact BIGINT), killing the round-boundary
+      // class that cost 1 cell at sf0.1 for six rounds.
       new models.ItemKNN(numNeighbours = 5, weighting = Some("bm25"))
         .fit(Tables.interactions(s, d)).similarity
         .select(F.col("item_one"), F.col("item_two"),
-          F.round(F.col("similarity"), 6).as("similarity"))
+          F.floor(F.col("similarity") * F.lit(1e6)).cast("long")
+            .as("similarity_ppm"))
     }),
     "dedup_exact" -> ((s, d) => {
       graft.text.Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -4638,7 +4643,9 @@ object SparkEntry {
          |    PARTITION BY item_one ORDER BY similarity DESC, item_two DESC) AS rn
          |  FROM filt) WHERE rn <= 3""".stripMargin,
     // bm25 weights mirrored term-by-term (same operand order as
-    // ItemKNN.reweight); sims rounded to 9 before ranking, 6 on output.
+    // ItemKNN.reweight), then floor-ppm quantized to exact BIGINTs like
+    // the engine (ItemKNN.doFit): dots and norm² are exact integer sums,
+    // the cosine one deterministic IEEE expression, output floor-ppm.
     "model_item_knn_bm25" ->
       s"""$interactionsSql,
          |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
@@ -4647,14 +4654,18 @@ object SparkEntry {
          |avglen AS (SELECT avg(len) AS al FROM ulen),
          |idf AS (SELECT item_id, count(*) AS df FROM base GROUP BY 1),
          |w AS (
-         |  SELECT b.query_id, b.item_id,
+         |  SELECT query_id, item_id,
+         |    CAST(floor(v * 1000000.0) AS BIGINT) AS vq
+         |  FROM (SELECT b.query_id, b.item_id,
          |    ln((nu - df + 0.5)/(df + 0.5) + 1.0) * (1.2 + 1.0) /
          |      (1.0 + 1.2 * ((1 - 0.75) + 0.75 * len / al)) AS v
          |  FROM base b JOIN ulen u ON b.query_id = u.query_id
-         |  JOIN idf i ON b.item_id = i.item_id, nq, avglen),
-         |norms AS (SELECT item_id, sqrt(sum(v*v)) AS nrm FROM w GROUP BY 1),
+         |  JOIN idf i ON b.item_id = i.item_id, nq, avglen)),
+         |norms AS (SELECT item_id, sqrt(CAST(sum(vq*vq) AS DOUBLE)) AS nrm
+         |          FROM w GROUP BY 1),
          |dots AS (
-         |  SELECT a.item_id AS item_one, b.item_id AS item_two, sum(a.v*b.v) AS dot
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two,
+         |    sum(a.vq*b.vq) AS dot
          |  FROM w a JOIN w b
          |    ON a.query_id = b.query_id AND a.item_id < b.item_id
          |  GROUP BY 1, 2),
@@ -4662,11 +4673,14 @@ object SparkEntry {
          |        UNION ALL
          |        SELECT item_two, item_one, dot FROM dots),
          |sims AS (
-         |  SELECT item_one, item_two, round(dot/(n1.nrm*n2.nrm + 0.0), 9) AS similarity
+         |  SELECT item_one, item_two,
+         |    CAST(dot AS DOUBLE)/(n1.nrm*n2.nrm + 0.0) AS similarity
          |  FROM sym
          |  JOIN norms n1 ON sym.item_one = n1.item_id
          |  JOIN norms n2 ON sym.item_two = n2.item_id)
-         |SELECT item_one, item_two, round(similarity, 6) AS similarity FROM (
+         |SELECT item_one, item_two,
+         |  CAST(floor(similarity * 1000000.0) AS BIGINT) AS similarity_ppm
+         |FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
          |  FROM sims) WHERE rn <= 5""".stripMargin,

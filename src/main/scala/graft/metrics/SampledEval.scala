@@ -49,7 +49,8 @@ object SampledEval {
       seed: Long = 99L,
       queryCol: String = "query_id",
       itemCol: String = "item_id",
-      negSampling: String = "uniform"): DataFrame = {
+      negSampling: String = "uniform",
+      negWeights: Option[DataFrame] = None): DataFrame = {
     require(nNeg > 0 && k > 0, s"need nNeg/k > 0, got $nNeg/$k")
     val q = F.col(queryCol)
     val users = gt.select(queryCol).distinct()
@@ -58,16 +59,30 @@ object SampledEval {
     val cand = users.crossJoin(scores.select(itemCol))
       .join(excl, Seq(queryCol, itemCol), "left_anti")
     // negative draw: "uniform" is the NCF-era default; "popularity"
-    // (inclusion ∝ train popularity, Efraimidis–Spirakis without
+    // (inclusion ∝ TRAIN popularity, Efraimidis–Spirakis without
     // replacement) is the protocol Koren & Rendle recommend when the
-    // production exposure is popularity-skewed — both fully portable
+    // production exposure is popularity-skewed — both fully portable.
+    // The popularity weight is deliberately decoupled from the scorer:
+    // it is `negWeights` (an (item, weight) frame) when given, else
+    // distinct-user train popularity computed here — NEVER the `scores`
+    // column being evaluated (weighting the draw by the model under test
+    // would make the sampling distribution model-dependent, and a scorer
+    // emitting zero/negative scores would crash the positive-weight
+    // assert in the weighted sampler).
     val drawn = negSampling match {
       case "uniform" => graft.text.Mixing.sampleExactKPerGroup(
         cand, Seq(queryCol), nNeg, Seq(queryCol, itemCol), seed)
         .join(scores, Seq(itemCol))
-      case "popularity" => graft.text.Mixing.sampleWeightedKPerGroup(
-        cand.join(scores, Seq(itemCol)), Seq(queryCol), nNeg,
-        "score", Seq(queryCol, itemCol), seed)
+      case "popularity" =>
+        val w = negWeights
+          .getOrElse(itemPopularity(train, queryCol, itemCol)
+            .withColumnRenamed("score", "weight"))
+          .select(F.col(itemCol), F.col("weight"))
+        graft.text.Mixing.sampleWeightedKPerGroup(
+          cand.join(w, Seq(itemCol)), Seq(queryCol), nNeg,
+          "weight", Seq(queryCol, itemCol), seed)
+          .drop("weight")
+          .join(scores, Seq(itemCol))
       case other => throw new IllegalArgumentException(
         s"unknown negSampling '$other' (expected uniform|popularity)")
     }

@@ -83,12 +83,27 @@ final class ItemKNN(
         .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
     } else weighted0
 
-    val norms = weighted.groupBy(cols.item)
-      .agg(F.sqrt(F.sum(F.col("_v") * F.col("_v"))).as("_norm"))
+    // Weighted paths ppm-quantize the per-cell weight to an exact BIGINT
+    // (floor(v·1e6)) BEFORE the dot products — the BiasModel/SlopeOne
+    // exact-integer discipline. Dots and squared norms are then exact
+    // integer sums (partition-order INDEPENDENT), so the cosine is one
+    // deterministic IEEE expression over exact inputs — identical bits in
+    // Spark and any oracle engine, no round-before-rank band-aid (which
+    // still lost 1 cell at a round-9 boundary whenever the float-sum
+    // order differed; observed at sf0.1 for six rounds). Unit algebra:
+    // dot and norm² are both ×1e12, so `shrink` scales by 1e12.
+    // Overflow bound: |_vq| ≤ ~2e7 for any sane bm25/idf weight (v ≤ 20),
+    // so Σ(_vq²) per item stays under 2^63 up to ~2e4 interactions/item ×
+    // 4e14 — beyond that, lower the quantization or use decimal.
+    val cells = if (weighting.isEmpty) weighted
+      else weighted.withColumn("_v",
+        F.floor(F.col("_v") * F.lit(1e6)).cast("long"))
+    val norms = cells.groupBy(cols.item)
+      .agg(F.sqrt(F.sum(F.col("_v") * F.col("_v")).cast("double")).as("_norm"))
 
-    val l = weighted.select(
+    val l = cells.select(
       F.col(cols.query), F.col(cols.item).as("item_one"), F.col("_v").as("_v1"))
-    val r = weighted.select(
+    val r = cells.select(
       F.col(cols.query), F.col(cols.item).as("item_two"), F.col("_v").as("_v2"))
     // one shuffle on the user key; item1 < item2 halves the pairs
     val dots = l.join(r, Seq(cols.query))
@@ -96,21 +111,16 @@ final class ItemKNN(
       .groupBy("item_one", "item_two")
       .agg(F.sum(F.col("_v1") * F.col("_v2")).as("_dot"))
 
+    val shrinkLit = if (weighting.isEmpty) F.lit(shrink)
+      else F.lit(shrink) * F.lit(1e12)
     val half = dots
       .join(norms.withColumnRenamed(cols.item, "item_one")
         .withColumnRenamed("_norm", "_n1"), Seq("item_one"))
       .join(norms.withColumnRenamed(cols.item, "item_two")
         .withColumnRenamed("_norm", "_n2"), Seq("item_two"))
-      .select(F.col("item_one"), F.col("item_two"), {
-        val sim = F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink))
-        // weighted dots are float sums (partition-order dependent at the
-        // last ulp) — round to 9 decimals BEFORE the top-k window so the
-        // neighbour ranking is deterministic across engines/runs. The
-        // unweighted path sums products of exact 1.0s: already exact in
-        // any order, and round() on doubles is BigDecimal-backed (~15%
-        // of fit time at sf0.1), so skip it there.
-        (if (weighting.isEmpty) sim else F.round(sim, 9)).as("similarity")
-      })
+      .select(F.col("item_one"), F.col("item_two"),
+        (F.col("_dot").cast("double") /
+          (F.col("_n1") * F.col("_n2") + shrinkLit)).as("similarity"))
 
     // symmetrize (unionByName, reference association_rules.py:229-235 style)
     val sym = half.unionByName(half.select(
@@ -121,8 +131,8 @@ final class ItemKNN(
     // ~|common-user item pairs|×2 rows (16M at sf0.1, quadratic-ish in
     // history length at scale) and the window would sort all of it; the
     // O(numNeighbours) aggregation crops map-side with no sort. Identical
-    // rows: similarities are deterministic (exact sums unweighted, rounded
-    // otherwise) and the (similarity desc, item_two asc) order matches.
+    // rows: similarities are deterministic (exact integer sums in BOTH
+    // paths) and the (similarity desc, item_two asc) order matches.
     materialize(graft.core.Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
   }
