@@ -632,6 +632,40 @@ object SparkEntry {
         .select(F.col("query_id"), F.col("item_id"),
           F.coalesce(F.col("pred_ppm"), F.lit(-1L)).as("pred_ppm"))
     }),
+    "model_slope_one_sample" -> ((s, d) => {
+      // sampling-mode predict for the rating-prediction family (the
+      // bandit sample=true contract extended to personalized scores,
+      // SampledPredict scaladoc): draw 3 training pairs per user without
+      // replacement ∝ positive SlopeOne prediction via the portable E–S
+      // key; rank + floor-ppb selection probability, full oracle (exact
+      // integer weights → exact integer Σw → deterministic division)
+      val i = Tables.interactions(s, d)
+      val m = new models.SlopeOne().fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+      val pool = m.predictPairs(pairs, i)
+        .filter(F.col("pred_ppm").isNotNull && F.col("pred_ppm") > 0)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.col("pred_ppm").cast("double").as("rating"))
+      models.SampledPredict.sampleScores(pool, k = 3)
+        .select(F.col("query_id"), F.col("item_id"), F.col("rank"),
+          F.floor(F.col("prob") * F.lit(1e9)).cast("long").as("prob_ppb"))
+    }),
+    "model_slope_one_sample_proba" -> ((s, d) => {
+      // the sampling-mode action distribution tiled over the 3 slate
+      // positions (base_rec.py:1400-1443 via SampledPredict) — the
+      // predict_proba half of the personalized sampling contract
+      val i = Tables.interactions(s, d)
+      val m = new models.SlopeOne().fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+        .filter(F.col("query_id") < 100)
+      val pool = m.predictPairs(pairs, i)
+        .filter(F.col("pred_ppm").isNotNull && F.col("pred_ppm") > 0)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.col("pred_ppm").cast("double").as("rating"))
+      models.SampledPredict.probaFromScores(pool, k = 3)
+        .select(F.col("query_id"), F.col("item_id"), F.col("position"),
+          F.floor(F.col("prob") * F.lit(1e9)).cast("long").as("prob_ppb"))
+    }),
     "model_p3alpha" -> ((s, d) => {
       // P³ random-walk recommender (engine extra; Cooper et al. WWW 2014)
       // in exact integer ppt — every training pair scored through the
@@ -643,6 +677,22 @@ object SparkEntry {
       m.predictPairs(pairs, i)
         .select(F.col("query_id"), F.col("item_id"),
           F.coalesce(F.col("score_ppt"), F.lit(-1L)).as("score_ppt"))
+    }),
+    "model_p3alpha_sample" -> ((s, d) => {
+      // sampling-mode predict for the walk family: 3 training pairs per
+      // user drawn ∝ positive CROPPED-matrix p3 score (the production
+      // topKNeighbours=10 config) via the portable E–S key — exact-ppt
+      // weights make rank AND floor-ppb probability full-oracle
+      val i = Tables.interactions(s, d)
+      val m = new models.P3AlphaRec(topKNeighbours = 10).fit(i)
+      val pairs = i.select("query_id", "item_id").distinct()
+      val pool = m.predictPairs(pairs, i)
+        .filter(F.col("score_ppt").isNotNull && F.col("score_ppt") > 0)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.col("score_ppt").cast("double").as("rating"))
+      models.SampledPredict.sampleScores(pool, k = 3)
+        .select(F.col("query_id"), F.col("item_id"), F.col("rank"),
+          F.floor(F.col("prob") * F.lit(1e9)).cast("long").as("prob_ppb"))
     }),
     "model_rp3beta" -> ((s, d) => {
       // RP³β (Paudel et al. TiiS 2017): the same walk matrix with the β=1
@@ -811,6 +861,21 @@ object SparkEntry {
       new models.Markov2Rec(tieBreak = Seq("session_id")).fit(i)
         .predict(i, k = 5)
     }),
+    "model_markov2_sample" -> ((s, d) => {
+      // sampling-mode predict for the sequential family: the full unseen
+      // candidate set (order-2 with stupid backoff — k large enough that
+      // no candidate is cropped) sampled 3-per-user ∝ transition count
+      // via the portable E–S key; counts are exact integers → rank and
+      // floor-ppb probability both full-oracle
+      val i = Tables.interactions(s, d)
+      val m = new models.Markov2Rec(tieBreak = Seq("session_id")).fit(i)
+      val pool = m.predict(i, k = 100000)
+        .filter(F.col("rating") > 0)
+        .select("query_id", "item_id", "rating")
+      models.SampledPredict.sampleScores(pool, k = 3)
+        .select(F.col("query_id"), F.col("item_id"), F.col("rank"),
+          F.floor(F.col("prob") * F.lit(1e9)).cast("long").as("prob_ppb"))
+    }),
     "model_markov_trans" -> ((s, d) =>
       // the fit state itself: consecutive-pair counts under the
       // deterministic (ts, session, item) order, minCount=2 floor
@@ -963,6 +1028,36 @@ object SparkEntry {
           .as("shrink_monotone"),
         F.bool_and(!F.isnan(F.col("similarity")) &&
           F.abs(F.col("similarity")) < 1e6).as("values_finite"))
+    }),
+
+    "model_ease_sample" -> ((s, d) => {
+      // sampling-mode predict for EASE: the B-matrix weights are LAPACK
+      // outputs DuckDB cannot replay, so (the model_ease pattern) this is
+      // a certificate gate — the E–S draw over positive EASE pair scores
+      // must be nonempty, ≤k per user, probability-bounded, and the
+      // (query, item, rank) draw BIT-IDENTICAL across partition layouts:
+      // the portable-hash law a layout-dependent sampler cannot fake.
+      val i = Tables.interactions(s, d).filter(F.col("item_id") < 500)
+        .select("query_id", "item_id").distinct()
+        .withColumn("rating", F.lit(1.0))
+      val m = new models.Ease(lambda = 10.0, maxItems = 600).fit(i)
+      val pool = m.predictPairs(i.select("query_id", "item_id"), i)
+        .filter(F.col("rating") > 0).cache()
+      val a = models.SampledPredict.sampleScores(pool, k = 3).cache()
+      val b = models.SampledPredict.sampleScores(pool.repartition(7), k = 3)
+      val key = Seq("query_id", "item_id", "rank")
+      val diff = a.select(key.head, key.tail: _*)
+        .unionByName(b.select(key.head, key.tail: _*))
+        .groupBy(key.head, key.tail: _*)
+        .agg(F.count(F.lit(1)).as("c")).filter(F.col("c") =!= 2).count()
+      val perUser = a.groupBy("query_id").agg(F.count(F.lit(1)).as("_n"))
+      a.agg(
+        (F.count(F.lit(1)) > 0L).as("nonempty"),
+        F.bool_and(F.col("prob") > 0.0 && F.col("prob") <= 1.0)
+          .as("prob_bounded"),
+        F.lit(diff == 0L).as("layout_invariant"))
+        .crossJoin(perUser.agg(
+          F.bool_and(F.col("_n") <= 3L).as("per_user_le_k")))
     }),
 
     // ---- §2.8 history features + time smoothing ---------------------------
@@ -4803,6 +4898,48 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    // the markov2 candidate chain (c2 ∪ backoff c1, seen-filtered) as the
+    // sampled-predict pool — transition counts are the exact weights
+    "model_markov2_sample" ->
+      s"""$interactionsSql,
+         |seq AS (SELECT query_id, item_id,
+         |    lag(item_id, 1) OVER w AS p1,
+         |    lag(item_id, 2) OVER w AS p2
+         |  FROM interactions
+         |  WINDOW w AS (PARTITION BY query_id
+         |    ORDER BY timestamp, session_id, item_id)),
+         |t2 AS (SELECT p2 AS ctx2, p1 AS ctx1, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+         |t1 AS (SELECT p1 AS item_one, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE p1 IS NOT NULL GROUP BY 1, 2),
+         |lst AS (SELECT query_id,
+         |    max(CASE WHEN rn = 1 THEN item_id END) AS l1,
+         |    max(CASE WHEN rn = 2 THEN item_id END) AS l2
+         |  FROM (SELECT query_id, item_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
+         |    FROM interactions) WHERE rn <= 2 GROUP BY 1),
+         |c2 AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t2 t ON l.l2 = t.ctx2 AND l.l1 = t.ctx1
+         |  WHERE l.l2 IS NOT NULL),
+         |q2 AS (SELECT DISTINCT query_id FROM c2),
+         |c1 AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t1 t ON l.l1 = t.item_one
+         |  WHERE l.query_id NOT IN (SELECT query_id FROM q2)),
+         |seen AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |u AS (SELECT * FROM c2 UNION ALL SELECT * FROM c1),
+         |unseen AS (SELECT u.* FROM u ANTI JOIN seen s
+         |    ON u.query_id = s.query_id AND u.item_id = s.item_id),
+         |pool AS (SELECT query_id, item_id, rating AS w FROM unseen
+         |  WHERE rating > 0),
+         |${esSampleTailSql(3, 42L)}""".stripMargin,
+    "model_ease_sample" ->
+      """SELECT true AS nonempty, true AS prob_bounded,
+        |  true AS layout_invariant, true AS per_user_le_k""".stripMargin,
     "model_markov_trans" ->
       s"""$interactionsSql,
          |seq AS (SELECT query_id, item_id,
@@ -5359,6 +5496,42 @@ object SparkEntry {
          |SELECT count(DISTINCT item_id) AS n_items, true AS parity_exact,
          |  true AS kkt_ok, true AS nonempty
          |FROM interactions WHERE item_id < 500""".stripMargin,
+    // sampled-predict / proba gates for the round-12 families: the shared
+    // E–S tail over each family's exact-integer score pool
+    "model_slope_one_sample" ->
+      s"""$interactionsSql,
+         |$slopeOneScoredSql,
+         |pool AS (SELECT query_id, item_id, CAST(pred_ppm AS DOUBLE) AS w
+         |  FROM scored WHERE pred_ppm > 0),
+         |${esSampleTailSql(3, 42L)}""".stripMargin,
+    "model_slope_one_sample_proba" ->
+      s"""$interactionsSql,
+         |$slopeOneScoredSql,
+         |pool AS (SELECT query_id, item_id, CAST(pred_ppm AS DOUBLE) AS w
+         |  FROM scored WHERE pred_ppm > 0 AND query_id < 100),
+         |wt AS (SELECT query_id, item_id, w,
+         |    sum(w) OVER (PARTITION BY query_id) AS tot FROM pool),
+         |pos AS (SELECT * FROM (VALUES (0),(1),(2)) AS p(position))
+         |SELECT query_id, item_id, CAST(position AS BIGINT) AS position,
+         |  CAST(floor(w / tot * 1000000000.0) AS BIGINT) AS prob_ppb
+         |FROM wt CROSS JOIN pos""".stripMargin,
+    "model_p3alpha_sample" ->
+      s"""$interactionsSql,
+         |$p3WalkSql,
+         |pcrop AS (SELECT item_from, item_to, sim_ppt FROM (
+         |  SELECT p.*, row_number() OVER (PARTITION BY item_from
+         |    ORDER BY sim_ppt DESC, item_to ASC) AS rn FROM psims p)
+         |  WHERE rn <= 10),
+         |pagg AS (SELECT p.query_id, p.item_id,
+         |    CAST(sum(s.sim_ppt) AS BIGINT) AS ssum
+         |  FROM pbase p JOIN pbase h ON p.query_id = h.query_id
+         |  JOIN pcrop s ON s.item_from = h.item_id AND s.item_to = p.item_id
+         |  GROUP BY 1, 2),
+         |pool AS (SELECT a.query_id, a.item_id,
+         |    CAST(CAST(a.ssum // u.du AS BIGINT) AS DOUBLE) AS w
+         |  FROM pagg a JOIN pdu u USING (query_id)
+         |  WHERE CAST(a.ssum // u.du AS BIGINT) > 0),
+         |${esSampleTailSql(3, 42L)}""".stripMargin,
     // Slope One replayed exactly: floor-ppm pre-average, antisymmetrized
     // deviation pairs, one integral division at the end
     "model_slope_one" -> slopeOnePairsSql,
@@ -5484,26 +5657,49 @@ object SparkEntry {
 
   /** model_slope_one / model_slope_one_incremental: the weighted Slope One
     * replayed exactly over every distinct training pair. */
+  /** The Slope One scoring CTE chain (`sbase` … `scored`) — shared by the
+    * pair-parity oracles and the sampled-predict oracles. */
+  private lazy val slopeOneScoredSql: String =
+    """sbase AS MATERIALIZED (SELECT query_id, item_id,
+      |    CAST(sum(CAST(floor(rating * 1e6) AS BIGINT)) // count(*)
+      |      AS BIGINT) AS r
+      |  FROM interactions GROUP BY 1, 2),
+      |half AS (SELECT a.item_id AS item_from, b.item_id AS item_to,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(b.r - a.r) AS BIGINT) AS dev_ppm
+      |  FROM sbase a JOIN sbase b
+      |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+      |  GROUP BY 1, 2),
+      |devs AS (SELECT item_from, item_to, n, dev_ppm FROM half
+      |  UNION ALL
+      |  SELECT item_to, item_from, n, -dev_ppm FROM half),
+      |scored AS (SELECT p.query_id, p.item_id,
+      |    CAST(sum(d.dev_ppm + d.n * h.r) // sum(d.n) AS BIGINT) AS pred_ppm
+      |  FROM sbase p JOIN sbase h ON p.query_id = h.query_id
+      |  JOIN devs d ON d.item_from = h.item_id AND d.item_to = p.item_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared sampled-predict tail (SampledPredict.sampleScores replayed):
+    * expects a CTE `pool(query_id, item_id, w DOUBLE)` with strictly
+    * positive exact-integer-valued weights — portable-md5 uniform,
+    * ln(u + 1e-18)/w Efraimidis–Spirakis key, per-query rank window,
+    * floor-ppb selection probability. NOTE the md5 concat keeps `||` at
+    * line ENDS (a leading `||` would be eaten by the outer stripMargin). */
+  private def esSampleTailSql(k: Int, seed: Long): String =
+    s"""esk AS (SELECT query_id, item_id, w,
+       |    sum(w) OVER (PARTITION BY query_id) AS tot,
+       |    ln((('0x' || substr(md5('$seed:' || CAST(query_id AS VARCHAR) ||
+       |        ':' || CAST(item_id AS VARCHAR)), 1, 15))::BIGINT
+       |        / 1152921504606846976.0) + 1e-18) / w AS ek
+       |  FROM pool)
+       |SELECT query_id, item_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(floor(w / tot * 1000000000.0) AS BIGINT) AS prob_ppb
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ek DESC, item_id) AS rn FROM esk) WHERE rn <= $k""".stripMargin
+
   private lazy val slopeOnePairsSql: String =
     s"""$interactionsSql,
-         |sbase AS MATERIALIZED (SELECT query_id, item_id,
-         |    CAST(sum(CAST(floor(rating * 1e6) AS BIGINT)) // count(*)
-         |      AS BIGINT) AS r
-         |  FROM interactions GROUP BY 1, 2),
-         |half AS (SELECT a.item_id AS item_from, b.item_id AS item_to,
-         |    CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(b.r - a.r) AS BIGINT) AS dev_ppm
-         |  FROM sbase a JOIN sbase b
-         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2),
-         |devs AS (SELECT item_from, item_to, n, dev_ppm FROM half
-         |  UNION ALL
-         |  SELECT item_to, item_from, n, -dev_ppm FROM half),
-         |scored AS (SELECT p.query_id, p.item_id,
-         |    CAST(sum(d.dev_ppm + d.n * h.r) // sum(d.n) AS BIGINT) AS pred_ppm
-         |  FROM sbase p JOIN sbase h ON p.query_id = h.query_id
-         |  JOIN devs d ON d.item_from = h.item_id AND d.item_to = p.item_id
-         |  GROUP BY 1, 2)
+         |$slopeOneScoredSql
          |SELECT p.query_id, p.item_id,
          |  coalesce(s.pred_ppm, -1) AS pred_ppm
          |FROM sbase p LEFT JOIN scored s
