@@ -1392,6 +1392,50 @@ object SparkEntry {
       // scores remain spec-visible via Tier2Spec
       scores.map { case (m, v) => (m, v >= floor) }.toDF("model", "passed")
     }),
+    "search_space_new_families" -> ((s, d) => {
+      // hyper-parameter DRAW + DECODE law for the round-12/13 model
+      // families (EASE λ, SlopeOne cap, BiasModel damping, ContentKNN
+      // neighbours/shrink, Markov2 floor, P3alpha β/crop): 3 budgeted
+      // md5 draws per family through RandomSearch.draws, decoded by each
+      // model's withParams (round for integers, exp for ln-space λ) —
+      // the oracle replays the identical draw chain and decode in SQL,
+      // pinning borders, seed recipe, and decode law cross-engine.
+      import s.implicits._
+      val fams = Seq[(String, models.BaseRecommender)](
+        ("slope_one", new models.SlopeOne()),
+        ("bias", new models.BiasModel()),
+        ("content_knn", new models.ContentKNN()),
+        ("markov2", new models.Markov2Rec()),
+        ("ease", new models.Ease()),
+        ("p3alpha", new models.P3AlphaRec()))
+      val rows = fams.flatMap { case (name, m) =>
+        graft.metrics.RandomSearch.draws(m.searchBorders, 3, 7L)
+          .zipWithIndex.flatMap { case (draw, t) =>
+            val decoded: Seq[(String, Double)] = m.withParams(draw) match {
+              case x: models.SlopeOne =>
+                Seq("max_user_history" -> x.maxUserHistory.toDouble)
+              case x: models.BiasModel =>
+                Seq("lambda_item" -> x.lambdaItem.toDouble,
+                  "lambda_user" -> x.lambdaUser.toDouble)
+              case x: models.ContentKNN =>
+                Seq("num_neighbours" -> x.numNeighbours.toDouble,
+                  "shrink" -> x.shrink)
+              case x: models.Markov2Rec =>
+                Seq("min_count" -> x.minCount.toDouble)
+              case x: models.Ease => Seq("lambda" -> x.lambda)
+              case x: models.P3AlphaRec =>
+                Seq("beta" -> x.beta.toDouble,
+                  "top_k_neighbours" -> x.topKNeighbours.toDouble)
+              case other => throw new IllegalStateException(
+                s"unmapped family ${other.getClass.getSimpleName}")
+            }
+            decoded.map { case (p, v) => (name, t.toLong, p, v) }
+          }
+      }
+      rows.toDF("family", "trial", "param", "value")
+        .select(F.col("family"), F.col("trial"), F.col("param"),
+          F.round(F.col("value"), 6).as("value"))
+    }),
     "grid_search" -> ((s, d) => {
       // deterministic hyper-parameter grid (Optuna replacement,
       // optimization/optuna_mixin.py:17-244): Wilson z ∈ {1.0, 1.96}
@@ -1637,6 +1681,29 @@ object SparkEntry {
           F.round(F.col("rel_0"), 6).as("rel6"),
           F.col("u_cnt").cast("long").as("u_cnt"),
           F.col("i_cnt").cast("long").as("i_cnt"))
+    }),
+    "two_stages_multi" -> ((s, d) => {
+      // MULTI-model TwoStages skeleton (two_stages_scenario.py:344-408
+      // supports several first-level models with per-model relevance
+      // features): TWO first-level models — ItemKNN (candidate head) +
+      // PopRec — with rel_0 AND rel_1 both populated by the enrichment
+      // join. Full oracle: the ItemKNN candidate chain (predict
+      // k+maxPositives with seen-filter off, positives anti-join, top-k),
+      // target labeling, and both relevance columns replayed in SQL.
+      val log = Tables.interactions(s, d)
+        .select("query_id", "item_id", "timestamp", "session_id").distinct()
+        .withColumn("_tie", F.struct(F.col("session_id"), F.col("item_id")))
+        .withColumn("rating", F.lit(1.0))
+      val sc = new scenarios.TwoStagesScenario(
+        Seq(new models.ItemKNN(numNeighbours = 5), new models.PopRec()),
+        fallbackModel = None, numNegatives = 10,
+        trainSplitter = RatioSplitter(0.5, queryCol = "query_id",
+          tsCol = "timestamp", tieCol = Some("_tie")))
+      val (labeled, flTrain) = sc.secondLevelTrain(log)
+      sc.enrich(labeled, flTrain, None, None)
+        .select(F.col("query_id"), F.col("item_id"), F.col("target"),
+          F.round(F.col("rel_0"), 6).as("rel0_6"),
+          F.round(F.col("rel_1"), 6).as("rel1_6"))
     }),
     "two_stages" -> ((s, d) => {
       // full two-stage path (candidates+fallback → enrichment → GBT
@@ -5321,6 +5388,33 @@ object SparkEntry {
          |  nn2.n AS resamples
          |FROM pt, nn2""".stripMargin,
     "experiment_table" -> experimentTableSql,
+    // the new-family search spaces: the md5 draw chain (seed 7, trials
+    // 0..2) and each family's decode law replayed over a VALUES border
+    // table; `round` = integer params (half away from zero — positive
+    // borders make this identical to JVM math.round), `exp` = the
+    // ln-space λ
+    "search_space_new_families" ->
+      """WITH sp AS (SELECT * FROM (VALUES
+        |    ('slope_one', 'max_user_history', 100.0, 2000.0, 'round'),
+        |    ('bias', 'lambda_item', 0.0, 100.0, 'round'),
+        |    ('bias', 'lambda_user', 0.0, 100.0, 'round'),
+        |    ('content_knn', 'num_neighbours', 1.0, 100.0, 'round'),
+        |    ('content_knn', 'shrink', 0.0, 100.0, 'round'),
+        |    ('markov2', 'min_count', 1.0, 10.0, 'round'),
+        |    ('ease', 'lambda', ln(1.0), ln(10000.0), 'exp'),
+        |    ('p3alpha', 'beta', 0.0, 3.0, 'round'),
+        |    ('p3alpha', 'top_k_neighbours', 10.0, 500.0, 'round'))
+        |  AS t(family, param, lo, hi, kind)),
+        |tr AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(trial)),
+        |d AS (SELECT family, param, CAST(trial AS BIGINT) AS trial, kind,
+        |    lo + (('0x' || substr(md5('7:' || CAST(trial AS VARCHAR) ||
+        |      ':' || param), 1, 15))::BIGINT
+        |      / 1152921504606846976.0) * (hi - lo) AS raw
+        |  FROM sp CROSS JOIN tr)
+        |SELECT family, trial, param,
+        |  round(CASE WHEN kind = 'round' THEN round(raw)
+        |             WHEN kind = 'exp' THEN exp(raw) END, 6) AS value
+        |FROM d""".stripMargin,
     "grid_search" -> gridSearchSql,
     "grid_search_budget" -> gridSearchBudgetSql,
     "tpe_search_budget" -> tpeSearchBudgetSql,
@@ -5466,6 +5560,79 @@ object SparkEntry {
          |LEFT JOIN sl ON c.query_id = sl.query_id AND c.item_id = sl.item_id
          |LEFT JOIN ucnt u ON c.query_id = u.query_id
          |LEFT JOIN icnt ic ON c.item_id = ic.item_id""".stripMargin,
+    // the multi-model skeleton: ItemKNN candidate chain + both per-model
+    // relevance columns replayed (fl keeps (q,i,ts,session)-multiplicity —
+    // predict/predictPairs sum over history ROWS; fld is the distinct
+    // pair set the similarity fit and the seen-anti-join use)
+    "two_stages_multi" ->
+      s"""$interactionsSql,
+         |i0 AS (SELECT DISTINCT query_id, item_id, timestamp, session_id
+         |       FROM interactions),
+         |marked AS (SELECT query_id, item_id,
+         |    (row_number() OVER (PARTITION BY query_id
+         |       ORDER BY timestamp, session_id, item_id)
+         |     > count(*) OVER (PARTITION BY query_id)
+         |       * (1.0 - CAST(0.5 AS DOUBLE))) AS is_test
+         |  FROM i0),
+         |fl AS (SELECT query_id, item_id FROM marked WHERE NOT is_test),
+         |fld AS MATERIALIZED (SELECT DISTINCT query_id, item_id FROM fl),
+         |sl AS (SELECT DISTINCT query_id, item_id FROM marked WHERE is_test),
+         |norms AS (SELECT item_id, sqrt(sum(1.0*1.0)) AS nrm
+         |  FROM fld GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS item_one, b.item_id AS item_two,
+         |    sum(1.0*1.0) AS dot
+         |  FROM fld a JOIN fld b
+         |    ON a.query_id = b.query_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_one, item_two, dot FROM dots
+         |        UNION ALL
+         |        SELECT item_two, item_one, dot FROM dots),
+         |sims AS (
+         |  SELECT item_one, item_two, dot/(n1.nrm*n2.nrm + 0.0) AS similarity
+         |  FROM sym
+         |  JOIN norms n1 ON sym.item_one = n1.item_id
+         |  JOIN norms n2 ON sym.item_two = n2.item_id),
+         |top_sims AS MATERIALIZED (
+         |  SELECT item_one, item_two, similarity FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY item_one ORDER BY similarity DESC, item_two) AS rn
+         |    FROM sims) WHERE rn <= 5),
+         |mp AS (SELECT max(c) AS mx FROM (
+         |  SELECT count(*) AS c FROM fl GROUP BY query_id)),
+         |recs AS (
+         |  SELECT h.query_id, t.item_two AS item_id,
+         |    round(sum(t.similarity), 9) AS rating
+         |  FROM fl h JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2),
+         |crop1 AS (SELECT query_id, item_id, rating FROM (
+         |  SELECT r.*, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rk
+         |  FROM recs r), mp WHERE rk <= 10 + mp.mx),
+         |unseen AS (SELECT c.* FROM crop1 c ANTI JOIN fld f
+         |  ON c.query_id = f.query_id AND c.item_id = f.item_id),
+         |cand AS (SELECT query_id, item_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rk
+         |  FROM unseen) WHERE rk <= 10),
+         |rel0 AS (
+         |  SELECT h.query_id, t.item_two AS item_id, sum(t.similarity) AS rel
+         |  FROM fl h JOIN top_sims t ON h.item_id = t.item_one
+         |  GROUP BY 1, 2),
+         |pop AS (SELECT item_id, count(DISTINCT query_id) /
+         |    CAST((SELECT count(DISTINCT query_id) FROM fl) AS DOUBLE)
+         |    AS rating
+         |  FROM fl GROUP BY 1)
+         |SELECT c.query_id, c.item_id,
+         |  CAST(CASE WHEN sl.query_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+         |    AS DOUBLE) AS target,
+         |  round(coalesce(r0.rel, 0.0), 6) AS rel0_6,
+         |  round(coalesce(p.rating, 0.0), 6) AS rel1_6
+         |FROM cand c
+         |LEFT JOIN sl ON c.query_id = sl.query_id AND c.item_id = sl.item_id
+         |LEFT JOIN rel0 r0 ON c.query_id = r0.query_id
+         |  AND c.item_id = r0.item_id
+         |LEFT JOIN pop p ON c.item_id = p.item_id""".stripMargin,
     // certificate: GBT rerank internals are MLlib; the contract booleans
     // must all be TRUE
     "two_stages" ->

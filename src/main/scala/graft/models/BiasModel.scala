@@ -131,4 +131,14 @@ final class BiasModel(
       .select(F.col(cols.query), F.col(cols.item),
         (F.lit(muPpm) + F.coalesce(F.col("b_u_ppm"), F.lit(0L))
           + F.coalesce(F.col("b_i_ppm"), F.lit(0L))).as("pred_ppm"))
+
+  /** Damping strengths λ_i / λ_u, integer [0, 100] (Netflix-era practice
+    * tunes both around 10–25). */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "lambda_item" -> (0.0, 100.0), "lambda_user" -> (0.0, 100.0))
+
+  override def withParams(p: Map[String, Double]): BiasModel = new BiasModel(
+    lambdaItem = p.get("lambda_item").map(math.round).getOrElse(lambdaItem),
+    lambdaUser = p.get("lambda_user").map(math.round).getOrElse(lambdaUser),
+    cols)
 }

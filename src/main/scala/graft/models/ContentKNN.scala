@@ -78,4 +78,15 @@ final class ContentKNN(
     fitItemsDf = base.select(F.col(cols.item)).distinct().cache()
     this
   }
+
+  /** Same knob ranges as the collaborative ItemKNN (knn.py:32-37):
+    * neighbours integer [1, 100], shrink integer [0, 100]. */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "num_neighbours" -> (1.0, 100.0), "shrink" -> (0.0, 100.0))
+
+  override def withParams(p: Map[String, Double]): ContentKNN = new ContentKNN(
+    numNeighbours = p.get("num_neighbours").map(v => math.round(v).toInt)
+      .getOrElse(numNeighbours),
+    shrink = p.get("shrink").map(v => math.round(v).toDouble).getOrElse(shrink),
+    maxFeatureAudience, cols)
 }

@@ -134,4 +134,13 @@ final class Markov2Rec(
       pairs.join(order2Queries, Seq(cols.query), "left_anti"), log)
     p2.unionByName(p1)
   }
+
+  /** Same knob as the order-1 model: the transition-count floor
+    * (integer [1, 10]), applied to both tiers. */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "min_count" -> (1.0, 10.0))
+
+  override def withParams(p: Map[String, Double]): Markov2Rec = new Markov2Rec(
+    minCount = p.get("min_count").map(math.round).getOrElse(minCount),
+    tieBreak, cols)
 }

@@ -155,4 +155,13 @@ final class SlopeOne(
       .agg(F.expr("sum(dev_ppm + n * r_ppm) div sum(n)").as("pred_ppm"))
     pairs.join(contrib, Seq(cols.query, cols.item), "left")
   }
+
+  /** The one knob: the per-user history cap bounding the deviation
+    * self-join fan-out (integer [100, 2000]). */
+  override def searchBorders: Map[String, (Double, Double)] = Map(
+    "max_user_history" -> (100.0, 2000.0))
+
+  override def withParams(p: Map[String, Double]): SlopeOne = new SlopeOne(
+    maxUserHistory = p.get("max_user_history").map(v => math.round(v).toInt)
+      .getOrElse(maxUserHistory), cols)
 }

@@ -75,6 +75,52 @@ class SearchSpaceSpec extends SparkSpec {
       assert(m.minPairCount >= 3 && m.minPairCount <= 10)
       assert(m.numNeighbours >= 300 && m.numNeighbours <= 2000)
     }
+    // round-12/13 families (EASE λ, SlopeOne cap, BiasModel damping,
+    // ContentKNN neighbours, Markov2 floor, P3alpha β/crop)
+    val so = new SlopeOne()
+    for (d <- graft.metrics.RandomSearch.draws(so.searchBorders, 10, 42)) {
+      val m = so.withParams(d)
+      assert(m.maxUserHistory >= 100 && m.maxUserHistory <= 2000)
+    }
+    val bm = new BiasModel()
+    for (d <- graft.metrics.RandomSearch.draws(bm.searchBorders, 10, 42)) {
+      val m = bm.withParams(d)
+      assert(m.lambdaItem >= 0 && m.lambdaItem <= 100)
+      assert(m.lambdaUser >= 0 && m.lambdaUser <= 100)
+    }
+    val ck = new ContentKNN()
+    for (d <- graft.metrics.RandomSearch.draws(ck.searchBorders, 10, 42)) {
+      val m = ck.withParams(d)
+      assert(m.numNeighbours >= 1 && m.numNeighbours <= 100)
+      assert(m.shrink >= 0 && m.shrink <= 100)
+    }
+    val m2 = new Markov2Rec()
+    for (d <- graft.metrics.RandomSearch.draws(m2.searchBorders, 10, 42)) {
+      val m = m2.withParams(d)
+      assert(m.minCount >= 1 && m.minCount <= 10)
+    }
+    val ease = new Ease()
+    for (d <- graft.metrics.RandomSearch.draws(ease.searchBorders, 10, 42)) {
+      val m = ease.withParams(d)
+      assert(m.lambda >= 1.0 && m.lambda <= 1e4, s"ln-space λ out: ${m.lambda}")
+    }
+    val p3 = new P3AlphaRec()
+    for (d <- graft.metrics.RandomSearch.draws(p3.searchBorders, 10, 42)) {
+      val m = p3.withParams(d)
+      assert(m.beta >= 0 && m.beta <= 3)
+      assert(m.topKNeighbours >= 10 && m.topKNeighbours <= 500)
+    }
+  }
+
+  test("round-12 rating/sequential families run zero-config optimize end-to-end") {
+    for (m <- Seq[BaseRecommender](new SlopeOne(), new BiasModel(),
+        new Markov2Rec())) {
+      val auto = m.optimize(trainDf, testDf, budget = 2, seed = 7)
+      val explicit = m.optimize(trainDf, testDf,
+        paramBorders = Some(m.searchBorders), budget = 2, seed = 7)
+      assert(auto.params == explicit.params && auto.score == explicit.score,
+        s"${m.getClass.getSimpleName}: zero-config optimize diverged")
+    }
   }
 
   test("withParams inherits unmentioned config and never mutates the source") {
