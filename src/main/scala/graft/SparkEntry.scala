@@ -821,6 +821,47 @@ object SparkEntry {
         .fit(Tables.interactions(s, d))
       m.rules
     }),
+    "streaming_bias" -> ((s, d) => {
+      // the BiasModel streaming sufficient-statistic twin run in batch
+      // mode: per-(query, item) (Σr, n) held in mapGroupsWithState →
+      // fitFromStats → byte-for-byte the model_bias oracle (the additive
+      // stats law makes stream state ≡ batch stats under any slicing)
+      import s.implicits._
+      val i = Tables.interactions(s, d)
+      val ev = i.select(F.col("query_id").cast("long").as("query_id"),
+        F.col("item_id").cast("long").as("item_id"),
+        F.floor(F.col("rating") * 1e6).cast("long").as("r_ppm"))
+        .as[graft.streaming.StreamingOps.RatingEvent]
+      val stats = graft.streaming.StreamingOps.streamingBiasStats(ev).toDF()
+      val m = new models.BiasModel()
+      m.fitFromStats(stats)
+      m.predictPairs(i.select("query_id", "item_id").distinct(), i)
+    }),
+    "streaming_slope_one" -> ((s, d) => {
+      // the Slope One streaming deviation-delta twin run in batch mode:
+      // per-user history state emits upper-triangle deltas; Σdeltas +
+      // the pre-averaged ratings rebuild the fit — the model_slope_one
+      // oracle byte-for-byte (distinct-pair contract: duplicates
+      // pre-average BEFORE streaming, exactly the batch fit's merge)
+      import s.implicits._
+      val i = Tables.interactions(s, d)
+      val ev = i.groupBy("query_id", "item_id")
+        .agg(F.expr("sum(floor(rating * 1e6)) div count(*)")
+          .cast("long").as("r_ppm"))
+        .select(F.col("query_id").cast("long").as("query_id"),
+          F.col("item_id").cast("long").as("item_id"), F.col("r_ppm"))
+        .as[graft.streaming.StreamingOps.RatingEvent]
+      val half = graft.streaming.StreamingOps.streamingSlopeOneDeltas(ev)
+        .toDF()
+        .groupBy("item_from", "item_to")
+        .agg(F.sum("n").cast("long").as("n"),
+          F.sum("dev_ppm").cast("long").as("dev_ppm"))
+      val m = new models.SlopeOne(maxUserHistory = 0)
+      m.fitFromStats(half, ev.toDF())
+      m.predictPairs(i.select("query_id", "item_id").distinct(), i)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.coalesce(F.col("pred_ppm"), F.lit(-1L)).as("pred_ppm"))
+    }),
     "model_bias" -> ((s, d) => {
       // damped-mean bias baseline μ + b_u + b_i — exact ppm rating
       // prediction per distinct pair
@@ -4876,6 +4917,11 @@ object SparkEntry {
     // identical SQL to model_bias: the merged-stats rebuild must equal
     // the full fit
     "model_bias_incremental" -> biasPairsSql,
+    // identical SQL again: the STREAMING stats state rebuilds the fit
+    // (mapGroupsWithState (Σr, n) ≡ batch pairStats under any slicing)
+    "streaming_bias" -> biasPairsSql,
+    // and the streaming Slope One deviation deltas rebuild that fit
+    "streaming_slope_one" -> slopeOnePairsSql,
     "model_bias_topk" ->
       s"""$interactionsSql,
          |b AS (SELECT query_id, item_id,

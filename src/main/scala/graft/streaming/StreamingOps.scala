@@ -598,6 +598,85 @@ object StreamingOps {
       }
   }
 
+  final case class RatingEvent(query_id: Long, item_id: Long, r_ppm: Long)
+  final case class PairStatState(s_ppm: Long, n: Long)
+  final case class PairStat(query_id: Long, item_id: Long, s_ppm: Long, n: Long)
+
+  /** Running per-(query, item) rating sufficient statistics — the
+    * incremental state behind [[graft.models.BiasModel.fitFromStats]]:
+    * (Σ r_ppm, n) per pair, exact integers, additive under ANY event
+    * slicing, so after the last micro-batch the state equals
+    * `BiasModel.pairStats` of the concatenated events and
+    * `fitFromStats` of it is BIT-exact vs the batch fit (spec-pinned;
+    * driver gate streaming_bias shares the model_bias oracle). Emits the
+    * updated stat per touched pair each batch (update-mode semantics —
+    * keep the LAST row per pair downstream). State is O(rated pairs),
+    * two longs each — the same envelope as the batch stats table. */
+  def streamingBiasStats(events: Dataset[RatingEvent]): Dataset[PairStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.query_id, e.item_id))
+      .mapGroupsWithState[PairStatState, PairStat](
+        GroupStateTimeout.NoTimeout()) {
+        case ((q, i), rows, state: GroupState[PairStatState]) =>
+          val prev = state.getOption.getOrElse(PairStatState(0L, 0L))
+          var s = prev.s_ppm
+          var n = prev.n
+          rows.foreach { e => s += e.r_ppm; n += 1 }
+          state.update(PairStatState(s, n))
+          PairStat(q, i, s, n)
+      }
+  }
+
+  final case class SlopeHist(items: List[(Long, Long)])
+  final case class DevDelta(item_from: Long, item_to: Long, n: Long,
+    dev_ppm: Long)
+
+  /** Streaming Slope One deviation deltas — the incremental twin of
+    * [[graft.models.SlopeOne]]'s upper-triangle deviation fit: the state
+    * per user is their (item, r_ppm) history; each arrival pairs with the
+    * prior history and emits upper-triangle increments
+    * (min(i,j), max(i,j), 1, ±Δr_ppm) in append mode, including pairs
+    * that straddle micro-batch boundaries. Summing the deltas per
+    * (item_from, item_to) rebuilds the batch half-table EXACTLY —
+    * `SlopeOne(maxUserHistory = 0).fitFromStats(Σdeltas, ratings)` is
+    * bit-exact vs the batch fit (spec-pinned; driver gate
+    * streaming_slope_one shares the model_slope_one oracle).
+    *
+    * CONTRACT: distinct (query, item) event streams — a re-rated pair
+    * would need retraction of its earlier deltas (the batch fit
+    * pre-averages duplicates); dedup upstream ([[streamingDedup]]).
+    * Duplicate arrivals of the SAME item are dropped defensively (no
+    * self-pairs, no double counting). The state is the user's full
+    * history — the uncapped (maxUserHistory = 0) twin; at 100 TB bound
+    * it with the same upstream per-user crop the batch cap applies. */
+  def streamingSlopeOneDeltas(
+      events: Dataset[RatingEvent]): Dataset[DevDelta] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.query_id)
+      .flatMapGroupsWithState[SlopeHist, DevDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[SlopeHist]) =>
+          var hist = state.getOption.map(_.items).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[DevDelta]
+          // within-batch order is irrelevant to the aggregated half-table
+          // (every unordered pair emits exactly once); sort for a
+          // deterministic delta STREAM anyway (test ergonomics)
+          rows.toSeq.sortBy(e => (e.item_id, e.r_ppm)).foreach { e =>
+            if (!hist.exists(_._1 == e.item_id)) {
+              hist.foreach { case (j, rj) =>
+                if (j < e.item_id)
+                  out += DevDelta(j, e.item_id, 1L, e.r_ppm - rj)
+                else
+                  out += DevDelta(e.item_id, j, 1L, rj - e.r_ppm)
+              }
+              hist = (e.item_id, e.r_ppm) :: hist
+            }
+          }
+          state.update(SlopeHist(hist))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key (the streaming twin of
     * text.Dedup.exactGroups' fingerprint dedup): keeps the first arrival
     * per key; `dropDuplicatesWithinWatermark` bounds the state store to

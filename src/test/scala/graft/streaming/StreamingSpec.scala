@@ -725,4 +725,92 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamedHits == batchTwin, s"streamed=$streamedHits batch=$batchTwin")
   }
+
+  test("streamingBiasStats: 2-batch stream state equals BiasModel.pairStats; fitFromStats bit-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 10L, 4.0), (1L, 20L, 2.0), (2L, 10L, 5.0),
+      (1L, 10L, 3.0), (2L, 30L, 1.0), (3L, 20L, 4.5))
+    val df = rows.toDF("query_id", "item_id", "rating")
+    val m0 = new graft.models.BiasModel()
+    val batchStats = m0.pairStats(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 2-batch stream split so pair (1,10) STRADDLES the boundary
+    val input = MemoryStream[RatingEvent]
+    def ev(t: (Long, Long, Double)) =
+      RatingEvent(t._1, t._2, math.floor(t._3 * 1e6).toLong)
+    val q = streamingBiasStats(input.toDS())
+      .writeStream.format("memory").queryName("bias_stats")
+      .outputMode("update").start()
+    input.addData(rows.take(3).map(ev): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3).map(ev): _*)
+    q.processAllAvailable()
+    // update mode: keep the LAST emission per pair (max n wins)
+    val streamed = spark.table("bias_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._4)).toSet
+    q.stop()
+    assert(streamed == batchStats, s"streamed=$streamed batch=$batchStats")
+    // and the rebuilt model equals the batch fit on every prediction
+    val pairs = df.select("query_id", "item_id").distinct()
+    val full = new graft.models.BiasModel().fit(df).predictPairs(pairs, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val m1 = new graft.models.BiasModel()
+    m1.fitFromStats(rows.map(ev).toDS().groupBy("query_id", "item_id")
+      .agg(F.sum("r_ppm").cast("long").as("s_ppm"),
+        F.count(F.lit(1)).as("n")))
+    val rebuilt = m1.predictPairs(pairs, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rebuilt == full)
+  }
+
+  test("streamingSlopeOneDeltas: cross-batch deltas rebuild the batch deviation table and fit") {
+    implicit val sqlCtx = spark.sqlContext
+    // distinct (query, item) pairs — the documented contract
+    val rows = Seq(
+      (1L, 10L, 4.0), (1L, 20L, 2.0), (1L, 30L, 5.0),
+      (2L, 10L, 3.0), (2L, 20L, 4.0),
+      (3L, 30L, 1.0))
+    val df = rows.toDF("query_id", "item_id", "rating")
+    val m0 = new graft.models.SlopeOne(maxUserHistory = 0)
+    m0.fit(df)
+    val batchDevs = m0.deviations.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def ev(t: (Long, Long, Double)) =
+      RatingEvent(t._1, t._2, math.floor(t._3 * 1e6).toLong)
+    // stream split so user 1's history STRADDLES the batch boundary
+    val input = MemoryStream[RatingEvent]
+    val q = streamingSlopeOneDeltas(input.toDS())
+      .writeStream.format("memory").queryName("slope_deltas")
+      .outputMode("append").start()
+    input.addData(rows.take(2).map(ev): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2).map(ev): _*)
+    q.processAllAvailable()
+    val half = spark.table("slope_deltas")
+      .groupBy("item_from", "item_to")
+      .agg(F.sum("n").cast("long").as("n"),
+        F.sum("dev_ppm").cast("long").as("dev_ppm"))
+    val ratings = rows.map(ev).toDS().toDF()
+      .withColumnRenamed("r_ppm", "r_ppm")
+    val m1 = new graft.models.SlopeOne(maxUserHistory = 0)
+    m1.fitFromStats(half, ratings)
+    val streamedDevs = m1.deviations.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(streamedDevs == batchDevs,
+      s"streamed=$streamedDevs batch=$batchDevs")
+    // duplicate arrival of the same (user, item): dropped defensively
+    val dupDeltas = streamingSlopeOneDeltas(
+      Seq(ev((9L, 1L, 2.0)), ev((9L, 1L, 2.0)), ev((9L, 2L, 3.0))).toDS())
+      .collect()
+    assert(dupDeltas.length == 1 && dupDeltas.head.n == 1L)
+    // and full prediction parity vs the batch fit
+    val pairs = df.select("query_id", "item_id").distinct()
+    def preds(m: graft.models.SlopeOne) = m.predictPairs(pairs, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(preds(m1) == preds(m0))
+  }
 }
