@@ -499,7 +499,10 @@ object SparkEntry {
       als.unionAll(alsX).unionAll(clu).unionAll(rnd)
     }),
     "model_random_rec" -> ((s, d) => {
-      val i = Tables.interactions(s, d)
+      // input cached once (r13): fit + seen-pair + history paths otherwise
+      // re-run the lineitem⋈orders scan ~5× per call — at 100 TB a real
+      // pipeline caches/checkpoints its interaction frame before a fit
+      val i = Tables.interactions(s, d).cache()
       val m = new models.RandomRec("popular", alpha = 0.0, seed = 42).fit(i)
       val recs = m.predict(i, k = 3)
       val w = Window.partitionBy("query_id")
@@ -518,7 +521,7 @@ object SparkEntry {
     }),
     "model_random_rec_relevance" -> ((s, d) => {
       // relevance-weighted sampling: weights = Σ rating per item
-      val i = Tables.interactions(s, d)
+      val i = Tables.interactions(s, d).cache()
       val m = new models.RandomRec("relevance", seed = 42).fit(i)
       val recs = m.predict(i, k = 3)
       val w = Window.partitionBy("query_id")
@@ -532,7 +535,7 @@ object SparkEntry {
       // layout-independence and the per-query row contract). The md5 is
       // the single dominant cost of the portable path at |q|×|catalog|
       // scale — this row measures the sampler with that tax removed.
-      val i = Tables.interactions(s, d)
+      val i = Tables.interactions(s, d).cache()
       val m = new models.RandomRec("popular", alpha = 0.0, seed = 42,
         hashMode = "fast").fit(i)
       val recs = m.predict(i, k = 3)

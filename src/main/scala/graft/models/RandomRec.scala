@@ -115,10 +115,12 @@ final class RandomRec(
     * aggregates over the cached weights — O(log) iterations, ms each,
     * same bounded-scalar contract as `coldFill`. Returns None (no crop)
     * when the catalog is too small for a crop to matter. */
-  private def solveThreshold(sel: DataFrame, m: Int): Option[Double] = {
-    if (!preCropEnabled || m <= 0) return None
+  private def solveThreshold(sel: DataFrame, m: Int): Option[Double] =
+    solveThresholdTarget(sel, preCropSafety * m)
+
+  private def solveThresholdTarget(sel: DataFrame, target: Double): Option[Double] = {
+    if (!preCropEnabled || target <= 0) return None
     if (forcedThreshold.isDefined) return forcedThreshold
-    val target = preCropSafety * m
     val pos = sel.filter(F.col("_w") > 0)
     val row = pos.agg(F.sum("_w").as("s"), F.count(F.lit(1)).as("n")).first()
     if (row.isNullAt(0)) return None
@@ -196,6 +198,76 @@ final class RandomRec(
           .unionByName(crop(short, None))
     }
     crop(queries, solveThreshold(sel, m))
+  }
+
+  /** Seen-filtered predict, restructured around the draw (r13): the base
+    * path crops a k+maxSeen-per-user heap over ALL items and anti-joins
+    * the seen pairs AFTER — at sf0.1 that is a 108-slot heap, a 1.6M-row
+    * explode, and a 1.6M-row anti-join + rank window for a k=3 answer
+    * (measured ~9 s of the 12 s row). Here the seen anti-join runs on the
+    * THRESHOLD SURVIVOR stream instead (≈ target·|queries| rows, codegen
+    * side), so the heap needs only k slots and everything downstream of
+    * it is k-per-user sized. The threshold target grows by maxSeen
+    * (worst case: every seen item carries survive-probability ~1, e.g.
+    * the relevance distribution where a user's own items are the heavy
+    * ones), keeping E[unseen survivors] ≥ safety·k; per-user exactness
+    * never rests on the expectation — a query whose k-heap comes back
+    * short is recomputed through the unfiltered full-stream path below,
+    * exactly like the base crop's repair. Output is bit-identical to the
+    * base path (same draws, same (rating desc, item asc) order, same
+    * top-k set) — the md5-sampler oracles are unchanged. */
+  override def predict(log: DataFrame, k: Int,
+      queries: Option[DataFrame] = None, filterSeen: Boolean = true,
+      items: Option[DataFrame] = None): DataFrame = {
+    if (!filterSeen) return super.predict(log, k, queries, filterSeen, items)
+    val qs = queries.orElse(Option(fitQueriesDf))
+      .getOrElse(log.select(cols.query).distinct())
+    val history = log.join(qs, Seq(cols.query), "left_semi")
+    val seenPairs = history.select(cols.query, cols.item).distinct().cache()
+    val maxSeen = seenPairs.groupBy(cols.query)
+      .agg(F.count(F.lit(1)).as("_n")).agg(F.max("_n")).first() match {
+      case r if r.isNullAt(0) => 0
+      case r                  => r.getLong(0).toInt
+    }
+    val sel = selectedWeights(items)
+    val u = pairUniform(qs.schema(cols.query).dataType,
+      sel.schema(cols.item).dataType)
+    val recs = solveThresholdTarget(sel, preCropSafety * k + maxSeen) match {
+      case None =>
+        // tiny catalog / crop disabled: the base shape (score is already
+        // bounded at k+maxSeen per query)
+        score(qs, k, maxSeen, items)
+          .join(seenPairs, Seq(cols.query, cols.item), "left_anti")
+      case Some(t) =>
+        val selCut = sel.withColumn("_cut",
+          F.exp(F.col("_w") * -t) * (1.0 - 1e-9) - 1e-18)
+        val agged = qs.select(cols.query).crossJoin(selCut)
+          .filter(u > F.col("_cut") || F.col("_w") <= 0)
+          .join(seenPairs, Seq(cols.query, cols.item), "left_anti")
+          .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
+          .filter(F.col(cols.rating) > F.lit(-t) || F.col("_w") <= 0)
+          .groupBy(cols.query)
+          .agg(graft.core.BoundedTopKAgg.topKPairs(
+            k, F.col(cols.rating), F.col(cols.item)).as("_tk"))
+          .cache()
+        val good = agged.filter(F.size(F.col("_tk")) >= k)
+        val short = qs.select(cols.query)
+          .join(good.select(cols.query), Seq(cols.query), "left_anti")
+        // unfiltered repair (rare by the Chernoff bound; exact always):
+        // full keyed stream for the short queries, k+maxSeen heap, THEN
+        // the seen anti-join — the base-path shape, scoped to them
+        val repair = Ops.getTopKRecsBounded(
+          short.crossJoin(sel)
+            .withColumn(cols.rating, F.log(u + F.lit(1e-18)) / F.col("_w"))
+            .drop("_w"),
+          k + maxSeen, cols.query, cols.item, cols.rating)
+          .join(seenPairs, Seq(cols.query, cols.item), "left_anti")
+        good.select(F.col(cols.query), F.explode(F.col("_tk")).as("_p"))
+          .select(F.col(cols.query), F.col("_p.item").as(cols.item),
+            F.col("_p.rating").as(cols.rating))
+          .unionByName(repair)
+    }
+    Ops.getTopKRecs(recs, k, cols.query, cols.item, cols.rating)
   }
 
   /** True action distribution for the sampler (reference
