@@ -30,7 +30,13 @@ object Verify {
       }
       // each gate caches its own fit state and never shares it with the
       // next; dropping it keeps the 340+-gate single-JVM sweep flat in
-      // memory (the r12 sf0.1 audit OOMed at gate ~200 without this)
+      // memory (the r12 sf0.1 audit OOMed at gate ~200 without this).
+      // ADVICE r12 suggested scoping the clear to gate-cached frames only
+      // because it "evicts shared memoized inputs (Tables.* base frames)"
+      // — checked r13: Tables.* memoize DataFrame PLANS, never .cache()
+      // data, so the global clear evicts nothing shared; every cached
+      // block at this point belongs to the gate that just ran. (Spark 4's
+      // CacheManager also exposes no public enumeration to diff against.)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

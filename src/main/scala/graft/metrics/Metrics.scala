@@ -481,8 +481,12 @@ object Metrics {
       headPermille: Int = 200, cols: RecCols = RecCols()): DataFrame = {
     require(headPermille > 0 && headPermille < 1000,
       s"headPermille must be in (0, 1000), got $headPermille")
+    // pop cached (ADVICE r12): it feeds the nItems count, the global head
+    // rank, AND the per-rec join — uncached that is three full
+    // recomputations of the same catalog-sized train aggregate
     val pop = train.groupBy(cols.item)
       .agg(F.countDistinct(cols.query).as("_pop"))
+      .cache()
     val nItems = pop.count()
     val headCount = nItems * headPermille / 1000
     // distributed global rank over the catalog-sized aggregate (no
@@ -500,11 +504,14 @@ object Metrics {
           .as("_arp"),
         F.expr("(sum(CASE WHEN _head IS NULL THEN 1L ELSE 0L END) * 1000000) div count(1)")
           .as("_aplt"))
-    perUser.agg(
+    val out = perUser.agg(
       F.count(F.lit(1)).as("n_users"),
       F.lit(headCount).as("head_count"),
       F.expr("sum(_arp) div count(1)").as("arp_ppm"),
       F.expr("sum(_aplt) div count(1)").as("aplt_ppm"))
+      .localCheckpoint()
+    pop.unpersist()
+    out
   }
   /** Calibration divergence of a recommendation set (engine extra — Steck,
     * RecSys 2018 "Calibrated Recommendations" §3): per user,

@@ -113,6 +113,7 @@ object Rerank {
       .orderBy(F.col("_cal").desc, F.col(itemCol).asc)
     var selected: DataFrame = null
     var selCnt: DataFrame = null
+    val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var t = 1
     while (t <= k) {
       val cand =
@@ -150,11 +151,23 @@ object Rerank {
           F.col("_cal").as("cal_score"), F.lit(t.toLong).as("position"))
         .cache()
       pick.count() // materialize: step t+1's lineage must not recompute t
+      picks += pick
       selected = if (selected == null) pick else selected.unionByName(pick)
       selCnt = selected.groupBy(queryCol, "category")
         .agg(F.count(F.lit(1)).as("_cnt"))
       t += 1
     }
-    selected.select(queryCol, itemCol, "cal_score", "position")
+    // release the k+2 cached frames before returning (ADVICE r12: a
+    // library caller invoking calibrated repeatedly accumulated cached
+    // blocks until executor storage pressure). The returned frame is
+    // localCheckpoint'ed FIRST — k·|queries| rows, executor-resident — so
+    // severing the lineage makes the unpersists safe (no recompute of the
+    // greedy steps on a later action).
+    val out = selected.select(queryCol, itemCol, "cal_score", "position")
+      .localCheckpoint()
+    picks.foreach(_.unpersist())
+    pool.unpersist()
+    pDist.unpersist()
+    out
   }
 }
