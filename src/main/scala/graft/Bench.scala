@@ -85,6 +85,9 @@ object Bench {
     "model_als_foldin", "model_knn_incremental", "metrics_spearman",
     "metrics_calibration", "model_markov2", "model_bias",
     "model_bias_incremental",
+    "model_slope_one_sample", "model_p3alpha_sample", "model_markov2_sample",
+    "two_stages_multi", "streaming_bias", "streaming_slope_one",
+    "search_space_new_families",
     "sequence_generate", "encode_onehot", "encode_csr", "prepare_log",
     "streaming_sequence_generate", "model_hierarchical_leaf",
     "dedup_exact", "dedup_minhash", "dedup_lines", "dedup_bloom_new_keys",
@@ -150,6 +153,10 @@ object Bench {
     // round-12 continuation rows (cheap representatives of the new
     // families: walk model, content cold-start, calibrated rerank)
     "model_rp3beta", "model_content_knn", "rerank_calibrated",
+    // round-13 additions (cheap representatives: personalized sampled
+    // predict, the streaming rating-family twin, the multi-model
+    // two-stage skeleton)
+    "model_slope_one_sample", "streaming_bias", "two_stages_multi",
     "two_stages",
   )
 
