@@ -1390,6 +1390,16 @@ object SparkEntry {
         .transform(Tables.interactions(s, d))
         .select("query_id", "item_id", "rating")
     }),
+    "filter_quantile_items_exact" -> ((s, d) => {
+      // the EXACT interpolated-percentile mode (r13) — byte-for-byte the
+      // reference's pandas items_count.quantile(alpha) threshold
+      // (filters.py:978); oracle mirrors with quantile_cont. Closes the
+      // documented approx-vs-exact deviation of filter_quantile_items.
+      QuantileItemsFilter(alphaQuantile = 0.95, itemsProportion = 0.5,
+          tieCols = Seq("rating", "session_id"), exact = true)
+        .transform(Tables.interactions(s, d))
+        .select("query_id", "item_id", "rating")
+    }),
     "model_linucb" -> ((s, d) => {
       // distributed sufficient stats; d=2 → closed-form adjugate inverse,
       // mirrored term-by-term in the oracle; round-9 pre-rank, 6 on output
@@ -8485,6 +8495,28 @@ object SparkEntry {
         |  CAST(CASE WHEN height * 128 <= width * 96 THEN floor(height * 128 / width)
         |       ELSE 96 END AS BIGINT) AS out_h
         |FROM meta""".stripMargin,
+    // exact-interpolated threshold twin: quantile_cont ≡ Spark
+    // `percentile` ≡ pandas .quantile(alpha) (linear interpolation on
+    // h = (n−1)·α — the proven cross-engine pair from discretize_quantile)
+    "filter_quantile_items_exact" ->
+      s"""$interactionsSql,
+         |ic AS (SELECT item_id, count(*) AS icnt FROM interactions GROUP BY 1),
+         |qv AS (SELECT quantile_cont(icnt, CAST(0.95 AS DOUBLE)) AS q FROM ic),
+         |uc AS (SELECT query_id, count(*) AS ucnt FROM interactions GROUP BY 1),
+         |ann AS (
+         |  SELECT i.*, ic.icnt, uc.ucnt FROM interactions i
+         |  JOIN ic ON i.item_id = ic.item_id
+         |  JOIN uc ON i.query_id = uc.query_id),
+         |hot AS (
+         |  SELECT query_id, item_id, rating FROM (
+         |    SELECT *, floor((icnt - (SELECT q FROM qv)) * 0.5) AS nd,
+         |      row_number() OVER (PARTITION BY item_id
+         |        ORDER BY ucnt DESC, query_id, rating, session_id) AS rn
+         |    FROM ann WHERE icnt > (SELECT q FROM qv))
+         |  WHERE rn > nd),
+         |cold AS (SELECT query_id, item_id, rating FROM ann
+         |         WHERE icnt <= (SELECT q FROM qv))
+         |SELECT * FROM cold UNION ALL SELECT * FROM hot""".stripMargin,
     "filter_quantile_items" ->
       s"""$interactionsSql,
          |ic AS (SELECT item_id, count(*) AS icnt FROM interactions GROUP BY 1),

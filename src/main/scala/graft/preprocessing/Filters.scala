@@ -152,7 +152,15 @@ final case class InteractionEntriesFilter(
 /** Undersample items above the alpha-quantile of the item-count distribution,
   * dropping `itemsProportion` of the overflow and preferring rows of
   * high-activity users (reference: filters.py:972-993). Quantile computed
-  * distributed via percentile_approx — never collected.
+  * distributed — never collected. Two modes:
+  *  - `exact = false` (default): `percentile_approx` at accuracy 10000 —
+  *    a discrete count from the distribution, exact on gate-scale data;
+  *  - `exact = true`: the EXACT linear-interpolated percentile
+  *    (`percentile`, one distributed aggregation, ANSI percentile_cont
+  *    semantics) — this is byte-for-byte the reference's
+  *    `items_count.quantile(alpha)` pandas threshold (filters.py:978),
+  *    closing the documented deviation a user diffing a pathological
+  *    count distribution could hit with the approx mode.
   */
 final case class QuantileItemsFilter(
     alphaQuantile: Double = 0.99,
@@ -161,14 +169,17 @@ final case class QuantileItemsFilter(
     itemCol: String = ItemId,
     tieCols: Seq[String] = Nil, // extend to a TOTAL order when duplicate
                                 // (query,item) rows differ in other columns
+    exact: Boolean = false,
 ) extends InteractionFilter {
   def transform(df: DataFrame): DataFrame = {
     val itemCounts = df.groupBy(itemCol).agg(F.count(F.lit(1)).as("_item_cnt"))
     val qRow = itemCounts.agg(
-      F.percentile_approx(F.col("_item_cnt"), F.lit(alphaQuantile), F.lit(10000))
+      if (exact) F.percentile(F.col("_item_cnt"), F.lit(alphaQuantile))
+      else F.percentile_approx(F.col("_item_cnt"), F.lit(alphaQuantile), F.lit(10000))
     ).first()
     if (qRow.isNullAt(0)) return df // empty input: nothing to undersample
-    val q = qRow.getLong(0)
+    val q: Double =
+      if (exact) qRow.getDouble(0) else qRow.getLong(0).toDouble
     val userCounts = df.groupBy(queryCol).agg(F.count(F.lit(1)).as("_user_cnt"))
     val annotated = df
       .join(itemCounts, Seq(itemCol))
