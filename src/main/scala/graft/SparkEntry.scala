@@ -905,6 +905,21 @@ object SparkEntry {
       new models.Markov2Rec(tieBreak = Seq("session_id")).fit(i)
         .predict(i, k = 5)
     }),
+    "model_markov2_incremental" -> ((s, d) => {
+      // the sequential family's incremental-refit law as a driver gate:
+      // user-disjoint slice transition counts (both tiers) merged by
+      // addition rebuild EXACTLY the full fit — same oracle as
+      // model_markov2 (lag windows are per-query, so each user's pairs
+      // live wholly in its slice; minCount applies on merged counts)
+      val i = Tables.interactions(s, d)
+      val probe = new models.Markov2Rec(tieBreak = Seq("session_id"))
+      val m = new models.Markov2Rec(tieBreak = Seq("session_id"))
+      val (t2, t1) = probe.mergeStats(
+        probe.transStats(i.filter(F.col("query_id") % 2 === 0)),
+        probe.transStats(i.filter(F.col("query_id") % 2 === 1)))
+      m.fitFromStats(t2, t1)
+      m.predict(i, k = 5)
+    }),
     "model_markov2_sample" -> ((s, d) => {
       // sampling-mode predict for the sequential family: the full unseen
       // candidate set (order-2 with stupid backoff — k large enough that
@@ -4986,44 +5001,10 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
-    "model_markov2" ->
-      s"""$interactionsSql,
-         |seq AS (SELECT query_id, item_id,
-         |    lag(item_id, 1) OVER w AS p1,
-         |    lag(item_id, 2) OVER w AS p2
-         |  FROM interactions
-         |  WINDOW w AS (PARTITION BY query_id
-         |    ORDER BY timestamp, session_id, item_id)),
-         |t2 AS (SELECT p2 AS ctx2, p1 AS ctx1, item_id AS item_two,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
-         |t1 AS (SELECT p1 AS item_one, item_id AS item_two,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM seq WHERE p1 IS NOT NULL GROUP BY 1, 2),
-         |lst AS (SELECT query_id,
-         |    max(CASE WHEN rn = 1 THEN item_id END) AS l1,
-         |    max(CASE WHEN rn = 2 THEN item_id END) AS l2
-         |  FROM (SELECT query_id, item_id, row_number() OVER (
-         |      PARTITION BY query_id
-         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
-         |    FROM interactions) WHERE rn <= 2 GROUP BY 1),
-         |c2 AS (SELECT l.query_id, t.item_two AS item_id,
-         |    CAST(t.cnt AS DOUBLE) AS rating
-         |  FROM lst l JOIN t2 t ON l.l2 = t.ctx2 AND l.l1 = t.ctx1
-         |  WHERE l.l2 IS NOT NULL),
-         |q2 AS (SELECT DISTINCT query_id FROM c2),
-         |c1 AS (SELECT l.query_id, t.item_two AS item_id,
-         |    CAST(t.cnt AS DOUBLE) AS rating
-         |  FROM lst l JOIN t1 t ON l.l1 = t.item_one
-         |  WHERE l.query_id NOT IN (SELECT query_id FROM q2)),
-         |seen AS (SELECT DISTINCT query_id, item_id FROM interactions),
-         |u AS (SELECT * FROM c2 UNION ALL SELECT * FROM c1),
-         |unseen AS (SELECT u.* FROM u ANTI JOIN seen s
-         |    ON u.query_id = s.query_id AND u.item_id = s.item_id)
-         |SELECT query_id, item_id, rating FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
-         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_markov2" -> markov2PredictSql,
+    // identical SQL: the merged user-disjoint transition stats rebuild
+    // the full two-tier fit
+    "model_markov2_incremental" -> markov2PredictSql,
     // the markov2 candidate chain (c2 ∪ backoff c1, seen-filtered) as the
     // sampled-predict pool — transition counts are the exact weights
     "model_markov2_sample" ->
@@ -5922,6 +5903,45 @@ object SparkEntry {
        |  CAST(floor(w / tot * 1000000000.0) AS BIGINT) AS prob_ppb
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY ek DESC, item_id) AS rn FROM esk) WHERE rn <= $k""".stripMargin
+
+  private lazy val markov2PredictSql: String =
+    s"""$interactionsSql,
+         |seq AS (SELECT query_id, item_id,
+         |    lag(item_id, 1) OVER w AS p1,
+         |    lag(item_id, 2) OVER w AS p2
+         |  FROM interactions
+         |  WINDOW w AS (PARTITION BY query_id
+         |    ORDER BY timestamp, session_id, item_id)),
+         |t2 AS (SELECT p2 AS ctx2, p1 AS ctx1, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+         |t1 AS (SELECT p1 AS item_one, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE p1 IS NOT NULL GROUP BY 1, 2),
+         |lst AS (SELECT query_id,
+         |    max(CASE WHEN rn = 1 THEN item_id END) AS l1,
+         |    max(CASE WHEN rn = 2 THEN item_id END) AS l2
+         |  FROM (SELECT query_id, item_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
+         |    FROM interactions) WHERE rn <= 2 GROUP BY 1),
+         |c2 AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t2 t ON l.l2 = t.ctx2 AND l.l1 = t.ctx1
+         |  WHERE l.l2 IS NOT NULL),
+         |q2 AS (SELECT DISTINCT query_id FROM c2),
+         |c1 AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t1 t ON l.l1 = t.item_one
+         |  WHERE l.query_id NOT IN (SELECT query_id FROM q2)),
+         |seen AS (SELECT DISTINCT query_id, item_id FROM interactions),
+         |u AS (SELECT * FROM c2 UNION ALL SELECT * FROM c1),
+         |unseen AS (SELECT u.* FROM u ANTI JOIN seen s
+         |    ON u.query_id = s.query_id AND u.item_id = s.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin
 
   private lazy val slopeOnePairsSql: String =
     s"""$interactionsSql,

@@ -56,6 +56,37 @@ final class MarkovRec(
     transitions.count()
   }
 
+  // ---- incremental refit (the ItemKNN/EASE/SlopeOne discipline) ---------
+  // Lag pairs are computed per query, so USER-disjoint slices carry each
+  // user's full sequence: the unfiltered pair counts are per-user sums,
+  // merge by plain addition, and the merged rebuild is BIT-exact vs the
+  // full fit. minCount applies on the MERGED counts (the full fit filters
+  // at global counts — filtering per slice would drop pairs whose global
+  // count clears the floor).
+
+  /** Unfiltered consecutive-pair counts of one user-disjoint slice. */
+  def transStats(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(cols.query).orderBy(orderAsc: _*)
+    log.withColumn("_prev", F.lag(F.col(cols.item), 1).over(w))
+      .filter(F.col("_prev").isNotNull)
+      .groupBy(F.col("_prev").as("item_one"), F.col(cols.item).as("item_two"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+  }
+
+  /** Merge two user-disjoint slices by addition. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("item_one", "item_two")
+      .agg(F.sum("cnt").cast("long").as("cnt"))
+
+  /** Rebuild the fit from merged stats — bit-exact vs [[fit]] on the
+    * concatenated user-disjoint slices (minCount applied here). */
+  def fitFromStats(stats: DataFrame): this.type = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    transitions = stats.filter(F.col("cnt") >= minCount).cache()
+    transitions.count()
+    this
+  }
+
   /** Last interaction's item per query under the fit order. */
   private def lastItems(history: DataFrame): DataFrame = {
     val w = Window.partitionBy(cols.query).orderBy(orderDesc: _*)

@@ -53,6 +53,44 @@ final class Markov2Rec(
     backoff.fit(log)
   }
 
+  // ---- incremental refit (the MarkovRec discipline, one lag deeper) -----
+  // Both tiers' lag pairs are per-query windows, so user-disjoint slices
+  // merge by addition; minCount applies on the merged counts.
+
+  /** Unfiltered (order-2, order-1) transition counts of one user-disjoint
+    * slice. */
+  def transStats(log: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(cols.query).orderBy(orderAsc: _*)
+    val t2 = log
+      .withColumn("_p1", F.lag(F.col(cols.item), 1).over(w))
+      .withColumn("_p2", F.lag(F.col(cols.item), 2).over(w))
+      .filter(F.col("_p2").isNotNull)
+      .groupBy(F.col("_p2").as("ctx2"), F.col("_p1").as("ctx1"),
+        F.col(cols.item).as("item_two"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val probe = new MarkovRec(minCount, tieBreak, cols)
+    (t2, probe.transStats(log))
+  }
+
+  /** Merge two user-disjoint slices by addition. */
+  def mergeStats(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val t2 = a._1.unionByName(b._1).groupBy("ctx2", "ctx1", "item_two")
+      .agg(F.sum("cnt").cast("long").as("cnt"))
+    val probe = new MarkovRec(minCount, tieBreak, cols)
+    (t2, probe.mergeStats(a._2, b._2))
+  }
+
+  /** Rebuild both tiers from merged stats — bit-exact vs [[fit]] on the
+    * concatenated user-disjoint slices. */
+  def fitFromStats(t2Stats: DataFrame, t1Stats: DataFrame): this.type = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    transitions2 = t2Stats.filter(F.col("cnt") >= minCount).cache()
+    transitions2.count()
+    backoff = new MarkovRec(minCount, tieBreak, cols).fitFromStats(t1Stats)
+    this
+  }
+
   /** Last two items per query under the fit order: (query, _l1, _l2) with
     * _l2 null for single-event histories. */
   private def lastTwo(history: DataFrame): DataFrame = {

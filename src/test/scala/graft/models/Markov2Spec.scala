@@ -46,4 +46,35 @@ class Markov2Spec extends SparkSpec {
     assertSameRows(loaded.predict(log, k = 5),
       Seq((3L, 4L, 1.0), (4L, 3L, 1.0), (4L, 4L, 1.0)))
   }
+
+  test("merge law: user-disjoint slice stats rebuild the full two-tier fit exactly") {
+    import org.apache.spark.sql.{functions => F}
+    for (parity <- Seq(2L, 3L)) {
+      val probe = new Markov2Rec()
+      val (t2, t1) = probe.mergeStats(
+        probe.transStats(log.filter(F.col("query_id") % parity === 0)),
+        probe.transStats(log.filter(F.col("query_id") % parity =!= 0)))
+      val merged = new Markov2Rec().fitFromStats(t2, t1)
+      val full = new Markov2Rec().fit(log)
+      assertSameRows(merged.transitions2, full.transitions2.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      assertSameRows(merged.backoff.transitions,
+        full.backoff.transitions.collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      assertSameRows(merged.predict(log, k = 5),
+        full.predict(log, k = 5).collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+    // minCount applies on MERGED counts: a pair split across slices with
+    // per-slice count 1 must survive a minCount=2 rebuild
+    val floor = new Markov2Rec(minCount = 2L)
+    val (t2f, t1f) = floor.mergeStats(
+      floor.transStats(log.filter(F.col("query_id") === 1L)),
+      floor.transStats(log.filter(F.col("query_id") =!= 1L)))
+    val m2 = new Markov2Rec(minCount = 2L).fitFromStats(t2f, t1f)
+    val f2 = new Markov2Rec(minCount = 2L).fit(log)
+    assertSameRows(m2.backoff.transitions,
+      f2.backoff.transitions.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
 }
