@@ -905,6 +905,37 @@ object SparkEntry {
       new models.Markov2Rec(tieBreak = Seq("session_id")).fit(i)
         .predict(i, k = 5)
     }),
+    "model_repeat_incremental" -> ((s, d) => {
+      // repeat-state merge law (max recency + summed counts are both
+      // associative, so ANY slicing works — session parity here): merged
+      // rebuild ≡ full fit — same oracle as model_repeat
+      val i = Tables.interactions(s, d)
+      val probe = new models.RepeatRec()
+      val m = new models.RepeatRec()
+      m.fitFromStats(probe.mergeStats(
+        probe.pairStats(i.filter(F.col("session_id") % 2 === 0)),
+        probe.pairStats(i.filter(F.col("session_id") % 2 === 1))))
+      m.predict(i, k = 5, filterSeen = false)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.col("rating").cast("long").as("last_ts_us"))
+    }),
+    "streaming_repeat" -> ((s, d) => {
+      // the RepeatRec streaming twin run in batch mode: per-(query, item)
+      // (max ts, Σcnt) mapGroupsWithState state → fitFromStats → the
+      // model_repeat oracle byte-for-byte
+      import s.implicits._
+      val i = Tables.interactions(s, d)
+      val ev = i.select(F.col("query_id").cast("long").as("query_id"),
+        F.col("item_id").cast("long").as("item_id"),
+        F.unix_micros(F.col("timestamp").cast("timestamp")).as("ts_us"))
+        .as[graft.streaming.StreamingOps.RepeatEvent]
+      val stats = graft.streaming.StreamingOps.streamingRepeatStats(ev).toDF()
+      val m = new models.RepeatRec()
+      m.fitFromStats(stats)
+      m.predict(i, k = 5, filterSeen = false)
+        .select(F.col("query_id"), F.col("item_id"),
+          F.col("rating").cast("long").as("last_ts_us"))
+    }),
     "model_markov2_incremental" -> ((s, d) => {
       // the sequential family's incremental-refit law as a driver gate:
       // user-disjoint slice transition counts (both tiers) merged by
@@ -4833,16 +4864,11 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id, item_id
          |    ORDER BY contribution DESC, source_item) AS rn
          |  FROM contrib) WHERE rn <= 3""".stripMargin,
-    "model_repeat" ->
-      s"""$interactionsSql,
-         |st AS (SELECT query_id, item_id,
-         |    epoch_us(CAST(max(timestamp) AS TIMESTAMP)) AS last_ts_us
-         |  FROM interactions GROUP BY 1, 2)
-         |SELECT query_id, item_id, CAST(last_ts_us AS BIGINT) AS last_ts_us
-         |FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY last_ts_us DESC, item_id) AS rn
-         |  FROM st) WHERE rn <= 5""".stripMargin,
+    "model_repeat" -> repeatPredictSql,
+    // identical SQL: merged (max-recency, Σcnt) stats and the streaming
+    // state both rebuild the fit exactly
+    "model_repeat_incremental" -> repeatPredictSql,
+    "streaming_repeat" -> repeatPredictSql,
     "model_nearest_items" ->
       s"""$interactionsSql,
          |base AS (SELECT DISTINCT query_id, item_id FROM interactions),
@@ -5903,6 +5929,17 @@ object SparkEntry {
        |  CAST(floor(w / tot * 1000000000.0) AS BIGINT) AS prob_ppb
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY ek DESC, item_id) AS rn FROM esk) WHERE rn <= $k""".stripMargin
+
+  private lazy val repeatPredictSql: String =
+    s"""$interactionsSql,
+         |st AS (SELECT query_id, item_id,
+         |    epoch_us(CAST(max(timestamp) AS TIMESTAMP)) AS last_ts_us
+         |  FROM interactions GROUP BY 1, 2)
+         |SELECT query_id, item_id, CAST(last_ts_us AS BIGINT) AS last_ts_us
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY last_ts_us DESC, item_id) AS rn
+         |  FROM st) WHERE rn <= 5""".stripMargin
 
   private lazy val markov2PredictSql: String =
     s"""$interactionsSql,

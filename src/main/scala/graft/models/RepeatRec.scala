@@ -34,6 +34,31 @@ final class RepeatRec(cols: RecCols = RecCols()) extends BaseRecommender(cols) {
     state.count()
   }
 
+  // ---- incremental refit (the BiasModel discipline) ----------------------
+  // The state IS the sufficient statistic and both fields are associative
+  // folds — last_ts_us merges by max, cnt by addition — so slices under
+  // ANY event partitioning merge exactly and the merged rebuild equals the
+  // full fit bit-for-bit.
+
+  /** The per-pair state of one log slice (any slicing). */
+  def pairStats(log: DataFrame): DataFrame =
+    log.groupBy(cols.query, cols.item)
+      .agg(F.unix_micros(F.max(cols.ts).cast("timestamp")).as("last_ts_us"),
+        F.count(F.lit(1)).as("cnt"))
+
+  /** Merge two slices: max of recencies, sum of counts. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(cols.query, cols.item)
+      .agg(F.max("last_ts_us").as("last_ts_us"),
+        F.sum("cnt").cast("long").as("cnt"))
+
+  /** Rebuild the fit from merged stats — bit-exact vs [[fit]]. */
+  def fitFromStats(stats: DataFrame): this.type = {
+    state = stats.cache()
+    state.count()
+    this
+  }
+
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,
       items: Option[DataFrame] = None): DataFrame =
     restrictItems(state, items)

@@ -627,6 +627,33 @@ object StreamingOps {
       }
   }
 
+  final case class RepeatEvent(query_id: Long, item_id: Long, ts_us: Long)
+  final case class RepeatState(last_ts_us: Long, cnt: Long)
+  final case class RepeatStat(query_id: Long, item_id: Long,
+    last_ts_us: Long, cnt: Long)
+
+  /** Running per-(query, item) repeat-consumption state — the incremental
+    * twin of [[graft.models.RepeatRec]]: last-seen epoch-µs merges by max,
+    * count by addition (both associative folds), so the state after the
+    * last micro-batch equals `RepeatRec.pairStats` of the concatenated
+    * events under ANY slicing and `fitFromStats` of it is the batch fit
+    * bit-for-bit (driver gate streaming_repeat shares the model_repeat
+    * oracle). Update-mode semantics; state O(consumed pairs), 2 longs. */
+  def streamingRepeatStats(events: Dataset[RepeatEvent]): Dataset[RepeatStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.query_id, e.item_id))
+      .mapGroupsWithState[RepeatState, RepeatStat](
+        GroupStateTimeout.NoTimeout()) {
+        case ((q, i), rows, state: GroupState[RepeatState]) =>
+          val prev = state.getOption.getOrElse(RepeatState(Long.MinValue, 0L))
+          var last = prev.last_ts_us
+          var n = prev.cnt
+          rows.foreach { e => if (e.ts_us > last) last = e.ts_us; n += 1 }
+          state.update(RepeatState(last, n))
+          RepeatStat(q, i, last, n)
+      }
+  }
+
   final case class SlopeHist(items: List[(Long, Long)])
   final case class DevDelta(item_from: Long, item_to: Long, n: Long,
     dev_ppm: Long)

@@ -765,6 +765,44 @@ class StreamingSpec extends SparkSpec {
     assert(rebuilt == full)
   }
 
+  test("streamingRepeatStats: 2-batch stream state equals RepeatRec.pairStats; rebuild bit-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), (1L, 20L, ts("2024-01-02 10:00:00")),
+      (2L, 10L, ts("2024-01-03 10:00:00")),
+      (1L, 10L, ts("2024-01-04 10:00:00")), // re-consumption straddles batches
+      (2L, 10L, ts("2024-01-01 09:00:00"))) // out-of-order: max must win
+    val df = rows.toDF("query_id", "item_id", "timestamp")
+    val m0 = new graft.models.RepeatRec()
+    val batchStats = m0.pairStats(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val input = MemoryStream[StreamingOps.RepeatEvent]
+    def ev(t: (Long, Long, java.sql.Timestamp)) =
+      StreamingOps.RepeatEvent(t._1, t._2, t._3.getTime * 1000L)
+    val q = StreamingOps.streamingRepeatStats(input.toDS())
+      .writeStream.format("memory").queryName("repeat_stats")
+      .outputMode("update").start()
+    input.addData(rows.take(3).map(ev): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(3).map(ev): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("repeat_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._4)).toSet
+    q.stop()
+    assert(streamed == batchStats, s"streamed=$streamed batch=$batchStats")
+    val m1 = new graft.models.RepeatRec()
+    m1.fitFromStats(streamed.toSeq
+      .toDF("query_id", "item_id", "last_ts_us", "cnt"))
+    val full = new graft.models.RepeatRec()
+    full.fit(df)
+    def preds(m: graft.models.RepeatRec) =
+      m.predict(df, k = 5, filterSeen = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(preds(m1) == preds(full))
+  }
+
   test("streamingSlopeOneDeltas: cross-batch deltas rebuild the batch deviation table and fit") {
     implicit val sqlCtx = spark.sqlContext
     // distinct (query, item) pairs — the documented contract
