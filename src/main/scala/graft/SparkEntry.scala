@@ -898,6 +898,17 @@ object SparkEntry {
       new models.MarkovRec(tieBreak = Seq("session_id")).fit(i)
         .predict(i, k = 5)
     }),
+    "model_markov_incremental" -> ((s, d) => {
+      // order-1 merge law: user-disjoint slice transition counts merged by
+      // addition rebuild the full fit — same oracle as model_markov
+      val i = Tables.interactions(s, d)
+      val probe = new models.MarkovRec(tieBreak = Seq("session_id"))
+      new models.MarkovRec(tieBreak = Seq("session_id"))
+        .fitFromStats(probe.mergeStats(
+          probe.transStats(i.filter(F.col("query_id") % 2 === 0)),
+          probe.transStats(i.filter(F.col("query_id") % 2 === 1))))
+        .predict(i, k = 5)
+    }),
     "model_markov2" -> ((s, d) => {
       // order-2 with stupid backoff: queries whose exact (last2, last1)
       // context was observed score from it; the rest back off to order-1
@@ -5004,29 +5015,9 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
          |  FROM unseen) WHERE rn <= 5""".stripMargin,
-    "model_markov" ->
-      s"""$interactionsSql,
-         |seq AS (SELECT query_id, item_id,
-         |    lag(item_id) OVER (PARTITION BY query_id
-         |      ORDER BY timestamp, session_id, item_id) AS prev
-         |  FROM interactions),
-         |t AS (SELECT prev AS item_one, item_id AS item_two,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
-         |lst AS (SELECT query_id, item_id AS last_item FROM (
-         |    SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
-         |    FROM interactions) WHERE rn = 1),
-         |scored AS (SELECT l.query_id, t.item_two AS item_id,
-         |    CAST(t.cnt AS DOUBLE) AS rating
-         |  FROM lst l JOIN t ON t.item_one = l.last_item),
-         |unseen AS (SELECT s.* FROM scored s ANTI JOIN
-         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
-         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
-         |SELECT query_id, item_id, rating FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
-         |  FROM unseen) WHERE rn <= 5""".stripMargin,
+    "model_markov" -> markovPredictSql,
+    // identical SQL: merged user-disjoint transition stats rebuild the fit
+    "model_markov_incremental" -> markovPredictSql,
     "model_markov2" -> markov2PredictSql,
     // identical SQL: the merged user-disjoint transition stats rebuild
     // the full two-tier fit
@@ -5940,6 +5931,30 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY last_ts_us DESC, item_id) AS rn
          |  FROM st) WHERE rn <= 5""".stripMargin
+
+  private lazy val markovPredictSql: String =
+    s"""$interactionsSql,
+         |seq AS (SELECT query_id, item_id,
+         |    lag(item_id) OVER (PARTITION BY query_id
+         |      ORDER BY timestamp, session_id, item_id) AS prev
+         |  FROM interactions),
+         |t AS (SELECT prev AS item_one, item_id AS item_two,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |lst AS (SELECT query_id, item_id AS last_item FROM (
+         |    SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY timestamp DESC, session_id DESC, item_id DESC) AS rn
+         |    FROM interactions) WHERE rn = 1),
+         |scored AS (SELECT l.query_id, t.item_two AS item_id,
+         |    CAST(t.cnt AS DOUBLE) AS rating
+         |  FROM lst l JOIN t ON t.item_one = l.last_item),
+         |unseen AS (SELECT s.* FROM scored s ANTI JOIN
+         |    (SELECT DISTINCT query_id, item_id FROM interactions) h
+         |    ON s.query_id = h.query_id AND s.item_id = h.item_id)
+         |SELECT query_id, item_id, rating FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rating DESC, item_id) AS rn
+         |  FROM unseen) WHERE rn <= 5""".stripMargin
 
   private lazy val markov2PredictSql: String =
     s"""$interactionsSql,
