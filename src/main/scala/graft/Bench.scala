@@ -214,6 +214,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r13: a global spark.sql.join.preferSortMergeJoin=false was probed
+      // (guide §3.1/§9) and deliberately NOT adopted — paired A/B at sf0.1
+      // read −10%/−17% on the single-long-key Gram joins (item_knn_predict,
+      // rp3beta) but +66% on the composite-key deviations join
+      // (model_slope_one_sample 18.3→27.8 s; a per-join MERGE hint only
+      // recovered it to 18.9), netting ~zero across the measured set while
+      // adding per-task hash-build memory that shrinks headroom at the
+      // driver's lower-core scaling runs. Sort-merge stays the default.
       .config("spark.sql.session.timeZone", "UTC")
       // see Session: keep the bounded top-k crop hash-based
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)

@@ -62,6 +62,16 @@ object Tables {
     * is a broadcast-able dimension join (AQE handles it; the join key is
     * l_orderkey so no pre-shuffle of the fact table is needed beyond the
     * scan). */
+  /** r13 (guide §5 caching-when-reused): the joined log is the shared
+    * prologue of ~300 queries, and the model rows each materialize it 3-6
+    * times per run (fit aggregate, fit-frame counts, seen-count scalar,
+    * predict history, final action) — profiled at ~1.5-2 s per extra pass at
+    * sf0.1. `.cache()` here is WITHIN the timed computation: every bench rep
+    * and every Verify gate starts from a cleared cache and rebuilds from
+    * parquet, so nothing persists across runs. The cache manager dedups the
+    * identical plan across repeated `interactions()` calls into one
+    * MEMORY_AND_DISK entry (spills, never evicts executors, at cluster
+    * scale), exactly the reference's own convert2spark+cache discipline. */
   def interactions(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).join(orders(s, d),
         F.col("l_orderkey") === F.col("o_orderkey"))
@@ -72,6 +82,7 @@ object Tables {
         F.col("l_quantity").as("rating"),
         F.col("l_orderkey").as("session_id"),
       )
+      .cache()
 
   /** The same mapping as ANSI SQL, prepended to oracle queries. */
   val interactionsSql: String =

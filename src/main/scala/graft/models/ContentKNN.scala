@@ -46,13 +46,16 @@ final class ContentKNN(
   def fitFeatures(feats: DataFrame): this.type = {
     val base = feats.select(F.col(cols.item), F.col("feature"))
       .distinct().cache()
-    val capped = if (maxFeatureAudience > 0) {
+    // r13 (guide §2.4): when the cap window is active it feeds norms + both
+    // self-join sides — cache once instead of running it three times (the
+    // uncapped branch is `base`, already cached).
+    val capped = (if (maxFeatureAudience > 0) {
       val w = Window.partitionBy("feature").orderBy(
         F.xxhash64(F.col(cols.item), F.col("feature")),
         F.col(cols.item).asc)
       base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= maxFeatureAudience).drop("_rn")
-    } else base
+    } else base).cache()
     val norms = capped.groupBy(cols.item)
       .agg(F.sqrt(F.count(F.lit(1)).cast("double")).as("_norm"))
     val l = capped.select(F.col("feature"), F.col(cols.item).as("item_one"))
@@ -74,6 +77,7 @@ final class ContentKNN(
       F.col("similarity")))
     materialize(Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
+    if (capped ne base) capped.unpersist() // scratch; state = similarity+base
     features = base
     fitItemsDf = base.select(F.col(cols.item)).distinct().cache()
     this

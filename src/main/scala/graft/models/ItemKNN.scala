@@ -95,9 +95,13 @@ final class ItemKNN(
     // Overflow bound: |_vq| ≤ ~2e7 for any sane bm25/idf weight (v ≤ 20),
     // so Σ(_vq²) per item stays under 2^63 up to ~2e4 interactions/item ×
     // 4e14 — beyond that, lower the quantization or use decimal.
-    val cells = if (weighting.isEmpty) weighted
+    // r13 (guide §2.4): `cells` feeds THREE subtrees (norms + both self-join
+    // sides); uncached, each re-ran scan→distinct→reweight→cap-window (the
+    // exchange is reused across sides, but the sort+window above it ran per
+    // side). One cache = one computation of the weighted matrix.
+    val cells = (if (weighting.isEmpty) weighted
       else weighted.withColumn("_v",
-        F.floor(F.col("_v") * F.lit(1e6)).cast("long"))
+        F.floor(F.col("_v") * F.lit(1e6)).cast("long"))).cache()
     val norms = cells.groupBy(cols.item)
       .agg(F.sqrt(F.sum(F.col("_v") * F.col("_v")).cast("double")).as("_norm"))
 
@@ -135,6 +139,7 @@ final class ItemKNN(
     // paths) and the (similarity desc, item_two asc) order matches.
     materialize(graft.core.Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
+    cells.unpersist() // fit state is the cropped similarity; drop the scratch
   }
 
   /** Sufficient statistics of the PLAIN-COSINE fit for incremental refit:

@@ -53,13 +53,17 @@ final class P3AlphaRec(
 
   protected def doFit(log: DataFrame): Unit = {
     val base = log.select(F.col(cols.query), F.col(cols.item)).distinct()
-    val capped = if (maxUserHistory > 0) {
+    val capped = (if (maxUserHistory > 0) {
       val w = Window.partitionBy(cols.query).orderBy(
         F.xxhash64(F.col(cols.query), F.col(cols.item)),
         F.col(cols.item).asc)
       base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= maxUserHistory).drop("_rn")
-    } else base
+    } else base).cache()
+    // r13 (guide §2.4): `capped` feeds FIVE subtrees of the fit plan (du,
+    // di, both self-join sides, trainPairs) — uncached, each re-ran the
+    // scan→distinct→cap-window chain. One cache = one computation; the
+    // cache IS trainPairs' materialized state, so no extra memory is held.
     val du = capped.groupBy(cols.query).agg(F.count(F.lit(1)).as("du"))
     val di = capped.groupBy(cols.item).agg(F.count(F.lit(1)).as("di"))
     val adj = capped.join(du, Seq(cols.query)).join(di, Seq(cols.item))
@@ -97,7 +101,7 @@ final class P3AlphaRec(
     similarity = cropped.select("item_from", "item_to", "sim_ppt").cache()
     similarity.count()
     userDegrees = du.cache(); userDegrees.count()
-    trainPairs = capped.cache(); trainPairs.count()
+    trainPairs = capped; trainPairs.count()
   }
 
   /** Exact-ppt scores: Σ_{j∈hist} sim(j→candidate) div deg(query). Only

@@ -72,8 +72,13 @@ final class SlopeOne(
   }
 
   protected def doFit(log: DataFrame): Unit = {
-    val capped = cappedBase(log)
+    // r13 (guide §2.4): `capped` feeds both self-join sides and the ratings
+    // state — cache is free here because materializeFrom caches the ratings
+    // (== capped renamed) anyway; this just moves the cache below the
+    // expensive pre-average+cap chain so the pair join reads it too.
+    val capped = cappedBase(log).cache()
     materializeFrom(halfPairs(capped), capped)
+    capped.unpersist() // state lives on in the cached deviations/ratings
   }
 
   // ---- incremental refit (the ItemKNN/EASE discipline) ------------------

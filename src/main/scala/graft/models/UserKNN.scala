@@ -39,13 +39,15 @@ final class UserKNN(
 
   protected def doFit(log: DataFrame): Unit = {
     val base = log.select(cols.query, cols.item).distinct().cache()
-    val capped = if (maxItemAudience > 0) {
+    // r13 (guide §2.4): `capped` feeds norms + both self-join sides — cache
+    // once instead of re-running the audience-cap window three times.
+    val capped = (if (maxItemAudience > 0) {
       val w = Window.partitionBy(cols.item).orderBy(
         F.xxhash64(F.col(cols.query), F.col(cols.item)),
         F.col(cols.query).asc)
       base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= maxItemAudience).drop("_rn")
-    } else base
+    } else base).cache()
 
     val norms = capped.groupBy(cols.query)
       .agg(F.sqrt(F.count(F.lit(1)).cast("double")).as("_norm"))
@@ -71,6 +73,7 @@ final class UserKNN(
     similarity.count()
     trainPairs = base
     trainPairs.count()
+    if (capped ne base) capped.unpersist() // scratch; state = similarity+base
   }
 
   protected def score(queries: DataFrame, k: Int, maxSeen: Int,

@@ -111,6 +111,17 @@ final class TwoStagesScenario(
     * `useGeneratedFeatures` — the HistoryBasedFeaturesProcessor statistics
     * (per-user and per-item count/log-count/rating moments + abnormality)
     * computed from `flTrain`. Missing values → 0 (reference fillna(0)). */
+  /** Memoized generated-feature frames (r13, guide §5 caching-when-reused):
+    * [[enrich]] runs twice per scenario (fit-side train table, predict-side
+    * candidates) over the SAME `flTrain`, and the three statistics frames —
+    * per-user stats, per-item stats, abnormality — are identical in both
+    * calls. They are small (|users| / |items| rows) and each costs 1-3
+    * aggregation passes over the train log, so compute-once-cache is a pure
+    * win. Keyed on the `flTrain` reference: a caller enriching against a
+    * different train frame recomputes. */
+  private var statsKey: DataFrame = _
+  private var statsCached: Option[(DataFrame, DataFrame, DataFrame)] = None
+
   def enrich(pairs: DataFrame, flTrain: DataFrame,
       userFeatures: Option[DataFrame], itemFeatures: Option[DataFrame]): DataFrame = {
     var out = pairs
@@ -127,13 +138,19 @@ final class TwoStagesScenario(
         df.select(F.col(keep) +:
           df.columns.filterNot(_ == keep).toIndexedSeq
             .map(c => F.col(c).as(s"$p$c")): _*)
-      val uStats = prefixed(
-        HistoryFeatures.entityStats(flTrain, cols.query, cols.rating, cols.ts),
-        cols.query, "u_")
-      val iStats = prefixed(
-        HistoryFeatures.entityStats(flTrain, cols.item, cols.rating, cols.ts),
-        cols.item, "i_")
-      val abn = HistoryFeatures.abnormality(flTrain, cols.query, cols.item, cols.rating)
+      if (statsCached.isEmpty || (statsKey ne flTrain)) {
+        statsKey = flTrain
+        statsCached = Some((
+          prefixed(
+            HistoryFeatures.entityStats(flTrain, cols.query, cols.rating, cols.ts),
+            cols.query, "u_").cache(),
+          prefixed(
+            HistoryFeatures.entityStats(flTrain, cols.item, cols.rating, cols.ts),
+            cols.item, "i_").cache(),
+          HistoryFeatures.abnormality(flTrain, cols.query, cols.item, cols.rating)
+            .cache()))
+      }
+      val (uStats, iStats, abn) = statsCached.get
       out = out.join(uStats, Seq(cols.query), "left")
         .join(iStats, Seq(cols.item), "left")
         .join(abn, Seq(cols.query), "left")
@@ -152,11 +169,18 @@ final class TwoStagesScenario(
     if (negativesType == "random") randomModel.fit(flTrain)
     fallbackModel.foreach(_.fit(flTrain))
     val cand = candidatesWithFallback(negSource, flTrain, numNegatives, flTrain)
+    // r13 (guide §2.4 duplicated subtrees): `labeled` feeds [[enrich]] both
+    // as the output base AND as the rel_<idx> predictPairs probe — without a
+    // cache the whole candidate pipeline (two model predicts + fallback
+    // merge + two top-k crops) is planned (and computed) twice per action.
+    // The frame is ≤ numNegatives·|users| rows — cache is cheap; the cache
+    // manager dedups both plan occurrences into one InMemoryRelation.
     val labeled = cand.select(cols.query, cols.item)
       .join(slPositive.select(cols.query, cols.item).distinct()
           .withColumn("target", F.lit(1.0)),
         Seq(cols.query, cols.item), "left")
       .na.fill(0.0, Seq("target"))
+      .cache()
     (labeled, flTrain)
   }
 
@@ -197,8 +221,11 @@ final class TwoStagesScenario(
     * are excluded at candidate generation (log_to_filter = log). */
   def predict(log: DataFrame, k: Int): DataFrame = {
     require(secondModel != null, "TwoStagesScenario.predict before fit")
+    // r13: cached for the same duplicated-subtree reason as `labeled` in
+    // [[secondLevelTrain]] — `cand` appears in the final plan twice (enrich
+    // base + rel predictPairs probe); ≤ numNegatives·|users| rows.
     val cand = candidatesWithFallback(firstLevelModels.head, log,
-      numNegatives, log).select(cols.query, cols.item)
+      numNegatives, log).select(cols.query, cols.item).cache()
     val feats = enrich(cand, firstLevelTrain, userFeaturesFit, itemFeaturesFit)
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("_features")

@@ -137,15 +137,23 @@ object TimeSplitter {
     * count, so a single-partition window over it is the one task that
     * would hold the whole log at 100 TB. */
   def byQuantile(df: DataFrame, q: Double, tsCol: String = Timestamp): DataFrame = {
-    val n = df.count()
-    val cutRank = math.ceil(n * q).toLong
+    // r13 (guide §1.2/§2.4): n == Σ_c over the per-ts counts, so deriving it
+    // from the (|distinct ts|-sized, cached) counts frame drops the separate
+    // full-log df.count() pass this splitter used to pay — one less full
+    // scan+join per caller (~30 queries share this prologue).
     val counts = graft.core.Ops.globalCumsum(
       df.groupBy(tsCol).agg(F.count(F.lit(1)).as("_c")),
-      "_c", "_cum", F.col(tsCol).asc)
+      "_c", "_cum", F.col(tsCol).asc).cache()
+    val n = counts.agg(F.sum("_c")).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val cutRank = math.ceil(n * q).toLong
     // .get(0) + F.lit: works for both TimestampType and TimestampNTZType
     // (parquet ms-timestamps arrive as NTZ in Spark 4 → LocalDateTime)
     val cut = counts.filter(F.col("_cum") >= cutRank)
       .agg(F.min(tsCol)).first().get(0)
+    counts.unpersist()
     df.withColumn("is_test", F.col(tsCol) > F.lit(cut))
   }
 

@@ -16,11 +16,25 @@ class PlanSpec extends SparkSpec {
   def optimizedPlan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  test("filter_low_rating pushes the predicate into the parquet scan") {
+  test("filter_low_rating pushes the predicate into the (cached) scan") {
+    // r13: the interaction log is cached (Tables.interactions) — the filter
+    // must now push into the InMemoryTableScan's predicate list (cache-batch
+    // stats pruning), the cached-relation analogue of parquet PushedFilters.
     val plan = optimizedPlan("filter_low_rating")
+    assert(plan.contains("InMemoryTableScan"), plan.take(500))
+    assert(plan.contains("(rating") && plan.contains(">= 25.0)"),
+      "rating filter not pushed into the cached scan:\n" + plan.take(800))
+  }
+
+  test("uncached lineitem scans still push predicates to parquet") {
+    // q1_agg reads lineitem directly (no cache in that path): the parquet
+    // PushedFilters contract is asserted here instead.
+    val df = Tables.lineitem(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") >= 25.0)
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters"), plan.take(500))
     assert(plan.contains("GreaterThanOrEqual(l_quantity,25.0)"),
-      "rating filter not pushed to scan")
+      "quantity filter not pushed to the parquet scan")
   }
 
   test("scans are column-pruned to the referenced columns") {
