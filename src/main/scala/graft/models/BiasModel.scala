@@ -77,8 +77,14 @@ final class BiasModel(
 
   /** Rebuild the full fit from merged stats — bit-exact vs [[fit]] on the
     * concatenated events. */
-  def fitFromStats(stats: DataFrame): this.type = {
+  def fitFromStats(stats0: DataFrame): this.type = {
     require(lambdaItem >= 0 && lambdaUser >= 0, "damping must be >= 0")
+    // r13 (guide §2.4): `stats` feeds four subtrees (global mean, item tier,
+    // user tier, the entity frames) — for the streaming twin that plan is a
+    // mapGroupsWithState object shuffle, recomputed per subtree uncached.
+    // The entity frames are materialized before release so nothing re-runs
+    // the stats pipeline after the unpersist.
+    val stats = stats0.cache()
     val g = stats.agg(F.sum("s_ppm").as("_s"), F.sum("n").as("_n")).first()
     require(!g.isNullAt(1) && g.getLong(1) > 0, "empty stats")
     muPpm = Math.floorDiv(g.getLong(0), g.getLong(1))
@@ -99,8 +105,12 @@ final class BiasModel(
           .as("b_u_ppm"))
       .cache()
     itemBias.count(); userBias.count()
-    fitQueriesDf = stats.select(cols.query).distinct().cache()
-    fitItemsDf = stats.select(cols.item).distinct().cache()
+    // entity frames from the cached tiers (their groupBy keys ARE the
+    // distinct entity sets) — no extra pass over the stats pipeline, and
+    // `stats` can be released without anything re-running it later.
+    fitQueriesDf = userBias.select(F.col(cols.query)).cache()
+    fitItemsDf = itemBias.select(F.col(cols.item)).cache()
+    stats.unpersist()
     this
   }
 

@@ -64,6 +64,8 @@ final class ContentKNN(
       .filter(F.col("item_one") < F.col("item_two"))
       .groupBy("item_one", "item_two")
       .agg(F.count(F.lit(1)).cast("double").as("_dot"))
+    // r13 (guide §2.4): `half` feeds both symmetrization branches — cached
+    // so the feature-Gram join+aggregation runs once, released after crop.
     val half = dots
       .join(norms.withColumnRenamed(cols.item, "item_one")
         .withColumnRenamed("_norm", "_n1"), Seq("item_one"))
@@ -72,11 +74,13 @@ final class ContentKNN(
       .select(F.col("item_one"), F.col("item_two"),
         (F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink)))
           .as("similarity"))
+      .cache()
     val sym = half.unionByName(half.select(
       F.col("item_two").as("item_one"), F.col("item_one").as("item_two"),
       F.col("similarity")))
     materialize(Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
+    half.unpersist()
     if (capped ne base) capped.unpersist() // scratch; state = similarity+base
     features = base
     fitItemsDf = base.select(F.col(cols.item)).distinct().cache()

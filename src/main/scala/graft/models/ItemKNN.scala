@@ -117,6 +117,8 @@ final class ItemKNN(
 
     val shrinkLit = if (weighting.isEmpty) F.lit(shrink)
       else F.lit(shrink) * F.lit(1e12)
+    // r13 (guide §2.4): `half` feeds both symmetrization branches — cached
+    // so the Gram join+aggregation runs once, released after the crop.
     val half = dots
       .join(norms.withColumnRenamed(cols.item, "item_one")
         .withColumnRenamed("_norm", "_n1"), Seq("item_one"))
@@ -125,6 +127,7 @@ final class ItemKNN(
       .select(F.col("item_one"), F.col("item_two"),
         (F.col("_dot").cast("double") /
           (F.col("_n1") * F.col("_n2") + shrinkLit)).as("similarity"))
+      .cache()
 
     // symmetrize (unionByName, reference association_rules.py:229-235 style)
     val sym = half.unionByName(half.select(
@@ -140,6 +143,7 @@ final class ItemKNN(
     materialize(graft.core.Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
     cells.unpersist() // fit state is the cropped similarity; drop the scratch
+    half.unpersist()
   }
 
   /** Sufficient statistics of the PLAIN-COSINE fit for incremental refit:
@@ -189,11 +193,13 @@ final class ItemKNN(
       .select(F.col("item_one"), F.col("item_two"),
         (F.col("codot").cast("double") /
           (F.col("_n1") * F.col("_n2") + F.lit(shrink))).as("similarity"))
+      .cache() // r13: feeds both symmetrization branches (see doFit)
     val sym = half.unionByName(half.select(
       F.col("item_two").as("item_one"), F.col("item_one").as("item_two"),
       F.col("similarity")))
     materialize(graft.core.Ops.getTopKRecsBounded(
       sym, numNeighbours, "item_one", "item_two", "similarity"))
+    half.unpersist()
     fitItemsDf = dfs.select(F.col(cols.item)).distinct().cache()
     this
   }

@@ -73,6 +73,10 @@ final class P3AlphaRec(
       F.col("di").as("_dl"), F.col("du"))
     val r = adj.select(F.col(cols.query), F.col(cols.item).as("item_to"),
       F.col("di").as("_dr"))
+    // r13 (guide §2.4): `half` feeds BOTH union branches below — uncached,
+    // the final aggregation of the self-join ran twice (ReuseExchange
+    // shares the shuffle, not the final HashAggregate above it). Cached and
+    // released once the cropped similarity materializes.
     val half = l.join(r, Seq(cols.query))
       .filter(F.col("item_from") < F.col("item_to"))
       .groupBy("item_from", "item_to")
@@ -80,6 +84,7 @@ final class P3AlphaRec(
         F.expr("sum(1000000000000L div (_dl * du))").cast("long").as("s_fwd"),
         F.expr("sum(1000000000000L div (_dr * du))").cast("long").as("s_bwd"),
       )
+      .cache()
     val both = half.select(F.col("item_from"), F.col("item_to"),
         F.col("s_fwd").as("sim_ppt"))
       .unionByName(half.select(F.col("item_to").as("item_from"),
@@ -100,6 +105,7 @@ final class P3AlphaRec(
     } else penalized
     similarity = cropped.select("item_from", "item_to", "sim_ppt").cache()
     similarity.count()
+    half.unpersist() // scratch; the cropped similarity is the fit state
     userDegrees = du.cache(); userDegrees.count()
     trainPairs = capped; trainPairs.count()
   }

@@ -132,15 +132,17 @@ final class SLIM(
     // shuffle, the single most expensive stage (measured 3.3× the CSC twin
     // at sf0.1 before this; the CSC path reads each exactly once)
     import org.apache.spark.storage.StorageLevel
-    if (useDistributed) {
-      dotsHalf.persist(StorageLevel.MEMORY_AND_DISK)
-      candLists.persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    // r13 (guide §2.4): dotsHalf is persisted on BOTH paths — dotsSym
+    // unions it with its transpose, so even the driver-CSC path was paying
+    // the co-occurrence self-join twice inside the candLists job.
+    dotsHalf.persist(StorageLevel.MEMORY_AND_DISK)
+    if (useDistributed) candLists.persist(StorageLevel.MEMORY_AND_DISK)
     val sims =
       if (useDistributed) fitDistributed(mat, dotsHalf, candLists)
       else fitDriverCsc(mat, candLists)
     materialize(sims)
-    if (useDistributed) { dotsHalf.unpersist(); candLists.unpersist() }
+    dotsHalf.unpersist()
+    if (useDistributed) candLists.unpersist()
     mat.unpersist() // state is materialized; don't hold the matrix cached
   }
 

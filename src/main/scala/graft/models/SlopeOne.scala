@@ -62,11 +62,21 @@ final class SlopeOne(
         F.sum(F.col("_rt") - F.col("_rf")).as("dev_ppm"))
   }
 
-  private def materializeFrom(half: DataFrame, capped: DataFrame): Unit = {
+  /** cacheHalf: the antisymmetrization union reads `half` twice. For the
+    * BATCH fit the duplicated work is only the final aggregation above a
+    * ReuseExchange'd shuffle — measured CHEAPER than a cache roundtrip of
+    * the pair table (18.0 vs 14.8 s on the sample row), so doFit passes
+    * false. For [[fitFromStats]] the half plan is the caller's whole stats
+    * pipeline (e.g. the streaming delta mapGroupsWithState), which must not
+    * run twice — it passes true. (r13, guide §1: measured both ways.) */
+  private def materializeFrom(half0: DataFrame, capped: DataFrame,
+      cacheHalf: Boolean): Unit = {
+    val half = if (cacheHalf) half0.cache() else half0
     deviations = half.unionByName(half.select(
       F.col("item_to").as("item_from"), F.col("item_from").as("item_to"),
       F.col("n"), (-F.col("dev_ppm")).as("dev_ppm"))).cache()
     deviations.count()
+    if (cacheHalf) half.unpersist()
     ratings = capped.withColumnRenamed("_r", "r_ppm").cache()
     ratings.count()
   }
@@ -77,7 +87,7 @@ final class SlopeOne(
     // (== capped renamed) anyway; this just moves the cache below the
     // expensive pre-average+cap chain so the pair join reads it too.
     val capped = cappedBase(log).cache()
-    materializeFrom(halfPairs(capped), capped)
+    materializeFrom(halfPairs(capped), capped, cacheHalf = false)
     capped.unpersist() // state lives on in the cached deviations/ratings
   }
 
@@ -106,7 +116,8 @@ final class SlopeOne(
   /** Rebuild the full fit from merged stats — bit-exact vs [[fit]] on the
     * concatenated user-disjoint slices. */
   def fitFromStats(half: DataFrame, cappedRatings: DataFrame): this.type = {
-    materializeFrom(half, cappedRatings.withColumnRenamed("r_ppm", "_r"))
+    materializeFrom(half, cappedRatings.withColumnRenamed("r_ppm", "_r"),
+      cacheHalf = true)
     fitQueriesDf = ratings.select(F.col(cols.query)).distinct().cache()
     fitItemsDf = ratings.select(F.col(cols.item)).distinct().cache()
     this

@@ -57,6 +57,8 @@ final class UserKNN(
       .filter(F.col("query_one") < F.col("query_two"))
       .groupBy("query_one", "query_two")
       .agg(F.count(F.lit(1)).cast("double").as("_dot"))
+    // r13 (guide §2.4): `half` feeds both symmetrization branches — cached
+    // so the Gram join+aggregation runs once, released after the crop.
     val half = dots
       .join(norms.withColumnRenamed(cols.query, "query_one")
         .withColumnRenamed("_norm", "_n1"), Seq("query_one"))
@@ -65,12 +67,14 @@ final class UserKNN(
       .select(F.col("query_one"), F.col("query_two"),
         (F.col("_dot") / (F.col("_n1") * F.col("_n2") + F.lit(shrink)))
           .as("similarity"))
+      .cache()
     val sym = half.unionByName(half.select(
       F.col("query_two").as("query_one"), F.col("query_one").as("query_two"),
       F.col("similarity")))
     similarity = Ops.getTopKRecsBounded(sym, numNeighbours,
       "query_one", "query_two", "similarity").cache()
     similarity.count()
+    half.unpersist()
     trainPairs = base
     trainPairs.count()
     if (capped ne base) capped.unpersist() // scratch; state = similarity+base

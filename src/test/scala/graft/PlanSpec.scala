@@ -206,8 +206,12 @@ class PlanSpec extends SparkSpec {
     val plan = optimizedPlan("join_salted")
     assert(plan.contains("_salt"), "salt column must reach the physical join keys")
     assert(!plan.contains("CartesianProduct"), "salting must stay an equi-join")
-    // events has 6 columns; the click side needs only event_id/user_id/event_type
-    assert(!plan.contains("props"), "unused events column read from scan")
+    // r13: events is cached — the cached RELATION holds all 6 columns by
+    // design; pruning now happens at the cache read, so assert the
+    // InMemoryTableScan's projected column list excludes the unused props.
+    val cacheScans = plan.linesIterator.filter(_.contains("InMemoryTableScan"))
+    assert(cacheScans.forall(!_.contains("props")),
+      "unused events column read from the cached scan")
   }
 
   test("CDC apply-changes: latest-pick lowers to WindowGroupLimit; base anti-join stays equi") {
@@ -242,17 +246,21 @@ class PlanSpec extends SparkSpec {
       "the nShards-row offsets frame should broadcast, not shuffle the corpus")
   }
 
-  test("funnel: every step filter reaches the parquet scan; joins stay equi") {
+  test("funnel: every step filter reaches the (cached) scan; joins stay equi") {
     val plan = optimizedPlan("funnel_users")
-    // each level scans only its step's rows — the event_type predicate
-    // must land in PushedFilters, not in a post-scan Filter over all rows
-    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)")
-      || plan.contains("EqualTo(event_type,signup)"),
+    // r13: events is cached — each step's event_type predicate now lands in
+    // the InMemoryTableScan predicate list (cache-batch stats pruning), the
+    // cached analogue of parquet PushedFilters.
+    assert(plan.contains("EqualTo(event_type,signup)")
+      || plan.contains("(event_type#") && plan.contains("= signup)"),
       s"step-1 filter not pushed:\n${plan.take(800)}")
-    assert(plan.contains("EqualTo(event_type,purchase)"), "step-4 filter not pushed")
+    assert(plan.contains("EqualTo(event_type,purchase)")
+      || plan.contains("= purchase)"), "step-4 filter not pushed")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       "funnel levels must stay user-keyed equi-joins")
-    assert(!plan.contains("props"), "unused events columns read from scan")
+    val cacheScans = plan.linesIterator.filter(_.contains("InMemoryTableScan"))
+    assert(cacheScans.forall(!_.contains("props")),
+      "unused events columns read from the cached scan")
   }
 
   test("graph triangles: oriented wedge join stays equi, no cartesian") {
