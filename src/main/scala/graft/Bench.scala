@@ -163,6 +163,35 @@ object Bench {
   /** Name of the box-speed calibration row (not a graft operator). */
   val CalibrationName = "_calibration"
 
+  /** Committed historical calibration band at local[32] on the reference
+    * box: the r12 official record ran [[calibrationWorkload]] at 3.37-3.94 s
+    * (BENCH_r12.json); r13's record ran it at 25.9 s at sweep start — a
+    * 7.7× slower box — and the whole round's geomean was judged
+    * unattributable (VERDICT r13 "What's wrong #1"). A record whose
+    * calibration exceeds [[CalibrationBandHi]] × [[CalibrationDriftFactor]]
+    * now self-flags with a top-level "calibration_drift" field (worst
+    * calibration ÷ band hi) plus a stderr WARN, so a contaminated sweep is
+    * visible IN the artifact instead of silently becoming the baseline.
+    * The band is only meaningful at 32 cores (the 8-core sweeps run
+    * ~10.6-12.2 s by design); other core counts skip the flag. */
+  val CalibrationBandHi = 3.94
+  val CalibrationDriftFactor = 1.5
+
+  /** Drift ratio for the emitted record: worst calibration over the band
+    * hi, or None when inside CalibrationDriftFactor× the band (or not a
+    * 32-core run, or calibration failed). */
+  def calibrationDrift(cal: Option[(Double, Double, Double)],
+      cpus: String): Option[Double] =
+    cal.filter(_ => cpus == "32").flatMap { case (s, m, e) =>
+      val worst = Seq(s, m, e).filter(_ >= 0) match {
+        case Nil => -1.0
+        case xs  => xs.max
+      }
+      if (worst > CalibrationBandHi * CalibrationDriftFactor)
+        Some(worst / CalibrationBandHi)
+      else None
+    }
+
   /** Fixed synthetic calibration workload: a seeded 2×10⁸-row generate →
     * shuffle (1M keys) → aggregate, touching ZERO graft operators and ZERO
     * input data. Its cost is a pure function of box speed (CPU + memory
@@ -239,7 +268,12 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).limit(1000).count()
-      Tables.events(spark, sfDir).limit(1000).count()
+      // cache=false (r14): a cached accessor here would REGISTER the events
+      // plan in the CacheManager, and Spark substitutes the InMemoryRelation
+      // into any later matching subtree — silently undoing the uncached
+      // rows' parquet pushdown. (Timed reps clearCache first, so this only
+      // mattered for plan hygiene, but keep the warmup side-effect-free.)
+      Tables.events(spark, sfDir, cache = false).limit(1000).count()
     } catch { case _: Throwable => () }
 
   /** reps timed runs of one query in the given session; median seconds, or
@@ -318,10 +352,15 @@ object Bench {
     * `omitted` says how many rows were trimmed from the line.
     */
   def renderEmit(results: Seq[(String, Double)], sfDir: String,
-      calibration: Option[(Double, Double)]): (String, String) = {
+      calibration: Option[(Double, Double, Double)],
+      drift: Option[Double] = None): (String, String) = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val calJson = calibration
-      .map { case (s, e) => s""","calibration":{"start":${fmt(s)},"end":${fmt(e)}}""" }
+      .map { case (s, m, e) =>
+        val mid = if (m >= 0) s""","mid":${fmt(m)}""" else ""
+        val dr = drift.map(r => s""","calibration_drift":${fmt(r)}""").getOrElse("")
+        s""","calibration":{"start":${fmt(s)}$mid,"end":${fmt(e)}}$dr"""
+      }
       .getOrElse("")
     def line(rows: Seq[(String, Double)], omitted: Int): String = {
       val qJson = rows.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -390,7 +429,7 @@ object Bench {
     * recent cumulative state even if the sweep is killed mid-row.
     */
   private def emit(results: Seq[(String, Double)], sfDir: String,
-      calibration: Option[(Double, Double)]): Unit = {
+      calibration: Option[(Double, Double, Double)], cpus: String): Unit = {
     // BENCH_DETAIL.json is the judge's definitive record and is produced at
     // the official sf0.1 — a local probe at another sf must not clobber it
     // (round 11; it happened), so other sfs write an sf-suffixed file
@@ -398,8 +437,9 @@ object Bench {
     val detailPath = java.nio.file.Paths.get(
       if (sfName == "sf0.1") "BENCH_DETAIL.json" else s"BENCH_DETAIL_$sfName.json")
     val merged = mergePrior(detailPath, sfDir, results)
-    val (lineOut, _) = renderEmit(results, sfDir, calibration)
-    val (_, detailBare) = renderEmit(merged, sfDir, calibration)
+    val drift = calibrationDrift(calibration, cpus)
+    val (lineOut, _) = renderEmit(results, sfDir, calibration, drift)
+    val (_, detailBare) = renderEmit(merged, sfDir, calibration, drift)
     // Provenance (ADVICE r11): rows carried over from a prior run are
     // indistinguishable from fresh measurements otherwise — "stale" names
     // every merged-not-remeasured row so a reader (and the judge) can tell
@@ -471,23 +511,41 @@ object Bench {
 
     val calibrate = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIBRATE", "1") != "0"
 
+    def warnDrift(label: String, v: Double): Unit =
+      if (cpus == "32" && v > CalibrationBandHi * CalibrationDriftFactor)
+        System.err.println(f"[bench] WARN calibration $label $v%.2f s exceeds " +
+          f"${CalibrationDriftFactor}x the committed band " +
+          f"(${CalibrationBandHi} s) - this record is contaminated by box " +
+          "load; re-run on a quiet box before treating it as a baseline")
+
     val (results, calibration) =
       if (fork) {
         val calStart =
           if (calibrate) forkOne(CalibrationName, sfDir, reps, cpus) else -1.0
+        warnDrift("start", calStart)
         // cumulative re-emit after every row: a driver timeout mid-sweep
         // still leaves the last complete cumulative line in its stdout
-        // window (calibration end = start until the sweep finishes)
+        // window (calibration mid/end default until measured). A MID
+        // calibration runs halfway through the sweep — r13's record drifted
+        // 25.9 -> 7.7 s WITHIN one sweep, so two endpoints under-sample the
+        // load curve the per-row numbers actually saw.
         val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        var calMid = -1.0
         names.zipWithIndex.foreach { case (name, i) =>
           System.err.println(s"[bench] (${i + 1}/${names.size}) forking $name")
           acc += name -> forkOne(name, sfDir, reps, cpus)
+          if (calibrate && names.size >= 8 && i + 1 == names.size / 2) {
+            calMid = forkOne(CalibrationName, sfDir, reps, cpus)
+            warnDrift("mid", calMid)
+          }
           emit(acc.toSeq, sfDir,
-            if (calibrate) Some((calStart, calStart)) else None)
+            if (calibrate) Some((calStart, calMid, calStart)) else None, cpus)
         }
         val calEnd =
           if (calibrate) forkOne(CalibrationName, sfDir, reps, cpus) else -1.0
-        (acc.toSeq, if (calibrate) Some((calStart, calEnd)) else None)
+        warnDrift("end", calEnd)
+        (acc.toSeq,
+          if (calibrate) Some((calStart, calMid, calEnd)) else None)
       } else {
         val spark = benchSession(cpus)
         warmup(spark, sfDir)
@@ -497,9 +555,9 @@ object Bench {
         val calEnd =
           if (calibrate) timeQuery(spark, sfDir, CalibrationName, reps) else -1.0
         spark.stop()
-        (rs, if (calibrate) Some((calStart, calEnd)) else None)
+        (rs, if (calibrate) Some((calStart, -1.0, calEnd)) else None)
       }
-    emit(results, sfDir, calibration)
+    emit(results, sfDir, calibration, cpus)
   }
 }
 

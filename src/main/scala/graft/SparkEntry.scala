@@ -60,7 +60,7 @@ object SparkEntry {
     }),
     "agg_stats" -> ((s, d) => {
       // get_stats parity (spark_utils.py:394-405): global min/max/mean/count
-      val i = Tables.interactions(s, d)
+      val i = Tables.interactions(s, d, cache = false)
       Ops.getStats(i, "rating")
         .select(
           F.col("min_rating"), F.col("max_rating"),
@@ -70,7 +70,7 @@ object SparkEntry {
     }),
     "agg_group_distinct" -> ((s, d) => {
       // groupBy count + countDistinct (pop_rec.py:125-133 shape)
-      Tables.events(s, d).groupBy("event_type")
+      Tables.events(s, d, cache = false).groupBy("event_type")
         .agg(
           F.count(F.lit(1)).as("n_events"),
           F.countDistinct("user_id").as("n_users"),
@@ -81,7 +81,7 @@ object SparkEntry {
     "window_top_k" -> ((s, d) => {
       // THE central operator: top-k per query, ties by item asc
       // (spark_utils.py:101-153)
-      val agg = Tables.interactions(s, d)
+      val agg = Tables.interactions(s, d, cache = false)
         .groupBy("query_id", "item_id").agg(F.sum("rating").as("score"))
       val w = Window.partitionBy("query_id")
         .orderBy(F.col("score").desc, F.col("item_id").asc)
@@ -92,7 +92,7 @@ object SparkEntry {
       // the same crop via the no-sort bounded heap aggregation
       // (Ops.getTopKRecsBounded) — must hash-match the rank-window oracle,
       // proving the O(k)-state scale path is a drop-in for the window
-      val agg = Tables.interactions(s, d)
+      val agg = Tables.interactions(s, d, cache = false)
         .groupBy("query_id", "item_id").agg(F.sum("rating").as("score"))
       graft.core.Ops.getTopKRecsBounded(agg, 3, "query_id", "item_id", "score")
     }),
@@ -100,7 +100,7 @@ object SparkEntry {
       // dedup keep-max (experimental/metrics/base_metric.py:96-107)
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(F.col("value").desc, F.col("event_id").asc)
-      Tables.events(s, d)
+      Tables.events(s, d, cache = false)
         .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") === 1)
         .select("user_id", "event_type", "event_id", "value")
     }),
@@ -108,7 +108,7 @@ object SparkEntry {
       // running totals (sessionizer.py:184-189, new_users_splitter.py:133-152)
       val w = Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc, F.col("event_id").asc)
-      Tables.events(s, d)
+      Tables.events(s, d, cache = false)
         .withColumn("cum_value", F.round(F.sum("value").over(w), 2))
         .withColumn("cum_n", F.count(F.lit(1)).over(w))
         .select("event_id", "user_id", "cum_value", "cum_n")
@@ -116,7 +116,7 @@ object SparkEntry {
     "window_global_rank" -> ((s, d) => {
       // global ranking (base_rec.py:1235-1237) via the distributed
       // range-partition rank — no single-partition window over the catalog
-      val pop = Tables.interactions(s, d)
+      val pop = Tables.interactions(s, d, cache = false)
         .groupBy("item_id").agg(F.sum("rating").as("score"))
       Ops.globalRowNumber(pop, "rank", F.col("score").desc, F.col("item_id").asc)
         .filter(F.col("rank") <= 100)
@@ -124,52 +124,52 @@ object SparkEntry {
 
     // ---- §2.2 filters -----------------------------------------------------
     "filter_low_rating" -> ((s, d) => {
-      LowRatingFilter(25.0).transform(Tables.interactions(s, d))
+      LowRatingFilter(25.0).transform(Tables.interactions(s, d, cache = false))
         .select(F.col("query_id"), F.col("item_id"), F.col("rating"),
           F.col("timestamp").cast("date").as("order_date"))
     }),
     "filter_time_period" -> ((s, d) => {
       TimePeriodFilter(Some("2024-01-10"), Some("2024-01-20"), tsCol = "ts")
-        .transform(Tables.events(s, d))
+        .transform(Tables.events(s, d, cache = false))
         .select(F.col("event_id"), F.col("user_id"), F.col("event_type"),
           F.unix_millis(F.col("ts")).as("ts_ms"))
     }),
     "filter_global_days" -> ((s, d) => {
-      GlobalDaysFilter(7, first = true, tsCol = "ts").transform(Tables.events(s, d))
+      GlobalDaysFilter(7, first = true, tsCol = "ts").transform(Tables.events(s, d, cache = false))
         .select(F.col("event_id"), F.col("user_id"), F.unix_millis(F.col("ts")).as("ts_ms"))
     }),
     "filter_entity_days" -> ((s, d) => {
       EntityDaysFilter(3, first = true, entityCol = "user_id", tsCol = "ts")
-        .transform(Tables.events(s, d))
+        .transform(Tables.events(s, d, cache = false))
         .select(F.col("event_id"), F.col("user_id"), F.unix_millis(F.col("ts")).as("ts_ms"))
     }),
     "filter_num_interactions" -> ((s, d) => {
       NumInteractionsFilter(5, first = true, queryCol = "user_id",
           tsCol = "ts", tieCol = Some("event_id"))
-        .transform(Tables.events(s, d))
+        .transform(Tables.events(s, d, cache = false))
         .select("event_id", "user_id", "event_type")
     }),
     "filter_min_count" -> ((s, d) => {
-      MinCountFilter(70, "user_id").transform(Tables.events(s, d))
+      MinCountFilter(70, "user_id").transform(Tables.events(s, d, cache = false))
         .select("event_id", "user_id")
     }),
     "filter_consecutive_duplicates" -> ((s, d) => {
       ConsecutiveDuplicatesFilter(queryCol = "user_id", itemCol = "event_type",
           tsCol = "ts", tieCol = Some("event_id"))
-        .transform(Tables.events(s, d))
+        .transform(Tables.events(s, d, cache = false))
         .select("event_id", "user_id", "event_type")
     }),
     "filter_cold_items" -> ((s, d) => {
       // left_semi cold filter (filters.py:1131-1139)
       val bigParts = Tables.part(s, d).filter(F.col("p_size") >= 25)
         .select(F.col("p_partkey").as("item_id"))
-      Ops.filterCold(Tables.interactions(s, d), bigParts, "item_id")
+      Ops.filterCold(Tables.interactions(s, d, cache = false), bigParts, "item_id")
         .select("query_id", "item_id", "rating")
     }),
     "filter_interaction_entries" -> ((s, d) => {
       // fixpoint min-interactions per user and item (filters.py:140-250)
       InteractionEntriesFilter(minInterPerUser = Some(10), minInterPerItem = Some(3))
-        .transform(Tables.interactions(s, d))
+        .transform(Tables.interactions(s, d, cache = false))
         .select("query_id", "item_id", "rating", "session_id")
     }),
     "filter_interaction_entries_max" -> ((s, d) => {
@@ -177,7 +177,7 @@ object SparkEntry {
       // with enough support — removing a capped user's rows can drop an
       // item below its minimum, hence still iterative
       InteractionEntriesFilter(maxInterPerUser = Some(50), minInterPerItem = Some(3))
-        .transform(Tables.interactions(s, d))
+        .transform(Tables.interactions(s, d, cache = false))
         .select("query_id", "item_id", "rating", "session_id")
     }),
 
@@ -227,14 +227,14 @@ object SparkEntry {
     "sessionize" -> ((s, d) => {
       Sessionizer(sessionGapSec = 1800, userCol = "user_id", tsCol = "ts",
           tieCol = Some("event_id"))
-        .transform(Tables.events(s, d))
+        .transform(Tables.events(s, d, cache = false))
         .select("event_id", "user_id", "session_seq")
     }),
     "sessionize_filtered" -> ((s, d) => {
       // session-size post-filter (sessionizer.py:246-263)
       Sessionizer(sessionGapSec = 1800, userCol = "user_id", tsCol = "ts",
           tieCol = Some("event_id"), minSessionEvents = Some(3))
-        .transform(Tables.events(s, d))
+        .transform(Tables.events(s, d, cache = false))
         .select("event_id", "user_id", "session_seq")
     }),
     "discretize_greedy" -> ((s, d) => {
@@ -255,7 +255,7 @@ object SparkEntry {
     // ---- §2.9 splitters ---------------------------------------------------
     "split_ratio" -> ((s, d) => {
       RatioSplitter(0.2, queryCol = "user_id", tsCol = "ts", tieCol = Some("event_id"))
-        .mark(Tables.events(s, d)).select("event_id", "user_id", "is_test")
+        .mark(Tables.events(s, d, cache = false)).select("event_id", "user_id", "is_test")
     }),
     "split_ratio_repaired" -> ((s, d) => {
       // splitter post-steps (base_splitter.py:130-209): ratio mark →
@@ -2354,7 +2354,7 @@ object SparkEntry {
       // is the PLAIN join — the gate checks the salt split changes
       // nothing; OpsSpec pins that the salt actually reaches the join
       // keys and spreads hot keys.
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d, cache = false)
       val stats = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).as("n_events"),
         F.sum(F.when(F.col("event_type") === "click", 1L).otherwise(0L))
@@ -3247,7 +3247,7 @@ object SparkEntry {
       // per-user funnel timeline signup -> view -> click -> purchase,
       // first-touch, strictly ordered, 7-day window anchored at signup;
       // each level is a filtered-scan x cohort equi-join, no windows
-      graft.core.Funnel.funnelUsers(Tables.events(s, d), "user_id",
+      graft.core.Funnel.funnelUsers(Tables.events(s, d, cache = false), "user_id",
           "event_type", "ts", Seq("signup", "view", "click", "purchase"),
           Some(F.expr("INTERVAL 7 DAYS")))
         .select(F.col("user_id"), F.col("step"), F.col("step_name"),
@@ -3255,7 +3255,7 @@ object SparkEntry {
     "funnel_steps" -> ((s, d) =>
       // the funnel summary: survivors per step + ppm conversion rates in
       // exact integer division
-      graft.core.Funnel.funnelSteps(Tables.events(s, d), "user_id",
+      graft.core.Funnel.funnelSteps(Tables.events(s, d, cache = false), "user_id",
         "event_type", "ts", Seq("signup", "view", "click", "purchase"),
         Some(F.expr("INTERVAL 7 DAYS")))),
     "sketch_cms_join" -> ((s, d) => {
@@ -3319,14 +3319,14 @@ object SparkEntry {
       // pair counts + exact integer row probabilities; lag ordered by
       // (ts, event_id) so simultaneous events break ties identically
       graft.core.Ops.transitionCounts(
-        Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        Tables.events(s, d, cache = false).select("user_id", "event_type", "ts", "event_id"),
         "user_id", "event_type", "ts", Seq("event_id"))),
     "metrics_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for the mean per-user purchase metric —
       // weights from the portable hash's inverse-CDF table, all-BIGINT
       // means and nearest-rank bounds, replayed draw-for-draw in SQL
       graft.metrics.Metrics.bootstrapCI(
-        Tables.events(s, d).filter(F.col("event_type") === "purchase")
+        Tables.events(s, d, cache = false).filter(F.col("event_type") === "purchase")
           .groupBy("user_id")
           .agg((F.count(F.lit(1)) / 100.0).as("metric")),
         "user_id", "metric", resamples = 200, seed = 7L)),
@@ -3392,13 +3392,13 @@ object SparkEntry {
     "funnel_retention" -> ((s, d) =>
       // weekly cohort retention: cohort by first signup week, activity =
       // any event; exact integer microsecond periods and ppm shares
-      graft.core.Funnel.retentionCohorts(Tables.events(s, d), "user_id",
+      graft.core.Funnel.retentionCohorts(Tables.events(s, d, cache = false), "user_id",
         "event_type", "ts", "signup",
         Seq("signup", "view", "click", "purchase", "error"), 604800L)),
     "funnel_session_paths" -> ((s, d) =>
       // frequent session flows at a 30-minute gap: ordered type strings
       // per session, counts + exact ppm shares; gap rule = Sessionizer's
-      graft.core.Funnel.sessionPaths(Tables.events(s, d), "user_id",
+      graft.core.Funnel.sessionPaths(Tables.events(s, d, cache = false), "user_id",
         "event_type", "ts", "event_id", 1800L, minCount = 2L)),
     "graph_pagerank_weighted" -> ((s, d) =>
       // quantity-weighted purchase graph: contributions split
@@ -3494,7 +3494,7 @@ object SparkEntry {
     "funnel_delays" -> ((s, d) =>
       // time-to-convert per step: exact integer µs delays, mean = sum
       // div n, median doubled back to BIGINT
-      graft.core.Funnel.funnelDelays(Tables.events(s, d), "user_id",
+      graft.core.Funnel.funnelDelays(Tables.events(s, d, cache = false), "user_id",
         "event_type", "ts", Seq("signup", "view", "click", "purchase"),
         Some(F.expr("INTERVAL 7 DAYS")))),
     "graph_kcore" -> ((s, d) =>

@@ -108,6 +108,12 @@ final class BiasModel(
     // entity frames from the cached tiers (their groupBy keys ARE the
     // distinct entity sets) — no extra pass over the stats pipeline, and
     // `stats` can be released without anything re-running it later.
+    // NOTE (ADVICE r13): userBias inner-joins stats to itemBias on the item
+    // key, so a stats row with a NULL item id would drop its query from
+    // fitQueriesDf (the old stats.select(query).distinct() retained it).
+    // Interaction stats never carry NULL item ids by the feed contract
+    // (mapGroupsWithState keys / groupBy keys of real interactions), so the
+    // derivation is set-identical on every supported input.
     fitQueriesDf = userBias.select(F.col(cols.query)).cache()
     fitItemsDf = itemBias.select(F.col(cols.item)).cache()
     stats.unpersist()

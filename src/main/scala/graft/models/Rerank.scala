@@ -106,9 +106,18 @@ object Rerank {
       .groupBy(queryCol, "category")
       .agg(F.count(F.lit(1)).as("hc"))
     val pTot = p.groupBy(queryCol).agg(F.sum("hc").as("ht"))
-    val pDist = p.join(pTot, Seq(queryCol)).cache()
-    val pool = recs.select(queryCol, itemCol, ratingCol)
-      .join(cats, Seq(itemCol)).cache()
+    val pDist = p.join(pTot, Seq(queryCol))
+    // r14 (guide §2.4 remove shuffles outright): the candidate × history-
+    // category fan-out join is STEP-INVARIANT — only the anti-join against
+    // the selected pairs changes per greedy step, and dropping (query, item)
+    // pairs commutes with the per-query category fan-out. Join once, cache
+    // the enriched pool, and run each step's anti-join on it: k joins of
+    // pool×pDist collapse to one (plan: 3 per-step fan-out joins → 1).
+    val poolDist = recs.select(queryCol, itemCol, ratingCol)
+      .join(cats, Seq(itemCol))
+      .join(pDist.select(F.col(queryCol),
+        F.col("category").as("_pc"), F.col("hc"), F.col("ht")), Seq(queryCol))
+      .cache()
     val w = Window.partitionBy(queryCol)
       .orderBy(F.col("_cal").desc, F.col(itemCol).asc)
     var selected: DataFrame = null
@@ -116,12 +125,10 @@ object Rerank {
     val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var t = 1
     while (t <= k) {
-      val cand =
-        if (selected == null) pool
-        else pool.join(selected.select(queryCol, itemCol),
+      val joined =
+        if (selected == null) poolDist
+        else poolDist.join(selected.select(queryCol, itemCol),
           Seq(queryCol, itemCol), "left_anti")
-      val joined = cand.join(pDist.select(F.col(queryCol),
-        F.col("category").as("_pc"), F.col("hc"), F.col("ht")), Seq(queryCol))
       val withCnt =
         if (selCnt == null) joined.withColumn("_cnt", F.lit(null).cast("long"))
         else joined.join(selCnt.select(F.col(queryCol),
@@ -166,8 +173,7 @@ object Rerank {
     val out = selected.select(queryCol, itemCol, "cal_score", "position")
       .localCheckpoint()
     picks.foreach(_.unpersist())
-    pool.unpersist()
-    pDist.unpersist()
+    poolDist.unpersist()
     out
   }
 }

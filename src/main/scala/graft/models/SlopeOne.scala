@@ -87,7 +87,29 @@ final class SlopeOne(
     // (== capped renamed) anyway; this just moves the cache below the
     // expensive pre-average+cap chain so the pair join reads it too.
     val capped = cappedBase(log).cache()
-    materializeFrom(halfPairs(capped), capped, cacheHalf = false)
+    // r14 (guide §1/§2.4, third option after r13 probed cacheHalf both
+    // ways): the BATCH fit builds the full ordered-pair deviation table in
+    // ONE aggregation — self-join without the upper-triangle filter, both
+    // (i→j) and (j→i) groups in the same pass — instead of aggregating the
+    // upper triangle and unioning its flip (which re-ran the final
+    // HashAggregate per union branch; caching `half` instead measured
+    // slower still, r13). Result-identical: n and dev_ppm per ordered pair
+    // are the same exact-integer sums, just grouped directly. The
+    // half-based materializeFrom stays for fitFromStats (the incremental/
+    // streaming stats contract is the upper triangle).
+    val l = capped.select(F.col(cols.query),
+      F.col(cols.item).as("item_from"), F.col("_r").as("_rf"))
+    val r = capped.select(F.col(cols.query),
+      F.col(cols.item).as("item_to"), F.col("_r").as("_rt"))
+    deviations = l.join(r, Seq(cols.query))
+      .filter(F.col("item_from") =!= F.col("item_to"))
+      .groupBy("item_from", "item_to")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("_rt") - F.col("_rf")).as("dev_ppm"))
+      .cache()
+    deviations.count()
+    ratings = capped.withColumnRenamed("_r", "r_ppm").cache()
+    ratings.count()
     capped.unpersist() // state lives on in the cached deviations/ratings
   }
 

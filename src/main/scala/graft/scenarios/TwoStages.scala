@@ -139,6 +139,12 @@ final class TwoStagesScenario(
           df.columns.filterNot(_ == keep).toIndexedSeq
             .map(c => F.col(c).as(s"$p$c")): _*)
       if (statsCached.isEmpty || (statsKey ne flTrain)) {
+        // r14 (ADVICE r13): release the previous memo before replacing it —
+        // a long-lived session re-fitting the scenario must not accumulate
+        // stale InMemoryRelations (bench/Verify clearCache masked this).
+        statsCached.foreach { case (a, b, c) =>
+          a.unpersist(); b.unpersist(); c.unpersist()
+        }
         statsKey = flTrain
         statsCached = Some((
           prefixed(
@@ -188,9 +194,18 @@ final class TwoStagesScenario(
       userFeatures: Option[DataFrame] = None,
       itemFeatures: Option[DataFrame] = None): this.type = {
     val (labeled, flTrain) = secondLevelTrain(log)
+    if (firstLevelTrain != null) firstLevelTrain.unpersist() // refit rotation
     firstLevelTrain = flTrain.cache()
     userFeaturesFit = userFeatures
     itemFeaturesFit = itemFeatures
+    // r14 (guide §5, VERDICT r13 item 3): enrich runs twice per scenario
+    // (fit-side here, predict-side) against the SAME firstLevelTrain — let
+    // neighbour models share one cached predictPairs score frame instead of
+    // rebuilding the dense history⋈similarity table per call.
+    firstLevelModels.foreach {
+      case n: graft.models.NeighbourRec => n.memoPairScores = true
+      case _ => ()
+    }
     val train = enrich(labeled, firstLevelTrain, userFeatures, itemFeatures)
     featureCols = train.columns.toIndexedSeq
       .filterNot(Set(cols.query, cols.item, "target").contains)
@@ -213,19 +228,32 @@ final class TwoStagesScenario(
       .evaluate(secondModel.transform(compacted))
     trainAucFrame = train.sparkSession.range(1)
       .select(F.lit(trainAuc > 0.55).as("train_auc_ok"))
+    // r14 (ADVICE r13): the GBT model and AUC are materialized — the
+    // fit-side scratch caches (labeled candidates, assembled train) have
+    // served every consumer and can be released now.
+    assembled.unpersist()
+    labeled.unpersist()
     this
   }
 
   /** Rerank first-level candidates by the GBT positive-class probability
     * (reference `_predict` + reranker.py `LamaWrap.predict`). Seen pairs
     * are excluded at candidate generation (log_to_filter = log). */
+  /** Previous predict call's candidate cache — rotated (unpersisted) on the
+    * next call so repeated predicts on a long-lived session don't
+    * accumulate InMemoryRelations (ADVICE r13). The returned frame is lazy,
+    * so the CURRENT cand stays cached until the next predict/release. */
+  private var lastCand: DataFrame = _
+
   def predict(log: DataFrame, k: Int): DataFrame = {
     require(secondModel != null, "TwoStagesScenario.predict before fit")
     // r13: cached for the same duplicated-subtree reason as `labeled` in
     // [[secondLevelTrain]] — `cand` appears in the final plan twice (enrich
     // base + rel predictPairs probe); ≤ numNegatives·|users| rows.
+    if (lastCand != null) lastCand.unpersist()
     val cand = candidatesWithFallback(firstLevelModels.head, log,
       numNegatives, log).select(cols.query, cols.item).cache()
+    lastCand = cand
     val feats = enrich(cand, firstLevelTrain, userFeaturesFit, itemFeaturesFit)
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("_features")

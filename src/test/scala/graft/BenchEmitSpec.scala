@@ -16,7 +16,7 @@ class BenchEmitSpec extends AnyFunSuite with Matchers {
 
   test("short result sets emit untrimmed, valid-shape lines") {
     val rows = syntheticRows(5)
-    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((3.886, 3.469)))
+    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((3.886, -1.0, 3.469)))
     line shouldBe detail
     line.length should be <= Bench.MaxLineBytes
     line should startWith("""{"metric":"total","value":""")
@@ -28,7 +28,7 @@ class BenchEmitSpec extends AnyFunSuite with Matchers {
   test("oversized result sets trim to budget, keep failures, baseline rows, and expensive rows") {
     val rows = syntheticRows(90) ++ Seq(("failed_row_alpha", -1.0), ("failed_row_beta", -1.0),
       ("model_wilson", 1.6)) // cheap but baseline-comparable — must survive
-    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((3.886, 3.469)))
+    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((3.886, -1.0, 3.469)))
     line.length should be <= Bench.MaxLineBytes
     // every failed row survives the trim
     line should include(""""failed_row_alpha":-1""")
@@ -57,16 +57,27 @@ class BenchEmitSpec extends AnyFunSuite with Matchers {
   test("the real 72-row headline set fits worst-case in the budget") {
     // worst case: every headline row present with a 4-digit-second value
     val rows = Bench.headline.map(n => (n, 9999.999))
-    val (line, _) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((9999.999, 9999.999)))
+    val (line, _) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((9999.999, 9999.999, 9999.999)), drift = Some(2537.563))
     line.length should be <= Bench.MaxLineBytes
   }
 
   test("the driver-budget set emits UNTRIMMED worst-case — every row visible") {
     val rows = Bench.driverSet.map(n => (n, 9999.999))
-    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((9999.999, 9999.999)))
+    val (line, detail) = Bench.renderEmit(rows, "/root/testdata/sf0.1", Some((9999.999, 9999.999, 9999.999)), drift = Some(2537.563))
     line shouldBe detail // nothing trimmed: the driver sees every row
     line.length should be <= Bench.MaxLineBytes
     Bench.BaselineRows.foreach(b => Bench.driverSet should contain(b))
+  }
+
+  test("calibration mid and drift render only when present; drift flags a hot box") {
+    val rows = syntheticRows(3)
+    val (line, _) = Bench.renderEmit(rows, "/root/testdata/sf0.1",
+      Some((25.931, 12.4, 7.741)), drift = Bench.calibrationDrift(Some((25.931, 12.4, 7.741)), "32"))
+    line should include(""""calibration":{"start":25.931,"mid":12.4,"end":7.741}""")
+    line should include(""""calibration_drift":6.581""") // 25.931 / 3.94
+    // inside the band: no flag; non-32-core runs never flag
+    Bench.calibrationDrift(Some((3.886, -1.0, 3.469)), "32") shouldBe None
+    Bench.calibrationDrift(Some((25.931, -1.0, 7.741)), "8") shouldBe None
   }
 
   test("mergePrior folds prior same-sf detail rows under the current run") {
